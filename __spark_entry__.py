@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()``   — every implemented operator from SURVEY.md §2, as
+                  (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()``— DuckDB-equivalent SQL per query for the correctness gate.
+
+All real logic lives in the ``arroyo_spark`` package; this module only
+adapts the suite registry to the driver's interface.
 """
 
 from __future__ import annotations
@@ -14,25 +16,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _suite():
+    from arroyo_spark.suite import all_queries
+
+    return all_queries()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from arroyo_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    q = _suite()["q5_region_revenue"]
+    return q.fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(q):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from arroyo_spark.session import apply_runtime_conf
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            apply_runtime_conf(spark)
+            return q.fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(q) for name, q in _suite().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in _suite().items() if q.oracle is not None}

@@ -1,0 +1,23 @@
+"""arroyo_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ArroyoSystems/arroyo (streaming SQL engine),
+re-expressed Spark-first.
+
+Architecture (see SURVEY.md for the blueprint):
+
+- ``session``    — tuned SparkSession factory (AQE, shuffle sizing, UTC).
+- ``catalog``    — test-table catalog: parquet loaders + temp-view registry.
+- ``functions``  — scalar/aggregate function layer (Arroyo dialect -> Spark),
+                   including portable deterministic hashes used by dedup ops.
+- ``operators``  — relational + streaming operators (windows, joins, dedup,
+                   similarity search, text analysis, window functions).
+- ``streaming``  — Structured Streaming wrappers: watermarks, updating
+                   aggregates (retraction streams), Debezium encode/decode.
+- ``suite``      — registry of runnable queries with DuckDB oracle SQL;
+                   consumed by ``__spark_entry__.py`` and ``bench.py``.
+
+Everything is declarative DataFrame/SQL so Catalyst handles pushdown, column
+pruning, partial aggregation and join strategy; Python UDFs are avoided in
+hot paths (portable hashes are built from JVM-side expressions).
+"""
+
+__version__ = "0.1.0"

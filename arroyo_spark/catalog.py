@@ -1,0 +1,73 @@
+"""Table catalog over the driver-provided parquet tables (TESTDATA.md).
+
+Mirrors the reference's table registry (`arroyo-planner/src/tables.rs:573-590`
+`enum Table`) in the way that makes sense for Spark: a named set of DataFrames
+registered as temp views so both the DataFrame API and ``spark.sql`` see them.
+
+Scale notes:
+- All loads are plain ``spark.read.parquet`` — predicate pushdown, column
+  pruning and partition pruning stay available to Catalyst.
+- ``events.ts`` is ns-precision in parquet, which Spark's reader rejects by
+  default. With ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a
+  raw long; we truncate to µs JVM-side (``ts div 1000``) — identical semantics
+  to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so oracles agree. This is a
+  columnar expression, not a UDF, and survives any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # ns epoch -> µs truncation, matching DuckDB's ns->µs cast.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view (idempotent)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,7 @@
+from arroyo_spark.functions.scalar import (  # noqa: F401
+    dec_avg,
+    dec_sum,
+    epoch_us,
+    multi_hash,
+    portable_token_hash,
+)

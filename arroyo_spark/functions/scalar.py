@@ -1,0 +1,78 @@
+"""Scalar/aggregate expression helpers — the engine's function layer.
+
+Implements the Arroyo-dialect function surface on Spark expressions
+(reference: `arroyo-planner/src/functions.rs:55-175` custom functions;
+`arroyo-planner/src/lib.rs:135-147` DataFusion function registration) plus
+the determinism helpers the oracle-matched suite relies on.
+
+Everything here is a JVM-side Column expression (whole-stage codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec_sum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Order-independent exact sum of a double column.
+
+    Routes the sum through DECIMAL so shuffle/partial-aggregation order can't
+    perturb the result (double addition is not associative); final value cast
+    back to DOUBLE. The partial/final split stays map-side combinable.
+    """
+    return F.sum(_c(col).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dec_avg(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum divided by count, in double."""
+    return dec_sum(col, precision, scale) / F.count(F.lit(1))
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Timestamp -> BIGINT epoch microseconds (DuckDB: ``epoch_us``)."""
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def multi_hash(*cols: Column | str) -> Column:
+    """Deterministic 128-bit row hash over N columns, as hex text.
+
+    Analog of the reference's ``multi_hash`` (xxh3-128 over concatenated
+    columns, `arroyo-planner/src/functions.rs:118-175`), used there to build
+    updating-stream row ids. We use md5 over a '|'-joined rendering so the
+    same value is computable by any SQL engine (the oracle uses DuckDB md5).
+    For pure-Spark hot paths prefer ``F.xxhash64`` (faster, not portable).
+    """
+    return F.md5(F.concat_ws("|", *[_c(c).cast("string") for c in cols]))
+
+
+def portable_token_hash(col: Column | str, modulus: int = 2147483647) -> Column:
+    """Deterministic 31-bit polynomial hash of a string, portable to any
+    engine with higher-order list functions (DuckDB: list_reduce/ascii).
+
+    h = fold(chars, 0, (acc, ch) -> (acc*31 + ascii(ch)) % modulus)
+
+    Used by SimHash/LSH-style operators where Spark and the oracle must
+    bucket identically. JVM-side (aggregate over split), no UDF.
+    """
+    c = _c(col)
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(modulus),
+    )
+
+
+def duck_token_hash_sql(expr: str, modulus: int = 2147483647) -> str:
+    """DuckDB SQL fragment computing the same value as
+    ``portable_token_hash`` for a string expression."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, ch) -> (acc * 31 + ch) % {modulus})"
+    )

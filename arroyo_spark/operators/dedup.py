@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four strategies, all pure DataFrame expressions (no Python UDFs) so they
+whole-stage-codegen and scale linearly:
+
+- exact:        md5 fingerprint of normalized text, hash-groupBy.
+- minhash LSH:  word-set MinHash signatures (min over md5(seed:word)),
+                banded; candidate pairs from band-bucket self-join.
+- n-gram Jaccard: word-shingle sets, pair intersection/union via equi-join.
+- simhash:      sign-aggregated bitwise token hashes -> 16-bit bucket.
+
+Portability: hashes are md5 / the polynomial token hash from
+``arroyo_spark.functions.scalar`` so a DuckDB oracle computes identical
+values (see queries/dedup.py).
+
+Scale design (100 TB):
+- The doc->word explode is the dominant shuffle; signatures reduce each doc
+  to O(num_hashes) immediately (map-side combinable min() aggregates).
+- Band self-join joins on band_key: bucket sizes are the classic LSH knob
+  (bands x rows tradeoff); skewed mega-buckets should be salted or capped.
+- Jaccard verification joins only LSH candidates at scale (here also exposed
+  standalone over shared-shingle pairs for oracle checkability).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def normalize_text(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Distinct lowercase whitespace tokens (the doc's word set)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != F.lit(""))
+    )
+
+
+def exploded_words(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return docs.select(id_col, F.explode(tokens("text")).alias("w"))
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: min(md5(f"{i}:{word}")).
+
+    md5-as-string-min is a valid MinHash family (uniform permutation of the
+    word universe per seed) and is computable identically by any engine.
+    """
+    words = exploded_words(docs, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return words.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode each signature into `bands` band-bucket keys."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[F.col(f"h{b * rows + r}") for r in range(rows)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        id_col, F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (doc_a < doc_b)."""
+    b = lsh_band_keys(
+        minhash_signatures(docs, id_col, num_hashes), id_col, num_hashes, bands
+    )
+    x = b.select(F.col(id_col).alias("doc_a"), "band_key")
+    y = b.select(F.col(id_col).alias("doc_b"), "band_key")
+    return (
+        x.join(y, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text."""
+    toks = F.filter(F.split(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+"),
+                    lambda w: w != F.lit(""))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.25
+) -> DataFrame:
+    """All pairs sharing >= 1 shingle with Jaccard >= threshold.
+
+    At 100 TB the self-join must be restricted to LSH candidates first
+    (compose with ``lsh_candidate_pairs``); intersection counts are exact
+    integers so the similarity is deterministic.
+    """
+    sh = docs.select(id_col, shingles("text", n).alias("sh"))
+    sized = sh.select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a = sized.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = sized.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc from the portable polynomial token hash.
+
+    bit_b(doc) = 1 iff sum over words of (2*((hash(w)>>b)&1) - 1) >= 0.
+    """
+    from arroyo_spark.functions.scalar import portable_token_hash
+
+    words = exploded_words(docs, id_col).withColumn(
+        "h", portable_token_hash("w")
+    )
+    bit_sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(id_col, sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — query set broadcast against the corpus,
+dot products as JVM-side higher-order functions (no UDF, no collect).
+
+Scale path (100 TB corpus): brute force is O(|Q|·|C|·d) but embarrassingly
+parallel: the corpus stays partitioned, the (small) query set broadcasts, and
+per-partition top-k folds through a single shuffle of |Q|·k candidates
+(Spark's TakeOrderedAndProject after the window filter). For |Q| large too,
+swap in the LSH-bucketed variant: hash both sides into sign-random-projection
+buckets (`lsh_bucket`) and join on bucket before scoring — turns the cross
+product into an equi-join.
+
+Determinism: element-wise products are folded left-to-right in ascending
+index order (`F.aggregate` over `zip_with`), matching the oracle's
+`list_reduce` fold exactly; cosine rounded to 6dp before ranking with a
+vec_id tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic float order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (self excluded).
+
+    `queries` is broadcast; the corpus is never shuffled until the final
+    per-query top-k (k rows per query survive the window filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id for ANN pre-filtering.
+
+    `planes` are fixed hyperplane vectors (generated off-line, shipped as
+    literals so both sides of a join bucket identically).
+    """
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("bigint")

@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data pipelines: token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (codegen'd, shuffle-free per-document maps) —
+these run as a narrow projection stage at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and engine-portable (plain IN-list matching).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "la", "los", "que", "es", "una", "por"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("for", "on", "with", "as", "at", "by")
+
+
+def toks(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count(col: Column | str = "text") -> Column:
+    return F.size(toks(col)).cast("bigint")
+
+
+def unique_token_count(col: Column | str = "text") -> Column:
+    return F.size(F.array_distinct(toks(col))).cast("bigint")
+
+
+def avg_token_len(col: Column | str = "text") -> Column:
+    t = toks(col)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.round(total / F.size(t), 6)
+
+
+def stopword_ratio(col: Column | str = "text", stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    t = toks(col)
+    hits = F.size(F.filter(t, lambda w: w.isin(*stopwords)))
+    return F.round(hits / F.size(t), 6)
+
+
+def punct_ratio(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.round(punct / F.length(c), 6)
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical diversity -
+    punctuation noise. Formula is fixed and engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(col)
+    diversity = unique_token_count(col) / n
+    len_ok = F.when((n >= 20) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            0.5 * len_ok + 0.5 * diversity - punct_ratio(c),
+        ),
+        6,
+    )
+
+
+def _marker_hits(t: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(t, lambda w: w.isin(*markers)))
+
+
+def lang_scores(col: Column | str = "text") -> dict[str, Column]:
+    t = toks(col)
+    return {lang: _marker_hits(t, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def predict_lang(col: Column | str = "text", default: str = "und") -> Column:
+    """argmax over marker-hit counts with fixed tie order (en>de>fr>es>zh);
+    'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = None
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            prev_s, prev_l = best
+            best = (
+                F.greatest(prev_s, s),
+                F.when(s > prev_s, F.lit(lang)).otherwise(prev_l),
+            )
+    score, lang = best
+    return F.when(score > 0, lang).otherwise(F.lit(default))
+
+
+def fingerprint_md5(col: Column | str = "text") -> Column:
+    from arroyo_spark.operators.dedup import normalize_text
+
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_poly(col: Column | str = "text") -> Column:
+    """Polynomial rolling hash of the normalized text (portable)."""
+    from arroyo_spark.functions.scalar import portable_token_hash
+    from arroyo_spark.operators.dedup import normalize_text
+
+    return portable_token_hash(normalize_text(col))

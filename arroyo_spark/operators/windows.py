@@ -1,0 +1,104 @@
+"""Time-window operators: tumble / hop / session.
+
+Reference semantics (SURVEY.md §2.1):
+- tumble: bin = ts - ts % width
+  (`arroyo-worker/src/arrow/tumbling_aggregating_window.rs:66-74`)
+- hop: width must be a multiple of slide (`arroyo-planner/src/lib.rs:642-648`);
+  each row belongs to width/slide windows.
+- session: gap-merged per key
+  (`arroyo-worker/src/arrow/session_aggregating_window.rs:421-524`).
+
+Spark's `window()` / `session_window()` implement identical assignment rules
+(epoch-aligned, half-open [start, end)), and work on BOTH batch and streaming
+DataFrames — so the same operator code serves the batch oracle checks and the
+Structured Streaming pipelines.
+
+These helpers return the grouped projection; callers attach aggregates.
+Windows are emitted as epoch-µs BIGINTs (`*_us`) for representation-stable
+comparison; `window_bounds` keeps the raw struct for streaming use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, GroupedData
+
+US_PER_SECOND = 1_000_000
+
+
+def _dur_us(duration: str) -> int:
+    """'1 hour' / '15 minutes' / '30 seconds' -> microseconds."""
+    qty, unit = duration.split()
+    unit = unit.rstrip("s")
+    seconds = {
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+        "week": 604800,
+    }[unit]
+    return int(qty) * seconds * US_PER_SECOND
+
+
+def tumble(
+    df: DataFrame, keys: list[str | Column], ts_col: str = "ts", width: str = "1 hour"
+) -> GroupedData:
+    """Tumbling-window groupBy; epoch-aligned like the reference's
+    ``bin = ts - ts % width``. Works on batch and streaming inputs."""
+    return df.groupBy(F.window(ts_col, width), *keys)
+
+
+def hop(
+    df: DataFrame,
+    keys: list[str | Column],
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+) -> GroupedData:
+    """Hopping (sliding) window groupBy. Enforces the reference's planning
+    rule that width is a multiple of slide
+    (`error_offset_sliding_window.sql` must fail)."""
+    w, s = _dur_us(width), _dur_us(slide)
+    if w % s != 0:
+        raise ValueError(
+            f"hop width ({width}) must be a multiple of slide ({slide})"
+        )
+    return df.groupBy(F.window(ts_col, width, slide), *keys)
+
+
+def session(
+    df: DataFrame, keys: list[str | Column], ts_col: str = "ts", gap: str = "30 minutes"
+) -> GroupedData:
+    """Session-window groupBy (gap-merged, end = last event + gap)."""
+    return df.groupBy(F.session_window(ts_col, gap), *keys)
+
+
+def window_start_us() -> Column:
+    return F.unix_micros(F.col("window.start")).alias("window_start_us")
+
+
+def window_end_us() -> Column:
+    return F.unix_micros(F.col("window.end")).alias("window_end_us")
+
+
+# --- DuckDB oracle fragments -------------------------------------------------
+# The oracle recomputes Spark's epoch-aligned assignment arithmetically so no
+# engine-specific bucketing function (with its own alignment origin) is
+# involved.  eus = epoch microseconds of the (µs-truncated) event time.
+
+EUS = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+def oracle_tumble_start_us(width: str) -> str:
+    w = _dur_us(width)
+    return f"({EUS} - {EUS} % {w})"
+
+
+def oracle_hop_starts_us(width: str, slide: str) -> str:
+    """DuckDB fragment: list of the hop-window starts containing each row."""
+    w, s = _dur_us(width), _dur_us(slide)
+    k = w // s
+    return (
+        f"list_transform(range(0, {k}), k -> "
+        f"({EUS} - {EUS} % {s}) - k * CAST({s} AS BIGINT))"
+    )

@@ -1,0 +1,171 @@
+"""Dedup query suite over `documents` — exact, MinHash-LSH, n-gram Jaccard,
+SimHash. Each Spark operator is mirrored by a DuckDB oracle computing the
+identical deterministic hashes (md5 / portable polynomial hash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions.scalar import duck_token_hash_sql
+from arroyo_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    normalize_text,
+    simhash16,
+)
+from arroyo_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(normalize_text("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"min(md5('{i}:' || w)) AS h{i}" for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', 'b{b}', {hs}))".format(
+            b=b,
+            hs=", ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE w <> ''
+    ), sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM words GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word 3-shingle) Jaccard similarity pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM inter
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.25
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# SimHash buckets.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    h = duck_token_hash_sql("w")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE w <> ''
+    ), hashed AS (
+      SELECT doc_id, {h} AS h FROM words
+    ), bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)

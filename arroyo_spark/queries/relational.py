@@ -1,0 +1,624 @@
+"""Relational operator suite: scans, filters, projections, scalar functions,
+aggregations, joins (inner/semi/anti/multi-way), set ops, subqueries, SQL
+window functions, JSON access.
+
+Covers the reference's relational surface (SURVEY.md §2.2): DataFusion
+projections/filters (`arroyo-planner/src/extension/projection.rs`), equi-joins
+(`arroyo-planner/src/plan/join.rs`), the aggregate library
+(`arroyo-planner/src/lib.rs:139-147`), JSON operators
+(`arroyo-planner/src/functions.rs:55-97`), UNION (`plan/mod.rs:361-384`).
+
+Scale notes (100 TB): every query is declarative DataFrame code — Catalyst
+pushes filters/projections into the parquet scan and picks broadcast joins
+for dimension tables (region/nation/supplier/customer are tiny relative to
+fact tables; `F.broadcast` marks them explicitly). Aggregations all go
+through partial/final HashAggregate (map-side combine), so shuffled bytes
+are proportional to group cardinality, not input rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions import dec_sum
+from arroyo_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# Aggregation over a scan (TPC-H Q1 flavor): partial/final agg, decimal-exact
+# sums, filter pushed to parquet scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_disc_price,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "scan", "tpch"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dec_sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(dec_sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(dec_sum(disc_price, 28, 10), 6).alias("sum_disc_price"),
+            F.round(dec_sum(charge, 28, 10), 6).alias("sum_charge"),
+            F.round(dec_sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(dec_sum("l_extendedprice") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way join + aggregation (TPC-H Q3 flavor): broadcast dim, shuffle fact agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15 00:00:00")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(dec_sum(revenue, 28, 10), 6).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way star join (TPC-H Q5 flavor): dimension broadcast chain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(dec_sum(revenue, 28, 10), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection with computed columns (pushdown showcase).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(floor(value / 50) AS BIGINT) AS value_bucket
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+    """,
+    tags=("filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.floor(F.col("value") / 50).cast("bigint").alias("value_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: string/math/conditional (SURVEY §2.2 scalar census).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           round(p_retailprice * 1.1, 2) AS marked_up,
+           abs(p_size - 25) AS size_dev,
+           CAST(p_size % 5 AS BIGINT) AS size_mod,
+           CASE WHEN p_size >= 40 THEN 'large'
+                WHEN p_size >= 15 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+    tags=("functions", "projection"),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 5).cast("bigint").alias("size_mod"),
+        F.when(F.col("p_size") >= 40, "large")
+        .when(F.col("p_size") >= 15, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function surface (extract-style accessors, SURVEY §2.2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("functions", "datetime"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.filter(d >= F.lit("2000-01-01 00:00:00")).select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + HAVING (reference supports HAVING over updating aggregates,
+# SURVEY §2.3 "supported despite suggestive filenames").
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_spend,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+    tags=("aggregate", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dec_sum("o_totalprice"), 6).alias("total_spend"),
+            F.max("o_totalprice").cast("double").alias("max_order"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) — native distinct-aggregate path (SURVEY §2.2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "distinct"),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL of two branches then aggregate (reference: `union.sql` test).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
+    FROM (
+      SELECT user_id, value FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_type = 'error' AND value > 400
+    ) u
+    GROUP BY user_id
+    """,
+    tags=("setop", "aggregate"),
+)
+def union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") > 400)).select(
+        "user_id", "value"
+    )
+    return (
+        a.unionAll(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(dec_sum("value"), 6).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins — the reference reaches these only via subquery
+# decorrelation (DecorrelatePredicateSubquery, SURVEY §2.2 joins); Spark has
+# them as first-class join types.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 450000
+    )
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# SQL window functions: top-k per group (reference: ROW_NUMBER top-k pattern,
+# `most_active_driver_last_hour.sql`) and running/offset analytics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_type",
+    oracle="""
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) t WHERE rn <= 3
+    """,
+    tags=("window_fn", "topk"),
+)
+def window_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type", "event_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           round(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total,
+           lag(value) OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+           CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("window_fn", "running"),
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum("value").over(w_run), 6).alias("running_total"),
+        F.lag("value").over(w_ord).alias("prev_value"),
+        F.rank().over(w_rank).cast("bigint").alias("value_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, made deterministic: derive variance/stddev/corr
+# from exact decimal sums with an identical closed-form on both sides.
+# (Reference registers the full DataFusion stats set — SURVEY §2.2.)
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sq / n, 6) AS mean_qty,
+           round((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
+           round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+           round((sqp - sq * sp / n) /
+                 (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6) AS corr_qty_price
+    FROM s
+"""
+
+
+@query(
+    "stats_aggregates",
+    oracle=_STATS_ORACLE,
+    tags=("aggregate", "stats"),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+    )
+    n, sq, sqq, sp, spp, sqp = (F.col(c) for c in ["n", "sq", "sqq", "sp", "spp", "sqp"])
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n, 6).alias("mean_qty"),
+        F.round((sqq - sq * sq / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sqq - sq * sq / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (sqp - sq * sp / n)
+            / (F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON access (reference: json_operators.sql, `->`/`->>`/json_get —
+# `arroyo-planner/src/functions.rs:55-97`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_text,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    tags=("json", "functions"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_text"),
+            k.cast("bigint").alias("k_num"),
+        )
+        .filter(F.col("k_num") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval (time-range) join: events self-join "purchase within 30 min of
+# signup by same user" — the batch analog of the reference's TTL'd
+# stream-stream join (`join_with_expiration.rs`, SURVEY §2.1).
+# At scale: equi-key on user_id makes this a shuffled hash join with the
+# range predicate as post-filter; timestamps are co-partitioned by key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_signup_purchase",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) AS BIGINT) AS min_lag_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+    GROUP BY a.user_id
+    """,
+    tags=("join", "interval", "streaming-analog"),
+    bench=True,
+)
+def interval_join_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.unix_micros("b_ts") - F.unix_micros("a_ts"))
+        .cast("bigint")
+        .alias("min_lag_us"),
+    )

@@ -1,0 +1,99 @@
+"""Similarity-search query suite over `embeddings` (vec_id, array<float>
+embedding, label): brute-force cosine top-k with a DuckDB oracle computing
+the identical sequential-fold dot product."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.operators.similarity import brute_force_topk
+from arroyo_spark.suite import query
+
+# DuckDB fragment: deterministic sequential-fold dot product of two float
+# lists cast to double — matches F.aggregate(zip_with(...)) exactly.
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             round({_cos('q.q_vec', 'c.embedding')}, 6) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("similarity", "knn", "embedding"),
+    bench=True,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return brute_force_topk(emb, queries, k=3)
+
+
+@query(
+    "embedding_label_centroid_sim",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+             round({_cos('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+    )
+    SELECT label,
+           COUNT(*) AS n_pairs,
+           round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_intra_cos
+    FROM pairs GROUP BY label
+    """,
+    tags=("similarity", "embedding", "aggregate"),
+)
+def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average intra-label cosine similarity (sampled) — cluster-cohesion
+    check for labeled embeddings."""
+    from arroyo_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("va"), as_double("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vb"),
+        as_double("embedding").alias("eb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+    scored = pairs.select(
+        "label", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_intra_cos"),
+    )

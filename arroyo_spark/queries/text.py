@@ -1,0 +1,147 @@
+"""Text-analysis query suite over `documents`: token stats, quality scoring,
+language-ID heuristic, fingerprinting. All shuffle-free projections (plus one
+small aggregate), oracle-matched in DuckDB."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions.scalar import duck_token_hash_sql
+from arroyo_spark.operators import text as T
+from arroyo_spark.suite import query
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars, {_TOKS} AS tk FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
+           round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk, w -> CAST(length(w) AS BIGINT))),
+                 (a, b) -> a + b) / CAST(len(tk) AS DOUBLE), 6) AS avg_token_len
+    FROM t
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        T.token_count("text").alias("n_tokens"),
+        T.unique_token_count("text").alias("n_unique_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS tk FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n,
+             len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS diversity,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS praw,
+             len(list_filter(tk, w -> w IN ({_in_list(T.EN_STOPWORDS)})))
+               / CAST(len(tk) AS DOUBLE) AS sraw
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens,
+           round(sraw, 6) AS stopword_ratio,
+           round(praw, 6) AS punct_ratio,
+           round(least(1.0,
+             0.5 * (CASE WHEN n >= 20 AND n <= 5000 THEN 1.0 ELSE 0.5 END)
+             + 0.5 * diversity - round(praw, 6)), 6) AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    # Same argmax with fixed tie order (iteration order of LANG_MARKERS).
+    score_cols = ",\n             ".join(
+        f"len(list_filter(tk, w -> w IN ({_in_list(m)}))) AS s_{lang}"
+        for lang, m in T.LANG_MARKERS.items()
+    )
+    langs = list(T.LANG_MARKERS)
+    best_s, best_l = f"s_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_l = f"(CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best_l} END)"
+        best_s = f"greatest({best_s}, s_{lang})"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           (CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END) AS pred_lang,
+           ((CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'und' END) = lang) AS is_match
+    FROM s
+    """
+
+
+@query(
+    "text_lang_id",
+    oracle=_langid_oracle(),
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.predict_lang("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           {duck_token_hash_sql('norm')} AS fp_poly
+    FROM n
+    """,
+    tags=("text", "fingerprint", "functions"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fp_md5"),
+        T.fingerprint_poly("text").alias("fp_poly"),
+    )

@@ -1,0 +1,280 @@
+"""Event-time window query suite: tumble / hop / session aggregates, nested
+windows, and SQL window functions over time windows.
+
+Mirrors the reference's windowed operator set (SURVEY.md §2.1:
+TumblingWindowAggregate, SlidingWindowAggregate, SessionWindowAggregate,
+WindowFunction) on the `events` table. The same operator helpers run
+unchanged on streaming DataFrames (tests/test_streaming.py); the batch resu
+lts
+here feed the DuckDB oracle gate.
+
+Oracle convention: Spark's epoch-aligned window assignment is recomputed
+arithmetically in SQL (no time_bucket, whose alignment origin differs).
+All window bounds emitted as BIGINT epoch-µs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions import dec_sum
+from arroyo_spark.operators.windows import (
+    EUS,
+    hop,
+    oracle_hop_starts_us,
+    oracle_tumble_start_us,
+    session,
+    tumble,
+    window_end_us,
+    window_start_us,
+)
+from arroyo_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# Tumbling window, keyed (reference: hourly_by_event_type.sql golden test).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumble_hourly_by_type",
+    oracle=f"""
+    SELECT {oracle_tumble_start_us('1 hour')} AS window_start_us,
+           {oracle_tumble_start_us('1 hour')} + 3600000000 AS window_end_us,
+           event_type,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "tumble", "streaming-analog"),
+    bench=True,
+)
+def tumble_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        tumble(ev, ["event_type"], "ts", "1 hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dec_sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            window_start_us(),
+            window_end_us(),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window, global (no key) — reference: global aggregates over
+# windows (aggregates.sql).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumble_daily_global",
+    oracle=f"""
+    SELECT {oracle_tumble_start_us('1 day')} AS window_start_us,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("window", "tumble", "global"),
+)
+def tumble_daily_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        tumble(ev, [], "ts", "1 day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(dec_sum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+        .select(window_start_us(), "n", "n_users", "avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping window (reference: SlidingWindowAggregate; sliding_window_end.sql,
+# width % slide == 0 enforced at plan time).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hop_hourly_15m_by_type",
+    oracle=f"""
+    SELECT ws AS window_start_us,
+           ws + 3600000000 AS window_end_us,
+           event_type,
+           COUNT(*) AS n
+    FROM (
+      SELECT unnest({oracle_hop_starts_us('1 hour', '15 minutes')}) AS ws,
+             event_type
+      FROM events
+    ) h
+    GROUP BY ws, event_type
+    """,
+    tags=("window", "hop", "streaming-analog"),
+    bench=True,
+)
+def hop_hourly_15m_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        hop(ev, ["event_type"], "ts", "1 hour", "15 minutes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(window_start_us(), window_end_us(), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows, keyed (reference: session_window.sql golden test;
+# gap-merged, end = last event + gap).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_30m_by_user",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "streaming-analog"),
+    bench=True,
+)
+def session_30m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        session(ev, ["user_id"], "ts", "30 minutes")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dec_sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested windowed aggregates (reference: reinvoke_window_function.sql /
+# second_aggregate_recall_window.sql — windowed agg over windowed agg).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_tumble_peak_quarter",
+    oracle=f"""
+    WITH q AS (
+      SELECT ({EUS} - {EUS} % 900000000) AS q_start_us,
+             event_type,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT (q_start_us - q_start_us % 3600000000) AS hour_start_us,
+           event_type,
+           CAST(MAX(n) AS BIGINT) AS peak_quarter_hour,
+           CAST(SUM(n) AS BIGINT) AS hour_total
+    FROM q
+    GROUP BY 1, 2
+    """,
+    tags=("window", "tumble", "nested"),
+)
+def nested_tumble_peak_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    quarter = (
+        tumble(ev, ["event_type"], "ts", "15 minutes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("q_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return (
+        tumble(quarter, ["event_type"], "q_start", "1 hour")
+        .agg(
+            F.max("n").cast("bigint").alias("peak_quarter_hour"),
+            F.sum("n").cast("bigint").alias("hour_total"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("hour_start_us"),
+            "event_type",
+            "peak_quarter_hour",
+            "hour_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL window function over a time window (reference: WindowFunction operator,
+# most_active_driver_last_hour.sql — ROW_NUMBER per closed window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_fn_most_active_user",
+    oracle=f"""
+    WITH counts AS (
+      SELECT ws AS window_start_us, user_id, COUNT(*) AS n
+      FROM (
+        SELECT unnest({oracle_hop_starts_us('1 hour', '30 minutes')}) AS ws, user_id
+        FROM events
+      ) h
+      GROUP BY ws, user_id
+    ), ranked AS (
+      SELECT window_start_us, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start_us
+                                ORDER BY n DESC, user_id) AS rn
+      FROM counts
+    )
+    SELECT window_start_us, user_id, n
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("window", "window_fn", "topk", "streaming-analog"),
+)
+def window_fn_most_active_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        hop(ev, ["user_id"], "ts", "1 hour", "30 minutes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(window_start_us(), "user_id", "n")
+    )
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

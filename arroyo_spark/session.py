@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for both local testing and large-cluster use.
+
+The reference engine (arroyo-worker/src/engine.rs) hand-schedules a dataflow
+graph; in Spark all of that is Catalyst + AQE. The knobs below are the ones
+that matter at 100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting) —
+  replaces hand-tuned per-operator parallelism in the reference.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  leave AQE to coalesce from a high initial value.
+- UTC session timezone so event-time semantics are timezone-stable.
+- Arrow-enabled Python interop (pandas UDF hot paths are Arrow-batched).
+- ``nanosAsLong`` so ns-precision parquet timestamps (which Spark's vectorized
+  reader rejects) are readable; the catalog converts them to native timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test rig; on a real cluster the same
+# settings hold except shuffle partitions, which should start high
+# (e.g. 2000+) and let AQE coalesce.
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Small dimension tables (region/nation/supplier/customer at test SF)
+    # should broadcast; 64 MB covers every dim at sf<=1 while big tables
+    # still sort-merge/shuffle-hash join.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def get_spark(
+    app_name: str = "arroyo-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = cpus or default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    """Apply runtime-settable engine conf to an externally created session
+    (the correctness driver constructs its own SparkSession)."""
+    for k, v in _BASE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static conf on a running session (e.g. spark.ui.enabled) — skip
+            pass

@@ -1,0 +1,79 @@
+"""Query suite registry — the single source of truth consumed by
+``__spark_entry__.py`` (driver correctness gate), ``bench.py`` and the tests.
+
+Each entry pairs a Spark implementation (``fn(spark, sf_dir) -> DataFrame``)
+with the equivalent ANSI SQL for the DuckDB oracle. Column names and types
+are normalized on both sides (BIGINT/DOUBLE/STRING/BOOLEAN/DATE) so the
+driver's sorted value-hash comparison is meaningful.
+
+Determinism conventions (both sides MUST follow them):
+- money-ish double sums go through DECIMAL(18,2)/(18,6) so the sum is exact
+  and order-independent, then cast back to DOUBLE;
+- integer sums are cast to BIGINT (DuckDB widens to HUGEINT otherwise);
+- genuinely floating results are rounded to a fixed number of decimals;
+- timestamps are emitted as BIGINT epoch-µs (`unix_micros` / `epoch_us`) to
+  sidestep timezone/precision representation differences;
+- every computed column is explicitly aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does a rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # part of the bench.py headline set
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a suite query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, tuple(tags), bench)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    _load_modules()
+    return dict(_REGISTRY)
+
+
+_LOADED = False
+
+
+def _load_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from arroyo_spark.queries import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+
+    _LOADED = True

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline suite queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-style reduction
+(write-free, so timings measure compute + shuffle, not sink IO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+    from arroyo_spark.session import get_spark
+    from arroyo_spark.suite import all_queries
+
+    spark = get_spark("arroyo-spark-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    suite = all_queries()
+    bench_set = {n: q for n, q in suite.items() if q.bench}
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_set.items()):
+        # warm the input cache once (file listing, schema inference)
+        df = q.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Local replica of the driver's correctness gate: run a suite query on
+Spark and its oracle SQL on DuckDB, normalize, and compare as sorted
+multisets. Stricter than the driver (exact equality incl. floats, which our
+determinism conventions are designed to guarantee)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object:
+            # DuckDB decimals arrive as Decimal objects
+            import decimal
+
+            if s.map(lambda v: isinstance(v, decimal.Decimal)).any():
+                df[c] = s.astype("float64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sp, du = normalize(sp), normalize(du)
+    if list(sp.columns) != list(du.columns):
+        return [f"column mismatch: spark={list(sp.columns)} duck={list(du.columns)}"]
+    if len(sp) != len(du):
+        problems.append(f"row count: spark={len(sp)} duck={len(du)}")
+        return problems
+    for c in sp.columns:
+        a, b = sp[c], du[c]
+        if pd.api.types.is_float_dtype(a):
+            av, bv = a.to_numpy(), b.to_numpy(float)
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {np.count_nonzero(~eq)} diffs, first at row {i}: "
+                    f"spark={av[i]!r} duck={bv[i]!r} (absdiff={abs(av[i]-bv[i])!r})"
+                )
+        else:
+            eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} diffs, first at row {i}: "
+                    f"spark={a[i]!r} duck={b[i]!r}"
+                )
+    return problems
+
+
+def run_query_vs_oracle(spark, duck, q, sf_dir: str) -> list[str]:
+    sp_df = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        return [] if len(sp_df) >= 0 else ["spark query failed"]
+    du_df = duck.execute(q.oracle).df()
+    return compare_frames(sp_df, du_df)

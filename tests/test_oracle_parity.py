@@ -1,0 +1,17 @@
+"""The main correctness gate: every registered suite query must match its
+DuckDB oracle exactly at the test scale factor (mirrors the driver's
+CORRECTNESS check at sf0.01, run here at sf0.001 for speed)."""
+
+import pytest
+
+from arroyo_spark.suite import all_queries
+from tests.oracle_utils import run_query_vs_oracle
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    q = QUERIES[name]
+    problems = run_query_vs_oracle(spark, duck, q, sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
