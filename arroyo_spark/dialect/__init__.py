@@ -1,0 +1,2 @@
+from arroyo_spark.dialect.errors import PlanError  # noqa: F401
+from arroyo_spark.dialect.pipeline import Pipeline  # noqa: F401

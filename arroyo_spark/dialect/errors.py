@@ -1,0 +1,4 @@
+class PlanError(Exception):
+    """Raised when a script violates the dialect's planning rules —
+    mirrors the reference's plan-time errors (SURVEY.md §2.3 negative
+    space), so `--fail` tests have something to assert against."""

@@ -1,0 +1,313 @@
+"""Parser for the Arroyo SQL dialect's statement surface.
+
+Covers the dialect extensions the reference adds to plain SQL
+(SURVEY.md Appendix A; sqlparser fork `0.55.0/arroyo`):
+
+- `CREATE [TEMPORARY] TABLE name (cols...) WITH (options)` where columns
+  may carry `NOT NULL`, `PRIMARY KEY`, `GENERATED ALWAYS AS (expr)`,
+  `METADATA FROM 'key'`, and table constraints
+  `WATERMARK FOR col [AS (expr)]` / `PRIMARY KEY (cols)`
+  (`arroyo-planner/src/tables.rs:685-702,852-865`).
+- `CREATE TABLE name AS select` / `CREATE VIEW name AS select`
+  (`tables.rs:889-914`).
+- `INSERT INTO name select`, bare `SELECT ...` (preview sink,
+  `lib.rs:939-947`).
+- WITH-option values: 'string', number, bool, interval '...', [arrays].
+
+This is a pragmatic statement-level parser (the SELECT body is rewritten
+textually by `rewrite.py` and then handed to Spark SQL, which accepts the
+remaining ANSI surface natively).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from arroyo_spark.dialect.errors import PlanError
+
+# SQL type -> Spark type (SURVEY.md §1.2; arroyo-planner/src/types.rs:44-127)
+_TYPE_MAP = [
+    (r"^BOOLEAN$", "boolean"),
+    (r"^TINYINT( UNSIGNED)?$", "tinyint"),
+    (r"^SMALLINT( UNSIGNED)?$", "smallint"),
+    (r"^(INT|INTEGER)( UNSIGNED)?$", "int"),
+    (r"^BIGINT( UNSIGNED)?$", "bigint"),
+    (r"^(FLOAT|REAL)$", "float"),
+    (r"^(DOUBLE( PRECISION)?)$", "double"),
+    (r"^(TEXT|STRING|VARCHAR(\(\d+\))?|CHAR(\(\d+\))?)$", "string"),
+    (r"^TIMESTAMP(\(\d\))?$", "timestamp"),
+    (r"^DATE$", "date"),
+    (r"^BYTEA$", "binary"),
+    (r"^(NUMERIC|DECIMAL)\((\d+),\s*(\d+)\)$", None),  # handled specially
+    (r"^JSON$", "string"),
+]
+
+
+def map_sql_type(sql_type: str) -> str:
+    t = re.sub(r"\s+", " ", sql_type.strip().upper())
+    m = re.match(r"^(NUMERIC|DECIMAL)\((\d+),\s*(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    m = re.match(r"^(.+?)\[\]$", t)
+    if m:
+        return f"array<{map_sql_type(m.group(1))}>"
+    m = re.match(r"^ARRAY<(.+)>$", t)
+    if m:
+        return f"array<{map_sql_type(m.group(1))}>"
+    for pat, spark_t in _TYPE_MAP:
+        if spark_t and re.match(pat, t):
+            return spark_t
+    raise PlanError(f"unsupported SQL type: {sql_type}")
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    sql_type: str
+    spark_type: str
+    not_null: bool = False
+    primary_key: bool = False
+    virtual_expr: str | None = None  # GENERATED ALWAYS AS (expr)
+    metadata_key: str | None = None  # METADATA FROM 'key'
+
+
+@dataclass
+class WatermarkSpec:
+    field: str
+    expr: str | None = None  # None -> default (_timestamp - 1s)
+
+
+@dataclass
+class TableDef:
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+    options: dict[str, object] = field(default_factory=dict)
+    watermark: WatermarkSpec | None = None
+    primary_keys: list[str] = field(default_factory=list)
+    temporary: bool = False
+
+    @property
+    def connector(self) -> str | None:
+        c = self.options.get("connector")
+        return str(c) if c is not None else None
+
+    @property
+    def table_type(self) -> str | None:
+        t = self.options.get("type")
+        return str(t) if t is not None else None
+
+
+@dataclass
+class ViewDef:
+    name: str
+    select_sql: str
+    materialized: bool = False  # CREATE TABLE ... AS -> memory table
+
+
+@dataclass
+class InsertStmt:
+    target: str
+    select_sql: str
+
+
+@dataclass
+class SelectStmt:  # bare SELECT -> preview sink
+    select_sql: str
+
+
+Statement = TableDef | ViewDef | InsertStmt | SelectStmt
+
+
+def split_statements(script: str) -> list[str]:
+    """Split on ';' outside quotes/comments."""
+    out, buf = [], []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if script[j] == ch:
+                    if j + 1 < n and script[j + 1] == ch:  # escaped ''
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(script[i : j + 1])
+            i = j + 1
+            continue
+        if ch == ";":
+            out.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [s.strip() for s in out if s.strip()]
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    parts, depth, buf = [], 0, []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _parse_option_value(raw: str) -> object:
+    v = raw.strip()
+    if v.startswith("'") and v.endswith("'"):
+        return v[1:-1].replace("''", "'")
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if re.match(r"^-?\d+$", v):
+        return int(v)
+    if re.match(r"^-?\d+\.\d+$", v):
+        return float(v)
+    m = re.match(r"^interval\s+'(.+)'(\s+\w+)?$", v, re.I)
+    if m:
+        return ("interval", (m.group(1) + (m.group(2) or "")).strip())
+    if v.startswith("[") and v.endswith("]"):
+        return [_parse_option_value(x) for x in _split_top_level(v[1:-1])]
+    return v  # bare identifier (e.g. partitioning field name)
+
+
+def _parse_with_options(s: str) -> dict[str, object]:
+    opts: dict[str, object] = {}
+    for item in _split_top_level(s):
+        m = re.match(r"^('?)([\w.]+)\1\s*=\s*(.+)$", item.strip(), re.S)
+        if not m:
+            raise PlanError(f"malformed WITH option: {item!r}")
+        opts[m.group(2)] = _parse_option_value(m.group(3))
+    return opts
+
+
+def _parse_column(item: str, table: TableDef) -> None:
+    s = item.strip()
+    m = re.match(r"^watermark\s+for\s+(\w+)(?:\s+as\s*\((.*)\))?\s*$", s, re.I | re.S)
+    if m:
+        table.watermark = WatermarkSpec(m.group(1), m.group(2))
+        return
+    m = re.match(r"^primary\s+key\s*\(([^)]*)\)\s*$", s, re.I)
+    if m:
+        table.primary_keys = [c.strip() for c in m.group(1).split(",")]
+        return
+    m = re.match(r"^(\w+)\s+(.*)$", s, re.S)
+    if not m:
+        raise PlanError(f"malformed column definition: {item!r}")
+    name, rest = m.group(1), m.group(2).strip()
+
+    virtual_expr = None
+    mm = re.search(r"generated\s+always\s+as\s*\((.*)\)(\s+stored)?\s*$", rest, re.I | re.S)
+    if mm:
+        virtual_expr = mm.group(1)
+        rest = rest[: mm.start()].strip()
+    metadata_key = None
+    mm = re.search(r"metadata\s+from\s+'([^']+)'\s*$", rest, re.I)
+    if mm:
+        metadata_key = mm.group(1)
+        rest = rest[: mm.start()].strip()
+    primary_key = False
+    mm = re.search(r"primary\s+key\s*$", rest, re.I)
+    if mm:
+        primary_key = True
+        rest = rest[: mm.start()].strip()
+    not_null = False
+    mm = re.search(r"not\s+null\s*$", rest, re.I)
+    if mm:
+        not_null = True
+        rest = rest[: mm.start()].strip()
+
+    col = ColumnDef(
+        name=name,
+        sql_type=rest,
+        spark_type=map_sql_type(rest),
+        not_null=not_null,
+        primary_key=primary_key,
+        virtual_expr=virtual_expr,
+        metadata_key=metadata_key,
+    )
+    if primary_key:
+        table.primary_keys.append(name)
+    table.columns.append(col)
+
+
+def _paren_block(s: str, start: int) -> tuple[str, int]:
+    """Return (content, index-after-close) of the paren block opening at or
+    after `start` (quote-aware)."""
+    i = s.index("(", start)
+    depth, j, n = 1, i + 1, len(s)
+    while j < n and depth:
+        ch = s[j]
+        if ch == "'":
+            j = s.index("'", j + 1)
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise PlanError(f"unbalanced parentheses in: {s[:60]}...")
+    return s[i + 1 : j - 1], j
+
+
+def parse_statement(stmt: str) -> Statement:
+    s = stmt.strip()
+    m = re.match(r"^create\s+(temporary\s+)?table\s+(\w+)\s*\(", s, re.I)
+    if m:
+        table = TableDef(name=m.group(2), temporary=bool(m.group(1)))
+        body, after = _paren_block(s, m.end() - 1)
+        for item in _split_top_level(body):
+            _parse_column(item, table)
+        rest = s[after:].strip()
+        if rest:
+            mw = re.match(r"^with\s*\(", rest, re.I)
+            if not mw:
+                raise PlanError(f"unexpected trailing clause: {rest[:60]}")
+            opts, after_w = _paren_block(rest, mw.end() - 1)
+            if rest[after_w:].strip():
+                raise PlanError(f"unexpected trailing clause: {rest[after_w:][:60]}")
+            table.options = _parse_with_options(opts)
+        return table
+    m = re.match(r"^create\s+table\s+(\w+)\s+as\s+(select\b.*)$", s, re.I | re.S)
+    if m:
+        return ViewDef(m.group(1), m.group(2), materialized=True)
+    m = re.match(r"^create\s+view\s+(\w+)\s+as\s+(select\b.*)$", s, re.I | re.S)
+    if m:
+        return ViewDef(m.group(1), m.group(2))
+    m = re.match(r"^insert\s+into\s+(\w+)\s+(select\b.*|values\b.*)$", s, re.I | re.S)
+    if m:
+        return InsertStmt(m.group(1), m.group(2))
+    if re.match(r"^(select|with)\b", s, re.I):
+        return SelectStmt(s)
+    raise PlanError(f"unsupported statement: {s[:80]}...")
+
+
+def parse_script(script: str) -> list[Statement]:
+    return [parse_statement(s) for s in split_statements(script)]

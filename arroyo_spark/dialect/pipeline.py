@@ -1,0 +1,230 @@
+"""Pipeline executor: run an Arroyo-dialect SQL script on Spark.
+
+Lifecycle parity with the reference (SURVEY.md §3): DDL statements register
+tables in a catalog; `INSERT INTO sink SELECT ...` statements plan the query
+(rewrite + Spark SQL) and wire it to the sink; a bare SELECT becomes a
+preview sink. Stages 6-8 of the reference lifecycle (graph building,
+chaining, scheduling) are Catalyst + Spark's runtime.
+
+v1 executes bounded pipelines in batch mode — semantically equal to the
+reference's run-to-completion smoke tests, because at end-of-input Arroyo
+emits Watermark::MAX and flushes all window state
+(`watermark_generator.rs:137-146`), i.e. the final output equals the full
+aggregation over all input. Streaming execution of the same plans is
+available through `arroyo_spark.streaming` (same operators).
+
+Supported connectors: `single_file` / `filesystem` (json, parquet) sources
+and sinks, memory tables, preview. Kafka maps to Spark's native connector
+and is intentionally not wrapped here.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import (
+    InsertStmt,
+    SelectStmt,
+    TableDef,
+    ViewDef,
+    parse_script,
+)
+from arroyo_spark.dialect.rewrite import rewrite_query
+from arroyo_spark.streaming.eventtime import TIMESTAMP_FIELD
+
+_HIDDEN_COLS = (TIMESTAMP_FIELD, "_watermark_ts")
+
+
+def _arroyo_ts_json_col(c: str) -> F.Column:
+    """RFC3339 without zone, fractional seconds at 0/3/6 digits (chrono
+    AutoSi) — the reference's sink JSON timestamp format (SURVEY.md B.1)."""
+    col = F.col(c)
+    us = F.unix_micros(col)
+    return (
+        F.when(us % 1_000_000 == 0, F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(us % 1_000 == 0, F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+        .otherwise(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .alias(c)
+    )
+
+
+def to_arroyo_json(df: DataFrame) -> DataFrame:
+    """One-column DataFrame of JSON lines in the reference's sink format."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName().startswith("timestamp"):
+            cols.append(_arroyo_ts_json_col(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
+@dataclass
+class PipelineResult:
+    sinks: dict[str, DataFrame] = field(default_factory=dict)
+    previews: list[DataFrame] = field(default_factory=list)
+
+    def sink_json(self, name: str) -> list[str]:
+        return [r["value"] for r in to_arroyo_json(self.sinks[name]).collect()]
+
+
+class Pipeline:
+    """One script execution context (catalog + substitutions)."""
+
+    def __init__(
+        self, spark: SparkSession, substitutions: dict[str, str] | None = None
+    ) -> None:
+        self.spark = spark
+        self.substitutions = substitutions or {}
+        self.tables: dict[str, TableDef] = {}
+        self.memory_written: set[str] = set()
+        self.views: set[str] = set()
+
+    # -- DDL ---------------------------------------------------------------
+
+    def _substitute(self, value: str) -> str:
+        for k, v in self.substitutions.items():
+            value = value.replace(k, v)
+        return value
+
+    def _source_schema(self, t: TableDef) -> StructType:
+        return StructType(
+            [
+                StructField(c.name, _parse_datatype_string(c.spark_type), True)
+                for c in t.columns
+                if c.virtual_expr is None and c.metadata_key is None
+            ]
+        )
+
+    def _register_source(self, t: TableDef) -> None:
+        fmt = str(t.options.get("format", "json"))
+        path = t.options.get("path")
+        if path is None:
+            raise PlanError(f"source table {t.name} needs a 'path' option")
+        path = self._substitute(str(path))
+        schema = self._source_schema(t)
+        if fmt == "json":
+            df = self.spark.read.schema(schema).json(path)
+        elif fmt == "parquet":
+            df = self.spark.read.schema(schema).parquet(path)
+        else:
+            raise PlanError(f"unsupported source format: {fmt}")
+        for c in t.columns:
+            if c.virtual_expr is not None:
+                df = df.withColumn(c.name, F.expr(c.virtual_expr))
+            elif c.metadata_key is not None:
+                # file sources carry no connector metadata; typed nulls
+                df = df.withColumn(
+                    c.name, F.lit(None).cast(c.spark_type)
+                )
+        event_time = t.options.get("event_time_field") or (
+            t.watermark.field if t.watermark else None
+        )
+        ts = F.col(str(event_time)) if event_time else F.current_timestamp()
+        df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
+        df.createOrReplaceTempView(t.name)
+
+    def _handle_create_table(self, t: TableDef) -> None:
+        if t.name in self.tables:
+            raise PlanError(f"table {t.name} already exists")
+        self.tables[t.name] = t
+        ttype = t.table_type or ("lookup" if t.temporary else None)
+        if t.connector is None:
+            return  # memory table: registered on first INSERT
+        if ttype == "source" or (ttype in (None, "lookup") and t.connector):
+            if ttype == "sink":
+                return
+            self._register_source(t)
+
+    # -- queries -----------------------------------------------------------
+
+    def _plan_select(self, select_sql: str) -> DataFrame:
+        sql = rewrite_query(self._substitute(select_sql))
+        return self.spark.sql(sql)
+
+    def _cast_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
+        """Positional cast to the declared sink schema (implicit casts —
+        reference golden test `cast_to_sink_type`)."""
+        visible = [c for c in df.columns if c not in _HIDDEN_COLS]
+        decls = [c for c in sink.columns if c.virtual_expr is None]
+        if len(visible) != len(decls):
+            raise PlanError(
+                f"INSERT into {sink.name}: query produces {len(visible)} columns, "
+                f"sink declares {len(decls)}"
+            )
+        return df.select(
+            *[
+                F.col(src).cast(d.spark_type).alias(d.name)
+                for src, d in zip(visible, decls)
+            ]
+        )
+
+    def _write_sink(self, result: PipelineResult, sink: TableDef, df: DataFrame) -> None:
+        if sink.name in result.sinks:
+            # multiple INSERTs merge into one sink (test_merge_sink)
+            df = result.sinks[sink.name].unionByName(df)
+        result.sinks[sink.name] = df
+        path = sink.options.get("path")
+        if path:
+            out = self._substitute(str(path))
+            fmt = str(sink.options.get("format", "json"))
+            target_dir = out + ".d" if not out.endswith("/") else out
+            if fmt == "json":
+                to_arroyo_json(df).write.mode("overwrite").text(target_dir)
+            elif fmt == "parquet":
+                df.write.mode("overwrite").parquet(target_dir)
+            else:
+                raise PlanError(f"unsupported sink format: {fmt}")
+            if not out.endswith("/") and fmt == "json":
+                # single_file semantics: merge part files into one file
+                with open(out, "w") as fh:
+                    for part in sorted(os.listdir(target_dir)):
+                        if part.startswith("part-"):
+                            with open(os.path.join(target_dir, part)) as pf:
+                                fh.write(pf.read())
+
+    def _handle_insert(self, stmt: InsertStmt, result: PipelineResult) -> None:
+        target = self.tables.get(stmt.target)
+        if target is None:
+            raise PlanError(f"INSERT into undeclared table {stmt.target}")
+        if target.table_type == "source":
+            raise PlanError(f"cannot INSERT into source table {stmt.target}")
+        df = self._plan_select(stmt.select_sql)
+        if target.connector is None:
+            if stmt.target in self.memory_written:
+                raise PlanError(
+                    f"memory table {stmt.target} can only be inserted into once"
+                )
+            self.memory_written.add(stmt.target)
+            df.createOrReplaceTempView(stmt.target)
+            return
+        self._write_sink(result, target, self._cast_to_sink(df, target))
+
+    # -- entry -------------------------------------------------------------
+
+    def run_script(self, script: str) -> PipelineResult:
+        result = PipelineResult()
+        for stmt in parse_script(script):
+            if isinstance(stmt, TableDef):
+                self._handle_create_table(stmt)
+            elif isinstance(stmt, ViewDef):
+                df = self._plan_select(stmt.select_sql)
+                df.createOrReplaceTempView(stmt.name)
+                self.views.add(stmt.name)
+            elif isinstance(stmt, InsertStmt):
+                self._handle_insert(stmt, result)
+            elif isinstance(stmt, SelectStmt):
+                result.previews.append(self._plan_select(stmt.select_sql))
+        return result
+
+
+def run_script(
+    spark: SparkSession, script: str, substitutions: dict[str, str] | None = None
+) -> PipelineResult:
+    return Pipeline(spark, substitutions).run_script(script)

@@ -1,0 +1,115 @@
+"""Textual query rewrites: Arroyo dialect SELECT body -> Spark SQL.
+
+- ``TUMBLE(INTERVAL..)``            -> ``window(_timestamp, 'W')``
+- ``HOP(INTERVAL slide, INTERVAL width)`` -> ``window(_timestamp, 'W', 'S')``
+  (validating width %% slide == 0, `arroyo-planner/src/lib.rs:642-648`)
+- ``SESSION(INTERVAL gap)``         -> ``session_window(_timestamp, 'G')``
+- ``ROW_TIME()``                    -> ``_timestamp``
+  (`arroyo-planner/src/rewriters.rs:714-732`)
+- month/year window durations rejected (`lib.rs:617-621`)
+- top-level ORDER BY / LIMIT rejected (`plan/mod.rs:352-395`) — sorting
+  is only legal inside OVER(...) window specs, exactly as in the reference.
+
+Everything else (GROUP BY aliases/ordinals, ``window.start`` struct access,
+HAVING, subqueries, UNION, window functions) is valid Spark SQL already.
+"""
+
+from __future__ import annotations
+
+import re
+
+from arroyo_spark.dialect.errors import PlanError
+
+_INTERVAL = re.compile(r"interval\s+'([^']+)'(?:\s+(\w+))?", re.I)
+_WINDOW_CALL = re.compile(r"\b(tumble|hop|session)\s*\(([^()]*)\)", re.I)
+
+_UNIT_US = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def parse_interval(text: str) -> str:
+    """`INTERVAL '1' HOUR` / `interval '20 seconds'` -> '1 hour'."""
+    m = _INTERVAL.match(text.strip())
+    if not m:
+        raise PlanError(f"expected an INTERVAL literal, got: {text!r}")
+    value, unit = m.group(1).strip(), m.group(2)
+    dur = f"{value} {unit}" if unit else value
+    dur = re.sub(r"\s+", " ", dur.lower())
+    if re.search(r"\b(month|year)s?\b", dur):
+        raise PlanError("month- and year-based window durations are not supported")
+    if not re.match(r"^\d+ \w+$", dur):
+        raise PlanError(f"unsupported interval: {text!r}")
+    return dur
+
+
+def duration_us(dur: str) -> int:
+    qty, unit = dur.split()
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_US:
+        raise PlanError(f"unsupported window duration unit: {unit}")
+    return int(qty) * _UNIT_US[unit]
+
+
+def _strip_over_clauses(sql: str) -> str:
+    """Blank out OVER (...) groups so ORDER BY inside them isn't flagged."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = re.compile(r"\bover\s*\(", re.I).search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        i = j
+    return "".join(out)
+
+
+def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
+    """Rewrite one SELECT body; raises PlanError on dialect violations."""
+    stripped = _strip_over_clauses(sql)
+    if re.search(r"\border\s+by\b", stripped, re.I):
+        raise PlanError("ORDER BY is not supported in a streaming pipeline")
+    if re.search(r"\blimit\s+\d+", stripped, re.I):
+        raise PlanError("LIMIT is not supported in a streaming pipeline")
+
+    def repl(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+        if fn == "tumble":
+            if len(args) != 1:
+                raise PlanError("tumble() takes exactly one INTERVAL argument")
+            width = parse_interval(args[0])
+            return f"window({timestamp_col}, '{width}')"
+        if fn == "hop":
+            if len(args) != 2:
+                raise PlanError("hop() takes (slide INTERVAL, width INTERVAL)")
+            slide, width = parse_interval(args[0]), parse_interval(args[1])
+            if duration_us(width) % duration_us(slide) != 0:
+                raise PlanError(
+                    "hop() width must be a multiple of slide "
+                    f"(width={width!r}, slide={slide!r})"
+                )
+            return f"window({timestamp_col}, '{width}', '{slide}')"
+        if fn == "session":
+            if len(args) != 1:
+                raise PlanError("session() takes exactly one INTERVAL argument")
+            gap = parse_interval(args[0])
+            return f"session_window({timestamp_col}, '{gap}')"
+        return m.group(0)
+
+    sql = _WINDOW_CALL.sub(repl, sql)
+    sql = re.sub(r"\brow_time\s*\(\s*\)", timestamp_col, sql, flags=re.I)
+    return sql

@@ -49,19 +49,28 @@ def exploded_words(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """One row per doc with columns h0..h{n-1}: min(md5(f"{i}:{word}")).
+    """One row per doc with columns h0..h{n-1}: min(md5(f"{i}:{shingle}")).
 
-    md5-as-string-min is a valid MinHash family (uniform permutation of the
-    word universe per seed) and is computable identically by any engine.
+    Hashes word n-gram shingles, not unigrams: over a small shared
+    vocabulary unigram sets are near-identical across documents and LSH
+    degenerates to all-pairs; shingle sets keep word order and are
+    discriminative. md5-as-string-min is a valid MinHash family (uniform
+    permutation of the shingle universe per seed) and is computable
+    identically by any engine.
     """
-    words = exploded_words(docs, id_col)
+    sh = docs.select(
+        id_col, F.explode(shingles("text", shingle_n)).alias("w")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return words.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(

@@ -65,15 +65,20 @@ def _minhash_oracle(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_B
         for b in range(bands)
     )
     return f"""
-    WITH words AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
-        FROM documents
-      ) t WHERE w <> ''
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS w
+      FROM toks
     ), sigs AS (
       SELECT doc_id,
              {sig_cols}
-      FROM words GROUP BY doc_id
+      FROM sh GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
     )

@@ -1,0 +1,11 @@
+from arroyo_spark.streaming.eventtime import (  # noqa: F401
+    TIMESTAMP_FIELD,
+    with_event_time,
+    with_watermark,
+    with_watermark_expr,
+)
+from arroyo_spark.streaming.sources import (  # noqa: F401
+    file_replay_stream,
+    impulse_source,
+    nexmark_bid_source,
+)

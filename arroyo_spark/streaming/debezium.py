@@ -1,0 +1,85 @@
+"""Debezium CDC decode/encode — the reference's updating-stream envelope.
+
+Decode (source side): unroll `{before, after, op}` envelopes into
+append/retract rows carrying `_is_retract` + a 128-bit `_updating_id` over
+the primary key — mirroring `DebeziumUnrollingExtension`
+(`arroyo-planner/src/rewriters.rs:165-181`) and the `_updating_meta` struct
+(`arroyo-rpc/src/lib.rs:331-344`; id = multi_hash(pk), zero for global).
+
+Encode (sink side): re-nest updating rows into `{before, after, op}` with
+op in {c, u, d} (`arroyo-planner/src/extension/debezium.rs:36-84`;
+golden shape in Appendix B.1 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from arroyo_spark.functions.scalar import multi_hash
+
+IS_RETRACT = "_is_retract"
+UPDATING_ID = "_updating_id"
+
+
+def unroll_debezium_json(
+    df: DataFrame, row_schema: StructType, pks: list[str], envelope_col: str = "value"
+) -> DataFrame:
+    """Parse newline-JSON Debezium envelopes and unroll to retract/append rows.
+
+    op semantics (`extension/debezium.rs:86-120`):
+      c/r -> append(after);  u -> retract(before) + append(after);
+      d -> retract(before).
+    """
+    env_schema = (
+        StructType()
+        .add("before", row_schema)
+        .add("after", row_schema)
+        .add("op", "string")
+    )
+    parsed = df.select(
+        F.from_json(F.col(envelope_col), env_schema).alias("e"),
+        *[c for c in df.columns if c != envelope_col],
+    )
+    appends = parsed.filter(F.col("e.op").isin("c", "r", "u")).select(
+        "e.after.*", F.lit(False).alias(IS_RETRACT)
+    )
+    retracts = parsed.filter(F.col("e.op").isin("u", "d")).select(
+        "e.before.*", F.lit(True).alias(IS_RETRACT)
+    )
+    unrolled = appends.unionByName(retracts)
+    return unrolled.withColumn(UPDATING_ID, multi_hash(*pks))
+
+
+def to_debezium(changes: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Encode change rows (`op`, `before_*`, `after_*` columns) into the
+    sink envelope: struct(before), struct(after), op."""
+    before = F.when(
+        F.col("op") != "c",
+        F.struct(*[F.col(f"before_{c}").alias(c) for c in value_cols]),
+    )
+    after = F.when(
+        F.col("op") != "d",
+        F.struct(*[F.col(f"after_{c}").alias(c) for c in value_cols]),
+    )
+    return changes.select(
+        before.alias("before"), after.alias("after"), F.col("op")
+    )
+
+
+def merge_debezium_log(rows: list[dict], pks: list[str]) -> dict[tuple, dict]:
+    """Replay a c/u/d envelope log into final state by primary key — the
+    golden-output merge the reference's smoke tests apply
+    (`arroyo-sql-testing/src/smoke_tests.rs:519-562`). Driver-side test
+    utility (not a data-plane operator)."""
+    state: dict[tuple, dict] = {}
+    for r in rows:
+        op = r["op"]
+        row = r["after"] if op in ("c", "r", "u") else r["before"]
+        key = tuple(row[k] for k in pks)
+        if op in ("c", "r", "u"):
+            state[key] = row
+        elif op == "d":
+            state.pop(key, None)
+    return state

@@ -1,0 +1,49 @@
+"""Event-time plumbing: the `_timestamp` column and watermarks.
+
+Reference semantics (SURVEY.md §1.1, §2.2):
+- every stream row carries a hidden event-time column `_timestamp`
+  (`arroyo-rpc/src/lib.rs:330`); sources stamp ingestion time unless the
+  table declares an `event_time_field`;
+- default watermark is `_timestamp - 1s` (`rewriters.rs:71-83`);
+- `WATERMARK FOR col AS (expr)` allows arbitrary watermark expressions —
+  Spark only supports max(col) - delay, so arbitrary expressions are
+  emulated by materializing the expression as a column and watermarking it
+  with zero delay (documented approximation: Arroyo takes the per-batch min
+  of the expression, Spark takes running max minus delay; both are
+  monotone lower bounds on event time, so window-close decisions agree for
+  monotone expressions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+TIMESTAMP_FIELD = "_timestamp"
+DEFAULT_WATERMARK_DELAY = "1 second"  # arroyo-planner/src/rewriters.rs:71-83
+
+
+def with_event_time(df: DataFrame, event_time: Column | str | None = None) -> DataFrame:
+    """Attach `_timestamp`: from the declared event-time column/expression,
+    or ingestion time (`current_timestamp`) when none is declared —
+    matching connector behavior (`arroyo-operator/src/context.rs:348-360`)."""
+    if event_time is None:
+        ts = F.current_timestamp()
+    elif isinstance(event_time, str):
+        ts = F.col(event_time)
+    else:
+        ts = event_time
+    return df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
+
+
+def with_watermark(df: DataFrame, delay: str = DEFAULT_WATERMARK_DELAY) -> DataFrame:
+    """Fixed-delay watermark on `_timestamp` (the reference default)."""
+    return df.withWatermark(TIMESTAMP_FIELD, delay)
+
+
+def with_watermark_expr(df: DataFrame, expr: Column) -> DataFrame:
+    """Arbitrary watermark expression (`WATERMARK FOR col AS (expr)`):
+    materialize the expression and watermark it with zero delay."""
+    return df.withColumn("_watermark_ts", expr.cast("timestamp")).withWatermark(
+        "_watermark_ts", "0 seconds"
+    )

@@ -1,0 +1,172 @@
+"""Dialect-layer tests: run the REFERENCE's own smoke-test SQL scripts
+through our translator and compare against its golden outputs
+(sorted JSON-line multisets, exactly like
+`arroyo-sql-testing/src/smoke_tests.rs:664-692`).
+
+The reference checkout is read-only input data here; tests skip if absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from arroyo_spark.dialect import PlanError
+from arroyo_spark.dialect.pipeline import run_script
+from arroyo_spark.dialect.parser import parse_script, TableDef
+from arroyo_spark.dialect.rewrite import rewrite_query
+
+REF = "/root/reference/crates/arroyo-sql-testing"
+QUERIES = f"{REF}/src/test/queries"
+GOLDEN = f"{REF}/golden_outputs"
+INPUTS = f"{REF}/inputs"
+
+ref_available = pytest.mark.skipif(
+    not os.path.isdir(QUERIES), reason="reference checkout not available"
+)
+
+
+def _canon(lines: list[str]) -> list[str]:
+    rows = [json.loads(l) for l in lines if l.strip()]
+    return sorted(json.dumps(r, sort_keys=True) for r in rows)
+
+
+def run_golden(spark, tmp_path, name: str, sink: str):
+    script = open(f"{QUERIES}/{name}.sql").read()
+    out = str(tmp_path / f"{name}.json")
+    res = run_script(
+        spark, script, {"$input_dir": INPUTS, "$output_path": out}
+    )
+    got = _canon(res.sink_json(sink))
+    want = _canon(open(f"{GOLDEN}/{name}.json").read().splitlines())
+    assert got == want, (
+        f"{name}: {len(got)} rows vs golden {len(want)}; "
+        f"first diff: {next((a, b) for a, b in zip(got, want) if a != b) if got and want else (got[:1], want[:1])}"
+    )
+
+
+@ref_available
+def test_golden_select_star(spark, tmp_path):
+    run_golden(spark, tmp_path, "select_star", "cars_output")
+
+
+@ref_available
+def test_golden_hourly_by_event_type(spark, tmp_path):
+    run_golden(spark, tmp_path, "hourly_by_event_type", "group_by_aggregate")
+
+
+@ref_available
+def test_golden_session_window(spark, tmp_path):
+    run_golden(spark, tmp_path, "session_window", "session_window_output")
+
+
+@ref_available
+def test_golden_most_active_driver(spark, tmp_path):
+    run_golden(
+        spark, tmp_path, "most_active_driver_last_hour", "most_active_driver"
+    )
+
+
+@ref_available
+def test_golden_sliding_window_end(spark, tmp_path):
+    run_golden(spark, tmp_path, "sliding_window_end", "impulse_sink")
+
+
+@ref_available
+def test_golden_cast_to_sink_type(spark, tmp_path):
+    run_golden(spark, tmp_path, "cast_to_sink_type", "cars_output")
+
+
+# --- negative space (SURVEY.md §2.3): these must FAIL planning -------------
+
+
+@ref_available
+def test_unaligned_hop_fails(spark, tmp_path):
+    script = open(f"{QUERIES}/most_active_driver_last_hour_unaligned.sql").read()
+    with pytest.raises(PlanError, match="multiple of slide"):
+        run_script(
+            spark,
+            script,
+            {"$input_dir": INPUTS, "$output_path": str(tmp_path / "o.json")},
+        )
+
+
+def test_order_by_rejected():
+    with pytest.raises(PlanError, match="ORDER BY"):
+        rewrite_query("SELECT a FROM t ORDER BY a")
+
+
+def test_limit_rejected():
+    with pytest.raises(PlanError, match="LIMIT"):
+        rewrite_query("SELECT a FROM t LIMIT 5")
+
+
+def test_order_by_inside_over_allowed():
+    sql = rewrite_query(
+        "SELECT ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC) rn FROM t"
+    )
+    assert "ORDER BY" in sql
+
+
+def test_month_window_rejected():
+    with pytest.raises(PlanError, match="month"):
+        rewrite_query("SELECT tumble(interval '1 month') FROM t GROUP BY 1")
+
+
+def test_double_insert_memory_table_fails(spark, tmp_path):
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector = 'single_file',
+      path = '$p/in.json', format = 'json', type = 'source');
+    CREATE TABLE mem (a BIGINT);
+    INSERT INTO mem SELECT a FROM src;
+    INSERT INTO mem SELECT a + 1 FROM src;
+    """
+    (tmp_path / "in.json").write_text('{"a": 1}\n')
+    with pytest.raises(PlanError, match="once"):
+        run_script(spark, script, {"$p": str(tmp_path)})
+
+
+def test_insert_into_source_fails(spark, tmp_path):
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector = 'single_file',
+      path = '$p/in.json', format = 'json', type = 'source');
+    INSERT INTO src SELECT a FROM src;
+    """
+    (tmp_path / "in.json").write_text('{"a": 1}\n')
+    with pytest.raises(PlanError, match="source"):
+        run_script(spark, script, {"$p": str(tmp_path)})
+
+
+# --- parser unit checks ----------------------------------------------------
+
+
+def test_parse_watermark_and_options():
+    script = """
+    CREATE TABLE cars (
+      timestamp TIMESTAMP NOT NULL,
+      driver_id BIGINT,
+      watermark for timestamp AS (timestamp - interval '1 hour')
+    ) WITH (
+      connector = 'single_file', path = '/x.json', format = 'json',
+      type = 'source', 'rolling_policy.interval' = interval '6000 seconds'
+    )"""
+    (t,) = parse_script(script)
+    assert isinstance(t, TableDef)
+    assert t.watermark.field == "timestamp"
+    assert "1 hour" in t.watermark.expr
+    assert t.columns[0].not_null
+    assert t.options["rolling_policy.interval"] == ("interval", "6000 seconds")
+
+
+def test_parse_virtual_and_metadata_columns():
+    script = """
+    CREATE TABLE k (
+      v TEXT,
+      offset BIGINT METADATA FROM 'offset_id',
+      doubled BIGINT GENERATED ALWAYS AS (len(v) * 2) STORED
+    ) WITH (connector = 'kafka', type = 'source')"""
+    (t,) = parse_script(script)
+    assert t.columns[1].metadata_key == "offset_id"
+    assert "len(v) * 2" in t.columns[2].virtual_expr

@@ -1,0 +1,235 @@
+"""Structured Streaming parity tests: the same operators that pass the batch
+oracle gate must produce consistent results when driven through
+readStream → watermark → window/agg/join → sink, mirroring the reference's
+smoke-test strategy (run each pipeline streaming and compare final output,
+`arroyo-sql-testing/src/smoke_tests.rs:405-478`)."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.streaming import file_replay_stream, impulse_source
+from arroyo_spark.streaming.debezium import merge_debezium_log
+from arroyo_spark.streaming.updating import run_updating_aggregate
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    """events.parquet re-written as one file per day, written (and therefore
+    replayed) in event-time order — the file_replay_stream fixture."""
+    out = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, sf_dir, "events")
+    days = [r[0] for r in ev.select(F.dayofmonth("ts").alias("d")).distinct().collect()]
+    for d in sorted(days):
+        (
+            ev.filter(F.dayofmonth("ts") == d)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(out))
+        )
+        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    return str(out), ev.schema
+
+
+def _run_to_memory(stream_df, name, mode, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumble_streaming_matches_batch(spark, sf_dir, replay_dir, tmp_path):
+    path, schema = replay_dir
+    stream = file_replay_stream(spark, path, schema, event_time="ts")
+    agg = (
+        stream.withWatermark("_timestamp", "1 second")
+        .groupBy(F.window("_timestamp", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+    _run_to_memory(agg, "tumble_stream", "append", str(tmp_path / "ck1"))
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("tumble_stream").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+
+    final_wm_us = (
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1_000_000
+    )
+    # every window the watermark closed must be emitted, with exact counts
+    closed = {k: v for k, v in want.items() if k[0] + 3_600_000_000 <= final_wm_us}
+    assert got, "streaming query emitted nothing"
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+    missing = {k for k in closed if k not in got}
+    assert not missing, f"closed windows not emitted: {sorted(missing)[:5]}"
+
+
+def test_updating_aggregate_debezium(spark, sf_dir, replay_dir, tmp_path):
+    path, schema = replay_dir
+    stream = file_replay_stream(spark, path, schema, event_time="ts")
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias(
+            "total"
+        ),
+    )
+    log: list[dict] = []
+    q = run_updating_aggregate(
+        agg, ["event_type"], log.extend, str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+
+    assert any(r["op"] == "u" for r in log), "expected updates across batches"
+    final = merge_debezium_log(log, ["event_type"])
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias(
+            "total"
+        ),
+    )
+    want = {
+        (r["event_type"],): {"event_type": r["event_type"], "n": r["n"], "total": r["total"]}
+        for r in batch.collect()
+    }
+    assert final == want
+
+
+def test_session_streaming_subset_of_batch(spark, sf_dir, replay_dir, tmp_path):
+    path, schema = replay_dir
+    stream = file_replay_stream(spark, path, schema, event_time="ts")
+    agg = (
+        stream.withWatermark("_timestamp", "1 second")
+        .groupBy(F.session_window("_timestamp", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("session_window.start").alias("ss"),
+            F.unix_micros("session_window.end").alias("se"),
+            "user_id",
+            "n",
+        )
+    )
+    _run_to_memory(agg, "session_stream", "append", str(tmp_path / "ck3"))
+    got = {tuple(r) for r in spark.table("session_stream").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("session_window.start").alias("ss"),
+            F.unix_micros("session_window.end").alias("se"),
+            "user_id",
+            "n",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got, "no sessions emitted"
+    assert got <= want, f"streaming emitted sessions not in batch: {sorted(got - want)[:3]}"
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_stream_stream_interval_join(spark, sf_dir, replay_dir, tmp_path):
+    path, schema = replay_dir
+    a = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("_timestamp").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 second")
+    )
+    b = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("_timestamp").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 second")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "a_user",
+        F.unix_micros("a_ts").alias("a_us"),
+        F.unix_micros("b_ts").alias("b_us"),
+    )
+    _run_to_memory(joined, "join_stream", "append", str(tmp_path / "ck4"))
+    got = {tuple(r) for r in spark.table("join_stream").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    aa = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    bb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    want = {
+        tuple(r)
+        for r in aa.join(
+            bb,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "a_user",
+            F.unix_micros("a_ts").alias("a_us"),
+            F.unix_micros("b_ts").alias("b_us"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_impulse_source_runs(spark, tmp_path):
+    imp = impulse_source(spark, event_rate=500)
+    assert imp.isStreaming
+    assert [f.name for f in imp.schema.fields] == [
+        "counter",
+        "subtask_index",
+        "_timestamp",
+    ]
+    q = (
+        imp.writeStream.format("memory")
+        .queryName("impulse_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck5"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("impulse_t").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("impulse_t").count() > 0
+    finally:
+        q.stop()
