@@ -277,8 +277,35 @@ def _paren_block(s: str, start: int) -> tuple[str, int]:
     return s[i + 1 : j - 1], j
 
 
+def _strip_outer_parens(sql: str) -> str:
+    """Remove one pair of enclosing parens only if they actually wrap the
+    whole statement (`CREATE VIEW v AS (SELECT ...)`)."""
+    sql = sql.strip()
+    if not (sql.startswith("(") and sql.endswith(")")):
+        return sql
+    depth = 0
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[1:-1].strip() if i == len(sql) - 1 else sql
+    return sql
+
+
 def parse_statement(stmt: str) -> Statement:
     s = stmt.strip()
+    # CREATE TABLE name WITH (...) — sink schema inferred from the INSERT
+    # (`arroyo-planner/src/tables.rs:928-953`)
+    m = re.match(r"^create\s+(temporary\s+)?table\s+(\w+)\s+with\s*\(", s, re.I)
+    if m:
+        table = TableDef(name=m.group(2), temporary=bool(m.group(1)))
+        opts, after = _paren_block(s, m.end() - 1)
+        if s[after:].strip():
+            raise PlanError(f"unexpected trailing clause: {s[after:][:60]}")
+        table.options = _parse_with_options(opts)
+        return table
     m = re.match(r"^create\s+(temporary\s+)?table\s+(\w+)\s*\(", s, re.I)
     if m:
         table = TableDef(name=m.group(2), temporary=bool(m.group(1)))
@@ -295,12 +322,12 @@ def parse_statement(stmt: str) -> Statement:
                 raise PlanError(f"unexpected trailing clause: {rest[after_w:][:60]}")
             table.options = _parse_with_options(opts)
         return table
-    m = re.match(r"^create\s+table\s+(\w+)\s+as\s+(select\b.*)$", s, re.I | re.S)
-    if m:
-        return ViewDef(m.group(1), m.group(2), materialized=True)
-    m = re.match(r"^create\s+view\s+(\w+)\s+as\s+(select\b.*)$", s, re.I | re.S)
-    if m:
-        return ViewDef(m.group(1), m.group(2))
+    m = re.match(r"^create\s+table\s+(\w+)\s+as\s+(.*)$", s, re.I | re.S)
+    if m and re.match(r"^\(?\s*select\b", m.group(2), re.I):
+        return ViewDef(m.group(1), _strip_outer_parens(m.group(2)), materialized=True)
+    m = re.match(r"^create\s+view\s+(\w+)\s+as\s+(.*)$", s, re.I | re.S)
+    if m and re.match(r"^\(?\s*(select|with)\b", m.group(2), re.I):
+        return ViewDef(m.group(1), _strip_outer_parens(m.group(2)))
     m = re.match(r"^insert\s+into\s+(\w+)\s+(select\b.*|values\b.*)$", s, re.I | re.S)
     if m:
         return InsertStmt(m.group(1), m.group(2))

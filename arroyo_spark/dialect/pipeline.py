@@ -38,6 +38,8 @@ from arroyo_spark.dialect.parser import (
 from arroyo_spark.dialect.rewrite import rewrite_query
 from arroyo_spark.streaming.eventtime import TIMESTAMP_FIELD
 
+DEBEZIUM_FORMAT = "debezium_json"
+
 _HIDDEN_COLS = (TIMESTAMP_FIELD, "_watermark_ts")
 
 
@@ -62,26 +64,65 @@ def to_arroyo_json(df: DataFrame) -> DataFrame:
             cols.append(_arroyo_ts_json_col(f.name))
         else:
             cols.append(F.col(f.name))
-    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+    return df.select(
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
+def _epoch_cols(df: DataFrame) -> list[F.Column]:
+    """Timestamp columns as epoch seconds (Debezium sink serialization —
+    matches the reference's CDC envelope encoding, debezium_pass_through
+    golden: micros in, whole seconds out)."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName().startswith("timestamp"):
+            cols.append(F.col(f.name).cast("long").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return cols
+
+
+def to_debezium_json(df: DataFrame) -> DataFrame:
+    """Batch rows -> create-op Debezium envelopes (bounded pipelines emit
+    final state as 'c' records; u/d arise only in streaming mode)."""
+    after = F.to_json(
+        F.struct(*_epoch_cols(df)), {"ignoreNullFields": "false"}
+    )
+    line = F.concat(
+        F.lit('{"before":null,"after":'), after, F.lit(',"op":"c"}')
+    )
+    return df.select(line.alias("value"))
 
 
 @dataclass
 class PipelineResult:
     sinks: dict[str, DataFrame] = field(default_factory=dict)
+    sink_formats: dict[str, str] = field(default_factory=dict)
     previews: list[DataFrame] = field(default_factory=list)
 
     def sink_json(self, name: str) -> list[str]:
-        return [r["value"] for r in to_arroyo_json(self.sinks[name]).collect()]
+        df = self.sinks[name]
+        enc = (
+            to_debezium_json(df)
+            if self.sink_formats.get(name) == DEBEZIUM_FORMAT
+            else to_arroyo_json(df)
+        )
+        return [r["value"] for r in enc.collect()]
 
 
 class Pipeline:
     """One script execution context (catalog + substitutions)."""
 
     def __init__(
-        self, spark: SparkSession, substitutions: dict[str, str] | None = None
+        self,
+        spark: SparkSession,
+        substitutions: dict[str, str] | None = None,
+        udfs: dict[str, object] | None = None,
     ) -> None:
         self.spark = spark
         self.substitutions = substitutions or {}
+        for name, fn in (udfs or {}).items():
+            spark.udf.register(name, fn)
         self.tables: dict[str, TableDef] = {}
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
@@ -108,11 +149,17 @@ class Pipeline:
         if path is None:
             raise PlanError(f"source table {t.name} needs a 'path' option")
         path = self._substitute(str(path))
-        schema = self._source_schema(t)
-        if fmt == "json":
-            df = self.spark.read.schema(schema).json(path)
+        if t.options.get("json.unstructured"):
+            # whole line as a single JSON value column (json_operators.sql)
+            cols = [c for c in t.columns if c.virtual_expr is None]
+            name = cols[0].name if cols else "value"
+            df = self.spark.read.text(path).withColumnRenamed("value", name)
+        elif fmt == DEBEZIUM_FORMAT:
+            df = self._read_debezium_source(t, path)
+        elif fmt == "json":
+            df = self.spark.read.schema(self._source_schema(t)).json(path)
         elif fmt == "parquet":
-            df = self.spark.read.schema(schema).parquet(path)
+            df = self.spark.read.schema(self._source_schema(t)).parquet(path)
         else:
             raise PlanError(f"unsupported source format: {fmt}")
         for c in t.columns:
@@ -129,6 +176,71 @@ class Pipeline:
         ts = F.col(str(event_time)) if event_time else F.current_timestamp()
         df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
         df.createOrReplaceTempView(t.name)
+
+    def _read_debezium_source(self, t: TableDef, path: str) -> DataFrame:
+        """CDC envelope source, batch mode: replay the c/u/d log into the
+        table's final state (aggregates over retraction streams equal
+        aggregates over final state, since every retract cancels a prior
+        append — `DebeziumUnrollingExtension`, SURVEY.md §1.1).
+
+        Ordering comes from file line order here; in a real deployment the
+        CDC log's own offsets (e.g. Kafka) provide `_seq`. TIMESTAMP columns
+        arrive as epoch-µs int64 (Debezium encoding) and are converted."""
+        from pyspark.sql import Window
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        if not t.primary_keys:
+            raise PlanError(
+                f"debezium table {t.name} requires a PRIMARY KEY"
+            )
+        phys = [c for c in t.columns if c.virtual_expr is None and c.metadata_key is None]
+        row_schema = StructType(
+            [
+                StructField(
+                    c.name,
+                    _parse_datatype_string(
+                        "bigint" if c.spark_type.startswith("timestamp") else c.spark_type
+                    ),
+                    True,
+                )
+                for c in phys
+            ]
+        )
+        env = StructType(
+            [
+                StructField("before", row_schema, True),
+                StructField("after", row_schema, True),
+                StructField("op", _parse_datatype_string("string"), True),
+            ]
+        )
+        raw = (
+            self.spark.read.text(path)
+            .withColumn("_seq", F.monotonically_increasing_id())
+            .select(F.from_json("value", env).alias("e"), "_seq")
+        )
+        pk_after = [F.col(f"e.after.{k}") for k in t.primary_keys]
+        pk_before = [F.col(f"e.before.{k}") for k in t.primary_keys]
+        keyed = raw.select(
+            "e",
+            "_seq",
+            *[
+                F.coalesce(a, b).alias(f"_pk_{i}")
+                for i, (a, b) in enumerate(zip(pk_after, pk_before))
+            ],
+        )
+        w = Window.partitionBy(
+            *[f"_pk_{i}" for i in range(len(t.primary_keys))]
+        ).orderBy(F.desc("_seq"))
+        last = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("e.op") != "d")
+            .select("e.after.*")
+        )
+        for c in phys:
+            if c.spark_type.startswith("timestamp"):
+                last = last.withColumn(c.name, F.timestamp_micros(F.col(c.name)))
+        return last
 
     def _handle_create_table(self, t: TableDef) -> None:
         if t.name in self.tables:
@@ -153,15 +265,26 @@ class Pipeline:
         reference golden test `cast_to_sink_type`)."""
         visible = [c for c in df.columns if c not in _HIDDEN_COLS]
         decls = [c for c in sink.columns if c.virtual_expr is None]
-        if len(visible) != len(decls):
+        # positional mapping: rename first (handles duplicate output names
+        # like `SELECT A.counter, B.counter`), then cast to declared types
+        hidden_idx = [i for i, c in enumerate(df.columns) if c in _HIDDEN_COLS]
+        renamed = df.toDF(*[f"_pos{i}" for i in range(len(df.columns))])
+        vis = [
+            f"_pos{i}" for i in range(len(df.columns)) if i not in hidden_idx
+        ]
+        if not decls:  # schema inferred from the INSERT (tables.rs:928-953)
+            return renamed.select(
+                *[F.col(p).alias(c) for p, c in zip(vis, visible)]
+            )
+        if len(vis) != len(decls):
             raise PlanError(
-                f"INSERT into {sink.name}: query produces {len(visible)} columns, "
+                f"INSERT into {sink.name}: query produces {len(vis)} columns, "
                 f"sink declares {len(decls)}"
             )
-        return df.select(
+        return renamed.select(
             *[
-                F.col(src).cast(d.spark_type).alias(d.name)
-                for src, d in zip(visible, decls)
+                F.col(p).cast(d.spark_type).alias(d.name)
+                for p, d in zip(vis, decls)
             ]
         )
 
@@ -170,18 +293,21 @@ class Pipeline:
             # multiple INSERTs merge into one sink (test_merge_sink)
             df = result.sinks[sink.name].unionByName(df)
         result.sinks[sink.name] = df
+        result.sink_formats[sink.name] = str(sink.options.get("format", "json"))
         path = sink.options.get("path")
         if path:
             out = self._substitute(str(path))
-            fmt = str(sink.options.get("format", "json"))
+            fmt = result.sink_formats[sink.name]
             target_dir = out + ".d" if not out.endswith("/") else out
-            if fmt == "json":
+            if fmt == DEBEZIUM_FORMAT:
+                to_debezium_json(df).write.mode("overwrite").text(target_dir)
+            elif fmt == "json":
                 to_arroyo_json(df).write.mode("overwrite").text(target_dir)
             elif fmt == "parquet":
                 df.write.mode("overwrite").parquet(target_dir)
             else:
                 raise PlanError(f"unsupported sink format: {fmt}")
-            if not out.endswith("/") and fmt == "json":
+            if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT):
                 # single_file semantics: merge part files into one file
                 with open(out, "w") as fh:
                     for part in sorted(os.listdir(target_dir)):
@@ -202,7 +328,7 @@ class Pipeline:
                     f"memory table {stmt.target} can only be inserted into once"
                 )
             self.memory_written.add(stmt.target)
-            df.createOrReplaceTempView(stmt.target)
+            self._cast_to_sink(df, target).createOrReplaceTempView(stmt.target)
             return
         self._write_sink(result, target, self._cast_to_sink(df, target))
 

@@ -79,6 +79,7 @@ def _strip_over_clauses(sql: str) -> str:
 
 def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
     """Rewrite one SELECT body; raises PlanError on dialect violations."""
+    sql = _rewrite_functions(sql)  # first: consumes WITHIN GROUP (ORDER BY)
     stripped = _strip_over_clauses(sql)
     if re.search(r"\border\s+by\b", stripped, re.I):
         raise PlanError("ORDER BY is not supported in a streaming pipeline")
@@ -112,4 +113,200 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
 
     sql = _WINDOW_CALL.sub(repl, sql)
     sql = re.sub(r"\brow_time\s*\(\s*\)", timestamp_col, sql, flags=re.I)
+    sql = _rewrite_json_operators(sql)
+    sql = _inject_hidden_timestamp(sql)
+    return sql
+
+
+# -- function-name mapping (SURVEY.md §2.2 scalar/aggregate census) ----------
+
+_FN_RENAMES = [
+    (r"\barray_agg\s*\(", "collect_list("),
+    (r"\bunnest\s*\(", "explode("),
+    (r"\bvar\s*\(", "var_samp("),
+    (r"\btruncate\s*\(", "trunc("),
+]
+
+
+def _rewrite_functions(sql: str) -> str:
+    for pat, repl in _FN_RENAMES:
+        sql = re.sub(pat, repl, sql, flags=re.I)
+    # approx_distinct(x) -> approx_count_distinct(x, 0.01): DataFusion's HLL
+    # is near-exact at small cardinalities; Spark needs rsd<=0.005 for that
+    sql = re.sub(
+        r"\bapprox_distinct\s*\(([^()]*)\)",
+        r"approx_count_distinct(\1, 0.005)",
+        sql,
+        flags=re.I,
+    )
+    # approx_median(x) -> percentile_approx(x, 0.5)
+    sql = re.sub(
+        r"\bapprox_median\s*\(([^()]*)\)",
+        r"percentile_approx(\1, 0.5)",
+        sql,
+        flags=re.I,
+    )
+    # approx_percentile_cont(p) WITHIN GROUP (ORDER BY x) -> percentile_approx(x, p)
+    sql = re.sub(
+        r"\bapprox_percentile_cont\s*\(([^()]*)\)\s*within\s+group\s*"
+        r"\(\s*order\s+by\s+([^()]+?)\s*\)",
+        r"percentile_approx(\2, \1)",
+        sql,
+        flags=re.I,
+    )
+    # approx_percentile_cont_with_weight(w, p) WITHIN GROUP (ORDER BY x)
+    #   -> percentile(x, p, w)   (exact weighted percentile)
+    sql = re.sub(
+        r"\bapprox_percentile_cont_with_weight\s*"
+        r"\(((?:[^()]|\([^()]*\))*?),\s*([^(),]*)\)\s*"
+        r"within\s+group\s*\(\s*order\s+by\s+([^()]+?)\s*\)",
+        r"percentile(\3, \2, \1)",
+        sql,
+        flags=re.I,
+    )
+    # extract(epoch FROM x) -> seconds-as-double (DataFusion semantics)
+    sql = re.sub(
+        r"\bextract\s*\(\s*epoch\s+from\s+([^()]+?)\s*\)",
+        r"(unix_micros(cast(\1 as timestamp)) / 1000000.0)",
+        sql,
+        flags=re.I,
+    )
+    return sql
+
+
+def _rewrite_json_operators(sql: str) -> str:
+    """`x -> 'k'` (JSON value as serialized text, missing -> 'null') and
+    `x ->> 'k'` (unquoted text) — `datafusion-functions-json` operators
+    (`arroyo-planner/src/lib.rs:131`, json_operators.sql golden)."""
+    ident = r"[\w.]+"
+    sql = re.sub(
+        rf"({ident})\s*->>\s*'([^']+)'",
+        r"get_json_object(\1, '$.\2')",
+        sql,
+    )
+    sql = re.sub(
+        rf"({ident})\s*->\s*'([^']+)'",
+        r"coalesce(to_json(try_variant_get(try_parse_json(\1), '$.\2')), 'null')",
+        sql,
+    )
+    return sql
+
+
+# -- hidden event-time propagation through windowed aggregates ---------------
+
+_WINDOWED_CALL = re.compile(r"\b(session_window|window)\s*\(", re.I)
+_SELECT_KW = re.compile(r"\bselect\b", re.I)
+_FROM_KW = re.compile(r"\bfrom\b", re.I)
+_GROUP_BY = re.compile(r"\bgroup\s+by\b", re.I)
+
+
+def _extract_call(sql: str, start: int) -> str:
+    """Full text of the window/session_window call starting at `start`."""
+    i = sql.index("(", start)
+    depth, j = 1, i + 1
+    while depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return sql[start:j]
+
+
+def _inject_hidden_timestamp(sql: str) -> str:
+    """Append `<window>.end - 1µs AS _timestamp` to every windowed-aggregate
+    select list, mirroring the reference's event-time propagation rule
+    (windowed agg output `_timestamp` = window end - 1ns,
+    `arroyo-planner/src/extension/aggregate.rs:370-382`). Enables nested
+    windowed aggregates (reinvoke_window_function.sql). The column is
+    dropped at sink time if undeclared."""
+    # work back-to-front so injections don't shift earlier offsets
+    selects = [m.start() for m in _SELECT_KW.finditer(sql)]
+    for sel_start in reversed(selects):
+        # find this SELECT's FROM at depth 0
+        depth = 0
+        from_pos = None
+        i = sel_start + 6
+        n = len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch == "'":
+                i = sql.index("'", i + 1) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                m = _FROM_KW.match(sql, i)
+                if m:
+                    from_pos = i
+                    break
+            i += 1
+        if from_pos is None:
+            continue
+        select_list = sql[sel_start + 6 : from_pos]
+        # skip if an explicit `AS _timestamp` output already exists (the
+        # window call's own `_timestamp` argument doesn't count)
+        if re.search(r"\bas\s+_timestamp\b", select_list, re.I):
+            continue
+        # the GROUP BY belonging to this SELECT: first one after FROM at depth 0
+        depth = 0
+        gb_pos = None
+        i = from_pos
+        while i < n:
+            ch = sql[i]
+            if ch == "'":
+                i = sql.index("'", i + 1) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if _SELECT_KW.match(sql, i):
+                    break  # set-op branch; its own pass handles it
+                m = _GROUP_BY.match(sql, i)
+                if m:
+                    gb_pos = m.end()
+                    break
+            i += 1
+        if gb_pos is None:
+            continue
+        gb_end = gb_pos
+        depth = 0
+        while gb_end < n:
+            ch = sql[gb_end]
+            if ch == "'":
+                gb_end = sql.index("'", gb_end + 1) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(
+                # `window` ends the clause only as a named-window clause
+                # (`WINDOW w AS (...)`), not as the window(...) function call
+                r"\b(having|order|limit|union|intersect|except)\b"
+                r"|\bwindow\s+\w+\s+as\b",
+                sql[gb_end:],
+                re.I,
+            ):
+                break
+            gb_end += 1
+        group_clause = sql[gb_pos:gb_end]
+        m = _WINDOWED_CALL.search(select_list) or _WINDOWED_CALL.search(group_clause)
+        if not m:
+            continue
+        src = select_list if _WINDOWED_CALL.search(select_list) else group_clause
+        base = sel_start + 6 if src is select_list else gb_pos
+        call = _extract_call(sql, base + _WINDOWED_CALL.search(src).start())
+        inject = f", {call}.end - INTERVAL '1' MICROSECOND AS _timestamp "
+        sql = sql[:from_pos] + inject + sql[from_pos:]
     return sql

@@ -1,0 +1,65 @@
+"""UDF surface: scalar + aggregate (pandas) UDFs, including the reference's
+smoke-test UDFs re-expressed as Arrow-vectorized pandas UDFs
+(reference Rust originals: `arroyo-sql-testing/src/udfs.rs:3-63`).
+
+Notes on the mapping (SURVEY.md §2.2 UDF/UDAF surface):
+- Rust scalar UDF           -> `@pandas_udf(scalar)` (Arrow-batched)
+- Rust UDAF (Vec<T> args)   -> `@pandas_udf` grouped-agg (Series -> scalar)
+- async UDF                 -> `arroyo_spark.operators.async_udf` executor
+  (ordered/unordered, max_concurrency, timeout); the synchronous pandas
+  form below is semantically identical for bounded runs.
+
+All are registerable into a dialect Pipeline via `udfs={...}` or directly
+`spark.udf.register`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+# Return types are DataType instances, not DDL strings: string forms are
+# parsed at decoration time and require an active SparkSession, which would
+# make importing this module order-dependent.
+
+
+@pandas_udf(LongType())
+def double_negative(x: pd.Series) -> pd.Series:
+    """(u64) -> i64: -2x  (udfs.rs:3-7)."""
+    return -2 * x
+
+
+@pandas_udf(LongType())
+def async_double_negative(x: pd.Series) -> pd.Series:
+    """Async variant of double_negative (udfs.rs: async, ordered). Same
+    values; async executor semantics are exercised by the streaming async
+    operator, not this bounded form."""
+    return -2 * x
+
+
+@pandas_udf(DoubleType())
+def my_median(v: pd.Series) -> float:
+    """UDAF: median of the group's values (udfs.rs Vec<u64> -> f64)."""
+    return float(v.median())
+
+
+@pandas_udf(DoubleType())
+def none_udf(v: pd.Series) -> float | None:
+    """UDAF returning NULL (udfs.rs none_udf)."""
+    return None
+
+
+@pandas_udf(LongType())
+def max_product(a: pd.Series, b: pd.Series) -> int:
+    """2-arg UDAF: max(a*b) over the group (udfs.rs max_product)."""
+    return int((a * b).max())
+
+
+REFERENCE_TEST_UDFS = {
+    "double_negative": double_negative,
+    "async_double_negative": async_double_negative,
+    "my_median": my_median,
+    "none_udf": none_udf,
+    "max_product": max_product,
+}

