@@ -1,0 +1,141 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns with
+typed metadata, processed by Arrow-batched pandas functions over
+`mapInPandas`.
+
+This is the large-scale training-data-pipeline surface (not part of the
+reference, which is text/JSON-only): the Spark-side plumbing — schemas,
+partition sizing, UDF signatures, batch shapes — is real and tested; the
+actual codec calls are STUBBED behind `Decoder` implementations because
+image/audio libraries are not available in this container. A deployment
+subclasses `Decoder` with PIL/ffmpeg/soundfile calls; nothing else changes.
+
+Scale notes:
+- Blobs stay in executors end-to-end (no driver collect); Arrow moves them
+  Python-side zero-copy per batch.
+- `spark.sql.execution.arrow.maxRecordsPerBatch` should be lowered for
+  large blobs (e.g. 64) so a batch fits in memory; metadata-only
+  transformations should `select` away the blob column FIRST so column
+  pruning keeps the scan light.
+- Derived features (embeddings, thumbnails) write to their own table keyed
+  by content hash, so re-runs dedupe work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+def media_schema() -> StructType:
+    """Standard multimodal table schema (function, not module constant:
+    fromDDL needs an active SparkSession)."""
+    return StructType.fromDDL(
+        "media_id bigint, kind string, content binary, mime string, "
+        "width int, height int, duration_ms bigint"
+    )
+
+
+class Decoder:
+    """Codec interface. Container has no media libs -> deterministic fake
+    measurements derived from the blob bytes; a real deployment overrides
+    these three methods and NOTHING else changes."""
+
+    def image_size(self, blob: bytes) -> tuple[int, int]:
+        raise NotImplementedError("image codec not available in this container")
+
+    def resize(self, blob: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("image codec not available in this container")
+
+    def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
+        raise NotImplementedError("video codec not available in this container")
+
+
+class FakeDecoder(Decoder):
+    """Deterministic stand-in so the distributed plumbing is testable."""
+
+    def image_size(self, blob: bytes) -> tuple[int, int]:
+        return (len(blob) % 640 + 1, len(blob) % 480 + 1)
+
+    def resize(self, blob: bytes, w: int, h: int) -> bytes:
+        return blob[: max(1, min(len(blob), w * h))]
+
+    def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
+        n = max(1, len(blob) // max(1, every_ms))
+        return [blob[i::n] for i in range(min(n, 8))]
+
+
+def extract_image_features(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    blob_col: str = "content",
+) -> DataFrame:
+    """Append (feat_width, feat_height, feat_bytes) per image row."""
+    dec = decoder or FakeDecoder()
+    schema = StructType.fromDDL(
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", feat_width int, feat_height int, feat_bytes bigint"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = [dec.image_size(bytes(b)) for b in pdf[blob_col]]
+            pdf["feat_width"] = [w for w, _ in sizes]
+            pdf["feat_height"] = [h for _, h in sizes]
+            pdf["feat_bytes"] = [len(bytes(b)) for b in pdf[blob_col]]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: Decoder | None = None,
+    blob_col: str = "content",
+) -> DataFrame:
+    dec = decoder or FakeDecoder()
+    schema = df.schema
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[blob_col] = [
+                dec.resize(bytes(b), width, height) for b in pdf[blob_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decoder: Decoder | None = None,
+    blob_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Explode each video row into (media_id, frame_idx, frame) rows."""
+    dec = decoder or FakeDecoder()
+    schema = StructType.fromDDL(
+        f"{id_col} bigint, frame_idx int, frame binary"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                for i, fr in enumerate(dec.sample_frames(bytes(blob), every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(mapper, schema)
+
+
+def content_hash(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """Content-addressed id for dedupe/caching (JVM-side, no UDF)."""
+    return df.withColumn("content_sha", F.sha2(F.col(blob_col), 256))

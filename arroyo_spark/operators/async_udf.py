@@ -1,0 +1,88 @@
+"""Async UDF executor — the reference's AsyncUdf operator
+(`arroyo-worker/src/arrow/async_udf.rs`, SURVEY.md §2.1) on Spark.
+
+The reference runs an async Rust fn with `max_concurrency` in-flight calls,
+ordered or unordered completion, and a per-call timeout (defaults:
+unordered, 5s, 1000 — `arroyo-udf-common/src/parse.rs:183-196`).
+
+Spark mapping: `mapInPandas` drives an asyncio event loop per Arrow batch —
+Python only touches the async-call column(s); everything else stays columnar.
+Concurrency is bounded by a semaphore per partition (cluster-wide in-flight
+= max_concurrency x partitions, matching the reference's per-subtask bound).
+
+- ordered=True:  results keep row order within the batch (the reference's
+  "ordered" mode preserves stream order per subtask).
+- ordered=False: completion order; an `_async_seq` column carries the input
+  row's batch offset so callers can re-join if needed.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import AsyncIterator, Awaitable, Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+DEFAULT_TIMEOUT_S = 5.0  # parse.rs:183-196
+DEFAULT_MAX_CONCURRENCY = 1000
+
+
+def _run_batch(
+    fn: Callable[..., Awaitable[Any]],
+    args: list[tuple],
+    ordered: bool,
+    timeout: float,
+    max_concurrency: int,
+) -> list[tuple[int, Any]]:
+    async def runner() -> list[tuple[int, Any]]:
+        sem = asyncio.Semaphore(max_concurrency)
+
+        async def one(i: int, a: tuple) -> tuple[int, Any]:
+            async with sem:
+                return i, await asyncio.wait_for(fn(*a), timeout)
+
+        tasks = [asyncio.ensure_future(one(i, a)) for i, a in enumerate(args)]
+        if ordered:
+            return [await t for t in tasks]
+        out: list[tuple[int, Any]] = []
+        for t in asyncio.as_completed(tasks):
+            out.append(await t)
+        return out
+
+    return asyncio.run(runner())
+
+
+def async_udf(
+    df: DataFrame,
+    fn: Callable[..., Awaitable[Any]],
+    input_cols: list[str],
+    output_col: str,
+    output_type: str = "string",
+    ordered: bool = False,
+    timeout: float = DEFAULT_TIMEOUT_S,
+    max_concurrency: int = DEFAULT_MAX_CONCURRENCY,
+) -> DataFrame:
+    """Apply an async function over `input_cols`, appending `output_col`.
+
+    All original columns pass through. Arrow-batched: one event loop per
+    input batch, `max_concurrency` calls in flight.
+    """
+    schema = StructType.fromDDL(
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", `{output_col}` {output_type}, `_async_seq` bigint"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            args = list(zip(*[pdf[c] for c in input_cols])) if len(pdf) else []
+            results = _run_batch(fn, args, ordered, timeout, max_concurrency)
+            idx = [i for i, _ in results]
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out[output_col] = [v for _, v in results]
+            out["_async_seq"] = idx
+            yield out
+
+    return df.mapInPandas(mapper, schema)

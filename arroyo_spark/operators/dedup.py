@@ -63,11 +63,16 @@ def minhash_signatures(
     permutation of the shingle universe per seed) and is computable
     identically by any engine.
     """
+    if num_hashes > 8:
+        raise ValueError("num_hashes > 8 needs a second md5 seed")
     sh = docs.select(
         id_col, F.explode(shingles("text", shingle_n)).alias("w")
-    )
+    ).select(id_col, F.md5("w").alias("m"))
+    # one md5 per shingle, sliced into 4-hex (16-bit) chunks: h_i =
+    # substr(md5(w), 4i+1, 4). Cheap and portable; the slices act as
+    # independent-enough hash families for banding.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"h{i}")
+        F.min(F.substring("m", 4 * i + 1, 4)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -1,0 +1,111 @@
+"""Lookup join — the reference's LookupJoin operator
+(`arroyo-worker/src/arrow/lookup_join.rs` + `arrow/updating_cache.rs`,
+SURVEY.md §2.1): a stream joined against an external keyed table on its
+PRIMARY KEY, INNER or LEFT only, with a per-key TTL cache.
+
+Spark mappings, by lookup-table kind:
+
+1. Table re-readable as a DataFrame (file/Delta/JDBC): stream-static join —
+   the static side is re-read every micro-batch, which IS the cache-refresh
+   semantic. Small tables broadcast (`F.broadcast`), so the join is
+   shuffle-free on the stream side.
+2. Point-lookup-only stores (Redis, HTTP): `mapInPandas` with a
+   per-executor TTL+LRU cache around the client (`TTLCache` below mirrors
+   the reference's time-to-idle + byte-bounded cache, updating_cache.rs).
+
+Join-type restriction enforced to preserve the reference's error surface
+(`plan/join.rs:255-263`: INNER/LEFT only).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructType
+
+
+def lookup_join(
+    stream: DataFrame,
+    lookup: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static lookup join (re-planned per micro-batch in streaming)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"lookup joins support INNER and LEFT only, got {how!r} "
+            "(reference: plan/join.rs:255-263)"
+        )
+    right = F.broadcast(lookup) if broadcast else lookup
+    return stream.join(right, on, how)
+
+
+class TTLCache:
+    """Time-to-idle + size-bounded cache (updating_cache.rs:52-70 analog)."""
+
+    def __init__(self, max_entries: int = 100_000, ttl_s: float = 3600.0) -> None:
+        self.max_entries = max_entries
+        self.ttl_s = ttl_s
+        self._d: OrderedDict[Any, tuple[float, Any]] = OrderedDict()
+
+    def get(self, key: Any) -> Any | None:
+        item = self._d.get(key)
+        if item is None:
+            return None
+        ts, value = item
+        if time.monotonic() - ts > self.ttl_s:
+            del self._d[key]
+            return None
+        self._d.move_to_end(key)
+        self._d[key] = (time.monotonic(), value)  # time-to-idle refresh
+        return value
+
+    def put(self, key: Any, value: Any) -> None:
+        self._d[key] = (time.monotonic(), value)
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
+def cached_client_lookup(
+    stream: DataFrame,
+    key_col: str,
+    fetch: Callable[[list[Any]], dict[Any, dict[str, Any]]],
+    value_schema: str,
+    how: str = "inner",
+    cache: TTLCache | None = None,
+) -> DataFrame:
+    """Point-lookup join via a client callable (`fetch(keys) -> {key: row}`),
+    with a per-executor TTL cache consulted first
+    (lookup_join.rs:35-118 behavior). `value_schema` is a DDL string for
+    the appended columns."""
+    if how not in ("inner", "left"):
+        raise ValueError("lookup joins support INNER and LEFT only")
+    value_fields = StructType.fromDDL(value_schema)
+    schema = StructType(list(stream.schema.fields) + list(value_fields.fields))
+    local_cache = cache or TTLCache()
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            missing = [k for k in dict.fromkeys(keys) if local_cache.get(k) is None]
+            if missing:
+                for k, v in fetch(missing).items():
+                    local_cache.put(k, v)
+            rows = [local_cache.get(k) for k in keys]
+            if how == "inner":
+                mask = [r is not None for r in rows]
+                pdf = pdf[mask].reset_index(drop=True)
+                rows = [r for r in rows if r is not None]
+            for f in value_fields.fields:
+                pdf[f.name] = [None if r is None else r.get(f.name) for r in rows]
+            yield pdf
+
+    return stream.mapInPandas(mapper, schema)

@@ -55,7 +55,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
     rows = num_hashes // bands
     sig_cols = ",\n             ".join(
-        f"min(md5('{i}:' || w)) AS h{i}" for i in range(num_hashes)
+        f"min(substr(md5(w), {4 * i + 1}, 4)) AS h{i}" for i in range(num_hashes)
     )
     band_exprs = ", ".join(
         "md5(concat_ws('|', 'b{b}', {hs}))".format(

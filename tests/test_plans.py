@@ -1,0 +1,83 @@
+"""Physical-plan quality gates: the properties that make these operators
+viable at 100 TB must be visible in the plan, not assumed.
+
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema)
+- dimension tables broadcast (BroadcastHashJoin), no cartesian products
+- aggregates are partial/final hash aggregates (map-side combine)
+- whole-stage codegen covers the hot path
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from arroyo_spark.suite import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_scan_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan[:2000]
+    # column pruning: only the 7 needed columns in the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read, read
+    # partial/final split: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the customer filter is pushed into its scan
+    assert "c_mktsegment" in plan and "PushedFilters" in plan
+
+
+def test_q5_no_cartesian_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan or "event_type" in plan
+
+
+def test_semi_anti_are_joins_not_subquery_loops(spark, sf_dir):
+    for name in ("semi_join_big_spenders", "anti_join_no_orders"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan, f"{name}: {plan[:1500]}"
+        assert "CartesianProduct" not in plan
+
+
+def test_windows_are_single_shuffle(spark, sf_dir):
+    # tumbling agg: one exchange for the partial/final split, no extra sort
+    plan = plan_of(spark, sf_dir, "tumble_hourly_by_type")
+    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert "HashAggregate" in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    # the small query set must broadcast; corpus side stays partitioned
+    plan = plan_of(spark, sf_dir, "knn_cosine_topk")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
