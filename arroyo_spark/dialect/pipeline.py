@@ -16,6 +16,16 @@ available through `arroyo_spark.streaming` (same operators).
 Supported connectors: `single_file` / `filesystem` (json, parquet) sources
 and sinks, memory tables, preview. Kafka maps to Spark's native connector
 and is intentionally not wrapped here.
+
+`mode="streaming"` executes the same script through Structured Streaming:
+file sources become readStream (one file per micro-batch), watermarks from
+the table's WATERMARK spec are applied to `_timestamp`, windowed INSERTs
+run in append mode and updating aggregates in update mode (with Debezium
+envelope encoding). One semantic difference from the reference: Arroyo
+flushes ALL window state at end-of-input (Watermark::MAX,
+`watermark_generator.rs:137-146`); Spark's file source has no end-of-data
+signal, so windows still open at the final watermark stay unemitted until
+more data arrives — matching production unbounded-stream behavior.
 """
 
 from __future__ import annotations
@@ -41,6 +51,16 @@ from arroyo_spark.streaming.eventtime import TIMESTAMP_FIELD
 DEBEZIUM_FORMAT = "debezium_json"
 
 _HIDDEN_COLS = (TIMESTAMP_FIELD, "_watermark_ts")
+
+
+def _stream_path(path: str) -> str:
+    """Spark's file-stream source rejects a bare file path ('basePath must
+    be a directory'); turning the first filename char into a one-char glob
+    makes Spark derive the parent dir as base."""
+    if os.path.isfile(path):
+        d, f = os.path.split(path)
+        return os.path.join(d, f"[{f[0]}]{f[1:]}")
+    return path
 
 
 def _arroyo_ts_json_col(c: str) -> F.Column:
@@ -99,8 +119,11 @@ class PipelineResult:
     sinks: dict[str, DataFrame] = field(default_factory=dict)
     sink_formats: dict[str, str] = field(default_factory=dict)
     previews: list[DataFrame] = field(default_factory=list)
+    raw_lines: dict[str, list[str]] = field(default_factory=dict)  # streaming
 
     def sink_json(self, name: str) -> list[str]:
+        if name in self.raw_lines:
+            return list(self.raw_lines[name])
         df = self.sinks[name]
         enc = (
             to_debezium_json(df)
@@ -118,8 +141,12 @@ class Pipeline:
         spark: SparkSession,
         substitutions: dict[str, str] | None = None,
         udfs: dict[str, object] | None = None,
+        mode: str = "batch",
     ) -> None:
+        if mode not in ("batch", "streaming"):
+            raise PlanError(f"unknown execution mode: {mode}")
         self.spark = spark
+        self.mode = mode
         self.substitutions = substitutions or {}
         for name, fn in (udfs or {}).items():
             spark.udf.register(name, fn)
@@ -149,17 +176,35 @@ class Pipeline:
         if path is None:
             raise PlanError(f"source table {t.name} needs a 'path' option")
         path = self._substitute(str(path))
+        streaming = self.mode == "streaming"
         if t.options.get("json.unstructured"):
             # whole line as a single JSON value column (json_operators.sql)
             cols = [c for c in t.columns if c.virtual_expr is None]
             name = cols[0].name if cols else "value"
-            df = self.spark.read.text(path).withColumnRenamed("value", name)
+            reader = self.spark.readStream if streaming else self.spark.read
+            df = reader.text(path).withColumnRenamed("value", name)
         elif fmt == DEBEZIUM_FORMAT:
+            if streaming:
+                raise PlanError(
+                    "streaming debezium sources: use arroyo_spark.streaming."
+                    "debezium.unroll_debezium_json over a stream"
+                )
             df = self._read_debezium_source(t, path)
         elif fmt == "json":
-            df = self.spark.read.schema(self._source_schema(t)).json(path)
+            if streaming:
+                reader = self.spark.readStream.schema(
+                    self._source_schema(t)
+                ).option("maxFilesPerTrigger", 1)
+                df = reader.json(_stream_path(path))
+            else:
+                df = self.spark.read.schema(self._source_schema(t)).json(path)
         elif fmt == "parquet":
-            df = self.spark.read.schema(self._source_schema(t)).parquet(path)
+            reader = (
+                self.spark.readStream.schema(self._source_schema(t))
+                if streaming
+                else self.spark.read.schema(self._source_schema(t))
+            )
+            df = reader.parquet(path)
         else:
             raise PlanError(f"unsupported source format: {fmt}")
         for c in t.columns:
@@ -175,7 +220,24 @@ class Pipeline:
         )
         ts = F.col(str(event_time)) if event_time else F.current_timestamp()
         df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
+        if self.mode == "streaming" and event_time is not None:
+            df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
         df.createOrReplaceTempView(t.name)
+
+    def _watermark_delay(self, t: TableDef) -> str:
+        """Delay for Spark's max(event)-delay watermark, from the WATERMARK
+        spec. Expressions of the form `col - INTERVAL '...'` map exactly;
+        anything else falls back to the reference default (1s,
+        rewriters.rs:71-83)."""
+        import re as _re
+
+        if t.watermark and t.watermark.expr:
+            m = _re.search(
+                r"-\s*interval\s+'([^']+)'(\s+\w+)?", t.watermark.expr, _re.I
+            )
+            if m:
+                return (m.group(1) + (m.group(2) or "")).strip()
+        return "1 second"
 
     def _read_debezium_source(self, t: TableDef, path: str) -> DataFrame:
         """CDC envelope source, batch mode: replay the c/u/d log into the
@@ -322,6 +384,9 @@ class Pipeline:
         if target.table_type == "source":
             raise PlanError(f"cannot INSERT into source table {stmt.target}")
         df = self._plan_select(stmt.select_sql)
+        if self.mode == "streaming" and df.isStreaming and target.connector:
+            self._run_streaming_insert(stmt, target, df, result)
+            return
         if target.connector is None:
             if stmt.target in self.memory_written:
                 raise PlanError(
@@ -331,6 +396,55 @@ class Pipeline:
             self._cast_to_sink(df, target).createOrReplaceTempView(stmt.target)
             return
         self._write_sink(result, target, self._cast_to_sink(df, target))
+
+    def _run_streaming_insert(
+        self, stmt: InsertStmt, target: TableDef, df: DataFrame, result: PipelineResult
+    ) -> None:
+        """Execute one INSERT as a streaming query (availableNow) writing
+        JSON/Debezium lines to the sink path. Append mode for windowed
+        plans; update mode + Debezium encoding for updating aggregates."""
+        import tempfile
+
+        out_path = self._substitute(str(target.options.get("path", "")))
+        fmt = str(target.options.get("format", "json"))
+        ck = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+        cast = self._cast_to_sink(df, target)
+        lines: list[str] = []
+
+        if fmt == DEBEZIUM_FORMAT:
+            from arroyo_spark.streaming.updating import DebeziumEncoder
+
+            pks = target.primary_keys or [cast.columns[0]]
+
+            def emit(envelopes: list[dict]) -> None:
+                import json as _json
+
+                lines.extend(_json.dumps(e) for e in envelopes)
+
+            writer = (
+                cast.writeStream.outputMode("update")
+                .foreachBatch(DebeziumEncoder(pks, emit))
+            )
+        else:
+
+            def for_each(batch_df: DataFrame, batch_id: int) -> None:
+                lines.extend(
+                    r["value"] for r in to_arroyo_json(batch_df).collect()
+                )
+
+            writer = cast.writeStream.outputMode("append").foreachBatch(for_each)
+
+        q = (
+            writer.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if out_path:
+            with open(out_path, "w") as fh:
+                fh.write("\n".join(lines) + ("\n" if lines else ""))
+        result.sink_formats[target.name] = fmt
+        result.raw_lines[target.name] = lines
 
     # -- entry -------------------------------------------------------------
 

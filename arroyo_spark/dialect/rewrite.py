@@ -276,6 +276,13 @@ def _inject_hidden_timestamp(sql: str) -> str:
                     break
             i += 1
         if gb_pos is None:
+            # a window call in the select list without any GROUP BY is the
+            # reference's `misplaced_hop.sql` error (SURVEY.md §2.3)
+            m = _WINDOWED_CALL.search(select_list)
+            if m and re.search(r"\(\s*_timestamp\b", select_list[m.end() - 1 :]):
+                raise PlanError(
+                    "tumble/hop/session may only be used in a GROUP BY clause"
+                )
             continue
         gb_end = gb_pos
         depth = 0

@@ -1,0 +1,256 @@
+"""Additional function/aggregate coverage for the driver gate: bit/bool
+aggregates, exact percentiles, first/last-by-time, sorted array_agg,
+multi_hash row ids, lookup-join enrichment, LSH-bucketed ANN (scale path).
+
+Completes the SURVEY.md §2.2 aggregate census on the driver's tables
+(the reference registers DataFusion's full UDAF library,
+`arroyo-planner/src/lib.rs:139-147`)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions.scalar import multi_hash
+from arroyo_spark.suite import query
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bits_bools",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_discount
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("aggregate", "bits", "bools"),
+)
+def agg_bits_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_linenumber").cast("bigint").alias("band"),
+        F.bit_or("l_linenumber").cast("bigint").alias("bor"),
+        F.bit_xor("l_linenumber").cast("bigint").alias("bxor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+    )
+
+
+_MODE_ORACLE = """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+             CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+             CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75_qty
+      FROM lineitem GROUP BY l_returnflag
+    ), counts AS (
+      SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS ln, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), modes AS (
+      SELECT l_returnflag, ln AS mode_line
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                         ORDER BY n DESC, ln) AS rn
+            FROM counts) t WHERE rn = 1
+    )
+    SELECT base.l_returnflag, med_qty, p25_qty, p75_qty, mode_line
+    FROM base JOIN modes USING (l_returnflag)
+"""
+
+
+@query(
+    "median_percentiles",
+    oracle=_MODE_ORACLE,
+    tags=("aggregate", "percentile"),
+)
+def median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles — deterministic on the integral
+    quantity domain. Engines' builtin `mode` breaks ties arbitrarily, so the
+    modal value is computed with an explicit (count desc, value) window on
+    both sides instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+    )
+    counts = li.groupBy("l_returnflag", F.col("l_linenumber").cast("bigint").alias("ln")).count()
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("count").desc(), F.col("ln"))
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("ln").alias("mode_line"))
+    )
+    return base.join(modes, "l_returnflag")
+
+
+@query(
+    "first_last_by_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER w AS rn_asc,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_desc,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rn_asc = 1 THEN event_type END) AS first_type,
+           MAX(CASE WHEN rn_desc = 1 THEN event_type END) AS last_type,
+           CAST(MAX(n) AS BIGINT) AS n_events
+    FROM ordered
+    GROUP BY user_id
+    """,
+    tags=("aggregate", "first_last", "window_fn"),
+)
+def first_last_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value by event time (reference census includes
+    first_value/last_value — SURVEY §2.2), deterministically tie-broken."""
+    ev = load_table(spark, sf_dir, "events")
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ordered.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_asc") == 1, F.col("event_type"))).alias("first_type"),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("event_type"))).alias("last_type"),
+        F.max("n").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT event_type,
+           list_sort(array_agg(event_id)) AS big_events,
+           COUNT(*) AS n
+    FROM events
+    WHERE value > 480
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "array_agg"),
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg (reference census) — sorted so the collected order is
+    comparison-stable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 480)
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("event_id")).alias("big_events"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "multi_hash_ids",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                              CAST(o_custkey AS VARCHAR),
+                              o_orderstatus)) AS row_id
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+    tags=("functions", "hash"),
+)
+def multi_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi_hash updating-stream row id
+    (`arroyo-planner/src/functions.rs:118-175`), portable md5 form."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return orders.select(
+        "o_orderkey",
+        multi_hash("o_orderkey", "o_custkey", "o_orderstatus").alias("row_id"),
+    )
+
+
+@query(
+    "lookup_enrich_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "lookup"),
+)
+def lookup_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-join enrichment (stream side = events, lookup = customer),
+    via the lookup_join operator (broadcast, INNER)."""
+    from arroyo_spark.operators.lookup_join import lookup_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        lookup_join(ev, cust, ["user_id"], how="inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors — the 100 TB scale path for
+# similarity search (sign-random-projection buckets turn the cross product
+# into an equi-join). Recall is approximate by design -> rows-only check
+# (no oracle), like the reference's non-SQL-expressible operators.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_rng = random.Random(42)
+_PLANES = [[_rng.gauss(0, 1) for _ in range(_DIM)] for _ in range(6)]
+
+
+@query(
+    "knn_lsh_ann",
+    oracle=None,  # approximate by design; driver records rows-only
+    tags=("similarity", "ann", "lsh"),
+    bench=True,
+)
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.similarity import as_double, cosine, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("vec"), _PLANES))
+    q = bucketed.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= 3
+    )

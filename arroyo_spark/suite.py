@@ -70,6 +70,7 @@ def _load_modules() -> None:
         return
     from arroyo_spark.queries import (  # noqa: F401
         dedup,
+        functions_extra,
         relational,
         similarity,
         text,

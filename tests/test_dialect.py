@@ -376,3 +376,80 @@ def test_parse_virtual_and_metadata_columns():
     (t,) = parse_script(script)
     assert t.columns[1].metadata_key == "offset_id"
     assert "len(v) * 2" in t.columns[2].virtual_expr
+
+
+# --- streaming execution mode ----------------------------------------------
+
+
+@ref_available
+def test_streaming_mode_hourly(spark, tmp_path):
+    """The same dialect script executed through Structured Streaming: every
+    watermark-closed window must match the golden output exactly (the final
+    open windows stay pending — unbounded-stream semantics; the reference
+    instead flushes state at end-of-input)."""
+    import shutil
+
+    src_dir = tmp_path / "cars_stream"
+    src_dir.mkdir()
+    # split cars.json into 3 time-ordered chunks -> 3 micro-batches
+    lines = open(f"{INPUTS}/cars.json").read().splitlines()
+    lines.sort(key=lambda l: json.loads(l)["timestamp"])
+    n = len(lines) // 3
+    import time as _time
+
+    for i in range(3):
+        chunk = lines[i * n : (i + 1) * n if i < 2 else len(lines)]
+        (src_dir / f"part{i}.json").write_text("\n".join(chunk))
+        _time.sleep(0.05)
+
+    script = open(f"{QUERIES}/hourly_by_event_type.sql").read()
+    out = str(tmp_path / "out.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(
+        spark,
+        {"$input_dir/cars.json": str(src_dir), "$output_path": out},
+        mode="streaming",
+    ).run_script(script)
+    got = {
+        (json.loads(l)["hour"], json.loads(l)["event_type"]): json.loads(l)["count"]
+        for l in res.sink_json("group_by_aggregate")
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["count"]
+        for r in (json.loads(l) for l in open(f"{GOLDEN}/hourly_by_event_type.json"))
+    }
+    assert got, "streaming run emitted nothing"
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: stream={v} golden={want.get(k)}"
+    assert len(got) >= len(want) - 4  # only the tail windows may be pending
+
+
+@ref_available
+def test_streaming_mode_updating_aggregate(spark, tmp_path):
+    """grouped_aggregates.sql in streaming mode: update-mode aggregate with
+    Debezium envelopes; replayed final state must equal the golden's."""
+    script = open(f"{QUERIES}/grouped_aggregates.sql").read()
+    out = str(tmp_path / "agg.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(
+        spark, {"$input_dir": INPUTS, "$output_path": out}, mode="streaming"
+    ).run_script(script)
+    got = _replay_debezium(res.sink_json("aggregates"))
+    want = _replay_debezium(
+        open(f"{GOLDEN}/grouped_aggregates.json").read().splitlines()
+    )
+    assert got == want
+
+
+def test_misplaced_window_call_rejected():
+    with pytest.raises(PlanError, match="GROUP BY"):
+        rewrite_query("SELECT hop(interval '2 seconds', interval '10 seconds'), counter FROM t")
+
+
+def test_window_call_in_group_by_ok():
+    sql = rewrite_query(
+        "SELECT tumble(interval '1 hour') as w, count(*) FROM t GROUP BY 1"
+    )
+    assert "window(_timestamp, '1 hour')" in sql
