@@ -116,7 +116,13 @@ class SelectStmt:  # bare SELECT -> preview sink
     select_sql: str
 
 
-Statement = TableDef | ViewDef | InsertStmt | SelectStmt
+@dataclass
+class SetStmt:  # SET updating_ttl = interval '...' (lib.rs:790-819)
+    key: str
+    value: object
+
+
+Statement = TableDef | ViewDef | InsertStmt | SelectStmt | SetStmt
 
 
 def split_statements(script: str) -> list[str]:
@@ -333,6 +339,9 @@ def parse_statement(stmt: str) -> Statement:
         return InsertStmt(m.group(1), m.group(2))
     if re.match(r"^(select|with)\b", s, re.I):
         return SelectStmt(s)
+    m = re.match(r"^set\s+([\w.]+)\s*=\s*(.+)$", s, re.I | re.S)
+    if m:
+        return SetStmt(m.group(1).lower(), _parse_option_value(m.group(2)))
     raise PlanError(f"unsupported statement: {s[:80]}...")
 
 

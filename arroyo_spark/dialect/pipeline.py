@@ -41,6 +41,7 @@ from arroyo_spark.dialect.errors import PlanError
 from arroyo_spark.dialect.parser import (
     InsertStmt,
     SelectStmt,
+    SetStmt,
     TableDef,
     ViewDef,
     parse_script,
@@ -153,6 +154,9 @@ class Pipeline:
         self.tables: dict[str, TableDef] = {}
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
+        # session settings (SET updating_ttl = interval '...', lib.rs:790-819);
+        # the TTL governs state retention for updating operators
+        self.settings: dict[str, object] = {"updating_ttl": ("interval", "24 hours")}
 
     # -- DDL ---------------------------------------------------------------
 
@@ -461,6 +465,8 @@ class Pipeline:
                 self._handle_insert(stmt, result)
             elif isinstance(stmt, SelectStmt):
                 result.previews.append(self._plan_select(stmt.select_sql))
+            elif isinstance(stmt, SetStmt):
+                self.settings[stmt.key] = stmt.value
         return result
 
 

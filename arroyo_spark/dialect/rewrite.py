@@ -121,6 +121,9 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
 # -- function-name mapping (SURVEY.md §2.2 scalar/aggregate census) ----------
 
 _FN_RENAMES = [
+    # reference JSON helpers (arroyo-planner/src/functions.rs:55-97)
+    (r"\bget_first_json_object\s*\(", "get_json_object("),
+    (r"\bextract_json_string\s*\(", "get_json_object("),
     (r"\barray_agg\s*\(", "collect_list("),
     (r"\bunnest\s*\(", "explode("),
     (r"\bvar\s*\(", "var_samp("),

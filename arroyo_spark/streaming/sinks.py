@@ -1,0 +1,44 @@
+"""Sink-side helpers: idempotent (exactly-once) foreachBatch writes.
+
+The reference achieves exactly-once via two-phase-commit sinks
+(`arroyo-state/src/lib.rs:73`, `operator.rs:1228 handle_commit`,
+SURVEY.md §4.2). Spark's equivalent contract: `foreachBatch` may re-run a
+micro-batch after recovery with the SAME batchId, so a sink is exactly-once
+iff the write is idempotent per (queryId, batchId). `IdempotentBatchSink`
+records committed batch ids (a file ledger next to the output — analog of
+the commit topic/manifest) and skips replays; file/Delta sinks get
+exactly-once, at-least-once systems (Kafka) become effectively-once.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+class IdempotentBatchSink:
+    """foreachBatch wrapper that makes a write idempotent per batchId."""
+
+    def __init__(
+        self,
+        write: Callable[[DataFrame, int], None],
+        ledger_dir: str,
+    ) -> None:
+        self.write = write
+        self.ledger_dir = ledger_dir
+        os.makedirs(ledger_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.ledger_dir, f"batch-{batch_id}.committed")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        marker = self._marker(batch_id)
+        if os.path.exists(marker):
+            return  # replay after recovery: already committed
+        self.write(batch_df, batch_id)
+        # commit point: marker creation is the atomic "second phase"
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("ok")
+        os.rename(marker + ".tmp", marker)

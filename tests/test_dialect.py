@@ -453,3 +453,16 @@ def test_window_call_in_group_by_ok():
         "SELECT tumble(interval '1 hour') as w, count(*) FROM t GROUP BY 1"
     )
     assert "window(_timestamp, '1 hour')" in sql
+
+
+def test_set_statement_parsed(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    p.run_script("SET updating_ttl = interval '1 hour'; SELECT 1 AS one")
+    assert p.settings["updating_ttl"] == ("interval", "1 hour")
+
+
+def test_json_helper_renames():
+    sql = rewrite_query("SELECT get_first_json_object(v, '$.a') AS a, extract_json_string(v, '$.b') AS b FROM t")
+    assert sql.count("get_json_object(") == 2

@@ -233,3 +233,108 @@ def test_impulse_source_runs(spark, tmp_path):
         assert spark.table("impulse_t").count() > 0
     finally:
         q.stop()
+
+
+def test_checkpoint_restore_continues(spark, sf_dir, replay_dir, tmp_path):
+    """The reference's smoke tests treat checkpoint/restore as part of
+    correctness (runs (b)/(c), smoke_tests.rs:405-478). Spark analog: run a
+    windowed aggregation one micro-batch at a time, stop it mid-stream,
+    restart from the same checkpoint, and require the combined output to
+    equal the uninterrupted run's."""
+    path, schema = replay_dir
+    ck = str(tmp_path / "ck_restore")
+
+    def build_query():
+        stream = file_replay_stream(spark, path, schema, event_time="ts")
+        return (
+            stream.withWatermark("_timestamp", "1 second")
+            .groupBy(F.window("_timestamp", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_micros("window.start").alias("ws"), "event_type", "n"
+            )
+        )
+
+    # foreachBatch sinks (memory sink can't recover from a checkpoint)
+    phase1: list = []
+    phase2: list = []
+
+    def collector(acc):
+        def write(batch_df, batch_id):
+            acc.extend(batch_df.collect())
+
+        return write
+
+    # phase 1: process only the first micro-batch(es), then stop
+    q1 = (
+        build_query()
+        .writeStream.foreachBatch(collector(phase1))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        progress = q1.lastProgress
+        if progress and progress["batchId"] >= 1:
+            break
+        _time.sleep(0.3)
+    # stopping may abort an in-flight batch ("cannot commit during state
+    # checkpoint") — that IS the simulated crash; the checkpoint stays at
+    # the last committed batch and phase 2 must recover from it
+    try:
+        q1.stop()
+        q1.awaitTermination(30)
+    except Exception:
+        pass
+
+    # phase 2: restart from the SAME checkpoint; availableNow drains the rest
+    q2 = (
+        build_query()
+        .writeStream.foreachBatch(collector(phase2))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {}
+    for r in phase1 + phase2:
+        got[(r["ws"], r["event_type"])] = r["n"]
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    final_wm_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1_000_000
+    closed = {
+        k: v for k, v in want.items() if k[0] + 6 * 3_600_000_000 <= final_wm_us
+    }
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: restored={v} batch={want.get(k)}"
+    missing = {k for k in closed if k not in got}
+    assert not missing, f"windows lost across restore: {sorted(missing)[:5]}"
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    from arroyo_spark.streaming.sinks import IdempotentBatchSink
+
+    written: list[tuple[int, int]] = []
+
+    def write(df, batch_id):
+        written.append((batch_id, df.count()))
+
+    sink = IdempotentBatchSink(write, str(tmp_path / "ledger"))
+    df = spark.range(5)
+    sink(df, 0)
+    sink(df, 1)
+    sink(df, 0)  # replay after simulated recovery
+    assert written == [(0, 5), (1, 5)]
