@@ -149,7 +149,9 @@ class Pipeline:
         self.spark = spark
         self.mode = mode
         self.substitutions = substitutions or {}
-        for name, fn in (udfs or {}).items():
+        from arroyo_spark.functions.json_udfs import DEFAULT_JSON_UDFS
+
+        for name, fn in {**DEFAULT_JSON_UDFS, **(udfs or {})}.items():
             spark.udf.register(name, fn)
         self.tables: dict[str, TableDef] = {}
         self.memory_written: set[str] = set()

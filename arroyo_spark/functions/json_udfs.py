@@ -1,0 +1,80 @@
+"""`extract_json(text, path) -> array<string>` — the reference's JSONPath
+multi-match extractor (`arroyo-planner/src/functions.rs:55-97`; semantics
+pinned by its unit test `functions.rs:479-517`: each match JSON-serialized,
+e.g. a string match becomes '"hello"'; no match -> empty list).
+
+Spark's get_json_object is single-match, so this is a pandas UDF with a
+small JSONPath-subset evaluator: `$`, `.key`, `[N]`, `[*]`. Arrow-batched;
+used only when a query actually calls extract_json.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_TOKEN = re.compile(r"\.([A-Za-z_][\w]*)|\[(\d+|\*)\]")
+
+
+def _parse_path(path: str) -> list[object]:
+    if not path.startswith("$"):
+        raise ValueError(f"JSONPath must start with $: {path!r}")
+    steps: list[object] = []
+    pos = 1
+    while pos < len(path):
+        m = _TOKEN.match(path, pos)
+        if not m:
+            raise ValueError(f"unsupported JSONPath segment at {path[pos:]!r}")
+        if m.group(1) is not None:
+            steps.append(m.group(1))
+        elif m.group(2) == "*":
+            steps.append(("*",))
+        else:
+            steps.append(int(m.group(2)))
+        pos = m.end()
+    return steps
+
+
+def _walk(value: object, steps: list[object]) -> list[object]:
+    nodes = [value]
+    for step in steps:
+        nxt: list[object] = []
+        for n in nodes:
+            if isinstance(step, str):
+                if isinstance(n, dict) and step in n:
+                    nxt.append(n[step])
+            elif isinstance(step, int):
+                if isinstance(n, list) and -len(n) <= step < len(n):
+                    nxt.append(n[step])
+            else:  # ("*",)
+                if isinstance(n, list):
+                    nxt.extend(n)
+                elif isinstance(n, dict):
+                    nxt.extend(n.values())
+        nodes = nxt
+    return nodes
+
+
+def extract_json_py(text: str | None, path: str) -> list[str]:
+    if text is None:
+        return []
+    try:
+        doc = json.loads(text)
+    except (ValueError, TypeError):
+        return []
+    steps = _parse_path(path)
+    return [json.dumps(m, separators=(",", ":")) for m in _walk(doc, steps)]
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_json(text: pd.Series, path: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_json_py(t, p) for t, p in zip(text, path)]
+    )
+
+
+DEFAULT_JSON_UDFS = {"extract_json": extract_json}

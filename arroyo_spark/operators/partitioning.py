@@ -1,0 +1,89 @@
+"""Partitioning utilities for 100 TB operation: bucketed co-located joins
+and skew salting.
+
+The reference hash-shuffles on key columns per operator
+(`arroyo-operator/src/context.rs:516`); at rest it has no bucketing story.
+On Spark, repeated big-big joins should be bucketed at write time so the
+join is Exchange-free, and skewed keys (hot auctions, power-law users)
+should be salted when AQE's skew-join splitting isn't enough (e.g.
+aggregations, which AQE does not split).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist hash-bucketed by join keys: subsequent equi-joins between
+    tables bucketed the same way run without any Exchange (verified by
+    tests/test_plans-style assertions). Sorting within buckets additionally
+    removes the sort from sort-merge joins."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def salted(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Append a random salt column (uniform 0..salt_buckets-1)."""
+    return df.withColumn(
+        salt_col, (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    combine: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: partial agg on (keys, salt)
+    spreads a hot key over `salt_buckets` reducers, then a cheap final agg
+    on the (tiny) partial results re-combines.
+
+    `aggs` produce the partial columns; `combine` folds partials (e.g.
+    partial `count(*) as n` combines with `sum(n) as n`). Only needed for
+    decomposable aggregates — which is also the reference's partial/final
+    constraint (SURVEY §4.2)."""
+    partial = (
+        salted(df, salt_buckets)
+        .groupBy(*keys, "_salt")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in combine.items()]
+    )
+
+
+def salted_broadcast_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact against a small table by replicating the small
+    side per salt value — every hot-key row lands on a different reducer.
+    (With broadcast available this is moot; the pattern matters when the
+    small side exceeds the broadcast threshold but a key is hot.)"""
+    replicated = small.crossJoin(
+        F.broadcast(
+            skewed.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    return (
+        salted(skewed, salt_buckets)
+        .join(replicated, [*on, "_salt"], how)
+        .drop("_salt")
+    )

@@ -622,3 +622,126 @@ def interval_join_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("min_lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sided nation join with conditional aggregation (TPC-H Q7 flavor):
+# exercises join reordering, CASE-in-aggregate, year extraction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_19', 'NATION_20', 'NATION_11', 'NATION_9', 'NATION_10')
+        AND n2.n_name IN ('NATION_19', 'NATION_20', 'NATION_11', 'NATION_9', 'NATION_10')
+        AND n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "aggregate", "tpch"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nations = ("NATION_19", "NATION_20", "NATION_11", "NATION_9", "NATION_10")
+    n1 = nation.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("volume").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelation -> join; reference reaches this
+# via ScalarSubqueryToJoin, SURVEY §2.2): customers spending above their
+# nation's average order value.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "above_nation_avg_spenders",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_nationkey
+    ), nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nat_avg
+      FROM spend GROUP BY c_nationkey
+    )
+    SELECT s.c_custkey,
+           round(s.total, 6) AS total,
+           round(n.nat_avg, 6) AS nation_avg
+    FROM spend s JOIN nation_avg n ON s.c_nationkey = n.c_nationkey
+    WHERE s.total > n.nat_avg * 1.5
+    """,
+    tags=("join", "subquery", "aggregate"),
+)
+def above_nation_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(dec_sum("o_totalprice").alias("total"))
+    )
+    nat = spend.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("total").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("nat_avg")
+    )
+    return (
+        spend.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("total") > F.col("nat_avg") * 1.5)
+        .select(
+            "c_custkey",
+            F.round("total", 6).alias("total"),
+            F.round("nat_avg", 6).alias("nation_avg"),
+        )
+    )

@@ -466,3 +466,21 @@ def test_set_statement_parsed(spark):
 def test_json_helper_renames():
     sql = rewrite_query("SELECT get_first_json_object(v, '$.a') AS a, extract_json_string(v, '$.b') AS b FROM t")
     assert sql.count("get_json_object(") == 2
+
+
+def test_extract_json_multimatch(spark):
+    """Reference semantics (functions.rs:479-517): JSON-serialized matches,
+    empty list when no match, [*] wildcard multi-match."""
+    from arroyo_spark.functions.json_udfs import extract_json_py
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    assert extract_json_py('{"a": 1, "c": {"d": "hello"}}', "$.c.d") == ['"hello"']
+    assert extract_json_py('{"a": 3, "b": 4}', "$.c.d") == []
+    assert extract_json_py('{"xs": [{"v": 1}, {"v": 2}]}', "$.xs[*].v") == ["1", "2"]
+    assert extract_json_py('{"xs": [10, 20]}', "$.xs[1]") == ["20"]
+    assert extract_json_py("not json", "$.a") == []
+
+    res = Pipeline(spark).run_script(
+        """SELECT extract_json('{"c": {"d": "hello"}}', '$.c.d') AS m"""
+    )
+    assert res.previews[0].collect()[0]["m"] == ['"hello"']

@@ -146,3 +146,97 @@ def test_content_hash(spark, media_df):
     a = content_hash(media_df).filter(F.col("media_id") == 1).collect()[0]
     b = content_hash(media_df).filter(F.col("media_id") == 1).collect()[0]
     assert a["content_sha"] == b["content_sha"]
+
+
+# --- partitioning / skew ----------------------------------------------------
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    import contextlib, io
+
+    from arroyo_spark.operators.partitioning import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(li, "lineitem_b", ["l_orderkey"], 8)
+    j = (
+        spark.table("lineitem_b")
+        .join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # disable broadcast so the join strategy is the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j.explain("formatted")
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    plan = buf.getvalue()
+    # the join itself introduces no shuffle: the only Exchange is the
+    # final small aggregation
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange" not in join_section, plan[:2500]
+    # and results are right
+    want = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    got = {r["o_orderstatus"]: r["n"] for r in j.collect()}
+    assert got == {r["o_orderstatus"]: r["count"] for r in want}
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from arroyo_spark.operators.partitioning import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"],): (r["n"], r["total"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            aggs={
+                "n": F.count(F.lit(1)),
+                "total": F.sum(F.col("value").cast("decimal(18,2)")),
+            },
+            combine={
+                "n": F.sum("n").cast("bigint"),
+                "total": F.round(F.sum("total").cast("double"), 6),
+            },
+        ).collect()
+    }
+    want = {
+        (r["event_type"],): (r["n"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_broadcast_join_matches_plain(spark, sf_dir):
+    from arroyo_spark.operators.partitioning import salted_broadcast_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    got = salted_broadcast_join(ev, dim, ["user_id"], salt_buckets=4).count()
+    want = ev.join(dim, "user_id").count()
+    assert got == want
