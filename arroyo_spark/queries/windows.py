@@ -278,3 +278,48 @@ def window_fn_most_active_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nexmark q5 shape (reference: nexmark_q5.sql — hop window + self-join on
+# the window, keep keys whose count reaches the window max). The reference's
+# flagship benchmark query; here over `events` with user_id as the key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nexmark_q5_hot_users",
+    oracle=f"""
+    WITH counts AS (
+      SELECT ws, user_id, COUNT(*) AS num
+      FROM (
+        SELECT unnest({oracle_hop_starts_us('2 hours', '30 minutes')}) AS ws,
+               user_id
+        FROM events
+      ) h
+      GROUP BY ws, user_id
+    ), maxes AS (
+      SELECT ws, MAX(num) AS maxn FROM counts GROUP BY ws
+    )
+    SELECT c.ws AS window_start_us, c.user_id, c.num
+    FROM counts c JOIN maxes m ON c.ws = m.ws AND c.num >= m.maxn
+    """,
+    tags=("window", "hop", "join", "nexmark", "streaming-analog"),
+    bench=True,
+)
+def nexmark_q5_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        hop(ev, ["user_id"], "ts", "2 hours", "30 minutes")
+        .agg(F.count(F.lit(1)).alias("num"))
+        .select(window_start_us(), "user_id", "num")
+    )
+    maxes = counts.groupBy("window_start_us").agg(F.max("num").alias("maxn"))
+    return (
+        counts.join(
+            maxes.withColumnRenamed("window_start_us", "mws"),
+            (F.col("window_start_us") == F.col("mws"))
+            & (F.col("num") >= F.col("maxn")),
+        )
+        .select("window_start_us", "user_id", "num")
+    )

@@ -1,0 +1,65 @@
+"""Custom stateful streaming operators via applyInPandasWithState — the
+escape hatch the reference implements natively (its ~15 stateful operators,
+SURVEY §2.1) for semantics Spark's built-ins can't express.
+
+Provided: streaming key dedup with TTL — emit the first occurrence of each
+key, suppress repeats until the key's state expires (processing-time TTL).
+The reference analog is updating-cache behavior (`arrow/updating_cache.rs`)
+and the state-TTL'd operators; Spark's dropDuplicatesWithinWatermark covers
+the event-time variant, this covers the arbitrary-TTL variant and serves
+as the template for further custom operators.
+
+State layout: one row per key holding (first_seen_ms,). GroupStateTimeout
+handles expiry; state volume is O(live keys) in the state store (RocksDB
+at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def streaming_dedup_by_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """First-occurrence-per-key stream (repeats within the TTL suppressed)."""
+    out_schema = StructType(
+        [f for f in stream.schema.fields]
+    )
+    state_schema = StructType.fromDDL("first_seen_ms bigint")
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        first: pd.DataFrame | None = None
+        for pdf in batches:
+            if not seen and len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if not seen:
+            import time
+
+            state.update((int(time.time() * 1000),))
+        state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -338,3 +338,43 @@ def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
     sink(df, 1)
     sink(df, 0)  # replay after simulated recovery
     assert written == [(0, 5), (1, 5)]
+
+
+def test_streaming_dedup_by_key(spark, sf_dir, replay_dir, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first occurrence
+    per user_id survives; repeats across micro-batches are suppressed."""
+    from arroyo_spark.streaming.stateful import streaming_dedup_by_key
+
+    path, schema = replay_dir
+    stream = file_replay_stream(
+        spark, path, schema, max_files_per_trigger=10, event_time="ts"
+    ).drop("_timestamp")
+    deduped = streaming_dedup_by_key(stream, ["user_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # processing-time timeouts keep the query alive waiting for expiry
+    # batches; stop once the output stabilizes instead of awaiting
+    last, stable = -1, 0
+    deadline = time.time() + 120
+    while time.time() < deadline and stable < 4:
+        n = spark.table("dedup_stream").count()
+        stable = stable + 1 if n == last and n > 0 else 0
+        last = n
+        time.sleep(1)
+    q.stop()
+    rows = spark.table("dedup_stream").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)), "duplicate keys leaked through"
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(users) == n_users
