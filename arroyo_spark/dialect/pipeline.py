@@ -187,8 +187,14 @@ class Pipeline:
             # whole line as a single JSON value column (json_operators.sql)
             cols = [c for c in t.columns if c.virtual_expr is None]
             name = cols[0].name if cols else "value"
-            reader = self.spark.readStream if streaming else self.spark.read
-            df = reader.text(path).withColumnRenamed("value", name)
+            if streaming:
+                df = (
+                    self.spark.readStream.option("maxFilesPerTrigger", 1)
+                    .text(_stream_path(path))
+                )
+            else:
+                df = self.spark.read.text(path)
+            df = df.withColumnRenamed("value", name)
         elif fmt == DEBEZIUM_FORMAT:
             if streaming:
                 raise PlanError(
@@ -197,13 +203,30 @@ class Pipeline:
                 )
             df = self._read_debezium_source(t, path)
         elif fmt == "json":
+            # bad_data = fail|drop (arroyo-rpc/src/formats.rs:461) maps to
+            # Spark's FAILFAST / DROPMALFORMED parse modes
+            parse_mode = {
+                None: "PERMISSIVE",
+                "fail": "FAILFAST",
+                "drop": "DROPMALFORMED",
+            }.get(t.options.get("bad_data"))
+            if parse_mode is None:
+                raise PlanError(
+                    f"bad_data must be 'fail' or 'drop', got {t.options['bad_data']!r}"
+                )
             if streaming:
-                reader = self.spark.readStream.schema(
-                    self._source_schema(t)
-                ).option("maxFilesPerTrigger", 1)
+                reader = (
+                    self.spark.readStream.schema(self._source_schema(t))
+                    .option("maxFilesPerTrigger", 1)
+                    .option("mode", parse_mode)
+                )
                 df = reader.json(_stream_path(path))
             else:
-                df = self.spark.read.schema(self._source_schema(t)).json(path)
+                df = (
+                    self.spark.read.schema(self._source_schema(t))
+                    .option("mode", parse_mode)
+                    .json(path)
+                )
         elif fmt == "parquet":
             reader = (
                 self.spark.readStream.schema(self._source_schema(t))
@@ -232,18 +255,37 @@ class Pipeline:
 
     def _watermark_delay(self, t: TableDef) -> str:
         """Delay for Spark's max(event)-delay watermark, from the WATERMARK
-        spec. Expressions of the form `col - INTERVAL '...'` map exactly;
-        anything else falls back to the reference default (1s,
-        rewriters.rs:71-83)."""
+        spec. Linear expressions `col - INTERVAL a [- INTERVAL b ...]`
+        (quoted or bare intervals) sum to one delay; anything else is
+        rejected rather than silently approximated. No spec -> the
+        reference's 1s default (rewriters.rs:71-83)."""
         import re as _re
 
-        if t.watermark and t.watermark.expr:
-            m = _re.search(
-                r"-\s*interval\s+'([^']+)'(\s+\w+)?", t.watermark.expr, _re.I
+        from arroyo_spark.durations import duration_us
+
+        if not (t.watermark and t.watermark.expr):
+            return "1 second"
+        expr = t.watermark.expr.strip()
+        field = t.watermark.field
+        pat = _re.compile(
+            r"-\s*interval\s+(?:'([^']+)'|(\d+))(?:\s+(\w+))?", _re.I
+        )
+        total_us = 0
+        consumed = _re.sub(pat, "", expr).strip()
+        if consumed.strip("() ").lower() != field.lower():
+            raise PlanError(
+                f"unsupported watermark expression for streaming mode: "
+                f"{expr!r} (expected '{field} - INTERVAL ...')"
             )
-            if m:
-                return (m.group(1) + (m.group(2) or "")).strip()
-        return "1 second"
+        for m in pat.finditer(expr):
+            body = (m.group(1) or m.group(2)).strip()
+            unit = (m.group(3) or "").strip()
+            dur = f"{body} {unit}".strip() if unit else body
+            try:
+                total_us += duration_us(dur)
+            except ValueError as e:
+                raise PlanError(f"bad watermark interval {dur!r}: {e}") from None
+        return f"{total_us // 1000} milliseconds"
 
     def _read_debezium_source(self, t: TableDef, path: str) -> DataFrame:
         """CDC envelope source, batch mode: replay the c/u/d log into the
@@ -314,12 +356,10 @@ class Pipeline:
         if t.name in self.tables:
             raise PlanError(f"table {t.name} already exists")
         self.tables[t.name] = t
-        ttype = t.table_type or ("lookup" if t.temporary else None)
         if t.connector is None:
             return  # memory table: registered on first INSERT
-        if ttype == "source" or (ttype in (None, "lookup") and t.connector):
-            if ttype == "sink":
-                return
+        if t.table_type != "sink":
+            # sources and lookup tables are readable immediately
             self._register_source(t)
 
     # -- queries -----------------------------------------------------------
@@ -366,13 +406,15 @@ class Pipeline:
         if path:
             out = self._substitute(str(path))
             fmt = result.sink_formats[sink.name]
+            if fmt == "parquet":
+                # parquet sinks are directories; write directly to the path
+                df.write.mode("overwrite").parquet(out)
+                return
             target_dir = out + ".d" if not out.endswith("/") else out
             if fmt == DEBEZIUM_FORMAT:
                 to_debezium_json(df).write.mode("overwrite").text(target_dir)
             elif fmt == "json":
                 to_arroyo_json(df).write.mode("overwrite").text(target_dir)
-            elif fmt == "parquet":
-                df.write.mode("overwrite").parquet(target_dir)
             else:
                 raise PlanError(f"unsupported sink format: {fmt}")
             if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT):
@@ -445,12 +487,20 @@ class Pipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise PlanError(
+                f"streaming INSERT into {target.name} did not drain within "
+                "600s; partial output discarded"
+            )
+        # multiple INSERTs into one sink merge (test_merge_sink semantics)
+        merged = result.raw_lines.setdefault(target.name, [])
+        merged.extend(lines)
         if out_path:
             with open(out_path, "w") as fh:
-                fh.write("\n".join(lines) + ("\n" if lines else ""))
+                fh.write("\n".join(merged) + ("\n" if merged else ""))
         result.sink_formats[target.name] = fmt
-        result.raw_lines[target.name] = lines
 
     # -- entry -------------------------------------------------------------
 

@@ -23,14 +23,7 @@ from arroyo_spark.dialect.errors import PlanError
 _INTERVAL = re.compile(r"interval\s+'([^']+)'(?:\s+(\w+))?", re.I)
 _WINDOW_CALL = re.compile(r"\b(tumble|hop|session)\s*\(([^()]*)\)", re.I)
 
-_UNIT_US = {
-    "millisecond": 1_000,
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-    "week": 604_800_000_000,
-}
+from arroyo_spark.durations import duration_us as _duration_us
 
 
 def parse_interval(text: str) -> str:
@@ -49,11 +42,26 @@ def parse_interval(text: str) -> str:
 
 
 def duration_us(dur: str) -> int:
-    qty, unit = dur.split()
-    unit = unit.rstrip("s")
-    if unit not in _UNIT_US:
-        raise PlanError(f"unsupported window duration unit: {unit}")
-    return int(qty) * _UNIT_US[unit]
+    try:
+        return _duration_us(dur)
+    except ValueError as e:
+        raise PlanError(str(e)) from None
+
+
+def _strip_string_literals(sql: str) -> str:
+    """Blank out '...' literals so keyword scans can't match inside them."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append("'" + " " * (j - i - 1) + "'")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _strip_over_clauses(sql: str) -> str:
@@ -80,7 +88,7 @@ def _strip_over_clauses(sql: str) -> str:
 def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
     """Rewrite one SELECT body; raises PlanError on dialect violations."""
     sql = _rewrite_functions(sql)  # first: consumes WITHIN GROUP (ORDER BY)
-    stripped = _strip_over_clauses(sql)
+    stripped = _strip_over_clauses(_strip_string_literals(sql))
     if re.search(r"\border\s+by\b", stripped, re.I):
         raise PlanError("ORDER BY is not supported in a streaming pipeline")
     if re.search(r"\blimit\s+\d+", stripped, re.I):
@@ -177,22 +185,60 @@ def _rewrite_functions(sql: str) -> str:
     return sql
 
 
+_ARROW = re.compile(r"(->>|->)\s*'([^']+)'")
+
+
+def _lhs_start(sql: str, end: int) -> int:
+    """Start index of the operand ending at `end` (exclusive): either an
+    identifier chain or a balanced parenthesized call."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i >= 0 and sql[i] == "'":
+        # string-literal operand: walk to its opening quote
+        j = sql.rfind("'", 0, i)
+        return j if j >= 0 else i
+    if i >= 0 and sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include the function name before '('
+        j = i - 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        return j + 1
+    j = i
+    while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+        j -= 1
+    return j + 1
+
+
 def _rewrite_json_operators(sql: str) -> str:
     """`x -> 'k'` (JSON value as serialized text, missing -> 'null') and
     `x ->> 'k'` (unquoted text) — `datafusion-functions-json` operators
-    (`arroyo-planner/src/lib.rs:131`, json_operators.sql golden)."""
-    ident = r"[\w.]+"
-    sql = re.sub(
-        rf"({ident})\s*->>\s*'([^']+)'",
-        r"get_json_object(\1, '$.\2')",
-        sql,
-    )
-    sql = re.sub(
-        rf"({ident})\s*->\s*'([^']+)'",
-        r"coalesce(to_json(try_variant_get(try_parse_json(\1), '$.\2')), 'null')",
-        sql,
-    )
-    return sql
+    (`arroyo-planner/src/lib.rs:131`, json_operators.sql golden).
+    Scanner-based so chained access (`v -> 'a' ->> 'b'`) rewrites the
+    already-rewritten left operand too."""
+    while True:
+        m = _ARROW.search(sql)
+        if not m:
+            return sql
+        start = _lhs_start(sql, m.start())
+        lhs, key = sql[start : m.start()].strip(), m.group(2)
+        if m.group(1) == "->>":
+            repl = f"get_json_object({lhs}, '$.{key}')"
+        else:
+            repl = (
+                f"coalesce(to_json(try_variant_get(try_parse_json({lhs}), "
+                f"'$.{key}')), 'null')"
+            )
+        sql = sql[:start] + repl + sql[m.end():]
 
 
 # -- hidden event-time propagation through windowed aggregates ---------------

@@ -1,0 +1,25 @@
+"""Shared duration parsing ('1 hour' → microseconds) used by both the
+window operators and the SQL dialect rewriter."""
+
+from __future__ import annotations
+
+UNIT_US = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def duration_us(dur: str) -> int:
+    """'15 minutes' → 900000000. Raises ValueError on unknown units."""
+    try:
+        qty, unit = dur.split()
+    except ValueError:
+        raise ValueError(f"expected '<n> <unit>', got {dur!r}") from None
+    unit = unit.lower().rstrip("s")
+    if unit not in UNIT_US:
+        raise ValueError(f"unsupported duration unit: {unit!r}")
+    return int(qty) * UNIT_US[unit]

@@ -23,21 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, GroupedData
 
-US_PER_SECOND = 1_000_000
-
-
-def _dur_us(duration: str) -> int:
-    """'1 hour' / '15 minutes' / '30 seconds' -> microseconds."""
-    qty, unit = duration.split()
-    unit = unit.rstrip("s")
-    seconds = {
-        "second": 1,
-        "minute": 60,
-        "hour": 3600,
-        "day": 86400,
-        "week": 604800,
-    }[unit]
-    return int(qty) * seconds * US_PER_SECOND
+from arroyo_spark.durations import duration_us as _dur_us
 
 
 def tumble(

@@ -43,7 +43,15 @@ def with_watermark(df: DataFrame, delay: str = DEFAULT_WATERMARK_DELAY) -> DataF
 
 def with_watermark_expr(df: DataFrame, expr: Column) -> DataFrame:
     """Arbitrary watermark expression (`WATERMARK FOR col AS (expr)`):
-    materialize the expression and watermark it with zero delay."""
+    materialize the expression and watermark it with zero delay.
+
+    Restriction (Spark append-mode rule): windowed aggregations must window
+    over the watermarked column, so this emulation only serves stateful ops
+    keyed on the computed column (joins, dedup). Linear expressions of the
+    form `_timestamp - INTERVAL d` — the only form the reference's test
+    corpus uses — are instead mapped to `with_watermark(df, d)`, which
+    Spark windows can consume directly (`dialect/pipeline._watermark_delay`
+    does this for WATERMARK DDL)."""
     return df.withColumn("_watermark_ts", expr.cast("timestamp")).withWatermark(
         "_watermark_ts", "0 seconds"
     )

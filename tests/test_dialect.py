@@ -484,3 +484,89 @@ def test_extract_json_multimatch(spark):
         """SELECT extract_json('{"c": {"d": "hello"}}', '$.c.d') AS m"""
     )
     assert res.previews[0].collect()[0]["m"] == ['"hello"']
+
+
+def test_bad_data_drop_and_fail(spark, tmp_path):
+    """bad_data = fail|drop (arroyo-rpc/src/formats.rs:461)."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "mixed.json").write_text(
+        '{"a": 1}\n{"a": "not-a-number"}\n{"a": 3}\n'
+    )
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+      path='$p/mixed.json', format='json', type='source', bad_data='drop');
+    SELECT a FROM src WHERE a IS NOT NULL
+    """
+    res = Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    vals = sorted(r["a"] for r in res.previews[0].collect())
+    assert vals == [1, 3]
+
+    fail_script = script.replace("'drop'", "'fail'").replace(
+        "WHERE a IS NOT NULL", ""
+    )
+    res = Pipeline(spark, {"$p": str(tmp_path)}).run_script(fail_script)
+    with pytest.raises(Exception):
+        res.previews[0].collect()
+
+    with pytest.raises(PlanError, match="bad_data"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+            script.replace("'drop'", "'explode'")
+        )
+
+
+# --- review-fix regression tests -------------------------------------------
+
+
+def test_chained_json_operators(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark).run_script(
+        """SELECT '{"a": {"b": "deep"}}'->'a'->>'b' AS v"""
+    )
+    assert res.previews[0].collect()[0]["v"] == "deep"
+
+
+def test_keywords_inside_string_literals_ok():
+    sql = rewrite_query("SELECT a FROM t WHERE msg = 'order by limit 5'")
+    assert "order by limit 5" in sql
+
+
+def test_unquoted_watermark_interval(spark, tmp_path):
+    from arroyo_spark.dialect.parser import parse_script
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (t,) = parse_script(
+        """CREATE TABLE s (ts TIMESTAMP, WATERMARK FOR ts AS (ts - INTERVAL 2 HOUR))
+        WITH (connector='single_file', path='/x', format='json', type='source')"""
+    )
+    assert Pipeline(spark)._watermark_delay(t) == "7200000 milliseconds"
+    (t2,) = parse_script(
+        """CREATE TABLE s (ts TIMESTAMP,
+        WATERMARK FOR ts AS (ts - INTERVAL '1' HOUR - INTERVAL '5' MINUTE))
+        WITH (connector='single_file', path='/x', format='json', type='source')"""
+    )
+    assert Pipeline(spark)._watermark_delay(t2) == "3900000 milliseconds"
+    (t3,) = parse_script(
+        """CREATE TABLE s (ts TIMESTAMP, WATERMARK FOR ts AS (date_trunc('hour', ts)))
+        WITH (connector='single_file', path='/x', format='json', type='source')"""
+    )
+    with pytest.raises(PlanError, match="watermark expression"):
+        Pipeline(spark, mode="streaming")._watermark_delay(t3)
+
+
+def test_parquet_sink_writes_directory(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n{"a": 2}\n')
+    out = tmp_path / "out_parquet"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        f"""
+        CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+          path='$p/in.json', format='json', type='source');
+        CREATE TABLE snk (a BIGINT) WITH (connector='single_file',
+          path='{out}', format='parquet', type='sink');
+        INSERT INTO snk SELECT a FROM src;
+        """
+    )
+    assert sorted(r["a"] for r in spark.read.parquet(str(out)).collect()) == [1, 2]

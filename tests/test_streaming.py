@@ -378,3 +378,40 @@ def test_streaming_dedup_by_key(spark, sf_dir, replay_dir, tmp_path):
         .count()
     )
     assert len(users) == n_users
+
+
+def test_watermark_expression_emulation(spark, sf_dir, replay_dir, tmp_path):
+    """`WATERMARK FOR ts AS (ts - INTERVAL 2 HOURS)` maps to a 2-hour
+    watermark delay (the linear-expression path the dialect uses). The
+    loose watermark must keep the final ~2h of windows open while every
+    emitted window stays exact."""
+    from arroyo_spark.streaming.eventtime import with_watermark
+
+    path, schema = replay_dir
+    stream = file_replay_stream(spark, path, schema, event_time="ts")
+    wm = with_watermark(stream, "2 hours")
+    agg = (
+        wm.groupBy(F.window("_timestamp", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+    )
+    _run_to_memory(agg, "wm_expr_stream", "append", str(tmp_path / "ck_wme"))
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("wm_expr_stream").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got, "nothing emitted"
+    for k, v in got.items():
+        assert want.get(k) == v
+    # the loose watermark held back the last ~2h of windows
+    max_ws_emitted = max(k[0] for k in got)
+    max_ws_all = max(k[0] for k in want)
+    assert max_ws_all - max_ws_emitted >= 2 * 3_600_000_000 - 3_600_000_000
