@@ -99,3 +99,66 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) approximate nearest neighbors: k-means partitions
+    the corpus into `n_clusters` cells; each query scores only the
+    `n_probe` nearest cells. The second 100 TB scale path (alongside
+    `lsh_bucket`): per-query work drops by ~n_clusters/n_probe, and the
+    cell assignment is an equi-join, not a cross product.
+
+    Uses Spark MLlib KMeans (seeded); recall is approximate by design.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = corpus.select(
+        F.col(id_col).alias("n_id"),
+        as_double(F.col(vec_col)).alias("n_vec"),
+    ).withColumn("features", array_to_vector("n_vec"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features")
+    model = km.fit(base)
+    assigned = model.transform(base).select(
+        "n_id", "n_vec", F.col("prediction").alias("cell")
+    )
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def center_cols(vec: Column) -> Column:
+        """Distances to every center; returns array of (cell, dist2)."""
+        entries = []
+        for ci, center in enumerate(centers):
+            carr = F.array(*[F.lit(x) for x in center])
+            diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
+            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+        return F.array_sort(F.array(*entries))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("cells", F.slice(center_cols(F.col("q_vec")), 1, n_probe))
+        .select("q_id", "q_vec", F.explode("cells.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
+    )

@@ -97,3 +97,16 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_intra_cos"),
     )
+
+
+@query(
+    "knn_ivf_ann",
+    oracle=None,  # approximate (k-means cells); driver records rows-only
+    tags=("similarity", "ann", "ivf"),
+)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return ivf_topk(emb, queries, k=3)

@@ -29,6 +29,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
             if s.map(lambda v: isinstance(v, decimal.Decimal)).any():
                 df[c] = s.astype("float64")
+            elif s.map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray))
+            ).any():
+                # array columns: tuples are hashable/sortable
+                df[c] = s.map(
+                    lambda v: tuple(v) if v is not None else None
+                )
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -240,3 +240,23 @@ def test_salted_broadcast_join_matches_plain(spark, sf_dir):
     got = salted_broadcast_join(ev, dim, ["user_id"], salt_buckets=4).count()
     want = ev.join(dim, "user_id").count()
     assert got == want
+
+
+# --- similarity: IVF ANN recall --------------------------------------------
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    from arroyo_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"]) for r in ivf_topk(emb, queries, k=3).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
