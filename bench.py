@@ -16,6 +16,58 @@ import sys
 import time
 
 
+def _bench_streaming(spark) -> float:
+    """Streaming throughput: 2M synthetic impulse rows through a watermarked
+    tumbling-window aggregation (availableNow micro-batches). Mirrors the
+    reference's impulse-source benchmark methodology (BASELINE.md).
+    Generation time excluded; returns processing seconds."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    n = 2_000_000
+    base_us = 1_700_000_000_000_000
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    src = f"{tmp}/impulse"
+    (
+        spark.range(n)
+        .select(
+            F.timestamp_micros(F.lit(base_us) + F.col("id") * 1000).alias("ts"),
+            (F.col("id") % 1000).alias("key"),
+        )
+        .repartition(16)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, key bigint")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 minute"), "key")
+        .count()
+    )
+    seen = {"rows": 0}
+
+    def sink(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    dt = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
@@ -36,6 +88,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    timings["streaming_tumble_2m_rows"] = _bench_streaming(spark)
+    print(
+        f"# streaming_tumble_2m_rows: {timings['streaming_tumble_2m_rows']:.3f}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

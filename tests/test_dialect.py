@@ -570,3 +570,29 @@ def test_parquet_sink_writes_directory(spark, tmp_path):
         """
     )
     assert sorted(r["a"] for r in spark.read.parquet(str(out)).collect()) == [1, 2]
+
+
+def test_temporary_lookup_table_join(spark, tmp_path):
+    """CREATE TEMPORARY TABLE -> lookup table (tables.rs:285-293) joined on
+    its primary key from a regular source."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "facts.json").write_text(
+        '{"uid": 1, "v": 10}\n{"uid": 2, "v": 20}\n{"uid": 9, "v": 90}\n'
+    )
+    (tmp_path / "dim.json").write_text(
+        '{"uid": 1, "name": "alice"}\n{"uid": 2, "name": "bob"}\n'
+    )
+    script = """
+    CREATE TABLE facts (uid BIGINT, v BIGINT) WITH (connector='single_file',
+      path='$p/facts.json', format='json', type='source');
+    CREATE TEMPORARY TABLE users (
+      uid BIGINT PRIMARY KEY, name TEXT
+    ) WITH (connector='single_file', path='$p/dim.json', format='json',
+            type='lookup');
+    SELECT f.uid AS uid, name, v FROM facts f
+    LEFT JOIN users u ON f.uid = u.uid
+    """
+    res = Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    rows = {r["uid"]: (r["name"], r["v"]) for r in res.previews[0].collect()}
+    assert rows == {1: ("alice", 10), 2: ("bob", 20), 9: (None, 90)}
