@@ -182,7 +182,18 @@ class Pipeline:
         if path is None:
             raise PlanError(f"source table {t.name} needs a 'path' option")
         path = self._substitute(str(path))
-        streaming = self.mode == "streaming"
+        # lookup/dim tables stay static even in streaming mode: the
+        # reference's lookup join is a per-record lookup against current
+        # table state, i.e. Spark's stream-STATIC join (re-read per batch)
+        is_lookup = t.table_type == "lookup" or t.temporary
+        streaming = self.mode == "streaming" and not is_lookup
+        bad_data = t.options.get("bad_data")
+        if bad_data not in (None, "fail", "drop"):
+            raise PlanError(
+                f"bad_data must be 'fail' or 'drop', got {bad_data!r}"
+            )
+        if bad_data is not None and fmt not in ("json", DEBEZIUM_FORMAT):
+            raise PlanError(f"bad_data is not supported for format {fmt!r}")
         if t.options.get("json.unstructured"):
             # whole line as a single JSON value column (json_operators.sql)
             cols = [c for c in t.columns if c.virtual_expr is None]
@@ -209,11 +220,7 @@ class Pipeline:
                 None: "PERMISSIVE",
                 "fail": "FAILFAST",
                 "drop": "DROPMALFORMED",
-            }.get(t.options.get("bad_data"))
-            if parse_mode is None:
-                raise PlanError(
-                    f"bad_data must be 'fail' or 'drop', got {t.options['bad_data']!r}"
-                )
+            }[bad_data]
             if streaming:
                 reader = (
                     self.spark.readStream.schema(self._source_schema(t))
@@ -228,12 +235,14 @@ class Pipeline:
                     .json(path)
                 )
         elif fmt == "parquet":
-            reader = (
-                self.spark.readStream.schema(self._source_schema(t))
-                if streaming
-                else self.spark.read.schema(self._source_schema(t))
-            )
-            df = reader.parquet(path)
+            if streaming:
+                df = (
+                    self.spark.readStream.schema(self._source_schema(t))
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(_stream_path(path))
+                )
+            else:
+                df = self.spark.read.schema(self._source_schema(t)).parquet(path)
         else:
             raise PlanError(f"unsupported source format: {fmt}")
         for c in t.columns:
@@ -455,6 +464,10 @@ class Pipeline:
 
         out_path = self._substitute(str(target.options.get("path", "")))
         fmt = str(target.options.get("format", "json"))
+        if fmt not in ("json", DEBEZIUM_FORMAT):
+            raise PlanError(
+                f"streaming sinks support json/debezium_json, got {fmt!r}"
+            )
         ck = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
         cast = self._cast_to_sink(df, target)
         lines: list[str] = []
@@ -516,7 +529,13 @@ class Pipeline:
             elif isinstance(stmt, InsertStmt):
                 self._handle_insert(stmt, result)
             elif isinstance(stmt, SelectStmt):
-                result.previews.append(self._plan_select(stmt.select_sql))
+                df = self._plan_select(stmt.select_sql)
+                if df.isStreaming:
+                    raise PlanError(
+                        "preview SELECT over a streaming source: use an "
+                        "INSERT INTO a sink in streaming mode"
+                    )
+                result.previews.append(df)
             elif isinstance(stmt, SetStmt):
                 self.settings[stmt.key] = stmt.value
         return result

@@ -195,9 +195,17 @@ def _lhs_start(sql: str, end: int) -> int:
     while i >= 0 and sql[i].isspace():
         i -= 1
     if i >= 0 and sql[i] == "'":
-        # string-literal operand: walk to its opening quote
-        j = sql.rfind("'", 0, i)
-        return j if j >= 0 else i
+        # string-literal operand: walk to its opening quote, skipping
+        # doubled-quote escapes ('it''s')
+        p = i - 1
+        while p >= 0:
+            if sql[p] == "'":
+                if p > 0 and sql[p - 1] == "'":
+                    p -= 2
+                    continue
+                return p
+            p -= 1
+        return i
     if i >= 0 and sql[i] == ")":
         depth = 0
         while i >= 0:
@@ -224,13 +232,18 @@ def _rewrite_json_operators(sql: str) -> str:
     `x ->> 'k'` (unquoted text) — `datafusion-functions-json` operators
     (`arroyo-planner/src/lib.rs:131`, json_operators.sql golden).
     Scanner-based so chained access (`v -> 'a' ->> 'b'`) rewrites the
-    already-rewritten left operand too."""
+    already-rewritten left operand too. Operator positions are located on
+    a literal-blanked copy so arrows INSIDE string literals don't match
+    (the path-key quote right after a real operator is outside any
+    literal, so genuine operators still match on the blanked copy)."""
     while True:
-        m = _ARROW.search(sql)
+        m = _ARROW.search(_strip_string_literals(sql))
         if not m:
             return sql
         start = _lhs_start(sql, m.start())
-        lhs, key = sql[start : m.start()].strip(), m.group(2)
+        # key span re-read from the raw SQL (blanked in the search copy)
+        lhs = sql[start : m.start()].strip()
+        key = sql[m.start(2) : m.end(2)]
         if m.group(1) == "->>":
             repl = f"get_json_object({lhs}, '$.{key}')"
         else:

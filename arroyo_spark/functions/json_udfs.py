@@ -10,6 +10,7 @@ used only when a query actually calls extract_json.
 
 from __future__ import annotations
 
+import functools
 import json
 import re
 
@@ -20,7 +21,8 @@ from pyspark.sql.types import ArrayType, StringType
 _TOKEN = re.compile(r"\.([A-Za-z_][\w]*)|\[(\d+|\*)\]")
 
 
-def _parse_path(path: str) -> list[object]:
+@functools.lru_cache(maxsize=256)
+def _parse_path(path: str) -> tuple[object, ...]:
     if not path.startswith("$"):
         raise ValueError(f"JSONPath must start with $: {path!r}")
     steps: list[object] = []
@@ -36,10 +38,10 @@ def _parse_path(path: str) -> list[object]:
         else:
             steps.append(int(m.group(2)))
         pos = m.end()
-    return steps
+    return tuple(steps)
 
 
-def _walk(value: object, steps: list[object]) -> list[object]:
+def _walk(value: object, steps: tuple[object, ...]) -> list[object]:
     nodes = [value]
     for step in steps:
         nxt: list[object] = []

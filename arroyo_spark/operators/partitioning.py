@@ -74,7 +74,14 @@ def salted_broadcast_join(
     """Join a skewed fact against a small table by replicating the small
     side per salt value — every hot-key row lands on a different reducer.
     (With broadcast available this is moot; the pattern matters when the
-    small side exceeds the broadcast threshold but a key is hot.)"""
+    small side exceeds the broadcast threshold but a key is hot.)
+
+    Only inner/left are valid: replication would duplicate unmatched
+    small-side rows under right/full outer semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted joins support inner/left only, got {how!r}"
+        )
     replicated = small.crossJoin(
         F.broadcast(
             skewed.sparkSession.range(salt_buckets).select(

@@ -8,6 +8,11 @@ iff the write is idempotent per (queryId, batchId). `IdempotentBatchSink`
 records committed batch ids (a file ledger next to the output — analog of
 the commit topic/manifest) and skips replays; file/Delta sinks get
 exactly-once, at-least-once systems (Kafka) become effectively-once.
+
+The ledger is scoped per streaming-query lifecycle: batch ids restart at 0
+when a query starts from a fresh checkpoint, so `ledger_dir` (or `scope`)
+must be unique per (query, checkpoint) — reusing a ledger against a new
+checkpoint would silently skip everything.
 """
 
 from __future__ import annotations
@@ -25,13 +30,17 @@ class IdempotentBatchSink:
         self,
         write: Callable[[DataFrame, int], None],
         ledger_dir: str,
+        scope: str = "default",
     ) -> None:
         self.write = write
         self.ledger_dir = ledger_dir
+        self.scope = scope
         os.makedirs(ledger_dir, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.ledger_dir, f"batch-{batch_id}.committed")
+        return os.path.join(
+            self.ledger_dir, f"{self.scope}-batch-{batch_id}.committed"
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = self._marker(batch_id)

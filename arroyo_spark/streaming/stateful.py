@@ -52,7 +52,9 @@ def streaming_dedup_by_key(
             import time
 
             state.update((int(time.time() * 1000),))
-        state.setTimeoutDuration(ttl_ms)
+            # TTL anchored at FIRST occurrence only: renewing on every
+            # sighting would suppress a steadily-recurring key forever
+            state.setTimeoutDuration(ttl_ms)
         if first is not None:
             yield first
 

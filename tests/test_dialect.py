@@ -596,3 +596,41 @@ def test_temporary_lookup_table_join(spark, tmp_path):
     res = Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
     rows = {r["uid"]: (r["name"], r["v"]) for r in res.previews[0].collect()}
     assert rows == {1: ("alice", 10), 2: ("bob", 20), 9: (None, 90)}
+
+
+def test_arrow_operator_inside_literal_untouched():
+    sql = rewrite_query("SELECT a FROM t WHERE note = 'go -> ''left'''")
+    assert "go -> " in sql and "try_variant_get" not in sql
+
+
+def test_arrow_operator_on_escaped_literal_operand(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark).run_script(
+        """SELECT '{"it''s": 5}'->>'x' AS missing, '{"k": 7}'->>'k' AS k"""
+    )
+    row = res.previews[0].collect()[0]
+    assert row["missing"] is None and row["k"] == "7"
+
+
+def test_streaming_preview_rejected(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n')
+    with pytest.raises(PlanError, match="preview"):
+        Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(
+            """CREATE TABLE s (a BIGINT) WITH (connector='single_file',
+               path='$p/in.json', format='json', type='source');
+               SELECT a FROM s"""
+        )
+
+
+def test_bad_data_rejected_on_parquet(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    with pytest.raises(PlanError, match="bad_data"):
+        Pipeline(spark).run_script(
+            """CREATE TABLE s (a BIGINT) WITH (connector='single_file',
+               path='/x', format='parquet', type='source', bad_data='drop');
+               SELECT 1 AS one"""
+        )
