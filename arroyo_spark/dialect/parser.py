@@ -36,7 +36,7 @@ _TYPE_MAP = [
     (r"^(FLOAT|REAL)$", "float"),
     (r"^(DOUBLE( PRECISION)?)$", "double"),
     (r"^(TEXT|STRING|VARCHAR(\(\d+\))?|CHAR(\(\d+\))?)$", "string"),
-    (r"^TIMESTAMP(\(\d\))?$", "timestamp"),
+    (r"^(TIMESTAMP|DATETIME)(\(\d\))?$", "timestamp"),
     (r"^DATE$", "date"),
     (r"^BYTEA$", "binary"),
     (r"^(NUMERIC|DECIMAL)\((\d+),\s*(\d+)\)$", None),  # handled specially
@@ -55,6 +55,15 @@ def map_sql_type(sql_type: str) -> str:
     m = re.match(r"^ARRAY<(.+)>$", t)
     if m:
         return f"array<{map_sql_type(m.group(1))}>"
+    m = re.match(r"^STRUCT\s*<(.+)>$", t, re.S)
+    if m:
+        fields = []
+        for item in _split_top_level(m.group(1)):
+            fm = re.match(r"^(\w+)\s+(.+)$", item.strip(), re.S)
+            if not fm:
+                raise PlanError(f"malformed struct field: {item!r}")
+            fields.append(f"{fm.group(1)}:{map_sql_type(fm.group(2))}")
+        return "struct<" + ",".join(fields) + ">"
     for pat, spark_t in _TYPE_MAP:
         if spark_t and re.match(pat, t):
             return spark_t
@@ -85,6 +94,7 @@ class TableDef:
     options: dict[str, object] = field(default_factory=dict)
     watermark: WatermarkSpec | None = None
     primary_keys: list[str] = field(default_factory=list)
+    partition_exprs: list[str] = field(default_factory=list)
     temporary: bool = False
 
     @property
@@ -159,7 +169,7 @@ def split_statements(script: str) -> list[str]:
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    parts, depth, buf = [], 0, []
+    parts, depth, ang, buf = [], 0, 0, []
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
@@ -174,7 +184,11 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
             depth += 1
         elif ch in ")]":
             depth -= 1
-        if ch == sep and depth == 0:
+        elif ch == "<":
+            ang += 1  # generic type args (struct<...>); comparisons live
+        elif ch == ">":  # inside parens so depth>0 shields them
+            ang = max(0, ang - 1)
+        if ch == sep and depth == 0 and ang == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
@@ -216,9 +230,14 @@ def _parse_with_options(s: str) -> dict[str, object]:
 
 def _parse_column(item: str, table: TableDef) -> None:
     s = item.strip()
-    m = re.match(r"^watermark\s+for\s+(\w+)(?:\s+as\s*\((.*)\))?\s*$", s, re.I | re.S)
+    m = re.match(
+        r"^watermark\s+for\s+(\w+)(?:\s+as\s+(.+?))?\s*$", s, re.I | re.S
+    )
     if m:
-        table.watermark = WatermarkSpec(m.group(1), m.group(2))
+        expr = m.group(2)
+        if expr and expr.startswith("(") and expr.endswith(")"):
+            expr = expr[1:-1]
+        table.watermark = WatermarkSpec(m.group(1), expr)
         return
     m = re.match(r"^primary\s+key\s*\(([^)]*)\)\s*$", s, re.I)
     if m:
@@ -229,26 +248,37 @@ def _parse_column(item: str, table: TableDef) -> None:
         raise PlanError(f"malformed column definition: {item!r}")
     name, rest = m.group(1), m.group(2).strip()
 
+    # column options appear in any order (e.g. `TEXT METADATA FROM 'key'
+    # PRIMARY KEY`, lookup_join.sql); strip suffixes until none match
     virtual_expr = None
-    mm = re.search(r"generated\s+always\s+as\s*\((.*)\)(\s+stored)?\s*$", rest, re.I | re.S)
-    if mm:
-        virtual_expr = mm.group(1)
-        rest = rest[: mm.start()].strip()
     metadata_key = None
-    mm = re.search(r"metadata\s+from\s+'([^']+)'\s*$", rest, re.I)
-    if mm:
-        metadata_key = mm.group(1)
-        rest = rest[: mm.start()].strip()
     primary_key = False
-    mm = re.search(r"primary\s+key\s*$", rest, re.I)
-    if mm:
-        primary_key = True
-        rest = rest[: mm.start()].strip()
     not_null = False
-    mm = re.search(r"not\s+null\s*$", rest, re.I)
-    if mm:
-        not_null = True
-        rest = rest[: mm.start()].strip()
+    while True:
+        mm = re.search(
+            r"generated\s+always\s+as\s*\((.*)\)(\s+stored)?\s*$",
+            rest, re.I | re.S,
+        )
+        if mm:
+            virtual_expr = mm.group(1)
+            rest = rest[: mm.start()].strip()
+            continue
+        mm = re.search(r"metadata\s+from\s+'([^']+)'\s*$", rest, re.I)
+        if mm:
+            metadata_key = mm.group(1)
+            rest = rest[: mm.start()].strip()
+            continue
+        mm = re.search(r"primary\s+key\s*$", rest, re.I)
+        if mm:
+            primary_key = True
+            rest = rest[: mm.start()].strip()
+            continue
+        mm = re.search(r"not\s+null\s*$", rest, re.I)
+        if mm:
+            not_null = True
+            rest = rest[: mm.start()].strip()
+            continue
+        break
 
     col = ColumnDef(
         name=name,
@@ -319,14 +349,22 @@ def parse_statement(stmt: str) -> Statement:
         for item in _split_top_level(body):
             _parse_column(item, table)
         rest = s[after:].strip()
-        if rest:
+        while rest:
+            mp = re.match(r"^partitioned\s+by\s*\(", rest, re.I)
+            if mp:
+                # sink partition expressions (Appendix A arroyo_partitions,
+                # tables.rs:782-787), before or after WITH
+                part, after_p = _paren_block(rest, mp.end() - 1)
+                table.partition_exprs = _split_top_level(part)
+                rest = rest[after_p:].strip()
+                continue
             mw = re.match(r"^with\s*\(", rest, re.I)
-            if not mw:
-                raise PlanError(f"unexpected trailing clause: {rest[:60]}")
-            opts, after_w = _paren_block(rest, mw.end() - 1)
-            if rest[after_w:].strip():
-                raise PlanError(f"unexpected trailing clause: {rest[after_w:][:60]}")
-            table.options = _parse_with_options(opts)
+            if mw:
+                opts, after_w = _paren_block(rest, mw.end() - 1)
+                table.options = _parse_with_options(opts)
+                rest = rest[after_w:].strip()
+                continue
+            raise PlanError(f"unexpected trailing clause: {rest[:60]}")
         return table
     m = re.match(r"^create\s+table\s+(\w+)\s+as\s+(.*)$", s, re.I | re.S)
     if m and re.match(r"^\(?\s*select\b", m.group(2), re.I):

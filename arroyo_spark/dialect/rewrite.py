@@ -27,11 +27,18 @@ from arroyo_spark.durations import duration_us as _duration_us
 
 
 def parse_interval(text: str) -> str:
-    """`INTERVAL '1' HOUR` / `interval '20 seconds'` -> '1 hour'."""
-    m = _INTERVAL.match(text.strip())
+    """`INTERVAL '1' HOUR` / `interval '20 seconds'` / `'1 minute'`
+    -> '1 hour'. (Bare quoted durations appear in the reference's planner
+    corpus, e.g. analytics_tutorial.sql `tumble('1 minute')`.)"""
+    text = text.strip()
+    m = _INTERVAL.match(text)
     if not m:
-        raise PlanError(f"expected an INTERVAL literal, got: {text!r}")
-    value, unit = m.group(1).strip(), m.group(2)
+        m = re.match(r"^'([^']+)'$", text)
+        if not m:
+            raise PlanError(f"expected an INTERVAL literal, got: {text!r}")
+        value, unit = m.group(1).strip(), None
+    else:
+        value, unit = m.group(1).strip(), m.group(2)
     dur = f"{value} {unit}" if unit else value
     dur = re.sub(r"\s+", " ", dur.lower())
     if re.search(r"\b(month|year)s?\b", dur):

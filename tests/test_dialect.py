@@ -634,3 +634,48 @@ def test_bad_data_rejected_on_parquet(spark, tmp_path):
                path='/x', format='parquet', type='source', bad_data='drop');
                SELECT 1 AS one"""
         )
+
+
+# --- planner-corpus sweep ---------------------------------------------------
+
+PLANNER_QUERIES = f"{REF}/../arroyo-planner/src/test/queries"
+
+# --fail files whose failure is a rewrite/parse-level rule we implement;
+# the rest fail at semantic stages (lookup pk, nested windows, ...) that the
+# pipeline enforces separately or that are documented supersets.
+REWRITE_LEVEL_FAILS = {
+    "error_offset_sliding_window.sql",
+    "misplaced_hop.sql",
+}
+
+
+@ref_available
+def test_planner_corpus_parses():
+    """Every script in the reference's 63-file planner test corpus must get
+    through our statement parser and query rewriter: non-fail files without
+    PlanError, rewrite-level error files with one."""
+    import glob
+
+    from arroyo_spark.dialect.parser import (
+        InsertStmt,
+        SelectStmt,
+        ViewDef,
+        parse_script,
+    )
+
+    files = sorted(glob.glob(f"{PLANNER_QUERIES}/*.sql"))
+    assert len(files) >= 60
+    for f in files:
+        name = os.path.basename(f)
+        text = open(f).read()
+        expect_fail = text.lstrip().startswith("--fail")
+        try:
+            for st in parse_script(text):
+                if isinstance(st, (InsertStmt, SelectStmt, ViewDef)):
+                    rewrite_query(st.select_sql)
+        except PlanError:
+            assert expect_fail, f"{name} rejected but should plan"
+        else:
+            assert name not in REWRITE_LEVEL_FAILS, (
+                f"{name} should fail at rewrite level"
+            )
