@@ -130,6 +130,7 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
     sql = re.sub(r"\brow_time\s*\(\s*\)", timestamp_col, sql, flags=re.I)
     sql = _rewrite_json_operators(sql)
     sql = _inject_hidden_timestamp(sql)
+    sql = _unify_instant_joins(sql)
     return sql
 
 
@@ -259,6 +260,183 @@ def _rewrite_json_operators(sql: str) -> str:
                 f"'$.{key}')), 'null')"
             )
         sql = sql[:start] + repl + sql[m.end():]
+
+
+# -- instant joins: window unification ---------------------------------------
+
+_JOIN_KW = re.compile(r"\b(?:(inner|left|right|full)\s+(?:outer\s+)?)?join\b", re.I)
+
+
+def _balanced_span_back(sql: str, end: int) -> int | None:
+    """Index of the '(' matching the ')' at sql[end - 1], or None."""
+    if end <= 0 or sql[end - 1] != ")":
+        return None
+    depth, i = 0, end - 1
+    while i >= 0:
+        if sql[i] == ")":
+            depth += 1
+        elif sql[i] == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+        i -= 1
+    return None
+
+
+def _enclosing_block(sql: str, pos: int) -> tuple[int, int]:
+    """Span (exclusive of parens) of the innermost balanced () containing
+    `pos` — the query block whose scope the join's aliases live in — or the
+    whole string when the join is at statement top level."""
+    stack = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            s = stack.pop() if stack else 0
+            if s < pos < i:
+                return s + 1, i
+        i += 1
+    return 0, n
+
+
+def _window_out_col(sub: str) -> str | None:
+    """If subquery text `sub` is a windowed aggregate, the name its window
+    column is exposed under (`AS alias` or Spark's default `window`)."""
+    m = re.search(r"\b(session_window|window)\s*\(", sub, re.I)
+    if not m:
+        return None
+    call = _extract_call(sub, m.start())
+    ma = re.match(r"\s+as\s+(\w+)", sub[m.start() + len(call) :], re.I)
+    return ma.group(1) if ma else m.group(1).lower()
+
+
+def _unify_instant_joins(sql: str) -> str:
+    """A join of two windowed aggregates is an InstantJoin in the reference
+    (`arroyo-planner/src/plan/join.rs:31-66`): both windows must be equal and
+    the join happens per window instant, so the output has ONE unified window
+    and `window.start` is unambiguous (offset_impulse_join.sql). Emulate on
+    Spark by (a) adding `l._timestamp = r._timestamp` to the ON condition when
+    no window equality is present (the hidden timestamp is window.end - 1µs,
+    so equality <=> same window), and (b) qualifying unqualified `window.`
+    field accesses that Spark would reject as ambiguous. Session windows in
+    joins are rejected exactly as in the reference (join.rs:58-62)."""
+    pos = 0
+    while True:
+        blanked = _strip_string_literals(sql)
+        m = _JOIN_KW.search(blanked, pos)
+        if not m:
+            return sql
+        pos = m.end()
+        join_type = (m.group(1) or "inner").lower()
+        # left relation: `... ( subquery ) [as] alias JOIN` — walk back
+        i = m.start()
+        while i > 0 and sql[i - 1].isspace():
+            i -= 1
+        la_end = i
+        while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+            i -= 1
+        left_alias = sql[i:la_end]
+        while i > 0 and sql[i - 1].isspace():
+            i -= 1
+        if re.match(r"\bas$", sql[max(0, i - 2) : i], re.I):
+            i -= 2
+            while i > 0 and sql[i - 1].isspace():
+                i -= 1
+        lsub_open = _balanced_span_back(sql, i)
+        if lsub_open is None or not left_alias:
+            continue
+        left_sub = sql[lsub_open + 1 : i - 1]
+        # right relation: `JOIN ( subquery ) [as] alias ON ...`
+        mr = re.match(
+            r"\s*(\()", sql[m.end() :]
+        )
+        if not mr:
+            continue
+        ro = m.end() + mr.start(1)
+        depth, j = 1, ro + 1
+        n = len(sql)
+        while j < n and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        right_sub = sql[ro + 1 : j - 1]
+        ma = re.match(r"\s*(?:as\s+)?(\w+)\s+on\b", sql[j:], re.I)
+        if not ma:
+            continue
+        right_alias = ma.group(1)
+        on_start = j + ma.end()
+        wl, wr = _window_out_col(left_sub), _window_out_col(right_sub)
+        if wl is None or wr is None:
+            continue  # not windowed on both sides -> regular / updating join
+        if re.search(r"\bsession_window\s*\(", left_sub + right_sub, re.I):
+            raise PlanError("can't handle session windows in joins")
+        # ON condition span: depth-0 scan to the next clause boundary
+        depth, k = 0, on_start
+        while k < n:
+            ch = sql[k]
+            if ch == "'":
+                k = sql.index("'", k + 1) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"\b(where|group\s+by|having|union|join|inner|left|right|full)\b",
+                sql[k:],
+                re.I,
+            ):
+                break
+            k += 1
+        cond = sql[on_start:k]
+        has_window_eq = re.search(
+            rf"\b{left_alias}\.({wl}|_timestamp)\s*=\s*{right_alias}\.({wr}|_timestamp)\b"
+            rf"|\b{right_alias}\.({wr}|_timestamp)\s*=\s*{left_alias}\.({wl}|_timestamp)\b",
+            cond,
+            re.I,
+        )
+        if not has_window_eq:
+            extra = (
+                f" AND {left_alias}._timestamp = {right_alias}._timestamp "
+            )
+            sql = sql[:k].rstrip() + extra + sql[k:]
+        # qualify ambiguous unqualified `window.` accesses OUTSIDE the two
+        # subqueries (the reference's unified-window column)
+        if wl == wr:
+            unified = (
+                f"{left_alias}.{wl}"
+                if join_type in ("inner", "left")
+                else f"coalesce({left_alias}.{wl}, {right_alias}.{wr})"
+            )
+            pat = re.compile(rf"(?<![\w.]){wl}\s*\.", re.I)
+            # only the join's own query block is in scope for its aliases;
+            # the two subqueries have their own scopes — skip both
+            blk_s, blk_e = _enclosing_block(sql, m.start())
+            spans = [(lsub_open, lsub_open + len(left_sub) + 2), (ro, j)]
+
+            def skip(mm: re.Match) -> bool:
+                if not (blk_s <= mm.start() < blk_e):
+                    return True
+                return any(s <= mm.start() < e for s, e in spans)
+
+            out, last = [], 0
+            for mm in pat.finditer(sql):
+                if skip(mm):
+                    continue
+                out.append(sql[last : mm.start()])
+                out.append(unified + ".")
+                last = mm.end()
+            out.append(sql[last:])
+            sql = "".join(out)
 
 
 # -- hidden event-time propagation through windowed aggregates ---------------

@@ -117,6 +117,13 @@ def test_golden_sliding_window_end(spark, tmp_path):
 
 
 @ref_available
+def test_golden_offset_impulse_join(spark, tmp_path):
+    """InstantJoin of two windowed aggregates: windows unified, unqualified
+    `window.start` resolves to the single joined window (plan/join.rs:31-66)."""
+    run_golden(spark, tmp_path, "offset_impulse_join", "offset_output")
+
+
+@ref_available
 def test_golden_cast_to_sink_type(spark, tmp_path):
     run_golden(spark, tmp_path, "cast_to_sink_type", "cars_output")
 
