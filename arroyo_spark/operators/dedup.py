@@ -71,11 +71,25 @@ def minhash_signatures(
     # one md5 per shingle, sliced into 4-hex (16-bit) chunks: h_i =
     # substr(md5(w), 4i+1, 4). Cheap and portable; the slices act as
     # independent-enough hash families for banding.
+    # The min runs over the chunk as an INT: string min would force a
+    # SortAggregate (immutable agg buffer) and with it a per-partition sort
+    # of every exploded shingle row; int buffers keep it a HashAggregate.
+    # Lexicographic min of fixed-width hex == numeric min, so the hex
+    # rendering below is identical to the direct string min.
     aggs = [
-        F.min(F.substring("m", 4 * i + 1, 4)).alias(f"h{i}")
+        F.min(F.conv(F.substring("m", 4 * i + 1, 4), 16, 10).cast("int")).alias(
+            f"_h{i}"
+        )
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    out = sh.groupBy(id_col).agg(*aggs)
+    return out.select(
+        id_col,
+        *[
+            F.lower(F.lpad(F.hex(f"_h{i}"), 4, "0")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_band_keys(
@@ -106,17 +120,45 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate near-duplicate pairs (doc_a < doc_b)."""
+    """Distinct candidate near-duplicate pairs (doc_a < doc_b).
+
+    Pairs are emitted per LSH bucket (groupBy band_key + collect + local
+    pair expansion), not via a band-key self-join: the self-join plans two
+    full scan→shingle→md5→aggregate pipelines (broadcast blocks exchange
+    reuse), while this shape computes signatures ONCE — at 100 TB the
+    signature pass dominates, so halving it matters more than anything
+    downstream. Bucket membership lists are tiny relative to the corpus
+    (a bucket = docs agreeing on a full band of the signature).
+
+    `max_bucket` is the skew lever at scale: a pathological hot bucket
+    (boilerplate cluster) would emit O(k²) pairs; buckets above the cap
+    are dropped (they are near-certain duplicate cliques better handled
+    by the exact-dedup pass). Off by default to match the oracle exactly.
+    """
     b = lsh_band_keys(
         minhash_signatures(docs, id_col, num_hashes), id_col, num_hashes, bands
     )
-    x = b.select(F.col(id_col).alias("doc_a"), "band_key")
-    y = b.select(F.col(id_col).alias("doc_b"), "band_key")
+    buckets = (
+        b.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pair_lists = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        x.join(y, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_lists).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -1,24 +1,26 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Baseline: brute-force cosine top-k — query set broadcast against the corpus,
-dot products as JVM-side higher-order functions (no UDF, no collect).
+Baseline: brute-force cosine top-k in MATRIX form — the (small) query set is
+broadcast as a q x d numpy matrix; each corpus partition scores its Arrow
+batches against the whole matrix with vectorized numpy ops and emits only
+top-(k+margin) candidates per query. The corpus stays partitioned and is
+scanned once; no |Q| x |C| pair relation ever exists, and the only shuffle
+carries ~(partitions x |Q| x k) candidate rows into the exact final rank.
 
-Scale path (100 TB corpus): brute force is O(|Q|·|C|·d) but embarrassingly
-parallel: the corpus stays partitioned, the (small) query set broadcasts, and
-per-partition top-k folds through a single shuffle of |Q|·k candidates
-(Spark's TakeOrderedAndProject after the window filter). For |Q| large too,
-swap in the LSH-bucketed variant: hash both sides into sign-random-projection
-buckets (`lsh_bucket`) and join on bucket before scoring — turns the cross
-product into an equi-join.
+For |Q| large too, swap in the LSH-bucketed variant: hash both sides into
+sign-random-projection buckets (`lsh_bucket`) and join on bucket before
+scoring — turns the cross product into an equi-join — or the IVF variant
+(k-means cells, probe n_probe nearest).
 
-Determinism: element-wise products are folded left-to-right in ascending
-index order (`F.aggregate` over `zip_with`), matching the oracle's
-`list_reduce` fold exactly; cosine rounded to 6dp before ranking with a
-vec_id tie-break.
+Determinism: element-wise products accumulate sequentially over the
+dimension axis (vectorized across rows) — bit-identical to a SQL
+left-fold — and rounding + final (cos desc, id asc) ranking happen
+JVM-side, so results hash-match the DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -40,6 +42,38 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _fold_dot_numpy(a, b):
+    """Vectorized-across-pairs, sequential-across-dims dot product.
+
+    Loops over the (small, fixed) embedding dimension accumulating
+    `acc = acc + A[:,j]*B[:,j]` — the EXACT float-addition order of the
+    `F.aggregate` left fold and of the oracle's SQL fold, so results are
+    bit-identical to the expression-tree path while running as numpy
+    column ops instead of Spark's interpreted higher-order functions
+    (zip_with/aggregate have no codegen: ~100x slower per pair)."""
+    import numpy as np
+
+    A = np.asarray(a.tolist(), dtype=np.float64)
+    B = np.asarray(b.tolist(), dtype=np.float64)
+    acc = np.zeros(len(A), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def dot_arrow() -> "callable":
+    """Arrow-batched pandas-UDF form of `dot` (fixed-dim, non-null vectors).
+    Built lazily: @pandas_udf at import time needs an active session."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(_fold_dot_numpy(a, b))
+
+    return _dot
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -53,28 +87,78 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector (self excluded).
 
-    `queries` is broadcast; the corpus is never shuffled until the final
-    per-query top-k (k rows per query survive the window filter).
+    Matrix form, the shape that survives a 100 TB corpus: the (contractually
+    small) query set is collected ONCE and broadcast as a q x d numpy matrix;
+    each corpus partition scores its batches against the whole matrix in
+    numpy column ops and emits only its top-(k+margin) candidates per query.
+    Neither a |Q| x |C| pair relation nor per-pair vector copies ever exist —
+    the alternative (broadcast nested-loop join + per-pair fold) materializes
+    every (query, corpus) row JVM-side and is quadratic in rows, not flops.
+    The shuffle after scoring carries ~(partitions x |Q| x k) rows only.
+
+    Float parity: dot products accumulate sequentially over the dimension
+    axis (vectorized across rows), bit-identical to the SQL left fold;
+    rounding and the final (cos desc, id asc) rank happen JVM-side so
+    results hash-match the DuckDB oracle. The +margin on the per-batch
+    cut protects against round-to-6dp ties reordering candidates.
+    Vectors must be fixed-dimension and non-null.
     """
-    # norms once per vector (not per pair): 3x fewer array folds
-    q = queries.select(
-        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("q_norm", norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("n_norm", norm(F.col("n_vec")))
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_norm") * F.col("n_norm")),
-                6,
-            ),
-        )
-        .select("q_id", "n_id", "cos")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded: |Q| << |C|
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+    q_norm = np.zeros(len(q_rows))
+    for j in range(dim):
+        q_norm = q_norm + Q[:, j] * Q[:, j]
+    q_norm = np.sqrt(q_norm)
+    bc = spark.sparkContext.broadcast((q_ids, Q, q_norm))
+    keep = k + 8  # margin for 6dp-rounding ties across the JVM-side re-rank
+
+    def _score(batches):
+        q_ids, Q, q_norm = bc.value
+        nq = len(q_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n_ids = pdf[id_col].to_numpy()
+            n_norm = np.zeros(len(C))
+            acc = np.zeros((len(C), nq))
+            for j in range(dim):
+                n_norm = n_norm + C[:, j] * C[:, j]
+                acc = acc + np.outer(C[:, j], Q[:, j])
+            cos = acc / np.outer(np.sqrt(n_norm), q_norm)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                col = cos[:, qi]
+                order = np.lexsort((n_ids, -col))
+                order = order[n_ids[order] != q_ids[qi]][:keep]
+                out_q.append(np.full(len(order), q_ids[qi]))
+                out_n.append(n_ids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("q_id", id_type),
+            StructField("n_id", id_type),
+            StructField("cos", DoubleType()),
+        ]
     )
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema=schema)
+    scored = scored.withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -152,10 +236,19 @@ def ivf_topk(
         .withColumn("cells", F.slice(center_cols(F.col("q_vec")), 1, n_probe))
         .select("q_id", "q_vec", F.explode("cells.cell").alias("cell"))
     )
+    pair_dot = dot_arrow()  # Arrow-batched: the fold expression has no codegen
     scored = (
-        assigned.join(F.broadcast(q), "cell")
+        assigned.withColumn("n_norm", norm(F.col("n_vec")))
+        .join(F.broadcast(q.withColumn("q_norm", norm(F.col("q_vec")))), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ),
+        )
         .select("q_id", "n_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))

@@ -71,11 +71,15 @@ def test_windows_are_single_shuffle(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_knn_broadcasts_queries(spark, sf_dir):
-    # the small query set must broadcast; corpus side stays partitioned
+def test_knn_scores_without_pair_join(spark, sf_dir):
+    # matrix-form scoring: the corpus is scored in MapInPandas against the
+    # broadcast query matrix — no |Q|x|C| pair relation of any join kind,
+    # and only the tiny candidate set reaches a shuffle
     plan = plan_of(spark, sf_dir, "knn_cosine_topk")
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct"):
+        assert join not in plan, join
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one corpus scan
 
 
 def test_minhash_no_cartesian(spark, sf_dir):
