@@ -166,6 +166,84 @@ def brute_force_topk(
     )
 
 
+def cosine_threshold_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, cos) with
+    id_a < id_b and round(cos, 6) >= threshold.
+
+    Matrix form like `brute_force_topk`: the candidate set (here: the
+    corpus itself) is collected once and broadcast as a numpy matrix;
+    each corpus partition scores its Arrow batches against it and emits
+    only above-threshold pairs. EXACT, so the broadcast side must be
+    bounded — run it on a deterministic sample or one blocking partition
+    (label, language, shard). The unbounded-scale path is approximate
+    pre-filtering instead: `lsh_bucket` both sides and equi-join on
+    bucket (knn_lsh_ann), or MinHash bands for text (lsh_candidate_pairs).
+
+    Fold order matches the SQL left fold; thresholding uses the 6dp-rounded
+    cosine on both engines, so results hash-match the DuckDB oracle.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    rows = corpus.select(id_col, vec_col).collect()
+    c_ids = np.array([r[0] for r in rows])
+    M = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    dim = M.shape[1]
+    m_norm = np.zeros(len(rows))
+    for j in range(dim):
+        m_norm = m_norm + M[:, j] * M[:, j]
+    m_norm = np.sqrt(m_norm)
+    bc = spark.sparkContext.broadcast((c_ids, M, m_norm))
+
+    def _pairs(batches):
+        c_ids, M, m_norm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy()
+            a_norm = np.zeros(len(A))
+            acc = np.zeros((len(A), len(c_ids)))
+            for j in range(dim):
+                a_norm = a_norm + A[:, j] * A[:, j]
+                acc = acc + np.outer(A[:, j], M[:, j])
+            cos = acc / np.outer(np.sqrt(a_norm), m_norm)
+            # keep a little slack under the threshold: the JVM-side 6dp
+            # round decides membership, not numpy's
+            ii, jj = np.nonzero(
+                (cos >= threshold - 1e-6) & (a_ids[:, None] < c_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": c_ids[jj],
+                    "cos": cos[ii, jj],
+                }
+            )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_pairs, schema=schema)
+        .withColumn("cos", F.round("cos", 6))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id for ANN pre-filtering.
 

@@ -100,6 +100,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (semantic dedup).
+# ---------------------------------------------------------------------------
+
+
+def _cos_oracle() -> str:
+    from arroyo_spark.queries.similarity import _cos
+
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+      AND round({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_cos_oracle(),
+    tags=("dedup", "embedding", "cosine", "near-dup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pairs: embedding cosine >= 0.35 over a
+    deterministic sample (the exact matrix-form path; LSH bucketing is the
+    unbounded-corpus path, see operators/similarity.py docstring)."""
+    from arroyo_spark.operators.similarity import cosine_threshold_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return cosine_threshold_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
 # n-gram (word 3-shingle) Jaccard similarity pairs.
 # ---------------------------------------------------------------------------
 
