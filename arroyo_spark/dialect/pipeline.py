@@ -21,11 +21,14 @@ and is intentionally not wrapped here.
 file sources become readStream (one file per micro-batch), watermarks from
 the table's WATERMARK spec are applied to `_timestamp`, windowed INSERTs
 run in append mode and updating aggregates in update mode (with Debezium
-envelope encoding). One semantic difference from the reference: Arroyo
-flushes ALL window state at end-of-input (Watermark::MAX,
+envelope encoding). End-of-input parity: Arroyo flushes ALL window state
+when a bounded source drains (Watermark::MAX,
 `watermark_generator.rs:137-146`); Spark's file source has no end-of-data
-signal, so windows still open at the final watermark stay unemitted until
-more data arrives — matching production unbounded-stream behavior.
+signal, so `eoi_flush=True` (default) emulates it with a far-future
+sentinel row processed last (see `_stage_with_sentinel`) — streaming
+output then equals the reference's run-to-completion goldens exactly.
+`eoi_flush=False` keeps production unbounded-stream behavior (tail
+windows stay pending).
 """
 
 from __future__ import annotations
@@ -143,11 +146,19 @@ class Pipeline:
         substitutions: dict[str, str] | None = None,
         udfs: dict[str, object] | None = None,
         mode: str = "batch",
+        eoi_flush: bool = True,
     ) -> None:
         if mode not in ("batch", "streaming"):
             raise PlanError(f"unknown execution mode: {mode}")
         self.spark = spark
         self.mode = mode
+        # end-of-input watermark flush (streaming mode): Arroyo emits
+        # Watermark::MAX when a bounded source drains, flushing all open
+        # window state (watermark_generator.rs:137-146). Spark's file
+        # source has no end-of-data signal, so we emulate it with a
+        # far-future sentinel row (see _stage_with_sentinel).
+        self.eoi_flush = eoi_flush
+        self._eoi_cutoff: dict[str, object] = {}
         self.substitutions = substitutions or {}
         from arroyo_spark.functions.json_udfs import DEFAULT_JSON_UDFS
 
@@ -176,6 +187,73 @@ class Pipeline:
             ]
         )
 
+    def _stage_with_sentinel(
+        self, t: TableDef, path: str, fmt: str, event_time: str
+    ) -> str | None:
+        """Copy the bounded source file(s) into a temp dir and append a
+        sentinel row whose event time lies ~10 years past the real maximum,
+        with a later mtime so the file stream processes it LAST. The
+        sentinel never reaches the query (filtered at `_eoi_cutoff`, one
+        year past the real max — safe: month/year window durations are
+        rejected); its only effect is advancing the source watermark past
+        every real window, i.e. the reference's end-of-input
+        Watermark::MAX flush. Returns the staged dir, or None when the
+        input can't be staged (no files, empty, virtual event column)."""
+        import glob as _glob
+        import shutil
+        import tempfile
+        import time as _time
+        from datetime import timedelta
+
+        if not any(
+            c.name == event_time and c.virtual_expr is None and c.metadata_key is None
+            for c in t.columns
+        ):
+            return None
+        files = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            )
+        if not files:
+            return None
+        staged = tempfile.mkdtemp(prefix=f"eoi_{t.name}_")
+        for f in files:
+            shutil.copy(f, os.path.join(staged, os.path.basename(f)))
+        reader = self.spark.read.schema(self._source_schema(t))
+        bdf = reader.parquet(*files) if fmt == "parquet" else reader.json(files)
+        mx = bdf.agg(F.max(F.col(event_time).cast("timestamp"))).first()[0]
+        if mx is None:
+            shutil.rmtree(staged, ignore_errors=True)
+            return None
+        sentinel_ts = mx + timedelta(days=3650)
+        self._eoi_cutoff[t.name] = mx + timedelta(days=365)
+        if fmt == "parquet":
+            row = self.spark.createDataFrame(
+                [tuple(
+                    sentinel_ts if c.name == event_time else None
+                    for c in t.columns
+                    if c.virtual_expr is None and c.metadata_key is None
+                )],
+                schema=self._source_schema(t),
+            )
+            tmpout = tempfile.mkdtemp(prefix="eoi_row_")
+            row.coalesce(1).write.mode("overwrite").parquet(tmpout)
+            part = _glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+            sentinel = os.path.join(staged, "zz_eoi_sentinel.parquet")
+            shutil.move(part, sentinel)
+            shutil.rmtree(tmpout, ignore_errors=True)
+        else:
+            sentinel = os.path.join(staged, "zz_eoi_sentinel.json")
+            iso = sentinel_ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            with open(sentinel, "w") as fh:
+                fh.write('{"%s": "%s"}\n' % (event_time, iso))
+        later = _time.time() + 60
+        os.utime(sentinel, (later, later))
+        return staged
+
     def _register_source(self, t: TableDef) -> None:
         fmt = str(t.options.get("format", "json"))
         path = t.options.get("path")
@@ -187,6 +265,19 @@ class Pipeline:
         # table state, i.e. Spark's stream-STATIC join (re-read per batch)
         is_lookup = t.table_type == "lookup" or t.temporary
         streaming = self.mode == "streaming" and not is_lookup
+        event_time = t.options.get("event_time_field") or (
+            t.watermark.field if t.watermark else None
+        )
+        stream_src = None
+        if (
+            streaming
+            and self.eoi_flush
+            and event_time
+            and fmt in ("json", "parquet")
+            and not t.options.get("json.unstructured")
+        ):
+            stream_src = self._stage_with_sentinel(t, path, fmt, str(event_time))
+        stream_src = stream_src or _stream_path(path)
         bad_data = t.options.get("bad_data")
         if bad_data not in (None, "fail", "drop"):
             raise PlanError(
@@ -227,7 +318,7 @@ class Pipeline:
                     .option("maxFilesPerTrigger", 1)
                     .option("mode", parse_mode)
                 )
-                df = reader.json(_stream_path(path))
+                df = reader.json(stream_src)
             else:
                 df = (
                     self.spark.read.schema(self._source_schema(t))
@@ -239,7 +330,7 @@ class Pipeline:
                 df = (
                     self.spark.readStream.schema(self._source_schema(t))
                     .option("maxFilesPerTrigger", 1)
-                    .parquet(_stream_path(path))
+                    .parquet(stream_src)
                 )
             else:
                 df = self.spark.read.schema(self._source_schema(t)).parquet(path)
@@ -253,13 +344,16 @@ class Pipeline:
                 df = df.withColumn(
                     c.name, F.lit(None).cast(c.spark_type)
                 )
-        event_time = t.options.get("event_time_field") or (
-            t.watermark.field if t.watermark else None
-        )
         ts = F.col(str(event_time)) if event_time else F.current_timestamp()
         df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
         if self.mode == "streaming" and event_time is not None:
             df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
+            cutoff = self._eoi_cutoff.get(t.name)
+            if cutoff is not None:
+                # the sentinel has done its job (watermark stats are
+                # collected at the EventTimeWatermark node, upstream of
+                # this filter); no sentinel-derived row reaches the query
+                df = df.filter(F.col(TIMESTAMP_FIELD) <= F.lit(cutoff))
         df.createOrReplaceTempView(t.name)
 
     def _watermark_delay(self, t: TableDef) -> str:

@@ -390,10 +390,9 @@ def test_parse_virtual_and_metadata_columns():
 
 @ref_available
 def test_streaming_mode_hourly(spark, tmp_path):
-    """The same dialect script executed through Structured Streaming: every
-    watermark-closed window must match the golden output exactly (the final
-    open windows stay pending — unbounded-stream semantics; the reference
-    instead flushes state at end-of-input)."""
+    """The same dialect script executed through Structured Streaming must
+    reproduce the golden output EXACTLY: the end-of-input sentinel flush
+    (Watermark::MAX parity) closes the final open windows too."""
     import shutil
 
     src_dir = tmp_path / "cars_stream"
@@ -426,10 +425,29 @@ def test_streaming_mode_hourly(spark, tmp_path):
         (r["hour"], r["event_type"]): r["count"]
         for r in (json.loads(l) for l in open(f"{GOLDEN}/hourly_by_event_type.json"))
     }
-    assert got, "streaming run emitted nothing"
-    for k, v in got.items():
-        assert want.get(k) == v, f"{k}: stream={v} golden={want.get(k)}"
-    assert len(got) >= len(want) - 4  # only the tail windows may be pending
+    assert got == want, (
+        f"streaming vs golden: missing={sorted(set(want) - set(got))[:4]} "
+        f"extra={sorted(set(got) - set(want))[:4]}"
+    )
+
+
+@ref_available
+def test_streaming_mode_no_flush_leaves_tail_pending(spark, tmp_path):
+    """eoi_flush=False preserves unbounded-stream semantics: windows still
+    open at the final watermark stay unemitted."""
+    script = open(f"{QUERIES}/hourly_by_event_type.sql").read()
+    out = str(tmp_path / "out.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(
+        spark,
+        {"$input_dir": INPUTS, "$output_path": out},
+        mode="streaming",
+        eoi_flush=False,
+    ).run_script(script)
+    got = res.sink_json("group_by_aggregate")
+    want = open(f"{GOLDEN}/hourly_by_event_type.json").read().splitlines()
+    assert len(got) < len(want)
 
 
 @ref_available
