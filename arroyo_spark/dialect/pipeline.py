@@ -129,11 +129,10 @@ class PipelineResult:
         if name in self.raw_lines:
             return list(self.raw_lines[name])
         df = self.sinks[name]
-        enc = (
-            to_debezium_json(df)
-            if self.sink_formats.get(name) == DEBEZIUM_FORMAT
-            else to_arroyo_json(df)
-        )
+        fmt = self.sink_formats.get(name)
+        if fmt == "raw_string":
+            return [str(r[0]) for r in df.select(df.columns[0]).collect()]
+        enc = to_debezium_json(df) if fmt == DEBEZIUM_FORMAT else to_arroyo_json(df)
         return [r["value"] for r in enc.collect()]
 
 
@@ -285,9 +284,25 @@ class Pipeline:
             )
         if bad_data is not None and fmt not in ("json", DEBEZIUM_FORMAT):
             raise PlanError(f"bad_data is not supported for format {fmt!r}")
-        if t.options.get("json.unstructured"):
-            # whole line as a single JSON value column (json_operators.sql)
-            cols = [c for c in t.columns if c.virtual_expr is None]
+        framing = t.options.get("framing")
+        if framing not in (None, "newline"):
+            raise PlanError(f"unsupported framing: {framing!r}")
+        if t.options.get("json.unstructured") or fmt == "raw_string":
+            # whole line as a single value column: unstructured JSON
+            # (json_operators.sql) or raw_string (formats.rs:396+,
+            # metadata_raw_string.sql / parse_log.sql — one TEXT field,
+            # newline framing; generated columns parse it downstream)
+            cols = [
+                c
+                for c in t.columns
+                if c.virtual_expr is None and c.metadata_key is None
+            ]
+            if fmt == "raw_string" and (
+                len(cols) != 1 or cols[0].spark_type != "string"
+            ):
+                raise PlanError(
+                    "raw_string sources require exactly one TEXT value column"
+                )
             name = cols[0].name if cols else "value"
             if streaming:
                 df = (
@@ -518,9 +533,17 @@ class Pipeline:
                 to_debezium_json(df).write.mode("overwrite").text(target_dir)
             elif fmt == "json":
                 to_arroyo_json(df).write.mode("overwrite").text(target_dir)
+            elif fmt == "raw_string":
+                if len(df.columns) != 1:
+                    raise PlanError(
+                        "raw_string sinks require a single value column"
+                    )
+                df.select(F.col(df.columns[0]).cast("string")).write.mode(
+                    "overwrite"
+                ).text(target_dir)
             else:
                 raise PlanError(f"unsupported sink format: {fmt}")
-            if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT):
+            if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT, "raw_string"):
                 # single_file semantics: merge part files into one file
                 with open(out, "w") as fh:
                     for part in sorted(os.listdir(target_dir)):

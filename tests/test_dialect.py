@@ -661,6 +661,42 @@ def test_bad_data_rejected_on_parquet(spark, tmp_path):
         )
 
 
+def test_raw_string_source_and_sink(spark, tmp_path):
+    """raw_string format (formats.rs:396+, parse_log.sql shape): one TEXT
+    value column per line; generated columns parse it downstream."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src = tmp_path / "logs.txt"
+    src.write_text('{"lvl": "info"}\n{"lvl": "error"}\n{"lvl": "error"}\n')
+    out = str(tmp_path / "out.txt")
+    res = Pipeline(spark, {"$in": str(src), "$out": out}).run_script(
+        """
+        CREATE TABLE logs (
+          value TEXT NOT NULL,
+          lvl TEXT GENERATED ALWAYS AS (get_json_object(value, '$.lvl'))
+        ) WITH (connector = 'single_file', path = '$in',
+                format = 'raw_string', type = 'source', framing = 'newline');
+        CREATE TABLE errors (value TEXT) WITH (
+          connector = 'single_file', path = '$out',
+          format = 'raw_string', type = 'sink');
+        INSERT INTO errors SELECT value FROM logs WHERE lvl = 'error'
+        """
+    )
+    assert res.sink_json("errors") == ['{"lvl": "error"}'] * 2
+    assert open(out).read().splitlines() == ['{"lvl": "error"}'] * 2
+
+
+def test_raw_string_requires_single_text_column(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    with pytest.raises(PlanError, match="raw_string"):
+        Pipeline(spark).run_script(
+            """CREATE TABLE t (a TEXT, b BIGINT) WITH (connector='single_file',
+               path='/x', format='raw_string', type='source');
+               SELECT 1 AS one"""
+        )
+
+
 # --- planner-corpus sweep ---------------------------------------------------
 
 PLANNER_QUERIES = f"{REF}/../arroyo-planner/src/test/queries"
