@@ -97,6 +97,11 @@ def main() -> None:
         (F.col("id") % 100).alias("k"), F.rand(7).alias("v")
     )
     warm.groupBy("k").agg(F.sum("v")).count()
+    # explode + higher-order fns + collect_set: the shapes the dedup/LSH
+    # queries hit first (codegen compile dominates their cold run)
+    warm.select(
+        "k", F.explode(F.transform(F.array("v", "v"), lambda x: x * 2)).alias("e")
+    ).groupBy("k").agg(F.collect_set("e")).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
     from pyspark.sql.functions import pandas_udf
 

@@ -661,6 +661,18 @@ def test_bad_data_rejected_on_parquet(spark, tmp_path):
         )
 
 
+def test_session_window_join_rejected():
+    """plan/join.rs:58-62: session windows can't appear in joins."""
+    with pytest.raises(PlanError, match="session windows"):
+        rewrite_query(
+            "SELECT a.n FROM "
+            "(SELECT session(interval '1 minute') as w, count(*) n "
+            "FROM x GROUP BY 1) a JOIN "
+            "(SELECT session(interval '1 minute') as w, count(*) n "
+            "FROM y GROUP BY 1) b ON a.n = b.n"
+        )
+
+
 def test_raw_string_source_and_sink(spark, tmp_path):
     """raw_string format (formats.rs:396+, parse_log.sql shape): one TEXT
     value column per line; generated columns parse it downstream."""
