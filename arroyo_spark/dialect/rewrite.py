@@ -129,6 +129,7 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
     sql = _WINDOW_CALL.sub(repl, sql)
     sql = re.sub(r"\brow_time\s*\(\s*\)", timestamp_col, sql, flags=re.I)
     sql = _rewrite_json_operators(sql)
+    _check_nested_windows(sql)
     sql = _inject_hidden_timestamp(sql)
     sql = _unify_instant_joins(sql)
     return sql
@@ -260,6 +261,149 @@ def _rewrite_json_operators(sql: str) -> str:
                 f"'$.{key}')), 'null')"
             )
         sql = sql[:start] + repl + sql[m.end():]
+
+
+# -- nested-window semantic rules --------------------------------------------
+
+_AGG_FN = re.compile(
+    r"\b(count|sum|avg|min|max|median|stddev\w*|var\w*|collect_list|"
+    r"approx_\w+|percentile\w*|first|last|bit_(?:and|or|xor)|bool_(?:and|or)|"
+    r"corr|covar\w*|regr_\w+)\s*\(",
+    re.I,
+)
+
+
+def _scan_to(sql: str, start: int, stop_pat: re.Pattern) -> tuple[int | None, int]:
+    """Depth-0 scan from `start`: position of the first `stop_pat` match, and
+    the position where the depth-0 region ends (closing paren or EOS)."""
+    i, n = start, len(sql)
+    depth = 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return None, i
+            depth -= 1
+        elif depth == 0:
+            m = stop_pat.match(sql, i)
+            if m:
+                return i, i
+        i += 1
+    return None, n
+
+
+def _window_sig(span: str) -> str | None:
+    """Normalized signature of the first window call in `span`, e.g.
+    'window|1 hour|1 minute' or 'session_window|20 seconds'."""
+    m = re.search(r"\b(session_window|window)\s*\(", span, re.I)
+    if not m:
+        return None
+    call = _extract_call(span, m.start())
+    args = call[call.index("(") + 1 : -1]
+    durations = re.findall(r"'([^']+)'", args)
+    return "|".join([m.group(1).lower(), *durations])
+
+
+def _check_nested_windows(sql: str, start: int = 0, end: int | None = None) -> str | None:
+    """The reference's nested-aggregate window rules, applied to inline
+    subqueries (views are resolved later and out of textual reach):
+
+    - an aggregate whose GROUP BY re-invokes a window over already-windowed
+      input must use the SAME window (`plan/aggregate.rs:169-177`,
+      error_mismatched_nested_windows.sql; reinvoke_window_function.sql is
+      the allowed same-window case);
+    - an aggregate over windowed input without its own window call must
+      group on the input's window field (`plan/mod.rs:225-243`,
+      error_second_aggregate_missing_window.sql);
+    - two windowed join inputs must share one window type
+      (`plan/join.rs:52-57`).
+
+    Returns the block's output window signature (windows propagate through
+    projections and joins), or None."""
+    if end is None:
+        end = len(sql)
+    seg = sql[start:end]
+    msel = _SELECT_KW.search(seg)
+    if not msel:
+        return None
+    sel_start = start + msel.end()
+    from_pos, _ = _scan_to(sql, sel_start, _FROM_KW)
+    if from_pos is None:
+        return None
+    select_list = sql[sel_start:from_pos]
+    gb_pos, from_end = _scan_to(sql, from_pos + 4, _GROUP_BY)
+    if gb_pos is not None:
+        gb_end = _scan_to(
+            sql,
+            gb_pos + 8,
+            re.compile(
+                r"\b(having|order|limit|union|intersect|except)\b"
+                r"|\bwindow\s+\w+\s+as\b",
+                re.I,
+            ),
+        )
+        group_clause = sql[gb_pos : gb_end[0] if gb_end[0] is not None else gb_end[1]]
+        from_clause = sql[from_pos:gb_pos]
+    else:
+        group_clause = ""
+        from_clause = sql[from_pos:from_end]
+    # immediate subqueries in the FROM clause (depth 0 -> 1 parens holding
+    # a SELECT), recursed first so deepest rules fire first
+    inner: list[tuple[str | None, str | None]] = []  # (sig, window col name)
+    i, n = 0, len(from_clause)
+    while i < n:
+        ch = from_clause[i]
+        if ch == "'":
+            i = from_clause.index("'", i + 1) + 1
+            continue
+        if ch == "(":
+            j, depth = i + 1, 1
+            while j < n and depth:
+                if from_clause[j] == "(":
+                    depth += 1
+                elif from_clause[j] == ")":
+                    depth -= 1
+                j += 1
+            sub = from_clause[i + 1 : j - 1]
+            if re.match(r"\s*\(*\s*select\b", sub, re.I):
+                abs_s = start + (from_pos - start) + i + 1
+                sig = _check_nested_windows(sql, abs_s, abs_s + len(sub))
+                inner.append((sig, _window_out_col(sub) if sig else None))
+            i = j
+            continue
+        i += 1
+    inner_sigs = [s for s, _ in inner if s]
+    if len(set(inner_sigs)) > 1:
+        raise PlanError("can't handle mixed windowing between left and right")
+    inner_sig = inner_sigs[0] if inner_sigs else None
+    own_sig = _window_sig(select_list) or _window_sig(group_clause)
+    aggregates = bool(group_clause) or bool(
+        _AGG_FN.search(_strip_string_literals(select_list))
+    )
+    if inner_sig is None:
+        return own_sig
+    if own_sig is not None:
+        if own_sig != inner_sig:
+            raise PlanError("window in group by does not match input window")
+        return own_sig
+    if aggregates:
+        wname = next(nm for s, nm in inner if s)
+        if not re.search(
+            rf"\b{re.escape(wname)}\b",
+            _strip_string_literals(select_list + group_clause),
+            re.I,
+        ):
+            raise PlanError(
+                "must have window in aggregate. Make sure you are calling one "
+                "of the windowing functions (hop, tumble, session) or using "
+                "the window field of the input"
+            )
+    return inner_sig
 
 
 # -- instant joins: window unification ---------------------------------------

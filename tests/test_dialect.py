@@ -661,6 +661,37 @@ def test_bad_data_rejected_on_parquet(spark, tmp_path):
         )
 
 
+def test_nested_window_mismatch_rejected():
+    """plan/aggregate.rs:169-177: a GROUP BY window over windowed input must
+    re-invoke the SAME window."""
+    with pytest.raises(PlanError, match="does not match input window"):
+        rewrite_query(
+            "SELECT count(*) c, tumble(interval '2 minute') as w2 FROM "
+            "(SELECT k, tumble(interval '1 minute') as w, count(*) n "
+            "FROM t GROUP BY 1, 2) GROUP BY 2"
+        )
+
+
+def test_nested_aggregate_missing_window_rejected():
+    """plan/mod.rs:225-243: an aggregate over windowed input must group on
+    the input's window (field or re-invocation)."""
+    with pytest.raises(PlanError, match="must have window in aggregate"):
+        rewrite_query(
+            "SELECT count(*) c FROM "
+            "(SELECT k, tumble(interval '1 minute') as w, count(*) n "
+            "FROM t GROUP BY 1, 2)"
+        )
+
+
+def test_nested_same_window_reinvoke_allowed():
+    """reinvoke_window_function.sql shape must still plan."""
+    rewrite_query(
+        "SELECT tumble(interval '1 hour') as window, count(distinct d) as n "
+        "FROM (SELECT d, count(*) as p FROM cars "
+        "GROUP BY 1, tumble(interval '1 hour')) WHERE p > 2 GROUP BY 1"
+    )
+
+
 def test_session_window_join_rejected():
     """plan/join.rs:58-62: session windows can't appear in joins."""
     with pytest.raises(PlanError, match="session windows"):
@@ -719,6 +750,8 @@ PLANNER_QUERIES = f"{REF}/../arroyo-planner/src/test/queries"
 REWRITE_LEVEL_FAILS = {
     "error_offset_sliding_window.sql",
     "misplaced_hop.sql",
+    "error_mismatched_nested_windows.sql",
+    "error_second_aggregate_missing_window.sql",
 }
 
 
