@@ -132,6 +132,11 @@ class PipelineResult:
         fmt = self.sink_formats.get(name)
         if fmt == "raw_string":
             return [str(r[0]) for r in df.select(df.columns[0]).collect()]
+        if fmt == "raw_bytes":
+            return [
+                bytes(r[0]).decode("utf-8", "replace")
+                for r in df.select(df.columns[0]).collect()
+            ]
         enc = to_debezium_json(df) if fmt == DEBEZIUM_FORMAT else to_arroyo_json(df)
         return [r["value"] for r in enc.collect()]
 
@@ -287,11 +292,14 @@ class Pipeline:
         framing = t.options.get("framing")
         if framing not in (None, "newline"):
             raise PlanError(f"unsupported framing: {framing!r}")
-        if t.options.get("json.unstructured") or fmt == "raw_string":
+        if t.options.get("json.unstructured") or fmt in ("raw_string", "raw_bytes"):
             # whole line as a single value column: unstructured JSON
-            # (json_operators.sql) or raw_string (formats.rs:396+,
+            # (json_operators.sql), raw_string (formats.rs:396+,
             # metadata_raw_string.sql / parse_log.sql — one TEXT field,
-            # newline framing; generated columns parse it downstream)
+            # newline framing; generated columns parse it downstream), or
+            # raw_bytes (de.rs:736-746 — one BYTEA 'value' field; the
+            # reference's file source is line-framed, so each line's bytes
+            # become one record)
             cols = [
                 c
                 for c in t.columns
@@ -303,6 +311,12 @@ class Pipeline:
                 raise PlanError(
                     "raw_string sources require exactly one TEXT value column"
                 )
+            if fmt == "raw_bytes" and (
+                len(cols) != 1 or cols[0].spark_type != "binary"
+            ):
+                raise PlanError(
+                    "raw_bytes sources require exactly one BYTEA value column"
+                )
             name = cols[0].name if cols else "value"
             if streaming:
                 df = (
@@ -311,7 +325,10 @@ class Pipeline:
                 )
             else:
                 df = self.spark.read.text(path)
-            df = df.withColumnRenamed("value", name)
+            if fmt == "raw_bytes":
+                df = df.select(F.encode("value", "UTF-8").alias(name))
+            else:
+                df = df.withColumnRenamed("value", name)
         elif fmt == DEBEZIUM_FORMAT:
             if streaming:
                 raise PlanError(
@@ -541,9 +558,19 @@ class Pipeline:
                 df.select(F.col(df.columns[0]).cast("string")).write.mode(
                     "overwrite"
                 ).text(target_dir)
+            elif fmt == "raw_bytes":
+                # ser.rs:205-228: one BINARY 'value' column, each message's
+                # bytes written newline-framed (json.rs:191)
+                if len(df.columns) != 1 or dict(df.dtypes)[df.columns[0]] != "binary":
+                    raise PlanError(
+                        "raw_bytes sinks require a single BYTEA value column"
+                    )
+                df.select(F.decode(df.columns[0], "UTF-8")).write.mode(
+                    "overwrite"
+                ).text(target_dir)
             else:
                 raise PlanError(f"unsupported sink format: {fmt}")
-            if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT, "raw_string"):
+            if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT, "raw_string", "raw_bytes"):
                 # single_file semantics: merge part files into one file
                 with open(out, "w") as fh:
                     for part in sorted(os.listdir(target_dir)):

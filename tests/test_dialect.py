@@ -729,6 +729,41 @@ def test_raw_string_source_and_sink(spark, tmp_path):
     assert open(out).read().splitlines() == ['{"lvl": "error"}'] * 2
 
 
+def test_raw_bytes_source_and_sink(spark, tmp_path):
+    """raw_bytes format (de.rs:736-746, ser.rs:205-228): one BYTEA value
+    column; line-framed over the file source, newline-framed on write."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src = tmp_path / "msgs.bin"
+    src.write_text("alpha\nbeta\ngamma\n")
+    out = str(tmp_path / "out.bin")
+    res = Pipeline(spark, {"$in": str(src), "$out": out}).run_script(
+        """
+        CREATE TABLE msgs (value BYTEA NOT NULL) WITH (
+          connector = 'single_file', path = '$in',
+          format = 'raw_bytes', type = 'source');
+        CREATE TABLE sink (value BYTEA) WITH (
+          connector = 'single_file', path = '$out',
+          format = 'raw_bytes', type = 'sink');
+        INSERT INTO sink SELECT value FROM msgs
+          WHERE length(value) > 4
+        """
+    )
+    assert res.sink_json("sink") == ["alpha", "gamma"]
+    assert open(out).read().splitlines() == ["alpha", "gamma"]
+
+
+def test_raw_bytes_requires_single_binary_column(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    with pytest.raises(PlanError, match="raw_bytes"):
+        Pipeline(spark).run_script(
+            """CREATE TABLE t (a TEXT) WITH (connector='single_file',
+               path='/x', format='raw_bytes', type='source');
+               SELECT 1 AS one"""
+        )
+
+
 def test_raw_string_requires_single_text_column(spark):
     from arroyo_spark.dialect.pipeline import Pipeline
 
