@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
 
@@ -45,7 +47,9 @@ def tokens(col: Column | str = "text") -> Column:
 
 
 def exploded_words(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    return docs.select(id_col, F.explode(tokens("text")).alias("w"))
+    return ensure_min_parallelism(docs).select(
+        id_col, F.explode(tokens("text")).alias("w")
+    )
 
 
 def minhash_signatures(
@@ -65,6 +69,7 @@ def minhash_signatures(
     """
     if num_hashes > 8:
         raise ValueError("num_hashes > 8 needs a second md5 seed")
+    docs = ensure_min_parallelism(docs)
     sh = docs.select(
         id_col, F.explode(shingles("text", shingle_n)).alias("w")
     ).select(id_col, F.md5("w").alias("m"))
@@ -191,7 +196,7 @@ def jaccard_pairs(
     (compose with ``lsh_candidate_pairs``); intersection counts are exact
     integers so the similarity is deterministic.
     """
-    sh = docs.select(id_col, shingles("text", n).alias("sh"))
+    sh = ensure_min_parallelism(docs).select(id_col, shingles("text", n).alias("sh"))
     sized = sh.select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     a = sized.select(
         F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s"

@@ -32,6 +32,23 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input has fewer partitions than that (e.g. one small-but-CPU-dense
+    parquet file, which Spark reads as a single split). CPU-heavy per-row
+    expansions (shingling, hashing, embedding math) otherwise run on one
+    core. A no-op at scale, where file splits already exceed core count;
+    below that, the raw-row shuffle is negligible next to the downstream
+    explode it parallelizes."""
+    if df.isStreaming:
+        return df
+    sess = df.sparkSession
+    target = target or sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
     """Append a random salt column (uniform 0..salt_buckets-1)."""
     return df.withColumn(

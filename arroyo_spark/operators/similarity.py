@@ -24,6 +24,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -157,7 +159,10 @@ def brute_force_topk(
             StructField("cos", DoubleType()),
         ]
     )
-    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema=schema)
+    scored = (
+        ensure_min_parallelism(corpus.select(id_col, vec_col))
+        .mapInPandas(_score, schema=schema)
+    )
     scored = scored.withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -237,7 +242,7 @@ def cosine_threshold_pairs(
         ]
     )
     return (
-        corpus.select(id_col, vec_col)
+        ensure_min_parallelism(corpus.select(id_col, vec_col))
         .mapInPandas(_pairs, schema=schema)
         .withColumn("cos", F.round("cos", 6))
         .filter(F.col("cos") >= threshold)
@@ -284,7 +289,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = corpus.select(
+    base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),
         as_double(F.col(vec_col)).alias("n_vec"),
     ).withColumn("features", array_to_vector("n_vec"))

@@ -232,22 +232,42 @@ _PLANES = [[_rng.gauss(0, 1) for _ in range(_DIM)] for _ in range(6)]
     bench=True,
 )
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arroyo_spark.operators.similarity import as_double, cosine, lsh_bucket
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("vec")
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+    from arroyo_spark.operators.similarity import (
+        as_double,
+        dot_arrow,
+        lsh_bucket,
+        norm,
     )
+
+    emb = ensure_min_parallelism(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", as_double(F.col("embedding")).alias("vec"))
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("vec"), _PLANES))
     q = bucketed.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        norm(F.col("vec")).alias("q_norm"),
+        "bucket",
     )
     c = bucketed.select(
-        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), "bucket"
+        F.col("vec_id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        norm(F.col("vec")).alias("n_norm"),
+        "bucket",
     )
+    pair_dot = dot_arrow()  # Arrow-batched: the fold expression has no codegen
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ),
+        )
         .select("q_id", "n_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
