@@ -72,6 +72,7 @@ def _load_modules() -> None:
         dedup,
         functions_extra,
         relational,
+        relational_extra,
         similarity,
         text,
         windows,
