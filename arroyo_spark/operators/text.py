@@ -36,6 +36,26 @@ def unique_token_count(col: Column | str = "text") -> Column:
     return F.size(F.array_distinct(toks(col))).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer pattern: contraction suffixes, letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed), whitespace
+# runs. Pure alternation + character classes — identical leftmost-first
+# semantics under Java regex (Spark) and RE2 (DuckDB), so counts are
+# engine-portable.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def bpe_token_count(col: Column | str = "text") -> Column:
+    """Approximate LLM token count: matches of the GPT-2-ish pre-tokenizer
+    regex, excluding pure-whitespace runs. Upper-bounds the true BPE count
+    (BPE only merges within pre-tokens) and tracks it closely on prose."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S"))).cast("bigint")
+
+
 def avg_token_len(col: Column | str = "text") -> Column:
     t = toks(col)
     total = F.aggregate(

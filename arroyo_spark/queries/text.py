@@ -145,3 +145,33 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint_md5("text").alias("fp_md5"),
         T.fingerprint_poly("text").alias("fp_poly"),
     )
+
+
+_BPE_SQL_PATTERN = T.BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             regexp_extract_all(text, '{_BPE_SQL_PATTERN}'),
+             p -> regexp_matches(p, '\\S')
+           )) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-LLM-token vs whitespace token counts per document.
+
+    The GPT-2-ish pre-tokenizer regex (operators/text.BPE_TOKEN_PATTERN) is
+    pure alternation + character classes so Spark (Java regex) and DuckDB
+    (RE2) count identically; a narrow projection stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )

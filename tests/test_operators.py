@@ -260,3 +260,25 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+# --- text: BPE-ish token counting ------------------------------------------
+
+
+def test_bpe_token_count_discriminates(spark):
+    from arroyo_spark.operators.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [
+            ("hello world",),          # 2 ws tokens, 2 bpe pieces
+            ("don't stop",),           # 2 ws tokens, 4 bpe ("don","'t"," stop"... )
+            ("a1b2",),                 # 1 ws token, 4 bpe (letter/digit runs split)
+            ("end. Next, go!",),       # punctuation split off
+        ],
+        ["text"],
+    )
+    rows = df.select(
+        bpe_token_count("text").alias("bpe"), token_count("text").alias("ws")
+    ).collect()
+    assert [r["bpe"] for r in rows] == [2, 3, 4, 6]
+    assert [r["ws"] for r in rows] == [2, 2, 1, 3]
