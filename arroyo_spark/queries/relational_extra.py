@@ -256,18 +256,29 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "join", "aggregate", "tpch"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window form, not aggregate-and-join-back: restrict lineitem to the
+    # brand's parts first (broadcast), then ONE shuffle on l_partkey
+    # computes the per-part average threshold in place. The alternative
+    # (groupBy over ALL parts + join back) shuffles the whole fact table
+    # twice and aggregates parts nobody asked about. The decimal-routed
+    # sum/count pair matches the oracle's exact average.
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    limits = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (0.2 * (dec_sum("l_quantity") / F.count(F.lit(1)))).alias("qty_limit")
+    w = Window.partitionBy("l_partkey")
+    qty_limit = 0.2 * (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(limits, F.col("t_partkey") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(
-            F.round(dec_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
         )
+        .withColumn("qty_limit", qty_limit)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(dec_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
 
 

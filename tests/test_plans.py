@@ -85,3 +85,49 @@ def test_knn_scores_without_pair_join(spark, sf_dir):
 def test_minhash_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_order_priority_check")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the order-date range reaches the orders scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q22_anti_join_scalar_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan, plan[:2000]
+    # the scalar average arrives via broadcast, never a driver collect
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_single_fact_scan_window(spark, sf_dir):
+    # window form: lineitem is scanned ONCE; the per-part threshold comes
+    # from a window over the brand-restricted rows, not an agg+join-back
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    scans = [
+        l for l in plan.splitlines() if "Location: InMemoryFileIndex" in l
+    ]
+    li_scans = [l for l in scans if "lineitem" in l]
+    assert len(li_scans) == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rollup_is_single_pass_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rollup_revenue_by_region_nation")
+    assert "Expand" in plan, plan[:2000]
+    # grouping sets expand in one pass over one orders scan
+    scans = [
+        l
+        for l in plan.splitlines()
+        if "Location: InMemoryFileIndex" in l and "orders" in l
+    ]
+    assert len(scans) == 1
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_orders")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
