@@ -87,7 +87,9 @@ def extract_image_features(
             pdf["feat_bytes"] = [len(bytes(b)) for b in pdf[blob_col]]
             yield pdf
 
-    return df.mapInPandas(mapper, schema)
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(mapper, schema)
 
 
 def resize_images(
@@ -133,7 +135,9 @@ def sample_video_frames(
                     frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.mapInPandas(mapper, schema)
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(mapper, schema)
 
 
 def content_hash(df: DataFrame, blob_col: str = "content") -> DataFrame:

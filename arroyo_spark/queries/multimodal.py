@@ -1,0 +1,89 @@
+"""Multimodal-pipeline suite queries: binary media columns processed by the
+real `mapInPandas` plumbing (`arroyo_spark/multimodal.py`).
+
+The container has no codec libraries, so the `FakeDecoder` produces
+deterministic measurements derived from the blob bytes — which makes the
+whole pipeline ORACLE-CHECKABLE: DuckDB recomputes the same arithmetic
+directly on `octet_length(encode(text))`, while Spark actually routes the
+blobs through Arrow batches into Python and back. A real deployment swaps
+the decoder for PIL/ffmpeg; schemas, partitioning and batch shapes stay
+exactly as exercised here.
+
+The media table is derived from `documents` (text -> UTF-8 bytes), the only
+blob-able driver table; at scale the source would be a parquet/iceberg table
+with a real binary column and the same schema contract (`media_schema()`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.suite import query
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+@query(
+    "mm_image_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS feat_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS feat_height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS feat_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    tags=("multimodal", "mapinpandas"),
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction + content-addressed hashing over a binary
+    media column. The blobs cross into Python via Arrow (mapInPandas),
+    features come back typed; the sha runs JVM-side on the same bytes."""
+    from arroyo_spark.multimodal import content_hash, extract_image_features
+
+    feats = content_hash(extract_image_features(_media(spark, sf_dir)))
+    return feats.select(
+        "media_id", "feat_width", "feat_height", "feat_bytes", "content_sha"
+    )
+
+
+@query(
+    "mm_video_frame_stats",
+    oracle="""
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST((len - i + n - 1) // n AS BIGINT) AS frame_bytes
+    FROM (
+      SELECT doc_id AS media_id, len, n,
+             unnest(range(CAST(least(n, 8) AS BIGINT))) AS i
+      FROM (
+        SELECT doc_id,
+               octet_length(encode(text)) AS len,
+               greatest(1, octet_length(encode(text)) // 1000) AS n
+        FROM documents
+      ) b
+    ) t
+    """,
+    tags=("multimodal", "mapinpandas", "explode"),
+)
+def mm_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each media row explodes into frame rows inside
+    mapInPandas (the 1:N batch shape real decoders need). The FakeDecoder's
+    stride-slice frames have closed-form sizes, so DuckDB can verify the
+    exploded row set exactly."""
+    from arroyo_spark.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+    )

@@ -308,18 +308,21 @@ def window_fn_most_active_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def nexmark_q5_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-window argmax as a window function over the (small) per-(window,
+    # user) counts — NOT a self-join against a groupBy-max branch: Spark
+    # plans that join without exchange reuse, so the whole hop-explode +
+    # aggregate pipeline would run twice. Here the fact table is scanned
+    # and exploded once; the max rides a window over the already-reduced
+    # counts (one extra small shuffle on window_start_us).
     ev = load_table(spark, sf_dir, "events")
     counts = (
         hop(ev, ["user_id"], "ts", "2 hours", "30 minutes")
         .agg(F.count(F.lit(1)).alias("num"))
         .select(window_start_us(), "user_id", "num")
     )
-    maxes = counts.groupBy("window_start_us").agg(F.max("num").alias("maxn"))
+    w = Window.partitionBy("window_start_us")
     return (
-        counts.join(
-            maxes.withColumnRenamed("window_start_us", "mws"),
-            (F.col("window_start_us") == F.col("mws"))
-            & (F.col("num") >= F.col("maxn")),
-        )
+        counts.withColumn("maxn", F.max("num").over(w))
+        .filter(F.col("num") >= F.col("maxn"))
         .select("window_start_us", "user_id", "num")
     )

@@ -71,6 +71,7 @@ def _load_modules() -> None:
     from arroyo_spark.queries import (  # noqa: F401
         dedup,
         functions_extra,
+        multimodal,
         relational,
         relational_extra,
         similarity,
