@@ -326,3 +326,55 @@ def nexmark_q5_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("num") >= F.col("maxn"))
         .select("window_start_us", "user_id", "num")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL window-function census: every ranking / distribution / navigation /
+# frame-aggregate function the reference exposes through DataFusion's
+# window machinery (WindowFunction operator, SURVEY §2.1), in one pass.
+# One shuffle on event_type; the unique (ts, event_id) ordering makes every
+# function deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_fn_census",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS pctr,
+           round(cume_dist() OVER w, 6) AS cumed,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(lag(value, 1) OVER w, 6) AS prev_value,
+           round(lead(value, 1) OVER w, 6) AS next_value,
+           round(first_value(value) OVER w, 6) AS first_val,
+           round(nth_value(value, 3) OVER w, 6) AS third_val,
+           round(avg(value) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+    tags=("window-fn", "census"),
+)
+def window_fn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    moving = w.rowsBetween(-3, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pctr"),
+        F.round(F.cume_dist().over(w), 6).alias("cumed"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+        F.round(F.first("value").over(w), 6).alias("first_val"),
+        F.round(F.nth_value("value", 3).over(w), 6).alias("third_val"),
+        F.round(F.avg("value").over(moving), 6).alias("mov_avg"),
+    )
