@@ -14,7 +14,8 @@ aggregation over all input. Streaming execution of the same plans is
 available through `arroyo_spark.streaming` (same operators).
 
 Supported connectors: `single_file` / `filesystem` (json, parquet) sources
-and sinks, memory tables, preview. Kafka maps to Spark's native connector
+and sinks, memory tables, preview, `blackhole` (discard) and `stdout`
+(print) sinks. Kafka maps to Spark's native connector
 and is intentionally not wrapped here.
 
 `mode="streaming"` executes the same script through Structured Streaming:
@@ -537,6 +538,18 @@ class Pipeline:
             df = result.sinks[sink.name].unionByName(df)
         result.sinks[sink.name] = df
         result.sink_formats[sink.name] = str(sink.options.get("format", "json"))
+        conn = (sink.connector or "").lower()
+        if conn == "blackhole":
+            # reference's null sink (connectors/src/blackhole): consume and
+            # discard. Forcing execution here preserves side effects (e.g.
+            # bad_data=fail surfacing parse errors) like the real sink does.
+            df.write.format("noop").mode("overwrite").save()
+            return
+        if conn == "stdout":
+            # reference's stdout sink: serialized records to standard out
+            for line in result.sink_json(sink.name):
+                print(line)
+            return
         path = sink.options.get("path")
         if path:
             out = self._substitute(str(path))

@@ -820,3 +820,25 @@ def test_planner_corpus_parses():
             assert name not in REWRITE_LEVEL_FAILS, (
                 f"{name} should fail at rewrite level"
             )
+
+
+def test_blackhole_and_stdout_sinks(spark, tmp_path, capsys):
+    """Reference connectors blackhole (discard) and stdout (print lines):
+    arroyo-connectors/src/{blackhole,stdout} — no path, always available."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src = tmp_path / "in.json"
+    src.write_text('{"k": 1}\n{"k": 2}\n')
+    res = Pipeline(spark, {"$in": str(src)}).run_script(
+        """
+        CREATE TABLE t (k BIGINT) WITH (connector = 'single_file',
+          path = '$in', format = 'json', type = 'source');
+        CREATE TABLE devnull (k BIGINT) WITH (connector = 'blackhole', type = 'sink');
+        CREATE TABLE console (k BIGINT) WITH (connector = 'stdout', type = 'sink');
+        INSERT INTO devnull SELECT k FROM t;
+        INSERT INTO console SELECT k * 10 AS k FROM t
+        """
+    )
+    out = capsys.readouterr().out.splitlines()
+    assert '{"k":10}' in out and '{"k":20}' in out
+    assert res.sinks["devnull"].count() == 2
