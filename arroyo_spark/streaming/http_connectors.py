@@ -1,0 +1,241 @@
+"""HTTP-family connectors: polling_http source, SSE (server-sent events)
+source, webhook sink.
+
+Mirrors the reference connectors (all parallelism-1 ingest clients there):
+- polling_http (`arroyo-connectors/src/polling_http/operator.rs`): fetch the
+  endpoint every `poll_interval_ms`, one message per response body;
+  `emit_behavior = all | changed` (changed: drop bodies identical to the
+  previous one, operator.rs:191-201).
+- sse (`arroyo-connectors/src/sse/operator.rs`): subscribe to a
+  text/event-stream; optional `events` list filters by event type
+  (operator.rs:160,180); each event's data is one message.
+- webhook (`arroyo-connectors/src/webhook/operator.rs`): POST each
+  serialized record to the URL with bounded concurrency and retries.
+
+Spark-first architecture — the spool pattern: HTTP endpoints are inherently
+single-client, so the fetcher runs as ONE lightweight thread (driver-side
+here; a sidecar service against object storage on a real cluster) that
+appends messages to a spool directory. Executors consume the spool through
+the regular file stream source, which restores distribution, checkpointing
+and replay — the spool is the durable ingest log the raw protocol lacks.
+Backpressure and exactly-once then come for free from Structured Streaming.
+
+Everything uses only the standard library (urllib/http.client), so the
+connectors run in this container and are tested against a localhost server
+(tests/test_http_connectors.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.request
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SpoolWriter:
+    """Appends messages to numbered files in a spool directory (one file per
+    flush keeps the file-stream source's discovery cheap and ordered)."""
+
+    def __init__(self, spool_dir: str) -> None:
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._seq = 0
+
+    def write(self, messages: Iterable[str]) -> int:
+        lines = [m for m in messages if m]
+        if not lines:
+            return 0
+        path = os.path.join(self.spool_dir, f"{self._seq:012d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.rename(tmp, path)  # atomic: the stream never sees partial files
+        self._seq += 1
+        return len(lines)
+
+
+class _IngestThread:
+    """Base: a stoppable fetch loop feeding a SpoolWriter."""
+
+    def __init__(self, spool_dir: str) -> None:
+        self.writer = SpoolWriter(spool_dir)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.messages_written = 0
+        self.error: Exception | None = None
+
+    def start(self) -> "_IngestThread":
+        self._thread = threading.Thread(target=self._guarded_run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _guarded_run(self) -> None:
+        try:
+            self._run()
+        except Exception as e:  # surfaced to the caller via .error
+            self.error = e
+
+    def _run(self) -> None:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def wait(self, timeout: float = 30.0) -> None:
+        """Block until the fetch loop finishes on its own (bounded sources:
+        max_polls reached, stream closed by the server)."""
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
+class HttpPoller(_IngestThread):
+    """polling_http source client: one response body = one message."""
+
+    def __init__(
+        self,
+        url: str,
+        spool_dir: str,
+        poll_interval_ms: int = 1000,
+        emit_behavior: str = "all",
+        method: str = "GET",
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
+        max_polls: int | None = None,
+    ) -> None:
+        super().__init__(spool_dir)
+        if emit_behavior not in ("all", "changed"):
+            raise ValueError(f"invalid value for 'emit_behavior': {emit_behavior}")
+        self.url = url
+        self.poll_interval_ms = poll_interval_ms
+        self.emit_behavior = emit_behavior
+        self.method = method
+        self.body = body
+        self.headers = headers or {}
+        self.max_polls = max_polls  # bounded polling for tests / batch capture
+        self._last: bytes | None = None
+
+    def _run(self) -> None:
+        polls = 0
+        while not self._stop.is_set():
+            req = urllib.request.Request(
+                self.url, data=self.body, headers=self.headers, method=self.method
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                buf = resp.read()
+            if not (self.emit_behavior == "changed" and buf == self._last):
+                self._last = buf
+                self.messages_written += self.writer.write(
+                    [buf.decode("utf-8", "replace").strip()]
+                )
+            polls += 1
+            if self.max_polls is not None and polls >= self.max_polls:
+                return
+            self._stop.wait(self.poll_interval_ms / 1000.0)
+
+
+class SseClient(_IngestThread):
+    """SSE source client: parses text/event-stream frames; each event's data
+    becomes one message, optionally filtered by event type."""
+
+    def __init__(
+        self,
+        url: str,
+        spool_dir: str,
+        events: tuple[str, ...] = (),
+        headers: dict[str, str] | None = None,
+    ) -> None:
+        super().__init__(spool_dir)
+        self.url = url
+        self.events = set(events)
+        self.headers = headers or {}
+
+    def _run(self) -> None:
+        req = urllib.request.Request(self.url, headers=self.headers)
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            event_type, data_lines = "message", []
+            for raw in resp:
+                if self._stop.is_set():
+                    return
+                line = raw.decode("utf-8", "replace").rstrip("\n").rstrip("\r")
+                if line == "":
+                    if data_lines and (not self.events or event_type in self.events):
+                        self.messages_written += self.writer.write(
+                            ["\n".join(data_lines)]
+                        )
+                    event_type, data_lines = "message", []
+                elif line.startswith("event:"):
+                    event_type = line[len("event:"):].strip()
+                elif line.startswith("data:"):
+                    data_lines.append(line[len("data:"):].strip())
+                # comments (':') and other fields are ignored per the spec
+
+
+def spool_stream(
+    spark: SparkSession, spool_dir: str, schema: str | None = None
+) -> DataFrame:
+    """The executor-side half: a streaming DataFrame over the spool.
+    With a schema the messages parse as JSON; without, one `value` string
+    column (the raw_string shape)."""
+    reader = spark.readStream.option("maxFilesPerTrigger", 16)
+    glob = os.path.join(spool_dir, "[0-9]*.jsonl")
+    if schema is not None:
+        return reader.schema(schema).json(glob)
+    return reader.text(glob)
+
+
+def webhook_sink(
+    df: DataFrame,
+    url: str,
+    serialize: Callable[[dict], str] = lambda row: json.dumps(row),
+    max_concurrency: int = 4,
+    max_retries: int = 3,
+    headers: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """POST each record to `url` (streaming foreachBatch or batch).
+
+    Concurrency is bounded per batch partition (reference: a semaphore,
+    operator.rs:47-52); failed posts retry with backoff. Rows serialize
+    driver-of-the-partition-side, never to the driver — the sink scales
+    with executors, subject to the endpoint's own capacity."""
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+
+    def _post_rows(rows) -> None:
+        # imported here: this closure runs on executors, where the driver's
+        # module-level `import urllib.request` has not populated the package
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        def post(body: str) -> None:
+            for attempt in range(max_retries):
+                try:
+                    req = urllib.request.Request(
+                        url, data=body.encode(), headers=hdrs, method="POST"
+                    )
+                    urllib.request.urlopen(req, timeout=30).read()
+                    return
+                except Exception:
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(0.2 * (2**attempt))
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            list(pool.map(post, (serialize(r.asDict()) for r in rows)))
+
+    def _sink_batch(batch_df: DataFrame, batch_id: int | None = None) -> None:
+        batch_df.foreachPartition(_post_rows)
+
+    if df.isStreaming:
+        writer = df.writeStream.foreachBatch(_sink_batch)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer
+    _sink_batch(df)
+    return None

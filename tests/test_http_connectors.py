@@ -1,0 +1,149 @@
+"""HTTP-family connector tests against a localhost server (no external
+network): polling_http / SSE sources spool into a file-stream, the webhook
+sink POSTs records back.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from arroyo_spark.streaming.http_connectors import (
+    HttpPoller,
+    SseClient,
+    spool_stream,
+    webhook_sink,
+)
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    polls = 0
+    posted: list[bytes] = []
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/poll":
+            type(self).polls += 1
+            # two distinct bodies, then repeats (exercises emit_behavior)
+            body = json.dumps({"n": min(type(self).polls, 2)}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/sse":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            frames = (
+                "event: add\ndata: {\"x\": 1}\n\n"
+                ": comment line\n"
+                "event: drop\ndata: {\"x\": 2}\n\n"
+                "data: {\"x\": 3}\n\n"  # default event type "message"
+                "event: add\ndata: {\"x\": 4}\n\n"
+            )
+            self.wfile.write(frames.encode())
+        else:
+            self.send_error(404)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        type(self).posted.append(self.rfile.read(n))
+        self.send_response(200)
+        self.send_header("Content-Length", "2")
+        self.end_headers()
+        self.wfile.write(b"ok")
+
+
+@pytest.fixture()
+def http_server():
+    _Handler.polls = 0
+    _Handler.posted = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_polling_http_all_and_changed(http_server, tmp_path):
+    all_dir, chg_dir = str(tmp_path / "all"), str(tmp_path / "chg")
+    p1 = HttpPoller(
+        f"{http_server}/poll", all_dir, poll_interval_ms=10, max_polls=4
+    ).start()
+    p1.wait()
+    assert p1.error is None
+    assert p1.messages_written == 4  # emit_behavior=all: every poll emits
+
+    p2 = HttpPoller(
+        f"{http_server}/poll",
+        chg_dir,
+        poll_interval_ms=10,
+        emit_behavior="changed",
+        max_polls=4,
+    ).start()
+    p2.wait()
+    assert p2.error is None
+    # bodies: n=2 (server counts on), n=2, n=2, n=2 -> only the first emits
+    assert p2.messages_written == 1
+
+    with pytest.raises(ValueError, match="emit_behavior"):
+        HttpPoller(f"{http_server}/poll", str(tmp_path / "x"), emit_behavior="bogus")
+
+
+def test_sse_event_filter(http_server, tmp_path):
+    spool = str(tmp_path / "sse")
+    c = SseClient(f"{http_server}/sse", spool, events=("add",)).start()
+    c.wait()
+    assert c.error is None
+    assert c.messages_written == 2  # 'drop' and default-type events filtered
+    import glob
+
+    got = []
+    for f in sorted(glob.glob(f"{spool}/*.jsonl")):
+        got.extend(json.loads(l) for l in open(f))
+    assert got == [{"x": 1}, {"x": 4}]
+
+
+def test_sse_no_filter_takes_all(http_server, tmp_path):
+    spool = str(tmp_path / "sse_all")
+    c = SseClient(f"{http_server}/sse", spool).start()
+    c.wait()
+    assert c.error is None
+    assert c.messages_written == 4
+
+
+def test_spool_feeds_structured_streaming(http_server, spark, tmp_path):
+    """End-to-end: poller spools -> file stream parses -> foreachBatch."""
+    spool = str(tmp_path / "spool")
+    p = HttpPoller(
+        f"{http_server}/poll", spool, poll_interval_ms=10, max_polls=3
+    ).start()
+    p.wait()
+    assert p.error is None and p.messages_written == 3
+    stream = spool_stream(spark, spool, schema="n bigint")
+    seen: list[int] = []
+
+    def collect(batch_df, _):
+        seen.extend(r["n"] for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [1, 2, 2]
+
+
+def test_webhook_sink_posts_every_record(http_server, spark):
+    df = spark.range(5).selectExpr("id AS k", "id * 2 AS v")
+    webhook_sink(df, f"{http_server}/hook", max_concurrency=2)
+    got = sorted((json.loads(b) for b in _Handler.posted), key=lambda d: d["k"])
+    assert got == [{"k": i, "v": 2 * i} for i in range(5)]
