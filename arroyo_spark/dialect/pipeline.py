@@ -259,12 +259,65 @@ class Pipeline:
         os.utime(sentinel, (later, later))
         return staged
 
+    def _capture_http_source(self, t: TableDef) -> str:
+        """polling_http / sse DDL sources (prometheus.sql / mastodon_trends.sql
+        shapes): run the ingest client to completion into a spool directory,
+        then read the spool like any file source. A live deployment keeps the
+        client running as a sidecar and streams the spool instead
+        (streaming/http_connectors docstring); run_script is
+        run-to-completion, so the bounded capture is the faithful analog."""
+        import tempfile
+
+        from arroyo_spark.streaming.http_connectors import HttpPoller, SseClient
+
+        endpoint = t.options.get("endpoint")
+        if endpoint is None:
+            raise PlanError(f"{t.connector} table {t.name} needs an 'endpoint'")
+        endpoint = self._substitute(str(endpoint))
+        headers = {}
+        for pair in str(t.options.get("headers", "")).split(","):
+            if ":" in pair:
+                k, v = pair.split(":", 1)
+                headers[k.strip()] = v.strip()
+        spool = tempfile.mkdtemp(prefix=f"{t.connector}_{t.name}_")
+        if t.connector == "polling_http":
+            client = HttpPoller(
+                endpoint,
+                spool,
+                poll_interval_ms=int(t.options.get("poll_interval_ms", 1000)),
+                emit_behavior=str(t.options.get("emit_behavior", "all")),
+                method=str(t.options.get("method", "GET")),
+                body=str(t.options["body"]).encode() if "body" in t.options else None,
+                headers=headers,
+                framing=t.options.get("framing"),
+                max_polls=int(t.options.get("max_polls", 1)),
+            )
+        else:
+            events = str(t.options.get("events", ""))
+            client = SseClient(
+                endpoint,
+                spool,
+                events=tuple(e for e in events.split(",") if e),
+                headers=headers,
+            )
+        client.start()
+        client.wait()
+        client.stop()
+        if client.error is not None:
+            raise PlanError(
+                f"{t.connector} source {t.name} failed: {client.error}"
+            )
+        return spool
+
     def _register_source(self, t: TableDef) -> None:
         fmt = str(t.options.get("format", "json"))
-        path = t.options.get("path")
-        if path is None:
-            raise PlanError(f"source table {t.name} needs a 'path' option")
-        path = self._substitute(str(path))
+        if (t.connector or "").lower() in ("polling_http", "sse"):
+            path = self._capture_http_source(t)
+        else:
+            path = t.options.get("path")
+            if path is None:
+                raise PlanError(f"source table {t.name} needs a 'path' option")
+            path = self._substitute(str(path))
         # lookup/dim tables stay static even in streaming mode: the
         # reference's lookup join is a per-record lookup against current
         # table state, i.e. Spark's stream-STATIC join (re-read per batch)
@@ -549,6 +602,27 @@ class Pipeline:
             # reference's stdout sink: serialized records to standard out
             for line in result.sink_json(sink.name):
                 print(line)
+            return
+        if conn == "webhook":
+            # reference's webhook sink (webhook/operator.rs): POST each
+            # serialized record; encoding follows the declared format
+            from arroyo_spark.streaming.http_connectors import webhook_sink
+
+            endpoint = sink.options.get("endpoint")
+            if endpoint is None:
+                raise PlanError(f"webhook sink {sink.name} needs an 'endpoint'")
+            fmt = result.sink_formats[sink.name]
+            if fmt == DEBEZIUM_FORMAT:
+                enc = to_debezium_json(df)
+            elif fmt == "raw_string":
+                enc = df.select(F.col(df.columns[0]).cast("string").alias("value"))
+            else:
+                enc = to_arroyo_json(df)
+            webhook_sink(
+                enc,
+                self._substitute(str(endpoint)),
+                serialize=lambda d: d["value"],
+            )
             return
         path = sink.options.get("path")
         if path:

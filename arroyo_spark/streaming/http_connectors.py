@@ -108,10 +108,13 @@ class HttpPoller(_IngestThread):
         body: bytes | None = None,
         headers: dict[str, str] | None = None,
         max_polls: int | None = None,
+        framing: str | None = None,
     ) -> None:
         super().__init__(spool_dir)
         if emit_behavior not in ("all", "changed"):
             raise ValueError(f"invalid value for 'emit_behavior': {emit_behavior}")
+        if framing not in (None, "newline"):
+            raise ValueError(f"unsupported framing: {framing!r}")
         self.url = url
         self.poll_interval_ms = poll_interval_ms
         self.emit_behavior = emit_behavior
@@ -119,6 +122,7 @@ class HttpPoller(_IngestThread):
         self.body = body
         self.headers = headers or {}
         self.max_polls = max_polls  # bounded polling for tests / batch capture
+        self.framing = framing  # 'newline': each body line is a message
         self._last: bytes | None = None
 
     def _run(self) -> None:
@@ -131,9 +135,13 @@ class HttpPoller(_IngestThread):
                 buf = resp.read()
             if not (self.emit_behavior == "changed" and buf == self._last):
                 self._last = buf
-                self.messages_written += self.writer.write(
-                    [buf.decode("utf-8", "replace").strip()]
+                text = buf.decode("utf-8", "replace")
+                msgs = (
+                    text.splitlines()
+                    if self.framing == "newline"
+                    else [text.strip()]
                 )
+                self.messages_written += self.writer.write(msgs)
             polls += 1
             if self.max_polls is not None and polls >= self.max_polls:
                 return

@@ -147,3 +147,42 @@ def test_webhook_sink_posts_every_record(http_server, spark):
     webhook_sink(df, f"{http_server}/hook", max_concurrency=2)
     got = sorted((json.loads(b) for b in _Handler.posted), key=lambda d: d["k"])
     assert got == [{"k": i, "v": 2 * i} for i in range(5)]
+
+
+def test_dialect_polling_http_to_webhook(http_server, spark):
+    """DDL-declared HTTP connectors end-to-end (prometheus.sql shape):
+    polling_http source (bounded capture) -> filter -> webhook sink."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark, {"$base": http_server}).run_script(
+        """
+        CREATE TABLE metrics (
+          value TEXT NOT NULL,
+          n BIGINT GENERATED ALWAYS AS (CAST(get_json_object(value, '$.n') AS BIGINT))
+        ) WITH (connector = 'polling_http', endpoint = '$base/poll',
+                format = 'raw_string', framing = 'newline',
+                poll_interval_ms = '10', max_polls = '3');
+        CREATE TABLE hook (value TEXT) WITH (
+          connector = 'webhook', endpoint = '$base/hook',
+          format = 'raw_string', type = 'sink');
+        INSERT INTO hook SELECT value FROM metrics WHERE n >= 2
+        """
+    )
+    assert res.sinks["hook"].count() == 2  # polls 2 and 3 both return n=2
+    assert sorted(_Handler.posted) == [b'{"n": 2}', b'{"n": 2}']
+
+
+def test_dialect_sse_source(http_server, spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark, {"$base": http_server}).run_script(
+        """
+        CREATE TABLE mastodon (value TEXT NOT NULL) WITH (
+          connector = 'sse', endpoint = '$base/sse',
+          format = 'raw_string', events = 'add');
+        CREATE TABLE out (value TEXT) WITH (connector = 'stdout',
+          format = 'raw_string', type = 'sink');
+        INSERT INTO out SELECT value FROM mastodon
+        """
+    )
+    assert sorted(res.sink_json("out")) == ['{"x": 1}', '{"x": 4}']
