@@ -268,7 +268,11 @@ class Pipeline:
         run-to-completion, so the bounded capture is the faithful analog."""
         import tempfile
 
-        from arroyo_spark.streaming.http_connectors import HttpPoller, SseClient
+        from arroyo_spark.streaming.http_connectors import (
+            HttpPoller,
+            SseClient,
+            WebSocketClient,
+        )
 
         endpoint = t.options.get("endpoint")
         if endpoint is None:
@@ -292,6 +296,15 @@ class Pipeline:
                 framing=t.options.get("framing"),
                 max_polls=int(t.options.get("max_polls", 1)),
             )
+        elif t.connector == "websocket":
+            subs = [
+                str(v)
+                for k, v in sorted(t.options.items())
+                if k.startswith("subscription_message")
+            ]
+            client = WebSocketClient(
+                endpoint, spool, subscription_messages=tuple(subs), headers=headers
+            )
         else:
             events = str(t.options.get("events", ""))
             client = SseClient(
@@ -311,7 +324,7 @@ class Pipeline:
 
     def _register_source(self, t: TableDef) -> None:
         fmt = str(t.options.get("format", "json"))
-        if (t.connector or "").lower() in ("polling_http", "sse"):
+        if (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
             path = self._capture_http_source(t)
         else:
             path = t.options.get("path")

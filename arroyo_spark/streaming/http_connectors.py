@@ -185,6 +185,130 @@ class SseClient(_IngestThread):
                 # comments (':') and other fields are ignored per the spec
 
 
+class WebSocketClient(_IngestThread):
+    """websocket source client (`arroyo-connectors/src/websocket/mod.rs`):
+    connect, send the optional subscription messages, then every received
+    text message is one spooled record. Minimal RFC 6455 implementation on
+    a plain socket (no websocket library in the container): HTTP upgrade
+    handshake, masked client frames, text/ping/close server frames."""
+
+    _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+    def __init__(
+        self,
+        url: str,
+        spool_dir: str,
+        subscription_messages: tuple[str, ...] = (),
+        headers: dict[str, str] | None = None,
+    ) -> None:
+        super().__init__(spool_dir)
+        self.url = url
+        self.subscription_messages = subscription_messages
+        self.headers = headers or {}
+
+    @staticmethod
+    def _mask_frame(opcode: int, payload: bytes) -> bytes:
+        import secrets
+
+        head = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([0x80 | n])
+        elif n < 1 << 16:
+            head += bytes([0x80 | 126]) + n.to_bytes(2, "big")
+        else:
+            head += bytes([0x80 | 127]) + n.to_bytes(8, "big")
+        key = secrets.token_bytes(4)
+        masked = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        return head + key + masked
+
+    def _run(self) -> None:
+        import base64
+        import hashlib
+        import secrets
+        import socket
+        from urllib.parse import urlparse
+
+        u = urlparse(self.url)
+        port = u.port or (443 if u.scheme in ("wss", "https") else 80)
+        path = u.path or "/"
+        if u.query:
+            path += "?" + u.query
+        sock = socket.create_connection((u.hostname, port), timeout=60)
+        if u.scheme in ("wss", "https"):
+            import ssl
+
+            sock = ssl.create_default_context().wrap_socket(
+                sock, server_hostname=u.hostname
+            )
+        try:
+            key = base64.b64encode(secrets.token_bytes(16)).decode()
+            req = (
+                f"GET {path} HTTP/1.1\r\nHost: {u.hostname}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n"
+            )
+            for k, v in self.headers.items():
+                req += f"{k}: {v}\r\n"
+            sock.sendall((req + "\r\n").encode())
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    raise ConnectionError("websocket handshake: connection closed")
+                resp += chunk
+            status = resp.split(b"\r\n", 1)[0]
+            if b"101" not in status:
+                raise ConnectionError(f"websocket upgrade refused: {status!r}")
+            want = base64.b64encode(
+                hashlib.sha1((key + self._GUID).encode()).digest()
+            )
+            if want not in resp:
+                raise ConnectionError("websocket handshake: bad accept key")
+            for msg in self.subscription_messages:
+                sock.sendall(self._mask_frame(0x1, msg.encode()))
+            buf = resp.split(b"\r\n\r\n", 1)[1]
+
+            def need(n: int) -> bytes:
+                nonlocal buf
+                while len(buf) < n:
+                    chunk = sock.recv(4096)
+                    if not chunk:
+                        raise ConnectionError("websocket: connection closed")
+                    buf += chunk
+                out, buf = buf[:n], buf[n:]
+                return out
+
+            fragments: list[bytes] = []
+            while not self._stop.is_set():
+                b1, b2 = need(2)
+                fin, opcode = b1 & 0x80, b1 & 0x0F
+                ln = b2 & 0x7F
+                if ln == 126:
+                    ln = int.from_bytes(need(2), "big")
+                elif ln == 127:
+                    ln = int.from_bytes(need(8), "big")
+                mask = need(4) if b2 & 0x80 else b""
+                payload = need(ln)
+                if mask:
+                    payload = bytes(
+                        c ^ mask[i % 4] for i, c in enumerate(payload)
+                    )
+                if opcode == 0x8:  # close
+                    return
+                if opcode == 0x9:  # ping -> pong
+                    sock.sendall(self._mask_frame(0xA, payload))
+                    continue
+                if opcode in (0x1, 0x2, 0x0):  # text/binary/continuation
+                    fragments.append(payload)
+                    if fin:
+                        text = b"".join(fragments).decode("utf-8", "replace")
+                        self.messages_written += self.writer.write([text])
+                        fragments = []
+        finally:
+            sock.close()
+
+
 def spool_stream(
     spark: SparkSession, spool_dir: str, schema: str | None = None
 ) -> DataFrame:

@@ -186,3 +186,104 @@ def test_dialect_sse_source(http_server, spark):
         """
     )
     assert sorted(res.sink_json("out")) == ['{"x": 1}', '{"x": 4}']
+
+
+# --- websocket -------------------------------------------------------------
+
+
+def _ws_accept(key: str) -> str:
+    import base64
+    import hashlib
+
+    guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+    return base64.b64encode(hashlib.sha1((key + guid).encode()).digest()).decode()
+
+
+def _ws_frame(opcode: int, payload: bytes) -> bytes:
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    else:
+        head += bytes([126]) + n.to_bytes(2, "big")
+    return head + payload
+
+
+@pytest.fixture()
+def ws_server():
+    """Minimal RFC 6455 server: handshake, read one (masked) subscription
+    frame, echo it back, send two more texts + a ping, then close."""
+    import re
+    import socket
+
+    received: list[bytes] = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.settimeout(30)
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        key = re.search(rb"Sec-WebSocket-Key: (\S+)", req).group(1).decode()
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Accept: {_ws_accept(key)}\r\n\r\n"
+            ).encode()
+        )
+        # read the client's (masked) subscription frame
+        hdr = conn.recv(2)
+        ln = hdr[1] & 0x7F
+        mask = conn.recv(4)
+        data = conn.recv(ln)
+        sub = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
+        received.append(sub)
+        conn.sendall(_ws_frame(0x1, b'{"sub_ack": true}'))
+        conn.sendall(_ws_frame(0x1, b'{"seq": 1}'))
+        conn.sendall(_ws_frame(0x9, b"hb"))  # ping -> client must pong
+        conn.sendall(_ws_frame(0x1, b'{"seq": 2}'))
+        conn.sendall(_ws_frame(0x8, b""))  # close
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    yield f"ws://127.0.0.1:{port}/stream", received
+    srv.close()
+
+
+def test_websocket_source(ws_server, tmp_path):
+    from arroyo_spark.streaming.http_connectors import WebSocketClient
+
+    url, received = ws_server
+    c = WebSocketClient(
+        url, str(tmp_path / "ws"), subscription_messages=('{"subscribe": "all"}',)
+    ).start()
+    c.wait()
+    assert c.error is None
+    assert received == [b'{"subscribe": "all"}']
+    assert c.messages_written == 3  # ack + seq1 + seq2; ping handled, not spooled
+
+
+def test_dialect_websocket_source(ws_server, spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    url, received = ws_server
+    res = Pipeline(spark, {"$ws": url}).run_script(
+        """
+        CREATE TABLE feed (
+          value TEXT NOT NULL,
+          seq BIGINT GENERATED ALWAYS AS (CAST(get_json_object(value, '$.seq') AS BIGINT))
+        ) WITH (connector = 'websocket', endpoint = '$ws',
+                format = 'raw_string',
+                subscription_message = '{"subscribe": "all"}');
+        CREATE TABLE out (value TEXT) WITH (connector = 'stdout',
+          format = 'raw_string', type = 'sink');
+        INSERT INTO out SELECT value FROM feed WHERE seq IS NOT NULL
+        """
+    )
+    assert sorted(res.sink_json("out")) == ['{"seq": 1}', '{"seq": 2}']
+    assert received == [b'{"subscribe": "all"}']
