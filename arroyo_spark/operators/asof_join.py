@@ -1,0 +1,118 @@
+"""As-of (temporal) join: for each left row, the most recent right row with
+right_ts <= left_ts (backward; or the earliest with right_ts >= left_ts,
+forward) per key.
+
+The reference explicitly lacks this (SURVEY §2.2: "No as-of or range
+joins"); it is table stakes for timeseries/training-data pipelines
+(point-in-time-correct feature lookup), so it ships as a beyond-reference
+operator with a DuckDB `ASOF JOIN` oracle.
+
+Scale design (100 TB): implemented as union + single window pass, NOT a
+range join —
+
+- A range/inequality join materializes every (left, right) candidate pair
+  before picking the closest: quadratic blow-up on hot keys, and Spark
+  plans it as a broadcast-nested-loop unless one side is tiny.
+- Here both sides are unioned with a side marker, shuffled ONCE on the key,
+  and sorted by (ts, side); `last(right_value, ignorenulls)` over the
+  running frame carries the latest right row forward into each left row.
+  Cost is one shuffle + one sort of |L|+|R| rows — the same as a windowed
+  aggregate — and AQE's skew splitting applies to the sort stage.
+- Ties (right_ts == left_ts) match, like DuckDB's `l.ts >= r.ts`: the side
+  marker sorts right rows first at equal timestamps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    right_values: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Left as-of join. Output = every left row + `right_values` columns
+    from its as-of match (NULL when no match / outside `tolerance`).
+
+    `tolerance`: optional max |left_ts - right_ts| as an interval Column
+    (e.g. ``F.expr("INTERVAL 1 HOUR")``); non-matches keep the left row
+    with NULL right values (left-join semantics, like pandas merge_asof).
+    Right rows should be unique per (keys, right_ts) for determinism —
+    pre-aggregate if they are not.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    overlap = set(right_values) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_values collide with left columns: {overlap}")
+
+    ts = "_asof_ts"
+    side = "_asof_side"  # right=0, left=1: right sorts first at tie -> ties match
+    l_marked = left.select(
+        "*",
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values],
+    )
+    r_marked = right.select(
+        *[
+            # key columns come from whichever side the row is; the rest of
+            # the left schema is typed NULL on right-side rows
+            (
+                F.col(f)
+                if f in keys
+                else F.lit(None).cast(left.schema[f].dataType)
+            ).alias(f)
+            for f in left.columns
+        ],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        *right_values,
+    )
+    both = l_marked.unionByName(r_marked)
+
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col(side).asc()]
+    else:
+        order = [F.col(ts).desc(), F.col(side).asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(F.when(F.col(side) == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_m_{c}")
+            for c in right_values
+        ],
+        F.last(F.when(F.col(side) == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias(matched_ts_col),
+    )
+    out = carried.filter(F.col(side) == 1)
+    in_tol = F.lit(True)
+    if tolerance is not None:
+        gap = (
+            F.col(ts) - F.col(matched_ts_col)
+            if direction == "backward"
+            else F.col(matched_ts_col) - F.col(ts)
+        )
+        in_tol = F.col(matched_ts_col).isNotNull() & (gap <= tolerance)
+    return out.select(
+        *left.columns,
+        *[
+            F.when(in_tol, F.col(f"_m_{c}")).alias(c) for c in right_values
+        ],
+        F.when(in_tol, F.col(matched_ts_col)).alias(matched_ts_col),
+    )

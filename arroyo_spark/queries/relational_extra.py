@@ -475,3 +475,53 @@ def rollup_revenue_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(dec_sum("o_totalprice"), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (beyond-reference operator; point-in-time-correct feature
+# lookup). Oracle: DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           round(c.click_value, 6) AS click_value,
+           epoch_us(c.ts) AS matched_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof-join", "timeseries", "beyond-reference"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.asof_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, keys=["user_id"], right_values=["click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.round("click_value", 6).alias("click_value"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias(
+            "matched_ts_us"
+        ),
+    )

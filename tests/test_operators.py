@@ -282,3 +282,71 @@ def test_bpe_token_count_discriminates(spark):
     ).collect()
     assert [r["bpe"] for r in rows] == [2, 3, 4, 6]
     assert [r["ws"] for r in rows] == [2, 2, 1, 3]
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from arroyo_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 15)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 10, 2.0), ("a", 18, 3.0), ("b", 30, 9.0)],
+        ["k", "t", "v"],
+    )
+    back = {
+        (r["k"], r["t"]): (r["v"], r["matched_ts"])
+        for r in asof_join(left, right, ["k"], ["v"], left_ts="t", right_ts="t").collect()
+    }
+    # tie (t=10) matches; b has no prior right row
+    assert back == {
+        ("a", 10): (2.0, 10),
+        ("a", 20): (3.0, 18),
+        ("b", 15): (None, None),
+    }
+    fwd = {
+        (r["k"], r["t"]): (r["v"], r["matched_ts"])
+        for r in asof_join(
+            left, right, ["k"], ["v"], left_ts="t", right_ts="t",
+            direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        ("a", 10): (2.0, 10),
+        ("a", 20): (None, None),
+        ("b", 15): (9.0, 30),
+    }
+    import pyspark.sql.functions as F
+
+    tol = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], ["v"], left_ts="t", right_ts="t",
+            tolerance=F.lit(2)
+        ).collect()
+    }
+    # a@20 matched 18 (gap 2, kept); a@10 gap 0; b unmatched
+    assert tol == {("a", 10): 2.0, ("a", 20): 3.0, ("b", 15): None}
+
+
+def test_asof_join_plan_is_single_window_no_join(spark):
+    """Scale property: union + one window pass — NO join operator (a range
+    join would be a BroadcastNestedLoop / CartesianProduct blow-up)."""
+    import contextlib
+    import io
+
+    from arroyo_spark.operators.asof_join import asof_join
+
+    left = spark.range(10).selectExpr("id % 3 AS k", "id AS t")
+    right = spark.range(10).selectExpr("id % 3 AS k", "id AS t", "id * 1.0 AS v")
+    df = asof_join(left, right, ["k"], ["v"], left_ts="t", right_ts="t")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan[:2000]
+    assert plan.count("Window (") == 1  # exactly one Window node
