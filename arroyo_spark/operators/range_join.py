@@ -1,0 +1,63 @@
+"""Range (interval-overlap) join without an equi-key: match point values to
+[lo, hi) ranges.
+
+The reference lacks range joins entirely (SURVEY §2.2: "No as-of or range
+joins"); Spark plans a bare `p.v >= r.lo AND p.v < r.hi` join as a
+BroadcastNestedLoopJoin (fine for a broadcastable dim) or, when both sides
+are big, falls off a cliff into an O(|P| x |R|) cartesian filter.
+
+Scale path — bucket-and-verify: quantize the value axis into fixed-width
+buckets; points map to ONE bucket, each range explodes into the buckets it
+covers; an ordinary shuffled equi-join on bucket then meets exactly the
+candidate pairs whose buckets touch, and the precise predicate filters
+them. Shuffle volume is |P| + sum(range_width / bucket_width) rows —
+linear, co-partitionable, AQE-skew-splittable — instead of quadratic.
+`bucket_width` is the knob: pick it near the median range width so most
+ranges explode into O(1) buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Inner join of `points` to every range with lo <= point < hi.
+
+    `extra_keys`: optional equi-key columns present on both sides; they join
+    alongside the bucket (co-partitioning the shuffle even tighter).
+    Output: all point columns + all range columns.
+    """
+    bucket = "_rj_bucket"
+    if bucket in points.columns or bucket in ranges.columns:
+        raise ValueError(f"column {bucket} already exists")
+    p = points.withColumn(
+        bucket, F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    r = ranges.withColumn(
+        bucket,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("bigint"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("bigint"),
+            )
+        ),
+    )
+    on = [bucket, *(extra_keys or [])]
+    return (
+        p.join(r, on)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop(bucket)
+    )

@@ -525,3 +525,45 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_ts_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (beyond-reference operator): no-equi-key interval matching via
+# bucket-and-verify — an equi-join on quantized buckets instead of a
+# nested-loop cross filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT n_name AS band_name,
+             n_nationkey * 20.0 AS lo,
+             n_nationkey * 20.0 + 30.0 AS hi
+      FROM nation
+    )
+    SELECT band_name, COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_name
+    """,
+    tags=("range-join", "beyond-reference"),
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping value bands (each event can land in 1-2 bands) — the
+    exact pair set DuckDB's inequality join produces, via the linear
+    bucket-join plan."""
+    from arroyo_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("band_name"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=20.0)
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(dec_sum("value"), 6).alias("total_value"),
+    )

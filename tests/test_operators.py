@@ -350,3 +350,41 @@ def test_asof_join_plan_is_single_window_no_join(spark):
     for bad in ("Join", "CartesianProduct"):
         assert bad not in plan, plan[:2000]
     assert plan.count("Window (") == 1  # exactly one Window node
+
+
+# --- range join -------------------------------------------------------------
+
+
+def test_range_join_bucket_and_verify(spark):
+    from arroyo_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.5), (2, 10.0), (3, 25.0), (4, 99.0)], ["pid", "v"]
+    )
+    rng = spark.createDataFrame(
+        [("low", 0.0, 11.0), ("mid", 10.0, 30.0)], ["name", "lo", "hi"]
+    )
+    got = {
+        (r["pid"], r["name"])
+        for r in range_join(pts, rng, "v", "lo", "hi", bucket_width=7.0).collect()
+    }
+    # v=10.0 overlaps both bands (hi exclusive: 11.0 > 10.0 >= 10.0)
+    assert got == {(1, "low"), (2, "low"), (2, "mid"), (3, "mid")}
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    from arroyo_spark.operators.range_join import range_join
+    import contextlib
+    import io
+
+    pts = spark.range(100).selectExpr("id AS pid", "id * 1.0 AS v")
+    rng = spark.range(10).selectExpr(
+        "id AS rid", "id * 10.0 AS lo", "id * 10.0 + 15.0 AS hi"
+    )
+    df = range_join(pts, rng, "v", "lo", "hi", bucket_width=10.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan, plan[:2000]
