@@ -1,0 +1,118 @@
+"""Hypertable-style rollup cascade (continuous aggregates): a ladder of
+time resolutions (e.g. 15m -> 1h -> 1d) where every coarser level
+re-aggregates the next finer level's PARTIAL state, never the raw rows.
+
+At 100 TB this is the difference between one scan and L scans: the raw
+table is read once to build the finest level (a plain windowed partial/
+final HashAggregate); each subsequent level consumes the previous level's
+output — millions of rows, not billions — so the whole ladder after level
+0 costs roughly nothing. The same decomposability rule the reference
+imposes on two-phase aggregates (partial/final split,
+`extension/aggregate.rs:80-84`) governs what can cascade: count -> sum,
+sum -> sum, min -> min, max -> max; avg is derived (sum/count) at read
+time, never cascaded directly.
+
+In a live deployment each level is a materialized table updated
+incrementally (streaming windowed agg per level, finer feeding coarser);
+batch form below is the same dataflow.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _seconds(duration: str) -> int:
+    n, unit = duration.split()
+    return int(n) * _UNITS[unit.rstrip("s")]
+
+
+def _bucket_us(col: Column, width_s: int) -> Column:
+    us = F.lit(width_s * 1_000_000)
+    return (col - col % us).cast("bigint")
+
+
+def rollup_cascade(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    levels: tuple[str, ...] = ("15 minutes", "1 hour", "1 day"),
+    materialize: bool = True,
+) -> dict[str, DataFrame]:
+    """Build the ladder. Returns {level: DataFrame} with columns
+    (window_start_us, *keys, n, total, vmin, vmax) per level; every level
+    after the first aggregates the previous level's partials.
+
+    `materialize` persists each level's partials (MEMORY_AND_DISK) — the
+    batch analog of the materialized per-level tables a live deployment
+    maintains. Without it, Spark's lineage recomputes the base level once
+    per consumer (each coarser level + each read of the ladder), i.e.
+    re-scans the raw table and the cascade saves nothing.
+
+    Levels must be epoch-aligned multiples of each other (the same
+    constraint the reference puts on hop width/slide)."""
+    widths = [_seconds(lv) for lv in levels]
+    for fine, coarse in zip(widths, widths[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"levels must nest: {coarse}s is not a multiple of {fine}s"
+            )
+    out: dict[str, DataFrame] = {}
+    base = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    level0 = (
+        base.groupBy(
+            _bucket_us(F.col("_ts_us"), widths[0]).alias("window_start_us"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_v").alias("_total_dec"),
+            F.min("_v").alias("_min_dec"),
+            F.max("_v").alias("_max_dec"),
+        )
+    )
+    if materialize:
+        from pyspark import StorageLevel
+
+        level0 = level0.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = level0
+    for lv, width in zip(levels, widths):
+        if lv != levels[0]:
+            # cascade: re-aggregate the finer level's partials only
+            prev = (
+                prev.groupBy(
+                    _bucket_us(F.col("window_start_us"), width).alias(
+                        "window_start_us"
+                    ),
+                    *keys,
+                )
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),  # count -> sum
+                    F.sum("_total_dec").alias("_total_dec"),
+                    F.min("_min_dec").alias("_min_dec"),
+                    F.max("_max_dec").alias("_max_dec"),
+                )
+            )
+            if materialize:
+                from pyspark import StorageLevel
+
+                prev = prev.persist(StorageLevel.MEMORY_AND_DISK)
+        out[lv] = prev.select(
+            "window_start_us",
+            *keys,
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("_total_dec").cast("double"), 6).alias("total"),
+            F.round(F.col("_min_dec").cast("double"), 6).alias("vmin"),
+            F.round(F.col("_max_dec").cast("double"), 6).alias("vmax"),
+            F.round(
+                (F.col("_total_dec").cast("double") / F.col("n")), 6
+            ).alias("avg_value"),  # derived at read, never cascaded
+        )
+    return out

@@ -378,3 +378,52 @@ def window_fn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("value", 3).over(w), 6).alias("third_val"),
         F.round(F.avg("value").over(moving), 6).alias("mov_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup cascade (beyond-reference): 15m -> 1h -> 1d ladder where
+# each coarser level re-aggregates the finer level's partials (one raw scan
+# total). Oracle recomputes every level directly from raw rows — the
+# cascade must be lossless for decomposable aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _duck_rollup_level(width_s: int) -> str:
+    us = width_s * 1_000_000
+    return f"""
+    SELECT '{width_s}' AS level_s,
+           ({EUS} - {EUS} % {us}) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+           round(CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS vmin,
+           round(CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS vmax,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 2, 3
+    """
+
+
+@query(
+    "rollup_cascade_15m_1h_1d",
+    oracle=" UNION ALL ".join(
+        _duck_rollup_level(w) for w in (900, 3600, 86400)
+    ),
+    tags=("rollup-cascade", "window", "beyond-reference"),
+)
+def rollup_cascade_15m_1h_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.rollup_cascade import rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    ladder = rollup_cascade(
+        ev, ["event_type"], "ts", "value",
+        levels=("15 minutes", "1 hour", "1 day"),
+    )
+    parts = []
+    for lv, df in ladder.items():
+        from arroyo_spark.operators.rollup_cascade import _seconds
+
+        parts.append(df.select(F.lit(str(_seconds(lv))).alias("level_s"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -131,3 +131,15 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q18_large_volume_orders")
     assert "LeftSemi" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_cascade_single_raw_scan(spark, sf_dir):
+    # the ladder reads raw events ONCE; 1h and 1d levels re-aggregate the
+    # 15m partials (that's the point of a continuous-aggregate cascade)
+    plan = plan_of(spark, sf_dir, "rollup_cascade_15m_1h_1d")
+    scans = [
+        l
+        for l in plan.splitlines()
+        if "Location: InMemoryFileIndex" in l and "events" in l
+    ]
+    assert len(scans) == 1, plan[:3000]
