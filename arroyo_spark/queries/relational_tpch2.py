@@ -1,0 +1,574 @@
+"""Second TPC-H wave: the remaining classic shapes (q2/q8/q9/q10/q11/q15/
+q16/q20/q21 flavors), adapted to the driver's star schema (no ``partsupp``
+table and no ``l_receiptdate``/``l_commitdate``/comment columns — see
+TESTDATA.md), while preserving each query's distinctive plan shape:
+
+- q2  — correlated MIN subquery (argmin per group);
+- q8  — market-share: CASE-inside-SUM ratio over a two-nation join;
+- q9  — profit by (nation, year) with a LIKE-filtered part dimension;
+- q10 — returned-item revenue: fact-fact join with a quarter date window;
+- q11 — HAVING against a global scalar subquery (fraction-of-total);
+- q15 — view + scalar MAX subquery (top supplier by revenue);
+- q16 — COUNT(DISTINCT) over a de-duplicated pair set with NOT IN exclusion;
+- q20 — correlated half-of-total threshold (nested aggregation + join-back);
+- q21 — EXISTS + NOT EXISTS double self-correlation on the fact table.
+
+Reference parity: the reference reaches these shapes through DataFusion's
+subquery decorrelation rules (`DecorrelatePredicateSubquery`,
+`ScalarSubqueryToJoin`, `ExtractEquijoinPredicate` — reference
+`crates/arroyo-planner/src/tables.rs:155-185`); here each decorrelated form
+is written directly as idiomatic DataFrame ops.
+
+Scale notes (100 TB): every correlated subquery is decorrelated into either
+a broadcast of a tiny aggregate (q11/q15 scalar totals, q8 nation dims) or
+an equi-keyed shuffle join against a pre-aggregated per-key table (q2/q20/
+q21) — no nested-loop anywhere. Argmin/argmax use a single window pass over
+the already-shuffled key partition instead of agg + join-back, so the fact
+table is scanned once (see memory: exchange reuse does NOT kick in for
+self-join-vs-own-aggregate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.functions import dec_sum
+from arroyo_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# q2 flavor — min-price supplier per part (correlated MIN subquery).
+# TPC-H q2 picks the min-supplycost supplier per part from partsupp; without
+# partsupp we pick the min-extendedprice supplier per part from lineitem.
+# MIN over raw (untransformed) doubles is exact, so equality-join-back is
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+    SELECT DISTINCT l_partkey, p_brand, l_suppkey, s_name,
+           CAST(l_extendedprice AS DOUBLE) AS best_price
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 10 AND p_type = 'ECONOMY'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    # Correlated MIN is over ALL lineitems of the part (not just the
+    # part-filtered ones). A window min over the l_partkey partition keeps it
+    # a SINGLE fact scan + one shuffle; agg + join-back would scan lineitem
+    # twice (Spark does not reuse the exchange for a self-join against its
+    # own aggregate — see q17/nexmark-q5 precedent).
+    w = Window.partitionBy("l_partkey")
+    argmin = li.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    return (
+        argmin.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_partkey",
+            "p_brand",
+            "l_suppkey",
+            "s_name",
+            F.col("l_extendedprice").cast("double").alias("best_price"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 flavor — national market share: fraction of AMERICA-region PROMO-part
+# revenue supplied by NATION_5, by order year. CASE-inside-SUM ratio.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                               THEN CAST(volume AS DECIMAL(28,10))
+                               ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share,
+           round(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customers restricted to the AMERICA region (tiny dim chain -> broadcast)
+    cust_dim = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_dim = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_dim), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    nat_volume = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(
+        F.lit(0).cast("decimal(28,10)")
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            nat_volume.alias("nat_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum("nat_volume").cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.sum("volume").cast("double"), 6).alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 flavor — product-type profit by (supplier nation, order year) for parts
+# whose name contains 'red'. (TPC-H subtracts ps_supplycost*quantity; without
+# partsupp, profit = discounted revenue.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           round(CAST(SUM(CAST(amount AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_profit,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "aggregate", "tpch"),
+    bench=True,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_dim = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_dim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(amount).cast("double"), 6).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 flavor — revenue lost to returned items per customer, one quarter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE), 6) AS c_acctbal,
+           n_name,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+    tags=("join", "aggregate", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 flavor — "important inventory": parts whose total traded value exceeds
+# a fixed fraction of the global total (HAVING vs. a global scalar subquery).
+# TPC-H computes value from partsupp; we compute it from lineitem.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS part_value
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(CAST(part_value AS DOUBLE), 6) AS part_value
+    FROM value_by_part
+    WHERE part_value > (
+      SELECT CAST(SUM(part_value) * 0.001 AS DECIMAL(38,6)) FROM value_by_part
+    )
+    """,
+    tags=("aggregate", "subquery", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")
+    by_part = li.groupBy("l_partkey").agg(
+        F.sum(value).cast("decimal(38,6)").alias("part_value")
+    )
+    # Global threshold as a window over the ALREADY-AGGREGATED per-part rows:
+    # one fact scan total. The single-partition window sees only #parts rows
+    # (fact-row count / ~30), vs. a broadcast-threshold cross join which
+    # re-executes the whole lineitem aggregation for the scalar branch.
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        by_part.withColumn(
+            "threshold",
+            (F.sum("part_value").over(w_all) * F.lit(0.001)).cast("decimal(38,6)"),
+        )
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            "l_partkey", F.round(F.col("part_value").cast("double"), 6).alias("part_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 flavor — top supplier(s): revenue view + scalar MAX subquery. Exact
+# decimal revenue makes the equality join-back deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_expr).cast("decimal(38,10)").alias("total_revenue")
+    )
+    # Global MAX as a window over the per-supplier aggregate (one fact scan;
+    # the single-partition window sees only #suppliers rows). The broadcast
+    # scalar form would re-run the lineitem aggregation for the MAX branch.
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w_all))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 flavor — supplier diversity per part group: COUNT(DISTINCT supplier)
+# over de-duplicated (part, supplier) pairs, with a NOT IN supplier
+# exclusion. (TPC-H's pair set is partsupp; ours is observed trade pairs
+# from lineitem. The excluded-supplier subquery stands in for the
+# '%Customer%Complaints%' comment filter.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("aggregate", "distinct", "subquery", "tpch"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 flavor — dominant suppliers of small parts: suppliers whose shipped
+# quantity of a part in 2000 exceeds half that part's total 2000 quantity
+# (correlated half-of-total threshold, decorrelated into agg + join-back).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND supp_qty > (
+        SELECT CAST(SUM(s2.supp_qty) * 0.5 AS DECIMAL(38,6))
+        FROM shipped s2 WHERE s2.l_partkey = shipped.l_partkey
+      )
+    """,
+    tags=("join", "subquery", "aggregate", "tpch"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("supp_qty")
+    )
+    # Correlated total per part: single window pass over the per-(part,supp)
+    # aggregate — already partitioned by l_partkey after the groupBy shuffle,
+    # no second scan / join-back needed.
+    w = Window.partitionBy("l_partkey")
+    return (
+        shipped.withColumn(
+            "part_total", F.sum("supp_qty").over(w).cast("decimal(38,2)")
+        )
+        .filter(
+            F.col("supp_qty").cast("decimal(38,6)")
+            > (F.col("part_total") * F.lit(0.5)).cast("decimal(38,6)")
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 flavor — suppliers who kept multi-supplier orders waiting: the only
+# late supplier (ship lag > 90 days) on a finished multi-supplier order.
+# EXISTS (another supplier on the order) + NOT EXISTS (another late one).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH marks AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    late AS (SELECT l_orderkey, l_suppkey FROM marks WHERE is_late)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM marks m2
+        WHERE m2.l_orderkey = l1.l_orderkey AND m2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    """,
+    tags=("join", "subquery", "aggregate", "tpch"),
+    bench=True,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    # One scan: distinct (order, supplier, late?) marks; the EXISTS /
+    # NOT EXISTS pair collapses into per-order distinct counts computed as a
+    # window over the l_orderkey partition — single fact scan, no
+    # agg-and-join-back (which would scan lineitem twice).
+    marks = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey")
+    # collect_set sizes == per-order distinct-supplier counts (set drops the
+    # NULLs the `when` produces for on-time rows)
+    per_row = marks.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
+    )
+    # the sole late supplier on an order with >1 suppliers and exactly 1 late
+    return (
+        per_row.filter(
+            F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -74,6 +74,7 @@ def _load_modules() -> None:
         multimodal,
         relational,
         relational_extra,
+        relational_tpch2,
         similarity,
         text,
         windows,

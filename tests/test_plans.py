@@ -133,6 +133,44 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def _fact_scans(plan: str, table: str) -> list[str]:
+    return [
+        l
+        for l in plan.splitlines()
+        if "Location: InMemoryFileIndex" in l and table in l
+    ]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q2_min_price_supplier", "q11_important_parts", "q15_top_supplier",
+     "q20_dominant_suppliers", "q21_waiting_suppliers"],
+)
+def test_tpch2_correlated_forms_single_fact_scan(spark, sf_dir, name):
+    # every correlated-subquery shape decorrelates into a window pass over
+    # one lineitem scan — never an aggregate re-scan / join-back
+    plan = plan_of(spark, sf_dir, name)
+    assert len(_fact_scans(plan, "lineitem")) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_broadcast_dims_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert len(_fact_scans(plan, "lineitem")) == 1
+    # order-date range pushed into the orders scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q16_distinct_pairs_then_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_supplier_diversity")
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # pair dedup is a hash aggregate, not a sort-based distinct
+    assert "HashAggregate" in plan
+
+
 def test_rollup_cascade_single_raw_scan(spark, sf_dir):
     # the ladder reads raw events ONCE; 1h and 1d levels re-aggregate the
     # 15m partials (that's the point of a continuous-aggregate cascade)
