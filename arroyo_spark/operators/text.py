@@ -132,3 +132,45 @@ def fingerprint_poly(col: Column | str = "text") -> Column:
     from arroyo_spark.operators.dedup import normalize_text
 
     return portable_token_hash(normalize_text(col))
+
+
+def word_ngrams(col: Column | str = "text", n: int = 2) -> Column:
+    """ALL word n-grams in order (not de-duplicated — cf. dedup.shingles).
+
+    Same O(tokens) zip construction as dedup.shingles; keeping duplicates is
+    what makes repetition ratios (distinct/total) computable in one pass.
+    """
+    t = toks(col)
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    acc = F.slice(t, F.lit(1), length)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, F.lit(i + 1), length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
+
+
+def top_word_share(col: Column | str = "text") -> Column:
+    """Frequency share of the most common word (Gopher-style repetition
+    signal). Nested-HOF form: O(unique x total) per doc, zero shuffle — a
+    pure projection that scales embarrassingly; for pathological doc lengths
+    switch to the explode + groupBy form."""
+    t = toks(col)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    )
+    return F.round(top / F.greatest(F.size(t), F.lit(1)), 6)
+
+
+def dup_ngram_share(col: Column | str = "text", n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    in the same doc: 1 - distinct/total (0 when fewer than n tokens)."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return F.round(dup / F.greatest(total, F.lit(1)), 6)

@@ -1,0 +1,247 @@
+"""Training-data pipeline operators beyond per-doc scoring: repetition
+filters, benchmark-contamination detection, deterministic stratified
+sampling, and distinctive-term extraction (TF-IDF) — the curation steps a
+100 TB pretraining pipeline runs after basic quality scoring.
+
+These extend the reference's capability surface the way BASELINE.json asks
+(LLM-data-pipeline operators as first-class components); the relational
+machinery underneath is the same Catalyst surface the reference plans with
+DataFusion (`arroyo-planner/src/extension/aggregate.rs`, `plan/join.rs`).
+
+Scale notes (100 TB):
+- repetition stats are a pure projection (nested array HOFs, zero shuffle);
+- contamination is ONE documents scan -> explode(shingles) -> one shuffle by
+  shingle (window marks eval membership) -> one groupBy doc; no join-back,
+  no second corpus scan, no driver-side eval set;
+- stratified sampling is a stateless hash predicate (no shuffle, no RNG,
+  reproducible across retries/partitions — F.rand() would be neither);
+- TF-IDF is explode -> (doc,word) count -> window over word partition for
+  document frequency -> per-doc top-k window; the only broadcast is the
+  1-row corpus count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.operators import text as T
+from arroyo_spark.operators.dedup import shingles
+from arroyo_spark.suite import query
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+
+def _duck_ngrams(n: int) -> str:
+    """ALL word n-grams of `tk` (1-indexed DuckDB lists)."""
+    parts = ", ".join(f"tk[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len(tk) - {n - 2}), i -> concat_ws(' ', {parts}))"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter signals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_max(list_transform(list_distinct(tk),
+                      w -> len(list_filter(tk, x -> x = w)))) AS top_cnt,
+             {_duck_ngrams(2)} AS g2,
+             {_duck_ngrams(3)} AS g3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(top_cnt / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS top_word_share,
+           round((len(g2) - len(list_distinct(g2)))
+                 / CAST(greatest(len(g2), 1) AS DOUBLE), 6) AS dup_bigram_share,
+           round((len(g3) - len(list_distinct(g3)))
+                 / CAST(greatest(len(g3), 1) AS DOUBLE), 6) AS dup_trigram_share,
+           (round(top_cnt / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) > 0.2
+            OR round((len(g3) - len(list_distinct(g3)))
+                     / CAST(greatest(len(g3), 1) AS DOUBLE), 6) > 0.3) AS is_repetitive
+    FROM g
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tws = T.top_word_share("text")
+    d3 = T.dup_ngram_share("text", 3)
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        tws.alias("top_word_share"),
+        T.dup_ngram_share("text", 2).alias("dup_bigram_share"),
+        d3.alias("dup_trigram_share"),
+        ((tws > 0.2) | (d3 > 0.3)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: 5-gram overlap between the corpus and a
+# held-out eval slice (deterministic doc_id % 97 membership stands in for a
+# real benchmark suite).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_5gram_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_eval,
+             list_distinct({_duck_ngrams(5)}) AS sh5
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    ex AS (SELECT doc_id, is_eval, unnest(sh5) AS sh FROM t),
+    marked AS (
+      SELECT doc_id, is_eval, sh,
+             max(CASE WHEN is_eval THEN 1 ELSE 0 END)
+               OVER (PARTITION BY sh) AS has_eval
+      FROM ex
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(has_eval) AS BIGINT) AS n_contaminated,
+           round(SUM(has_eval) / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
+    FROM marked
+    WHERE NOT is_eval
+    GROUP BY doc_id
+    """,
+    tags=("text", "contamination", "dedup"),
+)
+def contamination_5gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.explode(shingles("text", 5)).alias("sh"),
+    )
+    w = Window.partitionBy("sh")
+    marked = ex.withColumn(
+        "has_eval",
+        F.max(F.when(F.col("is_eval"), 1).otherwise(0)).over(w),
+    )
+    return (
+        marked.filter(~F.col("is_eval"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("has_eval").cast("bigint").alias("n_contaminated"),
+            F.round(F.sum("has_eval") / F.count(F.lit(1)), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-source rates from a pure hash of
+# doc_id — reproducible under retries and independent of partitioning.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 1000 AS bucket,
+             (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 200 AS rate_permille
+      FROM documents
+    )
+    SELECT doc_id, source, lang, bucket, rate_permille
+    FROM b WHERE bucket < rate_permille
+    """,
+    tags=("text", "sampling"),
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = (F.substring("source", 4, 10).cast("bigint") % 4 + 1) * 200
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            bucket.alias("bucket"),
+            rate.alias("rate_permille"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per document: TF-IDF top-3 with a linear idf (N/df).
+# Linear rather than log idf so the ranking expression is two IEEE-exact
+# ops (one multiply, one divide) and therefore bit-identical across
+# engines — Math.log differs from DuckDB's ln by 1 ULP on some inputs,
+# which can flip near-tie rankings.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    scored AS (
+      SELECT doc_id, word, tf,
+             COUNT(*) OVER (PARTITION BY word) AS df,
+             CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+               / COUNT(*) OVER (PARTITION BY word) AS score
+      FROM tf
+    )
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS tfidf, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "window_fn"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(T.toks("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_word = Window.partitionBy("word")
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_word))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -77,6 +77,7 @@ def _load_modules() -> None:
         relational_tpch2,
         similarity,
         text,
+        text_pipeline,
         windows,
     )
 

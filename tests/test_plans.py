@@ -171,6 +171,29 @@ def test_q16_distinct_pairs_then_anti_join(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+def test_repetition_and_sampling_are_shuffle_free(spark, sf_dir):
+    # pure projections / stateless hash predicates: no Exchange at all
+    for name in ("text_repetition_stats", "sample_stratified_by_source"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_contamination_single_corpus_scan(spark, sf_dir):
+    # eval membership via window over the shingle partition — the corpus is
+    # scanned once, never joined back against a second read of itself
+    plan = plan_of(spark, sf_dir, "contamination_5gram_overlap")
+    assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_single_word_explode(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    # one exploded word relation feeds tf, df and ranking; the only extra
+    # documents read is the columnless corpus-count (broadcast 1 row)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") <= 1, plan[:3000]
+
+
 def test_rollup_cascade_single_raw_scan(spark, sf_dir):
     # the ladder reads raw events ONCE; 1h and 1d levels re-aggregate the
     # 15m partials (that's the point of a continuous-aggregate cascade)
