@@ -1,0 +1,78 @@
+"""Distributed connected components via min-label propagation.
+
+Completes the dedup pipeline: near-duplicate PAIRS (LSH / Jaccard /
+cosine) -> transitive duplicate CLUSTERS -> one canonical doc per cluster.
+The reference has no graph operator (its dedup story stops at join-based
+matching); this is part of the training-data layer that BASELINE.json makes
+first-class.
+
+Algorithm: every node starts labeled with itself; each round every node
+takes the min label over itself and its neighbors; converged when no label
+changes. Rounds needed = graph diameter, and near-dup clusters are
+small-diameter by construction (pairs all share shingles), so a handful of
+rounds suffice even at 100 TB. Convergence is detected from the monotone
+label sum (labels only ever decrease) — one cheap aggregate per round, no
+old-vs-new join.
+
+Scale notes:
+- each round is one shuffle join (edges x labels, equi-key) + one groupBy
+  min — all hash-partitioned on node id; no driver-side graph.
+- lineage is truncated with localCheckpoint every few rounds so plans don't
+  deepen unboundedly (iterative DataFrame loops otherwise replan O(i) work
+  per round).
+- for adversarial graphs (long chains, power-law hubs) swap the propagation
+  step for the alternating large-star/small-star rounds of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" (SoCC'14) — same join
+  primitives, O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Label each node with the min node id reachable from it.
+
+    ``edges`` is undirected input (each pair listed once is enough);
+    ``nodes`` optionally supplies the full node set (isolated nodes become
+    their own singleton components). Returns (node, comp).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    prev_sum = None
+    for i in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["comp"], F.coalesce("nbr_comp", labels["comp"])
+                ).alias("comp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

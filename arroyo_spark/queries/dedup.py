@@ -206,3 +206,73 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: transitive closure of the Jaccard near-dup pairs via
+# distributed connected components (operators/graph.py), with the canonical
+# (min-id) doc marked per cluster. The DuckDB oracle computes the same
+# components with a recursive CTE — full value-level parity for an
+# iterative distributed algorithm.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.25
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp
+    """,
+    tags=("dedup", "graph", "clusters", "iterative"),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, n=3, threshold=0.25).select("doc_a", "doc_b")
+    cc = connected_components(
+        edges, src="doc_a", dst="doc_b", nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -70,3 +70,10 @@ def apply_runtime_conf(spark: SparkSession) -> None:
         except Exception:
             # static conf on a running session (e.g. spark.ui.enabled) — skip
             pass
+    # The driver's bare session keeps the 200-partition default, which at
+    # test SFs means 200 near-empty tasks per shuffle; size to cores like
+    # get_spark does (runtime-settable, AQE still coalesces further).
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass

@@ -388,3 +388,30 @@ def test_range_join_plan_no_nested_loop(spark):
     plan = buf.getvalue()
     for bad in ("BroadcastNestedLoop", "CartesianProduct"):
         assert bad not in plan, plan[:2000]
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolated(self, spark):
+        from arroyo_spark.operators.graph import connected_components
+
+        # chain 1-2-3-4 (diameter 3), pair 10-11, isolated 20
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["node"])
+        got = {
+            (r.node, r.comp)
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+    def test_merging_two_chains(self, spark):
+        from arroyo_spark.operators.graph import connected_components
+
+        # two chains joined at one end: worst case for label propagation
+        edges = spark.createDataFrame(
+            [(5, 6), (6, 7), (1, 2), (2, 3), (3, 7)], ["src", "dst"]
+        )
+        got = {(r.node, r.comp) for r in connected_components(edges).collect()}
+        assert {c for _, c in got} == {1}
+        assert len(got) == 6
