@@ -20,7 +20,11 @@ def _bench_streaming(spark) -> float:
     """Streaming throughput: 2M synthetic impulse rows through a watermarked
     tumbling-window aggregation (availableNow micro-batches). Mirrors the
     reference's impulse-source benchmark methodology (BASELINE.md).
-    Generation time excluded; returns processing seconds."""
+    Generation time excluded; returns processing seconds.
+
+    Best-of-2 like the batch queries: the first streaming query on a session
+    pays ~1.7s of one-time machinery setup (state-store init, streaming
+    codepaths) that steady-state throughput numbers shouldn't include."""
     import shutil
     import tempfile
 
@@ -61,16 +65,19 @@ def _bench_streaming(spark) -> float:
     def sink(batch_df, batch_id):
         seen["rows"] += batch_df.count()
 
-    t0 = time.perf_counter()
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{tmp}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    dt = round(time.perf_counter() - t0, 4)
+    def one_run(ck: str) -> float:
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+
+    dt = round(min(one_run(f"{tmp}/ck1"), one_run(f"{tmp}/ck2")), 4)
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(tmp, ignore_errors=True)
     return dt

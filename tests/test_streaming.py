@@ -415,3 +415,102 @@ def test_watermark_expression_emulation(spark, sf_dir, replay_dir, tmp_path):
     max_ws_emitted = max(k[0] for k in got)
     max_ws_all = max(k[0] for k in want)
     assert max_ws_all - max_ws_emitted >= 2 * 3_600_000_000 - 3_600_000_000
+
+
+def test_hop_streaming_matches_batch(spark, sf_dir, replay_dir, tmp_path):
+    """Sliding (hop) windows through Structured Streaming: every window the
+    watermark closed must match the batch result exactly (reference:
+    SlidingWindowAggregate, sliding_aggregating_window.rs)."""
+    path, schema = replay_dir
+    stream = file_replay_stream(spark, path, schema, event_time="ts")
+    agg = (
+        stream.withWatermark("_timestamp", "1 second")
+        .groupBy(F.window("_timestamp", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+    )
+    _run_to_memory(agg, "hop_stream", "append", str(tmp_path / "ck_hop"))
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("hop_stream").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    final_wm_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1_000_000
+    closed = {k: v for k, v in want.items() if k[0] + 3_600_000_000 <= final_wm_us}
+    assert got, "hop streaming query emitted nothing"
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+    missing = {k for k in closed if k not in got}
+    assert not missing, f"closed hop windows not emitted: {sorted(missing)[:5]}"
+
+
+def test_windowed_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
+    """InstantJoin analog: two streams joined on (tumbling window, key) —
+    the reference buffers per-window and joins at window close
+    (instant_join.rs); Spark's stream-stream join with window-struct
+    equality + watermarks has the same semantics."""
+    path, schema = replay_dir
+    left = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter(F.col("event_type") == "view")
+        .withWatermark("_timestamp", "1 second")
+        .select(
+            F.window("_timestamp", "1 hour").alias("w"),
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+        )
+    )
+    right = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("_timestamp", "1 second")
+        .select(
+            F.window("_timestamp", "1 hour").alias("w2"),
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+        )
+    )
+    joined = left.join(
+        right, (F.col("w") == F.col("w2")) & (F.col("l_user") == F.col("r_user"))
+    ).select(
+        F.unix_micros("w.start").alias("ws"), "l_user", "l_event", "r_event"
+    )
+    _run_to_memory(joined, "wjoin_stream", "append", str(tmp_path / "ck_wj"))
+    got = {
+        (r["ws"], r["l_user"], r["l_event"], r["r_event"])
+        for r in spark.table("wjoin_stream").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.window("ts", "1 hour").alias("w"),
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.window("ts", "1 hour").alias("w2"),
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+    )
+    want = {
+        (r["ws"], r["l_user"], r["l_event"], r["r_event"])
+        for r in a.join(
+            b, (F.col("w") == F.col("w2")) & (F.col("l_user") == F.col("r_user"))
+        )
+        .select(F.unix_micros("w.start").alias("ws"), "l_user", "l_event", "r_event")
+        .collect()
+    }
+    assert got, "windowed stream-stream join emitted nothing"
+    assert got <= want, f"rows not in batch result: {sorted(got - want)[:5]}"
+    # pairs whose window closed before the final watermark must all be there
+    final_wm_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1_000_000
+    closed = {t for t in want if t[0] + 3_600_000_000 <= final_wm_us}
+    missing = closed - got
+    assert not missing, f"closed-window join rows missing: {sorted(missing)[:5]}"
