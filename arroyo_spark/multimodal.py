@@ -52,6 +52,13 @@ class Decoder:
     def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
         raise NotImplementedError("video codec not available in this container")
 
+    def audio_meta(self, blob: bytes) -> tuple[int, int]:
+        """(sample_rate_hz, n_samples)."""
+        raise NotImplementedError("audio codec not available in this container")
+
+    def resample(self, blob: bytes, target_hz: int) -> bytes:
+        raise NotImplementedError("audio codec not available in this container")
+
 
 class FakeDecoder(Decoder):
     """Deterministic stand-in so the distributed plumbing is testable."""
@@ -65,6 +72,16 @@ class FakeDecoder(Decoder):
     def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
         n = max(1, len(blob) // max(1, every_ms))
         return [blob[i::n] for i in range(min(n, 8))]
+
+    def audio_meta(self, blob: bytes) -> tuple[int, int]:
+        rates = (16000, 22050, 44100)
+        return (rates[len(blob) % 3], len(blob) * 100)
+
+    def resample(self, blob: bytes, target_hz: int) -> bytes:
+        # keep every k-th byte, k from the rate ratio (deterministic)
+        sr, _ = self.audio_meta(blob)
+        k = max(1, sr // max(1, target_hz))
+        return blob[::k]
 
 
 def extract_image_features(
@@ -134,6 +151,38 @@ def sample_video_frames(
                     idxs.append(i)
                     frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(mapper, schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    blob_col: str = "content",
+) -> DataFrame:
+    """Append (sample_rate, n_samples, duration_ms, rms_milli) per audio row.
+
+    rms stands in for a loudness measurement; the FakeDecoder derives it
+    from the byte length with exact integer arithmetic (Knuth multiplicative
+    hash mod 1e6) so the oracle can recompute it in SQL."""
+    dec = decoder or FakeDecoder()
+    schema = StructType.fromDDL(
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", sample_rate int, n_samples bigint, audio_ms bigint, rms_milli bigint"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [dec.audio_meta(bytes(b)) for b in pdf[blob_col]]
+            lens = [len(bytes(b)) for b in pdf[blob_col]]
+            pdf["sample_rate"] = [sr for sr, _ in metas]
+            pdf["n_samples"] = [ns for _, ns in metas]
+            # named audio_ms: media_schema may already carry a duration_ms
+            pdf["audio_ms"] = [ns * 1000 // sr for (sr, ns) in metas]
+            pdf["rms_milli"] = [(n * 2654435761) % 1_000_000 for n in lens]
+            yield pdf
 
     from arroyo_spark.operators.partitioning import ensure_min_parallelism
 

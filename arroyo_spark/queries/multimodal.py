@@ -87,3 +87,33 @@ def mm_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame").cast("bigint").alias("frame_bytes"),
     )
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((CASE octet_length(encode(text)) % 3
+                 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END) AS INT) AS sample_rate,
+           CAST(octet_length(encode(text)) * 100 AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) * 100 * 1000)
+                // (CASE octet_length(encode(text)) % 3
+                    WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
+           CAST((octet_length(encode(text)) * 2654435761) % 1000000 AS BIGINT) AS rms_milli
+    FROM documents
+    """,
+    tags=("multimodal", "mapinpandas", "audio"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata/loudness extraction over a binary media column — the
+    third modality of the decode stub surface (image/video/audio). Blobs
+    cross into Python via Arrow; the FakeDecoder's integer arithmetic is
+    recomputed exactly by DuckDB while Spark runs the real mapInPandas
+    plumbing. A deployment overrides Decoder.audio_meta/resample with
+    soundfile/ffmpeg calls."""
+    from arroyo_spark.multimodal import extract_audio_features
+
+    feats = extract_audio_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", F.col("audio_ms").alias("duration_ms"), "rms_milli"
+    )

@@ -138,6 +138,23 @@ def test_sample_video_frames(spark, media_df):
     assert set(out.columns) == {"media_id", "frame_idx", "frame"}
 
 
+def test_extract_audio_features(spark, media_df):
+    from arroyo_spark.multimodal import FakeDecoder, extract_audio_features
+
+    out = extract_audio_features(media_df)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["sample_rate"] in (16000, 22050, 44100)
+        assert r["n_samples"] == len(r["content"]) * 100
+        assert r["audio_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+    # resample stub: keeps every k-th byte deterministically
+    dec = FakeDecoder()
+    blob = bytes(range(100))
+    down = dec.resample(blob, 8000)
+    assert down == blob[:: max(1, dec.audio_meta(blob)[0] // 8000)]
+
+
 def test_content_hash(spark, media_df):
     out = content_hash(media_df)
     rows = out.select("media_id", "content_sha").collect()
