@@ -567,3 +567,80 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(dec_sum("value"), 6).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT — the reference treats these as unsupported (they'd
+# decompose to joins and hit its join restrictions, SURVEY §2.2 set ops);
+# Spark has them natively, so our engine runs them as a documented superset.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_intersect_except",
+    oracle="""
+    SELECT 'both' AS bucket, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS bucket, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    tags=("setop", "superset"),
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    error = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchase.intersect(error).select(F.lit("both").alias("bucket"), "user_id")
+    # subtract == EXCEPT (distinct); exceptAll would subtract multiset counts
+    only = purchase.subtract(error).select(
+        F.lit("purchase_only").alias("bucket"), "user_id"
+    )
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations with GROUPING() disambiguation
+# (completes the ROLLUP coverage; Spark Expand-based single pass).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube", "grouping-sets"),
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dec_sum("o_totalprice"), 6).alias("total"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total",
+        )
+    )
