@@ -1,0 +1,104 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns, built for
+exact cross-engine verifiability.
+
+Embedding clustering is a standard curation step for pretraining corpora
+(topic balancing, semantic dedup at cluster granularity, stratified
+sampling by cluster). The reference has no ML operators; this extends the
+training-data layer like dedup/similarity (BASELINE.json north star).
+
+Determinism design (what makes a DuckDB oracle possible for an iterative
+float algorithm):
+- components are quantized once: ``floor(x * 1e6)`` — multiply and floor are
+  both exactly defined in IEEE double, no round-half ties;
+- centroid update = exact BIGINT per-dimension sums (order-independent)
+  divided once (``sum/count`` — one correctly-rounded op);
+- distances fold over dimensions SEQUENTIALLY (``aggregate(zip_with(...))``),
+  matching a SQL ``list_reduce`` fold term for term;
+- argmin tie-breaks on centroid index.
+Every arithmetic step is either exact or a single correctly-rounded IEEE op
+in a fixed order, so Spark and any ANSI engine agree bit-for-bit.
+
+Scale notes (100 TB):
+- assignment is a projection against k*dim literal centroids (broadcast by
+  value); for large k*dim swap the HOF fold for the numpy mapInPandas
+  kernel in operators/similarity.py (same sequential-dim accumulation);
+- the update is one posexplode + groupBy(cluster, dim) partial/final
+  aggregate — shuffled bytes ~ k * dim, not corpus size;
+- per-iteration driver traffic is only the k*dim centroid matrix (the
+  standard Lloyd's broadcast), never member vectors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+QUANT = 1_000_000
+
+
+def quantize(df: DataFrame, vec_col: str = "embedding", out_col: str = "v") -> DataFrame:
+    """array<float> -> array<bigint> via floor(x * 1e6)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(QUANT)))
+        ),
+    )
+
+
+def _sq_dist(vec, centroid: list[float]):
+    """Sequential-fold squared L2 distance to a literal centroid."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Append ``cluster`` = argmin over centroid distances (ties -> lowest
+    centroid index, via array_position on the first minimum)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    return df.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "v") -> list[list[float]]:
+    """Exact per-dimension means of the quantized members, as doubles.
+
+    BIGINT sums are order-independent; the single division is the only
+    rounding step. Returns centroids ordered by cluster id (empty clusters
+    are dropped, consistent with the SQL formulation).
+    """
+    per_dim = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = per_dim.collect()
+    by_cluster: dict[int, list[float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["d"]] = r["s"] / r["n"]
+    return [by_cluster[c] for c in sorted(by_cluster)]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's: init = the k lowest-id vectors; returns
+    (id, cluster) after ``iters`` assignment/update rounds."""
+    q = quantize(df.select(id_col, vec_col), vec_col).select(id_col, "v")
+    init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    assigned = assign_clusters(q, centroids)
+    for _ in range(iters - 1):
+        centroids = update_centroids(assigned, dim)
+        assigned = assign_clusters(q, centroids)
+    return assigned.select(id_col, "cluster")

@@ -110,3 +110,78 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return ivf_topk(emb, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — embedding clustering for corpus curation.
+# Two fixed iterations with quantized components make every arithmetic step
+# either exact or a single correctly-rounded IEEE op in a fixed order, so
+# the DuckDB oracle replays the whole iterative algorithm bit-for-bit
+# (operators/clustering.py documents the determinism design).
+# ---------------------------------------------------------------------------
+
+_KM_DIST = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+      FROM q WHERE vec_id < 8
+    ), d1 AS (
+      SELECT q.vec_id, c0.cid, {_KM_DIST.format(v='q.v', c='c0.cv')} AS dist
+      FROM q CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1
+      ) r WHERE rn = 1
+    ), m1 AS (
+      SELECT a1.cid, dims.i, CAST(SUM(q.v[dims.i]) AS DOUBLE) / COUNT(*) AS mu
+      FROM a1 JOIN q USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+      GROUP BY a1.cid, dims.i
+    ), c1 AS (
+      SELECT cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY cid
+    ), d2 AS (
+      SELECT q.vec_id, c1.cid, {_KM_DIST.format(v='q.v', c='c1.cv')} AS dist
+      FROM q CROSS JOIN c1
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2
+      ) r WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster,
+           COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+    FROM a2
+    """,
+    tags=("similarity", "clustering", "kmeans", "iterative"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 Lloyd's over the quantized embeddings, 2 iterations. The oracle
+    assumes no cluster empties between iterations (holds on this corpus:
+    initial centroids are actual data points); operators/clustering.py
+    handles the general case by dropping empty clusters on both paths."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, k=8, iters=2)
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id", "cluster", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )

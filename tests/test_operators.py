@@ -432,3 +432,40 @@ class TestConnectedComponents:
         got = {(r.node, r.comp) for r in connected_components(edges).collect()}
         assert {c for _, c in got} == {1}
         assert len(got) == 6
+
+
+# --- k-means clustering ------------------------------------------------------
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    from arroyo_spark.operators.clustering import kmeans_lloyd
+
+    # two tight 2-D blobs; ids 0 and 1 (the inits) sit one in each blob
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.1, 0.2]),
+            (3, [0.2, 0.1]), (4, [10.1, 9.9]), (5, [9.9, 10.2])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lloyd(df, k=2, iters=3, dim=2).collect()}
+    assert got[0] == got[2] == got[3]
+    assert got[1] == got[4] == got[5]
+    assert got[0] != got[1]
+
+
+def test_kmeans_update_drops_empty_cluster(spark):
+    from arroyo_spark.operators.clustering import (
+        assign_clusters,
+        quantize,
+        update_centroids,
+    )
+
+    df = quantize(
+        spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+    )
+    # centroid 2 is far away (quantized space is x*1e6) -> no members ->
+    # dropped by the update; the two near centroids keep their single member
+    assigned = assign_clusters(df, [[0.0, 0.0], [1e6, 1e6], [1e12, 1e12]])
+    cents = update_centroids(assigned, dim=2)
+    assert cents == [[0.0, 0.0], [1e6, 1e6]]
