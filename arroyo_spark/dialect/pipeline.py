@@ -81,17 +81,22 @@ def _arroyo_ts_json_col(c: str) -> F.Column:
     )
 
 
-def to_arroyo_json(df: DataFrame) -> DataFrame:
-    """One-column DataFrame of JSON lines in the reference's sink format."""
+def _json_value_col(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
+    """JSON-line column in the reference's sink format (ts as RFC3339)."""
     cols = []
     for f in df.schema.fields:
+        if f.name in exclude:
+            continue
         if f.dataType.typeName().startswith("timestamp"):
             cols.append(_arroyo_ts_json_col(f.name))
         else:
             cols.append(F.col(f.name))
-    return df.select(
-        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value")
-    )
+    return F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value")
+
+
+def to_arroyo_json(df: DataFrame) -> DataFrame:
+    """One-column DataFrame of JSON lines in the reference's sink format."""
+    return df.select(_json_value_col(df))
 
 
 def _epoch_cols(df: DataFrame) -> list[F.Column]:
@@ -641,11 +646,38 @@ class Pipeline:
         if path:
             out = self._substitute(str(path))
             fmt = result.sink_formats[sink.name]
+            part_fields = self._sink_partition_fields(sink, df)
             if fmt == "parquet":
-                # parquet sinks are directories; write directly to the path
-                df.write.mode("overwrite").parquet(out)
+                # parquet sinks are directories; write directly to the path.
+                # Partitioned sinks repartition on the partition keys first —
+                # the analog of the key-calc + shuffle the reference inserts
+                # before partitioned sinks (arroyo-planner/src/lib.rs:718-766)
+                # — so each output partition is written by one task instead
+                # of every task emitting a sliver of every partition.
+                w = df.repartition(*part_fields).write if part_fields else df.write
+                if part_fields:
+                    w = w.partitionBy(*part_fields)
+                w.mode("overwrite").parquet(out)
                 return
             target_dir = out + ".d" if not out.endswith("/") else out
+            if part_fields and fmt not in ("json", "parquet"):
+                raise PlanError(
+                    f"partitioned sinks support json/parquet formats, not {fmt}"
+                )
+            if part_fields and fmt == "json":
+                # partition columns become directories; each partition's rows
+                # are newline-framed JSON (reference filesystem sink with
+                # partitioning.fields, filesystem_partition.sql)
+                enc = df.select(
+                    *part_fields, _json_value_col(df, exclude=tuple(part_fields))
+                )
+                (
+                    enc.repartition(*part_fields)
+                    .write.partitionBy(*part_fields)
+                    .mode("overwrite")
+                    .text(target_dir)
+                )
+                return
             if fmt == DEBEZIUM_FORMAT:
                 to_debezium_json(df).write.mode("overwrite").text(target_dir)
             elif fmt == "json":
@@ -677,6 +709,22 @@ class Pipeline:
                         if part.startswith("part-"):
                             with open(os.path.join(target_dir, part)) as pf:
                                 fh.write(pf.read())
+
+    def _sink_partition_fields(self, sink: TableDef, df: DataFrame) -> list[str]:
+        """Partition columns of a filesystem sink: ``PARTITIONED BY (...)``
+        (Appendix A arroyo_partitions) or the ``'partitioning.fields'``
+        WITH option (filesystem_partition.sql). Fields must exist in the
+        sink schema — same plan-time error as the reference."""
+        fields = [str(x) for x in sink.partition_exprs]
+        opt = sink.options.get("partitioning.fields")
+        if opt and not fields:
+            fields = [str(x) for x in opt] if isinstance(opt, list) else [str(opt)]
+        missing = [c for c in fields if c not in df.columns]
+        if missing:
+            raise PlanError(
+                f"partition field(s) {missing} not in sink schema for {sink.name}"
+            )
+        return fields
 
     def _handle_insert(self, stmt: InsertStmt, result: PipelineResult) -> None:
         target = self.tables.get(stmt.target)

@@ -842,3 +842,77 @@ def test_blackhole_and_stdout_sinks(spark, tmp_path, capsys):
     out = capsys.readouterr().out.splitlines()
     assert '{"k":10}' in out and '{"k":20}' in out
     assert res.sinks["devnull"].count() == 2
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    """filesystem_partition.sql shape: 'partitioning.fields' produces
+    hive-style partition directories (the reference shuffles on partition
+    keys before partitioned sinks, arroyo-planner/src/lib.rs:718-766)."""
+    import os
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text(
+        '{"a": 1, "t": "x"}\n{"a": 2, "t": "y"}\n{"a": 3, "t": "x"}\n'
+    )
+    out = tmp_path / "out_part"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        f"""
+        CREATE TABLE src (a BIGINT, t TEXT) WITH (connector='single_file',
+          path='$p/in.json', format='json', type='source');
+        CREATE TABLE snk (a BIGINT, t TEXT) WITH (connector='filesystem',
+          path='{out}', format='parquet', type='sink',
+          'partitioning.fields' = [t]);
+        INSERT INTO snk SELECT a, t FROM src;
+        """
+    )
+    dirs = {d for d in os.listdir(out) if d.startswith("t=")}
+    assert dirs == {"t=x", "t=y"}
+    got = {(r["a"], r["t"]) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "x")}
+
+
+def test_partitioned_json_sink(spark, tmp_path):
+    import os
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1, "t": "x"}\n{"a": 2, "t": "y"}\n')
+    out = tmp_path / "out_pjson"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        f"""
+        CREATE TABLE src (a BIGINT, t TEXT) WITH (connector='single_file',
+          path='$p/in.json', format='json', type='source');
+        CREATE TABLE snk (a BIGINT, t TEXT) WITH (connector='filesystem',
+          path='{out}/', format='json', type='sink') PARTITIONED BY (t);
+        INSERT INTO snk SELECT a, t FROM src;
+        """
+    )
+    base = str(out)
+    dirs = {d for d in os.listdir(base) if d.startswith("t=")}
+    assert dirs == {"t=x", "t=y"}
+    # partition column lives in the directory name, not the JSON body
+    lines = []
+    for d in sorted(dirs):
+        for fn in os.listdir(f"{base}/{d}"):
+            if fn.startswith("part-"):
+                lines += open(f"{base}/{d}/{fn}").read().splitlines()
+    assert sorted(lines) == ['{"a":1}', '{"a":2}']
+
+
+def test_partition_field_not_in_sink_schema_rejected(spark, tmp_path):
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n')
+    with pytest.raises(PlanError, match="partition field"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+            f"""
+            CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+              path='$p/in.json', format='json', type='source');
+            CREATE TABLE snk (a BIGINT) WITH (connector='filesystem',
+              path='{tmp_path}/out', format='parquet', type='sink',
+              'partitioning.fields' = [nope]);
+            INSERT INTO snk SELECT a FROM src;
+            """
+        )

@@ -514,3 +514,145 @@ def test_windowed_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
     closed = {t for t in want if t[0] + 3_600_000_000 <= final_wm_us}
     missing = closed - got
     assert not missing, f"closed-window join rows missing: {sorted(missing)[:5]}"
+
+
+def test_union_sources_watermark_is_min(spark, sf_dir, replay_dir, tmp_path):
+    """Two sources unioned: Spark merges their watermarks as MIN, the same
+    rule the reference applies per input channel
+    (arroyo-operator/src/context.rs:36-84). The lagging source must hold
+    the watermark back: windows past the SLOW source's max event time are
+    not emitted, while fully-closed windows carry the combined counts."""
+    path, schema = replay_dir
+    ev = load_table(spark, sf_dir, "events")
+    cut_us = ev.agg(
+        F.min(F.unix_micros("ts"))
+        + (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+    ).collect()[0][0]
+
+    # per-source watermarks BEFORE the union: Spark's multipleWatermarkPolicy
+    # (default min) then merges them, matching the reference's per-channel
+    # min rule; a single post-union watermark would instead track the merged
+    # stream's max event time and emit windows the slow source hasn't closed
+    fast = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter(F.col("user_id") % 2 == 0)
+        .withWatermark("_timestamp", "1 second")
+    )
+    # slow source: same stream but truncated to the first half of event time
+    slow = (
+        file_replay_stream(spark, path, schema, event_time="ts")
+        .filter((F.col("user_id") % 2 == 1) & (F.unix_micros("_timestamp") < cut_us))
+        .withWatermark("_timestamp", "1 second")
+    )
+    agg = (
+        fast.unionByName(slow)
+        .groupBy(F.window("_timestamp", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "n")
+    )
+    _run_to_memory(agg, "union_wm", "append", str(tmp_path / "ck_uwm"))
+    got = {r["ws"]: r["n"] for r in spark.table("union_wm").collect()}
+
+    want = {
+        r["ws"]: r["n"]
+        for r in ev.filter(
+            (F.col("user_id") % 2 == 0)
+            | ((F.col("user_id") % 2 == 1) & (F.unix_micros("ts") < cut_us))
+        )
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got, "union stream emitted nothing"
+    for ws, n in got.items():
+        assert want.get(ws) == n, f"window {ws}: stream={n} batch={want.get(ws)}"
+    # the min-merge: only windows closed by the SLOW source's watermark may
+    # emit (the fast source alone would have closed far more)
+    slow_wm = cut_us - 1_000_000
+    late = [ws for ws in got if ws + 3_600_000_000 > slow_wm]
+    assert not late, f"windows emitted past the min watermark: {sorted(late)[:5]}"
+    closed_by_slow = {
+        ws for ws in want if ws + 3_600_000_000 <= slow_wm
+    }
+    missing = closed_by_slow - set(got)
+    assert not missing, f"windows closed by min-watermark not emitted: {sorted(missing)[:5]}"
+
+
+def test_restore_with_different_parallelism(spark, sf_dir, replay_dir, tmp_path):
+    """Reference run (c): restore from checkpoint at a DIFFERENT parallelism
+    must preserve results (smoke_tests.rs:405-478 restores at parallelism 3
+    what was checkpointed at 2). Spark analog: change
+    spark.sql.shuffle.partitions between the two phases — state is keyed,
+    not partition-pinned, so results must be identical."""
+    path, schema = replay_dir
+    ck = str(tmp_path / "ck_rescale")
+
+    def build_query():
+        stream = file_replay_stream(spark, path, schema, event_time="ts")
+        return (
+            stream.withWatermark("_timestamp", "1 second")
+            .groupBy(F.window("_timestamp", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+        )
+
+    rows: list = []
+
+    def write(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        q1 = (
+            build_query()
+            .writeStream.foreachBatch(write)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["batchId"] >= 1:
+                break
+            _time.sleep(0.3)
+        try:
+            q1.stop()
+            q1.awaitTermination(30)
+        except Exception:
+            pass
+        # restore at different parallelism (Spark pins the state-store
+        # partition count at first checkpoint; the shuffle above it rescales)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        q2 = (
+            build_query()
+            .writeStream.foreachBatch(write)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {(r["ws"], r["event_type"]): r["n"] for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    final_wm_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1_000_000
+    closed = {k for k in want if k[0] + 6 * 3_600_000_000 <= final_wm_us}
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: got={v} want={want.get(k)}"
+    missing = closed - set(got)
+    assert not missing, f"windows lost across rescale-restore: {sorted(missing)[:5]}"
