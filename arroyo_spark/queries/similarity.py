@@ -127,11 +127,9 @@ _KM_DIST = (
     "(acc, x) -> acc + x)"
 )
 
-
-@query(
-    "embedding_kmeans_clusters",
-    oracle=f"""
-    WITH q AS (
+# Shared two-iteration Lloyd's CTE chain (ends at a2: vec_id -> cid);
+# reused by the kmeans query and the SemDeDup composition below.
+_KM_CTES = f"""q AS (
       SELECT vec_id,
              list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
       FROM embeddings
@@ -163,7 +161,13 @@ _KM_DIST = (
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         FROM d2
       ) r WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH {_KM_CTES}
     SELECT vec_id, CAST(cid AS INT) AS cluster,
            COUNT(*) OVER (PARTITION BY cid) AS cluster_size
     FROM a2
@@ -184,4 +188,70 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster")
     return assigned.select(
         "vec_id", "cluster", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style cluster-scoped semantic pruning (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): cluster the corpus, then inside each cluster prune every
+# vector that has a lower-id neighbor above the cosine threshold. Clustering
+# bounds the pair search to within-cluster candidates — the trick that makes
+# semantic dedup feasible at 100 TB (pairs per cluster, not corpus²).
+# Composes kmeans (exact oracle) + sequential-fold cosine (exact oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semdedup_cluster_pruning",
+    oracle=f"""
+    WITH {_KM_CTES},
+    members AS (
+      SELECT a2.vec_id, a2.cid, e.embedding
+      FROM a2 JOIN embeddings e USING (vec_id)
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM members a JOIN members b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+    )
+    SELECT m.vec_id, CAST(m.cid AS INT) AS cluster,
+           (m.vec_id IN (SELECT vec_id FROM pruned)) AS pruned
+    FROM members m
+    """,
+    tags=("similarity", "dedup", "clustering", "semdedup"),
+)
+def semdedup_cluster_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.clustering import kmeans_lloyd
+    from arroyo_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = kmeans_lloyd(emb, k=8, iters=2).join(emb, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    )
+    a = members.select(
+        F.col("cluster").alias("a_cl"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+    )
+    b = members.select(
+        F.col("cluster").alias("b_cl"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    # pair search is cluster-scoped: equi-join on the cluster id, so work is
+    # sum over clusters of |c|^2, not |corpus|^2
+    pruned_ids = (
+        a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
+        .filter(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6) >= 0.35)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return members.join(
+        pruned_ids.withColumn("pruned", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce("pruned", F.lit(False)).alias("pruned"),
     )
