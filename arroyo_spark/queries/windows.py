@@ -427,3 +427,105 @@ def rollup_cascade_15m_1h_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Funnel / sequence detection: users completing signup -> view -> purchase in
+# event-time order within 7 days of signup. The streaming analog is a CEP
+# pattern over the keyed event stream (the reference would express it as
+# chained interval joins, plan/join.rs); batch form: one window pass per
+# user ordered by time — single shuffle on user_id, no self-joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_signup
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id,
+             epoch_us(CAST(first_signup AS TIMESTAMP)) AS signup_us,
+             min(CASE WHEN event_type = 'view' AND ts > first_signup
+                      AND ts <= first_signup + INTERVAL 7 DAY THEN ts END) AS first_view
+      FROM seq WHERE first_signup IS NOT NULL
+      GROUP BY user_id, first_signup
+    ),
+    funnel AS (
+      SELECT s.user_id, s.signup_us,
+             epoch_us(CAST(s.first_view AS TIMESTAMP)) AS view_us,
+             epoch_us(CAST(min(e.ts) AS TIMESTAMP)) AS purchase_us
+      FROM steps s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.first_view
+       AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s.signup_us + CAST(604800000000 AS BIGINT)
+      GROUP BY s.user_id, s.signup_us, s.first_view
+    )
+    SELECT user_id, signup_us, view_us, purchase_us,
+           (view_us IS NOT NULL) AS reached_view,
+           (purchase_us IS NOT NULL) AS reached_purchase
+    FROM funnel
+    """,
+    tags=("window_fn", "funnel", "sequence"),
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    seven_days_us = 7 * 86400 * 1_000_000
+    # one pass: per-user first signup, then first qualifying view, then first
+    # qualifying purchase — three window minimums over the same partition
+    base = ev.withColumn(
+        "first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_user),
+    ).filter(F.col("first_signup").isNotNull())
+    base = base.withColumn(
+        "first_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") > F.col("first_signup"))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros("first_signup") + seven_days_us
+                ),
+                F.col("ts"),
+            )
+        ).over(w_user),
+    )
+    base = base.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_view"))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros("first_signup") + seven_days_us
+                ),
+                F.col("ts"),
+            )
+        ).over(w_user),
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("first_signup")).alias("signup_us"),
+            F.min(F.unix_micros("first_view")).alias("view_us"),
+            F.min(F.unix_micros("first_purchase")).alias("purchase_us"),
+        )
+        .select(
+            "user_id",
+            "signup_us",
+            "view_us",
+            "purchase_us",
+            F.col("view_us").isNotNull().alias("reached_view"),
+            F.col("purchase_us").isNotNull().alias("reached_purchase"),
+        )
+    )
