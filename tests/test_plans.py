@@ -133,6 +133,22 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Blanket gate: NO suite query may contain a CartesianProduct — at
+    100 TB a cartesian is always a bug. (Broadcast nested-loop joins of
+    1-row scalar aggregates are fine and are asserted per-query.)"""
+    offenders = []
+    for name in sorted(QUERIES):
+        try:
+            plan = plan_of(spark, sf_dir, name)
+        except Exception as e:  # pragma: no cover - plan must at least build
+            offenders.append(f"{name}: plan failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def _fact_scans(plan: str, table: str) -> list[str]:
     return [
         l
