@@ -354,6 +354,10 @@ class Pipeline:
         ):
             stream_src = self._stage_with_sentinel(t, path, fmt, str(event_time))
         stream_src = stream_src or _stream_path(path)
+        if fmt == "protobuf":
+            # arroyo-rpc/src/formats.rs:389-391 — protobuf is API-only in
+            # the reference too; the DDL surface rejects it identically.
+            raise PlanError("Protobuf is not yet supported in CREATE TABLE statements")
         bad_data = t.options.get("bad_data")
         if bad_data not in (None, "fail", "drop"):
             raise PlanError(
@@ -438,6 +442,44 @@ class Pipeline:
                 )
             else:
                 df = self.spark.read.schema(self._source_schema(t)).parquet(path)
+        elif fmt == "avro":
+            # object container files (arroyo-formats/src/avro/de.rs:76-80
+            # Reader::new path). Confluent wire framing needs a registry-
+            # backed connector (kafka) — not a file path.
+            from arroyo_spark.formats.avro_spark import read_avro_ocf
+
+            if t.options.get("avro.confluent_schema_registry"):
+                raise PlanError(
+                    "avro.confluent_schema_registry requires a schema-registry"
+                    " connector; file sources read object container files"
+                )
+            unstructured = str(
+                t.options.get("avro.into_unstructured_json", "false")
+            ).lower() in ("true", "1")
+            if unstructured:
+                cols = [
+                    c for c in t.columns
+                    if c.virtual_expr is None and c.metadata_key is None
+                ]
+                if len(cols) != 1 or cols[0].spark_type != "string":
+                    raise PlanError(
+                        "avro.into_unstructured_json sources require exactly"
+                        " one TEXT value column"
+                    )
+                df = read_avro_ocf(
+                    self.spark,
+                    _stream_path(path) if streaming else path,
+                    None,
+                    streaming=streaming,
+                    unstructured=True,
+                ).withColumnRenamed("value", cols[0].name)
+            else:
+                df = read_avro_ocf(
+                    self.spark,
+                    _stream_path(path) if streaming else path,
+                    self._source_schema(t),
+                    streaming=streaming,
+                )
         else:
             raise PlanError(f"unsupported source format: {fmt}")
         for c in t.columns:
@@ -565,8 +607,10 @@ class Pipeline:
         self.tables[t.name] = t
         if t.connector is None:
             return  # memory table: registered on first INSERT
-        if t.table_type != "sink":
-            # sources and lookup tables are readable immediately
+        if t.table_type != "sink" and t.columns:
+            # sources and lookup tables are readable immediately; column-less
+            # tables are sinks whose schema is inferred from the INSERT
+            # (tables.rs:928-953) — never scanned as sources
             self._register_source(t)
 
     # -- queries -----------------------------------------------------------
@@ -646,7 +690,24 @@ class Pipeline:
         if path:
             out = self._substitute(str(path))
             fmt = result.sink_formats[sink.name]
+            if fmt == "protobuf":
+                raise PlanError(
+                    "Protobuf is not yet supported in CREATE TABLE statements"
+                )
             part_fields = self._sink_partition_fields(sink, df)
+            if fmt == "avro":
+                # directory of object container files, one per partition
+                # (OCFs cannot be line-concatenated like json sinks); the
+                # avro schema derives from the sink schema per schema.rs
+                # to_avro (nullable -> ["null", T] unions)
+                from arroyo_spark.formats.avro_spark import write_avro_ocf
+
+                if part_fields:
+                    raise PlanError(
+                        "partitioned sinks support json/parquet formats, not avro"
+                    )
+                write_avro_ocf(df, out, record_name=sink.name)
+                return
             if fmt == "parquet":
                 # parquet sinks are directories; write directly to the path.
                 # Partitioned sinks repartition on the partition keys first —

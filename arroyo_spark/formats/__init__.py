@@ -1,0 +1,23 @@
+"""Wire formats: Avro and Protobuf, re-expressed for Spark.
+
+The reference decodes every non-JSON format into JSON values and feeds
+them through its single JSON -> Arrow deserialization path
+(arroyo-formats/src/de.rs; avro/de.rs `avro_to_json`, proto/mod.rs
+`proto_to_json`).  We mirror that architecture: pure-Python codecs decode
+message bytes into JSON strings inside Arrow-batched `mapInPandas`
+stages, and Spark's `from_json` (the JVM JSON path) produces the typed
+columns.  No external avro/protobuf libraries are used -- the container
+has none -- so the codecs implement the public Avro 1.11 and Protobuf
+wire specifications directly.
+"""
+
+from arroyo_spark.formats.avro import (  # noqa: F401
+    AvroSchema,
+    decode_confluent,
+    read_datum,
+    read_ocf,
+    sanitize_field,
+    value_to_json,
+    write_datum,
+    write_ocf,
+)

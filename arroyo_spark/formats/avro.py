@@ -1,0 +1,836 @@
+"""Pure-Python Apache Avro codec (spec-complete for the reference's surface).
+
+Implements the Avro 1.11 specification's binary encoding: zigzag varint
+longs, IEEE754 LE floats, length-prefixed bytes/strings, block-encoded
+arrays/maps, index-prefixed unions, record field order, object container
+files (null + deflate codecs), Confluent schema-registry wire framing
+(magic 0x00 + big-endian u32 schema id), and reader/writer schema
+resolution (field defaults, type promotions, union resolution).
+
+Parity targets in the reference:
+  - arroyo-formats/src/avro/de.rs  (avro_messages, avro_to_json)
+  - arroyo-formats/src/avro/ser.rs (record serialization, union encoding)
+  - arroyo-formats/src/avro/schema.rs (to_arrow / to_avro mappings)
+  - arroyo-rpc/src/formats.rs:246-301 (AvroFormat options, sanitize_field)
+
+The JSON value mapping follows avro_to_json exactly: bytes/fixed decode
+to strings of U+0000..U+00FF code points (Rust's `char::from(u8)`),
+enums decode to their symbol, unions unwrap, and non-finite floats
+become the strings "NaN" / "+Inf" / "-Inf" (lib.rs:18-30 float_to_json).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Iterator
+
+__all__ = [
+    "AvroSchema",
+    "AvroError",
+    "read_datum",
+    "write_datum",
+    "read_ocf",
+    "write_ocf",
+    "decode_confluent",
+    "encode_confluent",
+    "value_to_json",
+    "json_to_value",
+    "sanitize_field",
+    "avro_to_spark_schema",
+    "spark_to_avro_schema",
+]
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+OCF_MAGIC = b"Obj\x01"
+CONFLUENT_MAGIC = 0
+
+
+class AvroError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Schema model
+
+
+@dataclass
+class AvroSchema:
+    """One node of a parsed Avro schema.
+
+    ``type`` is a primitive name, "record", "enum", "array", "map",
+    "fixed", or "union".  Named types are registered in ``names`` (shared
+    across the whole tree) so references like ``"type": "order_line"``
+    resolve (Avro spec: named type references).
+    """
+
+    type: str
+    name: str | None = None
+    logical: str | None = None
+    fields: list[tuple[str, "AvroSchema", bool, Any]] = field(default_factory=list)
+    # fields: (name, schema, has_default, default_json)
+    items: "AvroSchema | None" = None
+    values: "AvroSchema | None" = None
+    symbols: list[str] = field(default_factory=list)
+    size: int = 0
+    branches: list["AvroSchema"] = field(default_factory=list)
+
+    @staticmethod
+    def parse(src: str | dict | list) -> "AvroSchema":
+        obj = json.loads(src) if isinstance(src, str) else src
+        return _parse_schema(obj, {}, None)
+
+    def to_json(self) -> Any:
+        """Re-serialize to schema JSON (canonical-ish; enough to round-trip)."""
+        if self.type == "union":
+            return [b.to_json() for b in self.branches]
+        if self.type in PRIMITIVES and self.logical is None:
+            return self.type
+        out: dict[str, Any] = {"type": self.type}
+        if self.logical:
+            out["logicalType"] = self.logical
+        if self.name:
+            out["name"] = self.name
+        if self.type == "record":
+            out["fields"] = [
+                {"name": n, "type": s.to_json(), **({"default": d} if h else {})}
+                for n, s, h, d in self.fields
+            ]
+        elif self.type == "enum":
+            out["symbols"] = self.symbols
+        elif self.type == "array":
+            out["items"] = self.items.to_json()
+        elif self.type == "map":
+            out["values"] = self.values.to_json()
+        elif self.type == "fixed":
+            out["size"] = self.size
+        return out
+
+
+def _full_name(name: str, namespace: str | None) -> str:
+    return name if "." in name or not namespace else f"{namespace}.{name}"
+
+
+def _parse_schema(
+    obj: Any, names: dict[str, AvroSchema], namespace: str | None
+) -> AvroSchema:
+    if isinstance(obj, str):
+        if obj in PRIMITIVES:
+            return AvroSchema(obj)
+        ref = obj if obj in names else _full_name(obj, namespace)
+        if ref in names:
+            return names[ref]
+        # unqualified reference to a name defined in any namespace
+        tails = {k.rsplit(".", 1)[-1]: v for k, v in names.items()}
+        if obj in tails:
+            return tails[obj]
+        raise AvroError(f"unknown avro type reference: {obj!r}")
+    if isinstance(obj, list):
+        return AvroSchema(
+            "union", branches=[_parse_schema(b, names, namespace) for b in obj]
+        )
+    if not isinstance(obj, dict):
+        raise AvroError(f"invalid avro schema node: {obj!r}")
+    typ = obj["type"]
+    if isinstance(typ, (dict, list)):
+        # {"type": {...}} wrapper (used for logical-type annotations upstream)
+        return _parse_schema(typ, names, namespace)
+    logical = obj.get("logicalType")
+    if typ in PRIMITIVES:
+        return AvroSchema(typ, logical=logical)
+    ns = obj.get("namespace", namespace)
+    if typ == "record" or typ == "error":
+        full = _full_name(obj["name"], ns)
+        rec = AvroSchema("record", name=full)
+        names[full] = rec
+        for f in obj["fields"]:
+            fs = _parse_schema(f["type"], names, ns)
+            rec.fields.append((f["name"], fs, "default" in f, f.get("default")))
+        return rec
+    if typ == "enum":
+        full = _full_name(obj["name"], ns)
+        en = AvroSchema("enum", name=full, symbols=list(obj["symbols"]))
+        names[full] = en
+        return en
+    if typ == "fixed":
+        full = _full_name(obj["name"], ns)
+        fx = AvroSchema("fixed", name=full, size=int(obj["size"]), logical=logical)
+        names[full] = fx
+        return fx
+    if typ == "array":
+        return AvroSchema("array", items=_parse_schema(obj["items"], names, ns))
+    if typ == "map":
+        return AvroSchema("map", values=_parse_schema(obj["values"], names, ns))
+    return _parse_schema(typ, names, ns)
+
+
+def sanitize_field(s: str) -> str:
+    """formats.rs:295-300: non [a-zA-Z0-9_.] -> '_', then '.' -> '__'."""
+    return re.sub(r"[^a-zA-Z0-9_.]", "_", s).replace(".", "__")
+
+
+# ---------------------------------------------------------------------------
+# Binary decoding
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise AvroError("unexpected end of avro data")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            if self.pos >= len(self.buf):
+                raise AvroError("unexpected end of varint")
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+def _skip(r: _Reader, schema: AvroSchema) -> None:
+    t = schema.type
+    if t == "null":
+        return
+    if t == "boolean":
+        r.read(1)
+    elif t in ("int", "long"):
+        r.read_long()
+    elif t == "float":
+        r.read(4)
+    elif t == "double":
+        r.read(8)
+    elif t in ("bytes", "string"):
+        r.read_bytes()
+    elif t == "fixed":
+        r.read(schema.size)
+    elif t == "enum":
+        r.read_long()
+    elif t == "union":
+        _skip(r, schema.branches[r.read_long()])
+    elif t == "record":
+        for _, fs, _, _ in schema.fields:
+            _skip(r, fs)
+    elif t == "array":
+        _skip_blocks(r, lambda: _skip(r, schema.items))
+    elif t == "map":
+        _skip_blocks(r, lambda: (r.read_bytes(), _skip(r, schema.values)))
+    else:
+        raise AvroError(f"cannot skip type {t}")
+
+
+def _skip_blocks(r: _Reader, skip_item: Callable[[], Any]) -> None:
+    while True:
+        n = r.read_long()
+        if n == 0:
+            return
+        if n < 0:
+            r.read(r.read_long())  # block byte size given: skip wholesale
+        else:
+            for _ in range(n):
+                skip_item()
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _match(writer: AvroSchema, reader: AvroSchema) -> bool:
+    if writer.type == reader.type:
+        if writer.type in ("record", "enum", "fixed"):
+            return (
+                writer.name == reader.name
+                or (writer.name or "").rsplit(".", 1)[-1]
+                == (reader.name or "").rsplit(".", 1)[-1]
+            )
+        return True
+    return reader.type in _PROMOTIONS.get(writer.type, ())
+
+
+def read_datum(
+    r: _Reader | bytes, writer: AvroSchema, reader: AvroSchema | None = None
+) -> Any:
+    """Decode one datum written with ``writer``, resolved to ``reader``
+    (Avro spec: Schema Resolution). Returns python values; records/maps as
+    dicts, bytes/fixed as ``bytes``, enums as their symbol string."""
+    if isinstance(r, (bytes, bytearray, memoryview)):
+        r = _Reader(bytes(r))
+    w, rd = writer, reader
+    if rd is not None and w.type != "union" and rd.type == "union":
+        for b in rd.branches:
+            if _match(w, b):
+                rd = b
+                break
+        else:
+            raise AvroError(f"writer {w.type} does not match any reader branch")
+    t = w.type
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t == "int" or t == "long":
+        v = r.read_long()
+        if rd is not None and rd.type in ("float", "double"):
+            return float(v)
+        return v
+    if t == "float":
+        v = struct.unpack("<f", r.read(4))[0]
+        return v
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        b = r.read_bytes()
+        return b.decode("utf-8") if rd is not None and rd.type == "string" else b
+    if t == "string":
+        b = r.read_bytes()
+        return b if rd is not None and rd.type == "bytes" else b.decode("utf-8")
+    if t == "fixed":
+        return r.read(w.size)
+    if t == "enum":
+        return w.symbols[r.read_long()]
+    if t == "union":
+        branch = w.branches[r.read_long()]
+        return read_datum(r, branch, rd if rd is not None and rd.type != "union" else rd)
+    if t == "array":
+        out: list[Any] = []
+        item_reader = rd.items if rd is not None and rd.type == "array" else None
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.read_long()  # block size in bytes; unused when reading all
+            for _ in range(n):
+                out.append(read_datum(r, w.items, item_reader))
+    if t == "map":
+        m: dict[str, Any] = {}
+        val_reader = rd.values if rd is not None and rd.type == "map" else None
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return m
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                k = r.read_bytes().decode("utf-8")
+                m[k] = read_datum(r, w.values, val_reader)
+    if t == "record":
+        if rd is None or rd.type != "record":
+            return {n: read_datum(r, fs) for n, fs, _, _ in w.fields}
+        reader_fields = {n: (fs, h, d) for n, fs, h, d in rd.fields}
+        rec: dict[str, Any] = {}
+        seen: set[str] = set()
+        for n, fs, _, _ in w.fields:
+            if n in reader_fields:
+                rec[n] = read_datum(r, fs, reader_fields[n][0])
+                seen.add(n)
+            else:
+                _skip(r, fs)
+        for n, (fs, has_default, default) in reader_fields.items():
+            if n not in seen:
+                if not has_default:
+                    raise AvroError(
+                        f"reader field {n!r} missing from writer schema and has no default"
+                    )
+                rec[n] = json_to_value(default, fs)
+        # preserve reader field order like apache_avro does
+        return {n: rec[n] for n, _, _, _ in rd.fields if n in rec}
+    raise AvroError(f"unsupported avro type: {t}")
+
+
+def json_to_value(j: Any, schema: AvroSchema) -> Any:
+    """Interpret a schema-JSON default (or sink-side JSON value) as a datum
+    value for ``schema``.  JSON defaults for unions use the FIRST branch
+    (Avro spec)."""
+    t = schema.type
+    if t == "union":
+        if j is None:
+            for b in schema.branches:
+                if b.type == "null":
+                    return None
+        return json_to_value(j, schema.branches[0] if j is not None else schema.branches[0])
+    if t == "null":
+        return None
+    if t in ("bytes", "fixed"):
+        if isinstance(j, str):
+            return bytes(ord(c) & 0xFF for c in j)
+        return bytes(j)
+    if t == "record":
+        return {
+            n: json_to_value((j or {}).get(n, d if h else None), fs)
+            for n, fs, h, d in schema.fields
+        }
+    if t == "array":
+        return [json_to_value(x, schema.items) for x in (j or [])]
+    if t == "map":
+        return {k: json_to_value(v, schema.values) for k, v in (j or {}).items()}
+    return j
+
+
+# ---------------------------------------------------------------------------
+# Binary encoding
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def write_long(out: bytearray, n: int) -> None:
+    v = _zigzag(n)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def write_datum(out: bytearray, schema: AvroSchema, v: Any) -> None:
+    t = schema.type
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t in ("int", "long"):
+        write_long(out, int(v))
+    elif t == "float":
+        out.extend(struct.pack("<f", float(v)))
+    elif t == "double":
+        out.extend(struct.pack("<d", float(v)))
+    elif t == "bytes":
+        b = v.encode("latin-1") if isinstance(v, str) else bytes(v)
+        write_long(out, len(b))
+        out.extend(b)
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        write_long(out, len(b))
+        out.extend(b)
+    elif t == "fixed":
+        b = bytes(v)
+        if len(b) != schema.size:
+            raise AvroError(f"fixed size mismatch: {len(b)} != {schema.size}")
+        out.extend(b)
+    elif t == "enum":
+        write_long(out, schema.symbols.index(str(v)))
+    elif t == "union":
+        # ser.rs writes Union(is_some as u32, value): null branch first.
+        # General rule: pick the first branch that accepts the value.
+        idx = _union_branch(schema, v)
+        write_long(out, idx)
+        write_datum(out, schema.branches[idx], v)
+    elif t == "array":
+        items = list(v or [])
+        if items:
+            write_long(out, len(items))
+            for it in items:
+                write_datum(out, schema.items, it)
+        write_long(out, 0)
+    elif t == "map":
+        entries = dict(v or {})
+        if entries:
+            write_long(out, len(entries))
+            for k, val in entries.items():
+                kb = str(k).encode("utf-8")
+                write_long(out, len(kb))
+                out.extend(kb)
+                write_datum(out, schema.values, val)
+        write_long(out, 0)
+    elif t == "record":
+        v = v or {}
+        for n, fs, has_default, default in schema.fields:
+            if n in v:
+                write_datum(out, fs, v[n])
+            elif has_default:
+                write_datum(out, fs, json_to_value(default, fs))
+            elif fs.type == "union" and any(b.type == "null" for b in fs.branches):
+                write_datum(out, fs, None)
+            else:
+                raise AvroError(f"missing value for record field {n!r}")
+    else:
+        raise AvroError(f"unsupported avro type: {t}")
+
+
+def _union_branch(schema: AvroSchema, v: Any) -> int:
+    kinds: list[tuple[int, AvroSchema]] = list(enumerate(schema.branches))
+    if v is None:
+        for i, b in kinds:
+            if b.type == "null":
+                return i
+        raise AvroError("no null branch in union for None value")
+    type_pref = {
+        bool: ("boolean",),
+        int: ("long", "int", "double", "float"),
+        float: ("double", "float"),
+        str: ("string", "enum", "bytes", "fixed"),
+        bytes: ("bytes", "fixed", "string"),
+        list: ("array",),
+        dict: ("record", "map"),
+    }
+    for want in type_pref.get(type(v), ()):
+        for i, b in kinds:
+            if b.type == want:
+                return i
+    for i, b in kinds:
+        if b.type != "null":
+            return i
+    raise AvroError("no union branch matches value")
+
+
+# ---------------------------------------------------------------------------
+# Object container files (Avro spec: Object Container Files)
+
+
+def read_ocf(data: bytes) -> tuple[AvroSchema, list[Any]]:
+    """Parse an Avro object container file: header (magic, metadata map,
+    sync marker) then blocks of (count, size, records, sync)."""
+    r = _Reader(data)
+    if r.read(4) != OCF_MAGIC:
+        raise AvroError("not an avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    sync = r.read(16)
+    schema = AvroSchema.parse(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    values: list[Any] = []
+    while not r.at_end():
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise AvroError(f"unsupported avro codec: {codec}")
+        br = _Reader(block)
+        for _ in range(count):
+            values.append(read_datum(br, schema))
+        if r.read(16) != sync:
+            raise AvroError("avro block sync marker mismatch")
+    return schema, values
+
+
+def write_ocf(
+    schema: AvroSchema | str,
+    values: Iterable[Any],
+    codec: str = "null",
+    sync: bytes = b"\x10\x21\x32\x43\x54\x65\x76\x87\x98\xa9\xba\xcb\xdc\xed\xfe\x0f",
+) -> bytes:
+    if isinstance(schema, str):
+        schema_json, schema = schema, AvroSchema.parse(schema)
+    else:
+        schema_json = json.dumps(schema.to_json())
+    out = bytearray(OCF_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        write_long(out, len(kb))
+        out.extend(kb)
+        write_long(out, len(v))
+        out.extend(v)
+    write_long(out, 0)
+    out.extend(sync)
+    block = bytearray()
+    n = 0
+    for v in values:
+        write_datum(block, schema, v)
+        n += 1
+    if n:
+        payload = bytes(block)
+        if codec == "deflate":
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        elif codec != "null":
+            raise AvroError(f"unsupported avro codec: {codec}")
+        write_long(out, n)
+        write_long(out, len(payload))
+        out.extend(payload)
+        out.extend(sync)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Confluent schema-registry wire format (de.rs:20-36)
+
+
+def decode_confluent(msg: bytes) -> tuple[int, bytes]:
+    if not msg or msg[0] != CONFLUENT_MAGIC:
+        raise AvroError(
+            "data was not encoded with schema registry wire format; "
+            f"magic byte has unexpected value: {msg[0] if msg else 'EOF'}"
+        )
+    return int.from_bytes(msg[1:5], "big"), msg[5:]
+
+
+def encode_confluent(schema_id: int, datum: bytes) -> bytes:
+    return b"\x00" + schema_id.to_bytes(4, "big") + datum
+
+
+# ---------------------------------------------------------------------------
+# JSON value mapping (avro/de.rs avro_to_json + lib.rs float_to_json)
+
+
+def _float_to_json(f: float) -> Any:
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "+Inf"
+    if f == float("-inf"):
+        return "-Inf"
+    return f
+
+
+def value_to_json(v: Any) -> Any:
+    """Map decoded datum values to the reference's JSON encoding:
+    bytes/fixed -> string of the bytes' unicode code points (char::from),
+    non-finite floats -> "NaN"/"+Inf"/"-Inf", containers recursively."""
+    if isinstance(v, bool) or v is None or isinstance(v, int) or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return _float_to_json(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "".join(chr(b) for b in v)
+    if isinstance(v, list):
+        return [value_to_json(x) for x in v]
+    if isinstance(v, dict):
+        return {k: value_to_json(x) for k, x in v.items()}
+    raise AvroError(f"cannot JSON-encode avro value of type {type(v)}")
+
+
+# ---------------------------------------------------------------------------
+# Schema mappings to/from Spark (avro/schema.rs to_arrow / to_avro)
+
+
+def avro_to_spark_schema(schema: AvroSchema):
+    """Avro record schema -> (pyspark StructType, cast_map).
+
+    Mirrors schema.rs `to_arrow_datatype`: int/time-millis -> int,
+    long -> long, float/double, bytes/fixed/decimal -> string (the JSON
+    path carries them as code-point strings), string/enum/uuid -> string,
+    [null, T] unions -> nullable T, other unions / maps -> JSON string.
+    timestamp-millis/micros and date become LongType/IntegerType at parse
+    time with a cast entry so callers can produce true timestamp columns
+    (Spark's from_json cannot read epoch ints into TimestampType).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    cast_map: dict[str, str] = {}
+
+    def dt(s: AvroSchema, path: str):
+        if s.logical in ("timestamp-millis", "local-timestamp-millis"):
+            cast_map[path] = "timestamp_millis"
+            return LongType(), False
+        if s.logical in ("timestamp-micros", "local-timestamp-micros"):
+            cast_map[path] = "timestamp_micros"
+            return LongType(), False
+        t = s.type
+        if t == "boolean":
+            return BooleanType(), False
+        if t == "int":
+            return IntegerType(), False
+        if t == "long":
+            return LongType(), False
+        if t == "float":
+            return FloatType(), False
+        if t == "double":
+            return DoubleType(), False
+        if t in ("bytes", "fixed", "string", "enum", "map", "null"):
+            return StringType(), False
+        if t == "array":
+            inner, _ = dt(s.items, path)
+            return ArrayType(inner, True), False
+        if t == "union":
+            nulls = [b for b in s.branches if b.type == "null"]
+            others = [b for b in s.branches if b.type != "null"]
+            if len(nulls) == 1 and len(others) == 1:
+                inner, _ = dt(others[0], path)
+                return inner, True
+            return StringType(), False  # JSON-extension fallback
+        if t == "record":
+            return (
+                StructType(
+                    [
+                        StructField(n, dt(fs, f"{path}.{n}" if path else n)[0], True)
+                        for n, fs, _, _ in s.fields
+                    ]
+                ),
+                False,
+            )
+        return StringType(), False
+
+    if schema.type != "record":
+        raise AvroError("top-level schema must be a record")
+    st = StructType(
+        [
+            StructField(sanitize_field(n), dt(fs, n)[0], True)
+            for n, fs, _, _ in schema.fields
+        ]
+    )
+    return st, cast_map
+
+
+def spark_to_avro_schema(name: str, spark_schema) -> AvroSchema:
+    """pyspark StructType -> Avro record schema, mirroring schema.rs
+    `to_avro`: nullable fields become ["null", T] unions, nested records
+    are named ``{parent}_{field}``, timestamps -> long timestamp-micros,
+    dates -> int date, decimals -> bytes decimal."""
+
+    def node(nm: str, t) -> dict:
+        from pyspark.sql import types as T
+
+        if isinstance(t, T.BooleanType):
+            return {"type": "boolean"}
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
+            return {"type": "int"}
+        if isinstance(t, T.LongType):
+            return {"type": "long"}
+        if isinstance(t, T.FloatType):
+            return {"type": "float"}
+        if isinstance(t, T.DoubleType):
+            return {"type": "double"}
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(t, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(t, T.BinaryType):
+            return {"type": "bytes"}
+        if isinstance(t, T.StringType):
+            return {"type": "string"}
+        if isinstance(t, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": t.precision,
+                "scale": t.scale,
+            }
+        if isinstance(t, T.ArrayType):
+            return {"type": "array", "items": field_node(nm, "item", t.elementType, True)}
+        if isinstance(t, T.StructType):
+            return {
+                "type": "record",
+                "name": nm,
+                "fields": [
+                    {
+                        "name": sanitize_field(f.name),
+                        "type": field_node(nm, f.name, f.dataType, f.nullable),
+                    }
+                    for f in t.fields
+                ],
+            }
+        raise AvroError(f"unsupported spark type for avro: {t}")
+
+    def field_node(parent: str, fname: str, t, nullable: bool):
+        n = node(f"{parent}_{fname}", t)
+        return ["null", n] if nullable else n
+
+    rec = {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": sanitize_field(f.name),
+                "type": field_node(name, f.name, f.dataType, f.nullable),
+            }
+            for f in spark_schema.fields
+        ],
+    }
+    return AvroSchema.parse(rec)
+
+
+# ---------------------------------------------------------------------------
+# Message-level helpers used by the Spark integration
+
+
+def decode_messages(
+    messages: Iterable[bytes],
+    *,
+    confluent: bool = False,
+    raw_datums: bool = False,
+    reader_schema: AvroSchema | None = None,
+    resolve: Callable[[int], AvroSchema] | None = None,
+) -> Iterator[dict]:
+    """Decode avro messages to JSON-ready dicts, mirroring
+    avro/de.rs `avro_messages`: confluent framing or raw datums use the
+    resolver (by schema id; id 0 for raw datums), otherwise each message
+    is a whole object container file."""
+    cache: dict[int, AvroSchema] = {}
+    for msg in messages:
+        if confluent or raw_datums:
+            if confluent:
+                schema_id, payload = decode_confluent(msg)
+            else:
+                schema_id, payload = 0, msg
+            writer = cache.get(schema_id)
+            if writer is None:
+                if resolve is None:
+                    if reader_schema is None:
+                        raise AvroError("no schema resolver for avro datum")
+                    writer = reader_schema
+                else:
+                    writer = resolve(schema_id)
+                cache[schema_id] = writer
+            yield value_to_json(read_datum(payload, writer, reader_schema))
+        else:
+            writer, values = read_ocf(msg)
+            for v in values:
+                if reader_schema is not None:
+                    v = _resolve_value(v, writer, reader_schema)
+                yield value_to_json(v)
+
+
+def _resolve_value(v: Any, writer: AvroSchema, reader: AvroSchema) -> Any:
+    # re-encode + decode with resolution; OCF messages already decoded
+    buf = bytearray()
+    write_datum(buf, writer, v)
+    return read_datum(bytes(buf), writer, reader)

@@ -1,0 +1,326 @@
+"""Avro codec tests.
+
+The byte fixtures are the reference's own golden test payloads
+(arroyo-formats/src/avro/de.rs:301-539) — decoding them with our
+pure-Python codec and getting the reference's asserted values is a direct
+cross-engine parity check. Primitive encodings additionally check the
+worked examples in the public Avro 1.11 spec (zigzag longs, string
+framing).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arroyo_spark.formats.avro import (
+    AvroSchema,
+    decode_confluent,
+    decode_messages,
+    encode_confluent,
+    read_datum,
+    read_ocf,
+    sanitize_field,
+    value_to_json,
+    write_datum,
+    write_ocf,
+)
+
+# --- reference fixture: confluent-framed pizza_orders (avro/de.rs:145-208,300-326)
+
+PIZZA_SCHEMA = """
+{
+  "fields": [
+    {"name": "store_id", "type": "int"},
+    {"name": "store_order_id", "type": "int"},
+    {"name": "coupon_code", "type": "int"},
+    {"name": "date", "type": {"logicalType": "date", "type": "int"}},
+    {"name": "status", "type": "string"},
+    {"name": "order_lines", "type": {
+        "items": {
+          "fields": [
+            {"name": "product_id", "type": "int"},
+            {"name": "category", "type": "string"},
+            {"name": "quantity", "type": "int"},
+            {"name": "unit_price", "type": "double"},
+            {"name": "net_price", "type": "double"}
+          ],
+          "name": "order_line", "type": "record"},
+        "type": "array"}}
+  ],
+  "name": "pizza_orders", "namespace": "pizza_orders", "type": "record"
+}"""
+
+PIZZA_MESSAGE = bytes(
+    [
+        0, 0, 0, 0, 1, 8, 200, 223, 1, 144, 31, 186, 159, 2, 16, 97, 99, 99, 101,
+        112, 116, 101, 100, 4, 156, 1, 10, 112, 105, 122, 122, 97, 4, 102, 102,
+        102, 102, 102, 230, 38, 64, 102, 102, 102, 102, 102, 230, 54, 64, 84, 14,
+        100, 101, 115, 115, 101, 114, 116, 2, 113, 61, 10, 215, 163, 112, 26, 64,
+        113, 61, 10, 215, 163, 112, 26, 64, 0, 10,
+    ]
+)
+
+
+def test_confluent_pizza_orders_golden():
+    schema_id, payload = decode_confluent(PIZZA_MESSAGE)
+    assert schema_id == 1
+    schema = AvroSchema.parse(PIZZA_SCHEMA)
+    row = value_to_json(read_datum(payload, schema))
+    assert row["store_id"] == 4
+    assert row["store_order_id"] == 14308
+    assert row["coupon_code"] == 1992
+    assert row["date"] == 18397
+    assert row["status"] == "accepted"
+    assert row["order_lines"] == [
+        {"product_id": 78, "category": "pizza", "quantity": 2,
+         "unit_price": 11.45, "net_price": 22.9},
+        {"product_id": 42, "category": "dessert", "quantity": 1,
+         "unit_price": 6.61, "net_price": 6.61},
+    ]
+
+
+def test_confluent_bad_magic():
+    with pytest.raises(Exception, match="magic byte"):
+        decode_confluent(b"\x01\x00\x00\x00\x01")
+
+
+# --- reference fixture: OCF with two User records (avro/de.rs:447-480)
+
+EMBEDDED_OCF = bytes(
+    [
+        79, 98, 106, 1, 4, 20, 97, 118, 114, 111, 46, 99, 111, 100, 101, 99, 8,
+        110, 117, 108, 108, 22, 97, 118, 114, 111, 46, 115, 99, 104, 101, 109, 97,
+        186, 3, 123, 34, 116, 121, 112, 101, 34, 58, 32, 34, 114, 101, 99, 111,
+        114, 100, 34, 44, 32, 34, 110, 97, 109, 101, 34, 58, 32, 34, 85, 115, 101,
+        114, 34, 44, 32, 34, 110, 97, 109, 101, 115, 112, 97, 99, 101, 34, 58, 32,
+        34, 101, 120, 97, 109, 112, 108, 101, 46, 97, 118, 114, 111, 34, 44, 32,
+        34, 102, 105, 101, 108, 100, 115, 34, 58, 32, 91, 123, 34, 116, 121, 112,
+        101, 34, 58, 32, 34, 115, 116, 114, 105, 110, 103, 34, 44, 32, 34, 110,
+        97, 109, 101, 34, 58, 32, 34, 110, 97, 109, 101, 34, 125, 44, 32, 123, 34,
+        116, 121, 112, 101, 34, 58, 32, 91, 34, 105, 110, 116, 34, 44, 32, 34,
+        110, 117, 108, 108, 34, 93, 44, 32, 34, 110, 97, 109, 101, 34, 58, 32, 34,
+        102, 97, 118, 111, 114, 105, 116, 101, 95, 110, 117, 109, 98, 101, 114,
+        34, 125, 44, 32, 123, 34, 116, 121, 112, 101, 34, 58, 32, 91, 34, 115,
+        116, 114, 105, 110, 103, 34, 44, 32, 34, 110, 117, 108, 108, 34, 93, 44,
+        32, 34, 110, 97, 109, 101, 34, 58, 32, 34, 102, 97, 118, 111, 114, 105,
+        116, 101, 95, 99, 111, 108, 111, 114, 34, 125, 93, 125, 0, 52, 104, 70,
+        176, 108, 101, 199, 71, 44, 76, 126, 49, 211, 19, 204, 87, 4, 44, 12, 65,
+        108, 121, 115, 115, 97, 0, 128, 4, 2, 6, 66, 101, 110, 0, 14, 0, 6, 114,
+        101, 100, 52, 104, 70, 176, 108, 101, 199, 71, 44, 76, 126, 49, 211, 19,
+        204, 87,
+    ]
+)
+
+
+def test_ocf_embedded_golden():
+    schema, values = read_ocf(EMBEDDED_OCF)
+    assert schema.name == "example.avro.User"
+    rows = [value_to_json(v) for v in values]
+    assert rows == [
+        {"name": "Alyssa", "favorite_number": 256, "favorite_color": None},
+        {"name": "Ben", "favorite_number": 7, "favorite_color": "red"},
+    ]
+
+
+def test_decode_messages_ocf_unstructured():
+    rows = list(decode_messages([EMBEDDED_OCF]))
+    assert rows[0]["name"] == "Alyssa"
+    assert rows[1]["favorite_color"] == "red"
+
+
+# --- reference fixture: raw datum with static schema (avro/de.rs:484-519)
+
+USER_SCHEMA = """{"namespace": "example.avro", "type": "record", "name": "User",
+  "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "favorite_number", "type": ["int", "null"]},
+    {"name": "favorite_color", "type": ["string", "null"]}
+  ]}"""
+
+RAW_DATUM = bytes([12, 65, 108, 121, 115, 115, 97, 0, 128, 4, 2])
+
+
+def test_raw_datum_static_schema_golden():
+    schema = AvroSchema.parse(USER_SCHEMA)
+    row = value_to_json(read_datum(RAW_DATUM, schema))
+    assert row == {"name": "Alyssa", "favorite_number": 256, "favorite_color": None}
+
+
+def test_decode_messages_raw_datums():
+    schema = AvroSchema.parse(USER_SCHEMA)
+    rows = list(decode_messages([RAW_DATUM], raw_datums=True, reader_schema=schema))
+    assert rows == [
+        {"name": "Alyssa", "favorite_number": 256, "favorite_color": None}
+    ]
+
+
+# --- reference fixtures: schema evolution (avro/de.rs:328-446)
+
+WRITER_EVO = """{"namespace": "example.avro", "type": "record", "name": "User",
+  "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "favorite_number", "type": "int"},
+    {"name": "favorite_color", "type": ["string", "null"]},
+    {"name": "new_field", "type": "string", "default": "hello!"}
+  ]}"""
+
+READER_EVO = """{"namespace": "example.avro", "type": "record", "name": "User",
+  "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "favorite_number", "type": "int"},
+    {"name": "favorite_color", "type": ["string", "null"]}
+  ]}"""
+
+
+def _encode(schema_src: str, value: dict) -> bytes:
+    out = bytearray()
+    write_datum(out, AvroSchema.parse(schema_src), value)
+    return bytes(out)
+
+
+def test_schema_evolution_drop_writer_field():
+    # reader lacks new_field -> it is skipped (test_add_field)
+    datum = _encode(
+        WRITER_EVO,
+        {"name": "Alyssa", "favorite_number": 256, "favorite_color": None,
+         "new_field": "new"},
+    )
+    reader = AvroSchema.parse(READER_EVO)
+    writer = AvroSchema.parse(WRITER_EVO)
+    row = value_to_json(read_datum(datum, writer, reader))
+    assert row == {"name": "Alyssa", "favorite_number": 256, "favorite_color": None}
+
+
+def test_schema_evolution_reader_default():
+    # writer lacks removed_field; reader supplies default (test_remove_field)
+    reader_src = """{"namespace": "example.avro", "type": "record", "name": "User",
+      "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "favorite_number", "type": "int"},
+        {"name": "favorite_color", "type": ["string", "null"]},
+        {"name": "removed_field", "type": "string", "default": "hello!"}
+      ]}"""
+    datum = _encode(
+        READER_EVO,
+        {"name": "Alyssa", "favorite_number": 256, "favorite_color": None},
+    )
+    row = value_to_json(
+        read_datum(datum, AvroSchema.parse(READER_EVO), AvroSchema.parse(reader_src))
+    )
+    assert row == {
+        "name": "Alyssa", "favorite_number": 256, "favorite_color": None,
+        "removed_field": "hello!",
+    }
+
+
+# --- Avro 1.11 spec worked examples (public spec, "Binary Encoding")
+
+@pytest.mark.parametrize(
+    "n,enc",
+    [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"), (2, b"\x04"),
+     (-64, b"\x7f"), (64, b"\x80\x01"), (-65, b"\x81\x01")],
+)
+def test_zigzag_spec_examples(n, enc):
+    out = bytearray()
+    write_datum(out, AvroSchema.parse('"long"'), n)
+    assert bytes(out) == enc
+    assert read_datum(enc, AvroSchema.parse('"long"')) == n
+
+
+def test_string_spec_example():
+    out = bytearray()
+    write_datum(out, AvroSchema.parse('"string"'), "foo")
+    assert bytes(out) == b"\x06foo"
+
+
+# --- round-trips (property-based)
+
+RT_SCHEMA = AvroSchema.parse(
+    """{"type": "record", "name": "RT", "fields": [
+      {"name": "b", "type": "boolean"},
+      {"name": "i", "type": "int"},
+      {"name": "l", "type": "long"},
+      {"name": "d", "type": "double"},
+      {"name": "s", "type": "string"},
+      {"name": "o", "type": ["null", "long"]},
+      {"name": "a", "type": {"type": "array", "items": "long"}},
+      {"name": "m", "type": {"type": "map", "values": "string"}},
+      {"name": "e", "type": {"type": "enum", "name": "E",
+                             "symbols": ["A", "B", "C"]}},
+      {"name": "x", "type": "bytes"}
+    ]}"""
+)
+
+rt_values = st.fixed_dictionaries(
+    {
+        "b": st.booleans(),
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.integers(-(2**63), 2**63 - 1),
+        "d": st.floats(allow_nan=False),
+        "s": st.text(max_size=40),
+        "o": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "a": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+        "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),
+        "e": st.sampled_from(["A", "B", "C"]),
+        "x": st.binary(max_size=32),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rt_values)
+def test_datum_round_trip(v):
+    out = bytearray()
+    write_datum(out, RT_SCHEMA, v)
+    assert read_datum(bytes(out), RT_SCHEMA) == v
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(rt_values, max_size=10), st.sampled_from(["null", "deflate"]))
+def test_ocf_round_trip(vals, codec):
+    data = write_ocf(RT_SCHEMA, vals, codec=codec)
+    schema, decoded = read_ocf(data)
+    assert decoded == vals
+
+
+def test_confluent_round_trip():
+    datum = _encode(USER_SCHEMA, {"name": "Ben", "favorite_number": 7,
+                                  "favorite_color": "red"})
+    framed = encode_confluent(42, datum)
+    schema_id, payload = decode_confluent(framed)
+    assert schema_id == 42
+    assert payload == datum
+
+
+# --- promotions and misc
+
+def test_promotion_int_to_double_and_string_to_bytes():
+    w = AvroSchema.parse('{"type":"record","name":"R","fields":['
+                         '{"name":"x","type":"int"},{"name":"s","type":"string"}]}')
+    r = AvroSchema.parse('{"type":"record","name":"R","fields":['
+                         '{"name":"x","type":"double"},{"name":"s","type":"bytes"}]}')
+    datum = _encode(
+        '{"type":"record","name":"R","fields":[{"name":"x","type":"int"},'
+        '{"name":"s","type":"string"}]}',
+        {"x": 3, "s": "hi"},
+    )
+    v = read_datum(datum, w, r)
+    assert v == {"x": 3.0, "s": b"hi"}
+    assert isinstance(v["x"], float)
+
+
+def test_float_to_json_nonfinite():
+    assert value_to_json(float("nan")) == "NaN"
+    assert value_to_json(float("inf")) == "+Inf"
+    assert value_to_json(float("-inf")) == "-Inf"
+    assert value_to_json(b"\x01\x02abc") == "\x01\x02abc"
+
+
+def test_sanitize_field():
+    # formats.rs:295-300
+    assert sanitize_field("a-b c") == "a_b_c"
+    assert sanitize_field("ns.field") == "ns__field"

@@ -1,0 +1,168 @@
+"""End-to-end avro format through the dialect pipeline: OCF source ->
+query -> OCF sink, batch and streaming, plus protobuf DDL rejection
+(arroyo-rpc/src/formats.rs:389-391)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from arroyo_spark.dialect import PlanError
+from arroyo_spark.dialect.pipeline import Pipeline
+from arroyo_spark.formats.avro import AvroSchema, read_ocf, write_ocf
+from arroyo_spark.formats.avro_spark import read_avro_ocf, write_avro_ocf
+
+ORDERS_SCHEMA = """{"type": "record", "name": "orders", "fields": [
+  {"name": "order_id", "type": "long"},
+  {"name": "customer", "type": "string"},
+  {"name": "amount", "type": "double"},
+  {"name": "placed_at", "type": ["null",
+      {"type": "long", "logicalType": "timestamp-micros"}]}
+]}"""
+
+
+def _write_fixture(tmp_path, n_files=2, rows_per=3):
+    d = tmp_path / "avro_src"
+    d.mkdir()
+    i = 0
+    for f in range(n_files):
+        values = []
+        for _ in range(rows_per):
+            values.append(
+                {
+                    "order_id": i,
+                    "customer": f"c{i % 2}",
+                    "amount": float(i) * 1.5,
+                    "placed_at": 1_700_000_000_000_000 + i * 60_000_000,
+                }
+            )
+            i += 1
+        (d / f"orders-{f}.avro").write_bytes(
+            write_ocf(ORDERS_SCHEMA, values, codec="deflate" if f % 2 else "null")
+        )
+    return str(d)
+
+
+def test_read_avro_ocf_typed(spark, tmp_path):
+    path = _write_fixture(tmp_path)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(
+        "order_id long, customer string, amount double, placed_at timestamp_ntz"
+    )
+    df = read_avro_ocf(spark, path, schema)
+    rows = {r.order_id: r for r in df.collect()}
+    assert len(rows) == 6
+    assert rows[3].customer == "c1"
+    assert rows[4].amount == 6.0
+    assert rows[2].placed_at.minute == (1_700_000_000 // 60 + 2) % 60
+
+
+def test_avro_dialect_end_to_end(spark, tmp_path):
+    src = _write_fixture(tmp_path)
+    out = str(tmp_path / "sink_avro")
+    script = f"""
+    CREATE TABLE orders (
+      order_id BIGINT,
+      customer TEXT,
+      amount DOUBLE,
+      placed_at TIMESTAMP
+    ) WITH (connector = 'filesystem', path = '{src}', format = 'avro');
+
+    CREATE TABLE sink WITH (
+      connector = 'filesystem', path = '{out}', format = 'avro');
+
+    INSERT INTO sink
+    SELECT customer, count(*) as orders, sum(amount) as total
+    FROM orders GROUP BY customer;
+    """
+    Pipeline(spark, {}).run_script(script)
+    rows = []
+    for part in glob.glob(os.path.join(out, "*.avro")):
+        schema, values = read_ocf(open(part, "rb").read())
+        rows.extend(values)
+    got = {r["customer"]: r for r in rows}
+    assert got["c0"]["orders"] == 3 and got["c1"]["orders"] == 3
+    assert got["c0"]["total"] == (0 + 2 + 4) * 1.5
+    # sink schema mirrors schema.rs to_avro: nullable -> ["null", T]
+    # (count(*) is non-nullable in Spark -> plain long; sum is nullable)
+    fields = {n: s for n, s, _, _ in schema.fields}
+    assert fields["total"].type == "union"
+    assert fields["orders"].type == "long"
+
+
+def test_avro_unstructured_source(spark, tmp_path):
+    src = _write_fixture(tmp_path, n_files=1)
+    script = f"""
+    CREATE TABLE raw (
+      value TEXT
+    ) WITH (connector = 'filesystem', path = '{src}', format = 'avro',
+            'avro.into_unstructured_json' = 'true');
+
+    SELECT value FROM raw;
+    """
+    res = Pipeline(spark, {}).run_script(script)
+    vals = [json.loads(r.value) for r in res.previews[0].collect()]
+    assert len(vals) == 3
+    assert {v["order_id"] for v in vals} == {0, 1, 2}
+
+
+def test_avro_streaming_source(spark, tmp_path):
+    src = _write_fixture(tmp_path)
+    out = str(tmp_path / "stream_out.json")
+    script = f"""
+    CREATE TABLE orders (
+      order_id BIGINT,
+      customer TEXT,
+      amount DOUBLE
+    ) WITH (connector = 'filesystem', path = '{src}', format = 'avro');
+
+    CREATE TABLE sink WITH (
+      connector = 'filesystem', path = '{out}', format = 'json');
+
+    INSERT INTO sink SELECT order_id, amount FROM orders WHERE amount > 3.0;
+    """
+    Pipeline(spark, {}, mode="streaming").run_script(script)
+    lines = [json.loads(x) for x in open(out).read().splitlines()]
+    assert sorted(x["order_id"] for x in lines) == [3, 4, 5]
+
+
+def test_protobuf_ddl_rejected(spark, tmp_path):
+    script = """
+    CREATE TABLE events (
+      id BIGINT
+    ) WITH (connector = 'filesystem', path = '/tmp/x', format = 'protobuf');
+
+    SELECT id FROM events;
+    """
+    with pytest.raises(PlanError, match="Protobuf is not yet supported"):
+        Pipeline(spark, {}).run_script(script)
+
+
+def test_avro_confluent_requires_registry_connector(spark, tmp_path):
+    src = _write_fixture(tmp_path, n_files=1)
+    script = f"""
+    CREATE TABLE orders (
+      order_id BIGINT
+    ) WITH (connector = 'filesystem', path = '{src}', format = 'avro',
+            'avro.confluent_schema_registry' = 'true');
+
+    SELECT order_id FROM orders;
+    """
+    with pytest.raises(PlanError, match="schema-registry"):
+        Pipeline(spark, {}).run_script(script)
+
+
+def test_write_avro_roundtrip_types(spark, tmp_path):
+    out = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2], True), (2, None, [], False)],
+        "id long, s string, xs array<long>, b boolean",
+    )
+    write_avro_ocf(df, out, record_name="rt")
+    back = read_avro_ocf(spark, out, df.schema)
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "a", [1, 2], True), (2, None, [], False)]
