@@ -1,0 +1,99 @@
+"""Confluent Schema Registry client (arroyo-rpc/src/schema_resolver.rs).
+
+Speaks the public registry REST API with stdlib urllib:
+  GET  /schemas/ids/{id}                  -> {"schema": "..."}
+  GET  /subjects/{subject}/versions/{v}   -> {"schema": ..., "id": ...}
+  POST /subjects/{subject}/versions       -> {"id": N}
+
+Mirrors the reference's resolver contract: `resolve_schema(id)` returns
+the schema text (cached), used by the avro/proto confluent decode paths;
+`write_schema` registers a sink schema and returns the id embedded in
+the outgoing wire frames.  urllib is imported inside methods so executor
+closures stay picklable (same pattern as streaming/http_connectors).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+from urllib.parse import quote
+
+
+class SchemaRegistryError(RuntimeError):
+    pass
+
+
+class ConfluentSchemaRegistry:
+    def __init__(self, endpoint: str, subject: str | None = None,
+                 timeout: float = 10.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.subject = subject
+        self.timeout = timeout
+        self._cache: dict[int, str] = {}
+
+    def _get(self, path: str) -> dict[str, Any] | None:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                self.endpoint + path, timeout=self.timeout
+            ) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise SchemaRegistryError(
+                f"schema registry error on {path}: HTTP {e.code}"
+            ) from e
+        except urllib.error.URLError as e:
+            raise SchemaRegistryError(
+                f"could not connect to schema registry at {self.endpoint}: {e}"
+            ) from e
+
+    def resolve_schema(self, schema_id: int) -> str | None:
+        """Schema text for a wire-frame id (de.rs:40-67 resolve path)."""
+        if schema_id in self._cache:
+            return self._cache[schema_id]
+        body = self._get(f"/schemas/ids/{schema_id}")
+        if body is None:
+            return None
+        schema = body["schema"]
+        self._cache[schema_id] = schema
+        return schema
+
+    def get_schema_for_version(
+        self, version: str | int = "latest", subject: str | None = None
+    ) -> dict[str, Any] | None:
+        subject = subject or self.subject
+        if subject is None:
+            raise SchemaRegistryError("no subject configured")
+        return self._get(
+            f"/subjects/{quote(subject, safe='')}/versions/{version}"
+        )
+
+    def write_schema(
+        self, schema: str, schema_type: str = "AVRO", subject: str | None = None
+    ) -> int:
+        import urllib.error
+        import urllib.request
+
+        subject = subject or self.subject
+        if subject is None:
+            raise SchemaRegistryError("no subject configured")
+        req = urllib.request.Request(
+            f"{self.endpoint}/subjects/{quote(subject, safe='')}/versions",
+            data=json.dumps(
+                {"schema": schema, "schemaType": schema_type}
+            ).encode("utf-8"),
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return int(json.loads(resp.read().decode("utf-8"))["id"])
+        except urllib.error.HTTPError as e:
+            # 409: incompatible schema; 422: invalid (schema_resolver.rs:255-273)
+            raise SchemaRegistryError(
+                f"failed to register schema for subject {subject!r}: HTTP {e.code}"
+            ) from e

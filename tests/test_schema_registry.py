@@ -1,0 +1,161 @@
+"""Confluent schema registry client against a fake localhost registry,
+plus the full avro confluent round-trip: register schema -> encode framed
+datums -> resolve-by-id -> decode (schema_resolver.rs + avro/de.rs)."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from arroyo_spark.formats.avro import (
+    AvroSchema,
+    decode_messages,
+    encode_confluent,
+    write_datum,
+)
+from arroyo_spark.formats.registry import ConfluentSchemaRegistry, SchemaRegistryError
+
+USER_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "age", "type": "int"},
+        ],
+    }
+)
+
+
+class _Registry(http.server.BaseHTTPRequestHandler):
+    schemas: dict[int, str] = {}
+    subjects: dict[str, list[int]] = {}
+    next_id = 1
+
+    def log_message(self, *a):
+        pass
+
+    def _json(self, code: int, body: dict) -> None:
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        parts = self.path.strip("/").split("/")
+        if parts[:2] == ["schemas", "ids"]:
+            sid = int(parts[2])
+            if sid in self.schemas:
+                self._json(200, {"schema": self.schemas[sid]})
+            else:
+                self._json(404, {"error_code": 40403, "message": "not found"})
+        elif parts[0] == "subjects" and len(parts) == 4 and parts[2] == "versions":
+            subj = parts[1]
+            ids = self.subjects.get(subj, [])
+            if not ids:
+                self._json(404, {"error_code": 40401, "message": "no subject"})
+                return
+            version = len(ids) if parts[3] == "latest" else int(parts[3])
+            sid = ids[version - 1]
+            self._json(
+                200,
+                {"subject": subj, "version": version, "id": sid,
+                 "schema": self.schemas[sid]},
+            )
+        else:
+            self._json(404, {"error_code": 404, "message": "bad path"})
+
+    def do_POST(self):
+        parts = self.path.strip("/").split("/")
+        if parts[0] == "subjects" and parts[-1] == "versions":
+            ln = int(self.headers["Content-Length"])
+            body = json.loads(self.rfile.read(ln))
+            cls = _Registry
+            sid = cls.next_id
+            cls.next_id += 1
+            cls.schemas[sid] = body["schema"]
+            cls.subjects.setdefault(parts[1], []).append(sid)
+            self._json(200, {"id": sid})
+        else:
+            self._json(404, {"error_code": 404, "message": "bad path"})
+
+
+@pytest.fixture()
+def registry_server():
+    _Registry.schemas, _Registry.subjects, _Registry.next_id = {}, {}, 1
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_register_and_resolve(registry_server):
+    reg = ConfluentSchemaRegistry(registry_server, subject="events-value")
+    sid = reg.write_schema(USER_SCHEMA)
+    assert sid == 1
+    assert json.loads(reg.resolve_schema(sid)) == json.loads(USER_SCHEMA)
+    latest = reg.get_schema_for_version("latest")
+    assert latest["id"] == sid and latest["version"] == 1
+
+
+def test_resolve_unknown_id_none(registry_server):
+    reg = ConfluentSchemaRegistry(registry_server)
+    assert reg.resolve_schema(99) is None
+
+
+def test_connection_refused_raises():
+    reg = ConfluentSchemaRegistry("http://127.0.0.1:9")  # discard port
+    with pytest.raises(SchemaRegistryError, match="could not connect"):
+        reg.resolve_schema(1)
+
+
+def test_confluent_avro_round_trip_via_registry(registry_server):
+    reg = ConfluentSchemaRegistry(registry_server, subject="users-value")
+    sid = reg.write_schema(USER_SCHEMA)
+    schema = AvroSchema.parse(USER_SCHEMA)
+    frames = []
+    for name, age in [("ada", 36), ("alan", 41)]:
+        buf = bytearray()
+        write_datum(buf, schema, {"name": name, "age": age})
+        frames.append(encode_confluent(sid, bytes(buf)))
+
+    decoder = ConfluentSchemaRegistry(registry_server)  # fresh cache
+
+    def resolve(schema_id: int) -> AvroSchema:
+        return AvroSchema.parse(decoder.resolve_schema(schema_id))
+
+    rows = list(decode_messages(frames, confluent=True, resolve=resolve))
+    assert rows == [{"name": "ada", "age": 36}, {"name": "alan", "age": 41}]
+
+
+def test_schema_evolution_through_registry(registry_server):
+    # writer registers v2 with an extra defaulted field; reader keeps v1
+    reg = ConfluentSchemaRegistry(registry_server, subject="users-value")
+    sid1 = reg.write_schema(USER_SCHEMA)
+    v2 = json.loads(USER_SCHEMA)
+    v2["fields"].append({"name": "tier", "type": "string", "default": "free"})
+    sid2 = reg.write_schema(json.dumps(v2))
+    assert sid2 != sid1
+
+    w2 = AvroSchema.parse(json.dumps(v2))
+    buf = bytearray()
+    write_datum(buf, w2, {"name": "gr", "age": 58, "tier": "pro"})
+    frame = encode_confluent(sid2, bytes(buf))
+
+    reader = AvroSchema.parse(USER_SCHEMA)
+    dec = ConfluentSchemaRegistry(registry_server)
+    rows = list(
+        decode_messages(
+            [frame],
+            confluent=True,
+            reader_schema=reader,
+            resolve=lambda i: AvroSchema.parse(dec.resolve_schema(i)),
+        )
+    )
+    assert rows == [{"name": "gr", "age": 58}]
