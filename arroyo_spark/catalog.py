@@ -44,11 +44,22 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """µs-precision parquet timestamps without UTC adjustment arrive as
+    TIMESTAMP_NTZ; with the UTC session timezone this cast keeps the
+    wall-clock value while restoring the TIMESTAMP type every time
+    function (unix_micros, window, session_window, ...) expects."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    return _normalize_ntz(spark.read.parquet(path))
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -58,7 +69,7 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     if ts_type == "bigint":
         # ns epoch -> µs truncation, matching DuckDB's ns->µs cast.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return _normalize_ntz(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -327,8 +327,39 @@ class Pipeline:
             )
         return spool
 
+    def _register_kafka_source(self, t: TableDef) -> None:
+        """connector='kafka' DDL → Spark's native kafka source: options are
+        validated/translated at plan time (reference error surface,
+        kafka/mod.rs:75-165); the reader itself is Spark's battle-tested
+        connector. The test container ships no kafka package, so a missing
+        data source surfaces as a PlanError AFTER validation — the DDL
+        surface stays fully checkable without a broker."""
+        from arroyo_spark.streaming.kafka import (
+            decode_kafka_source,
+            kafka_reader_options,
+        )
+
+        opts = kafka_reader_options(t)  # full validation happens here
+        reader = (
+            self.spark.readStream if self.mode == "streaming" else self.spark.read
+        )
+        try:
+            raw = reader.format("kafka").options(**opts).load()
+        except Exception as e:  # no kafka package in this deployment
+            raise PlanError(
+                f"kafka source {t.name}: the Spark kafka connector is not "
+                f"available in this environment ({e})"
+            ) from None
+        df = decode_kafka_source(raw, t)
+        if self.mode == "streaming":
+            df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
+        df.createOrReplaceTempView(t.name)
+
     def _register_source(self, t: TableDef) -> None:
         fmt = str(t.options.get("format", "json"))
+        if (t.connector or "").lower() == "kafka":
+            self._register_kafka_source(t)
+            return
         if (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
             path = self._capture_http_source(t)
         else:
@@ -654,6 +685,24 @@ class Pipeline:
         result.sinks[sink.name] = df
         result.sink_formats[sink.name] = str(sink.options.get("format", "json"))
         conn = (sink.connector or "").lower()
+        if conn == "kafka":
+            from arroyo_spark.streaming.kafka import (
+                encode_kafka_sink,
+                kafka_writer_options,
+            )
+
+            opts = kafka_writer_options(sink)  # validation at plan time
+            enc = encode_kafka_sink(df, sink)
+            try:
+                enc.write.format("kafka").options(**opts).save()
+            except PlanError:
+                raise
+            except Exception as e:
+                raise PlanError(
+                    f"kafka sink {sink.name}: the Spark kafka connector is not "
+                    f"available in this environment ({e})"
+                ) from None
+            return
         if conn == "blackhole":
             # reference's null sink (connectors/src/blackhole): consume and
             # discard. Forcing execution here preserves side effects (e.g.
@@ -810,20 +859,41 @@ class Pipeline:
     def _run_streaming_insert(
         self, stmt: InsertStmt, target: TableDef, df: DataFrame, result: PipelineResult
     ) -> None:
-        """Execute one INSERT as a streaming query (availableNow) writing
-        JSON/Debezium lines to the sink path. Append mode for windowed
-        plans; update mode + Debezium encoding for updating aggregates."""
+        """Execute one INSERT as a streaming query (availableNow). Append
+        mode for windowed plans; update mode + Debezium encoding for
+        updating aggregates.
+
+        Scale design: append-mode batches are written by Spark's
+        DISTRIBUTED text/parquet writer inside foreachBatch — executors
+        write part files directly; nothing is collected to the driver in
+        the data path. The driver only touches files afterwards for the
+        reference's single_file semantics (merge to one file) and the
+        PipelineResult test surface. Partitioned sinks
+        (``partitioning.fields`` / PARTITIONED BY) repartition on the
+        partition keys then write hive-style directories — the analog of
+        the key-calc + shuffle the reference inserts before partitioned
+        sinks (arroyo-planner/src/lib.rs:718-766).
+
+        The Debezium update path still runs its keyed before-image encoder
+        on the driver (streaming/updating.py documents the pluggable
+        StateBackend for real deployments)."""
         import tempfile
 
         out_path = self._substitute(str(target.options.get("path", "")))
         fmt = str(target.options.get("format", "json"))
-        if fmt not in ("json", DEBEZIUM_FORMAT):
+        if fmt not in ("json", DEBEZIUM_FORMAT, "parquet"):
             raise PlanError(
-                f"streaming sinks support json/debezium_json, got {fmt!r}"
+                f"streaming sinks support json/debezium_json/parquet, got {fmt!r}"
             )
         ck = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
         cast = self._cast_to_sink(df, target)
+        part_fields = self._sink_partition_fields(target, cast)
+        if part_fields and fmt == DEBEZIUM_FORMAT:
+            raise PlanError(
+                "partitioned sinks support json/parquet formats, not debezium_json"
+            )
         lines: list[str] = []
+        spool: str | None = None
 
         if fmt == DEBEZIUM_FORMAT:
             from arroyo_spark.streaming.updating import DebeziumEncoder
@@ -840,11 +910,35 @@ class Pipeline:
                 .foreachBatch(DebeziumEncoder(pks, emit))
             )
         else:
+            # partitioned sinks write straight to the target directory;
+            # unpartitioned json spools to a temp dir and merges to the
+            # single_file path after the drain
+            if part_fields and out_path:
+                spool = out_path
+            else:
+                spool = tempfile.mkdtemp(prefix=f"sink_{target.name}_")
+            pf = tuple(part_fields)
 
             def for_each(batch_df: DataFrame, batch_id: int) -> None:
-                lines.extend(
-                    r["value"] for r in to_arroyo_json(batch_df).collect()
-                )
+                if fmt == "parquet":
+                    w = (
+                        batch_df.repartition(*pf).write.partitionBy(*pf)
+                        if pf
+                        else batch_df.write
+                    )
+                    w.mode("append").parquet(spool)
+                elif pf:
+                    enc = batch_df.select(
+                        *pf, _json_value_col(batch_df, exclude=pf)
+                    )
+                    (
+                        enc.repartition(*pf)
+                        .write.partitionBy(*pf)
+                        .mode("append")
+                        .text(spool)
+                    )
+                else:
+                    to_arroyo_json(batch_df).write.mode("append").text(spool)
 
             writer = cast.writeStream.outputMode("append").foreachBatch(for_each)
 
@@ -860,13 +954,32 @@ class Pipeline:
                 f"streaming INSERT into {target.name} did not drain within "
                 "600s; partial output discarded"
             )
+        if fmt == "json" and spool is not None:
+            lines = self._read_spool_lines(spool)
         # multiple INSERTs into one sink merge (test_merge_sink semantics)
         merged = result.raw_lines.setdefault(target.name, [])
         merged.extend(lines)
-        if out_path:
+        if out_path and fmt != "parquet" and not part_fields:
             with open(out_path, "w") as fh:
                 fh.write("\n".join(merged) + ("\n" if merged else ""))
         result.sink_formats[target.name] = fmt
+
+    @staticmethod
+    def _read_spool_lines(spool: str) -> list[str]:
+        """Collect the lines of every part file under a spool directory
+        (recursive: partitioned sinks nest key=value dirs), in (mtime, name)
+        order so batch order is preserved for the result surface."""
+        parts: list[tuple[float, str]] = []
+        for root, _dirs, files in os.walk(spool):
+            for f in files:
+                if f.startswith("part-"):
+                    p = os.path.join(root, f)
+                    parts.append((os.path.getmtime(p), p))
+        lines: list[str] = []
+        for _, p in sorted(parts):
+            with open(p) as fh:
+                lines.extend(fh.read().splitlines())
+        return lines
 
     # -- entry -------------------------------------------------------------
 

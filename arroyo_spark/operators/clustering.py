@@ -84,6 +84,28 @@ def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "v") -> list[
     return [by_cluster[c] for c in sorted(by_cluster)]
 
 
+def kmeans_lloyd_full(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fixed-iteration Lloyd's: init = the k lowest-id vectors; returns
+    ((id, cluster) after ``iters`` assignment/update rounds, the centroids
+    used for the FINAL assignment). The centroids let callers (e.g. IVF
+    ANN probing) replay cell selection deterministically."""
+    q = quantize(df.select(id_col, vec_col), vec_col).select(id_col, "v")
+    init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    assigned = assign_clusters(q, centroids)
+    for _ in range(iters - 1):
+        centroids = update_centroids(assigned, dim)
+        assigned = assign_clusters(q, centroids)
+    return assigned.select(id_col, "cluster"), centroids
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -92,13 +114,4 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Fixed-iteration Lloyd's: init = the k lowest-id vectors; returns
-    (id, cluster) after ``iters`` assignment/update rounds."""
-    q = quantize(df.select(id_col, vec_col), vec_col).select(id_col, "v")
-    init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
-    centroids = [[float(x) for x in r["v"]] for r in init]
-    assigned = assign_clusters(q, centroids)
-    for _ in range(iters - 1):
-        centroids = update_centroids(assigned, dim)
-        assigned = assign_clusters(q, centroids)
-    return assigned.select(id_col, "cluster")
+    return kmeans_lloyd_full(df, k, iters, id_col, vec_col, dim)[0]

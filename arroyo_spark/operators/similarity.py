@@ -249,6 +249,76 @@ def cosine_threshold_pairs(
     )
 
 
+def cosine_threshold_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact above-threshold cosine pairs with NO driver-side collect.
+
+    Block-pair self-join: every vector gets a block id ``pmod(id, B)``; a
+    tiny (B*(B+1)/2)-row block-pair relation is broadcast and each side
+    equi-joins on its block column, co-locating every unordered pair of
+    blocks exactly once. The quadratic pair work is distributed across
+    executors as ordinary shuffle partitions — the corpus is never
+    collected to the driver (unlike the matrix form, which broadcasts the
+    whole corpus and is reserved for bounded candidate sets). At unbounded
+    scale compose an approximate prefilter (``lsh_bucket`` equi-join or
+    MinHash bands) in front; this operator is the exact verify stage.
+
+    Scoring parity: the Arrow-batched ``dot_arrow`` kernel folds
+    sequentially over dimensions (bit-identical to the SQL left fold) and
+    the 6dp round + threshold test run JVM-side, so results hash-match the
+    DuckDB all-pairs oracle.
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int"))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        norm(F.col("vec")).alias("norm_a"),
+        F.col("blk").alias("bi"),
+    ).join(F.broadcast(block_pairs), "bi")
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        norm(F.col("vec")).alias("norm_b"),
+        F.col("blk").alias("bj"),
+    )
+    pair_dot = dot_arrow()  # Arrow-batched: the fold expression has no codegen
+    # A cross-block pair materializes exactly once (a from block bi, b from
+    # block bj, bi < bj) but in arbitrary id order — canonicalize with
+    # least/greatest (cos is bit-identically commutative: the fold's
+    # products and the norm product are elementwise-commutative). Same-block
+    # pairs appear in both orders, so keep only id_a < id_b there.
+    return (
+        a.join(b, "bj")
+        .filter((F.col("bi") != F.col("bj")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos",
+        )
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id for ANN pre-filtering.
 
@@ -273,10 +343,11 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 3,
     n_clusters: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    iters: int = 2,
+    dim: int = 64,
 ):
     """IVF (inverted-file) approximate nearest neighbors: k-means partitions
     the corpus into `n_clusters` cells; each query scores only the
@@ -284,44 +355,49 @@ def ivf_topk(
     `lsh_bucket`): per-query work drops by ~n_clusters/n_probe, and the
     cell assignment is an equi-join, not a cross product.
 
-    Uses Spark MLlib KMeans (seeded); recall is approximate by design.
+    Cells come from the bit-exact fixed-iteration Lloyd's in
+    operators/clustering.py (quantized components, sequential-fold
+    distances), so a DuckDB oracle can replay cell assignment AND probe
+    selection exactly — recall is approximate by design, but the result
+    set is fully deterministic and cross-engine verifiable.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    base = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("n_id"),
-        as_double(F.col(vec_col)).alias("n_vec"),
-    ).withColumn("features", array_to_vector("n_vec"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features")
-    model = km.fit(base)
-    assigned = model.transform(base).select(
-        "n_id", "n_vec", F.col("prediction").alias("cell")
+    from arroyo_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_lloyd_full,
+        quantize,
     )
 
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned, centroids = kmeans_lloyd_full(
+        ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    # corpus members keep their ORIGINAL embeddings for exact scoring
+    cmem = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("n_id"),
+        as_double(F.col(vec_col)).alias("n_vec"),
+        F.col("cluster").alias("cell"),
+    )
 
-    def center_cols(vec: Column) -> Column:
-        """Distances to every center; returns array of (cell, dist2)."""
-        entries = []
-        for ci, center in enumerate(centers):
-            carr = F.array(*[F.lit(x) for x in center])
-            diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
-            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-            entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
-        return F.array_sort(F.array(*entries))
-
+    # probe selection on the same quantized space the centroids live in
+    entries = [
+        F.struct(
+            _sq_dist(F.col("v"), c).alias("d2"),
+            F.lit(ci).cast("int").alias("cell"),
+        )
+        for ci, c in enumerate(centroids)
+    ]
     q = (
-        queries.select(
+        quantize(queries.select(id_col, vec_col), vec_col)
+        .withColumn("cells", F.slice(F.array_sort(F.array(*entries)), 1, n_probe))
+        .select(
             F.col(id_col).alias("q_id"),
             as_double(F.col(vec_col)).alias("q_vec"),
+            F.explode("cells.cell").alias("cell"),
         )
-        .withColumn("cells", F.slice(center_cols(F.col("q_vec")), 1, n_probe))
-        .select("q_id", "q_vec", F.explode("cells.cell").alias("cell"))
     )
     pair_dot = dot_arrow()  # Arrow-batched: the fold expression has no codegen
     scored = (
-        assigned.withColumn("n_norm", norm(F.col("n_vec")))
+        cmem.withColumn("n_norm", norm(F.col("n_vec")))
         .join(F.broadcast(q.withColumn("q_norm", norm(F.col("q_vec")))), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(

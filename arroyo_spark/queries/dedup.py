@@ -123,12 +123,15 @@ def _cos_oracle() -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate pairs: embedding cosine >= 0.35 over a
-    deterministic sample (the exact matrix-form path; LSH bucketing is the
-    unbounded-corpus path, see operators/similarity.py docstring)."""
-    from arroyo_spark.operators.similarity import cosine_threshold_pairs
+    deterministic sample. Uses the block-pair self-join path — quadratic
+    work distributed as shuffle partitions, NO corpus collect to the
+    driver (the matrix form in operators/similarity.py is reserved for
+    bounded candidate sets); at unbounded scale an LSH prefilter composes
+    in front of this exact verify stage."""
+    from arroyo_spark.operators.similarity import cosine_threshold_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return cosine_threshold_pairs(emb, threshold=0.35)
+    return cosine_threshold_pairs_blocked(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,7 @@ def first_last_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
     SELECT event_type,
-           list_sort(array_agg(event_id)) AS big_events,
+           array_to_string(list_sort(array_agg(event_id)), ',') AS big_events,
            COUNT(*) AS n
     FROM events
     WHERE value > 480
@@ -150,10 +150,14 @@ def first_last_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg (reference census) — sorted so the collected order is
-    comparison-stable."""
+    comparison-stable. The list is projected as a comma-joined string on
+    both sides so the driver's canonicalizer hashes scalar values (its
+    pandas sort crashes on ndarray cells)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 480)
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list("event_id")).alias("big_events"),
+        F.concat_ws(",", F.sort_array(F.collect_list("event_id"))).alias(
+            "big_events"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -216,18 +220,70 @@ def lookup_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed approximate nearest neighbors — the 100 TB scale path for
 # similarity search (sign-random-projection buckets turn the cross product
-# into an equi-join). Recall is approximate by design -> rows-only check
-# (no oracle), like the reference's non-SQL-expressible operators.
+# into an equi-join). The hyperplanes are seed-fixed literals shipped into
+# BOTH engines, so although recall is approximate, the RESULT is fully
+# deterministic: DuckDB replays the bucket assignment (same sequential-fold
+# projections, same sign test) and the exact in-bucket cosine rank.
 # ---------------------------------------------------------------------------
 
 _DIM = 64
 _rng = random.Random(42)
 _PLANES = [[_rng.gauss(0, 1) for _ in range(_DIM)] for _ in range(6)]
 
+# DuckDB fragment: sequential-fold dot product (matches F.aggregate(zip_with))
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+def _plane_literal_sql(plane: list[float]) -> str:
+    # String-literal casts parse via strtod (correctly rounded), so the
+    # DuckDB double is bit-identical to the Python float Spark gets via
+    # F.lit — a bare decimal literal would round through DECIMAL instead.
+    elems = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+    return f"list_value({elems})"
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for i, p in enumerate(_PLANES):
+        proj = _DOT_SQL.format(a=vec, b=_plane_literal_sql(p))
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
 
 @query(
     "knn_lsh_ann",
-    oracle=None,  # approximate by design; driver records rows-only
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, bucket
+      FROM b WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             round({_cos_sql('q.q_vec', 'c.embedding')}, 6) AS cos
+      FROM b c JOIN q USING (bucket)
+      WHERE c.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
+    """,
     tags=("similarity", "ann", "lsh"),
     bench=True,
 )

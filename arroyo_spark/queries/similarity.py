@@ -99,19 +99,6 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "knn_ivf_ann",
-    oracle=None,  # approximate (k-means cells); driver records rows-only
-    tags=("similarity", "ann", "ivf"),
-)
-def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arroyo_spark.operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return ivf_topk(emb, queries, k=3)
-
-
 # ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd's) — embedding clustering for corpus curation.
 # Two fixed iterations with quantized components make every arithmetic step
@@ -189,6 +176,57 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — k-means cells + n_probe nearest-cell search. The cells come from
+# the same bit-exact Lloyd's chain as embedding_kmeans_clusters, so DuckDB
+# replays cell assignment (a2), the final centroids (c1), probe selection
+# (quantized distance rank, ties -> lowest cid — exactly Spark's array_sort
+# over (d2, cell) structs) and the exact in-cell cosine rank.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_ivf_ann",
+    oracle=f"""
+    WITH {_KM_CTES},
+    qs AS (
+      SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
+    ), qcells AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT qs.q_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                                  ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')},
+                                           c1.cid) AS rn
+        FROM qs CROSS JOIN c1
+      ) r WHERE rn <= 3
+    ), cand AS (
+      SELECT qcells.q_id, a2.vec_id AS n_id
+      FROM qcells JOIN a2 ON a2.cid = qcells.cell
+      WHERE a2.vec_id <> qcells.q_id
+    ), scored AS (
+      SELECT cand.q_id, cand.n_id,
+             round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.q_id
+      JOIN embeddings en ON en.vec_id = cand.n_id
+    ), ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return ivf_topk(emb, queries, k=3)
 
 
 # ---------------------------------------------------------------------------

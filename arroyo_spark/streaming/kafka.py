@@ -1,0 +1,370 @@
+"""Kafka connector DDL wiring: ``connector='kafka'`` tables → Spark's native
+``readStream.format("kafka")`` / ``writeStream.format("kafka")`` configs.
+
+The reference's flagship connector (`crates/arroyo-connectors/src/kafka/
+mod.rs:75-165` — connection + table option surface; `:325-348` — metadata
+fields). There is no broker in the test container, so this module is split
+the way the reference splits planning from running:
+
+- **plan level (fully tested here)**: option validation with the reference's
+  error surface, DDL→Spark reader/writer option translation, metadata-column
+  projection, and sink key/timestamp/value encoding — all pure DataFrame
+  logic exercisable on a kafka-shaped static DataFrame.
+- **run level**: `spark.readStream.format("kafka").options(**opts).load()`
+  with the produced options — Spark's battle-tested connector does offsets,
+  rebalancing and checkpointed exactly-once source semantics; no custom
+  consumer code to scale-review.
+
+Semantics notes vs the reference:
+- `source.offset = 'group'` (resume from committed group offsets,
+  `mod.rs:127`): Spark tracks offsets in the query checkpoint, which is the
+  same recovery contract; we set the group id for lag monitoring and start
+  from 'latest' on a cold start.
+- `sink.commit_mode = 'exactly_once'` (`mod.rs:140-145`): Spark's Kafka sink
+  is at-least-once; exactly-once needs the idempotent-ledger pattern from
+  `arroyo_spark.streaming.sinks` around a transactional producer. The option
+  is accepted and surfaced on the config so the runner can choose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+from arroyo_spark.streaming.eventtime import TIMESTAMP_FIELD
+
+# Metadata columns a kafka table may declare via `METADATA FROM 'key'`
+# (`mod.rs:325-348`): name -> (kafka DataFrame column, spark type).
+KAFKA_METADATA = {
+    "offset_id": ("offset", "bigint"),
+    "partition": ("partition", "int"),
+    "topic": ("topic", "string"),
+    "timestamp": ("timestamp", "bigint"),  # epoch millis, Int64 in reference
+    "key": ("key", "binary"),
+}
+
+_SOURCE_OFFSETS = ("earliest", "latest", "group")
+_READ_MODES = ("read_committed", "read_uncommitted")
+_COMMIT_MODES = ("at_least_once", "exactly_once")
+
+
+@dataclass
+class KafkaConfig:
+    """Validated kafka DDL (connection + table options)."""
+
+    bootstrap_servers: str
+    topic: str
+    is_sink: bool
+    format: str = "json"
+    source_offset: str = "latest"
+    read_mode: str = "read_uncommitted"
+    group_id: str | None = None
+    group_id_prefix: str | None = None
+    commit_mode: str = "at_least_once"
+    key_field: str | None = None
+    timestamp_field: str | None = None
+    value_subject: str | None = None
+    auth: dict[str, str] = field(default_factory=dict)
+    schema_registry: dict[str, str] = field(default_factory=dict)
+    client_configs: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def subject(self) -> str:
+        # value.subject default: '{topic}-value' (mod.rs:63-68)
+        return self.value_subject or f"{self.topic}-value"
+
+
+def _parse_client_configs(raw: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for pair in str(raw).split(","):
+        if not pair.strip():
+            continue
+        if "=" not in pair:
+            # error text parity: mod.rs:158-161
+            raise PlanError(
+                "invalid client_config: expected comma and equals-separated pairs"
+            )
+        k, v = pair.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def validate_kafka_table(t: TableDef) -> KafkaConfig:
+    """Validate a ``connector='kafka'`` TableDef with the reference's option
+    surface and error messages (`mod.rs:75-165`)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "kafka":
+        raise PlanError(f"table {t.name} is not a kafka table")
+    typ = opts.get("type")
+    if typ not in ("source", "sink"):
+        raise PlanError("type must be one of 'source' or 'sink'")
+    bootstrap = opts.get("bootstrap_servers")
+    if not bootstrap:
+        raise PlanError(f"kafka table {t.name} requires 'bootstrap_servers'")
+    topic = opts.get("topic")
+    if not topic:
+        raise PlanError(f"kafka table {t.name} requires 'topic'")
+
+    auth: dict[str, str] = {}
+    auth_type = opts.get("auth.type", "none")
+    if auth_type == "sasl":
+        for req in ("auth.mechanism", "auth.protocol", "auth.username", "auth.password"):
+            if req not in opts:
+                raise PlanError(f"kafka sasl auth requires '{req}'")
+        auth = {
+            "type": "sasl",
+            "mechanism": opts["auth.mechanism"],
+            "protocol": opts["auth.protocol"],
+            "username": opts["auth.username"],
+            "password": opts["auth.password"],
+        }
+    elif auth_type == "aws_msk_iam":
+        if "auth.region" not in opts:
+            raise PlanError("kafka aws_msk_iam auth requires 'auth.region'")
+        auth = {"type": "aws_msk_iam", "region": opts["auth.region"]}
+    elif auth_type != "none":
+        raise PlanError(f"unknown auth type '{auth_type}'")
+
+    registry: dict[str, str] = {}
+    if "schema_registry.endpoint" in opts:
+        registry = {"endpoint": opts["schema_registry.endpoint"]}
+        for k in ("api_key", "api_secret"):
+            if f"schema_registry.{k}" in opts:
+                registry[k] = opts[f"schema_registry.{k}"]
+
+    cfg = KafkaConfig(
+        bootstrap_servers=bootstrap,
+        topic=topic,
+        is_sink=(typ == "sink"),
+        format=opts.get("format", "json"),
+        auth=auth,
+        schema_registry=registry,
+        client_configs=_parse_client_configs(opts.get("client_configs", "")),
+        value_subject=opts.get("value.subject"),
+    )
+
+    if typ == "source":
+        offset = opts.get("source.offset", "latest")
+        if offset not in _SOURCE_OFFSETS:
+            raise PlanError(f"invalid value for source.offset '{offset}'")
+        read_mode = opts.get("source.read_mode", "read_uncommitted")
+        if read_mode not in _READ_MODES:
+            raise PlanError(f"invalid value for source.read_mode '{read_mode}'")
+        cfg.source_offset = offset
+        cfg.read_mode = read_mode
+        cfg.group_id = opts.get("source.group_id")
+        cfg.group_id_prefix = opts.get("source.group_id_prefix")
+        for bad in ("sink.commit_mode", "sink.key_field", "sink.timestamp_field"):
+            if bad in opts:
+                raise PlanError(f"'{bad}' is not valid for a kafka source")
+    else:
+        commit = opts.get("sink.commit_mode", "at_least_once")
+        if commit not in _COMMIT_MODES:
+            raise PlanError(f"invalid value for commit_mode '{commit}'")
+        cfg.commit_mode = commit
+        cfg.key_field = opts.get("sink.key_field")
+        cfg.timestamp_field = opts.get("sink.timestamp_field")
+        for bad in (
+            "source.offset",
+            "source.read_mode",
+            "source.group_id",
+            "source.group_id_prefix",
+        ):
+            if bad in opts:
+                raise PlanError(f"'{bad}' is not valid for a kafka sink")
+
+    # metadata columns must name a known kafka metadata field with the
+    # declared type matching the connector's type (tables.rs metadata
+    # validation; metadata surface mod.rs:325-348)
+    for c in t.columns:
+        if c.metadata_key is None:
+            continue
+        if c.metadata_key not in KAFKA_METADATA:
+            raise PlanError(
+                f"unknown kafka metadata field '{c.metadata_key}' "
+                f"(expected one of {sorted(KAFKA_METADATA)})"
+            )
+        _, want = KAFKA_METADATA[c.metadata_key]
+        if c.spark_type != want:
+            raise PlanError(
+                f"metadata field '{c.metadata_key}' must be declared {want}, "
+                f"got {c.spark_type}"
+            )
+    return cfg
+
+
+def _auth_options(cfg: KafkaConfig) -> dict[str, str]:
+    if cfg.auth.get("type") == "sasl":
+        mech = cfg.auth["mechanism"].upper()
+        module = (
+            "org.apache.kafka.common.security.scram.ScramLoginModule"
+            if mech.startswith("SCRAM")
+            else "org.apache.kafka.common.security.plain.PlainLoginModule"
+        )
+        jaas = (
+            f'{module} required username="{cfg.auth["username"]}" '
+            f'password="{cfg.auth["password"]}";'
+        )
+        return {
+            "kafka.sasl.mechanism": mech,
+            "kafka.security.protocol": cfg.auth["protocol"],
+            "kafka.sasl.jaas.config": jaas,
+        }
+    if cfg.auth.get("type") == "aws_msk_iam":
+        return {
+            "kafka.sasl.mechanism": "AWS_MSK_IAM",
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.client.callback.handler.class": (
+                "software.amazon.msk.auth.iam.IAMClientCallbackHandler"
+            ),
+            "kafka.sasl.jaas.config": (
+                "software.amazon.msk.auth.iam.IAMLoginModule required;"
+            ),
+        }
+    return {}
+
+
+def kafka_reader_options(t: TableDef) -> dict[str, str]:
+    """Spark ``readStream.format('kafka')`` options for a kafka source DDL."""
+    cfg = validate_kafka_table(t)
+    if cfg.is_sink:
+        raise PlanError(f"cannot read from kafka sink table {t.name}")
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribe": cfg.topic,
+        # 'group' resumes from the checkpoint (Spark's offset log); cold
+        # starts fall back to latest, like a fresh consumer group
+        "startingOffsets": "earliest" if cfg.source_offset == "earliest" else "latest",
+    }
+    if cfg.read_mode == "read_committed":
+        opts["kafka.isolation.level"] = "read_committed"
+    group = cfg.group_id or (
+        f"{cfg.group_id_prefix}-consumer" if cfg.group_id_prefix else None
+    )
+    if group:
+        opts["kafka.group.id"] = group
+    opts.update(_auth_options(cfg))
+    for k, v in cfg.client_configs.items():
+        opts[f"kafka.{k}"] = v
+    return opts
+
+
+def kafka_writer_options(t: TableDef) -> dict[str, str]:
+    """Spark ``writeStream.format('kafka')`` options for a kafka sink DDL."""
+    cfg = validate_kafka_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to kafka source table {t.name}")
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "topic": cfg.topic,
+    }
+    opts.update(_auth_options(cfg))
+    for k, v in cfg.client_configs.items():
+        opts[f"kafka.{k}"] = v
+    return opts
+
+
+def decode_kafka_source(df: DataFrame, t: TableDef) -> DataFrame:
+    """Project a kafka-shaped DataFrame (key/value/topic/partition/offset/
+    timestamp — the schema of Spark's kafka source) into the declared table
+    schema: decode `value` per the table format, attach declared metadata
+    columns, evaluate virtual columns, and stamp ``_timestamp`` (kafka
+    message timestamp — ingestion time unless the DDL names an
+    event_time_field, matching `context.rs:348-360`)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    cfg = validate_kafka_table(t)
+    phys = [
+        c for c in t.columns if c.virtual_expr is None and c.metadata_key is None
+    ]
+    fmt = cfg.format
+    if fmt == "json":
+        schema = StructType(
+            [
+                StructField(c.name, _parse_datatype_string(c.spark_type), True)
+                for c in phys
+            ]
+        )
+        decoded = df.withColumn(
+            "_v", F.from_json(F.col("value").cast("string"), schema)
+        )
+        cols = [F.col(f"_v.{c.name}").alias(c.name) for c in phys]
+    elif fmt == "raw_string":
+        if len(phys) != 1 or phys[0].spark_type != "string":
+            raise PlanError("raw_string sources require exactly one TEXT value column")
+        decoded = df
+        cols = [F.col("value").cast("string").alias(phys[0].name)]
+    elif fmt == "raw_bytes":
+        if len(phys) != 1 or phys[0].spark_type != "binary":
+            raise PlanError("raw_bytes sources require exactly one BYTEA value column")
+        decoded = df
+        cols = [F.col("value").alias(phys[0].name)]
+    else:
+        raise PlanError(f"unsupported kafka source format: {fmt}")
+    for c in t.columns:
+        if c.metadata_key is not None:
+            src, _ = KAFKA_METADATA[c.metadata_key]
+            col = F.col(src)
+            if c.metadata_key == "timestamp":
+                # kafka message timestamp as epoch millis (Int64)
+                col = (F.unix_micros(F.col(src)) / 1000).cast("bigint")
+            cols.append(col.alias(c.name))
+    out = decoded.select(*cols, F.col("timestamp").alias("_kafka_ts"))
+    for c in t.columns:
+        if c.virtual_expr is not None:
+            out = out.withColumn(c.name, F.expr(c.virtual_expr))
+    event_time = t.options.get("event_time_field") or (
+        t.watermark.field if t.watermark else None
+    )
+    ts = F.col(str(event_time)) if event_time else F.col("_kafka_ts")
+    out = out.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp")).drop("_kafka_ts")
+    ordered = [c.name for c in t.columns] + [TIMESTAMP_FIELD]
+    return out.select(*ordered)
+
+
+def encode_kafka_sink(df: DataFrame, t: TableDef) -> DataFrame:
+    """Encode rows for Spark's kafka sink: a `value` column in the declared
+    format, plus `key` from `sink.key_field` (`mod.rs:146`) and the message
+    timestamp from `sink.timestamp_field` (`mod.rs:145`; kafka sinks write
+    the record's `_timestamp` when unset)."""
+    from arroyo_spark.dialect.pipeline import _epoch_cols, _json_value_col
+
+    cfg = validate_kafka_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to kafka source table {t.name}")
+    if cfg.key_field is not None and cfg.key_field not in df.columns:
+        raise PlanError(
+            f"sink.key_field '{cfg.key_field}' is not in the sink schema"
+        )
+    if cfg.timestamp_field is not None and cfg.timestamp_field not in df.columns:
+        raise PlanError(
+            f"sink.timestamp_field '{cfg.timestamp_field}' is not in the sink schema"
+        )
+    payload = df.drop(TIMESTAMP_FIELD) if TIMESTAMP_FIELD in df.columns else df
+    if cfg.format == "debezium_json":
+        after = F.to_json(
+            F.struct(*_epoch_cols(payload)), {"ignoreNullFields": "false"}
+        )
+        value = F.concat(
+            F.lit('{"before":null,"after":'), after, F.lit(',"op":"c"}')
+        )
+    elif cfg.format == "json":
+        value = _json_value_col(payload)
+    elif cfg.format == "raw_string":
+        if len(payload.columns) != 1:
+            raise PlanError("raw_string sinks require a single value column")
+        value = F.col(payload.columns[0]).cast("string")
+    else:
+        raise PlanError(f"unsupported kafka sink format: {cfg.format}")
+    cols = [value.alias("value")]
+    if cfg.key_field is not None:
+        cols.append(F.col(cfg.key_field).cast("string").cast("binary").alias("key"))
+    if cfg.timestamp_field is not None:
+        cols.append(F.col(cfg.timestamp_field).cast("timestamp").alias("timestamp"))
+    elif TIMESTAMP_FIELD in df.columns:
+        cols.append(F.col(TIMESTAMP_FIELD).alias("timestamp"))
+    return df.select(*cols)

@@ -55,9 +55,41 @@ def query(
     return deco
 
 
+# Queries that already have a green (hash_match) row in CORRECTNESS_r01.json.
+# The driver samples queries in registration order with a bounded budget, so
+# ``all_queries`` yields everything WITHOUT a prior green row first — new and
+# previously-unchecked operators get the hard correctness signal before the
+# already-proven set re-runs.
+_PRIOR_GREEN = frozenset(
+    {
+        "above_nation_avg_spenders", "agg_bits_bools", "agg_having",
+        "anti_join_no_orders", "asof_purchase_last_click", "count_distinct",
+        "date_functions", "dedup_duplicate_clusters", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "embedding_kmeans_clusters",
+        "embedding_label_centroid_sim", "filter_project", "first_last_by_time",
+        "interval_join_signup_purchase", "json_extract_props",
+        "knn_cosine_topk", "lookup_enrich_segment", "median_percentiles",
+        "mm_audio_features", "mm_image_features", "mm_video_frame_stats",
+        "multi_hash_ids", "q12_priority_by_linestatus",
+        "q13_customer_order_distribution", "q14_promo_revenue_share",
+        "q17_small_quantity_revenue", "q18_large_volume_orders",
+        "q19_or_predicate_revenue", "q1_pricing_summary",
+        "q22_idle_rich_customers", "q3_shipping_priority",
+        "q4_order_priority_check", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_volume_shipping", "rollup_revenue_by_region_nation",
+        "scalar_functions", "semdedup_cluster_pruning",
+        "semi_join_big_spenders", "stats_aggregates", "union_all_agg",
+        "window_running_totals", "window_topk_per_type",
+    }
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    return dict(_REGISTRY)
+    unchecked = {n: q for n, q in _REGISTRY.items() if n not in _PRIOR_GREEN}
+    checked = {n: q for n, q in _REGISTRY.items() if n in _PRIOR_GREEN}
+    return {**unchecked, **checked}
 
 
 _LOADED = False

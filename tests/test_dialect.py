@@ -916,3 +916,43 @@ def test_partition_field_not_in_sink_schema_rejected(spark, tmp_path):
             INSERT INTO snk SELECT a FROM src;
             """
         )
+
+
+def test_streaming_partitioned_sink(spark, tmp_path):
+    """Streaming INSERT honoring partitioning.fields: distributed
+    hive-partitioned json output (key=value dirs), no driver collect in
+    the append path."""
+    import os
+
+    src = tmp_path / "pstream"
+    src.mkdir()
+    rows = [
+        {"t": f"2024-01-01T0{h}:{m:02d}:00", "etype": e}
+        for h in (0, 1)
+        for m, e in ((5, "click"), (15, "view"), (25, "click"))
+    ]
+    (src / "in.json").write_text("\n".join(json.dumps(r) for r in rows))
+    outdir = str(tmp_path / "pout")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (t TIMESTAMP, etype TEXT) WITH (
+      connector = 'filesystem', path = '$p', format = 'json',
+      type = 'source', event_time_field = 't');
+    CREATE TABLE out (etype TEXT, n BIGINT) WITH (
+      connector = 'filesystem', path = '$out', format = 'json',
+      type = 'sink', 'partitioning.fields' = [etype]);
+    INSERT INTO out
+    SELECT etype, count(*) AS n FROM src
+    GROUP BY etype, tumble(interval '1 hour');
+    """
+    res = Pipeline(
+        spark, {"$p": str(src), "$out": outdir}, mode="streaming"
+    ).run_script(script)
+    subdirs = sorted(
+        d for d in os.listdir(outdir) if d.startswith("etype=")
+    )
+    assert subdirs == ["etype=click", "etype=view"]
+    got = sorted(json.loads(l)["n"] for l in res.sink_json("out"))
+    # 2 hours x (2 clicks, 1 view) per hour
+    assert got == [1, 1, 2, 2]
