@@ -177,6 +177,7 @@ class Pipeline:
         self.tables: dict[str, TableDef] = {}
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
+        self._txn_sinks: dict[str, object] = {}
         # session settings (SET updating_ttl = interval '...', lib.rs:790-819);
         # the TTL governs state retention for updating operators
         self.settings: dict[str, object] = {"updating_ttl": ("interval", "24 hours")}
@@ -359,6 +360,24 @@ class Pipeline:
         fmt = str(t.options.get("format", "json"))
         if (t.connector or "").lower() == "kafka":
             self._register_kafka_source(t)
+            return
+        if (t.connector or "").lower() == "redis":
+            # redis lookup tables: validate the DDL (reference error
+            # surface, redis/mod.rs:245-375) and register the declared
+            # schema; the data path is the client-backed lookup join
+            # (streaming/redis.py redis_lookup_fetch + cached_client_lookup)
+            # — no server ships in this container, so the dialect registers
+            # an empty relation and the join rules are enforced at plan
+            # time (_check_lookup_joins).
+            from arroyo_spark.streaming.redis import validate_redis_table
+
+            validate_redis_table(t)
+            empty = self.spark.createDataFrame([], self._source_schema(t))
+            for c in t.columns:
+                if c.metadata_key is not None:
+                    empty = empty.withColumn(c.name, F.lit(None).cast(c.spark_type))
+            empty = empty.select(*[c.name for c in t.columns if c.virtual_expr is None])
+            empty.createOrReplaceTempView(t.name)
             return
         if (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
             path = self._capture_http_source(t)
@@ -647,8 +666,94 @@ class Pipeline:
     # -- queries -----------------------------------------------------------
 
     def _plan_select(self, select_sql: str) -> DataFrame:
+        self._check_lookup_joins(select_sql)
         sql = rewrite_query(self._substitute(select_sql))
         return self.spark.sql(sql)
+
+    def _check_lookup_joins(self, select_sql: str) -> None:
+        """Enforce the reference's lookup-join rules at plan time
+        (`arroyo-planner/src/plan/join.rs:201-311`): lookup tables join on
+        the right side of an INNER/LEFT join, every right-side join column
+        must be a PRIMARY KEY column, and the condition must be pure
+        equalities (error messages mirror the reference's)."""
+        import re as _re
+
+        from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+        lookups = {
+            n: t
+            for n, t in self.tables.items()
+            if t.table_type == "lookup" or t.temporary
+        }
+        if not lookups:
+            return
+        sql = _strip_string_literals(self._substitute(select_sql))
+        # FROM <lookup> [alias] ... JOIN -> lookup on the left side
+        m = _re.search(r"\bfrom\s+(\w+)\b", sql, _re.I)
+        if (
+            m
+            and m.group(1) in lookups
+            and _re.search(r"\bjoin\b", sql, _re.I)
+        ):
+            raise PlanError(
+                "lookup sources must be on the right side of an inner or "
+                "left join"
+            )
+        join_pat = _re.compile(
+            r"\b(?:(left|right|full|inner|cross)\s+)?(?:outer\s+)?join\s+"
+            r"(\w+)(?:\s+(?:as\s+)?(\w+))?",
+            _re.I,
+        )
+        clause_end = _re.compile(
+            r"\b(?:left|right|full|inner|cross|join|where|group|having|"
+            r"order|limit|union|window)\b",
+            _re.I,
+        )
+        for m in join_pat.finditer(sql):
+            jtype, tname, alias = (
+                (m.group(1) or "inner").lower(),
+                m.group(2),
+                m.group(3),
+            )
+            if tname not in lookups:
+                continue
+            if jtype in ("right", "full", "cross"):
+                raise PlanError(
+                    f"{jtype} join is not supported for lookup tables; "
+                    "must be a left or inner join"
+                )
+            t = lookups[tname]
+            names = {tname.lower()} | ({alias.lower()} if alias else set())
+            on_m = _re.compile(r"\s+on\s+", _re.I).match(sql, m.end())
+            if not on_m:
+                continue
+            stop = clause_end.search(sql, on_m.end())
+            cond = sql[on_m.end() : stop.start() if stop else len(sql)]
+            pks = {k.lower() for k in t.primary_keys}
+            lookup_cols = {c.name.lower() for c in t.columns}
+            for term in _re.split(r"\band\b", cond, flags=_re.I):
+                if "=" not in term:
+                    raise PlanError(
+                        "filter join conditions are not supported for lookup "
+                        "joins; must have an equality condition"
+                    )
+                for side in term.split("=", 1):
+                    qm = _re.fullmatch(
+                        r"\s*(\w+)\.(\w+)\s*", side
+                    ) or _re.fullmatch(r"\s*(\w+)\s*", side)
+                    if qm is None:
+                        continue
+                    if len(qm.groups()) == 2 and qm.group(2):
+                        qual, col = qm.group(1).lower(), qm.group(2).lower()
+                        is_lookup_side = qual in names
+                    else:
+                        col = qm.group(1).lower()
+                        is_lookup_side = col in lookup_cols
+                    if is_lookup_side and col not in pks:
+                        raise PlanError(
+                            "the right-side of a look-up join condition must "
+                            f"be a PRIMARY KEY column, but '{col}' is not"
+                        )
 
     def _cast_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
         """Positional cast to the declared sink schema (implicit casts —
@@ -679,12 +784,29 @@ class Pipeline:
         )
 
     def _write_sink(self, result: PipelineResult, sink: TableDef, df: DataFrame) -> None:
+        incoming = df  # rows of THIS insert only (delta/iceberg append commits)
         if sink.name in result.sinks:
             # multiple INSERTs merge into one sink (test_merge_sink)
             df = result.sinks[sink.name].unionByName(df)
         result.sinks[sink.name] = df
         result.sink_formats[sink.name] = str(sink.options.get("format", "json"))
         conn = (sink.connector or "").lower()
+        if conn in ("delta", "iceberg"):
+            # transactional table sinks (filesystem/delta.rs, iceberg/):
+            # append-only commits through the atomic-manifest protocol;
+            # each INSERT is one committed transaction. Parquet data files
+            # with µs timestamps (tables.rs:246-266 — Spark's native unit).
+            from arroyo_spark.streaming.sinks import TransactionalFileSink
+
+            path = sink.options.get("path")
+            if path is None:
+                raise PlanError(f"{conn} sink {sink.name} needs a 'path' option")
+            out = self._substitute(str(path))
+            txn = self._txn_sinks.setdefault(
+                sink.name, TransactionalFileSink(out, fmt="parquet")
+            )
+            txn(incoming, len(os.listdir(os.path.join(out, "_manifest"))))
+            return
         if conn == "kafka":
             from arroyo_spark.streaming.kafka import (
                 encode_kafka_sink,
@@ -880,6 +1002,34 @@ class Pipeline:
         import tempfile
 
         out_path = self._substitute(str(target.options.get("path", "")))
+        conn = (target.connector or "").lower()
+        if conn in ("delta", "iceberg"):
+            # streaming transactional sink: each micro-batch is one atomic
+            # manifest commit; replays after recovery are no-ops, so the
+            # visible table is exactly-once (tests/test_txn_sink.py)
+            from arroyo_spark.streaming.sinks import TransactionalFileSink
+
+            if not out_path:
+                raise PlanError(f"{conn} sink {target.name} needs a 'path' option")
+            txn = self._txn_sinks.setdefault(
+                target.name, TransactionalFileSink(out_path, fmt="parquet")
+            )
+            ck0 = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+            q0 = (
+                self._cast_to_sink(df, target)
+                .writeStream.outputMode("append")
+                .foreachBatch(txn)
+                .option("checkpointLocation", ck0)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q0.awaitTermination(600):
+                q0.stop()
+                raise PlanError(
+                    f"streaming INSERT into {target.name} did not drain"
+                )
+            result.sink_formats[target.name] = "parquet"
+            return
         fmt = str(target.options.get("format", "json"))
         if fmt not in ("json", DEBEZIUM_FORMAT, "parquet"):
             raise PlanError(

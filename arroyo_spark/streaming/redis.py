@@ -1,0 +1,293 @@
+"""Redis connector: sink targets + lookup tables
+(`crates/arroyo-connectors/src/redis/mod.rs:245-375` option surface,
+`redis/sink.rs` targets, `redis/lookup.rs` + `arroyo-worker/src/arrow/
+lookup_join.rs:35-118` lookup path).
+
+No redis server ships in the test container, so the connector is split like
+the kafka module: plan-level validation and encoding are real and tested
+against the reference's error surface; the wire client is an injectable
+``RedisClient`` interface with an in-memory fake for tests — a production
+deployment plugs `redis-py` (or any RESP client) into the same three calls.
+
+Sink targets (redis/table.json):
+- ``string``: SET key_prefix+key -> serialized row
+- ``list``:   RPUSH/LPUSH list_prefix+key, optional max_length trim
+- ``hash``:   HSET key_prefix+key field -> serialized row
+
+Lookup tables require the PRIMARY KEY declared as
+``field TEXT METADATA FROM 'key'`` (mod.rs:303-312) — the key IS the redis
+key; remaining columns are decoded from the stored JSON value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+
+class RedisClient:
+    """Minimal client surface the sink/lookup need (plug redis-py here)."""
+
+    def set(self, key: str, value: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def push(self, key: str, value: str, prepend: bool, max_length: int | None) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def hset(self, key: str, field: str, value: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def mget(self, keys: list[str]) -> dict[str, str | None]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class FakeRedis(RedisClient):
+    """In-memory stand-in with the same call surface (tests/local runs)."""
+
+    def __init__(self) -> None:
+        self.strings: dict[str, str] = {}
+        self.lists: dict[str, list[str]] = {}
+        self.hashes: dict[str, dict[str, str]] = {}
+        self.mget_calls = 0
+
+    def set(self, key: str, value: str) -> None:
+        self.strings[key] = value
+
+    def push(self, key: str, value: str, prepend: bool, max_length: int | None) -> None:
+        lst = self.lists.setdefault(key, [])
+        if prepend:
+            lst.insert(0, value)
+        else:
+            lst.append(value)
+        if max_length is not None and len(lst) > max_length:
+            if prepend:
+                del lst[max_length:]
+            else:
+                del lst[: len(lst) - max_length]
+
+    def hset(self, key: str, field: str, value: str) -> None:
+        self.hashes.setdefault(key, {})[field] = value
+
+    def mget(self, keys: list[str]) -> dict[str, str | None]:
+        self.mget_calls += 1
+        return {k: self.strings.get(k) for k in keys}
+
+
+class HttpKvClient(RedisClient):
+    """RedisClient over a trivial HTTP KV protocol (PUT /key = set,
+    GET /key = fetch, 404 = missing). Holds only the base URL, so executors
+    construct their own connections like a real redis client; used by the
+    tests' localhost stand-in server and by any KV store speaking
+    plain HTTP."""
+
+    def __init__(self, base_url: str) -> None:
+        self.base_url = base_url
+
+    def set(self, key: str, value: str) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/{key}", data=value.encode(), method="PUT"
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    def mget(self, keys: list[str]) -> dict[str, str | None]:
+        import urllib.error
+        import urllib.request
+
+        out: dict[str, str | None] = {}
+        for k in keys:
+            try:
+                with urllib.request.urlopen(
+                    f"{self.base_url}/{k}", timeout=10
+                ) as r:
+                    out[k] = r.read().decode()
+            except urllib.error.HTTPError:
+                out[k] = None
+        return out
+
+
+@dataclass
+class RedisTableConfig:
+    address: str | None
+    cluster_addresses: list[str] | None
+    is_lookup: bool
+    target: str | None = None  # string | list | hash (sinks)
+    key_prefix: str | None = None
+    key_column: str | None = None
+    field_column: str | None = None
+    max_length: int | None = None
+    prepend: bool = False
+    cache_max_bytes: int | None = None
+    cache_ttl_us: int | None = None
+
+
+def _require_text_column(t: TableDef, column: str, sql: str) -> str:
+    ok = any(
+        c.name == column and c.spark_type == "string" and c.not_null
+        for c in t.columns
+    )
+    if not ok:
+        # error text parity: redis/mod.rs:291-296
+        raise PlanError(
+            f"invalid value '{column}' for {sql}, must be the name of a "
+            "non-nullable TEXT column on the table"
+        )
+    return column
+
+
+def validate_redis_table(t: TableDef) -> RedisTableConfig:
+    """Validate a ``connector='redis'`` TableDef (mod.rs:245-375)."""
+    opts = dict(t.options)
+    address = opts.get("address")
+    cluster = opts.get("cluster.addresses")
+    if address is not None and cluster is not None:
+        raise PlanError("only one of `address` or `cluster.addresses` may be set")
+    if address is None and cluster is None:
+        raise PlanError("one of `address` or `cluster.addresses` must be set")
+    typ = t.table_type or ("lookup" if t.temporary else None)
+    cfg = RedisTableConfig(
+        address=str(address) if address is not None else None,
+        cluster_addresses=(
+            [str(c) for c in cluster] if isinstance(cluster, list) else None
+        )
+        if cluster is not None
+        else None,
+        is_lookup=(typ == "lookup"),
+    )
+    if typ == "lookup":
+        # mod.rs:303-312 — the PRIMARY KEY must be `TEXT METADATA FROM 'key'`
+        pks = set(t.primary_keys) | {
+            c.name for c in t.columns if c.primary_key
+        }
+        for c in t.columns:
+            if c.name in pks and (
+                c.metadata_key != "key" or c.spark_type != "string"
+            ):
+                raise PlanError(
+                    "Redis lookup tables must have a PRIMARY KEY field "
+                    "defined as `field_name TEXT METADATA FROM 'key'`"
+                )
+        if not pks:
+            raise PlanError(
+                "Redis lookup tables must have a PRIMARY KEY field "
+                "defined as `field_name TEXT METADATA FROM 'key'`"
+            )
+        raw_ttl = opts.get("lookup.cache.ttl")
+        if isinstance(raw_ttl, tuple) and raw_ttl[0] == "interval":
+            from arroyo_spark.durations import duration_us
+
+            cfg.cache_ttl_us = duration_us(raw_ttl[1])
+        raw_max = opts.get("lookup.cache.max_bytes")
+        if raw_max is not None:
+            cfg.cache_max_bytes = int(raw_max)
+        return cfg
+    if typ != "sink":
+        raise PlanError(f"'{typ}' is not a valid type; must be `sink`")
+    target = str(opts.get("target", ""))
+    if target == "string":
+        cfg.key_prefix = str(opts["target.key_prefix"])
+        cfg.key_column = opts.get("target.key_column")
+    elif target == "list":
+        cfg.key_prefix = str(opts["target.key_prefix"])
+        cfg.key_column = opts.get("target.key_column")
+        if "target.max_length" in opts:
+            ml = int(opts["target.max_length"])
+            if ml <= 0:
+                raise PlanError("target.max_length must be greater than 0")
+            cfg.max_length = ml
+        op = opts.get("target.operation", "append")
+        if op not in ("append", "prepend"):
+            raise PlanError(
+                f"'{op}' is not a valid value for target.operation; must be "
+                "one of 'append' or 'prepend'"
+            )
+        cfg.prepend = op == "prepend"
+    elif target == "hash":
+        cfg.key_prefix = str(opts["target.key_prefix"])
+        cfg.key_column = opts.get("target.key_column")
+        cfg.field_column = _require_text_column(
+            t, str(opts["target.field_column"]), "targets.field_column"
+        )
+    else:
+        raise PlanError(f"'{target}' is not a valid redis target")
+    if cfg.key_column is not None:
+        cfg.key_column = _require_text_column(
+            t, str(cfg.key_column), "target.key_column"
+        )
+    cfg.target = target
+    return cfg
+
+
+def write_redis_sink(
+    df: DataFrame, t: TableDef, client_factory, batch_size: int = 512
+) -> None:
+    """Write a bounded DataFrame to redis per the table's target config.
+
+    Runs `foreachPartition` — each executor partition opens its own client
+    (the reference's sink also writes per-subtask, redis/sink.rs) and
+    pipelines `batch_size` commands at a time. Row serialization is the
+    sink JSON format (timestamps RFC3339) minus the key columns, matching
+    the reference's serializer."""
+    from arroyo_spark.dialect.pipeline import _json_value_col
+
+    cfg = validate_redis_table(t)
+    if cfg.is_lookup:
+        raise PlanError("Cannot construct a lookup table as an operator")
+    key_col = cfg.key_column
+    field_col = cfg.field_column
+    prefix = cfg.key_prefix or ""
+    target, prepend, max_length = cfg.target, cfg.prepend, cfg.max_length
+
+    cols = ["__value"]
+    enc = df.withColumn("__value", _json_value_col(df))
+    if key_col:
+        cols.append(key_col)
+    if field_col and field_col not in cols:
+        cols.append(field_col)
+    rows = enc.select(*cols)
+
+    def do_partition(it):
+        client = client_factory()
+        for row in it:
+            key = prefix + (str(row[key_col]) if key_col else "")
+            if target == "string":
+                client.set(key, row["__value"])
+            elif target == "list":
+                client.push(key, row["__value"], prepend, max_length)
+            else:
+                client.hset(key, str(row[field_col]), row["__value"])
+
+    rows.foreachPartition(do_partition)
+
+
+def redis_lookup_fetch(client: RedisClient, t: TableDef):
+    """`fetch(keys) -> {key: row}` adapter for
+    ``operators.lookup_join.cached_client_lookup``: MGETs the missing keys
+    and decodes the stored JSON into the table's non-key columns
+    (lookup_join.rs:35-118 — cache first, then client, whole-row values)."""
+    import json
+
+    value_cols = [
+        c.name
+        for c in t.columns
+        if c.metadata_key is None and c.virtual_expr is None
+    ]
+
+    def fetch(keys: list[Any]) -> dict[Any, dict[str, Any]]:
+        got = client.mget([str(k) for k in keys])
+        out: dict[Any, dict[str, Any]] = {}
+        for k in keys:
+            raw = got.get(str(k))
+            if raw is None:
+                continue
+            doc = json.loads(raw)
+            out[k] = {c: doc.get(c) for c in value_cols}
+        return out
+
+    return fetch

@@ -1,0 +1,287 @@
+"""Redis connector + lookup-join enforcement.
+
+- DDL validation parity with `crates/arroyo-connectors/src/redis/mod.rs:245-375`
+  (targets, cluster/address exclusivity, lookup PRIMARY KEY shape).
+- Lookup-join plan rules from `crates/arroyo-planner/src/plan/join.rs:201-311`
+  (PRIMARY KEY condition, INNER/LEFT only, equality-only) — the
+  `error_lookup_join_non_primary_key.sql` parity case.
+- End-to-end: a localhost HTTP KV server stands in for redis (same client
+  surface); distributed sink writes + cached client lookup joins run
+  against it with no driver-side shortcuts.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import parse_script
+from arroyo_spark.streaming.redis import (
+    FakeRedis,
+    HttpKvClient,
+    RedisClient,
+    redis_lookup_fetch,
+    validate_redis_table,
+    write_redis_sink,
+)
+
+
+def _table(ddl: str):
+    (t,) = parse_script(ddl)
+    return t
+
+
+LOOKUP_DDL = """
+create temporary table customers (
+  customer_id TEXT METADATA FROM 'key' PRIMARY KEY,
+  customer_name TEXT,
+  plan TEXT
+) with (
+  connector = 'redis', format = 'json',
+  address = 'redis://localhost:6379',
+  'lookup.cache.max_bytes' = 1000000,
+  'lookup.cache.ttl' = interval '5' second
+)"""
+
+
+# -- DDL validation ----------------------------------------------------------
+
+
+def test_lookup_ddl_valid():
+    cfg = validate_redis_table(_table(LOOKUP_DDL))
+    assert cfg.is_lookup and cfg.address == "redis://localhost:6379"
+    assert cfg.cache_max_bytes == 1000000
+    assert cfg.cache_ttl_us == 5_000_000
+
+
+def test_lookup_requires_key_metadata_pk():
+    bad = """
+    create temporary table customers (
+      customer_id TEXT PRIMARY KEY,
+      customer_name TEXT
+    ) with (connector = 'redis', format = 'json',
+            address = 'redis://localhost:6379')"""
+    with pytest.raises(PlanError, match="METADATA FROM 'key'"):
+        validate_redis_table(_table(bad))
+
+
+def test_address_cluster_exclusive():
+    base = "create table s (v TEXT NOT NULL) with (connector='redis', type='sink', target='string', 'target.key_prefix'='p', {})"
+    with pytest.raises(PlanError, match="only one of"):
+        validate_redis_table(
+            _table(base.format("address='redis://a', 'cluster.addresses'=[a1]"))
+        )
+    with pytest.raises(PlanError, match="must be set"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL) with (connector='redis',"
+                " type='sink', target='string', 'target.key_prefix'='p')"
+            )
+        )
+
+
+def test_sink_target_validation():
+    with pytest.raises(PlanError, match="not a valid redis target"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL) with (connector='redis',"
+                " type='sink', address='redis://a', target='set',"
+                " 'target.key_prefix'='p')"
+            )
+        )
+    with pytest.raises(PlanError, match="target.operation"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL) with (connector='redis',"
+                " type='sink', address='redis://a', target='list',"
+                " 'target.key_prefix'='p', 'target.operation'='push')"
+            )
+        )
+    with pytest.raises(PlanError, match="non-nullable TEXT column"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL, n BIGINT) with ("
+                " connector='redis', type='sink', address='redis://a',"
+                " target='hash', 'target.key_prefix'='p',"
+                " 'target.field_column'='n')"
+            )
+        )
+
+
+# -- lookup-join plan rules (plan/join.rs:201-311) ---------------------------
+
+
+def _pipeline_with_lookup(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "ev.json").write_text(
+        '{"event_id": "e1", "customer_id": "c1"}\n'
+        '{"event_id": "e2", "customer_id": "c2"}\n'
+    )
+    p = Pipeline(spark, {"$p": str(tmp_path)})
+    p.run_script(
+        """
+        CREATE TABLE events (event_id TEXT, customer_id TEXT) WITH (
+          connector = 'single_file', path = '$p/ev.json',
+          format = 'json', type = 'source');
+        """
+        + LOOKUP_DDL
+    )
+    return p
+
+
+def test_lookup_join_non_primary_key_rejected(spark, tmp_path):
+    p = _pipeline_with_lookup(spark, tmp_path)
+    with pytest.raises(
+        PlanError,
+        match="must be a PRIMARY KEY column, but 'plan' is not",
+    ):
+        p._plan_select(
+            "SELECT e.event_id, c.customer_name FROM events e "
+            "JOIN customers c ON e.customer_id = c.plan"
+        )
+
+
+def test_lookup_join_right_join_rejected(spark, tmp_path):
+    p = _pipeline_with_lookup(spark, tmp_path)
+    with pytest.raises(PlanError, match="must be a left or inner join"):
+        p._plan_select(
+            "SELECT e.event_id FROM events e "
+            "RIGHT JOIN customers c ON e.customer_id = c.customer_id"
+        )
+
+
+def test_lookup_join_left_side_rejected(spark, tmp_path):
+    p = _pipeline_with_lookup(spark, tmp_path)
+    with pytest.raises(PlanError, match="right side of an inner or left join"):
+        p._plan_select(
+            "SELECT c.customer_name FROM customers c "
+            "JOIN events e ON e.customer_id = c.customer_id"
+        )
+
+
+def test_lookup_join_non_equality_rejected(spark, tmp_path):
+    p = _pipeline_with_lookup(spark, tmp_path)
+    with pytest.raises(PlanError, match="must have an equality condition"):
+        p._plan_select(
+            "SELECT e.event_id FROM events e "
+            "JOIN customers c ON e.customer_id > c.customer_id"
+        )
+
+
+def test_lookup_join_on_pk_plans(spark, tmp_path):
+    p = _pipeline_with_lookup(spark, tmp_path)
+    df = p._plan_select(
+        "SELECT e.event_id, c.customer_name FROM events e "
+        "LEFT JOIN customers c ON e.customer_id = c.customer_id"
+    )
+    assert df.count() == 2  # lookup relation is empty at plan level
+
+
+# -- end-to-end over a localhost HTTP KV (redis stand-in) --------------------
+
+
+class _KvHandler(http.server.BaseHTTPRequestHandler):
+    store: dict[str, str] = {}
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_PUT(self):
+        n = int(self.headers.get("Content-Length", 0))
+        self.store[self.path.lstrip("/")] = self.rfile.read(n).decode()
+        self.send_response(204)
+        self.end_headers()
+
+    def do_GET(self):
+        v = self.store.get(self.path.lstrip("/"))
+        if v is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = v.encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def kv_server():
+    _KvHandler.store = {}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _KvHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_redis_sink_distributed_writes(spark, kv_server):
+    t = _table(
+        "create table s (user_id TEXT NOT NULL, n BIGINT) with ("
+        " connector='redis', type='sink', address='redis://ignored',"
+        " target='string', 'target.key_prefix'='u:',"
+        " 'target.key_column'='user_id')"
+    )
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "user_id string, n bigint"
+    )
+    url = kv_server
+    write_redis_sink(df, t, lambda: HttpKvClient(url))
+    assert json.loads(_KvHandler.store["u:a"]) == {"user_id": "a", "n": 1}
+    assert sorted(_KvHandler.store) == ["u:a", "u:b", "u:c"]
+
+
+def test_lookup_join_e2e_with_cache(spark, kv_server):
+    from arroyo_spark.operators.lookup_join import cached_client_lookup
+
+    t = _table(LOOKUP_DDL)
+    client = HttpKvClient(kv_server)
+    for cid, name, plan in (("c1", "Ada", "Premium"), ("c2", "Grace", "Free")):
+        client.set(cid, json.dumps({"customer_name": name, "plan": plan}))
+    stream = spark.createDataFrame(
+        [("e1", "c1"), ("e2", "c2"), ("e3", "c1"), ("e4", "cX")],
+        "event_id string, customer_id string",
+    )
+    out = cached_client_lookup(
+        stream,
+        "customer_id",
+        redis_lookup_fetch(client, t),
+        "customer_name string, plan string",
+        how="left",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows["e1"]["customer_name"] == "Ada"
+    assert rows["e3"]["plan"] == "Premium"
+    assert rows["e4"]["customer_name"] is None
+    inner = cached_client_lookup(
+        stream,
+        "customer_id",
+        redis_lookup_fetch(client, t),
+        "customer_name string, plan string",
+        how="inner",
+    )
+    assert inner.count() == 3
+
+
+def test_fake_redis_surface():
+    r = FakeRedis()
+    r.push("l", "a", False, 2)
+    r.push("l", "b", False, 2)
+    r.push("l", "c", False, 2)
+    assert r.lists["l"] == ["b", "c"]
+    r.hset("h", "f", "v")
+    assert r.hashes["h"] == {"f": "v"}
+
+
+def test_pipeline_redis_ddl_registers(spark):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    p.run_script(LOOKUP_DDL)
+    df = spark.table("customers")
+    assert df.columns == ["customer_id", "customer_name", "plan"]
+    assert df.count() == 0

@@ -1,0 +1,142 @@
+"""TransactionalFileSink: exactly-once file output via atomic manifest
+commits (the reference's delta/iceberg sink commit protocol,
+`crates/arroyo-connectors/src/filesystem/delta.rs` two-phase commit —
+`arroyo-state/src/lib.rs:73`, `operator.rs:1228`), including the
+kill-and-restore case: a crash after data files are written but BEFORE the
+manifest commit must leave no visible rows, and the recovery replay must
+produce each input row exactly once."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from arroyo_spark.streaming.sinks import TransactionalFileSink
+
+
+def _source_files(tmp_path, n_files=3, rows_per=4):
+    src = tmp_path / "src"
+    src.mkdir()
+    v = 0
+    for i in range(n_files):
+        lines = []
+        for _ in range(rows_per):
+            lines.append('{"v": %d}' % v)
+            v += 1
+        (src / f"f{i}.json").write_text("\n".join(lines))
+    return str(src), v
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+
+def _run(stream, sink_fn, ck):
+    q = (
+        stream.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_exactly_once_happy_path(spark, tmp_path):
+    src, total = _source_files(tmp_path)
+    sink = TransactionalFileSink(str(tmp_path / "out"))
+    _run(_stream(spark, src), sink, str(tmp_path / "ck"))
+    got = sink.read_committed(spark)
+    assert got.count() == total
+    assert got.agg(F.sum("v")).first()[0] == sum(range(total))
+    # one manifest per micro-batch (maxFilesPerTrigger=1 -> 3 batches)
+    assert len(os.listdir(tmp_path / "out" / "_manifest")) == 3
+
+
+def test_crash_before_manifest_is_invisible_then_replayed(spark, tmp_path):
+    """Kill mid-batch between data write and commit; restart from the same
+    checkpoint; every row appears exactly once."""
+    src, total = _source_files(tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sink = TransactionalFileSink(out)
+    flag = str(tmp_path / "crashed.flag")
+
+    def crashing(batch_df, batch_id):
+        if batch_id == 1 and not os.path.exists(flag):
+            with open(flag, "w") as fh:
+                fh.write("x")
+            # simulate the worst-case kill point: data files fully written,
+            # manifest not yet committed
+            staging = os.path.join(out, "_staging", "batch-1-crashattempt")
+            batch_df.write.mode("overwrite").parquet(staging)
+            raise RuntimeError("injected crash before manifest commit")
+        sink(batch_df, batch_id)
+
+    with pytest.raises(Exception, match="injected crash"):
+        _run(_stream(spark, src), crashing, ck)
+
+    # the crashed batch left an orphan staging dir but NO visible rows
+    committed = sink.read_committed(spark)
+    seen_after_crash = 0 if committed is None else committed.count()
+    assert seen_after_crash < total
+    assert os.path.isdir(os.path.join(out, "_staging", "batch-1-crashattempt"))
+    manifests = os.listdir(os.path.join(out, "_manifest"))
+    assert "batch-1.json" not in manifests
+
+    # restart from the SAME checkpoint: Spark replays batch 1, sink commits
+    _run(_stream(spark, src), crashing, ck)
+    got = sink.read_committed(spark)
+    assert got.count() == total, "rows must appear exactly once after recovery"
+    assert got.agg(F.sum("v")).first()[0] == sum(range(total))
+    assert sorted(r["v"] for r in got.collect()) == list(range(total))
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path):
+    src, total = _source_files(tmp_path, n_files=1)
+    sink = TransactionalFileSink(str(tmp_path / "out"))
+    df = spark.read.schema("v bigint").json(src)
+    sink(df, 0)
+    files_before = sink.committed_files()
+    sink(df, 0)  # replay with same batch id: must not duplicate
+    assert sink.committed_files() == files_before
+    assert sink.read_committed(spark).count() == total
+
+
+def test_json_format_roundtrip(spark, tmp_path):
+    src, total = _source_files(tmp_path, n_files=2)
+    sink = TransactionalFileSink(str(tmp_path / "outj"), fmt="json")
+    _run(_stream(spark, src), sink, str(tmp_path / "ckj"))
+    assert sink.read_committed(spark).count() == total
+
+
+def test_pipeline_delta_sink_batch_and_streaming(spark, tmp_path):
+    """connector='delta' DDL routes through the transactional manifest sink
+    in both batch and streaming modes."""
+    from arroyo_spark.streaming.sinks import TransactionalFileSink
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+      path='$p/in.json', format='json', type='source');
+    CREATE TABLE dt (a BIGINT) WITH (connector='delta', type='sink',
+      path='$p/delta_out');
+    INSERT INTO dt SELECT a * 10 AS a FROM src;
+    """
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    got = TransactionalFileSink(str(tmp_path / "delta_out")).read_committed(spark)
+    assert sorted(r["a"] for r in got.collect()) == [10, 20, 30]
+
+    script2 = script.replace("delta_out", "delta_out2").replace(
+        "connector='delta'", "connector='iceberg'"
+    )
+    Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script2)
+    got2 = TransactionalFileSink(str(tmp_path / "delta_out2")).read_committed(spark)
+    assert sorted(r["a"] for r in got2.collect()) == [10, 20, 30]
