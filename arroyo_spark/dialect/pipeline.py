@@ -178,6 +178,9 @@ class Pipeline:
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
         self._txn_sinks: dict[str, object] = {}
+        # injectable kinesis clients by table name (tests/local runs; a
+        # production deployment registers a boto3-backed client here)
+        self.kinesis_clients: dict[str, object] = {}
         # session settings (SET updating_ttl = interval '...', lib.rs:790-819);
         # the TTL governs state retention for updating operators
         self.settings: dict[str, object] = {"updating_ttl": ("interval", "24 hours")}
@@ -328,6 +331,39 @@ class Pipeline:
             )
         return spool
 
+    def _capture_queue_source(self, t: TableDef) -> str:
+        """mqtt / nats DDL sources: subscribe through the pure-Python
+        client for a bounded capture window (`capture_duration_ms`,
+        default 1000) into a spool directory, then read the spool like any
+        file source — the same run-to-completion analog as
+        `_capture_http_source`; a live deployment keeps the subscription
+        running as a sidecar feeding the spool stream."""
+        import tempfile
+        import time as _time
+
+        spool = tempfile.mkdtemp(prefix=f"{t.connector}_{t.name}_")
+        if (t.connector or "").lower() == "mqtt":
+            from arroyo_spark.streaming.mqtt import (
+                mqtt_source_ingest,
+                validate_mqtt_table,
+            )
+
+            cfg = validate_mqtt_table(t)
+            cfg.url = self._substitute(cfg.url)
+            handle = mqtt_source_ingest(cfg, spool)
+        else:
+            from arroyo_spark.streaming.nats import (
+                nats_source_ingest,
+                validate_nats_table,
+            )
+
+            ncfg = validate_nats_table(t)
+            ncfg.servers = self._substitute(ncfg.servers)
+            handle = nats_source_ingest(ncfg, spool)
+        _time.sleep(int(t.options.get("capture_duration_ms", 1000)) / 1000)
+        handle.stop()
+        return spool
+
     def _register_kafka_source(self, t: TableDef) -> None:
         """connector='kafka' DDL → Spark's native kafka source: options are
         validated/translated at plan time (reference error surface,
@@ -379,7 +415,24 @@ class Pipeline:
             empty = empty.select(*[c.name for c in t.columns if c.virtual_expr is None])
             empty.createOrReplaceTempView(t.name)
             return
-        if (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
+        if (t.connector or "").lower() == "kinesis":
+            # kinesis sources: validate the DDL with the reference's error
+            # surface (kinesis/mod.rs:135-170) and register the declared
+            # schema over an injectable client (streaming/kinesis.py) — no
+            # AWS endpoint exists in this container, so the relation drains
+            # whatever a configured client holds (empty by default).
+            from arroyo_spark.streaming.kinesis import (
+                FakeKinesis,
+                decode_kinesis_source,
+            )
+
+            client = self.kinesis_clients.get(t.name) or FakeKinesis()
+            df = decode_kinesis_source(self.spark, t, client)
+            df.createOrReplaceTempView(t.name)
+            return
+        if (t.connector or "").lower() in ("mqtt", "nats"):
+            path = self._capture_queue_source(t)
+        elif (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
             path = self._capture_http_source(t)
         else:
             path = t.options.get("path")
@@ -699,9 +752,15 @@ class Pipeline:
                 "lookup sources must be on the right side of an inner or "
                 "left join"
             )
+        # the alias group must not swallow reserved words: `JOIN segments ON
+        # u.k = segments.x` has no alias, and capturing ON as one would make
+        # the `\s+on\s+` match below fail and silently skip PK enforcement
         join_pat = _re.compile(
             r"\b(?:(left|right|full|inner|cross)\s+)?(?:outer\s+)?join\s+"
-            r"(\w+)(?:\s+(?:as\s+)?(\w+))?",
+            r"(\w+)(?:\s+(?:as\s+)?"
+            r"(?!on\b|using\b|left\b|right\b|full\b|inner\b|cross\b|join\b"
+            r"|where\b|group\b|having\b|order\b|limit\b|union\b|window\b)"
+            r"(\w+))?",
             _re.I,
         )
         clause_end = _re.compile(
@@ -793,19 +852,34 @@ class Pipeline:
         conn = (sink.connector or "").lower()
         if conn in ("delta", "iceberg"):
             # transactional table sinks (filesystem/delta.rs, iceberg/):
-            # append-only commits through the atomic-manifest protocol;
-            # each INSERT is one committed transaction. Parquet data files
-            # with µs timestamps (tables.rs:246-266 — Spark's native unit).
-            from arroyo_spark.streaming.sinks import TransactionalFileSink
-
+            # append-only commits. delta writes the REAL _delta_log
+            # protocol (readable by any Delta reader); iceberg uses the
+            # atomic-manifest stand-in. Parquet data files with µs
+            # timestamps (tables.rs:246-266 — Spark's native unit).
             path = sink.options.get("path")
             if path is None:
                 raise PlanError(f"{conn} sink {sink.name} needs a 'path' option")
             out = self._substitute(str(path))
+            if conn == "delta":
+                from arroyo_spark.streaming.delta import DeltaTableSink
+
+                dsink = self._txn_sinks.setdefault(
+                    sink.name,
+                    DeltaTableSink(
+                        out,
+                        partition_by=self._sink_partition_fields(sink, incoming),
+                    ),
+                )
+                dsink.commit(incoming)  # one INSERT = one Delta version
+                return
+            from arroyo_spark.streaming.sinks import TransactionalFileSink
+
             txn = self._txn_sinks.setdefault(
                 sink.name, TransactionalFileSink(out, fmt="parquet")
             )
-            txn(incoming, len(os.listdir(os.path.join(out, "_manifest"))))
+            # insert-<n> manifest namespace: never collides with streaming
+            # batch-<epoch> ids or stale .tmp files (ADVICE r2)
+            txn.commit_insert(incoming)
             return
         if conn == "kafka":
             from arroyo_spark.streaming.kafka import (
@@ -814,7 +888,10 @@ class Pipeline:
             )
 
             opts = kafka_writer_options(sink)  # validation at plan time
-            enc = encode_kafka_sink(df, sink)
+            # encode only THIS insert's rows: kafka .save() appends to the
+            # topic, so re-encoding the merged union would republish every
+            # prior INSERT's rows as duplicates (ADVICE r2)
+            enc = encode_kafka_sink(incoming, sink)
             try:
                 enc.write.format("kafka").options(**opts).save()
             except PlanError:
@@ -824,6 +901,38 @@ class Pipeline:
                     f"kafka sink {sink.name}: the Spark kafka connector is not "
                     f"available in this environment ({e})"
                 ) from None
+            return
+        if conn in ("mqtt", "nats"):
+            import dataclasses
+
+            url_key = "url" if conn == "mqtt" else "servers"
+            resolved = dataclasses.replace(
+                sink,
+                options={
+                    **sink.options,
+                    url_key: self._substitute(str(sink.options.get(url_key, ""))),
+                },
+            )
+            if conn == "mqtt":
+                from arroyo_spark.streaming.mqtt import write_mqtt_sink
+
+                write_mqtt_sink(incoming, resolved)
+            else:
+                from arroyo_spark.streaming.nats import write_nats_sink
+
+                write_nats_sink(incoming, resolved)
+            return
+        if conn == "kinesis":
+            # distributed PutRecords through the injectable client
+            # (streaming/kinesis.py — batching + failed-subset retries)
+            from arroyo_spark.streaming.kinesis import (
+                FakeKinesis,
+                write_kinesis_sink,
+            )
+
+            client = self.kinesis_clients.get(sink.name)
+            factory = (lambda: client) if client is not None else FakeKinesis
+            write_kinesis_sink(incoming, sink, factory)
             return
         if conn == "blackhole":
             # reference's null sink (connectors/src/blackhole): consume and
@@ -996,24 +1105,40 @@ class Pipeline:
         the key-calc + shuffle the reference inserts before partitioned
         sinks (arroyo-planner/src/lib.rs:718-766).
 
-        The Debezium update path still runs its keyed before-image encoder
-        on the driver (streaming/updating.py documents the pluggable
-        StateBackend for real deployments)."""
+        The Debezium update path computes before-images DISTRIBUTED: the
+        encoder diffs each micro-batch against a keyed parquet snapshot
+        executor-side and writes envelope JSON lines through Spark's text
+        writer (streaming/updating.DebeziumEncoder — the Delta-CDF
+        pattern); the driver only merges the spooled lines afterwards for
+        the single_file/result surface, like the append path."""
         import tempfile
 
         out_path = self._substitute(str(target.options.get("path", "")))
         conn = (target.connector or "").lower()
         if conn in ("delta", "iceberg"):
             # streaming transactional sink: each micro-batch is one atomic
-            # manifest commit; replays after recovery are no-ops, so the
-            # visible table is exactly-once (tests/test_txn_sink.py)
-            from arroyo_spark.streaming.sinks import TransactionalFileSink
-
+            # commit (delta: a _delta_log version with a txn action keyed
+            # by batchId; iceberg: a manifest); replays after recovery are
+            # no-ops, so the visible table is exactly-once
+            # (tests/test_txn_sink.py, tests/test_delta.py)
             if not out_path:
                 raise PlanError(f"{conn} sink {target.name} needs a 'path' option")
-            txn = self._txn_sinks.setdefault(
-                target.name, TransactionalFileSink(out_path, fmt="parquet")
-            )
+            if conn == "delta":
+                from arroyo_spark.streaming.delta import DeltaTableSink
+
+                txn = self._txn_sinks.setdefault(
+                    target.name,
+                    DeltaTableSink(
+                        out_path,
+                        partition_by=self._sink_partition_fields(target, df),
+                    ),
+                )
+            else:
+                from arroyo_spark.streaming.sinks import TransactionalFileSink
+
+                txn = self._txn_sinks.setdefault(
+                    target.name, TransactionalFileSink(out_path, fmt="parquet")
+                )
             ck0 = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
             q0 = (
                 self._cast_to_sink(df, target)
@@ -1049,21 +1174,18 @@ class Pipeline:
             from arroyo_spark.streaming.updating import DebeziumEncoder
 
             pks = target.primary_keys or [cast.columns[0]]
-
-            def emit(envelopes: list[dict]) -> None:
-                import json as _json
-
-                lines.extend(_json.dumps(e) for e in envelopes)
-
+            spool = tempfile.mkdtemp(prefix=f"dbz_{target.name}_")
             writer = (
                 cast.writeStream.outputMode("update")
-                .foreachBatch(DebeziumEncoder(pks, emit))
+                .foreachBatch(DebeziumEncoder(pks, spool=spool))
             )
         else:
-            # partitioned sinks write straight to the target directory;
-            # unpartitioned json spools to a temp dir and merges to the
-            # single_file path after the drain
-            if part_fields and out_path:
+            # partitioned sinks and parquet sinks write straight to the
+            # target directory (parquet part files are never merged, so
+            # spooling them to a temp dir would lose the output — ADVICE
+            # r2); unpartitioned json spools to a temp dir and merges to
+            # the single_file path after the drain
+            if out_path and (part_fields or fmt == "parquet"):
                 spool = out_path
             else:
                 spool = tempfile.mkdtemp(prefix=f"sink_{target.name}_")
@@ -1104,7 +1226,7 @@ class Pipeline:
                 f"streaming INSERT into {target.name} did not drain within "
                 "600s; partial output discarded"
             )
-        if fmt == "json" and spool is not None:
+        if fmt in ("json", DEBEZIUM_FORMAT) and spool is not None:
             lines = self._read_spool_lines(spool)
         # multiple INSERTs into one sink merge (test_merge_sink semantics)
         merged = result.raw_lines.setdefault(target.name, [])

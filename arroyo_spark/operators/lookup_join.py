@@ -47,31 +47,73 @@ def lookup_join(
     return stream.join(right, on, how)
 
 
-class TTLCache:
-    """Time-to-idle + size-bounded cache (updating_cache.rs:52-70 analog)."""
+def _deep_sizeof(o: Any) -> int:
+    """Approximate retained bytes of a cached value (containers included).
+    The reference's cache bounds by value buffer bytes
+    (updating_cache.rs:52-70 `value_bytes`); this is the Python analog."""
+    import sys
 
-    def __init__(self, max_entries: int = 100_000, ttl_s: float = 3600.0) -> None:
+    size = sys.getsizeof(o)
+    if isinstance(o, dict):
+        size += sum(_deep_sizeof(k) + _deep_sizeof(v) for k, v in o.items())
+    elif isinstance(o, (list, tuple, set, frozenset)):
+        size += sum(_deep_sizeof(x) for x in o)
+    return size
+
+
+class TTLCache:
+    """Time-to-idle + entry- and byte-bounded cache
+    (updating_cache.rs:52-70 analog: the reference caps the lookup cache by
+    `lookup.cache.max_bytes` and evicts by time-to-idle)."""
+
+    def __init__(
+        self,
+        max_entries: int = 100_000,
+        ttl_s: float = 3600.0,
+        max_bytes: int | None = None,
+    ) -> None:
         self.max_entries = max_entries
         self.ttl_s = ttl_s
-        self._d: OrderedDict[Any, tuple[float, Any]] = OrderedDict()
+        self.max_bytes = max_bytes
+        self._d: OrderedDict[Any, tuple[float, Any, int]] = OrderedDict()
+        self._bytes = 0
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    @property
+    def current_bytes(self) -> int:
+        return self._bytes
+
+    def _evict(self, key: Any) -> None:
+        _ts, _v, size = self._d.pop(key)
+        self._bytes -= size
 
     def get(self, key: Any) -> Any | None:
         item = self._d.get(key)
         if item is None:
             return None
-        ts, value = item
+        ts, value, size = item
         if time.monotonic() - ts > self.ttl_s:
-            del self._d[key]
+            self._evict(key)
             return None
+        self._d[key] = (time.monotonic(), value, size)  # time-to-idle refresh
         self._d.move_to_end(key)
-        self._d[key] = (time.monotonic(), value)  # time-to-idle refresh
         return value
 
     def put(self, key: Any, value: Any) -> None:
-        self._d[key] = (time.monotonic(), value)
-        self._d.move_to_end(key)
-        while len(self._d) > self.max_entries:
-            self._d.popitem(last=False)
+        if key in self._d:
+            self._evict(key)
+        size = _deep_sizeof(key) + _deep_sizeof(value)
+        self._d[key] = (time.monotonic(), value, size)
+        self._bytes += size
+        while len(self._d) > self.max_entries or (
+            self.max_bytes is not None
+            and self._bytes > self.max_bytes
+            and len(self._d) > 1  # always keep the newest entry resident
+        ):
+            k = next(iter(self._d))
+            self._evict(k)
 
 
 def cached_client_lookup(

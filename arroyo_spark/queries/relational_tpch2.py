@@ -61,6 +61,7 @@ from arroyo_spark.suite import query
       )
     """,
     tags=("join", "subquery", "tpch"),
+    bench=True,
 )
 def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -254,6 +255,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     """,
     tags=("join", "aggregate", "tpch"),
+    bench=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -411,6 +413,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand, p_type, p_size
     """,
     tags=("aggregate", "distinct", "subquery", "tpch"),
+    bench=True,
 )
 def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -464,6 +467,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     """,
     tags=("join", "subquery", "aggregate", "tpch"),
+    bench=True,
 )
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(

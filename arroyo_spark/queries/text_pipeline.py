@@ -115,6 +115,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     tags=("text", "contamination", "dedup"),
+    bench=True,
 )
 def contamination_5gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -217,6 +218,7 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
     tags=("text", "tfidf", "window_fn"),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,215 @@
+"""Exactly-once kafka produce path — ``sink.commit_mode = 'exactly_once'``
+(`crates/arroyo-connectors/src/kafka/mod.rs:140-145`; the reference's sink
+implements it as a transactional producer committed through the two-phase
+checkpoint protocol).
+
+Spark mapping: ``foreachBatch`` may replay a micro-batch with the same
+batchId after recovery, so exactly-once = two independent layers, both of
+which this module provides:
+
+1. **the batch ledger** (`streaming.sinks.IdempotentBatchSink`): a replay
+   of a fully-committed batch is skipped before any produce happens;
+2. **transactional produce with stable transaction ids**: each partition
+   produces inside one transaction whose id is derived from
+   (scope, batchId, partitionId). If a crash lands BETWEEN a partition's
+   transaction commit and the batch ledger marker, the replay re-produces
+   under the SAME transaction id and the broker-side commit deduplicates —
+   the stand-in below implements that as an atomic rename that discards
+   duplicates, which is the observable behavior of Kafka's transactional.id
+   fencing + epoch bump on `initTransactions()`.
+
+No broker ships in this container, so the producer is injectable:
+``FileTransactionalProducer`` is a filesystem-backed stand-in with real
+two-phase semantics (staged file -> atomic rename = commit; abandoned
+staging files are never visible to `read_committed`), and a production
+deployment plugs `confluent_kafka.Producer` (init_transactions /
+begin_transaction / produce / commit_transaction) into the same four
+calls.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import uuid
+from collections.abc import Callable
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+
+class TransactionalProducer:
+    """Producer surface the exactly-once sink needs (confluent_kafka's
+    transactional API maps 1:1: init_transactions, begin_transaction,
+    produce, commit_transaction / abort_transaction)."""
+
+    def begin(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def send(
+        self,
+        topic: str,
+        value: str,
+        key: str | None = None,
+        timestamp_ms: int | None = None,
+    ) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def commit(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def abort(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class FileTransactionalProducer(TransactionalProducer):
+    """Filesystem stand-in broker with transactional visibility:
+
+    - ``begin``/``send`` buffer records in memory;
+    - ``commit`` writes a staging file then atomically renames it to
+      ``<root>/committed/<transactional_id>.jsonl`` — readers see a
+      transaction entirely or not at all;
+    - a commit whose transactional id is ALREADY committed discards the
+      staged duplicate (the observable effect of Kafka's transactional.id
+      fencing when a crashed attempt is replayed);
+    - ``abort`` (or a crash before commit) leaves nothing visible.
+    """
+
+    def __init__(self, root: str, transactional_id: str) -> None:
+        self.root = root
+        self.transactional_id = transactional_id
+        self._buf: list[dict[str, Any]] | None = None
+        os.makedirs(os.path.join(root, "committed"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
+
+    def begin(self) -> None:
+        self._buf = []
+
+    def send(
+        self,
+        topic: str,
+        value: str,
+        key: str | None = None,
+        timestamp_ms: int | None = None,
+    ) -> None:
+        if self._buf is None:
+            raise RuntimeError("send() outside a transaction")
+        self._buf.append(
+            {"topic": topic, "key": key, "value": value, "timestamp_ms": timestamp_ms}
+        )
+
+    def commit(self) -> None:
+        if self._buf is None:
+            raise RuntimeError("commit() outside a transaction")
+        final = os.path.join(
+            self.root, "committed", f"{self.transactional_id}.jsonl"
+        )
+        if os.path.exists(final):
+            self._buf = None  # fenced replay of an already-committed txn
+            return
+        staged = os.path.join(
+            self.root, "_staging", f"{self.transactional_id}-{uuid.uuid4().hex[:8]}"
+        )
+        with open(staged, "w") as fh:
+            for rec in self._buf:
+                fh.write(json.dumps(rec) + "\n")
+        try:
+            os.rename(staged, final)  # the commit point
+        except (FileExistsError, OSError):
+            os.unlink(staged)  # concurrent duplicate commit: keep the first
+        self._buf = None
+
+    def abort(self) -> None:
+        self._buf = None
+
+
+def read_committed(root: str, topic: str | None = None) -> list[dict[str, Any]]:
+    """Records visible to a `read_committed` consumer of the stand-in."""
+    out: list[dict[str, Any]] = []
+    committed = os.path.join(root, "committed")
+    if not os.path.isdir(committed):
+        return out
+    for f in sorted(os.listdir(committed)):
+        with open(os.path.join(committed, f)) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if topic is None or rec["topic"] == topic:
+                    out.append(rec)
+    return out
+
+
+class KafkaExactlyOnceSink:
+    """foreachBatch sink implementing ``sink.commit_mode='exactly_once'``:
+    the `IdempotentBatchSink` ledger composed with per-partition producer
+    transactions (see module docstring for the crash matrix). Encoding is
+    `encode_kafka_sink` — the same key/timestamp/value translation the
+    at-least-once path uses."""
+
+    def __init__(
+        self,
+        t: TableDef,
+        producer_factory: Callable[[str], TransactionalProducer],
+        ledger_dir: str,
+        scope: str = "kafka-eo",
+    ) -> None:
+        from arroyo_spark.streaming.kafka import validate_kafka_table
+        from arroyo_spark.streaming.sinks import IdempotentBatchSink
+
+        self.cfg = validate_kafka_table(t)
+        if not self.cfg.is_sink:
+            raise PlanError(f"cannot write to kafka source table {t.name}")
+        if self.cfg.commit_mode != "exactly_once":
+            raise PlanError(
+                "KafkaExactlyOnceSink requires sink.commit_mode='exactly_once' "
+                f"(table {t.name} declares '{self.cfg.commit_mode}')"
+            )
+        self.t = t
+        self.producer_factory = producer_factory
+        self.scope = scope
+        self._ledger = IdempotentBatchSink(self._produce, ledger_dir, scope)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._ledger(batch_df, batch_id)
+
+    def _produce(self, batch_df: DataFrame, batch_id: int) -> None:
+        from arroyo_spark.streaming.kafka import encode_kafka_sink
+
+        enc = encode_kafka_sink(batch_df, self.t).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        topic = self.cfg.topic
+        factory = self.producer_factory
+        scope = self.scope
+
+        def produce_partition(it):
+            first = next(it, None)
+            if first is None:
+                return
+            # stable per (scope, batch, partition): a crashed attempt's
+            # replay reuses the id and the broker dedupes the commit
+            txn_id = f"{scope}-b{batch_id}-p{first['__pid']}"
+            producer = factory(txn_id)
+            producer.begin()
+            for row in itertools.chain([first], it):
+                d = row.asDict()
+                ts = d.get("timestamp")
+                producer.send(
+                    topic,
+                    d["value"],
+                    key=(
+                        d["key"].decode("utf-8", "replace")
+                        if isinstance(d.get("key"), (bytes, bytearray))
+                        else d.get("key")
+                    ),
+                    timestamp_ms=(
+                        int(ts.timestamp() * 1000) if ts is not None else None
+                    ),
+                )
+            producer.commit()
+
+        enc.foreachPartition(produce_partition)

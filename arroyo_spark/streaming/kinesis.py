@@ -1,0 +1,279 @@
+"""Kinesis connector: DDL option surface + injectable client, split like
+the kafka/redis modules (plan level fully validated and tested; the wire
+client is pluggable because no AWS endpoint exists in this container).
+
+Reference: `crates/arroyo-connectors/src/kinesis/` —
+- option surface + errors: `mod.rs:135-170` (`stream_name`, `aws_region`,
+  `type`, `source.offset`, `sink.flush_interval_millis`,
+  `sink.max_bytes_per_batch`, `sink.max_records_per_batch`) and
+  `table.json` (records_per_batch max 500, batch bytes max 4_000_000 —
+  the Kinesis PutRecords API limits);
+- source: per-shard iterators, earliest -> TrimHorizon / latest -> Latest
+  (`source.rs:99-118`);
+- sink: records buffered to (count, bytes, age) thresholds then
+  PutRecords, random-UUID partition keys (`sink.rs:49-65,141-143`),
+  failed sub-records retried.
+
+A production deployment plugs boto3's `put_records` /
+`get_shard_iterator`+`get_records` into the client interface; tests use
+the in-memory fake.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+from arroyo_spark.streaming.eventtime import TIMESTAMP_FIELD
+
+_SOURCE_OFFSETS = ("earliest", "latest")
+# Kinesis PutRecords API limits (table.json maxima)
+MAX_RECORDS_PER_BATCH = 500
+MAX_BYTES_PER_BATCH = 4_000_000
+
+
+@dataclass
+class KinesisConfig:
+    stream_name: str
+    is_sink: bool
+    aws_region: str | None = None
+    format: str = "json"
+    source_offset: str = "latest"
+    flush_interval_millis: int = 1000
+    max_bytes_per_batch: int = MAX_BYTES_PER_BATCH
+    max_records_per_batch: int = MAX_RECORDS_PER_BATCH
+
+    @property
+    def shard_iterator_type(self) -> str:
+        # source.rs:104-110: earliest -> TRIM_HORIZON, latest -> LATEST
+        return "TRIM_HORIZON" if self.source_offset == "earliest" else "LATEST"
+
+
+def validate_kinesis_table(t: TableDef) -> KinesisConfig:
+    """Validate a ``connector='kinesis'`` TableDef (mod.rs:135-170)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "kinesis":
+        raise PlanError(f"table {t.name} is not a kinesis table")
+    typ = opts.get("type")
+    if typ not in ("source", "sink"):
+        # error text parity: mod.rs:158-160
+        raise PlanError("type must be one of 'source' or 'sink'")
+    stream = opts.get("stream_name")
+    if not stream:
+        raise PlanError(f"kinesis table {t.name} requires 'stream_name'")
+    cfg = KinesisConfig(
+        stream_name=stream,
+        is_sink=(typ == "sink"),
+        aws_region=opts.get("aws_region"),
+        format=opts.get("format", "json"),
+    )
+    if typ == "source":
+        offset = opts.get("source.offset", "latest")
+        if offset not in _SOURCE_OFFSETS:
+            # error text parity: mod.rs:142
+            raise PlanError(f"invalid value for source.offset '{offset}'")
+        cfg.source_offset = offset
+        for bad in (
+            "sink.flush_interval_millis",
+            "sink.max_bytes_per_batch",
+            "sink.max_records_per_batch",
+        ):
+            if bad in opts:
+                raise PlanError(f"'{bad}' is not valid for a kinesis source")
+    else:
+        if "source.offset" in opts:
+            raise PlanError("'source.offset' is not valid for a kinesis sink")
+        if "sink.flush_interval_millis" in opts:
+            cfg.flush_interval_millis = int(opts["sink.flush_interval_millis"])
+        if "sink.max_bytes_per_batch" in opts:
+            mb = int(opts["sink.max_bytes_per_batch"])
+            if mb > MAX_BYTES_PER_BATCH:
+                raise PlanError(
+                    f"sink.max_bytes_per_batch exceeds the Kinesis limit "
+                    f"({MAX_BYTES_PER_BATCH})"
+                )
+            cfg.max_bytes_per_batch = mb
+        if "sink.max_records_per_batch" in opts:
+            mr = int(opts["sink.max_records_per_batch"])
+            if mr > MAX_RECORDS_PER_BATCH:
+                raise PlanError(
+                    f"sink.max_records_per_batch exceeds the Kinesis limit "
+                    f"({MAX_RECORDS_PER_BATCH})"
+                )
+            cfg.max_records_per_batch = mr
+    if t.columns and any(c.metadata_key is not None for c in t.columns):
+        raise PlanError("kinesis tables do not support metadata fields")
+    return cfg
+
+
+class KinesisClient:
+    """Client surface (boto3 maps 1:1: put_records / get_records)."""
+
+    def put_records(
+        self, stream_name: str, records: list[tuple[str, bytes]]
+    ) -> list[int]:
+        """Write (partition_key, data) entries; return indices of FAILED
+        records (PutRecords is partial-failure, sink.rs:195-215 retries
+        exactly the failed subset)."""  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def read_all(self, stream_name: str) -> list[tuple[str, bytes]]:
+        """Drain the stream from TRIM_HORIZON (test surface)."""  # pragma: no cover
+        raise NotImplementedError
+
+
+class FakeKinesis(KinesisClient):
+    """In-memory stand-in; `fail_indices_once` injects partial failures to
+    exercise the retry path."""
+
+    def __init__(self) -> None:
+        self.streams: dict[str, list[tuple[str, bytes]]] = {}
+        self.put_calls: list[int] = []
+        self.fail_indices_once: set[int] = set()
+
+    def put_records(
+        self, stream_name: str, records: list[tuple[str, bytes]]
+    ) -> list[int]:
+        if len(records) > MAX_RECORDS_PER_BATCH:
+            raise ValueError("PutRecords: too many records in a single call")
+        self.put_calls.append(len(records))
+        failed: list[int] = []
+        log = self.streams.setdefault(stream_name, [])
+        for i, rec in enumerate(records):
+            if i in self.fail_indices_once:
+                failed.append(i)
+            else:
+                log.append(rec)
+        self.fail_indices_once = set()
+        return failed
+
+    def read_all(self, stream_name: str) -> list[tuple[str, bytes]]:
+        return list(self.streams.get(stream_name, []))
+
+
+def put_with_retries(
+    client: KinesisClient,
+    stream: str,
+    records: list[tuple[str, bytes]],
+    max_retries: int = 5,
+) -> None:
+    """PutRecords with failed-subset retry: each attempt resubmits ONLY the
+    records the previous call reported failed (sink.rs:195-215)."""
+    pending = records
+    for _attempt in range(max_retries):
+        if not pending:
+            return
+        failed = client.put_records(stream, pending)
+        pending = [pending[i] for i in failed]
+    if pending:
+        raise RuntimeError(
+            f"kinesis sink: {len(pending)} records failed after "
+            f"{max_retries} retries"
+        )
+
+
+def write_kinesis_sink(
+    df: DataFrame, t: TableDef, client_factory, max_retries: int = 5
+) -> None:
+    """Write a bounded DataFrame to kinesis: per-partition client,
+    records buffered to (max_records, max_bytes) then PutRecords with
+    random-UUID partition keys and failed-subset retry — the reference
+    sink's batching semantics (sink.rs:141-143,169-236) on Spark's
+    executors."""
+    cfg = validate_kinesis_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to kinesis source table {t.name}")
+    from arroyo_spark.dialect.pipeline import _json_value_col
+
+    if cfg.format == "json":
+        enc = df.select(_json_value_col(df).alias("__value"))
+    elif cfg.format == "raw_string":
+        if len(df.columns) != 1:
+            raise PlanError("raw_string sinks require a single value column")
+        enc = df.select(F.col(df.columns[0]).cast("string").alias("__value"))
+    else:
+        raise PlanError(f"unsupported kinesis sink format: {cfg.format}")
+    stream, max_recs, max_bytes = (
+        cfg.stream_name,
+        cfg.max_records_per_batch,
+        cfg.max_bytes_per_batch,
+    )
+
+    def do_partition(it):
+        client = client_factory()
+        buf: list[tuple[str, bytes]] = []
+        size = 0
+
+        def flush():
+            nonlocal buf, size
+            put_with_retries(client, stream, buf, max_retries)
+            buf, size = [], 0
+
+        for row in it:
+            key = str(uuid.uuid4())
+            data = row["__value"].encode()
+            if buf and (
+                len(buf) >= max_recs or size + len(key) + len(data) > max_bytes
+            ):
+                flush()
+            buf.append((key, data))
+            size += len(key) + len(data)
+        flush()
+
+    enc.foreachPartition(do_partition)
+
+
+def decode_kinesis_source(
+    spark: SparkSession, t: TableDef, client: KinesisClient
+) -> DataFrame:
+    """Project drained kinesis records into the declared table schema per
+    the table format, stamping ``_timestamp`` with the ingestion time
+    (kinesis has no event-time metadata; `event_time_field` overrides,
+    the same rule as every source)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    cfg = validate_kinesis_table(t)
+    if cfg.is_sink:
+        raise PlanError(f"cannot read from kinesis sink table {t.name}")
+    phys = [
+        c for c in t.columns if c.virtual_expr is None and c.metadata_key is None
+    ]
+    raw = client.read_all(cfg.stream_name)
+    if cfg.format == "json":
+        rows = [json.loads(data.decode()) for _k, data in raw]
+        schema = StructType(
+            [
+                StructField(c.name, _parse_datatype_string(c.spark_type), True)
+                for c in phys
+            ]
+        )
+        df = spark.createDataFrame(
+            [tuple(r.get(c.name) for c in phys) for r in rows], schema
+        )
+    elif cfg.format == "raw_string":
+        if len(phys) != 1 or phys[0].spark_type != "string":
+            raise PlanError("raw_string sources require exactly one TEXT value column")
+        df = spark.createDataFrame(
+            [(data.decode(),) for _k, data in raw], f"{phys[0].name} string"
+        )
+    else:
+        raise PlanError(f"unsupported kinesis source format: {cfg.format}")
+    event_time = t.options.get("event_time_field") or (
+        t.watermark.field if t.watermark else None
+    )
+    ts = (
+        F.col(str(event_time)).cast("timestamp")
+        if event_time
+        else F.current_timestamp()
+    )
+    out = df.withColumn(TIMESTAMP_FIELD, ts)
+    for c in t.columns:
+        if c.virtual_expr is not None:
+            out = out.withColumn(c.name, F.expr(c.virtual_expr))
+    return out

@@ -1,0 +1,472 @@
+"""MQTT connector: DDL option surface, a pure-Python MQTT 3.1.1 client,
+and a localhost broker shim for end-to-end tests (no MQTT broker or client
+library ships in this container).
+
+Reference: `crates/arroyo-connectors/src/mqtt/` —
+- options (`profile.json` + `table.json` + `mod.rs:61-123`): `url`
+  (required, scheme tcp/mqtt/ssl/mqtts), `topic` (required), `qos`
+  (AtMostOnce | AtLeastOnce | ExactlyOnce, default AtMostOnce),
+  `username`/`password`, `client_prefix` (default `arroyo-mqtt`),
+  `max_packet_size` (default 10240), sink `sink.retain`;
+- errors: "invalid value for 'qos'", "type must be one of 'source' or
+  'sink'";
+- source (`source/`): subscribe and deserialize each PUBLISH payload;
+- sink (`sink/mod.rs:107`): publish each serialized record with the
+  configured qos + retain flag.
+
+Spark-first architecture mirrors the http connectors' spool pattern:
+the subscription is a single lightweight ingest thread appending messages
+to a spool directory; executors consume the spool through the regular
+file-stream source (distribution + checkpointing restored). The sink
+publishes from `foreachPartition`, one client per partition.
+
+The wire codec implements the public MQTT 3.1.1 spec (OASIS) from
+scratch: CONNECT/CONNACK, PUBLISH (qos 0/1/2 with PUBACK and
+PUBREC/PUBREL/PUBCOMP), SUBSCRIBE/SUBACK, PINGREQ/PINGRESP, DISCONNECT,
+retained messages, and `#`/`+` topic-filter matching.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import socketserver
+import threading
+import uuid
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+_QOS_NAMES = {"AtMostOnce": 0, "AtLeastOnce": 1, "ExactlyOnce": 2}
+_SCHEMES = ("tcp", "mqtt", "ssl", "mqtts")
+
+# packet types
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
+SUBSCRIBE, SUBACK, PINGREQ, PINGRESP, DISCONNECT = 8, 9, 12, 13, 14
+
+
+@dataclass
+class MqttConfig:
+    url: str
+    topic: str
+    is_sink: bool
+    qos: int = 0
+    retain: bool = False
+    username: str | None = None
+    password: str | None = None
+    client_prefix: str = "arroyo-mqtt"
+    max_packet_size: int = 10240
+
+    @property
+    def host_port(self) -> tuple[str, int]:
+        u = urlparse(self.url)
+        return u.hostname or "localhost", u.port or 1883
+
+
+def validate_mqtt_table(t: TableDef) -> MqttConfig:
+    """Validate a ``connector='mqtt'`` TableDef (mod.rs:61-123)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "mqtt":
+        raise PlanError(f"table {t.name} is not an mqtt table")
+    typ = opts.get("type")
+    if typ not in ("source", "sink"):
+        raise PlanError("type must be one of 'source' or 'sink'")
+    url = opts.get("url")
+    if not url:
+        raise PlanError(f"mqtt table {t.name} requires 'url'")
+    scheme = urlparse(url).scheme
+    if scheme not in _SCHEMES:
+        raise PlanError(
+            f"mqtt url must be prefixed with one of {_SCHEMES}, got '{scheme}'"
+        )
+    topic = opts.get("topic")
+    if not topic:
+        raise PlanError(f"mqtt table {t.name} requires 'topic'")
+    qos_name = opts.get("qos", "AtMostOnce")
+    if qos_name not in _QOS_NAMES:
+        # error text parity: mod.rs:98
+        raise PlanError(f"invalid value for 'qos': {qos_name}")
+    cfg = MqttConfig(
+        url=url,
+        topic=topic,
+        is_sink=(typ == "sink"),
+        qos=_QOS_NAMES[qos_name],
+        username=opts.get("username"),
+        password=opts.get("password"),
+        client_prefix=opts.get("client_prefix", "arroyo-mqtt"),
+        max_packet_size=int(opts.get("max_packet_size", "10240")),
+    )
+    if typ == "sink":
+        cfg.retain = opts.get("sink.retain", "false").lower() == "true"
+    elif "sink.retain" in opts:
+        raise PlanError("'sink.retain' is not valid for an mqtt source")
+    return cfg
+
+
+# -- wire codec (MQTT 3.1.1) --------------------------------------------------
+
+
+def _encode_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return bytes(out)
+
+
+def _encode_str(s: str) -> bytes:
+    b = s.encode()
+    return len(b).to_bytes(2, "big") + b
+
+
+def _packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([(ptype << 4) | flags]) + _encode_varint(len(body)) + body
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("mqtt connection closed")
+        buf += chunk
+    return buf
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    """Read one MQTT control packet -> (type, flags, body)."""
+    h = _read_exact(sock, 1)[0]
+    length, shift = 0, 0
+    while True:
+        b = _read_exact(sock, 1)[0]
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 21:
+            raise ValueError("malformed mqtt varint")
+    body = _read_exact(sock, length) if length else b""
+    return h >> 4, h & 0x0F, body
+
+
+def topic_matches(filt: str, topic: str) -> bool:
+    """MQTT topic-filter matching with `+` (one level) and `#` (tail)."""
+    fparts, tparts = filt.split("/"), topic.split("/")
+    for i, fp in enumerate(fparts):
+        if fp == "#":
+            return True
+        if i >= len(tparts):
+            return False
+        if fp != "+" and fp != tparts[i]:
+            return False
+    return len(fparts) == len(tparts)
+
+
+class MqttClient:
+    """Minimal MQTT 3.1.1 client (stdlib sockets): connect, subscribe,
+    publish at qos 0/1/2, iterate received messages."""
+
+    def __init__(self, cfg: MqttConfig, client_suffix: str = "") -> None:
+        self.cfg = cfg
+        host, port = cfg.host_port
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self._pid = 0
+        self.messages: list[tuple[str, bytes]] = []
+        cid = f"{cfg.client_prefix}_{client_suffix or uuid.uuid4().hex[:8]}"
+        flags = 0x02  # clean session
+        payload = _encode_str(cid)
+        if cfg.username is not None:
+            flags |= 0x80
+            payload += _encode_str(cfg.username)
+            if cfg.password is not None:
+                flags |= 0x40
+                payload += _encode_str(cfg.password)
+        body = _encode_str("MQTT") + bytes([4, flags]) + (60).to_bytes(2, "big") + payload
+        self.sock.sendall(_packet(CONNECT, 0, body))
+        ptype, _f, resp = read_packet(self.sock)
+        if ptype != CONNACK or resp[1] != 0:
+            raise ConnectionError(f"mqtt CONNACK refused: {resp!r}")
+
+    def _next_pid(self) -> int:
+        self._pid = (self._pid % 65535) + 1
+        return self._pid
+
+    def publish(self, topic: str, payload: bytes, qos: int = 0, retain: bool = False) -> None:
+        flags = (qos << 1) | (1 if retain else 0)
+        body = _encode_str(topic)
+        pid = None
+        if qos > 0:
+            pid = self._next_pid()
+            body += pid.to_bytes(2, "big")
+        body += payload
+        self.sock.sendall(_packet(PUBLISH, flags, body))
+        if qos == 1:
+            ptype, _f, resp = self._read_until((PUBACK,))
+            if int.from_bytes(resp[:2], "big") != pid:
+                raise ConnectionError("PUBACK for wrong packet id")
+        elif qos == 2:
+            _t, _f, resp = self._read_until((PUBREC,))
+            self.sock.sendall(_packet(PUBREL, 0x02, resp[:2]))
+            self._read_until((PUBCOMP,))
+
+    def subscribe(self, topic_filter: str, qos: int = 0) -> None:
+        pid = self._next_pid()
+        body = pid.to_bytes(2, "big") + _encode_str(topic_filter) + bytes([qos])
+        self.sock.sendall(_packet(SUBSCRIBE, 0x02, body))
+        self._read_until((SUBACK,))
+
+    def _read_until(self, want: tuple[int, ...]):
+        """Read packets, buffering PUBLISHes, until one of `want` arrives."""
+        while True:
+            ptype, flags, body = read_packet(self.sock)
+            if ptype == PUBLISH:
+                self._handle_publish(flags, body)
+            elif ptype in want:
+                return ptype, flags, body
+            elif ptype == PINGRESP:
+                continue
+            else:
+                raise ConnectionError(f"unexpected mqtt packet {ptype}")
+
+    def _handle_publish(self, flags: int, body: bytes) -> None:
+        qos = (flags >> 1) & 0x03
+        tlen = int.from_bytes(body[:2], "big")
+        topic = body[2 : 2 + tlen].decode()
+        rest = body[2 + tlen :]
+        if qos > 0:
+            pid_b, rest = rest[:2], rest[2:]
+            if qos == 1:
+                self.sock.sendall(_packet(PUBACK, 0, pid_b))
+            else:
+                self.sock.sendall(_packet(PUBREC, 0, pid_b))
+                self._read_until((PUBREL,))
+                self.sock.sendall(_packet(PUBCOMP, 0, pid_b))
+        self.messages.append((topic, rest))
+
+    def poll(self, timeout: float = 1.0) -> list[tuple[str, bytes]]:
+        """Drain inbound PUBLISHes for up to `timeout` seconds."""
+        self.sock.settimeout(timeout)
+        try:
+            while True:
+                ptype, flags, body = read_packet(self.sock)
+                if ptype == PUBLISH:
+                    self._handle_publish(flags, body)
+        except (TimeoutError, socket.timeout):
+            pass
+        finally:
+            self.sock.settimeout(30)
+        out, self.messages = self.messages, []
+        return out
+
+    def disconnect(self) -> None:
+        try:
+            self.sock.sendall(_packet(DISCONNECT, 0, b""))
+        finally:
+            self.sock.close()
+
+
+class MiniMqttBroker:
+    """Localhost MQTT 3.1.1 broker subset for tests: CONNECT auth check,
+    SUBSCRIBE with wildcard filters, PUBLISH routing at qos 0/1/2,
+    retained messages delivered on subscribe."""
+
+    def __init__(
+        self, username: str | None = None, password: str | None = None
+    ) -> None:
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:  # one thread per connection
+                broker._serve(self.request)
+
+        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._server.daemon_threads = True
+        self.username, self.password = username, password
+        self.retained: dict[str, bytes] = {}
+        self._subs: list[tuple[socket.socket, str, int]] = []
+        self._lock = threading.Lock()
+        self.published: list[tuple[str, bytes]] = []
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    @property
+    def url(self) -> str:
+        return f"tcp://127.0.0.1:{self.port}"
+
+    def start(self) -> "MiniMqttBroker":
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+
+    # -- per-connection protocol loop ---------------------------------------
+
+    def _serve(self, sock: socket.socket) -> None:
+        try:
+            ptype, _f, body = read_packet(sock)
+            if ptype != CONNECT:
+                return
+            ok = self._check_auth(body)
+            sock.sendall(_packet(CONNACK, 0, bytes([0, 0 if ok else 4])))
+            if not ok:
+                return
+            while True:
+                ptype, flags, body = read_packet(sock)
+                if ptype == PUBLISH:
+                    self._on_publish(sock, flags, body)
+                elif ptype == SUBSCRIBE:
+                    self._on_subscribe(sock, body)
+                elif ptype == PUBREL:
+                    sock.sendall(_packet(PUBCOMP, 0, body[:2]))
+                elif ptype == PINGREQ:
+                    sock.sendall(_packet(PINGRESP, 0, b""))
+                elif ptype == DISCONNECT:
+                    return
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s[0] is not sock]
+
+    def _check_auth(self, body: bytes) -> bool:
+        # parse CONNECT: protocol name, level, flags, keepalive, client id,
+        # then username/password when flagged
+        i = 2 + int.from_bytes(body[:2], "big")  # skip protocol name
+        flags = body[i + 1]
+        i += 4  # level + flags + keepalive
+        cl = int.from_bytes(body[i : i + 2], "big")
+        i += 2 + cl  # client id
+        user = pw = None
+        if flags & 0x80:
+            ul = int.from_bytes(body[i : i + 2], "big")
+            user = body[i + 2 : i + 2 + ul].decode()
+            i += 2 + ul
+        if flags & 0x40:
+            pl = int.from_bytes(body[i : i + 2], "big")
+            pw = body[i + 2 : i + 2 + pl].decode()
+        if self.username is None:
+            return True
+        return user == self.username and pw == self.password
+
+    def _on_publish(self, sock: socket.socket, flags: int, body: bytes) -> None:
+        qos = (flags >> 1) & 0x03
+        retain = bool(flags & 0x01)
+        tlen = int.from_bytes(body[:2], "big")
+        topic = body[2 : 2 + tlen].decode()
+        rest = body[2 + tlen :]
+        if qos > 0:
+            pid_b, rest = rest[:2], rest[2:]
+            if qos == 1:
+                sock.sendall(_packet(PUBACK, 0, pid_b))
+            else:
+                sock.sendall(_packet(PUBREC, 0, pid_b))
+                # PUBREL handled (PUBCOMP answered) in the main loop
+        if retain:
+            self.retained[topic] = rest
+        with self._lock:
+            self.published.append((topic, rest))
+            targets = [
+                (s, q) for s, f, q in self._subs if topic_matches(f, topic)
+            ]
+        for s, sub_qos in targets:
+            self._deliver(s, topic, rest, min(qos, sub_qos))
+
+    def _deliver(
+        self, sock: socket.socket, topic: str, payload: bytes, qos: int
+    ) -> None:
+        # deliver at qos 0 regardless of subscription qos: the shim's
+        # delivery guarantee is the test harness's, not the contract under
+        # test (publisher-side qos handshakes ARE exercised)
+        try:
+            sock.sendall(_packet(PUBLISH, 0, _encode_str(topic) + payload))
+        except OSError:
+            pass
+
+    def _on_subscribe(self, sock: socket.socket, body: bytes) -> None:
+        pid_b = body[:2]
+        i, codes = 2, []
+        filters = []
+        while i < len(body):
+            fl = int.from_bytes(body[i : i + 2], "big")
+            filt = body[i + 2 : i + 2 + fl].decode()
+            qos = body[i + 2 + fl]
+            filters.append((filt, qos))
+            codes.append(qos)
+            i += 3 + fl
+        with self._lock:
+            for filt, qos in filters:
+                self._subs.append((sock, filt, qos))
+        sock.sendall(_packet(SUBACK, 0, pid_b + bytes(codes)))
+        for filt, qos in filters:
+            for topic, payload in list(self.retained.items()):
+                if topic_matches(filt, topic):
+                    self._deliver(sock, topic, payload, 0)
+
+
+# -- connector surfaces -------------------------------------------------------
+
+
+def mqtt_source_ingest(cfg: MqttConfig, spool_dir: str):
+    """Subscribe and spool messages (the http connectors' spool pattern):
+    returns an ingest handle with .stop(); executors read the spool via the
+    file-stream source."""
+    from arroyo_spark.streaming.http_connectors import SpoolWriter
+
+    if cfg.is_sink:
+        raise PlanError("cannot read from an mqtt sink table")
+    writer = SpoolWriter(spool_dir)
+    client = MqttClient(cfg, client_suffix="src")
+    client.subscribe(cfg.topic, cfg.qos)
+    stop = threading.Event()
+
+    def run() -> None:
+        while not stop.is_set():
+            msgs = client.poll(timeout=0.2)
+            if msgs:
+                writer.write(m.decode("utf-8", "replace") for _t, m in msgs)
+        client.disconnect()
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+
+    class Handle:
+        def stop(self, timeout: float = 10.0) -> None:
+            stop.set()
+            thread.join(timeout)
+
+    return Handle()
+
+
+def write_mqtt_sink(df: DataFrame, t: TableDef) -> None:
+    """Publish a bounded DataFrame: serialized rows (sink JSON format)
+    published per partition with the table's qos + retain
+    (sink/mod.rs:107)."""
+    from arroyo_spark.dialect.pipeline import _json_value_col
+
+    cfg = validate_mqtt_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to mqtt source table {t.name}")
+    enc = df.select(_json_value_col(df).alias("__value"))
+
+    def do_partition(it):
+        client = None
+        for row in it:
+            if client is None:
+                client = MqttClient(cfg)
+            client.publish(
+                cfg.topic, row["__value"].encode(), cfg.qos, cfg.retain
+            )
+        if client is not None:
+            client.disconnect()
+
+    enc.foreachPartition(do_partition)

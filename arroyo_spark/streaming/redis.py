@@ -45,6 +45,15 @@ class RedisClient:
     def mget(self, keys: list[str]) -> dict[str, str | None]:  # pragma: no cover
         raise NotImplementedError
 
+    def execute_batch(self, ops: list[tuple]) -> None:
+        """Apply a chunk of sink operations, each ``(method, *args)`` with
+        method one of set/push/hset. The default issues one call per op; a
+        real redis-py adapter overrides this with `client.pipeline()` so a
+        chunk costs one round-trip — the same write batching as the
+        reference's sink (redis/sink.rs pipelines per flush)."""
+        for name, *args in ops:
+            getattr(self, name)(*args)
+
 
 class FakeRedis(RedisClient):
     """In-memory stand-in with the same call surface (tests/local runs)."""
@@ -89,22 +98,29 @@ class HttpKvClient(RedisClient):
         self.base_url = base_url
 
     def set(self, key: str, value: str) -> None:
+        import urllib.parse
         import urllib.request
 
+        # keys are user data: percent-encode so '/', spaces, non-ASCII
+        # survive the URL path
         req = urllib.request.Request(
-            f"{self.base_url}/{key}", data=value.encode(), method="PUT"
+            f"{self.base_url}/{urllib.parse.quote(key, safe='')}",
+            data=value.encode(),
+            method="PUT",
         )
         urllib.request.urlopen(req, timeout=10).read()
 
     def mget(self, keys: list[str]) -> dict[str, str | None]:
         import urllib.error
+        import urllib.parse
         import urllib.request
 
         out: dict[str, str | None] = {}
         for k in keys:
             try:
                 with urllib.request.urlopen(
-                    f"{self.base_url}/{k}", timeout=10
+                    f"{self.base_url}/{urllib.parse.quote(k, safe='')}",
+                    timeout=10,
                 ) as r:
                     out[k] = r.read().decode()
             except urllib.error.HTTPError:
@@ -254,16 +270,37 @@ def write_redis_sink(
 
     def do_partition(it):
         client = client_factory()
+        ops: list[tuple] = []
         for row in it:
             key = prefix + (str(row[key_col]) if key_col else "")
             if target == "string":
-                client.set(key, row["__value"])
+                ops.append(("set", key, row["__value"]))
             elif target == "list":
-                client.push(key, row["__value"], prepend, max_length)
+                ops.append(("push", key, row["__value"], prepend, max_length))
             else:
-                client.hset(key, str(row[field_col]), row["__value"])
+                ops.append(("hset", key, str(row[field_col]), row["__value"]))
+            if len(ops) >= batch_size:
+                client.execute_batch(ops)
+                ops = []
+        if ops:
+            client.execute_batch(ops)
 
     rows.foreachPartition(do_partition)
+
+
+def lookup_cache_for(cfg: RedisTableConfig):
+    """Build the per-executor lookup cache from the table's DDL options —
+    `lookup.cache.max_bytes` and `lookup.cache.ttl`
+    (`crates/arroyo-planner/src/tables.rs:427-429`; byte-bounded eviction
+    mirrors `arroyo-worker/src/arrow/updating_cache.rs:52-70`)."""
+    from arroyo_spark.operators.lookup_join import TTLCache
+
+    kwargs: dict = {}
+    if cfg.cache_ttl_us is not None:
+        kwargs["ttl_s"] = cfg.cache_ttl_us / 1e6
+    if cfg.cache_max_bytes is not None:
+        kwargs["max_bytes"] = cfg.cache_max_bytes
+    return TTLCache(**kwargs)
 
 
 def redis_lookup_fetch(client: RedisClient, t: TableDef):

@@ -20,10 +20,13 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_INSERT_MANIFEST = re.compile(r"insert-(\d+)\.json")
 
 
 class TransactionalFileSink:
@@ -62,10 +65,30 @@ class TransactionalFileSink:
         return os.path.join(self.root, "_manifest", f"batch-{batch_id}.json")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Streaming commit: `batch_id` is Spark's micro-batch epoch
+        (monotonic per checkpoint), so an existing manifest means replay."""
         if os.path.exists(self._manifest_path(batch_id)):
             return  # recovery replay: this epoch is already committed
+        self._commit(batch_df, f"batch-{batch_id}", self._manifest_path(batch_id))
+
+    def commit_insert(self, batch_df: DataFrame) -> None:
+        """Batch-mode commit for one INSERT statement. Ids live in their own
+        `insert-<n>.json` namespace, allocated max+1 over existing insert
+        manifests — they can never collide with the streaming path's
+        `batch-<epoch>.json` ids (which start at 0 per fresh checkpoint), so
+        a mixed batch+streaming sink path drops nothing."""
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(os.path.join(self.root, "_manifest"))
+            if (m := _INSERT_MANIFEST.fullmatch(f))
+        ]
+        nxt = max(existing, default=-1) + 1
+        path = os.path.join(self.root, "_manifest", f"insert-{nxt}.json")
+        self._commit(batch_df, f"insert-{nxt}", path)
+
+    def _commit(self, batch_df: DataFrame, name: str, manifest_path: str) -> None:
         staging = os.path.join(
-            self.root, "_staging", f"batch-{batch_id}-{uuid.uuid4().hex[:12]}"
+            self.root, "_staging", f"{name}-{uuid.uuid4().hex[:12]}"
         )
         writer = batch_df.write.mode("overwrite")
         if self.fmt == "parquet":
@@ -77,11 +100,11 @@ class TransactionalFileSink:
         files = sorted(
             f for f in glob.glob(pattern) if not f.endswith(".crc")
         )
-        manifest = {"batch_id": batch_id, "format": self.fmt, "files": files}
-        tmp = self._manifest_path(batch_id) + f".{uuid.uuid4().hex[:8]}.tmp"
+        manifest = {"batch_id": name, "format": self.fmt, "files": files}
+        tmp = manifest_path + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             fh.write(json.dumps(manifest))
-        os.rename(tmp, self._manifest_path(batch_id))  # the commit point
+        os.rename(tmp, manifest_path)  # the commit point
 
     def committed_files(self) -> list[str]:
         files: list[str] = []

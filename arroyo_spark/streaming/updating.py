@@ -1,92 +1,166 @@
 """Updating (non-windowed) aggregates — the reference's UpdatingAggregate
-operator (`arroyo-worker/src/arrow/incremental_aggregator.rs`, SURVEY §2.1)
-on Spark: update-output-mode aggregation + a foreachBatch Debezium encoder
-that diffs each micro-batch against previous key state to emit
-{before, after, op} retraction records.
+operator (`arroyo-worker/src/arrow/incremental_aggregator.rs:74-88`,
+SURVEY §2.1) on Spark: update-output-mode aggregation + a foreachBatch
+Debezium encoder that derives {before, after, op} retraction records by
+diffing each micro-batch against the previously committed key snapshot —
+the Delta-CDF pattern, entirely executor-side.
 
-Scale notes: Spark's state store already keeps the running aggregate per
-key (RocksDB provider at scale); update mode emits only changed keys per
-micro-batch. The *sink-side* before-image needs one more keyed map — the
-default in-memory backend here suits tests and modest key cardinalities;
-for 100 TB state, plug a persistent KV (or write to Delta and derive
-before-images from the Change Data Feed) through the same StateBackend
-interface.
+Scale design (this replaced a driver-serial per-row loop):
+
+- Spark's state store holds the running aggregate per key (RocksDB
+  provider at scale); update mode emits only the CHANGED keys per
+  micro-batch.
+- Before-images come from a keyed parquet snapshot maintained by the
+  encoder: changed keys are left-joined against the snapshot (a keyed
+  shuffle join — broadcast-able while the snapshot is small), envelopes
+  are encoded with ``to_json`` executor-side, and the new snapshot is
+  committed with an atomic marker so crash replays are no-ops.
+- Per batch the snapshot rewrite costs one scan of the key state. On a
+  real cluster with a Delta-capable sink the same diff is a ``MERGE``
+  with file pruning / Change Data Feed; the protocol here is the plain-
+  filesystem equivalent (mirrors streaming/sinks.TransactionalFileSink).
+
+The driver never touches row data unless an ``emit`` callback is
+installed — that surface exists only so golden tests can capture the
+envelope log (reference smoke_tests.rs:519-562 replays it by PK).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+import uuid
 from collections.abc import Callable
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-
-class StateBackend:
-    """Keyed before-image store for Debezium encoding (pluggable)."""
-
-    def get(self, key: tuple) -> dict | None:  # pragma: no cover - interface
-        raise NotImplementedError
-
-    def put(self, key: tuple, value: dict) -> None:  # pragma: no cover
-        raise NotImplementedError
-
-
-class MemoryStateBackend(StateBackend):
-    def __init__(self) -> None:
-        self.state: dict[tuple, dict] = {}
-
-    def get(self, key: tuple) -> dict | None:
-        return self.state.get(key)
-
-    def put(self, key: tuple, value: dict) -> None:
-        self.state[key] = value
+_PRESENT = "__dbz_present"
 
 
 class DebeziumEncoder:
     """foreachBatch sink: update-mode aggregate rows -> Debezium envelopes.
 
-    Each incoming micro-batch holds the NEW value of every changed key;
-    the encoder emits op='c' for first-seen keys, op='u' with the previous
-    value otherwise, and records the new value. (Deletes don't occur in
-    update-mode aggregate output; they arise from the unroll path.)
+    Each incoming micro-batch holds the NEW value of every changed key
+    (one row per key — the update-mode aggregate contract); the encoder
+    emits op='c' for first-seen keys, op='u' with the previous value
+    otherwise. Deletes don't occur in update-mode aggregate output; they
+    arise from the Debezium-source unroll path.
+
+    Envelope computation and state are distributed:
+
+    - ``spool``: directory where envelope JSON lines are written by
+      Spark's text writer (executors write part files directly);
+    - ``emit``: optional driver-side capture of the same lines as dicts
+      (golden tests only — documented bounded surface);
+    - ``state_dir``: snapshot + commit-marker root. A replayed batchId
+      (recovery) is skipped without re-emitting, so the envelope log is
+      exactly-once per (query, checkpoint) like the reference's
+      checkpointed UpdatingAggregate state.
     """
 
     def __init__(
         self,
         pks: list[str],
-        emit: Callable[[list[dict[str, Any]]], None],
-        backend: StateBackend | None = None,
+        emit: Callable[[list[dict[str, Any]]], None] | None = None,
+        spool: str | None = None,
+        state_dir: str | None = None,
     ) -> None:
         self.pks = pks
         self.emit = emit
-        self.backend = backend or MemoryStateBackend()
+        self.spool = spool
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="dbz_state_")
+        os.makedirs(os.path.join(self.state_dir, "commits"), exist_ok=True)
+
+    # -- snapshot commit log -------------------------------------------------
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, "commits", f"commit-{batch_id}.json")
+
+    def _last_snapshot(self) -> str | None:
+        commits = []
+        for f in os.listdir(os.path.join(self.state_dir, "commits")):
+            if f.startswith("commit-") and f.endswith(".json"):
+                commits.append(int(f[len("commit-") : -len(".json")]))
+        if not commits:
+            return None
+        with open(self._marker(max(commits))) as fh:
+            return json.load(fh)["snapshot"]
+
+    # -- the foreachBatch body ----------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        out: list[dict[str, Any]] = []
-        for row in batch_df.toLocalIterator():
-            after = row.asDict()
-            key = tuple(after[k] for k in self.pks)
-            before = self.backend.get(key)
-            if before is None:
-                out.append({"before": None, "after": after, "op": "c"})
-            else:
-                out.append({"before": before, "after": after, "op": "u"})
-            self.backend.put(key, after)
-        if out:
-            self.emit(out)
+        if os.path.exists(self._marker(batch_id)):
+            return  # recovery replay: this epoch already emitted + committed
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        prev_path = self._last_snapshot()
+        prev = (
+            spark.read.parquet(prev_path)
+            if prev_path is not None
+            else spark.createDataFrame([], batch_df.schema)
+        )
+        a = batch_df.alias("__a")
+        b = prev.withColumn(_PRESENT, F.lit(True)).alias("__b")
+        # eqNullSafe: NULL group keys are legal and must match themselves
+        cond = [
+            F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}")) for k in self.pks
+        ]
+        joined = a.join(b, on=cond, how="left")
+        after = F.struct(*[F.col(f"__a.{c}").alias(c) for c in cols])
+        before = F.struct(*[F.col(f"__b.{c}").alias(c) for c in cols])
+        is_new = F.col(_PRESENT).isNull()
+        env = joined.select(
+            F.to_json(
+                F.struct(
+                    F.when(is_new, F.lit(None)).otherwise(before).alias("before"),
+                    after.alias("after"),
+                    F.when(is_new, F.lit("c")).otherwise(F.lit("u")).alias("op"),
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("value")
+        )
+        persisted = self.spool is not None and self.emit is not None
+        if persisted:
+            env = env.persist()
+        if self.spool is not None:
+            env.write.mode("append").text(self.spool)
+        if self.emit is not None:
+            # golden-test capture surface: bounded by changed keys per batch
+            self.emit([json.loads(r["value"]) for r in env.collect()])
+        if persisted:
+            env.unpersist()
+
+        # commit the new snapshot: unchanged keys + this batch's rows
+        kept = prev.alias("__b").join(
+            batch_df.alias("__a"), on=cond, how="left_anti"
+        )
+        new_snap = kept.unionByName(batch_df)
+        snap_path = os.path.join(
+            self.state_dir, f"snapshot-{batch_id}-{uuid.uuid4().hex[:8]}"
+        )
+        new_snap.write.mode("overwrite").parquet(snap_path)
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"snapshot": snap_path}))
+        os.rename(tmp, self._marker(batch_id))  # commit point
 
 
 def run_updating_aggregate(
     aggregated: DataFrame,
     pks: list[str],
-    emit: Callable[[list[dict[str, Any]]], None],
+    emit: Callable[[list[dict[str, Any]]], None] | None,
     checkpoint_dir: str,
-    backend: StateBackend | None = None,
+    state_dir: str | None = None,
+    spool: str | None = None,
 ) -> StreamingQuery:
-    """Start an update-mode streaming query writing Debezium envelopes via
-    ``emit``. `aggregated` must be an unwindowed groupBy().agg() stream."""
-    encoder = DebeziumEncoder(pks, emit, backend)
+    """Start an update-mode streaming query writing Debezium envelopes
+    (distributed; ``emit`` is the optional driver capture for tests).
+    `aggregated` must be an unwindowed groupBy().agg() stream."""
+    encoder = DebeziumEncoder(pks, emit, spool=spool, state_dir=state_dir)
     return (
         aggregated.writeStream.outputMode("update")
         .foreachBatch(encoder)

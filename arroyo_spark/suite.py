@@ -55,12 +55,13 @@ def query(
     return deco
 
 
-# Queries that already have a green (hash_match) row in CORRECTNESS_r01.json.
-# The driver samples queries in registration order with a bounded budget, so
-# ``all_queries`` yields everything WITHOUT a prior green row first — new and
-# previously-unchecked operators get the hard correctness signal before the
-# already-proven set re-runs.
-_PRIOR_GREEN = frozenset(
+# Queries with a green (hash_match) row in the driver's correctness sweeps,
+# by the round they were LAST verified. The driver samples queries in
+# registration order with a bounded budget, so ``all_queries`` yields
+# least-recently-verified first: never-checked queries (new this round),
+# then r01-only greens (two rounds stale), then r02 greens — the sweep
+# rotates instead of replaying the previous round's order.
+_GREEN_R01 = frozenset(
     {
         "above_nation_avg_spenders", "agg_bits_bools", "agg_having",
         "anti_join_no_orders", "asof_purchase_last_click", "count_distinct",
@@ -83,13 +84,44 @@ _PRIOR_GREEN = frozenset(
         "window_running_totals", "window_topk_per_type",
     }
 )
+_GREEN_R02 = frozenset(
+    {
+        "agg_bits_bools", "array_agg_sorted", "contamination_5gram_overlap",
+        "cube_orders_status_priority", "dedup_duplicate_clusters",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
+        "embedding_kmeans_clusters", "embedding_label_centroid_sim",
+        "first_last_by_time", "funnel_signup_view_purchase",
+        "hop_hourly_15m_by_type", "knn_cosine_topk", "knn_ivf_ann",
+        "knn_lsh_ann", "lookup_enrich_segment", "median_percentiles",
+        "mm_image_features", "multi_hash_ids", "nested_tumble_peak_quarter",
+        "nexmark_q5_hot_users", "q10_returned_items", "q11_important_parts",
+        "q15_top_supplier", "q16_supplier_diversity", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q2_min_price_supplier", "q8_market_share",
+        "q9_product_profit", "range_join_value_bands",
+        "rollup_cascade_15m_1h_1d", "sample_stratified_by_source",
+        "semdedup_cluster_pruning", "session_30m_by_user",
+        "setop_intersect_except", "text_bpe_token_counts", "text_lang_id",
+        "text_quality_scores", "text_repetition_stats", "text_token_stats",
+        "tfidf_top_terms", "tumble_daily_global", "tumble_hourly_by_type",
+        "window_fn_census", "window_fn_most_active_user",
+    }
+)
+
+
+def _verification_tier(name: str) -> int:
+    if name in _GREEN_R02:
+        return 2
+    if name in _GREEN_R01:
+        return 1
+    return 0  # never verified: always first
 
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    unchecked = {n: q for n, q in _REGISTRY.items() if n not in _PRIOR_GREEN}
-    checked = {n: q for n, q in _REGISTRY.items() if n in _PRIOR_GREEN}
-    return {**unchecked, **checked}
+    return dict(
+        sorted(_REGISTRY.items(), key=lambda kv: _verification_tier(kv[0]))
+    )
 
 
 _LOADED = False

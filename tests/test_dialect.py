@@ -956,3 +956,31 @@ def test_streaming_partitioned_sink(spark, tmp_path):
     got = sorted(json.loads(l)["n"] for l in res.sink_json("out"))
     # 2 hours x (2 clicks, 1 view) per hour
     assert got == [1, 1, 2, 2]
+
+
+def test_streaming_unpartitioned_parquet_sink_reaches_path(spark, tmp_path):
+    """Streaming INSERT into an UNPARTITIONED parquet sink must write the
+    part files at the declared path, not a temp spool (ADVICE r2)."""
+    src = tmp_path / "psrc"
+    src.mkdir()
+    (src / "in.json").write_text(
+        '{"t": "2024-01-01T00:05:00", "v": 1}\n'
+        '{"t": "2024-01-01T00:06:00", "v": 2}\n'
+        '{"t": "2024-01-01T01:05:00", "v": 3}\n'
+    )
+    out = str(tmp_path / "pq_out")
+    script = f"""
+    CREATE TABLE src (t TIMESTAMP, v BIGINT) WITH (
+      connector = 'filesystem', path = '{src}', format = 'json',
+      type = 'source', event_time_field = 't');
+    CREATE TABLE out (n BIGINT) WITH (
+      connector = 'filesystem', path = '{out}', format = 'parquet',
+      type = 'sink');
+    INSERT INTO out SELECT count(*) AS n FROM src
+    GROUP BY tumble(interval '1 hour');
+    """
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    Pipeline(spark, mode="streaming").run_script(script)
+    got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]

@@ -326,3 +326,30 @@ def test_pipeline_kafka_ddl_valid_reaches_connector(spark):
     """
     with pytest.raises(PlanError, match="kafka connector is not available"):
         Pipeline(spark).run_script(ok)
+
+
+def test_kafka_sink_second_insert_encodes_only_incoming(spark, monkeypatch):
+    """A second INSERT into the same kafka sink must encode only ITS rows:
+    kafka .save() appends to the topic, so re-encoding the merged union
+    would republish the first INSERT's rows as duplicates (ADVICE r2)."""
+    import arroyo_spark.streaming.kafka as kmod
+    from arroyo_spark.dialect.pipeline import Pipeline, PipelineResult
+
+    counts: list[int] = []
+
+    def spy(df, sink):
+        counts.append(df.count())
+        raise PlanError("spy stop")
+
+    monkeypatch.setattr(kmod, "encode_kafka_sink", spy)
+    p = Pipeline(spark)
+    sink = _table(_sink_ddl())
+    result = PipelineResult()
+    df1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "user_id long, n long")
+    df2 = spark.createDataFrame([(4, 40), (5, 50)], "user_id long, n long")
+    for d in (df1, df2):
+        with pytest.raises(PlanError, match="spy stop"):
+            p._write_sink(result, sink, d)
+    # merged result surface sees 5 rows, but each encode saw only its insert
+    assert counts == [3, 2]
+    assert result.sinks["out"].count() == 5

@@ -1,0 +1,166 @@
+"""Exactly-once kafka sink (`sink.commit_mode='exactly_once'`,
+`crates/arroyo-connectors/src/kafka/mod.rs:140-145`): the IdempotentBatchSink
+ledger composed with per-partition producer transactions. The crash matrix:
+
+- replay of a fully-committed batch -> skipped by the ledger;
+- crash BEFORE a partition's transaction commit -> nothing visible, replay
+  produces exactly once;
+- crash AFTER a partition commit but BEFORE the batch marker -> replay
+  re-produces under the same transactional id and the broker-side commit
+  dedupes (transactional.id fencing semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import parse_script
+from arroyo_spark.streaming.kafka_txn import (
+    FileTransactionalProducer,
+    KafkaExactlyOnceSink,
+    read_committed,
+)
+
+
+def _table(ddl: str):
+    (t,) = parse_script(ddl)
+    return t
+
+
+def _eo_sink_ddl(extra: str = "") -> str:
+    return f"""
+    CREATE TABLE out (user_id BIGINT, n BIGINT) WITH (
+      connector = 'kafka', type = 'sink',
+      bootstrap_servers = 'broker-1:9092', topic = 'out',
+      'sink.commit_mode' = 'exactly_once'{extra}
+    )"""
+
+
+def test_commit_mode_ddl_round_trip():
+    from arroyo_spark.streaming.kafka import validate_kafka_table
+
+    cfg = validate_kafka_table(_table(_eo_sink_ddl()))
+    assert cfg.commit_mode == "exactly_once"
+    with pytest.raises(PlanError, match="invalid value for commit_mode"):
+        validate_kafka_table(
+            _table(
+                _eo_sink_ddl().replace("'exactly_once'", "'two_phase'")
+            )
+        )
+
+
+def test_requires_exactly_once_mode(tmp_path):
+    at_least_once = _table(_eo_sink_ddl().replace("exactly_once", "at_least_once"))
+    with pytest.raises(PlanError, match="requires sink.commit_mode"):
+        KafkaExactlyOnceSink(
+            at_least_once, lambda txn: None, str(tmp_path / "ledger")
+        )
+
+
+def test_happy_path_produces_each_row_once(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    sink = KafkaExactlyOnceSink(
+        _table(_eo_sink_ddl()),
+        lambda txn: FileTransactionalProducer(broker, txn),
+        str(tmp_path / "ledger"),
+    )
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "user_id long, n long"
+    ).repartition(4)
+    sink(df, 0)
+    got = read_committed(broker, "out")
+    assert len(got) == 20
+    import json
+
+    vals = sorted(json.loads(r["value"])["user_id"] for r in got)
+    assert vals == list(range(20))
+
+
+def test_replay_of_committed_batch_is_skipped(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    sink = KafkaExactlyOnceSink(
+        _table(_eo_sink_ddl()),
+        lambda txn: FileTransactionalProducer(broker, txn),
+        str(tmp_path / "ledger"),
+    )
+    df = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, n long")
+    sink(df, 0)
+    n = len(read_committed(broker, "out"))
+    sink(df, 0)  # foreachBatch replay after recovery
+    assert len(read_committed(broker, "out")) == n
+
+
+def test_crash_before_commit_invisible_then_replayed(spark, tmp_path):
+    """Kill between send and transaction commit: nothing visible; the
+    replayed batch produces exactly once."""
+    broker = str(tmp_path / "broker")
+    flag = str(tmp_path / "crashed.flag")
+
+    class CrashingProducer(FileTransactionalProducer):
+        def commit(self):
+            if not os.path.exists(flag):
+                with open(flag, "w") as fh:
+                    fh.write("x")
+                raise RuntimeError("injected crash before producer commit")
+            super().commit()
+
+    sink = KafkaExactlyOnceSink(
+        _table(_eo_sink_ddl()),
+        lambda txn: CrashingProducer(broker, txn),
+        str(tmp_path / "ledger"),
+    )
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "user_id long, n long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="injected crash"):
+        sink(df, 0)
+    assert read_committed(broker, "out") == []  # nothing visible
+    sink(df, 0)  # recovery replay
+    assert len(read_committed(broker, "out")) == 10
+
+
+def test_crash_after_txn_commit_before_marker_dedupes(spark, tmp_path):
+    """Partition transaction committed, batch marker not written (the
+    worst-case window): the replay re-produces under the SAME transactional
+    id and the broker-side commit discards the duplicate."""
+    broker = str(tmp_path / "broker")
+    ledger = str(tmp_path / "ledger")
+    sink = KafkaExactlyOnceSink(
+        _table(_eo_sink_ddl()),
+        lambda txn: FileTransactionalProducer(broker, txn),
+        ledger,
+    )
+    df = spark.createDataFrame(
+        [(i, i) for i in range(6)], "user_id long, n long"
+    ).coalesce(1)
+    # simulate: produce happened but the marker write crashed
+    sink._produce(df, 0)
+    assert len(read_committed(broker, "out")) == 6
+    assert os.listdir(ledger) == []  # no marker: batch looks uncommitted
+    sink(df, 0)  # full replay through the ledger path
+    assert len(read_committed(broker, "out")) == 6, "duplicate produce leaked"
+
+
+def test_fenced_duplicate_commit_is_discarded(tmp_path):
+    broker = str(tmp_path / "broker")
+    p1 = FileTransactionalProducer(broker, "txn-a")
+    p1.begin()
+    p1.send("t", "v1")
+    p1.commit()
+    p2 = FileTransactionalProducer(broker, "txn-a")  # replayed attempt
+    p2.begin()
+    p2.send("t", "v1")
+    p2.commit()
+    assert [r["value"] for r in read_committed(broker, "t")] == ["v1"]
+
+
+def test_abort_leaves_nothing(tmp_path):
+    broker = str(tmp_path / "broker")
+    p = FileTransactionalProducer(broker, "txn-b")
+    p.begin()
+    p.send("t", "v1")
+    p.abort()
+    assert read_committed(broker, "t") == []

@@ -1,0 +1,225 @@
+"""Kinesis connector plan-level tests (no AWS endpoint needed) — option
+surface and error parity with `crates/arroyo-connectors/src/kinesis/mod.rs`
+(`table.json` limits), sink batching semantics from `sink.rs:141-236`."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import parse_script
+from arroyo_spark.streaming.kinesis import (
+    MAX_RECORDS_PER_BATCH,
+    FakeKinesis,
+    decode_kinesis_source,
+    validate_kinesis_table,
+    write_kinesis_sink,
+)
+
+
+def _table(ddl: str):
+    (t,) = parse_script(ddl)
+    return t
+
+
+def _src(extra: str = "") -> str:
+    return f"""
+    CREATE TABLE clicks (user_id BIGINT, ev TEXT) WITH (
+      connector = 'kinesis', type = 'source',
+      stream_name = 'clicks'{extra})"""
+
+
+def _sink(extra: str = "") -> str:
+    return f"""
+    CREATE TABLE outs (user_id BIGINT, n BIGINT) WITH (
+      connector = 'kinesis', type = 'sink',
+      stream_name = 'outs'{extra})"""
+
+
+def test_source_defaults():
+    cfg = validate_kinesis_table(_table(_src()))
+    assert not cfg.is_sink
+    assert cfg.source_offset == "latest"
+    assert cfg.shard_iterator_type == "LATEST"
+    cfg2 = validate_kinesis_table(
+        _table(_src(", 'source.offset' = 'earliest', aws_region = 'us-east-1'"))
+    )
+    assert cfg2.shard_iterator_type == "TRIM_HORIZON"
+    assert cfg2.aws_region == "us-east-1"
+
+
+def test_sink_defaults_and_limits():
+    cfg = validate_kinesis_table(_table(_sink()))
+    assert cfg.is_sink
+    assert cfg.max_records_per_batch == 500
+    assert cfg.max_bytes_per_batch == 4_000_000
+    assert cfg.flush_interval_millis == 1000
+    cfg2 = validate_kinesis_table(
+        _table(
+            _sink(
+                ", 'sink.max_records_per_batch' = 100,"
+                " 'sink.max_bytes_per_batch' = 1000000,"
+                " 'sink.flush_interval_millis' = 500"
+            )
+        )
+    )
+    assert (cfg2.max_records_per_batch, cfg2.max_bytes_per_batch) == (100, 1000000)
+
+
+@pytest.mark.parametrize(
+    "ddl,msg",
+    [
+        (_src(", 'source.offset' = 'oldest'"), "invalid value for source.offset"),
+        (_src(", 'sink.flush_interval_millis' = 5"), "not valid for a kinesis source"),
+        (_sink(", 'source.offset' = 'latest'"), "not valid for a kinesis sink"),
+        (_sink(", 'sink.max_records_per_batch' = 501"), "exceeds the Kinesis limit"),
+        (_sink(", 'sink.max_bytes_per_batch' = 5000001"), "exceeds the Kinesis limit"),
+    ],
+)
+def test_option_errors(ddl, msg):
+    with pytest.raises(PlanError, match=msg):
+        validate_kinesis_table(_table(ddl))
+
+
+def test_missing_required():
+    with pytest.raises(PlanError, match="requires 'stream_name'"):
+        validate_kinesis_table(
+            _table(
+                "CREATE TABLE x (a BIGINT) WITH (connector='kinesis', type='source')"
+            )
+        )
+    with pytest.raises(PlanError, match="type must be one of"):
+        validate_kinesis_table(
+            _table(
+                "CREATE TABLE x (a BIGINT) WITH (connector='kinesis',"
+                " stream_name='s')"
+            )
+        )
+
+
+def test_sink_distributed_write_and_batching(spark, tmp_path):
+    """Rows flow through foreachPartition batched under the 500-record API
+    limit; every record lands with a UUID partition key."""
+    t = _table(_sink(", 'sink.max_records_per_batch' = 10"))
+    fake_dir = str(tmp_path / "kin")
+    import os
+
+    os.makedirs(fake_dir)
+
+    class FileBackedKinesis(FakeKinesis):
+        """Executor-visible fake: appends committed records to files so the
+        driver-side test can observe cross-process writes."""
+
+        def put_records(self, stream_name, records):
+            failed = super().put_records(stream_name, records)
+            import uuid as _u
+
+            with open(f"{fake_dir}/{_u.uuid4().hex}.jsonl", "w") as fh:
+                for k, data in records:
+                    fh.write(json.dumps({"k": k, "v": data.decode()}) + "\n")
+            return failed
+
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(35)], "user_id long, n long"
+    ).coalesce(1)
+    write_kinesis_sink(df, t, FileBackedKinesis)
+    recs = []
+    for f in os.listdir(fake_dir):
+        with open(f"{fake_dir}/{f}") as fh:
+            recs.extend(json.loads(l) for l in fh)
+    assert len(recs) == 35
+    assert sorted(json.loads(r["v"])["user_id"] for r in recs) == list(range(35))
+    # batching honored the 10-record cap: 35 rows -> at least 4 files
+    assert len(os.listdir(fake_dir)) >= 4
+    # partition keys are unique UUIDs (sink.rs:59)
+    assert len({r["k"] for r in recs}) == 35
+
+
+def test_sink_retries_failed_subset():
+    """PutRecords partial failures: only the failed subset is retried
+    (sink.rs:195-215). Exercised directly — executor-side client state
+    isn't observable from the driver."""
+    from arroyo_spark.streaming.kinesis import put_with_retries
+
+    client = FakeKinesis()
+    client.fail_indices_once = {1, 3}
+    records = [(f"k{i}", f"v{i}".encode()) for i in range(5)]
+    put_with_retries(client, "outs", records)
+    got = client.read_all("outs")
+    assert len(got) == 5
+    assert client.put_calls == [5, 2]  # first call all 5, retry only the 2 failed
+    assert {k for k, _ in got} == {f"k{i}" for i in range(5)}
+
+
+def test_put_with_retries_exhaustion():
+    from arroyo_spark.streaming.kinesis import put_with_retries
+
+    class AlwaysFailing(FakeKinesis):
+        def put_records(self, stream_name, records):
+            super().put_records(stream_name, records)
+            return list(range(len(records)))
+
+    with pytest.raises(RuntimeError, match="failed after"):
+        put_with_retries(AlwaysFailing(), "s", [("k", b"v")], max_retries=3)
+
+
+def test_source_decode_json(spark):
+    t = _table(_src())
+    client = FakeKinesis()
+    client.streams["clicks"] = [
+        ("k1", json.dumps({"user_id": 1, "ev": "a"}).encode()),
+        ("k2", json.dumps({"user_id": 2, "ev": "b"}).encode()),
+    ]
+    df = decode_kinesis_source(spark, t, client)
+    rows = sorted((r["user_id"], r["ev"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b")]
+    assert "_timestamp" in df.columns
+
+
+def test_source_decode_raw_string(spark):
+    t = _table(
+        "CREATE TABLE raws (value TEXT) WITH (connector='kinesis',"
+        " type='source', stream_name='raws', format='raw_string')"
+    )
+    client = FakeKinesis()
+    client.streams["raws"] = [("k", b"hello"), ("k2", b"world")]
+    df = decode_kinesis_source(spark, t, client)
+    assert sorted(r["value"] for r in df.collect()) == ["hello", "world"]
+
+
+def test_put_records_rejects_oversize_call():
+    client = FakeKinesis()
+    with pytest.raises(ValueError, match="too many records"):
+        client.put_records("s", [("k", b"v")] * (MAX_RECORDS_PER_BATCH + 1))
+
+
+def test_pipeline_kinesis_ddl_source_and_sink(spark, tmp_path):
+    """connector='kinesis' DDL: source drains the injected client; sink
+    writes through it; option errors surface at plan time."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    src_client = FakeKinesis()
+    src_client.streams["clicks"] = [
+        ("k1", json.dumps({"user_id": 7, "ev": "x"}).encode()),
+    ]
+    p.kinesis_clients["clicks"] = src_client
+    res = p.run_script(
+        """
+        CREATE TABLE clicks (user_id BIGINT, ev TEXT) WITH (
+          connector='kinesis', type='source', stream_name='clicks',
+          'source.offset'='earliest');
+        SELECT user_id, ev FROM clicks;
+        """
+    )
+    assert [(r["user_id"], r["ev"]) for r in res.previews[0].collect()] == [(7, "x")]
+
+    with pytest.raises(PlanError, match="invalid value for source.offset"):
+        Pipeline(spark).run_script(
+            """
+            CREATE TABLE c2 (a BIGINT) WITH (connector='kinesis',
+              type='source', stream_name='s', 'source.offset'='oldest');
+            """
+        )

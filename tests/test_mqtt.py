@@ -1,0 +1,241 @@
+"""MQTT connector: DDL parity with `crates/arroyo-connectors/src/mqtt/`
+(mod.rs:61-123 option surface and errors) + end-to-end over the localhost
+MQTT 3.1.1 broker shim — source -> tumble -> collect and distributed sink
+publishes, the same split as the SSE/websocket connectors."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import parse_script
+from arroyo_spark.streaming.mqtt import (
+    MiniMqttBroker,
+    MqttClient,
+    mqtt_source_ingest,
+    topic_matches,
+    validate_mqtt_table,
+    write_mqtt_sink,
+)
+
+
+def _table(ddl: str):
+    (t,) = parse_script(ddl)
+    return t
+
+
+def _src(extra: str = "", url: str = "tcp://localhost:1883") -> str:
+    return f"""
+    CREATE TABLE ms (v TEXT) WITH (connector='mqtt', type='source',
+      url='{url}', topic='events/a'{extra})"""
+
+
+def _sink(extra: str = "", url: str = "tcp://localhost:1883") -> str:
+    return f"""
+    CREATE TABLE mo (v TEXT) WITH (connector='mqtt', type='sink',
+      url='{url}', topic='out/a'{extra})"""
+
+
+# -- DDL surface -------------------------------------------------------------
+
+
+def test_valid_source_defaults():
+    cfg = validate_mqtt_table(_table(_src()))
+    assert not cfg.is_sink and cfg.qos == 0
+    assert cfg.host_port == ("localhost", 1883)
+    assert cfg.client_prefix == "arroyo-mqtt"
+    assert cfg.max_packet_size == 10240
+
+
+def test_qos_names_and_error():
+    assert validate_mqtt_table(_table(_src(", qos='AtLeastOnce'"))).qos == 1
+    assert validate_mqtt_table(_table(_src(", qos='ExactlyOnce'"))).qos == 2
+    with pytest.raises(PlanError, match="invalid value for 'qos'"):
+        validate_mqtt_table(_table(_src(", qos='Sometimes'")))
+
+
+def test_url_scheme_enforced():
+    with pytest.raises(PlanError, match="must be prefixed with"):
+        validate_mqtt_table(_table(_src(url="http://localhost")))
+    for scheme in ("tcp", "mqtt", "ssl", "mqtts"):
+        validate_mqtt_table(_table(_src(url=f"{scheme}://h:1883")))
+
+
+def test_type_and_required_errors():
+    with pytest.raises(PlanError, match="type must be one of"):
+        validate_mqtt_table(
+            _table("CREATE TABLE x (v TEXT) WITH (connector='mqtt', url='tcp://h')")
+        )
+    with pytest.raises(PlanError, match="requires 'topic'"):
+        validate_mqtt_table(
+            _table(
+                "CREATE TABLE x (v TEXT) WITH (connector='mqtt',"
+                " type='source', url='tcp://h')"
+            )
+        )
+    with pytest.raises(PlanError, match="not valid for an mqtt source"):
+        validate_mqtt_table(_table(_src(", 'sink.retain'='true'")))
+
+
+def test_retain_option_on_sink():
+    assert validate_mqtt_table(_table(_sink(", 'sink.retain'='true'"))).retain
+
+
+# -- topic filters -----------------------------------------------------------
+
+
+def test_topic_filter_matching():
+    assert topic_matches("a/b", "a/b")
+    assert not topic_matches("a/b", "a/c")
+    assert topic_matches("a/+", "a/b")
+    assert not topic_matches("a/+", "a/b/c")
+    assert topic_matches("a/#", "a/b/c")
+    assert topic_matches("#", "anything/at/all")
+    assert not topic_matches("a/b/c", "a/b")
+
+
+# -- broker shim + client ----------------------------------------------------
+
+
+@pytest.fixture()
+def broker():
+    b = MiniMqttBroker().start()
+    yield b
+    b.stop()
+
+
+def _cfg(broker, **kw):
+    from arroyo_spark.streaming.mqtt import MqttConfig
+
+    return MqttConfig(url=broker.url, topic=kw.pop("topic", "t/a"), is_sink=False, **kw)
+
+
+def test_pub_sub_qos0(broker):
+    sub = MqttClient(_cfg(broker))
+    sub.subscribe("t/#")
+    pub = MqttClient(_cfg(broker))
+    pub.publish("t/a", b"m1")
+    pub.publish("t/b", b"m2", qos=1)
+    pub.publish("t/c", b"m3", qos=2)  # full PUBREC/PUBREL/PUBCOMP handshake
+    got = {}
+    deadline = time.time() + 5
+    while len(got) < 3 and time.time() < deadline:
+        got.update(dict(sub.poll(0.2)))
+    assert got == {"t/a": b"m1", "t/b": b"m2", "t/c": b"m3"}
+    pub.disconnect()
+    sub.disconnect()
+
+
+def test_retained_message_delivered_on_subscribe(broker):
+    pub = MqttClient(_cfg(broker))
+    pub.publish("t/state", b"last", qos=0, retain=True)
+    time.sleep(0.1)
+    sub = MqttClient(_cfg(broker))
+    sub.subscribe("t/state")
+    got = dict(sub.poll(0.5))
+    assert got == {"t/state": b"last"}
+    pub.disconnect()
+    sub.disconnect()
+
+
+def test_auth_rejected():
+    b = MiniMqttBroker(username="u", password="p").start()
+    try:
+        cfg_bad = _cfg(b, username="u", password="wrong")
+        with pytest.raises(ConnectionError, match="CONNACK refused"):
+            MqttClient(cfg_bad)
+        cfg_ok = _cfg(b, username="u", password="p")
+        MqttClient(cfg_ok).disconnect()
+    finally:
+        b.stop()
+
+
+# -- e2e: source -> tumble -> sink -------------------------------------------
+
+
+def test_e2e_source_tumble_sink(spark, broker, tmp_path):
+    """Messages published to the broker flow: subscription -> spool ->
+    file stream -> watermarked tumble agg; results published back through
+    the distributed mqtt sink."""
+    import pyspark.sql.functions as F
+
+    src_t = _table(_src(url=broker.url))
+    cfg = validate_mqtt_table(src_t)
+    spool = str(tmp_path / "spool")
+    ingest = mqtt_source_ingest(cfg, spool)
+
+    pub = MqttClient(_cfg(broker, topic="events/a"))
+    for i in range(20):
+        pub.publish(
+            "events/a",
+            json.dumps(
+                {"t": f"2024-01-01T0{i % 2}:00:0{i % 6}", "k": "a" if i % 2 else "b"}
+            ).encode(),
+            qos=1,
+        )
+    pub.disconnect()
+    deadline = time.time() + 10
+    import os
+
+    while time.time() < deadline and not os.listdir(spool):
+        time.sleep(0.2)
+    time.sleep(0.5)
+    ingest.stop()
+
+    df = (
+        spark.read.schema("t timestamp, k string").json(spool)
+        .groupBy(F.window("t", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", F.unix_micros("window.start").alias("ws"), "n")
+    )
+    rows = {(r["k"], r["ws"]): r["n"] for r in df.collect()}
+    assert sum(rows.values()) == 20
+    assert {k for k, _ in rows} == {"a", "b"}
+
+    # sink: publish the aggregate back
+    sink_t = _table(_sink(url=broker.url))
+    write_mqtt_sink(df, sink_t)
+    time.sleep(0.5)
+    out = [v for t, v in broker.published if t == "out/a"]
+    assert len(out) == len(rows)
+    assert {json.loads(v)["k"] for v in out} == {"a", "b"}
+
+
+def test_pipeline_mqtt_ddl_e2e(spark, broker, tmp_path):
+    """Full DDL script: mqtt source captured through the shim broker,
+    aggregated, published back through an mqtt sink."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    pub = MqttClient(_cfg(broker, topic="events/a"))
+    payloads = [json.dumps({"k": f"k{i % 2}", "v": i}) for i in range(8)]
+
+    import threading
+
+    def feed():
+        # publish while the capture window is open
+        time.sleep(0.3)
+        for p in payloads:
+            pub.publish("events/a", p.encode(), qos=1)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    script = f"""
+    CREATE TABLE src (k TEXT, v BIGINT) WITH (connector='mqtt',
+      type='source', url='{broker.url}', topic='events/a',
+      capture_duration_ms = 2000);
+    CREATE TABLE out (k TEXT, total BIGINT) WITH (connector='mqtt',
+      type='sink', url='{broker.url}', topic='agg/out', qos='AtLeastOnce');
+    INSERT INTO out SELECT k, sum(v) AS total FROM src GROUP BY k;
+    """
+    Pipeline(spark).run_script(script)
+    t.join()
+    pub.disconnect()
+    time.sleep(0.3)
+    out = [json.loads(v) for tp, v in broker.published if tp == "agg/out"]
+    assert {o["k"]: o["total"] for o in out} == {
+        "k0": 0 + 2 + 4 + 6,
+        "k1": 1 + 3 + 5 + 7,
+    }

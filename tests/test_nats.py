@@ -1,0 +1,286 @@
+"""NATS connector: DDL parity with `crates/arroyo-connectors/src/nats/`
+(mod.rs:47-140 errors verbatim) + end-to-end over the localhost NATS core
+server shim."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import parse_script
+from arroyo_spark.streaming.nats import (
+    MiniNatsServer,
+    NatsClient,
+    nats_source_ingest,
+    subject_matches,
+    validate_nats_table,
+    write_nats_sink,
+)
+
+
+def _table(ddl: str):
+    (t,) = parse_script(ddl)
+    return t
+
+
+def _src(extra: str = "") -> str:
+    return f"""
+    CREATE TABLE ns (v TEXT) WITH (connector='nats', type='source',
+      servers='nats://localhost:4222'{extra})"""
+
+
+# -- DDL surface -------------------------------------------------------------
+
+
+def test_core_source_valid():
+    cfg = validate_nats_table(_table(_src(", subject='events.a'")))
+    assert not cfg.is_sink and cfg.subject == "events.a" and cfg.stream is None
+    assert cfg.host_port == ("localhost", 4222)
+
+
+def test_jetstream_source_valid_with_consumer_options():
+    cfg = validate_nats_table(
+        _table(
+            _src(
+                ", stream='EVENTS', 'consumer.ack_policy'='All',"
+                " 'consumer.replay_policy'='Original',"
+                " 'consumer.ack_wait'=60,"
+                " 'consumer.filter_subjects'='events.a,events.b'"
+            )
+        )
+    )
+    assert cfg.stream == "EVENTS"
+    assert cfg.ack_policy == "All" and cfg.replay_policy == "Original"
+    assert cfg.consumer["ack_wait"] == 60
+    assert cfg.consumer["max_bytes"] == 104857600  # table.json default
+    assert cfg.filter_subjects == ["events.a", "events.b"]
+
+
+def test_stream_subject_exclusivity_errors():
+    with pytest.raises(
+        PlanError, match="Exactly one of `stream` or `subject` must be set"
+    ):
+        validate_nats_table(_table(_src(", stream='S', subject='x'")))
+    with pytest.raises(
+        PlanError, match="One of `stream` or `subject` must be set"
+    ):
+        validate_nats_table(_table(_src()))
+
+
+def test_sink_requires_subject():
+    with pytest.raises(PlanError, match="`subject` must be set for sink"):
+        validate_nats_table(
+            _table(
+                "CREATE TABLE no (v TEXT) WITH (connector='nats', type='sink',"
+                " servers='nats://h:4222')"
+            )
+        )
+
+
+def test_type_and_auth_errors():
+    with pytest.raises(PlanError, match="Type must be one of"):
+        validate_nats_table(
+            _table(
+                "CREATE TABLE nx (v TEXT) WITH (connector='nats',"
+                " servers='nats://h:4222', type='lookup')"
+            )
+        )
+    with pytest.raises(PlanError, match="Unknown auth type 'token'"):
+        validate_nats_table(_table(_src(", subject='s', 'auth.type'='token'")))
+    with pytest.raises(PlanError, match="requires 'auth.password'"):
+        validate_nats_table(
+            _table(
+                _src(
+                    ", subject='s', 'auth.type'='credentials',"
+                    " 'auth.username'='u'"
+                )
+            )
+        )
+    with pytest.raises(PlanError, match="invalid consumer.ack_policy"):
+        validate_nats_table(
+            _table(_src(", stream='S', 'consumer.ack_policy'='Maybe'"))
+        )
+
+
+# -- subject wildcards --------------------------------------------------------
+
+
+def test_subject_matching():
+    assert subject_matches("a.b", "a.b")
+    assert not subject_matches("a.b", "a.c")
+    assert subject_matches("a.*", "a.b")
+    assert not subject_matches("a.*", "a.b.c")
+    assert subject_matches("a.>", "a.b.c")
+    assert not subject_matches("a.>", "a")
+    assert subject_matches(">", "x.y")
+
+
+# -- server shim + client -----------------------------------------------------
+
+
+@pytest.fixture()
+def nats_server():
+    s = MiniNatsServer().start()
+    yield s
+    s.stop()
+
+
+def _cfg(server, **kw):
+    from arroyo_spark.streaming.nats import NatsConfig
+
+    return NatsConfig(servers=server.url, is_sink=False, **kw)
+
+
+def test_pub_sub_roundtrip(nats_server):
+    sub = NatsClient(_cfg(nats_server))
+    sub.subscribe("events.>")
+    sub.flush()
+    pub = NatsClient(_cfg(nats_server))
+    pub.publish("events.a", b"m1")
+    pub.publish("events.b.c", b"m2")
+    pub.publish("other", b"nope")
+    pub.flush()
+    got = {}
+    deadline = time.time() + 5
+    while len(got) < 2 and time.time() < deadline:
+        got.update(dict(sub.poll(0.2)))
+    assert got == {"events.a": b"m1", "events.b.c": b"m2"}
+    pub.close()
+    sub.close()
+
+
+def test_auth_required():
+    s = MiniNatsServer(username="u", password="p").start()
+    try:
+        with pytest.raises(ConnectionError, match="auth failed"):
+            NatsClient(
+                _cfg(
+                    s,
+                    auth={"type": "credentials", "username": "u", "password": "no"},
+                )
+            )
+        ok = NatsClient(
+            _cfg(s, auth={"type": "credentials", "username": "u", "password": "p"})
+        )
+        ok.publish("x", b"1")
+        ok.flush()
+        ok.close()
+        assert s.published == [("x", b"1")]
+    finally:
+        s.stop()
+
+
+# -- e2e ----------------------------------------------------------------------
+
+
+def test_e2e_source_tumble_sink(spark, nats_server, tmp_path):
+    """Core-subject source -> spool -> tumble agg -> distributed sink
+    publish, mirroring the mqtt/SSE connector e2e shape."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src_t = _table(
+        f"CREATE TABLE ns (v TEXT) WITH (connector='nats', type='source',"
+        f" servers='{nats_server.url}', subject='ev.>')"
+    )
+    cfg = validate_nats_table(src_t)
+    spool = str(tmp_path / "spool")
+    ingest = nats_source_ingest(cfg, spool)
+
+    pub = NatsClient(_cfg(nats_server))
+    for i in range(12):
+        pub.publish(
+            f"ev.{i % 3}",
+            json.dumps(
+                {"t": f"2024-01-01T00:0{i % 6}:00", "k": f"k{i % 3}"}
+            ).encode(),
+        )
+    pub.flush()
+    pub.close()
+    deadline = time.time() + 10
+    while time.time() < deadline and not os.listdir(spool):
+        time.sleep(0.2)
+    time.sleep(0.5)
+    ingest.stop()
+
+    df = (
+        spark.read.schema("t timestamp, k string").json(spool)
+        .groupBy(F.window("t", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", "n")
+    )
+    rows = {(r["k"]): r["n"] for r in df.collect()}
+    assert sum(rows.values()) == 12 and set(rows) == {"k0", "k1", "k2"}
+
+    sink_t = _table(
+        f"CREATE TABLE no (k TEXT, n BIGINT) WITH (connector='nats',"
+        f" type='sink', servers='{nats_server.url}', subject='agg.out')"
+    )
+    write_nats_sink(df, sink_t)
+    time.sleep(0.5)
+    out = [v for s, v in nats_server.published if s == "agg.out"]
+    assert len(out) == 3
+    assert {json.loads(v)["k"] for v in out} == {"k0", "k1", "k2"}
+
+
+def test_jetstream_table_binds_stream_subject(nats_server, tmp_path):
+    """A `stream=` table on the shim subscribes `<stream>.>` (documented
+    simplification of the JetStream pull consumer)."""
+    import os
+
+    src_t = _table(
+        f"CREATE TABLE js (v TEXT) WITH (connector='nats', type='source',"
+        f" servers='{nats_server.url}', stream='ORDERS')"
+    )
+    cfg = validate_nats_table(src_t)
+    spool = str(tmp_path / "spool")
+    ingest = nats_source_ingest(cfg, spool)
+    pub = NatsClient(_cfg(nats_server))
+    pub.publish("ORDERS.new", b'{"v": "x"}')
+    pub.flush()
+    deadline = time.time() + 10
+    while time.time() < deadline and not os.listdir(spool):
+        time.sleep(0.2)
+    ingest.stop()
+    pub.close()
+    lines = []
+    for f in os.listdir(spool):
+        lines.extend(open(os.path.join(spool, f)).read().splitlines())
+    assert lines == ['{"v": "x"}']
+
+
+def test_pipeline_nats_ddl_e2e(spark, nats_server, tmp_path):
+    """Full DDL script: nats core source captured through the shim server,
+    aggregated, published back through a nats sink."""
+    import threading
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    pub = NatsClient(_cfg(nats_server))
+
+    def feed():
+        time.sleep(0.3)
+        for i in range(6):
+            pub.publish("ev.x", json.dumps({"k": f"k{i % 2}", "v": i}).encode())
+        pub.flush()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    script = f"""
+    CREATE TABLE src (k TEXT, v BIGINT) WITH (connector='nats',
+      type='source', servers='{nats_server.url}', subject='ev.x',
+      capture_duration_ms = 2000);
+    CREATE TABLE out (k TEXT, total BIGINT) WITH (connector='nats',
+      type='sink', servers='{nats_server.url}', subject='agg.out');
+    INSERT INTO out SELECT k, sum(v) AS total FROM src GROUP BY k;
+    """
+    Pipeline(spark).run_script(script)
+    t.join()
+    pub.close()
+    time.sleep(0.3)
+    out = [json.loads(v) for s, v in nats_server.published if s == "agg.out"]
+    assert {o["k"]: o["total"] for o in out} == {"k0": 0 + 2 + 4, "k1": 1 + 3 + 5}

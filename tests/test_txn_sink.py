@@ -116,9 +116,10 @@ def test_json_format_roundtrip(spark, tmp_path):
     assert sink.read_committed(spark).count() == total
 
 
-def test_pipeline_delta_sink_batch_and_streaming(spark, tmp_path):
-    """connector='delta' DDL routes through the transactional manifest sink
-    in both batch and streaming modes."""
+def test_pipeline_iceberg_sink_batch_and_streaming(spark, tmp_path):
+    """connector='iceberg' DDL routes through the transactional manifest
+    sink in both batch and streaming modes (the delta connector writes the
+    real _delta_log protocol — tests/test_delta.py)."""
     from arroyo_spark.streaming.sinks import TransactionalFileSink
     from arroyo_spark.dialect.pipeline import Pipeline
 
@@ -126,17 +127,45 @@ def test_pipeline_delta_sink_batch_and_streaming(spark, tmp_path):
     script = """
     CREATE TABLE src (a BIGINT) WITH (connector='single_file',
       path='$p/in.json', format='json', type='source');
-    CREATE TABLE dt (a BIGINT) WITH (connector='delta', type='sink',
-      path='$p/delta_out');
+    CREATE TABLE dt (a BIGINT) WITH (connector='iceberg', type='sink',
+      path='$p/ice_out');
     INSERT INTO dt SELECT a * 10 AS a FROM src;
     """
     Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
-    got = TransactionalFileSink(str(tmp_path / "delta_out")).read_committed(spark)
+    got = TransactionalFileSink(str(tmp_path / "ice_out")).read_committed(spark)
     assert sorted(r["a"] for r in got.collect()) == [10, 20, 30]
 
-    script2 = script.replace("delta_out", "delta_out2").replace(
-        "connector='delta'", "connector='iceberg'"
-    )
+    script2 = script.replace("ice_out", "ice_out2")
     Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script2)
-    got2 = TransactionalFileSink(str(tmp_path / "delta_out2")).read_committed(spark)
+    got2 = TransactionalFileSink(str(tmp_path / "ice_out2")).read_committed(spark)
     assert sorted(r["a"] for r in got2.collect()) == [10, 20, 30]
+
+
+def test_batch_and_streaming_ids_never_collide(spark, tmp_path):
+    """Batch-mode INSERT commits use the insert-<n> manifest namespace, so
+    a later streaming query whose Spark epochs start at 0 can never be
+    silently swallowed as a replay (ADVICE r2)."""
+    sink = TransactionalFileSink(str(tmp_path / "out"))
+    df1 = spark.range(3).withColumnRenamed("id", "v")
+    sink.commit_insert(df1)  # insert-0
+    sink.commit_insert(df1)  # insert-1 (a second INSERT, not a replay)
+    # streaming epoch 0 after the batch inserts: must still commit
+    sink(spark.range(10, 13).withColumnRenamed("id", "v"), 0)
+    got = sink.read_committed(spark)
+    assert sorted(r["v"] for r in got.collect()) == [0, 0, 1, 1, 2, 2, 10, 11, 12]
+    names = sorted(os.listdir(tmp_path / "out" / "_manifest"))
+    assert names == ["batch-0.json", "insert-0.json", "insert-1.json"]
+
+
+def test_insert_id_skips_stale_tmp(spark, tmp_path):
+    """A stale .tmp manifest (crash between write and rename) must not
+    perturb id allocation or be read as committed."""
+    sink = TransactionalFileSink(str(tmp_path / "out"))
+    df = spark.range(2).withColumnRenamed("id", "v")
+    sink.commit_insert(df)  # insert-0
+    # simulate a crash leaving a stale tmp for the NEXT id
+    stale = tmp_path / "out" / "_manifest" / "insert-1.json.deadbeef.tmp"
+    stale.write_text("{}")
+    sink.commit_insert(df)  # must become insert-1 (tmp ignored), not collide
+    got = sink.read_committed(spark)
+    assert got.count() == 4
