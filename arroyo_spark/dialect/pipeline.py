@@ -178,9 +178,11 @@ class Pipeline:
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
         self._txn_sinks: dict[str, object] = {}
-        # injectable kinesis clients by table name (tests/local runs; a
-        # production deployment registers a boto3-backed client here)
+        # injectable connector clients by table name (tests/local runs; a
+        # production deployment registers boto3/rstream/fluvio-backed
+        # clients here): kinesis, rabbitmq, fluvio
         self.kinesis_clients: dict[str, object] = {}
+        self.queue_clients: dict[str, object] = {}
         # session settings (SET updating_ttl = interval '...', lib.rs:790-819);
         # the TTL governs state retention for updating operators
         self.settings: dict[str, object] = {"updating_ttl": ("interval", "24 hours")}
@@ -364,6 +366,36 @@ class Pipeline:
         handle.stop()
         return spool
 
+    def _drain_log_source(self, t: TableDef) -> str:
+        """rabbitmq / fluvio DDL sources: validate with the reference's
+        error surface, then drain the injectable client's log into a spool
+        (offset semantics applied by the client)."""
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix=f"{t.connector}_{t.name}_")
+        client = self.queue_clients.get(t.name)
+        if (t.connector or "").lower() == "rabbitmq":
+            from arroyo_spark.streaming.rabbitmq import (
+                FakeRabbitmqStream,
+                rabbitmq_source_ingest,
+                validate_rabbitmq_table,
+            )
+
+            cfg = validate_rabbitmq_table(t)
+            rabbitmq_source_ingest(
+                cfg, spool, client or FakeRabbitmqStream()
+            ).stop()
+        else:
+            from arroyo_spark.streaming.fluvio import (
+                FakeFluvio,
+                fluvio_source_ingest,
+                validate_fluvio_table,
+            )
+
+            fcfg = validate_fluvio_table(t)
+            fluvio_source_ingest(fcfg, spool, client or FakeFluvio()).stop()
+        return spool
+
     def _register_kafka_source(self, t: TableDef) -> None:
         """connector='kafka' DDL → Spark's native kafka source: options are
         validated/translated at plan time (reference error surface,
@@ -432,6 +464,8 @@ class Pipeline:
             return
         if (t.connector or "").lower() in ("mqtt", "nats"):
             path = self._capture_queue_source(t)
+        elif (t.connector or "").lower() in ("rabbitmq", "fluvio"):
+            path = self._drain_log_source(t)
         elif (t.connector or "").lower() in ("polling_http", "sse", "websocket"):
             path = self._capture_http_source(t)
         else:
@@ -852,10 +886,11 @@ class Pipeline:
         conn = (sink.connector or "").lower()
         if conn in ("delta", "iceberg"):
             # transactional table sinks (filesystem/delta.rs, iceberg/):
-            # append-only commits. delta writes the REAL _delta_log
-            # protocol (readable by any Delta reader); iceberg uses the
-            # atomic-manifest stand-in. Parquet data files with µs
-            # timestamps (tables.rs:246-266 — Spark's native unit).
+            # append-only commits through the REAL table-format protocols —
+            # delta writes _delta_log (readable by any Delta reader),
+            # iceberg writes v2 metadata.json + Avro manifests. Parquet
+            # data files with µs timestamps (tables.rs:246-266 — Spark's
+            # native unit).
             path = sink.options.get("path")
             if path is None:
                 raise PlanError(f"{conn} sink {sink.name} needs a 'path' option")
@@ -872,14 +907,16 @@ class Pipeline:
                 )
                 dsink.commit(incoming)  # one INSERT = one Delta version
                 return
-            from arroyo_spark.streaming.sinks import TransactionalFileSink
+            from arroyo_spark.streaming.iceberg import IcebergTableSink
 
-            txn = self._txn_sinks.setdefault(
-                sink.name, TransactionalFileSink(out, fmt="parquet")
+            isink = self._txn_sinks.setdefault(
+                sink.name,
+                IcebergTableSink(
+                    out,
+                    partition_by=self._sink_partition_fields(sink, incoming),
+                ),
             )
-            # insert-<n> manifest namespace: never collides with streaming
-            # batch-<epoch> ids or stale .tmp files (ADVICE r2)
-            txn.commit_insert(incoming)
+            isink.commit(incoming)  # one INSERT = one Iceberg snapshot
             return
         if conn == "kafka":
             from arroyo_spark.streaming.kafka import (
@@ -921,6 +958,17 @@ class Pipeline:
                 from arroyo_spark.streaming.nats import write_nats_sink
 
                 write_nats_sink(incoming, resolved)
+            return
+        if conn == "fluvio":
+            from arroyo_spark.streaming.fluvio import (
+                FakeFluvio,
+                write_fluvio_sink,
+            )
+
+            qclient = self.queue_clients.get(sink.name)
+            write_fluvio_sink(
+                incoming, sink, (lambda: qclient) if qclient else FakeFluvio
+            )
             return
         if conn == "kinesis":
             # distributed PutRecords through the injectable client
@@ -1118,9 +1166,9 @@ class Pipeline:
         if conn in ("delta", "iceberg"):
             # streaming transactional sink: each micro-batch is one atomic
             # commit (delta: a _delta_log version with a txn action keyed
-            # by batchId; iceberg: a manifest); replays after recovery are
-            # no-ops, so the visible table is exactly-once
-            # (tests/test_txn_sink.py, tests/test_delta.py)
+            # by batchId; iceberg: a v2 snapshot whose summary carries the
+            # txn); replays after recovery are no-ops, so the visible
+            # table is exactly-once (tests/test_delta.py, test_iceberg.py)
             if not out_path:
                 raise PlanError(f"{conn} sink {target.name} needs a 'path' option")
             if conn == "delta":
@@ -1134,10 +1182,14 @@ class Pipeline:
                     ),
                 )
             else:
-                from arroyo_spark.streaming.sinks import TransactionalFileSink
+                from arroyo_spark.streaming.iceberg import IcebergTableSink
 
                 txn = self._txn_sinks.setdefault(
-                    target.name, TransactionalFileSink(out_path, fmt="parquet")
+                    target.name,
+                    IcebergTableSink(
+                        out_path,
+                        partition_by=self._sink_partition_fields(target, df),
+                    ),
                 )
             ck0 = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
             q0 = (

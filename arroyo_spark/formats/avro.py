@@ -555,13 +555,18 @@ def write_ocf(
     values: Iterable[Any],
     codec: str = "null",
     sync: bytes = b"\x10\x21\x32\x43\x54\x65\x76\x87\x98\xa9\xba\xcb\xdc\xed\xfe\x0f",
+    extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
     if isinstance(schema, str):
+        # a string schema is embedded VERBATIM, preserving attributes our
+        # parser ignores (e.g. Iceberg field-id annotations)
         schema_json, schema = schema, AvroSchema.parse(schema)
     else:
         schema_json = json.dumps(schema.to_json())
     out = bytearray(OCF_MAGIC)
     meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    if extra_meta:
+        meta.update(extra_meta)
     write_long(out, len(meta))
     for k, v in meta.items():
         kb = k.encode()

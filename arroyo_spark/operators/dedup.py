@@ -241,3 +241,77 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    radius: int = 1,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``radius``,
+    found with the banded-bucket trick (never an all-pairs product):
+
+    the 16-bit hash is split into ``radius + 1`` bands — by pigeonhole any
+    pair within ``radius`` differing bits leaves at least one band
+    untouched, so every qualifying pair shares an exact (band_idx, value)
+    key and comes out of a plain equi-join on it; candidates are then
+    verified with the exact popcount of the XOR. Same recall guarantee as
+    MinHash banding but for hamming space (the reference has no such
+    operator; this is the classic Manku/Jain/Sarma web-dedup plan).
+
+    Scale note: 16-bit SimHash (kept for bit-exact cross-engine oracles)
+    yields only 2^8 values per band at radius 1 — fine for suite-sized
+    corpora, skewed at 100 TB. Production uses the same plan over a 64-bit
+    SimHash (4 x 16-bit bands, 65k+ bucket keys); ``max_bucket`` caps
+    pathological buckets exactly like `lsh_candidate_pairs`.
+    """
+    n_bands = radius + 1
+    width = 16 // n_bands
+    sims = simhash16(docs, id_col)
+    bands = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "val").orderBy(id_col)
+        bands = bands.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= max_bucket
+        ).drop("rn")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair can match in several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -171,14 +171,17 @@ def brute_force_topk(
     )
 
 
-def cosine_threshold_pairs(
+def cosine_threshold_pairs_bounded(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (a, b, cos) with
-    id_a < id_b and round(cos, 6) >= threshold.
+    id_a < id_b and round(cos, 6) >= threshold. BOUNDED-CANDIDATE-ONLY
+    (the name says so): collects the corpus to the driver, so reach for
+    `cosine_threshold_pairs_blocked` first — it is the collect-free
+    scale path used by the suite.
 
     Matrix form like `brute_force_topk`: the candidate set (here: the
     corpus itself) is collected once and broadcast as a numpy matrix;

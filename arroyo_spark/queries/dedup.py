@@ -279,3 +279,32 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-radius near-dup pairs (banded buckets, no all-pairs).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_hamming_oracle() -> str:
+    # all-pairs verify is fine for the ORACLE at sf0.01; the Spark side
+    # must find the same pairs through the banded equi-join
+    return f"""
+    WITH sims AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=_simhash_hamming_oracle(),
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, radius=1)

@@ -247,3 +247,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency quality stats: per-document document-frequency extremes.
+# A boilerplate/template doc is made entirely of corpus-common words
+# (high rarest_df); a noisy doc carries hapax tokens (rarest_df = 1).
+# Integer-only arithmetic — exact and order-independent on both engines
+# (the same determinism reasoning as tfidf's linear idf).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_corpus_freq_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+      ) t
+    ), dfreq AS (
+      SELECT w, COUNT(*) AS df FROM words GROUP BY w
+    )
+    SELECT words.doc_id,
+           COUNT(*) AS n_distinct_words,
+           CAST(MIN(df) AS BIGINT) AS rarest_df,
+           CAST(MAX(df) AS BIGINT) AS commonest_df,
+           CAST(SUM(df) AS BIGINT) AS sum_df
+    FROM words JOIN dfreq USING (w)
+    GROUP BY words.doc_id
+    """,
+    tags=("text", "quality", "frequency"),
+)
+def text_corpus_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan builds the document-frequency table; a second keyed
+    join folds it back per doc. The df table is vocabulary-sized, so AQE
+    broadcasts it while it fits and falls back to a shuffle join at web
+    scale — no driver collection either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.toks("text"))).alias("w")
+    )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        words.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.min("df").cast("bigint").alias("rarest_df"),
+            F.max("df").cast("bigint").alias("commonest_df"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Fluvio connector.
+
+Reference: `crates/arroyo-connectors/src/fluvio/` —
+- table options (`mod.rs:91-116`): `endpoint` (optional — the fluvio
+  client's default cluster when unset), `topic` (required), `type`
+  source | sink (error verbatim: "type must be one of 'source' or
+  'sink"); source `source.offset` ∈ earliest | latest (default latest),
+  error "invalid value for source.offset '{}'";
+- the sink has no extra options (`TableType::Sink {}`); records are the
+  serialized rows produced to the topic (`sink.rs`).
+
+Fluvio's wire protocol is a Kafka-like binary protocol, so the client is
+injectable like the kinesis/rabbitmq modules: `FluvioClient` maps onto
+the `fluvio` Python client's `topic_producer` / `partition_consumer`
+calls; tests use the in-memory fake; sources run through the spool
+pattern and sinks produce from `foreachPartition`.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+_OFFSETS = ("earliest", "latest")
+
+
+@dataclass
+class FluvioConfig:
+    topic: str
+    is_sink: bool
+    endpoint: str | None = None
+    source_offset: str = "latest"
+
+
+def validate_fluvio_table(t: TableDef) -> FluvioConfig:
+    """Validate a ``connector='fluvio'`` TableDef (mod.rs:91-116)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "fluvio":
+        raise PlanError(f"table {t.name} is not a fluvio table")
+    topic = opts.get("topic")
+    if not topic:
+        raise PlanError(f"fluvio table {t.name} requires 'topic'")
+    typ = opts.get("type")
+    if typ not in ("source", "sink"):
+        raise PlanError("type must be one of 'source' or 'sink'")
+    cfg = FluvioConfig(
+        topic=topic,
+        is_sink=(typ == "sink"),
+        endpoint=opts.get("endpoint"),
+    )
+    if typ == "source":
+        offset = opts.get("source.offset", "latest")
+        if offset not in _OFFSETS:
+            raise PlanError(f"invalid value for source.offset '{offset}'")
+        cfg.source_offset = offset
+    elif "source.offset" in opts:
+        raise PlanError("'source.offset' is not valid for a fluvio sink")
+    return cfg
+
+
+class FluvioClient:
+    """Client surface (the fluvio Python client maps 1:1)."""
+
+    def consume(self, topic: str, offset: str):
+        """Yield record payloads (bytes) from `topic`; offset 'earliest'
+        replays the retained log, 'latest' starts at the end."""  # pragma: no cover
+        raise NotImplementedError
+
+    def produce(self, topic: str, records: list[bytes]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class FakeFluvio(FluvioClient):
+    def __init__(self) -> None:
+        self.topics: dict[str, list[bytes]] = {}
+
+    def produce(self, topic: str, records: list[bytes]) -> None:
+        self.topics.setdefault(topic, []).extend(records)
+
+    def consume(self, topic: str, offset: str):
+        log = self.topics.setdefault(topic, [])
+        start = 0 if offset == "earliest" else len(log)
+        yield from log[start:]
+
+
+def fluvio_source_ingest(cfg: FluvioConfig, spool_dir: str, client: FluvioClient):
+    """Consume the topic into a spool (bounded drain; live deployments
+    keep the consumer streaming into the spool)."""
+    from arroyo_spark.streaming.http_connectors import SpoolWriter
+
+    if cfg.is_sink:
+        raise PlanError("cannot read from a fluvio sink table")
+    writer = SpoolWriter(spool_dir)
+    done = threading.Event()
+
+    def run() -> None:
+        try:
+            msgs = [
+                m.decode("utf-8", "replace")
+                for m in client.consume(cfg.topic, cfg.source_offset)
+            ]
+            if msgs:
+                writer.write(msgs)
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+
+    class Handle:
+        def stop(self, timeout: float = 10.0) -> None:
+            done.wait(timeout)
+
+    return Handle()
+
+
+def write_fluvio_sink(
+    df: DataFrame, t: TableDef, client_factory, batch_size: int = 512
+) -> None:
+    """Produce a bounded DataFrame to the topic from `foreachPartition`,
+    `batch_size` records per produce call (sink.rs produces per batch)."""
+    from arroyo_spark.dialect.pipeline import _json_value_col
+
+    cfg = validate_fluvio_table(t)
+    if not cfg.is_sink:
+        raise PlanError(f"cannot write to fluvio source table {t.name}")
+    enc = df.select(_json_value_col(df).alias("__value"))
+    topic = cfg.topic
+
+    def do_partition(it):
+        client = client_factory()
+        buf: list[bytes] = []
+        for row in it:
+            buf.append(row["__value"].encode())
+            if len(buf) >= batch_size:
+                client.produce(topic, buf)
+                buf = []
+        if buf:
+            client.produce(topic, buf)
+
+    enc.foreachPartition(do_partition)

@@ -1,0 +1,434 @@
+"""Apache Iceberg (format v2) table sink — the reference's iceberg sink
+(`crates/arroyo-connectors/src/iceberg/`) commits real Iceberg metadata;
+this module writes the PUBLIC Iceberg table spec from scratch, with the
+repo's own pure-Python Avro codec (`formats/avro.py`) producing the
+manifest and manifest-list files:
+
+- data files: plain parquet written distributed, moved under
+  ``<root>/data/``;
+- each commit appends one snapshot: a manifest Avro file (one
+  ``manifest_entry`` per added data file, field-ids per the spec), a
+  manifest-list Avro file (``manifest_file`` entries), and a new
+  ``metadata/v<N>.metadata.json`` holding schemas / partition specs /
+  the snapshot log;
+- the commit point is an atomic put-if-absent of the version metadata
+  file (HadoopTables-style filesystem catalog with ``version-hint.text``);
+- exactly-once streaming: the snapshot ``summary`` records
+  (app-id, txn-version); a replayed micro-batch whose txn is already in a
+  committed snapshot is skipped — Iceberg's idempotent-commit pattern.
+
+:func:`read_iceberg` replays the metadata chain (what any Iceberg reader
+does) for tests. Timestamps are µs (Spark's parquet unit), matching the
+reference's delta/iceberg µs constraint (tables.rs:246-266).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Avro schemas for manifest files, field-ids per the Iceberg v2 spec
+# (embedded verbatim in the OCF header so real readers see the ids).
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _iceberg_type(dt) -> object:
+    """Spark DataType -> Iceberg type name (scalars + decimal)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    # containers: stringified fallback keeps the schema readable
+    return dt.simpleString()
+
+
+class IcebergTableSink:
+    """Transactional Iceberg v2 writer for batch INSERTs and foreachBatch
+    micro-batches (append-only snapshots, like the reference's sink)."""
+
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        app_id: str = "arroyo-spark",
+    ) -> None:
+        self.root = root
+        self.partition_by = list(partition_by or [])
+        self.app_id = app_id
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
+
+    # -- metadata chain ------------------------------------------------------
+
+    def _metadata_path(self, version: int) -> str:
+        return os.path.join(self.root, "metadata", f"v{version}.metadata.json")
+
+    def current_version(self) -> int | None:
+        hint = os.path.join(self.root, "metadata", "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as fh:
+            return int(fh.read().strip())
+
+    def current_metadata(self) -> dict | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(self._metadata_path(v)) as fh:
+            return json.load(fh)
+
+    def _committed_txns(self) -> dict[str, int]:
+        meta = self.current_metadata()
+        seen: dict[str, int] = {}
+        if meta is None:
+            return seen
+        for snap in meta.get("snapshots", []):
+            s = snap.get("summary", {})
+            if "arroyo-app-id" in s and "arroyo-txn-version" in s:
+                seen[s["arroyo-app-id"]] = max(
+                    seen.get(s["arroyo-app-id"], -1),
+                    int(s["arroyo-txn-version"]),
+                )
+        return seen
+
+    # -- data files ----------------------------------------------------------
+
+    def _stage_files(self, batch_df: DataFrame) -> list[tuple[str, int, int]]:
+        """Distributed write; move under data/; return (relpath, bytes,
+        record_count) — counts come from the parquet footers."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        writer = batch_df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        out: list[tuple[str, int, int]] = []
+        for p in glob.glob(
+            os.path.join(staging, "**", "part-*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(p, staging)
+            d, base = os.path.split(rel)
+            uniq = f"{uuid.uuid4().hex[:8]}-{base}"
+            final_rel = os.path.join("data", d, uniq) if d else os.path.join("data", uniq)
+            final_abs = os.path.join(self.root, final_rel)
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            n_rows = pq.ParquetFile(p).metadata.num_rows
+            shutil.move(p, final_abs)
+            out.append((final_rel, os.path.getsize(final_abs), n_rows))
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    # -- avro manifests ------------------------------------------------------
+
+    def _schema_json(self, batch_df: DataFrame) -> dict:
+        fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType),
+            }
+            for i, f in enumerate(batch_df.schema.fields)
+        ]
+        return {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def _write_manifest(
+        self,
+        files: list[tuple[str, int, int]],
+        snapshot_id: int,
+        seq: int,
+        schema_json: dict,
+    ) -> tuple[str, int, int]:
+        from arroyo_spark.formats.avro import write_ocf
+
+        entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the snapshot
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(self.root, rel),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for rel, size, rows in files
+        ]
+        blob = write_ocf(
+            json.dumps(_MANIFEST_ENTRY_SCHEMA),
+            entries,
+            extra_meta={
+                "schema": json.dumps(schema_json).encode(),
+                "partition-spec": json.dumps(self._spec_fields()).encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        name = f"{uuid.uuid4().hex}-m0.avro"
+        path = os.path.join(self.root, "metadata", name)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        total_rows = sum(r for _p, _s, r in files)
+        return path, os.path.getsize(path), total_rows
+
+    def _write_manifest_list(
+        self,
+        manifest: tuple[str, int, int],
+        n_files: int,
+        snapshot_id: int,
+        seq: int,
+    ) -> str:
+        from arroyo_spark.formats.avro import write_ocf
+
+        mpath, mlen, added_rows = manifest
+        entry = {
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        blob = write_ocf(
+            json.dumps(_MANIFEST_FILE_SCHEMA),
+            [entry],
+            extra_meta={"format-version": b"2"},
+        )
+        name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        path = os.path.join(self.root, "metadata", name)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        return path
+
+    def _spec_fields(self) -> dict:
+        return {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": i + 1000,
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(self.partition_by)
+            ],
+        }
+
+    # -- commits -------------------------------------------------------------
+
+    def commit(self, batch_df: DataFrame, txn_version: int | None = None) -> bool:
+        if txn_version is not None:
+            if self._committed_txns().get(self.app_id, -1) >= txn_version:
+                return False  # recovery replay
+        files = self._stage_files(batch_df)
+        snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+        prev = self.current_metadata()
+        seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
+        schema_json = (
+            prev["schemas"][0] if prev else self._schema_json(batch_df)
+        )
+        manifest = self._write_manifest(files, snapshot_id, seq, schema_json)
+        mlist = self._write_manifest_list(manifest, len(files), snapshot_id, seq)
+        now_ms = int(time.time() * 1000)
+        summary = {
+            "operation": "append",
+            "added-data-files": str(len(files)),
+            "added-records": str(manifest[2]),
+            "arroyo-app-id": self.app_id,
+        }
+        if txn_version is not None:
+            summary["arroyo-txn-version"] = str(txn_version)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": summary,
+            "schema-id": 0,
+        }
+        if prev and prev.get("current-snapshot-id", -1) != -1:
+            snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
+
+        while True:
+            cur_v = self.current_version() or 0
+            next_v = cur_v + 1
+            prev = self.current_metadata()
+            meta = prev or {
+                "format-version": 2,
+                "table-uuid": str(uuid.uuid4()),
+                "location": self.root,
+                "last-column-id": len(batch_df.schema.fields),
+                "schemas": [self._schema_json(batch_df)],
+                "current-schema-id": 0,
+                "partition-specs": [self._spec_fields()],
+                "default-spec-id": 0,
+                "last-partition-id": 999 + len(self.partition_by),
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {},
+                "snapshots": [],
+                "snapshot-log": [],
+                "metadata-log": [],
+            }
+            meta = dict(meta)
+            meta["last-updated-ms"] = now_ms
+            meta["last-sequence-number"] = seq
+            meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            ]
+            if prev is not None:
+                meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+                    {
+                        "metadata-file": self._metadata_path(cur_v),
+                        "timestamp-ms": now_ms,
+                    }
+                ]
+            path = self._metadata_path(next_v)
+            tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            try:
+                os.link(tmp, path)  # put-if-absent: the commit point
+            except FileExistsError:
+                os.unlink(tmp)
+                if txn_version is not None and (
+                    self._committed_txns().get(self.app_id, -1) >= txn_version
+                ):
+                    return False
+                continue  # lost the race: rebuild on the new current
+            os.unlink(tmp)
+            hint = os.path.join(self.root, "metadata", "version-hint.text")
+            with open(hint + ".tmp", "w") as fh:
+                fh.write(str(next_v))
+            os.rename(hint + ".tmp", hint)
+            return True
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch surface: micro-batch == one idempotent snapshot."""
+        self.commit(batch_df, txn_version=batch_id)
+
+
+def current_data_files(root: str) -> list[str]:
+    """Replay the metadata chain like a reader: current snapshot ->
+    manifest list -> manifests -> live data files."""
+    from arroyo_spark.formats.avro import read_ocf
+
+    sink = IcebergTableSink(root)
+    meta = sink.current_metadata()
+    if meta is None or meta.get("current-snapshot-id", -1) == -1:
+        return []
+    files: list[str] = []
+    # v2 append-only: union every snapshot's ADDED files up to current
+    current = meta["current-snapshot-id"]
+    chain_ids = set()
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    cur = by_id.get(current)
+    while cur is not None:
+        chain_ids.add(cur["snapshot-id"])
+        cur = by_id.get(cur.get("parent-snapshot-id"))
+    for snap in meta["snapshots"]:
+        if snap["snapshot-id"] not in chain_ids:
+            continue
+        with open(snap["manifest-list"], "rb") as fh:
+            _schema, manifests = read_ocf(fh.read())
+        for m in manifests:
+            with open(m["manifest_path"], "rb") as fh:
+                _s, entries = read_ocf(fh.read())
+            for e in entries:
+                if e["status"] in (1, 0):  # ADDED / EXISTING
+                    files.append(e["data_file"]["file_path"])
+    return files
+
+
+def read_iceberg(spark: SparkSession, root: str) -> DataFrame | None:
+    files = current_data_files(root)
+    if not files:
+        return None
+    return spark.read.option("basePath", os.path.join(root, "data")).parquet(*files)

@@ -1,0 +1,141 @@
+"""RabbitMQ Streams connector (source-only, like the reference).
+
+Reference: `crates/arroyo-connectors/src/rabbitmq/` —
+- connection profile (`profile.json` + `mod.rs:105-139`): `host`,
+  `username`, `password`, `virtual_host`, `port` (must fit u16 —
+  "invalid 'port' for rabbitmq; must be <= 65535"), `load_balancer_mode`,
+  `tls_config.{enabled,trust_certificates,root_certificates_path,
+  client_certificates_path,client_keys_path}`;
+- table (`mod.rs:142-160`): `stream` required; `type` must be 'source'
+  (error verbatim: "type must 'source'"); `source.offset` ∈ first | next |
+  last (default last) mapping to the stream protocol's
+  OffsetSpecification (`mod.rs:271-277`);
+- the source consumes a RabbitMQ *stream* (the log-structured kind), one
+  deserialized message per record (`source.rs`).
+
+The stream wire protocol is binary and connection-multiplexed, so the
+client is injectable like the kinesis module: `RabbitmqStreamClient`
+maps 1:1 onto `rstream`/`rabbitmq_stream_client` consumer calls, tests
+use the in-memory fake, and the ingest runs through the spool pattern.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+_OFFSETS = ("first", "next", "last")
+
+
+@dataclass
+class RabbitmqConfig:
+    stream: str
+    host: str = "localhost"
+    port: int = 5552
+    username: str | None = None
+    password: str | None = None
+    virtual_host: str | None = None
+    load_balancer_mode: bool = False
+    tls: dict[str, object] = field(default_factory=dict)
+    source_offset: str = "last"
+
+
+def validate_rabbitmq_table(t: TableDef) -> RabbitmqConfig:
+    """Validate a ``connector='rabbitmq'`` TableDef (mod.rs:105-160)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    if (opts.get("connector") or "").lower() != "rabbitmq":
+        raise PlanError(f"table {t.name} is not a rabbitmq table")
+    stream = opts.get("stream")
+    if not stream:
+        raise PlanError(f"rabbitmq table {t.name} requires 'stream'")
+    typ = opts.get("type")
+    if typ != "source":
+        # error text parity: mod.rs:158 (the connector is source-only)
+        raise PlanError("type must 'source'")
+    port = int(opts.get("port", "5552"))
+    if port > 65535:
+        raise PlanError("invalid 'port' for rabbitmq; must be <= 65535")
+    offset = opts.get("source.offset", "last")
+    if offset not in _OFFSETS:
+        raise PlanError(f"invalid value for source.offset '{offset}'")
+    tls = {
+        k.removeprefix("tls_config."): v
+        for k, v in opts.items()
+        if k.startswith("tls_config.")
+    }
+    return RabbitmqConfig(
+        stream=stream,
+        host=opts.get("host", "localhost"),
+        port=port,
+        username=opts.get("username"),
+        password=opts.get("password"),
+        virtual_host=opts.get("virtual_host"),
+        load_balancer_mode=opts.get("load_balancer_mode", "false").lower()
+        == "true",
+        tls=tls,
+        source_offset=offset,
+    )
+
+
+class RabbitmqStreamClient:
+    """Client surface (rstream's Consumer maps 1:1)."""
+
+    def subscribe(self, stream: str, offset_spec: str):
+        """Yield message payloads (bytes) from `stream` starting at
+        `offset_spec` ('first' | 'next' | 'last')."""  # pragma: no cover
+        raise NotImplementedError
+
+
+class FakeRabbitmqStream(RabbitmqStreamClient):
+    """In-memory stream log. 'first' replays everything, 'last' starts at
+    the final existing message, 'next' only sees messages appended after
+    subscribing — the OffsetSpecification semantics."""
+
+    def __init__(self) -> None:
+        self.streams: dict[str, list[bytes]] = {}
+
+    def append(self, stream: str, payload: bytes) -> None:
+        self.streams.setdefault(stream, []).append(payload)
+
+    def subscribe(self, stream: str, offset_spec: str):
+        log = self.streams.setdefault(stream, [])
+        if offset_spec == "first":
+            start = 0
+        elif offset_spec == "last":
+            start = max(len(log) - 1, 0)
+        else:  # next
+            start = len(log)
+        yield from log[start:]
+
+
+def rabbitmq_source_ingest(
+    cfg: RabbitmqConfig, spool_dir: str, client: RabbitmqStreamClient
+):
+    """Consume the stream into a spool (bounded drain of what the client
+    yields; a live deployment's consumer keeps yielding)."""
+    from arroyo_spark.streaming.http_connectors import SpoolWriter
+
+    writer = SpoolWriter(spool_dir)
+    done = threading.Event()
+
+    def run() -> None:
+        try:
+            msgs = [
+                m.decode("utf-8", "replace")
+                for m in client.subscribe(cfg.stream, cfg.source_offset)
+            ]
+            if msgs:
+                writer.write(msgs)
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+
+    class Handle:
+        def stop(self, timeout: float = 10.0) -> None:
+            done.wait(timeout)
+
+    return Handle()

@@ -1,0 +1,143 @@
+"""Iceberg v2 table sink (`arroyo_spark/streaming/iceberg.py`): real
+metadata chain — version-hinted metadata.json, Avro manifest lists and
+manifests (written by the repo's own Avro codec) — replayable by a reader,
+idempotent streaming snapshots, crash-safe put-if-absent commits.
+Reference: `crates/arroyo-connectors/src/iceberg/`."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from arroyo_spark.streaming.iceberg import (
+    IcebergTableSink,
+    current_data_files,
+    read_iceberg,
+)
+
+
+def test_first_commit_writes_v2_metadata(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert sink.commit(df) is True
+    # version-hint + v1 metadata
+    hint = open(os.path.join(root, "metadata", "version-hint.text")).read()
+    assert hint == "1"
+    meta = json.load(open(os.path.join(root, "metadata", "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["current-schema-id"] == 0
+    fields = meta["schemas"][0]["fields"]
+    assert [(f["name"], f["type"]) for f in fields] == [("id", "long"), ("s", "string")]
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+
+
+def test_manifests_are_valid_avro_with_spec_fields(spark, tmp_path):
+    from arroyo_spark.formats.avro import read_ocf
+
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.createDataFrame([(1,)], "v long"))
+    meta = sink.current_metadata()
+    mlist_path = meta["snapshots"][-1]["manifest-list"]
+    schema, manifests = read_ocf(open(mlist_path, "rb").read())
+    assert len(manifests) == 1
+    m = manifests[0]
+    assert m["content"] == 0 and m["added_files_count"] >= 1
+    assert m["added_rows_count"] == 1
+    _s, entries = read_ocf(open(m["manifest_path"], "rb").read())
+    assert all(e["status"] == 1 for e in entries)
+    d = entries[0]["data_file"]
+    assert d["file_format"] == "PARQUET" and d["record_count"] == 1
+    assert os.path.exists(d["file_path"])
+    # the OCF header embeds iceberg metadata keys
+    blob = open(m["manifest_path"], "rb").read()
+    assert b"format-version" in blob and b'"field-id"' in blob
+
+
+def test_reader_replays_chain_across_commits(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.createDataFrame([(1,), (2,)], "v long"))
+    sink.commit(spark.createDataFrame([(3,)], "v long"))
+    assert open(os.path.join(root, "metadata", "version-hint.text")).read() == "2"
+    got = read_iceberg(spark, root)
+    assert sorted(r["v"] for r in got.collect()) == [1, 2, 3]
+    meta = sink.current_metadata()
+    assert len(meta["snapshots"]) == 2
+    assert meta["snapshots"][1]["parent-snapshot-id"] == meta["snapshots"][0]["snapshot-id"]
+    assert meta["last-sequence-number"] == 2
+
+
+def test_streaming_txn_idempotent_replay(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root, app_id="q1")
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    sink(df, 0)
+    sink(df, 1)
+    n = read_iceberg(spark, root).count()
+    sink(df, 0)  # recovery replay
+    sink(df, 1)
+    assert read_iceberg(spark, root).count() == n == 4
+    snaps = sink.current_metadata()["snapshots"]
+    assert len(snaps) == 2
+    assert [s["summary"]["arroyo-txn-version"] for s in snaps] == ["0", "1"]
+
+
+def test_crash_before_metadata_commit_is_invisible(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root, app_id="q2")
+    df = spark.createDataFrame([(7,)], "v long")
+    files = sink._stage_files(df)  # crash point: data moved, no metadata
+    assert files
+    assert read_iceberg(spark, root) is None
+    sink(df, 0)  # replay commits fully
+    assert [r["v"] for r in read_iceberg(spark, root).collect()] == [7]
+
+
+def test_record_counts_from_parquet_footers(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(100).withColumnRenamed("id", "v").repartition(4))
+    total = 0
+    for f in current_data_files(root):
+        pass
+    meta = sink.current_metadata()
+    from arroyo_spark.formats.avro import read_ocf
+
+    _s, manifests = read_ocf(
+        open(meta["snapshots"][-1]["manifest-list"], "rb").read()
+    )
+    assert manifests[0]["added_rows_count"] == 100
+    assert read_iceberg(spark, root).count() == 100
+
+
+def test_pipeline_iceberg_ddl_writes_real_metadata(spark, tmp_path):
+    """connector='iceberg' DDL now routes through the real metadata
+    writer in batch and streaming modes."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+      path='$p/in.json', format='json', type='source');
+    CREATE TABLE dt (a BIGINT) WITH (connector='iceberg', type='sink',
+      path='$p/ice_out');
+    INSERT INTO dt SELECT a * 10 AS a FROM src;
+    """
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    root = str(tmp_path / "ice_out")
+    assert os.path.exists(os.path.join(root, "metadata", "v1.metadata.json"))
+    got = sorted(r["a"] for r in read_iceberg(spark, root).collect())
+    assert got == [10, 20, 30]
+
+    script2 = script.replace("ice_out", "ice_out2")
+    Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script2)
+    got2 = sorted(
+        r["a"] for r in read_iceberg(spark, str(tmp_path / "ice_out2")).collect()
+    )
+    assert got2 == [10, 20, 30]

@@ -469,3 +469,49 @@ def test_kmeans_update_drops_empty_cluster(spark):
     assigned = assign_clusters(df, [[0.0, 0.0], [1e6, 1e6], [1e12, 1e12]])
     cents = update_centroids(assigned, dim=2)
     assert cents == [[0.0, 0.0], [1e6, 1e6]]
+
+
+def test_simhash_hamming_pairs_exact_recall(spark):
+    """Banded-bucket candidates + popcount verify == brute force at
+    radius 1 (the pigeonhole guarantee)."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.dedup import simhash16, simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # identical -> hamming 0
+            (3, "alpha beta gamma epsilon"),
+            (4, "totally different words here entirely"),
+            (5, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, radius=1).collect()
+    }
+    sims = simhash16(docs)
+    brute = {
+        (a["doc_id"], b["doc_id"], bin(a["simhash"] ^ b["simhash"]).count("1"))
+        for a in sims.collect()
+        for b in sims.collect()
+        if a["doc_id"] < b["doc_id"]
+        and bin(a["simhash"] ^ b["simhash"]).count("1") <= 1
+    }
+    assert got == brute
+    assert (1, 2, 0) in got  # identical docs at hamming 0
+
+
+def test_simhash_hamming_max_bucket_caps_pairs(spark):
+    from arroyo_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(20)],
+        "doc_id long, text string",
+    )
+    full = simhash_hamming_pairs(docs, radius=1).count()
+    capped = simhash_hamming_pairs(docs, radius=1, max_bucket=5).count()
+    assert full == 20 * 19 // 2
+    assert capped == 5 * 4 // 2

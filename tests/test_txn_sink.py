@@ -116,31 +116,6 @@ def test_json_format_roundtrip(spark, tmp_path):
     assert sink.read_committed(spark).count() == total
 
 
-def test_pipeline_iceberg_sink_batch_and_streaming(spark, tmp_path):
-    """connector='iceberg' DDL routes through the transactional manifest
-    sink in both batch and streaming modes (the delta connector writes the
-    real _delta_log protocol — tests/test_delta.py)."""
-    from arroyo_spark.streaming.sinks import TransactionalFileSink
-    from arroyo_spark.dialect.pipeline import Pipeline
-
-    (tmp_path / "in.json").write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
-    script = """
-    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
-      path='$p/in.json', format='json', type='source');
-    CREATE TABLE dt (a BIGINT) WITH (connector='iceberg', type='sink',
-      path='$p/ice_out');
-    INSERT INTO dt SELECT a * 10 AS a FROM src;
-    """
-    Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
-    got = TransactionalFileSink(str(tmp_path / "ice_out")).read_committed(spark)
-    assert sorted(r["a"] for r in got.collect()) == [10, 20, 30]
-
-    script2 = script.replace("ice_out", "ice_out2")
-    Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script2)
-    got2 = TransactionalFileSink(str(tmp_path / "ice_out2")).read_committed(spark)
-    assert sorted(r["a"] for r in got2.collect()) == [10, 20, 30]
-
-
 def test_batch_and_streaming_ids_never_collide(spark, tmp_path):
     """Batch-mode INSERT commits use the insert-<n> manifest namespace, so
     a later streaming query whose Spark epochs start at 0 can never be
