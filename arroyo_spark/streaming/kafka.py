@@ -303,6 +303,17 @@ def decode_kafka_source(df: DataFrame, t: TableDef) -> DataFrame:
             raise PlanError("raw_bytes sources require exactly one BYTEA value column")
         decoded = df
         cols = [F.col("value").alias(phys[0].name)]
+    elif fmt == "avro":
+        decoded, cols = _decode_kafka_avro(df, t, phys)
+    elif fmt == "debezium_json":
+        return _decode_kafka_debezium(df, t, phys)
+    elif fmt == "protobuf":
+        # parity: protobuf is API-only in the reference, not DDL
+        # (arroyo-rpc/src/formats.rs:388-391)
+        raise PlanError(
+            "protobuf is not supported via SQL DDL (reference "
+            "formats.rs:388-391); decode with formats/proto.py directly"
+        )
     else:
         raise PlanError(f"unsupported kafka source format: {fmt}")
     for c in t.columns:
@@ -323,6 +334,145 @@ def decode_kafka_source(df: DataFrame, t: TableDef) -> DataFrame:
     ts = F.col(str(event_time)) if event_time else F.col("_kafka_ts")
     out = out.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp")).drop("_kafka_ts")
     ordered = [c.name for c in t.columns] + [TIMESTAMP_FIELD]
+    return out.select(*ordered)
+
+
+def _decode_kafka_avro(df: DataFrame, t: TableDef, phys) -> tuple[DataFrame, list]:
+    """Avro-format kafka values (`arroyo-formats/src/de.rs` avro path):
+    each message is a whole object container file, or — with
+    ``avro.raw_datums = true`` — a schemaless datum read against the
+    reader schema derived from the declared columns. Decoding runs in an
+    Arrow-batched ``mapInPandas`` stage (the repo's pure-Python codec);
+    kafka metadata columns are replicated per decoded record so
+    ``METADATA FROM`` projections still work. Confluent-registry framing
+    needs a live registry and surfaces the same PlanError as file
+    sources."""
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    if t.options.get("avro.confluent_schema_registry"):
+        raise PlanError(
+            "avro.confluent_schema_registry requires a schema-registry "
+            "server; none is available in this deployment"
+        )
+    schema = StructType(
+        [
+            StructField(c.name, _parse_datatype_string(c.spark_type), True)
+            for c in phys
+        ]
+    )
+    raw_datums = str(t.options.get("avro.raw_datums", "false")).lower() == "true"
+    reader_json = None
+    if raw_datums:
+        from arroyo_spark.formats.avro import spark_to_avro_schema
+
+        reader_json = _json.dumps(
+            spark_to_avro_schema(t.name, schema).to_json()
+        )
+    passthrough = ["topic", "partition", "offset", "timestamp", "key"]
+    out_ddl = (
+        "value string, topic string, partition int, offset long, "
+        "timestamp timestamp, key binary"
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from arroyo_spark.formats.avro import AvroSchema, read_datum, read_ocf
+        from arroyo_spark.formats.avro_spark import _jsonify
+
+        reader = AvroSchema.parse(reader_json) if reader_json else None
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in ["value"] + passthrough}
+            for i in range(len(pdf)):
+                content = pdf["value"].iloc[i]
+                if content is None:
+                    continue
+                b = bytes(content)
+                if reader is not None:
+                    sch, vals = reader, [read_datum(b, reader)]
+                else:
+                    sch, vals = read_ocf(b)
+                for v in vals:
+                    rows["value"].append(
+                        _json.dumps(_jsonify(v, sch), ensure_ascii=False)
+                    )
+                    for c in passthrough:
+                        rows[c].append(pdf[c].iloc[i])
+            yield pd.DataFrame(rows)
+
+    decoded = (
+        df.select("value", *passthrough)
+        .mapInPandas(decode, out_ddl)
+        .withColumn("_v", F.from_json(F.col("value"), schema))
+    )
+    cols = [F.col(f"_v.{c.name}").alias(c.name) for c in phys]
+    return decoded, cols
+
+
+def _decode_kafka_debezium(df: DataFrame, t: TableDef, phys) -> DataFrame:
+    """Debezium-JSON kafka values — the reference's flagship CDC shape
+    (`rewriters.rs:165-181` wraps the source in
+    `DebeziumUnrollingExtension`): unroll {before, after, op} envelopes to
+    append/retract rows carrying the hidden `_is_retract` /
+    `_updating_id` columns (`extension/debezium.rs:86-120` semantics:
+    c/r -> append(after); u -> retract(before)+append(after);
+    d -> retract(before)). TIMESTAMP columns arrive as epoch millis
+    (UnixMillis is the debezium default, formats.rs:142)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    from arroyo_spark.streaming.debezium import IS_RETRACT, UPDATING_ID, multi_hash
+
+    if not t.primary_keys:
+        raise PlanError(f"debezium table {t.name} requires a PRIMARY KEY")
+    if any(c.metadata_key is not None or c.virtual_expr is not None for c in t.columns):
+        # no_virtual_fields_updating.sql parity
+        raise PlanError(
+            "virtual or metadata fields are not supported on debezium tables"
+        )
+    row_schema = StructType(
+        [
+            StructField(
+                c.name,
+                _parse_datatype_string(
+                    "bigint" if c.spark_type.startswith("timestamp") else c.spark_type
+                ),
+                True,
+            )
+            for c in phys
+        ]
+    )
+    env = (
+        StructType()
+        .add("before", row_schema)
+        .add("after", row_schema)
+        .add("op", "string")
+    )
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), env).alias("e"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+    appends = parsed.filter(F.col("e.op").isin("c", "r", "u")).select(
+        "e.after.*", F.lit(False).alias(IS_RETRACT), "_kafka_ts"
+    )
+    retracts = parsed.filter(F.col("e.op").isin("u", "d")).select(
+        "e.before.*", F.lit(True).alias(IS_RETRACT), "_kafka_ts"
+    )
+    out = appends.unionByName(retracts).withColumn(
+        UPDATING_ID, multi_hash(*t.primary_keys)
+    )
+    for c in phys:  # UnixMillis -> timestamp
+        if c.spark_type.startswith("timestamp"):
+            out = out.withColumn(
+                c.name, F.timestamp_micros(F.col(c.name) * 1000)
+            )
+    event_time = t.options.get("event_time_field") or (
+        t.watermark.field if t.watermark else None
+    )
+    ts = F.col(str(event_time)) if event_time else F.col("_kafka_ts")
+    out = out.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp")).drop("_kafka_ts")
+    ordered = [c.name for c in phys] + [IS_RETRACT, UPDATING_ID, TIMESTAMP_FIELD]
     return out.select(*ordered)
 
 

@@ -353,3 +353,145 @@ def test_kafka_sink_second_insert_encodes_only_incoming(spark, monkeypatch):
     # merged result surface sees 5 rows, but each encode saw only its insert
     assert counts == [3, 2]
     assert result.sinks["out"].count() == 5
+
+
+def test_decode_avro_ocf_source(spark):
+    """Avro-format kafka values: each message is an object container file
+    (arroyo-formats avro path); records explode per message and metadata
+    columns replicate."""
+    from arroyo_spark.formats.avro import write_ocf
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "ev",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "ev", "type": "string"},
+            ],
+        }
+    )
+    msg0 = write_ocf(schema, [{"user_id": 7, "ev": "click"}, {"user_id": 8, "ev": "view"}])
+    msg1 = write_ocf(schema, [{"user_id": 9, "ev": "click"}])
+    t = _table(
+        _src_ddl(
+            ",\n format = 'avro'",
+            cols="user_id BIGINT, ev TEXT, off BIGINT METADATA FROM 'offset_id'",
+        )
+    )
+    out = decode_kafka_source(_kafka_df(spark, [msg0, msg1]), t)
+    rows = sorted((r["user_id"], r["ev"], r["off"]) for r in out.collect())
+    # both records of msg0 carry msg0's offset (100); msg1's record 101
+    assert rows == [(7, "click", 100), (8, "view", 100), (9, "click", 101)]
+
+
+def test_decode_avro_raw_datum_source(spark):
+    """avro.raw_datums = true: schemaless datums decoded against the
+    reader schema derived from the declared columns."""
+    from arroyo_spark.formats.avro import (
+        spark_to_avro_schema,
+        write_datum,
+    )
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+
+    reader = spark_to_avro_schema(
+        "clicks",
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ev", StringType()),
+            ]
+        ),
+    )
+    def datum(v):
+        buf = bytearray()
+        write_datum(buf, reader, v)
+        return bytes(buf)
+
+    t = _table(
+        _src_ddl(
+            ",\n format = 'avro', 'avro.raw_datums' = true",
+            cols="user_id BIGINT, ev TEXT",
+        )
+    )
+    out = decode_kafka_source(
+        _kafka_df(
+            spark,
+            [datum({"user_id": 1, "ev": "a"}), datum({"user_id": 2, "ev": "b"})],
+        ),
+        t,
+    )
+    assert sorted((r["user_id"], r["ev"]) for r in out.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_decode_avro_registry_requires_server(spark):
+    t = _table(
+        _src_ddl(
+            ",\n format = 'avro',"
+            " 'avro.confluent_schema_registry' = 'http://reg:8081'",
+            cols="user_id BIGINT",
+        )
+    )
+    with pytest.raises(PlanError, match="schema-registry"):
+        decode_kafka_source(_kafka_df(spark, [b""]), t)
+
+
+def test_decode_debezium_source_unrolls_retractions(spark):
+    """Debezium-JSON kafka values unroll to append/retract rows with the
+    hidden _is_retract/_updating_id columns (extension/debezium.rs:86-120:
+    c/r->append, u->retract+append, d->retract)."""
+    t = _table(
+        """
+        CREATE TABLE accounts (
+          id BIGINT, balance BIGINT,
+          PRIMARY KEY (id)
+        ) WITH (
+          connector = 'kafka', type = 'source',
+          bootstrap_servers = 'b:9092', topic = 'accounts',
+          format = 'debezium_json'
+        )"""
+    )
+    envelopes = [
+        json.dumps({"before": None, "after": {"id": 1, "balance": 10}, "op": "c"}),
+        json.dumps(
+            {
+                "before": {"id": 1, "balance": 10},
+                "after": {"id": 1, "balance": 25},
+                "op": "u",
+            }
+        ),
+        json.dumps({"before": {"id": 2, "balance": 5}, "after": None, "op": "d"}),
+    ]
+    out = decode_kafka_source(
+        _kafka_df(spark, [e.encode() for e in envelopes]), t
+    )
+    assert out.columns == ["id", "balance", "_is_retract", "_updating_id", "_timestamp"]
+    rows = sorted(
+        (r["id"], r["balance"], r["_is_retract"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, 10, False),  # c append
+        (1, 10, True),  # u retract(before)
+        (1, 25, False),  # u append(after)
+        (2, 5, True),  # d retract
+    ]
+    # _updating_id = multi_hash(pk): equal for the same key
+    ids = {r["id"]: r["_updating_id"] for r in out.collect()}
+    assert ids[1] != ids[2]
+
+
+def test_decode_debezium_requires_pk(spark):
+    t = _table(
+        _src_ddl(",\n format = 'debezium_json'", cols="id BIGINT, v BIGINT")
+    )
+    with pytest.raises(PlanError, match="requires a PRIMARY KEY"):
+        decode_kafka_source(_kafka_df(spark, [b"{}"]), t)
+
+
+def test_decode_protobuf_rejected_like_reference(spark):
+    t = _table(_src_ddl(",\n format = 'protobuf'", cols="id BIGINT"))
+    with pytest.raises(PlanError, match="not supported via SQL DDL"):
+        decode_kafka_source(_kafka_df(spark, [b""]), t)
