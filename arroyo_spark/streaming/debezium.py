@@ -83,3 +83,50 @@ def merge_debezium_log(rows: list[dict], pks: list[str]) -> dict[tuple, dict]:
         elif op == "d":
             state.pop(key, None)
     return state
+
+
+def retraction_aggregate(
+    unrolled: DataFrame,
+    keys: list[str],
+    sums: dict[str, "F.Column | str"] | None = None,
+    count: str | None = None,
+    avgs: dict[str, "F.Column | str"] | None = None,
+) -> DataFrame:
+    """Aggregate a retraction stream (rows carrying ``_is_retract``) with
+    signed accumulation — the streaming consumer for
+    :func:`unroll_debezium_json` / the kafka debezium decode, and the
+    Spark expression of the reference's retractable accumulators
+    (`arroyo-worker/src/arrow/incremental_aggregator.rs:74-88`:
+    sum/count support `retract_batch`; each retract row contributes -1x).
+
+    ``sums`` maps output name -> column; ``count`` names a signed row
+    count; ``avgs`` maps output name -> column (signed sum / signed
+    count). Keys whose net count reaches zero (fully deleted) drop from
+    the output, matching the reference's emitted final state. Works
+    identically in batch and in update-mode Structured Streaming, where
+    the unrolled stream is append-only so the signed sums are ordinary
+    streaming aggregates — no custom state needed.
+
+    min/max need non-retractable full-value state (the reference's
+    "Batch" accumulator path that stores raw values); express those by
+    replaying to final state first (`_read_debezium_source` batch path).
+    """
+    sign = F.when(F.col(IS_RETRACT), F.lit(-1)).otherwise(F.lit(1))
+    aggs = []
+    for name, col in (sums or {}).items():
+        c = F.col(col) if isinstance(col, str) else col
+        aggs.append(F.sum(sign * c).alias(name))
+    count_name = count or "__net_count"
+    aggs.append(F.sum(sign).cast("bigint").alias(count_name))
+    for name, col in (avgs or {}).items():
+        c = F.col(col) if isinstance(col, str) else col
+        aggs.append(F.sum(sign * c).alias(f"__avg_num_{name}"))
+    out = unrolled.groupBy(*keys).agg(*aggs)
+    for name in avgs or {}:
+        out = out.withColumn(
+            name, F.col(f"__avg_num_{name}") / F.col(count_name)
+        ).drop(f"__avg_num_{name}")
+    out = out.filter(F.col(count_name) > 0)  # net-deleted keys vanish
+    if count is None:
+        out = out.drop(count_name)
+    return out

@@ -344,18 +344,36 @@ def _decode_kafka_avro(df: DataFrame, t: TableDef, phys) -> tuple[DataFrame, lis
     reader schema derived from the declared columns. Decoding runs in an
     Arrow-batched ``mapInPandas`` stage (the repo's pure-Python codec);
     kafka metadata columns are replicated per decoded record so
-    ``METADATA FROM`` projections still work. Confluent-registry framing
-    needs a live registry and surfaces the same PlanError as file
-    sources."""
+    ``METADATA FROM`` projections still work. With a registry endpoint
+    (``avro.confluent_schema_registry`` / ``schema_registry.endpoint``),
+    values are confluent-framed datums resolved by schema id through
+    `formats/registry.py` (per-executor client + id cache, evolution via
+    writer->reader resolution); reachability is checked at plan time so a
+    dead registry is a PlanError, not a late task failure."""
     import json as _json
 
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
-    if t.options.get("avro.confluent_schema_registry"):
-        raise PlanError(
-            "avro.confluent_schema_registry requires a schema-registry "
-            "server; none is available in this deployment"
+    cfg = validate_kafka_table(t)
+    registry_ep = t.options.get("avro.confluent_schema_registry") or (
+        cfg.schema_registry.get("endpoint") if cfg.schema_registry else None
+    )
+    if registry_ep is not None:
+        # plan-time reachability check (error parity with the file path:
+        # a registry option without a live server is a PlanError, not a
+        # late task failure)
+        from arroyo_spark.formats.registry import (
+            ConfluentSchemaRegistry,
+            SchemaRegistryError,
         )
+
+        try:
+            ConfluentSchemaRegistry(str(registry_ep))._get("/subjects")
+        except SchemaRegistryError as e:
+            raise PlanError(
+                "avro.confluent_schema_registry requires a reachable "
+                f"schema-registry server ({e})"
+            ) from None
     schema = StructType(
         [
             StructField(c.name, _parse_datatype_string(c.spark_type), True)
@@ -364,7 +382,7 @@ def _decode_kafka_avro(df: DataFrame, t: TableDef, phys) -> tuple[DataFrame, lis
     )
     raw_datums = str(t.options.get("avro.raw_datums", "false")).lower() == "true"
     reader_json = None
-    if raw_datums:
+    if raw_datums or registry_ep is not None:
         from arroyo_spark.formats.avro import spark_to_avro_schema
 
         reader_json = _json.dumps(
@@ -376,13 +394,28 @@ def _decode_kafka_avro(df: DataFrame, t: TableDef, phys) -> tuple[DataFrame, lis
         "timestamp timestamp, key binary"
     )
 
+    registry_ep_s = str(registry_ep) if registry_ep is not None else None
+
     def decode(batches):
         import pandas as pd
 
-        from arroyo_spark.formats.avro import AvroSchema, read_datum, read_ocf
+        from arroyo_spark.formats.avro import (
+            AvroSchema,
+            decode_confluent,
+            read_datum,
+            read_ocf,
+        )
         from arroyo_spark.formats.avro_spark import _jsonify
 
         reader = AvroSchema.parse(reader_json) if reader_json else None
+        registry = None
+        writer_cache: dict[int, AvroSchema] = {}
+        if registry_ep_s is not None:
+            from arroyo_spark.formats.registry import ConfluentSchemaRegistry
+
+            # executors open their own registry connections, like the
+            # reference's per-task resolver (de.rs:40-67)
+            registry = ConfluentSchemaRegistry(registry_ep_s)
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in ["value"] + passthrough}
             for i in range(len(pdf)):
@@ -390,7 +423,14 @@ def _decode_kafka_avro(df: DataFrame, t: TableDef, phys) -> tuple[DataFrame, lis
                 if content is None:
                     continue
                 b = bytes(content)
-                if reader is not None:
+                if registry is not None:
+                    schema_id, payload = decode_confluent(b)
+                    writer = writer_cache.get(schema_id)
+                    if writer is None:
+                        writer = AvroSchema.parse(registry.resolve_schema(schema_id))
+                        writer_cache[schema_id] = writer
+                    sch, vals = reader, [read_datum(payload, writer, reader)]
+                elif reader is not None:
                     sch, vals = reader, [read_datum(b, reader)]
                 else:
                     sch, vals = read_ocf(b)

@@ -495,3 +495,123 @@ def test_decode_protobuf_rejected_like_reference(spark):
     t = _table(_src_ddl(",\n format = 'protobuf'", cols="id BIGINT"))
     with pytest.raises(PlanError, match="not supported via SQL DDL"):
         decode_kafka_source(_kafka_df(spark, [b""]), t)
+
+
+def test_debezium_decode_feeds_retraction_aggregate(spark):
+    """Kafka CDC end-to-end shape: debezium decode -> signed aggregation
+    must equal aggregating the replayed final state (the reference's
+    incremental_aggregator retract semantics)."""
+    from arroyo_spark.streaming.debezium import (
+        merge_debezium_log,
+        retraction_aggregate,
+    )
+
+    t = _table(
+        """
+        CREATE TABLE accounts (
+          id BIGINT, region TEXT, balance BIGINT,
+          PRIMARY KEY (id)
+        ) WITH (
+          connector = 'kafka', type = 'source',
+          bootstrap_servers = 'b:9092', topic = 'accounts',
+          format = 'debezium_json'
+        )"""
+    )
+    log = [
+        {"before": None, "after": {"id": 1, "region": "eu", "balance": 10}, "op": "c"},
+        {"before": None, "after": {"id": 2, "region": "eu", "balance": 20}, "op": "c"},
+        {"before": None, "after": {"id": 3, "region": "us", "balance": 5}, "op": "c"},
+        {
+            "before": {"id": 1, "region": "eu", "balance": 10},
+            "after": {"id": 1, "region": "eu", "balance": 40},
+            "op": "u",
+        },
+        {"before": {"id": 2, "region": "eu", "balance": 20}, "after": None, "op": "d"},
+        {"before": {"id": 3, "region": "us", "balance": 5}, "after": None, "op": "d"},
+    ]
+    unrolled = decode_kafka_source(
+        _kafka_df(spark, [json.dumps(e).encode() for e in log]), t
+    )
+    got = {
+        r["region"]: (r["n"], r["total"], r["mean"])
+        for r in retraction_aggregate(
+            unrolled,
+            ["region"],
+            sums={"total": "balance"},
+            count="n",
+            avgs={"mean": "balance"},
+        ).collect()
+    }
+    # replay the log to final state and aggregate that
+    final = merge_debezium_log(log, ["id"]).values()
+    want: dict = {}
+    for row in final:
+        n, tot = want.get(row["region"], (0, 0))
+        want[row["region"]] = (n + 1, tot + row["balance"])
+    want = {k: (n, t, t / n) for k, (n, t) in want.items()}
+    assert got == want  # us fully deleted -> absent; eu = one row of 40
+    assert "us" not in got and got["eu"] == (1, 40, 40.0)
+
+
+def test_decode_avro_confluent_registry_e2e(spark):
+    """Confluent-framed kafka values resolved by schema id through a live
+    (localhost) registry, including writer->reader schema evolution."""
+    from tests.test_schema_registry import _Registry
+    import http.server
+    import threading
+
+    from arroyo_spark.formats.avro import (
+        AvroSchema,
+        encode_confluent,
+        write_datum,
+    )
+    from arroyo_spark.formats.registry import ConfluentSchemaRegistry
+
+    _Registry.schemas, _Registry.subjects, _Registry.next_id = {}, {}, 1
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Registry)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        writer_json = json.dumps(
+            {
+                "type": "record",
+                "name": "clicks",
+                "fields": [
+                    {"name": "user_id", "type": "long"},
+                    {"name": "ev", "type": "string"},
+                    {"name": "extra", "type": "long"},  # dropped by reader
+                ],
+            }
+        )
+        reg = ConfluentSchemaRegistry(endpoint, subject="clicks-value")
+        schema_id = reg.write_schema(writer_json)
+        writer = AvroSchema.parse(writer_json)
+
+        def msg(v):
+            buf = bytearray()
+            write_datum(buf, writer, v)
+            return encode_confluent(schema_id, bytes(buf))
+
+        t = _table(
+            _src_ddl(
+                f",\n format = 'avro',"
+                f" 'avro.confluent_schema_registry' = '{endpoint}'",
+                cols="user_id BIGINT, ev TEXT",
+            )
+        )
+        out = decode_kafka_source(
+            _kafka_df(
+                spark,
+                [
+                    msg({"user_id": 1, "ev": "a", "extra": 9}),
+                    msg({"user_id": 2, "ev": "b", "extra": 9}),
+                ],
+            ),
+            t,
+        )
+        assert sorted((r["user_id"], r["ev"]) for r in out.collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+    finally:
+        srv.shutdown()

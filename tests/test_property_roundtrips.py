@@ -1,0 +1,176 @@
+"""Property-based round-trips (hypothesis) for the from-scratch codecs:
+avro datum/OCF, MQTT varint + packet framing, NATS/MQTT pattern matching
+sanity. These are the wire formats the connectors depend on; the
+generators hit corner cases the example-based tests don't (empty strings,
+unicode astral planes, negative zigzags, boundary varints)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arroyo_spark.formats.avro import (
+    AvroSchema,
+    read_datum,
+    read_ocf,
+    write_datum,
+    write_ocf,
+)
+
+_RECORD_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+)
+
+_values = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.text(max_size=80),
+        "d": st.floats(allow_nan=False),
+        "b": st.booleans(),
+        "opt": st.one_of(
+            st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)
+        ),
+        "arr": st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values)
+def test_avro_datum_round_trip(v):
+    schema = AvroSchema.parse(_RECORD_SCHEMA)
+    buf = bytearray()
+    write_datum(buf, schema, v)
+    assert read_datum(bytes(buf), schema) == v
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_values, max_size=10))
+def test_avro_ocf_round_trip(vals):
+    blob = write_ocf(_RECORD_SCHEMA, vals)
+    _schema, got = read_ocf(blob)
+    assert got == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_values, min_size=1, max_size=10))
+def test_avro_ocf_deflate_round_trip(vals):
+    blob = write_ocf(_RECORD_SCHEMA, vals, codec="deflate")
+    _schema, got = read_ocf(blob)
+    assert got == vals
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**28 - 1))
+def test_mqtt_varint_round_trip(n):
+    import io
+
+    from arroyo_spark.streaming.mqtt import _encode_varint
+
+    data = _encode_varint(n)
+    assert 1 <= len(data) <= 4
+    # decode exactly as read_packet does
+    length, shift = 0, 0
+    for b in data:
+        length |= (b & 0x7F) << shift
+        shift += 7
+    assert length == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_characters="/#+\x00", min_codepoint=33),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="/#+\x00", min_codepoint=33),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_mqtt_topic_matching_properties(seg, segs):
+    from arroyo_spark.streaming.mqtt import topic_matches
+
+    topic = "/".join(segs)
+    assert topic_matches(topic, topic)  # exact always matches
+    assert topic_matches("#", topic)  # '#' matches everything
+    # '+' on each single level
+    for i in range(len(segs)):
+        filt = "/".join("+" if j == i else s for j, s in enumerate(segs))
+        assert topic_matches(filt, topic)
+    # a longer topic never matches an exact filter
+    assert not topic_matches(topic, topic + "/" + seg)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters=".*>\x00 ", min_codepoint=33),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_nats_subject_matching_properties(toks):
+    from arroyo_spark.streaming.nats import subject_matches
+
+    subject = ".".join(toks)
+    assert subject_matches(subject, subject)
+    assert subject_matches(">", subject)  # '>' matches any full subject
+    for i in range(len(toks)):
+        pat = ".".join("*" if j == i else s for j, s in enumerate(toks))
+        assert subject_matches(pat, subject)
+    # '>' must consume at least one token
+    assert not subject_matches(subject + ".>", subject)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200), st.text(min_size=1, max_size=30))
+def test_mqtt_publish_packet_frame_round_trip(payload, topic_text):
+    """PUBLISH encode -> read_packet over a socket pair preserves topic
+    and payload byte-for-byte."""
+    import socket
+
+    from arroyo_spark.streaming.mqtt import (
+        PUBLISH,
+        _encode_str,
+        _packet,
+        read_packet,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        body = _encode_str(topic_text) + payload
+        a.sendall(_packet(PUBLISH, 0, body))
+        ptype, flags, got = read_packet(b)
+        assert ptype == PUBLISH and flags == 0
+        tlen = int.from_bytes(got[:2], "big")
+        assert got[2 : 2 + tlen].decode() == topic_text
+        assert got[2 + tlen :] == payload
+    finally:
+        a.close()
+        b.close()

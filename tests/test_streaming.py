@@ -656,3 +656,68 @@ def test_restore_with_different_parallelism(spark, sf_dir, replay_dir, tmp_path)
         assert want.get(k) == v, f"{k}: got={v} want={want.get(k)}"
     missing = closed - set(got)
     assert not missing, f"windows lost across rescale-restore: {sorted(missing)[:5]}"
+
+
+def test_retraction_aggregate_streaming_update_mode(spark, tmp_path):
+    """CDC envelopes through Structured Streaming: unroll -> signed
+    aggregation in update mode; the final per-key state must equal the
+    batch replay (reference: UpdatingAggregate over a Debezium source)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from arroyo_spark.streaming.debezium import (
+        retraction_aggregate,
+        unroll_debezium_json,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batch1 = [
+        {"before": None, "after": {"id": 1, "region": "eu", "balance": 10}, "op": "c"},
+        {"before": None, "after": {"id": 2, "region": "eu", "balance": 20}, "op": "c"},
+    ]
+    batch2 = [
+        {
+            "before": {"id": 1, "region": "eu", "balance": 10},
+            "after": {"id": 1, "region": "eu", "balance": 40},
+            "op": "u",
+        },
+        {"before": {"id": 2, "region": "eu", "balance": 20}, "after": None, "op": "d"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in batch1))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in batch2))
+
+    row_schema = (
+        StructType().add("id", "long").add("region", "string").add("balance", "long")
+    )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(str(src))
+    )
+    unrolled = unroll_debezium_json(stream, row_schema, ["id"])
+    agg = retraction_aggregate(
+        unrolled, ["region"], sums={"total": "balance"}, count="n"
+    )
+    state: dict = {}
+
+    def sink(batch_df, batch_id):
+        # complete mode re-emits the whole surviving result each batch, so
+        # the latest snapshot REPLACES the previous one (net-deleted keys
+        # vanish rather than lingering)
+        state.clear()
+        state.update(
+            {r["region"]: (r["n"], r["total"]) for r in batch_df.collect()}
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # complete mode re-emits survivors only: eu's one remaining row (40)
+    assert state == {"eu": (1, 40)}
