@@ -48,11 +48,17 @@ def _bench_streaming(spark) -> float:
     # over-sharding tiny state triples wall time (32 partitions: ~6.4s,
     # 8: ~2.4s at 2M rows). At real scale the same sizing rule applies in
     # reverse — grow partitions with state size, not executor count.
+    # Micro-batch count is the other per-batch-overhead lever: 16 source
+    # files at maxFilesPerTrigger=8 -> 2 batches (state still crosses the
+    # batch boundary, so watermark/state machinery is exercised) measured
+    # 1.26s vs 2.40s at 4 files/trigger — batch size should amortize the
+    # per-trigger state commit, exactly like trigger intervals in a real
+    # deployment.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema("ts timestamp, key bigint")
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 8)
         .parquet(src)
     )
     agg = (
