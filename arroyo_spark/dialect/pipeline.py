@@ -1227,9 +1227,17 @@ class Pipeline:
 
             pks = target.primary_keys or [cast.columns[0]]
             spool = tempfile.mkdtemp(prefix=f"dbz_{target.name}_")
+            # SET updating_ttl governs key-state retention
+            # (lib.rs:107,790-819; default 24h)
+            ttl_us = None
+            raw_ttl = self.settings.get("updating_ttl")
+            if isinstance(raw_ttl, tuple) and raw_ttl[0] == "interval":
+                from arroyo_spark.durations import duration_us
+
+                ttl_us = duration_us(raw_ttl[1])
             writer = (
                 cast.writeStream.outputMode("update")
-                .foreachBatch(DebeziumEncoder(pks, spool=spool))
+                .foreachBatch(DebeziumEncoder(pks, spool=spool, ttl_us=ttl_us))
             )
         else:
             # partitioned sinks and parquet sinks write straight to the

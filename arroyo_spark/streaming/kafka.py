@@ -289,9 +289,35 @@ def decode_kafka_source(df: DataFrame, t: TableDef) -> DataFrame:
                 for c in phys
             ]
         )
-        decoded = df.withColumn(
-            "_v", F.from_json(F.col("value").cast("string"), schema)
-        )
+        bad_data = str(t.options.get("bad_data", "fail"))
+        if bad_data not in ("fail", "drop"):
+            raise PlanError(f"invalid value for bad_data '{bad_data}'")
+        if bad_data == "drop":
+            # bad_data parity (formats.rs:461): drop silently discards
+            # undecodable messages — detected via the corrupt-record
+            # column (PERMISSIVE mode fills data fields with null but
+            # stamps the corrupt column for malformed input)
+            parse_schema = StructType(
+                list(schema.fields)
+                + [StructField("_corrupt_record", _parse_datatype_string("string"), True)]
+            )
+            decoded = df.withColumn(
+                "_v",
+                F.from_json(
+                    F.col("value").cast("string"),
+                    parse_schema,
+                    {"columnNameOfCorruptRecord": "_corrupt_record"},
+                ),
+            ).filter(
+                F.col("_v._corrupt_record").isNull() | F.col("value").isNull()
+            )
+        else:  # fail: surface the parse error like the reference
+            decoded = df.withColumn(
+                "_v",
+                F.from_json(
+                    F.col("value").cast("string"), schema, {"mode": "FAILFAST"}
+                ),
+            )
         cols = [F.col(f"_v.{c.name}").alias(c.name) for c in phys]
     elif fmt == "raw_string":
         if len(phys) != 1 or phys[0].spark_type != "string":

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 _PRESENT = "__dbz_present"
+_LAST_SEEN = "__dbz_last_seen_us"
 
 
 class DebeziumEncoder:
@@ -60,6 +61,12 @@ class DebeziumEncoder:
       (recovery) is skipped without re-emitting, so the envelope log is
       exactly-once per (query, checkpoint) like the reference's
       checkpointed UpdatingAggregate state.
+    - ``ttl_us``: state time-to-live (`SET updating_ttl`, reference
+      default 24h — `arroyo-planner/src/lib.rs:107,790-819`). Keys idle
+      longer than the TTL are dropped from the snapshot, so a later
+      update to an expired key emits op='c' again — the observable
+      behavior of the reference's expiring state. Expiry is a filter on
+      the snapshot's last-seen column, executed distributed.
     """
 
     def __init__(
@@ -68,10 +75,14 @@ class DebeziumEncoder:
         emit: Callable[[list[dict[str, Any]]], None] | None = None,
         spool: str | None = None,
         state_dir: str | None = None,
+        ttl_us: int | None = None,
+        clock_us: Callable[[], int] | None = None,
     ) -> None:
         self.pks = pks
         self.emit = emit
         self.spool = spool
+        self.ttl_us = ttl_us
+        self.clock_us = clock_us  # injectable for deterministic TTL tests
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="dbz_state_")
         os.makedirs(os.path.join(self.state_dir, "commits"), exist_ok=True)
 
@@ -95,14 +106,28 @@ class DebeziumEncoder:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
             return  # recovery replay: this epoch already emitted + committed
+        import time
+
         spark = batch_df.sparkSession
         cols = batch_df.columns
+        now_us = (
+            self.clock_us() if self.clock_us else int(time.time() * 1_000_000)
+        )
         prev_path = self._last_snapshot()
-        prev = (
+        snap_schema = batch_df.withColumn(
+            _LAST_SEEN, F.lit(0).cast("long")
+        ).schema
+        prev_full = (
             spark.read.parquet(prev_path)
             if prev_path is not None
-            else spark.createDataFrame([], batch_df.schema)
+            else spark.createDataFrame([], snap_schema)
         )
+        if self.ttl_us is not None:
+            # expired keys are forgotten: their next update is a fresh 'c'
+            prev_full = prev_full.filter(
+                F.col(_LAST_SEEN) >= now_us - self.ttl_us
+            )
+        prev = prev_full.drop(_LAST_SEEN)
         a = batch_df.alias("__a")
         b = prev.withColumn(_PRESENT, F.lit(True)).alias("__b")
         # eqNullSafe: NULL group keys are legal and must match themselves
@@ -134,11 +159,14 @@ class DebeziumEncoder:
         if persisted:
             env.unpersist()
 
-        # commit the new snapshot: unchanged keys + this batch's rows
-        kept = prev.alias("__b").join(
+        # commit the new snapshot: unchanged keys (original last-seen) +
+        # this batch's rows stamped now
+        kept = prev_full.alias("__b").join(
             batch_df.alias("__a"), on=cond, how="left_anti"
         )
-        new_snap = kept.unionByName(batch_df)
+        new_snap = kept.unionByName(
+            batch_df.withColumn(_LAST_SEEN, F.lit(now_us))
+        )
         snap_path = os.path.join(
             self.state_dir, f"snapshot-{batch_id}-{uuid.uuid4().hex[:8]}"
         )

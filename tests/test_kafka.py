@@ -615,3 +615,20 @@ def test_decode_avro_confluent_registry_e2e(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_decode_json_bad_data_drop_and_fail(spark):
+    good = json.dumps({"user_id": 1, "ev": "a"}).encode()
+    bad = b"{not json at all"
+    t_drop = _table(_src_ddl(",\n bad_data = 'drop'"))
+    out = decode_kafka_source(_kafka_df(spark, [good, bad]), t_drop)
+    assert [(r["user_id"], r["ev"]) for r in out.collect()] == [(1, "a")]
+
+    t_fail = _table(_src_ddl(",\n bad_data = 'fail'"))
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        decode_kafka_source(_kafka_df(spark, [good, bad]), t_fail).collect()
+
+    with pytest.raises(PlanError, match="invalid value for bad_data"):
+        decode_kafka_source(
+            _kafka_df(spark, [good]), _table(_src_ddl(",\n bad_data = 'ignore'"))
+        )

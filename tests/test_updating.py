@@ -165,3 +165,31 @@ def test_encoder_snapshot_survives_shuffle_partition_change(spark, tmp_path, shu
     u = next(e for e in env if e["op"] == "u")
     assert u["before"] == {"k": "b", "n": 2}
     assert u["after"] == {"k": "b", "n": 5}
+
+
+def test_encoder_state_ttl_expires_idle_keys(spark, tmp_path):
+    """SET updating_ttl semantics (lib.rs:107,790-819): keys idle past the
+    TTL are forgotten, so their next update emits 'c' again while live
+    keys still emit 'u'."""
+    clock = {"now": 0}
+    enc = DebeziumEncoder(
+        ["k"],
+        spool=str(tmp_path / "sp"),
+        state_dir=str(tmp_path / "st"),
+        ttl_us=1_200_000,  # 1.2s of injected clock
+        clock_us=lambda: clock["now"],
+    )
+    enc(spark.createDataFrame([("idle", 1), ("live", 1)], "k string, n long"), 0)
+    clock["now"] = 800_000
+    enc(spark.createDataFrame([("live", 2)], "k string, n long"), 1)  # keeps live fresh
+    clock["now"] = 1_600_000  # 'idle' now 1.6s old; 'live' 0.8s
+    enc(
+        spark.createDataFrame([("idle", 9), ("live", 3)], "k string, n long"),
+        2,
+    )
+    env = _collect(str(tmp_path / "sp"))
+    last = [e for e in env if e["after"]["n"] in (9, 3)]
+    by_key = {e["after"]["k"]: e for e in last}
+    assert by_key["idle"]["op"] == "c" and by_key["idle"]["before"] is None
+    assert by_key["live"]["op"] == "u"
+    assert by_key["live"]["before"] == {"k": "live", "n": 2}
