@@ -1,0 +1,104 @@
+"""CLI entry points — parity with the reference's `arroyo` binary
+(`crates/arroyo/src/main.rs:82-124`):
+
+- ``python -m arroyo_spark run script.sql`` — execute an Arroyo-dialect
+  SQL script on a local SparkSession (the analog of `arroyo run`, which
+  spins up a single-process cluster). Preview SELECTs print as JSON
+  lines; sink outputs go wherever the DDL points them.
+- ``python -m arroyo_spark visualize script.sql`` — plan every statement
+  and print the table graph plus Spark's formatted physical plan for
+  each INSERT/SELECT (the analog of `arroyo visualize`'s dot output,
+  `main.rs:111-120`).
+
+Options: ``--streaming`` switches execution mode, ``--sub K=V`` applies
+the test-style path substitutions, ``--cpus N`` sizes local parallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_session(cpus: int):
+    from arroyo_spark.session import get_spark
+
+    return get_spark("arroyo-spark-cli", cpus=cpus, shuffle_partitions=cpus)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    spark = _build_session(args.cpus)
+    subs = dict(kv.split("=", 1) for kv in args.sub)
+    script = open(args.script).read()
+    mode = "streaming" if args.streaming else "batch"
+    result = Pipeline(spark, subs or None, mode=mode).run_script(script)
+    for df in result.previews:
+        for line in (
+            df.toJSON().collect() if not df.isStreaming else []
+        ):
+            print(line)
+    for name in result.sinks:
+        print(f"-- sink {name}: {result.sink_formats.get(name)}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+def cmd_visualize(args: argparse.Namespace) -> int:
+    from arroyo_spark.dialect.parser import (
+        InsertStmt,
+        SelectStmt,
+        TableDef,
+        ViewDef,
+        parse_script,
+    )
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    spark = _build_session(args.cpus)
+    subs = dict(kv.split("=", 1) for kv in args.sub)
+    script = open(args.script).read()
+    p = Pipeline(spark, subs or None)
+    for stmt in parse_script(script):
+        if isinstance(stmt, TableDef):
+            p._handle_create_table(stmt)
+            kind = stmt.table_type or ("lookup" if stmt.temporary else "?")
+            print(
+                f"table {stmt.name} [{stmt.connector or 'memory'}/{kind}] "
+                f"({', '.join(c.name for c in stmt.columns)})"
+            )
+        elif isinstance(stmt, ViewDef):
+            df = p._plan_select(stmt.select_sql)
+            df.createOrReplaceTempView(stmt.name)
+            p.views.add(stmt.name)
+            print(f"view {stmt.name}")
+        elif isinstance(stmt, (InsertStmt, SelectStmt)):
+            sql = stmt.select_sql
+            df = p._plan_select(sql)
+            target = getattr(stmt, "target", "<preview>")
+            print(f"\n== plan for INSERT INTO {target} ==")
+            print(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="arroyo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("run", cmd_run), ("visualize", cmd_visualize)):
+        sp = sub.add_parser(name)
+        sp.add_argument("script")
+        sp.add_argument("--streaming", action="store_true")
+        sp.add_argument("--sub", action="append", default=[], metavar="K=V")
+        sp.add_argument("--cpus", type=int, default=4)
+        sp.set_defaults(fn=fn)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

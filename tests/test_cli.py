@@ -1,0 +1,64 @@
+"""CLI entry points (`python -m arroyo_spark run|visualize`) — parity with
+the reference's `arroyo run` / `arroyo visualize`
+(`crates/arroyo/src/main.rs:82-124`). Run as a subprocess: the CLI owns its
+SparkSession lifecycle (stop() on exit must not kill the test session)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_cli_run_and_visualize(tmp_path):
+    (tmp_path / "in.json").write_text(
+        '{"a": 1, "b": "x"}\n{"a": 2, "b": "x"}\n{"a": 5, "b": "y"}\n'
+    )
+    script = tmp_path / "q.sql"
+    script.write_text(
+        "CREATE TABLE src (a BIGINT, b TEXT) WITH (connector='single_file',"
+        " path='$p/in.json', format='json', type='source');\n"
+        "SELECT b, sum(a) AS total FROM src GROUP BY b;\n"
+    )
+    run = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "arroyo_spark",
+            "run",
+            str(script),
+            "--sub",
+            f"$p={tmp_path}",
+            "--cpus",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    rows = {json.loads(l)["b"]: json.loads(l)["total"] for l in run.stdout.splitlines() if l.startswith("{")}
+    assert rows == {"x": 3, "y": 5}
+
+    viz = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "arroyo_spark",
+            "visualize",
+            str(script),
+            "--sub",
+            f"$p={tmp_path}",
+            "--cpus",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert viz.returncode == 0, viz.stderr[-2000:]
+    assert "table src [single_file/source]" in viz.stdout
+    assert "Physical Plan" in viz.stdout
+    assert "HashAggregate" in viz.stdout
