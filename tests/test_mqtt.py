@@ -239,3 +239,47 @@ def test_pipeline_mqtt_ddl_e2e(spark, broker, tmp_path):
         "k0": 0 + 2 + 4 + 6,
         "k1": 1 + 3 + 5 + 7,
     }
+
+
+def test_pipeline_mqtt_streaming_mode_e2e(spark, broker, tmp_path):
+    """mqtt source in Pipeline mode='streaming': capture -> spool stream ->
+    watermarked tumble -> file sink, with the end-of-input sentinel flush
+    closing the windows. The feeder starts AFTER the Pipeline constructor
+    (UDF registration) so publishes land inside the capture window —
+    MQTT has no retention for unsubscribed topics."""
+    import threading
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    pub = MqttClient(_cfg(broker, topic="ev/a"))
+    p = Pipeline(spark, mode="streaming")
+
+    def feed():
+        time.sleep(0.5)
+        for i in range(8):
+            pub.publish(
+                "ev/a",
+                json.dumps(
+                    {"t": f"2024-01-01T0{i % 2}:00:00", "k": f"k{i % 2}"}
+                ).encode(),
+                qos=1,
+            )
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    out = str(tmp_path / "out.json")
+    script = f"""
+    CREATE TABLE src (t TIMESTAMP, k TEXT) WITH (connector='mqtt',
+      type='source', url='{broker.url}', topic='ev/a',
+      capture_duration_ms = 2500, event_time_field = 't');
+    CREATE TABLE outj (k TEXT, n BIGINT) WITH (connector='filesystem',
+      path='{out}', format='json', type='sink');
+    INSERT INTO outj SELECT k, count(*) AS n FROM src
+    GROUP BY k, tumble(interval '1 hour');
+    """
+    res = p.run_script(script)
+    t.join()
+    pub.disconnect()
+    got = sorted(json.loads(l)["k"] for l in res.sink_json("outj"))
+    counts = {json.loads(l)["k"]: json.loads(l)["n"] for l in res.sink_json("outj")}
+    assert got == ["k0", "k1"] and counts == {"k0": 4, "k1": 4}
