@@ -425,6 +425,12 @@ class Pipeline:
         df.createOrReplaceTempView(t.name)
 
     def _register_source(self, t: TableDef) -> None:
+        if (t.connector or "").lower() == "confluent":
+            # confluent = kafka + Confluent-Cloud profile defaults
+            # (confluent/mod.rs:34-93)
+            from arroyo_spark.streaming.confluent import confluent_as_kafka
+
+            t = confluent_as_kafka(t)
         fmt = str(t.options.get("format", "json"))
         if (t.connector or "").lower() == "kafka":
             self._register_kafka_source(t)
@@ -473,6 +479,34 @@ class Pipeline:
             if path is None:
                 raise PlanError(f"source table {t.name} needs a 'path' option")
             path = self._substitute(str(path))
+        # filesystem source extras: source.regex_pattern file filtering +
+        # source.compression gzip/zstd (filesystem/source.rs:13,77-114)
+        fs_regex: str | None = None
+        fs_compression = "none"
+        if (t.connector or "").lower() == "filesystem":
+            from arroyo_spark.streaming.filesystem import (
+                filesystem_source_options,
+                stage_matched_files,
+            )
+
+            fs_regex, fs_compression = filesystem_source_options(t.options)
+            line_framed = (
+                fmt in ("json", "raw_string", "raw_bytes")
+                or bool(t.options.get("json.unstructured"))
+            )
+            if fs_compression != "none" and not line_framed:
+                # source.rs:182-187 — compressed objects are read as
+                # newline-separated streams; columnar formats are rejected
+                raise PlanError(
+                    f"newline separated stream not supported for {fmt!r}"
+                )
+            if fs_compression == "gzip":
+                # symlink staging appends .gz -> Spark's JVM codec
+                # inference decodes natively (regex applied in the listing)
+                path = stage_matched_files(path, fs_regex, gz_suffix=True)
+            elif fs_compression == "none" and fs_regex is not None:
+                path = stage_matched_files(path, fs_regex)
+            # zstd: handled at read time via binaryFile + pyarrow inflate
         # lookup/dim tables stay static even in streaming mode: the
         # reference's lookup join is a per-record lookup against current
         # table state, i.e. Spark's stream-STATIC join (re-read per batch)
@@ -488,6 +522,7 @@ class Pipeline:
             and event_time
             and fmt in ("json", "parquet")
             and not t.options.get("json.unstructured")
+            and fs_compression != "zstd"
         ):
             stream_src = self._stage_with_sentinel(t, path, fmt, str(event_time))
         stream_src = stream_src or _stream_path(path)
@@ -531,7 +566,11 @@ class Pipeline:
                     "raw_bytes sources require exactly one BYTEA value column"
                 )
             name = cols[0].name if cols else "value"
-            if streaming:
+            if fs_compression == "zstd":
+                from arroyo_spark.streaming.filesystem import read_zstd_lines
+
+                df = read_zstd_lines(self.spark, path, streaming, fs_regex)
+            elif streaming:
                 df = (
                     self.spark.readStream.option("maxFilesPerTrigger", 1)
                     .text(_stream_path(path))
@@ -557,7 +596,33 @@ class Pipeline:
                 "fail": "FAILFAST",
                 "drop": "DROPMALFORMED",
             }[bad_data]
-            if streaming:
+            if fs_compression == "zstd":
+                # binaryFile scan + executor-side pyarrow inflate; the
+                # line -> struct parse stays JVM-side (from_json). from_json
+                # has no DROPMALFORMED, so 'drop' filters null parses.
+                from pyspark.sql import types as T
+
+                from arroyo_spark.streaming.filesystem import read_zstd_lines
+
+                lines = read_zstd_lines(self.spark, path, streaming, fs_regex)
+                schema = self._source_schema(t)
+                # PERMISSIVE from_json yields null FIELDS (not a null
+                # struct) on malformed input, so 'drop' keys off a
+                # corrupt-record column instead
+                parse_schema = schema.add("__corrupt", T.StringType())
+                parsed = lines.select(
+                    F.from_json(
+                        "value",
+                        parse_schema,
+                        {"mode": "FAILFAST"}
+                        if bad_data == "fail"
+                        else {"columnNameOfCorruptRecord": "__corrupt"},
+                    ).alias("__j")
+                )
+                if bad_data == "drop":
+                    parsed = parsed.filter(F.col("__j.__corrupt").isNull())
+                df = parsed.select("__j.*").drop("__corrupt")
+            elif streaming:
                 reader = (
                     self.spark.readStream.schema(self._source_schema(t))
                     .option("maxFilesPerTrigger", 1)
@@ -877,6 +942,10 @@ class Pipeline:
         )
 
     def _write_sink(self, result: PipelineResult, sink: TableDef, df: DataFrame) -> None:
+        if (sink.connector or "").lower() == "confluent":
+            from arroyo_spark.streaming.confluent import confluent_as_kafka
+
+            sink = confluent_as_kafka(sink)
         incoming = df  # rows of THIS insert only (delta/iceberg append commits)
         if sink.name in result.sinks:
             # multiple INSERTs merge into one sink (test_merge_sink)
@@ -914,6 +983,10 @@ class Pipeline:
                 IcebergTableSink(
                     out,
                     partition_by=self._sink_partition_fields(sink, incoming),
+                    shuffle_by_partition=str(
+                        sink.options.get("shuffle_by_partition.enabled", "false")
+                    ).lower()
+                    == "true",
                 ),
             )
             isink.commit(incoming)  # one INSERT = one Iceberg snapshot
@@ -1161,6 +1234,10 @@ class Pipeline:
         the single_file/result surface, like the append path."""
         import tempfile
 
+        if (target.connector or "").lower() == "confluent":
+            from arroyo_spark.streaming.confluent import confluent_as_kafka
+
+            target = confluent_as_kafka(target)
         out_path = self._substitute(str(target.options.get("path", "")))
         conn = (target.connector or "").lower()
         if conn in ("delta", "iceberg"):
@@ -1189,6 +1266,12 @@ class Pipeline:
                     IcebergTableSink(
                         out_path,
                         partition_by=self._sink_partition_fields(target, df),
+                        shuffle_by_partition=str(
+                            target.options.get(
+                                "shuffle_by_partition.enabled", "false"
+                            )
+                        ).lower()
+                        == "true",
                     ),
                 )
             ck0 = tempfile.mkdtemp(prefix=f"ck_{target.name}_")

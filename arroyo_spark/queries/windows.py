@@ -329,6 +329,54 @@ def nexmark_q5_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nexmark q8 shape (reference: nexmark/operator.rs person+auction streams;
+# q8 = "new persons who opened auctions in the same window" — a tumbling-
+# window INNER JOIN of the person stream against the auction stream on
+# person.id = auction.seller). Streaming-analog over `events`: signups
+# joined to purchases by user within the same 1-hour tumble.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nexmark_q8_new_sellers",
+    oracle=f"""
+    SELECT {oracle_tumble_start_us('1 hour')} AS window_start_us,
+           user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sales
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("window", "tumble", "join", "nexmark", "streaming-analog"),
+    bench=True,
+)
+def nexmark_q8_new_sellers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The q8 join (persons ⋈ auctions on id=seller within the window) is
+    # planned as ONE scan + ONE shuffle: a conditional aggregate per
+    # (window, user) replaces the two-branch self-join, which at scale
+    # would scan the fact table twice and shuffle both sides. Same
+    # result set; streaming-wise this is the InstantJoin window shape
+    # (golden windowed_inner_join covers the literal two-stream join).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    is_signup = (F.col("event_type") == "signup").cast("long")
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    return (
+        tumble(ev, ["user_id"], "ts", "1 hour")
+        .agg(
+            F.sum(is_signup).alias("__signups"),
+            F.sum(is_purchase).alias("n_sales"),
+        )
+        .filter((F.col("__signups") > 0) & (F.col("n_sales") > 0))
+        .select(window_start_us(), "user_id", "n_sales")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL window-function census: every ranking / distribution / navigation /
 # frame-aggregate function the reference exposes through DataFusion's
 # window machinery (WindowFunction operator, SURVEY §2.1), in one pass.

@@ -1,0 +1,53 @@
+"""Confluent Cloud connector profile — the reference's ``confluent``
+connector is the kafka connector wrapped in a Confluent-Cloud profile
+(`crates/arroyo-connectors/src/confluent/mod.rs:34-93`): cluster
+``bootstrap_servers`` + API ``key``/``secret`` become SASL_SSL/PLAIN
+kafka auth, and an optional ``schema_registry.endpoint`` (+
+``api_key``/``api_secret``) maps to the Confluent schema-registry
+config. Everything else — topic, format, decode, exactly-once produce —
+is the kafka path unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+
+
+def confluent_as_kafka(t: TableDef) -> TableDef:
+    """Validate a ``connector='confluent'`` table and rewrite it to the
+    equivalent kafka TableDef (mod.rs:34-57 connection_from_options +
+    the ``From<ConfluentProfile> for KafkaConfig`` mapping :79-93)."""
+    opts = {k: str(v) for k, v in t.options.items()}
+    for req in ("bootstrap_servers", "key", "secret"):
+        if not opts.get(req):
+            raise PlanError(
+                f"confluent table {t.name} requires '{req}'"
+            )
+    new = dict(t.options)
+    new["connector"] = "kafka"
+    new.pop("key", None)
+    new.pop("secret", None)
+    # KafkaConfigAuthentication::Sasl { SASL_SSL, PLAIN, key, secret }
+    new["auth.type"] = "sasl"
+    new["auth.protocol"] = "SASL_SSL"
+    new["auth.mechanism"] = "PLAIN"
+    new["auth.username"] = opts["key"]
+    new["auth.password"] = opts["secret"]
+    if "schema_registry.endpoint" in opts:
+        # the profile requires both credentials once an endpoint is set
+        for req in ("schema_registry.api_key", "schema_registry.api_secret"):
+            if not opts.get(req):
+                raise PlanError(
+                    f"confluent schema registry requires '{req}'"
+                )
+    else:
+        for k in ("schema_registry.api_key", "schema_registry.api_secret"):
+            if k in opts:
+                raise PlanError(
+                    "confluent schema registry credentials require "
+                    "'schema_registry.endpoint'"
+                )
+    return dataclasses.replace(t, options=new)

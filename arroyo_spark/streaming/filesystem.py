@@ -1,0 +1,134 @@
+"""Filesystem source options — compressed objects and regex file
+filtering, matching the reference's filesystem source
+(`crates/arroyo-connectors/src/filesystem/source.rs:13` Gzip/Zstd
+decoders; `:77-114` regex matcher; option names
+`crates/arroyo-connectors/src/filesystem/config.rs:414,424` —
+``source.regex_pattern`` / ``source.compression``).
+
+Spark-first design:
+
+- ``source.regex_pattern`` filters the recursive file listing BEFORE the
+  scan (like the reference's storage list + ``Regex::is_match``). The
+  matched files are exposed to Spark's native readers through a symlink
+  staging dir, so predicate pushdown / column pruning / file-stream
+  semantics are untouched. The listing is file NAMES only — the same
+  driver-side metadata walk Spark's own ``InMemoryFileIndex`` performs.
+- ``source.compression = 'gzip'``: symlink staging appends ``.gz`` so
+  Spark's JVM-side codec inference decodes the objects natively —
+  zero Python in the data path, streaming and batch alike.
+- ``source.compression = 'zstd'``: Hadoop's native zstd codec is not
+  available in this deployment, so objects are read with the
+  ``binaryFile`` source (one file per row, batch or streaming) and
+  inflated executor-side with pyarrow's streaming zstd decoder inside
+  an Arrow-batched ``mapInPandas`` — one pass, distributed by file.
+- Compression only applies to newline-framed formats (json /
+  raw_string), exactly the reference's
+  ``newline separated stream not supported for {format}`` error
+  (source.rs:182-187).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_COMPRESSIONS = ("none", "gzip", "zstd")
+
+# binaryFile's fixed schema, required explicitly for streaming reads
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def filesystem_source_options(options: dict) -> tuple[str | None, str]:
+    """Validate and pull ``source.regex_pattern`` / ``source.compression``
+    (reference error parity, config.rs:414-427)."""
+    from arroyo_spark.dialect.errors import PlanError
+
+    regex = options.get("source.regex_pattern")
+    if regex is not None:
+        try:
+            re.compile(str(regex))
+        except re.error as e:
+            raise PlanError(
+                f"could not parse regex_pattern '{regex}': {e}"
+            ) from None
+        regex = str(regex)
+    compression = str(options.get("source.compression", "none")).lower()
+    if compression not in _COMPRESSIONS:
+        raise PlanError(
+            f"invalid value '{compression}' for source.compression "
+            f"(expected one of {', '.join(_COMPRESSIONS)})"
+        )
+    return regex, compression
+
+
+def list_source_files(path: str, regex: str | None) -> list[str]:
+    """Recursive listing under ``path`` (or the file itself), filtered by
+    full-path regex search like the reference's matcher (source.rs:114)."""
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+        for root, _dirs, names in os.walk(path):
+            for n in sorted(names):
+                if n.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden markers
+                files.append(os.path.join(root, n))
+    if regex is not None:
+        matcher = re.compile(regex)
+        files = [f for f in files if matcher.search(f)]
+    return sorted(files)
+
+
+def stage_matched_files(
+    path: str, regex: str | None, gz_suffix: bool = False
+) -> str:
+    """Symlink the matched files into a fresh staging dir (flat, with a
+    collision-proof prefix), optionally appending ``.gz`` so Spark's
+    codec inference inflates them natively. Returns the staging dir."""
+    staged = tempfile.mkdtemp(prefix="fs_src_")
+    for i, f in enumerate(list_source_files(path, regex)):
+        name = f"{i:06d}-{os.path.basename(f)}"
+        if gz_suffix and not name.endswith(".gz"):
+            name += ".gz"
+        os.symlink(os.path.abspath(f), os.path.join(staged, name))
+    return staged
+
+
+def read_zstd_lines(
+    spark: SparkSession,
+    path: str,
+    streaming: bool,
+    regex: str | None = None,
+) -> DataFrame:
+    """zstd-compressed newline-framed objects -> one ``value`` string row
+    per line. binaryFile scan (distributed by file) + pyarrow streaming
+    inflate in mapInPandas (Arrow-batched, executor-side)."""
+
+    def decode(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                raw = pa.input_stream(
+                    pa.BufferReader(content), compression="zstd"
+                ).read()
+                yield pd.DataFrame(
+                    {"value": bytes(raw).decode("utf-8").splitlines()}
+                )
+
+    reader = (
+        spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+        if streaming
+        else spark.read.format("binaryFile")
+    )
+    df = reader.load(path)
+    if regex is not None:
+        df = df.filter(F.col("path").rlike(regex))
+    return df.mapInPandas(decode, "value string")

@@ -29,39 +29,53 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+
 # Avro schemas for manifest files, field-ids per the Iceberg v2 spec
 # (embedded verbatim in the OCF header so real readers see the ids).
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
-}
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+# The r102 partition record carries one typed field per partition-spec
+# field, with field-ids 1000+ matching the spec — an empty record for
+# unpartitioned tables.
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": partition_fields,
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -113,6 +127,47 @@ def _iceberg_type(dt) -> object:
     return dt.simpleString()
 
 
+# Iceberg scalar type -> Avro type for the r102 partition record (the
+# spec's single-value serialization: date as int days, timestamps as
+# long µs). Values may be null (__HIVE_DEFAULT_PARTITION__).
+_AVRO_OF_ICEBERG = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
+}
+
+
+def _parse_partition_value(raw: str, iceberg_type: str):
+    """Hive-style dir value -> typed Iceberg partition value."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    v = urllib.parse.unquote(raw)
+    if iceberg_type in ("long", "int"):
+        return int(v)
+    if iceberg_type in ("double", "float"):
+        return float(v)
+    if iceberg_type == "boolean":
+        return v.lower() == "true"
+    if iceberg_type == "date":
+        import datetime
+
+        return (datetime.date.fromisoformat(v) - datetime.date(1970, 1, 1)).days
+    if iceberg_type in ("timestamp", "timestamptz"):
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    return v
+
+
 class IcebergTableSink:
     """Transactional Iceberg v2 writer for batch INSERTs and foreachBatch
     micro-batches (append-only snapshots, like the reference's sink)."""
@@ -122,10 +177,16 @@ class IcebergTableSink:
         root: str,
         partition_by: list[str] | None = None,
         app_id: str = "arroyo-spark",
+        shuffle_by_partition: bool = False,
     ) -> None:
         self.root = root
         self.partition_by = list(partition_by or [])
         self.app_id = app_id
+        # reference `shuffle_by_partition.enabled` (filesystem/iceberg
+        # table config): pre-shuffle rows so each partition is written by
+        # one task — without it every task writes every partition and a
+        # 1000-executor job emits executors×partitions small files
+        self.shuffle_by_partition = shuffle_by_partition
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
@@ -165,29 +226,49 @@ class IcebergTableSink:
 
     # -- data files ----------------------------------------------------------
 
-    def _stage_files(self, batch_df: DataFrame) -> list[tuple[str, int, int]]:
+    def _stage_files(
+        self, batch_df: DataFrame
+    ) -> list[tuple[str, int, int, dict]]:
         """Distributed write; move under data/; return (relpath, bytes,
-        record_count) — counts come from the parquet footers."""
+        record_count, partition_values) — counts come from the parquet
+        footers, partition values from the hive-style directory names.
+        Zero-row part files (Spark emits one part per task even when
+        parallelism exceeds row count) are dropped, like real Iceberg
+        writers which never commit empty data files."""
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        if self.shuffle_by_partition and self.partition_by:
+            batch_df = batch_df.repartition(*self.partition_by)
         writer = batch_df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        out: list[tuple[str, int, int]] = []
-        for p in glob.glob(
-            os.path.join(staging, "**", "part-*.parquet"), recursive=True
+        part_types = {
+            f.name: _iceberg_type(f.dataType) for f in batch_df.schema.fields
+        }
+        out: list[tuple[str, int, int, dict]] = []
+        for p in sorted(
+            glob.glob(os.path.join(staging, "**", "part-*.parquet"), recursive=True)
         ):
+            n_rows = pq.ParquetFile(p).metadata.num_rows
+            if n_rows == 0:
+                continue  # empty task output — never manifested
             rel = os.path.relpath(p, staging)
             d, base = os.path.split(rel)
+            partition: dict = {}
+            for seg in d.split(os.sep) if d else []:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    partition[k] = _parse_partition_value(
+                        raw, str(part_types.get(k, "string"))
+                    )
             uniq = f"{uuid.uuid4().hex[:8]}-{base}"
             final_rel = os.path.join("data", d, uniq) if d else os.path.join("data", uniq)
             final_abs = os.path.join(self.root, final_rel)
             os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-            n_rows = pq.ParquetFile(p).metadata.num_rows
             shutil.move(p, final_abs)
-            out.append((final_rel, os.path.getsize(final_abs), n_rows))
+            out.append((final_rel, os.path.getsize(final_abs), n_rows, partition))
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
@@ -205,9 +286,25 @@ class IcebergTableSink:
         ]
         return {"type": "struct", "schema-id": 0, "fields": fields}
 
+    def _partition_avro_fields(self, schema_json: dict) -> list[dict]:
+        """Typed Avro fields for the r102 partition record, field-ids
+        matching the partition spec (1000+i)."""
+        type_of = {f["name"]: f["type"] for f in schema_json.get("fields", [])}
+        return [
+            {
+                "name": c,
+                "type": [
+                    "null",
+                    _AVRO_OF_ICEBERG.get(str(type_of.get(c, "string")), "string"),
+                ],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(self.partition_by)
+        ]
+
     def _write_manifest(
         self,
-        files: list[tuple[str, int, int]],
+        files: list[tuple[str, int, int, dict]],
         snapshot_id: int,
         seq: int,
         schema_json: dict,
@@ -224,19 +321,25 @@ class IcebergTableSink:
                     "content": 0,
                     "file_path": os.path.join(self.root, rel),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {
+                        c: partition.get(c) for c in self.partition_by
+                    },
                     "record_count": rows,
                     "file_size_in_bytes": size,
                 },
             }
-            for rel, size, rows in files
+            for rel, size, rows, partition in files
         ]
         blob = write_ocf(
-            json.dumps(_MANIFEST_ENTRY_SCHEMA),
+            json.dumps(
+                _manifest_entry_schema(self._partition_avro_fields(schema_json))
+            ),
             entries,
             extra_meta={
                 "schema": json.dumps(schema_json).encode(),
-                "partition-spec": json.dumps(self._spec_fields()).encode(),
+                "partition-spec": json.dumps(
+                    self._spec_fields(schema_json)
+                ).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data",
@@ -246,7 +349,7 @@ class IcebergTableSink:
         path = os.path.join(self.root, "metadata", name)
         with open(path, "wb") as fh:
             fh.write(blob)
-        total_rows = sum(r for _p, _s, r in files)
+        total_rows = sum(r for _p, _s, r, _pv in files)
         return path, os.path.getsize(path), total_rows
 
     def _write_manifest_list(
@@ -285,14 +388,18 @@ class IcebergTableSink:
             fh.write(blob)
         return path
 
-    def _spec_fields(self) -> dict:
+    def _spec_fields(self, schema_json: dict) -> dict:
+        """Partition spec whose source-ids reference the matching schema
+        field ids (spec requirement — a dangling source-id makes the
+        table unreadable to real Iceberg readers)."""
+        id_of = {f["name"]: f["id"] for f in schema_json.get("fields", [])}
         return {
             "spec-id": 0,
             "fields": [
                 {
                     "name": c,
                     "transform": "identity",
-                    "source-id": i + 1000,
+                    "source-id": id_of.get(c, i + 1),
                     "field-id": 1000 + i,
                 }
                 for i, c in enumerate(self.partition_by)
@@ -307,45 +414,50 @@ class IcebergTableSink:
                 return False  # recovery replay
         files = self._stage_files(batch_df)
         snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
-        prev = self.current_metadata()
-        seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
-        schema_json = (
-            prev["schemas"][0] if prev else self._schema_json(batch_df)
-        )
-        manifest = self._write_manifest(files, snapshot_id, seq, schema_json)
-        mlist = self._write_manifest_list(manifest, len(files), snapshot_id, seq)
-        now_ms = int(time.time() * 1000)
-        summary = {
-            "operation": "append",
-            "added-data-files": str(len(files)),
-            "added-records": str(manifest[2]),
-            "arroyo-app-id": self.app_id,
-        }
-        if txn_version is not None:
-            summary["arroyo-txn-version"] = str(txn_version)
-        snapshot = {
-            "snapshot-id": snapshot_id,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": mlist,
-            "summary": summary,
-            "schema-id": 0,
-        }
-        if prev and prev.get("current-snapshot-id", -1) != -1:
-            snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
 
+        # everything sequence-dependent (seq, parent, the manifests whose
+        # entries embed seq) is rebuilt inside the retry loop: after losing
+        # a commit race the previous values are stale and reusing them
+        # would produce duplicate sequence-numbers / wrong lineage
         while True:
             cur_v = self.current_version() or 0
             next_v = cur_v + 1
             prev = self.current_metadata()
+            seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
+            schema_json = (
+                prev["schemas"][0] if prev else self._schema_json(batch_df)
+            )
+            manifest = self._write_manifest(files, snapshot_id, seq, schema_json)
+            mlist = self._write_manifest_list(
+                manifest, len(files), snapshot_id, seq
+            )
+            now_ms = int(time.time() * 1000)
+            summary = {
+                "operation": "append",
+                "added-data-files": str(len(files)),
+                "added-records": str(manifest[2]),
+                "arroyo-app-id": self.app_id,
+            }
+            if txn_version is not None:
+                summary["arroyo-txn-version"] = str(txn_version)
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist,
+                "summary": summary,
+                "schema-id": 0,
+            }
+            if prev and prev.get("current-snapshot-id", -1) != -1:
+                snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
             meta = prev or {
                 "format-version": 2,
                 "table-uuid": str(uuid.uuid4()),
                 "location": self.root,
                 "last-column-id": len(batch_df.schema.fields),
-                "schemas": [self._schema_json(batch_df)],
+                "schemas": [schema_json],
                 "current-schema-id": 0,
-                "partition-specs": [self._spec_fields()],
+                "partition-specs": [self._spec_fields(schema_json)],
                 "default-spec-id": 0,
                 "last-partition-id": 999 + len(self.partition_by),
                 "sort-orders": [{"order-id": 0, "fields": []}],

@@ -156,6 +156,7 @@ class KafkaExactlyOnceSink:
         producer_factory: Callable[[str], TransactionalProducer],
         ledger_dir: str,
         scope: str = "kafka-eo",
+        txn_partitions: int = 16,
     ) -> None:
         from arroyo_spark.streaming.kafka import validate_kafka_table
         from arroyo_spark.streaming.sinks import IdempotentBatchSink
@@ -169,6 +170,7 @@ class KafkaExactlyOnceSink:
                 f"(table {t.name} declares '{self.cfg.commit_mode}')"
             )
         self.t = t
+        self.txn_partitions = txn_partitions
         self.producer_factory = producer_factory
         self.scope = scope
         self._ledger = IdempotentBatchSink(self._produce, ledger_dir, scope)
@@ -179,8 +181,18 @@ class KafkaExactlyOnceSink:
     def _produce(self, batch_df: DataFrame, batch_id: int) -> None:
         from arroyo_spark.streaming.kafka import encode_kafka_sink
 
-        enc = encode_kafka_sink(batch_df, self.t).withColumn(
-            "__pid", F.spark_partition_id()
+        # Deterministic row->partition assignment: transactional ids are
+        # (scope, batch, partition), so broker-side dedup of a replayed
+        # batch (crash between a partition's txn commit and the ledger
+        # marker) requires the replay to reproduce the SAME partition
+        # count and row placement. An explicit hash repartition on the
+        # encoded value with a FIXED partition count guarantees that even
+        # if shuffle parallelism changed across the restart; upstream
+        # plan parallelism no longer matters.
+        enc = (
+            encode_kafka_sink(batch_df, self.t)
+            .repartition(self.txn_partitions, F.xxhash64(F.col("value")))
+            .withColumn("__pid", F.spark_partition_id())
         )
         topic = self.cfg.topic
         factory = self.producer_factory

@@ -89,6 +89,56 @@ def _bench_streaming(spark) -> float:
     return dt
 
 
+def _bench_streaming_updating(spark) -> float:
+    """Updating-aggregate throughput: 1M rows / 10k keys through an
+    update-mode groupBy + the distributed Debezium encoder (snapshot-diff
+    before-images, bucket-incremental state). This is the one §2.1
+    operator family whose cost is dominated by the encoder's state I/O,
+    so it gets its own regression anchor. Best-of-2 like the rest."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.streaming.updating import run_updating_aggregate
+
+    n = 1_000_000
+    tmp = tempfile.mkdtemp(prefix="bench_updating_")
+    src = f"{tmp}/src"
+    (
+        spark.range(n)
+        .select((F.col("id") % 10_000).alias("k"), F.col("id").alias("v"))
+        .repartition(16)
+        .write.parquet(src)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def one_run(i: int) -> float:
+        stream = (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+        )
+        agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+        t0 = time.perf_counter()
+        q = run_updating_aggregate(
+            agg,
+            ["k"],
+            None,
+            f"{tmp}/ck{i}",
+            state_dir=f"{tmp}/st{i}",
+            spool=f"{tmp}/sp{i}",
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+
+    dt = round(min(one_run(1), one_run(2)), 4)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
@@ -142,6 +192,12 @@ def main() -> None:
     timings["streaming_tumble_2m_rows"] = _bench_streaming(spark)
     print(
         f"# streaming_tumble_2m_rows: {timings['streaming_tumble_2m_rows']:.3f}s",
+        file=sys.stderr,
+    )
+    timings["streaming_updating_1m_rows"] = _bench_streaming_updating(spark)
+    print(
+        f"# streaming_updating_1m_rows: "
+        f"{timings['streaming_updating_1m_rows']:.3f}s",
         file=sys.stderr,
     )
 

@@ -1,0 +1,111 @@
+"""Confluent Cloud connector profile (`arroyo_spark/streaming/confluent.py`)
+— the reference wraps kafka with Confluent profile defaults
+(`crates/arroyo-connectors/src/confluent/mod.rs:34-93`): SASL_SSL/PLAIN
+auth from key/secret, optional Confluent schema registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.parser import TableDef
+from arroyo_spark.streaming.confluent import confluent_as_kafka
+from arroyo_spark.streaming.kafka import validate_kafka_table
+
+
+def _table(**extra) -> TableDef:
+    opts = {
+        "connector": "confluent",
+        "type": "source",
+        "topic": "orders",
+        "format": "json",
+        "bootstrap_servers": "abc.us-west-2.aws.confluent.cloud:9092",
+        "key": "APIKEY",
+        "secret": "APISECRET",
+    }
+    opts.update(extra)
+    return TableDef(name="t", options=opts)
+
+
+def test_profile_maps_to_sasl_ssl_plain_kafka():
+    kt = confluent_as_kafka(_table())
+    assert kt.connector == "kafka"
+    assert kt.options["auth.type"] == "sasl"
+    assert kt.options["auth.protocol"] == "SASL_SSL"
+    assert kt.options["auth.mechanism"] == "PLAIN"
+    assert kt.options["auth.username"] == "APIKEY"
+    assert kt.options["auth.password"] == "APISECRET"
+    assert "key" not in kt.options and "secret" not in kt.options
+    # the rewritten table passes full kafka validation
+    cfg = validate_kafka_table(kt)
+    assert cfg.auth["protocol"] == "SASL_SSL"
+    assert cfg.bootstrap_servers.endswith(":9092")
+
+
+def test_schema_registry_passthrough():
+    kt = confluent_as_kafka(
+        _table(**{
+            "schema_registry.endpoint": "https://psrc.confluent.cloud",
+            "schema_registry.api_key": "SRKEY",
+            "schema_registry.api_secret": "SRSECRET",
+        })
+    )
+    cfg = validate_kafka_table(kt)
+    assert cfg.schema_registry["endpoint"] == "https://psrc.confluent.cloud"
+    assert cfg.schema_registry["api_key"] == "SRKEY"
+
+
+@pytest.mark.parametrize("missing", ["bootstrap_servers", "key", "secret"])
+def test_missing_required_option(missing):
+    opts = _table().options
+    del opts[missing]
+    with pytest.raises(PlanError, match=missing):
+        confluent_as_kafka(TableDef(name="t", options=opts))
+
+
+def test_registry_credentials_require_endpoint():
+    with pytest.raises(PlanError, match="schema_registry.endpoint"):
+        confluent_as_kafka(_table(**{"schema_registry.api_key": "K"}))
+
+
+def test_registry_endpoint_requires_both_credentials():
+    with pytest.raises(PlanError, match="schema_registry.api_secret"):
+        confluent_as_kafka(
+            _table(**{
+                "schema_registry.endpoint": "https://psrc.confluent.cloud",
+                "schema_registry.api_key": "K",
+            })
+        )
+
+
+def test_ddl_roundtrip_reaches_kafka_path(spark, tmp_path):
+    """connector='confluent' DDL routes through the kafka source path:
+    validation happens first, then the (absent) Spark kafka package
+    surfaces the documented PlanError — same observable behavior as
+    kafka tables in this deployment."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='confluent', type='source',
+      topic='t', format='json',
+      bootstrap_servers='abc.confluent.cloud:9092', key='K', secret='S');
+    CREATE TABLE out (a BIGINT) WITH (connector='single_file',
+      path='$p/out.json', format='json', type='sink');
+    INSERT INTO out SELECT a FROM src;
+    """
+    with pytest.raises(PlanError, match="kafka"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+
+
+def test_ddl_missing_secret_is_validation_error(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='confluent', type='source',
+      topic='t', bootstrap_servers='abc:9092', key='K');
+    CREATE TABLE out (a BIGINT) WITH (connector='single_file',
+      path='$p/out.json', format='json', type='sink');
+    INSERT INTO out SELECT a FROM src;
+    """
+    with pytest.raises(PlanError, match="secret"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)

@@ -1,0 +1,161 @@
+"""Filesystem source compression + regex filtering
+(`arroyo_spark/streaming/filesystem.py`), matching the reference's
+filesystem source: gzip/zstd decoders
+(`crates/arroyo-connectors/src/filesystem/source.rs:13`) and
+``source.regex_pattern`` file matching (`:77-114`; option names
+config.rs:414,424)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.pipeline import Pipeline
+
+
+def _write_gz(p, text: str) -> None:
+    with gzip.open(p, "wt") as fh:
+        fh.write(text)
+
+
+def _write_zst(p, text: str) -> None:
+    import pyarrow as pa
+
+    with open(p, "wb") as fh:
+        fh.write(bytes(pa.Codec("zstd").compress(text.encode())))
+
+
+SCRIPT = """
+CREATE TABLE src (a BIGINT) WITH (connector='filesystem',
+  path='$p/in', format='json', type='source'{extra});
+CREATE TABLE out (a BIGINT) WITH (connector='single_file',
+  path='$p/out.json', format='json', type='sink');
+INSERT INTO out SELECT a FROM src;
+"""
+
+
+def _run(spark, tmp_path, extra: str = "", mode: str = "batch") -> list[int]:
+    import json
+
+    script = SCRIPT.format(extra=extra)
+    Pipeline(spark, {"$p": str(tmp_path)}, mode=mode).run_script(script)
+    with open(tmp_path / "out.json") as fh:
+        return sorted(json.loads(l)["a"] for l in fh.read().splitlines())
+
+
+def test_gzip_json_source_batch(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_gz(tmp_path / "in" / "a.json.gz", '{"a": 1}\n{"a": 2}\n')
+    _write_gz(tmp_path / "in" / "b.json.gz", '{"a": 3}\n')
+    assert _run(spark, tmp_path, ", 'source.compression'='gzip'") == [1, 2, 3]
+
+
+def test_gzip_without_gz_extension(spark, tmp_path):
+    """The reference decodes based on the option, not the file name; the
+    staging layer must decode extension-less gzip objects too."""
+    (tmp_path / "in").mkdir()
+    _write_gz(tmp_path / "in" / "part-000", '{"a": 7}\n')
+    assert _run(spark, tmp_path, ", 'source.compression'='gzip'") == [7]
+
+
+def test_zstd_json_source_batch(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_zst(tmp_path / "in" / "a.json.zst", '{"a": 1}\n{"a": 2}\n')
+    _write_zst(tmp_path / "in" / "b.json.zst", '{"a": 3}\n')
+    assert _run(spark, tmp_path, ", 'source.compression'='zstd'") == [1, 2, 3]
+
+
+def test_zstd_json_source_streaming(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_zst(tmp_path / "in" / "a.json.zst", '{"a": 5}\n{"a": 6}\n')
+    got = _run(spark, tmp_path, ", 'source.compression'='zstd'", mode="streaming")
+    assert got == [5, 6]
+
+
+def test_regex_pattern_filters_files(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "keep-1.json").write_text('{"a": 1}\n')
+    (tmp_path / "in" / "keep-2.json").write_text('{"a": 2}\n')
+    (tmp_path / "in" / "skip.txt").write_text('{"a": 99}\n')
+    got = _run(spark, tmp_path, ", 'source.regex_pattern'='keep-[0-9]+[.]json$'")
+    assert got == [1, 2]
+
+
+def test_regex_searches_recursively(spark, tmp_path):
+    (tmp_path / "in" / "sub").mkdir(parents=True)
+    (tmp_path / "in" / "sub" / "x.json").write_text('{"a": 4}\n')
+    (tmp_path / "in" / "other.log").write_text('{"a": 9}\n')
+    assert _run(spark, tmp_path, ", 'source.regex_pattern'='json$'") == [4]
+
+
+def test_regex_plus_gzip_compose(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_gz(tmp_path / "in" / "keep.gz", '{"a": 1}\n')
+    _write_gz(tmp_path / "in" / "nope.bak", '{"a": 2}\n')
+    got = _run(
+        spark,
+        tmp_path,
+        ", 'source.compression'='gzip', 'source.regex_pattern'='keep'",
+    )
+    assert got == [1]
+
+
+def test_bad_regex_is_plan_error(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    with pytest.raises(PlanError, match="could not parse regex_pattern"):
+        _run(spark, tmp_path, ", 'source.regex_pattern'='(unclosed'")
+
+
+def test_bad_compression_is_plan_error(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    with pytest.raises(PlanError, match="source.compression"):
+        _run(spark, tmp_path, ", 'source.compression'='lz77'")
+
+
+def test_compressed_parquet_rejected(spark, tmp_path):
+    """source.rs:182-187 — compression implies a newline-separated
+    stream; columnar formats are rejected with the reference's error."""
+    (tmp_path / "in").mkdir()
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='filesystem',
+      path='$p/in', format='parquet', type='source',
+      'source.compression'='gzip');
+    CREATE TABLE out (a BIGINT) WITH (connector='single_file',
+      path='$p/out.json', format='json', type='sink');
+    INSERT INTO out SELECT a FROM src;
+    """
+    with pytest.raises(PlanError, match="newline separated stream"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+
+
+def test_zstd_raw_string_lines(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_zst(tmp_path / "in" / "log.zst", "alpha\nbeta\n")
+    script = """
+    CREATE TABLE src (line TEXT) WITH (connector='filesystem',
+      path='$p/in', format='raw_string', type='source',
+      'source.compression'='zstd');
+    CREATE TABLE out (line TEXT) WITH (connector='single_file',
+      path='$p/out.json', format='json', type='sink');
+    INSERT INTO out SELECT line FROM src;
+    """
+    import json
+
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    with open(tmp_path / "out.json") as fh:
+        got = sorted(json.loads(l)["line"] for l in fh.read().splitlines())
+    assert got == ["alpha", "beta"]
+
+
+def test_zstd_bad_data_drop(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_zst(tmp_path / "in" / "a.zst", '{"a": 1}\nnot-json\n{"a": 3}\n')
+    got = _run(
+        spark,
+        tmp_path,
+        ", 'source.compression'='zstd', bad_data='drop'",
+    )
+    assert got == [1, 3]

@@ -51,12 +51,71 @@ def test_manifests_are_valid_avro_with_spec_fields(spark, tmp_path):
     assert m["added_rows_count"] == 1
     _s, entries = read_ocf(open(m["manifest_path"], "rb").read())
     assert all(e["status"] == 1 for e in entries)
-    d = entries[0]["data_file"]
-    assert d["file_format"] == "PARQUET" and d["record_count"] == 1
-    assert os.path.exists(d["file_path"])
+    # zero-row part files (emitted when parallelism > row count) must
+    # never be manifested; assert over the whole entry set, not entry 0
+    assert len(entries) == 1
+    assert [e["data_file"]["record_count"] for e in entries] == [1]
+    for e in entries:
+        d = e["data_file"]
+        assert d["file_format"] == "PARQUET"
+        assert os.path.exists(d["file_path"])
     # the OCF header embeds iceberg metadata keys
     blob = open(m["manifest_path"], "rb").read()
     assert b"format-version" in blob and b'"field-id"' in blob
+
+
+def test_no_zero_row_files_staged(spark, tmp_path):
+    sink = IcebergTableSink(str(tmp_path / "ice"))
+    # 2 rows across 8 partitions -> >=6 empty task outputs
+    files = sink._stage_files(
+        spark.createDataFrame([(1,), (2,)], "v long").repartition(8)
+    )
+    assert files and all(rows > 0 for _p, _s, rows, _pv in files)
+
+
+def test_partition_metadata_is_spec_valid(spark, tmp_path):
+    """Partition spec source-ids reference schema field ids; manifest
+    entries carry typed per-file partition values (iceberg v2 spec)."""
+    from arroyo_spark.formats.avro import read_ocf
+
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root, partition_by=["k"])
+    sink.commit(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "v long, k string")
+    )
+    meta = sink.current_metadata()
+    schema_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    spec = meta["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["k"]
+    assert spec["fields"][0]["source-id"] == schema_ids["k"]
+    assert spec["fields"][0]["field-id"] == 1000
+    _s, manifests = read_ocf(
+        open(meta["snapshots"][-1]["manifest-list"], "rb").read()
+    )
+    _s, entries = read_ocf(open(manifests[0]["manifest_path"], "rb").read())
+    rows_per_partition: dict = {}
+    for e in entries:
+        d = e["data_file"]
+        rows_per_partition[d["partition"]["k"]] = (
+            rows_per_partition.get(d["partition"]["k"], 0) + d["record_count"]
+        )
+    assert rows_per_partition == {"a": 2, "b": 1}
+
+
+def test_shuffle_by_partition_limits_file_count(spark, tmp_path):
+    """shuffle_by_partition.enabled pre-shuffles rows by partition cols so
+    file count <= distinct partitions (reference iceberg sink config)."""
+    df = (
+        spark.range(200)
+        .selectExpr("id AS v", "CAST(id % 2 AS STRING) AS k")
+        .repartition(8)
+    )
+    sink = IcebergTableSink(
+        str(tmp_path / "ice"), partition_by=["k"], shuffle_by_partition=True
+    )
+    files = sink._stage_files(df)
+    assert len(files) <= 2
+    assert sorted({pv["k"] for _p, _s, _r, pv in files}) == ["0", "1"]
 
 
 def test_reader_replays_chain_across_commits(spark, tmp_path):

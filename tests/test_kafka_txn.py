@@ -117,8 +117,11 @@ def test_crash_before_commit_invisible_then_replayed(spark, tmp_path):
     ).coalesce(1)
     with pytest.raises(Exception, match="injected crash"):
         sink(df, 0)
-    assert read_committed(broker, "out") == []  # nothing visible
-    sink(df, 0)  # recovery replay
+    # per-partition transactions: the crashed partition's rows are
+    # invisible; sibling partitions may have committed (2PC window —
+    # same read-committed semantics as the reference's per-subtask txns)
+    assert len(read_committed(broker, "out")) < 10
+    sink(df, 0)  # recovery replay: same txn ids, broker dedupes
     assert len(read_committed(broker, "out")) == 10
 
 
@@ -142,6 +145,35 @@ def test_crash_after_txn_commit_before_marker_dedupes(spark, tmp_path):
     assert os.listdir(ledger) == []  # no marker: batch looks uncommitted
     sink(df, 0)  # full replay through the ledger path
     assert len(read_committed(broker, "out")) == 6, "duplicate produce leaked"
+
+
+def test_replay_after_parallelism_change_still_dedupes(spark, tmp_path):
+    """The crash window of the previous test, but the recovered job runs
+    with DIFFERENT shuffle parallelism: the sink's fixed-count hash
+    repartition must reproduce identical row->txn-id placement so the
+    broker-side dedup still suppresses every duplicate."""
+    broker = str(tmp_path / "broker")
+    ledger = str(tmp_path / "ledger")
+    sink = KafkaExactlyOnceSink(
+        _table(_eo_sink_ddl()),
+        lambda txn: FileTransactionalProducer(broker, txn),
+        ledger,
+    )
+    rows = [(i, i) for i in range(40)]
+    # attempt 1: 8-way upstream plan, txns committed, marker lost
+    df8 = spark.createDataFrame(rows, "user_id long, n long").repartition(8)
+    sink._produce(df8, 0)
+    assert len(read_committed(broker, "out")) == 40
+    # recovery: the same batch arrives with 2-way parallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        df2 = spark.createDataFrame(rows, "user_id long, n long").repartition(2)
+        sink(df2, 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = read_committed(broker, "out")
+    assert len(got) == 40, "rescaled replay leaked duplicates"
 
 
 def test_fenced_duplicate_commit_is_discarded(tmp_path):

@@ -1,0 +1,112 @@
+"""Nexmark person/auction/bid generators
+(`arroyo_spark/streaming/sources.py`), matching the reference generator's
+entity proportions and id arithmetic
+(`crates/arroyo-connectors/src/nexmark/operator.rs:30-57,550-780`):
+1:3:46 person:auction:bid, sequential entity ids via the epoch+offset
+scheme, hot-seller skew, and the q8 windowed-join shape the streams
+unlock."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from arroyo_spark.streaming.sources import (
+    nexmark_auction_source,
+    nexmark_bid_source,
+    nexmark_events,
+    nexmark_person_source,
+)
+
+
+def test_entity_proportions(spark):
+    ev = nexmark_events(spark, streaming=False, n=5000)
+    got = {r["entity"]: r["count"] for r in ev.groupBy("entity").count().collect()}
+    assert got == {"person": 100, "auction": 300, "bid": 4600}
+
+
+def test_person_ids_sequential_from_1000(spark):
+    p = nexmark_person_source(spark, streaming=False, n=5000)
+    ids = sorted(r["id"] for r in p.select("id").collect())
+    assert ids == list(range(1000, 1100))  # FIRST_PERSON_ID + epoch
+
+
+def test_auction_ids_sequential_and_sellers_valid(spark):
+    a = nexmark_auction_source(spark, streaming=False, n=5000)
+    rows = a.select("id", "seller", "category").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(1000, 1300))  # 3 per epoch, FIRST_AUCTION_ID
+    # sellers reference generated person ids (hot-seller rounding keeps
+    # them in the low range); categories are FIRST_CATEGORY_ID..+5
+    assert all(1000 <= r["seller"] < 1100 for r in rows)
+    assert all(10 <= r["category"] < 15 for r in rows)
+    # hot-seller skew: P(hot)=99/100 — the bulk concentrates on the
+    # rounded-down hot seller ids
+    top = (
+        a.groupBy("seller").count().orderBy(F.desc("count")).first()["count"]
+    )
+    assert top > 100  # one hot seller absorbs most of 300 auctions
+
+
+def test_bids_reference_generated_entities(spark):
+    ev = nexmark_events(spark, streaming=False, n=5000)
+    b = ev.filter(F.col("entity") == "bid").select("bid.*")
+    rows = b.collect()
+    assert all(r["price"] >= 100 for r in rows)
+    assert all(1000 <= r["auction"] < 1300 for r in rows)
+    assert all(1000 <= r["bidder"] < 1100 for r in rows)
+
+
+def test_generator_is_deterministic(spark):
+    a = nexmark_events(spark, streaming=False, n=500).collect()
+    b = nexmark_events(spark, streaming=False, n=500).collect()
+    assert a == b
+
+
+def test_q8_windowed_join_persons_auctions(spark):
+    """The literal q8 shape: persons ⋈ auctions on id = seller within a
+    tumbling window — runnable now that both streams exist."""
+    p = nexmark_person_source(spark, streaming=False, n=5000)
+    a = nexmark_auction_source(spark, streaming=False, n=5000)
+    pw = p.select(F.window("datetime", "10 seconds").alias("w"), F.col("id"))
+    aw = a.select(
+        F.window("datetime", "10 seconds").alias("w"), F.col("seller")
+    )
+    joined = pw.join(
+        aw, (pw["w"] == aw["w"]) & (pw["id"] == aw["seller"]), "inner"
+    )
+    n = joined.count()
+    assert n > 0
+    # every joined row pairs a person with an auction it opened in-window
+    bad = joined.filter(F.col("id") != F.col("seller")).count()
+    assert bad == 0
+
+
+def test_bid_source_unchanged_shape(spark):
+    """Regression guard: the original bid source keeps its schema (the
+    q5 bench depends on it)."""
+    df = nexmark_bid_source(spark)
+    assert df.columns == ["datetime", "auction", "bidder", "price", "_timestamp"]
+
+
+def test_streaming_mode_person_auction_drain(spark, tmp_path):
+    """Streaming generators produce rows through a real micro-batch."""
+    import time
+
+    p = nexmark_person_source(spark, event_rate=5000, streaming=True)
+    q = (
+        p.writeStream.format("memory")
+        .queryName("nex_people")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) c FROM nex_people").first()["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+    finally:
+        q.stop()
