@@ -177,6 +177,7 @@ class Pipeline:
         self.tables: dict[str, TableDef] = {}
         self.memory_written: set[str] = set()
         self.views: set[str] = set()
+        self.view_sql: dict[str, str] = {}
         self._txn_sinks: dict[str, object] = {}
         # injectable connector clients by table name (tests/local runs; a
         # production deployment registers boto3/rstream/fluvio-backed
@@ -819,8 +820,136 @@ class Pipeline:
 
     def _plan_select(self, select_sql: str) -> DataFrame:
         self._check_lookup_joins(select_sql)
+        self._check_join_rules(select_sql)
         sql = rewrite_query(self._substitute(select_sql))
         return self.spark.sql(sql)
+
+    def _check_join_rules(self, select_sql: str) -> None:
+        """Enforce the reference's stream-join planning rules at plan time
+        (`arroyo-planner/src/plan/join.rs:31-84`): a join of two windowed
+        inputs is an InstantJoin (handled downstream by
+        `_unify_instant_joins`); mixed windowing is rejected; non-windowed
+        joins must be INNER; and neither input of a non-windowed join may be
+        an updating stream (a non-windowed aggregate or Debezium source) —
+        error messages mirror the reference's test corpus
+        (`updating_{left,right,full}_join.sql`,
+        `updating_inner_join_with_updating.sql`)."""
+        import re as _re
+
+        from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+        sql = _strip_string_literals(self._substitute(select_sql))
+        if not _re.search(r"\bjoin\b", sql, _re.I):
+            return
+        lookups = {
+            n.lower()
+            for n, t in self.tables.items()
+            if t.table_type == "lookup" or t.temporary
+        }
+
+        # paren depth at every character ('(' / ')' carry the OUTER depth so
+        # a FROM and its chained JOINs inside one block compare equal)
+        depth, d = [], 0
+        for ch in sql:
+            if ch == "(":
+                depth.append(d)
+                d += 1
+            elif ch == ")":
+                d -= 1
+                depth.append(d)
+            else:
+                depth.append(d)
+
+        def _windowed(text: str) -> bool:
+            return bool(
+                _re.search(
+                    r"\b(tumble|hop|session|session_window)\s*\(", text, _re.I
+                )
+            )
+
+        def _updating_table(name: str) -> bool:
+            t = self.tables.get(name)
+            if t is not None:
+                return str(t.options.get("format", "")).startswith("debezium")
+            vsql = self.view_sql.get(name)
+            if vsql is not None:
+                return _updating_text(
+                    _strip_string_literals(self._substitute(vsql))
+                )
+            return False
+
+        def _updating_text(text: str) -> bool:
+            """Non-windowed aggregates and Debezium-sourced relations emit
+            retraction streams (SURVEY §1.1; extension/mod.rs:292-320)."""
+            if _windowed(text):
+                return False
+            if _re.search(r"\bgroup\s+by\b", text, _re.I):
+                return True
+            for name in set(
+                _re.findall(r"\b(?:from|join)\s+(\w+)", text, _re.I)
+            ):
+                if _updating_table(name):
+                    return True
+            return False
+
+        join_kw = _re.compile(
+            r"\b(?:(left|right|full|inner|cross)\s+)?(?:outer\s+)?join\b",
+            _re.I,
+        )
+        from_kw = _re.compile(r"\bfrom\b", _re.I)
+        for m in join_kw.finditer(sql):
+            jtype = (m.group(1) or "inner").lower()
+            jd = depth[m.start()]
+            rest = sql[m.end() :]
+            # right relation: `( subquery )` | `unnest(...)` | table/view name
+            msub = _re.match(r"\s*\(", rest)
+            if msub:
+                ro = m.end() + msub.end() - 1
+                dd, j = 1, ro + 1
+                while j < len(sql) and dd:
+                    if sql[j] == "(":
+                        dd += 1
+                    elif sql[j] == ")":
+                        dd -= 1
+                    j += 1
+                rtext = sql[ro + 1 : j - 1]
+                r_windowed, r_updating = _windowed(rtext), _updating_text(rtext)
+            else:
+                mn = _re.match(r"\s*(\w+)", rest)
+                if not mn:
+                    continue
+                rname = mn.group(1)
+                if rname.lower() in lookups or rname.lower() == "unnest":
+                    continue  # lookup-join rules / unnest expansion
+                r_windowed, r_updating = False, _updating_table(rname)
+            # left segment: from the nearest same-depth FROM to the join
+            from_pos = None
+            for fm in from_kw.finditer(sql, 0, m.start()):
+                if depth[fm.start()] == jd:
+                    from_pos = fm.start()
+            if from_pos is None:
+                continue
+            left_seg = sql[from_pos : m.start()]
+            l_windowed = _windowed(left_seg)
+            if l_windowed and r_windowed:
+                continue  # InstantJoin — window equality enforced downstream
+            if l_windowed != r_windowed:
+                raise PlanError(
+                    "can't handle mixed windowing between left "
+                    f"({'windowed' if l_windowed else 'non-windowed'}) and "
+                    f"right ({'windowed' if r_windowed else 'non-windowed'})."
+                )
+            if jtype == "inner":
+                if _updating_text(left_seg):
+                    raise PlanError("can't handle updating left side of join")
+                if r_updating:
+                    raise PlanError("can't handle updating right side of join")
+            else:
+                if r_updating and jtype == "right":
+                    raise PlanError("can't handle updating right side of join")
+                raise PlanError(
+                    "can't handle non-inner joins without windows"
+                )
 
     def _check_lookup_joins(self, select_sql: str) -> None:
         """Enforce the reference's lookup-join rules at plan time
@@ -1407,6 +1536,7 @@ class Pipeline:
                 df = self._plan_select(stmt.select_sql)
                 df.createOrReplaceTempView(stmt.name)
                 self.views.add(stmt.name)
+                self.view_sql[stmt.name] = stmt.select_sql
             elif isinstance(stmt, InsertStmt):
                 self._handle_insert(stmt, result)
             elif isinstance(stmt, SelectStmt):

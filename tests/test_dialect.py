@@ -265,6 +265,74 @@ def test_golden_updating_inner_join(spark, tmp_path):
     run_golden(spark, tmp_path, "updating_inner_join", "output", debezium=True)
 
 
+def run_fail_case(spark, tmp_path, name: str):
+    """Run one of the reference's `--fail=` corpus queries and assert we
+    reject it with the same message (smoke_tests.rs error assertions)."""
+    import re as _re
+
+    script = open(f"{QUERIES}/{name}.sql").read()
+    want = _re.search(
+        r"--fail=(?:Error during planning: "
+        r"|This feature is not implemented: )?(.*)",
+        script,
+    ).group(1).strip()
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    with pytest.raises(PlanError, match=_re.escape(want)):
+        Pipeline(
+            spark,
+            {"$input_dir": INPUTS, "$output_path": str(tmp_path / "o.json")},
+        ).run_script(script)
+
+
+@ref_available
+def test_fail_updating_full_join(spark, tmp_path):
+    run_fail_case(spark, tmp_path, "updating_full_join")
+
+
+@ref_available
+def test_fail_updating_left_join(spark, tmp_path):
+    run_fail_case(spark, tmp_path, "updating_left_join")
+
+
+@ref_available
+def test_fail_updating_right_join(spark, tmp_path):
+    run_fail_case(spark, tmp_path, "updating_right_join")
+
+
+@ref_available
+def test_fail_updating_inner_join_with_updating(spark, tmp_path):
+    run_fail_case(spark, tmp_path, "updating_inner_join_with_updating")
+
+
+def test_mixed_windowing_join_rejected(spark, tmp_path):
+    """join.rs:44-51 — windowed⋈non-windowed joins are rejected."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (ts TIMESTAMP, k BIGINT) WITH (
+      connector = 'single_file', path = '$p', format = 'json',
+      type = 'source', event_time_field = 'ts');
+    CREATE TABLE out (k BIGINT, n BIGINT) WITH (
+      connector = 'single_file', path = '$o', format = 'json', type = 'sink');
+    INSERT INTO out
+    SELECT a.k, b.n FROM src a
+    JOIN (SELECT tumble(interval '1 minute') as w, k, count(*) as n
+          FROM src GROUP BY 1, 2) b
+    ON a.k = b.k;
+    """
+    import json as _json
+
+    p = tmp_path / "src.json"
+    p.write_text(
+        _json.dumps({"ts": "2024-01-01T00:00:00Z", "k": 1}) + "\n"
+    )
+    with pytest.raises(PlanError, match="mixed windowing"):
+        Pipeline(
+            spark, {"$p": str(p), "$o": str(tmp_path / "out.json")}
+        ).run_script(script)
+
+
 @ref_available
 def test_golden_udaf(spark, tmp_path):
     from arroyo_spark.functions.udf import REFERENCE_TEST_UDFS
