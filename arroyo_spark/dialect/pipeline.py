@@ -35,6 +35,7 @@ windows stay pending).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -82,7 +83,11 @@ def _arroyo_ts_json_col(c: str) -> F.Column:
 
 
 def _json_value_col(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
-    """JSON-line column in the reference's sink format (ts as RFC3339)."""
+    """JSON-line column in the reference's sink format (ts as RFC3339).
+    The layout-only time-partition column never serializes."""
+    from arroyo_spark.streaming.file_sink import TIME_PARTITION_COL
+
+    exclude = tuple(exclude) + (TIME_PARTITION_COL,)
     cols = []
     for f in df.schema.fields:
         if f.name in exclude:
@@ -115,6 +120,10 @@ def _epoch_cols(df: DataFrame) -> list[F.Column]:
 def to_debezium_json(df: DataFrame) -> DataFrame:
     """Batch rows -> create-op Debezium envelopes (bounded pipelines emit
     final state as 'c' records; u/d arise only in streaming mode)."""
+    from arroyo_spark.streaming.file_sink import TIME_PARTITION_COL
+
+    if TIME_PARTITION_COL in df.columns:
+        df = df.drop(TIME_PARTITION_COL)
     after = F.to_json(
         F.struct(*_epoch_cols(df)), {"ignoreNullFields": "false"}
     )
@@ -1044,19 +1053,29 @@ class Pipeline:
 
     def _cast_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
         """Positional cast to the declared sink schema (implicit casts —
-        reference golden test `cast_to_sink_type`)."""
-        visible = [c for c in df.columns if c not in _HIDDEN_COLS]
+        reference golden test `cast_to_sink_type`). The generated
+        time-partition column (``partitioning.time_pattern``) is carried
+        through untouched — it drives the file layout, not the schema."""
+        from arroyo_spark.streaming.file_sink import TIME_PARTITION_COL
+
+        skip = set(_HIDDEN_COLS) | {TIME_PARTITION_COL}
+        visible = [c for c in df.columns if c not in skip]
         decls = [c for c in sink.columns if c.virtual_expr is None]
         # positional mapping: rename first (handles duplicate output names
         # like `SELECT A.counter, B.counter`), then cast to declared types
-        hidden_idx = [i for i, c in enumerate(df.columns) if c in _HIDDEN_COLS]
+        hidden_idx = [i for i, c in enumerate(df.columns) if c in skip]
         renamed = df.toDF(*[f"_pos{i}" for i in range(len(df.columns))])
         vis = [
             f"_pos{i}" for i in range(len(df.columns)) if i not in hidden_idx
         ]
+        carry = [
+            F.col(f"_pos{i}").alias(TIME_PARTITION_COL)
+            for i, c in enumerate(df.columns)
+            if c == TIME_PARTITION_COL
+        ]
         if not decls:  # schema inferred from the INSERT (tables.rs:928-953)
             return renamed.select(
-                *[F.col(p).alias(c) for p, c in zip(vis, visible)]
+                *[F.col(p).alias(c) for p, c in zip(vis, visible)], *carry
             )
         if len(vis) != len(decls):
             raise PlanError(
@@ -1067,7 +1086,8 @@ class Pipeline:
             *[
                 F.col(p).cast(d.spark_type).alias(d.name)
                 for p, d in zip(vis, decls)
-            ]
+            ],
+            *carry,
         )
 
     def _write_sink(self, result: PipelineResult, sink: TableDef, df: DataFrame) -> None:
@@ -1224,7 +1244,21 @@ class Pipeline:
                 raise PlanError(
                     "Protobuf is not yet supported in CREATE TABLE statements"
                 )
+            from arroyo_spark.streaming.file_sink import (
+                FileSinkOptionError,
+                TIME_PARTITION_COL,
+                apply_filename_strategy,
+                explode_time_partitions,
+                parse_file_sink_options,
+            )
+
+            try:
+                fso = parse_file_sink_options(sink.options)
+            except FileSinkOptionError as e:
+                raise PlanError(str(e)) from None
+            tp = [TIME_PARTITION_COL] if TIME_PARTITION_COL in df.columns else []
             part_fields = self._sink_partition_fields(sink, df)
+            layout = tp + part_fields
             if fmt == "avro":
                 # directory of object container files, one per partition
                 # (OCFs cannot be line-concatenated like json sinks); the
@@ -1245,34 +1279,52 @@ class Pipeline:
                 # before partitioned sinks (arroyo-planner/src/lib.rs:718-766)
                 # — so each output partition is written by one task instead
                 # of every task emitting a sliver of every partition.
-                w = df.repartition(*part_fields).write if part_fields else df.write
-                if part_fields:
-                    w = w.partitionBy(*part_fields)
+                w = df.repartition(*layout).write if layout else df.write
+                if layout:
+                    w = w.partitionBy(*layout)
+                wopts = fso.writer_options("parquet", df.schema)
+                if wopts:
+                    w = w.options(**wopts)
                 w.mode("overwrite").parquet(out)
+                if tp:
+                    explode_time_partitions(out)
+                apply_filename_strategy(out, fso, "parquet")
                 return
             target_dir = out + ".d" if not out.endswith("/") else out
-            if part_fields and fmt not in ("json", "parquet"):
+            if layout and fmt not in ("json", "parquet"):
                 raise PlanError(
                     f"partitioned sinks support json/parquet formats, not {fmt}"
                 )
-            if part_fields and fmt == "json":
+            if layout and fmt == "json":
                 # partition columns become directories; each partition's rows
                 # are newline-framed JSON (reference filesystem sink with
                 # partitioning.fields, filesystem_partition.sql)
                 enc = df.select(
-                    *part_fields, _json_value_col(df, exclude=tuple(part_fields))
+                    *layout, _json_value_col(df, exclude=tuple(layout))
                 )
-                (
-                    enc.repartition(*part_fields)
-                    .write.partitionBy(*part_fields)
+                w = (
+                    enc.repartition(*layout)
+                    .write.partitionBy(*layout)
                     .mode("overwrite")
-                    .text(target_dir)
                 )
+                wopts = fso.writer_options("json", df.schema)
+                if wopts:
+                    w = w.options(**wopts)
+                w.text(target_dir)
+                if tp:
+                    explode_time_partitions(target_dir)
+                apply_filename_strategy(target_dir, fso, "json")
                 return
+            dir_sink = out.endswith("/")
+            wopts = fso.writer_options("json", df.schema) if dir_sink else {}
             if fmt == DEBEZIUM_FORMAT:
-                to_debezium_json(df).write.mode("overwrite").text(target_dir)
+                to_debezium_json(df).write.mode("overwrite").options(
+                    **wopts
+                ).text(target_dir)
             elif fmt == "json":
-                to_arroyo_json(df).write.mode("overwrite").text(target_dir)
+                to_arroyo_json(df).write.mode("overwrite").options(
+                    **wopts
+                ).text(target_dir)
             elif fmt == "raw_string":
                 if len(df.columns) != 1:
                     raise PlanError(
@@ -1293,6 +1345,9 @@ class Pipeline:
                 ).text(target_dir)
             else:
                 raise PlanError(f"unsupported sink format: {fmt}")
+            if dir_sink:
+                apply_filename_strategy(target_dir, fso, "json")
+                return
             if not out.endswith("/") and fmt in ("json", DEBEZIUM_FORMAT, "raw_string", "raw_bytes"):
                 # single_file semantics: merge part files into one file
                 with open(out, "w") as fh:
@@ -1300,6 +1355,71 @@ class Pipeline:
                         if part.startswith("part-"):
                             with open(os.path.join(target_dir, part)) as pf:
                                 fh.write(pf.read())
+
+    def _with_time_partition(
+        self, df: DataFrame, sink: TableDef, select_sql: str
+    ) -> DataFrame:
+        """``partitioning.time_pattern`` (filesystem/config.rs:266-268 —
+        `to_char(_timestamp, pattern)`): materialize the formatted event
+        time as a generated partition column before the sink cast drops
+        `_timestamp`. One `date_format` projection — stays in codegen.
+        Plain projections drop the hidden `_timestamp`; for those the
+        SELECT is re-planned with it appended (the reference force-appends
+        `_timestamp` to every projection, plan/mod.rs:266-284)."""
+        pattern = sink.options.get("partitioning.time_pattern")
+        conn = (sink.connector or "").lower()
+        if (
+            not pattern
+            or conn not in ("filesystem", "single_file")
+            or str(sink.options.get("format", "json")) == DEBEZIUM_FORMAT
+        ):
+            return df
+        from arroyo_spark.streaming.file_sink import (
+            FileSinkOptionError,
+            TIME_PARTITION_COL,
+            strftime_to_java,
+        )
+
+        try:
+            jp = strftime_to_java(str(pattern))
+        except FileSinkOptionError as e:
+            raise PlanError(str(e)) from None
+        if TIMESTAMP_FIELD not in df.columns:
+            amended = self._append_outer_select(select_sql, TIMESTAMP_FIELD)
+            try:
+                df = self._plan_select(amended)
+            except Exception:
+                raise PlanError(
+                    "partitioning.time_pattern needs the event time: the "
+                    "query does not propagate _timestamp"
+                ) from None
+        return df.withColumn(
+            TIME_PARTITION_COL, F.date_format(F.col(TIMESTAMP_FIELD), jp)
+        )
+
+    @staticmethod
+    def _append_outer_select(select_sql: str, col: str) -> str:
+        """`SELECT a, b FROM ...` → `SELECT a, b, <col> FROM ...` (append to
+        the OUTERMOST select list; depth-0 scan, string-literal aware)."""
+        s = select_sql
+        m = re.search(r"\bselect\b", s, re.I)
+        if not m:
+            return s
+        depth, i, n = 0, m.end(), len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                j = s.find("'", i + 1)
+                i = (j if j != -1 else n) + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"\bfrom\b", s[i:], re.I):
+                return f"{s[:i].rstrip()}, {col} {s[i:]}"
+            i += 1
+        return s
 
     def _sink_partition_fields(self, sink: TableDef, df: DataFrame) -> list[str]:
         """Partition columns of a filesystem sink: ``PARTITIONED BY (...)``
@@ -1324,6 +1444,7 @@ class Pipeline:
         if target.table_type == "source":
             raise PlanError(f"cannot INSERT into source table {stmt.target}")
         df = self._plan_select(stmt.select_sql)
+        df = self._with_time_partition(df, target, stmt.select_sql)
         if self.mode == "streaming" and df.isStreaming and target.connector:
             self._run_streaming_insert(stmt, target, df, result)
             return
@@ -1426,6 +1547,19 @@ class Pipeline:
             )
         ck = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
         cast = self._cast_to_sink(df, target)
+        from arroyo_spark.streaming.file_sink import (
+            FileSinkOptionError,
+            TIME_PARTITION_COL,
+            apply_filename_strategy,
+            explode_time_partitions,
+            parse_file_sink_options,
+        )
+
+        try:
+            fso = parse_file_sink_options(target.options)
+        except FileSinkOptionError as e:
+            raise PlanError(str(e)) from None
+        tp = [TIME_PARTITION_COL] if TIME_PARTITION_COL in cast.columns else []
         part_fields = self._sink_partition_fields(target, cast)
         if part_fields and fmt == DEBEZIUM_FORMAT:
             raise PlanError(
@@ -1433,6 +1567,7 @@ class Pipeline:
             )
         lines: list[str] = []
         spool: str | None = None
+        wopts: dict[str, str] = {}
 
         if fmt == DEBEZIUM_FORMAT:
             from arroyo_spark.streaming.updating import DebeziumEncoder
@@ -1457,11 +1592,18 @@ class Pipeline:
             # spooling them to a temp dir would lose the output — ADVICE
             # r2); unpartitioned json spools to a temp dir and merges to
             # the single_file path after the drain
-            if out_path and (part_fields or fmt == "parquet"):
+            if out_path and (part_fields or tp or fmt == "parquet"):
                 spool = out_path
             else:
                 spool = tempfile.mkdtemp(prefix=f"sink_{target.name}_")
-            pf = tuple(part_fields)
+            pf = tuple(tp + part_fields)
+            wopts = fso.writer_options(
+                "parquet" if fmt == "parquet" else "json", cast.schema
+            )
+            if spool != out_path:
+                # temp spools are merged line-wise afterwards — compressed
+                # part files would not concatenate
+                wopts.pop("compression", None)
 
             def for_each(batch_df: DataFrame, batch_id: int) -> None:
                 if fmt == "parquet":
@@ -1470,7 +1612,7 @@ class Pipeline:
                         if pf
                         else batch_df.write
                     )
-                    w.mode("append").parquet(spool)
+                    w.mode("append").options(**wopts).parquet(spool)
                 elif pf:
                     enc = batch_df.select(
                         *pf, _json_value_col(batch_df, exclude=pf)
@@ -1479,10 +1621,13 @@ class Pipeline:
                         enc.repartition(*pf)
                         .write.partitionBy(*pf)
                         .mode("append")
+                        .options(**wopts)
                         .text(spool)
                     )
                 else:
-                    to_arroyo_json(batch_df).write.mode("append").text(spool)
+                    to_arroyo_json(batch_df).write.mode("append").options(
+                        **wopts
+                    ).text(spool)
 
             writer = cast.writeStream.outputMode("append").foreachBatch(for_each)
 
@@ -1498,14 +1643,24 @@ class Pipeline:
                 f"streaming INSERT into {target.name} did not drain within "
                 "600s; partial output discarded"
             )
-        if fmt in ("json", DEBEZIUM_FORMAT) and spool is not None:
+        if (
+            fmt in ("json", DEBEZIUM_FORMAT)
+            and spool is not None
+            and "compression" not in wopts
+        ):
             lines = self._read_spool_lines(spool)
         # multiple INSERTs into one sink merge (test_merge_sink semantics)
         merged = result.raw_lines.setdefault(target.name, [])
         merged.extend(lines)
-        if out_path and fmt != "parquet" and not part_fields:
+        if out_path and fmt != "parquet" and not (part_fields or tp):
             with open(out_path, "w") as fh:
                 fh.write("\n".join(merged) + ("\n" if merged else ""))
+        if spool == out_path and out_path:
+            if tp:
+                explode_time_partitions(spool)
+            apply_filename_strategy(
+                spool, fso, "parquet" if fmt == "parquet" else "json"
+            )
         result.sink_formats[target.name] = fmt
 
     @staticmethod

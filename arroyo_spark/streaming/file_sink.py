@@ -1,0 +1,386 @@
+"""Filesystem sink option surface: naming, time partitioning, rolling,
+compression.
+
+Re-expresses the reference's filesystem sink configuration
+(`crates/arroyo-connectors/src/filesystem/config.rs`) on Spark's native
+writers — the data path stays inside the JVM parquet/text writers; the
+option machinery only adds a generated partition column, writer options,
+and O(#files + #partitions) metadata-only post-passes (the same shape as
+the reference's finish_files commit phase):
+
+- ``partitioning.time_pattern`` (config.rs:266-268 —
+  ``to_char(_timestamp, pattern)``): the strftime pattern becomes a
+  ``date_format`` column the writer partitions by; after the JVM writers
+  finish, the hive-encoded ``__tp=...`` directories are renamed to the raw
+  ``<formatted>/...`` layout the reference produces (Spark hive-escapes the
+  ``/`` separators as ``%2F``; the rename decodes them into nested dirs).
+- ``filename.prefix/suffix/strategy`` (config.rs:297-343): part files are
+  renamed to ``<prefix-><id><suffix>`` where the id comes from ``serial`` |
+  ``uuid`` | ``uuid_v7`` (RFC 9562 §5.7, time-ordered) | ``ulid`` (public
+  ULID spec: crockford-base32 of 48-bit unix-ms + 80 random bits).
+- ``rolling_policy.file_size`` (config.rs:47-60): mapped to Spark's
+  ``maxRecordsPerFile`` via a schema-derived per-row size estimate (Spark's
+  writers roll on record counts, not bytes). ``rolling_policy.interval`` is
+  the micro-batch cadence in streaming mode (every batch closes its files —
+  validated, ≥1s like the reference); ``inactivity_interval`` and
+  ``watermark_expiration`` are likewise governed by Spark's micro-batch
+  lifecycle and validated here.
+- ``parquet.compression`` / ``json.compression``: validated against the
+  reference's enums (formats.rs:69-83, formats.rs:307-331) and passed to
+  the writers.
+- ``multipart.target_part_size`` / ``multipart.max_parts``
+  (config.rs:100-145): validated with the reference's 5 MiB lower bound;
+  object-store multipart tuning has no local-filesystem analog (no-op).
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+class FileSinkOptionError(ValueError):
+    """Invalid filesystem sink option (mirrors the reference's plan errors)."""
+
+
+_PARQUET_COMPRESSION = {
+    # reference name -> Spark writer option value (formats.rs:307-331)
+    "uncompressed": "none",
+    "snappy": "snappy",
+    "gzip": "gzip",
+    "zstd": "zstd",
+    "lz4": "lz4",
+    "lz4_raw": "lz4raw",
+}
+
+_JSON_COMPRESSION = {"uncompressed": None, "gzip": "gzip"}
+
+_FILENAME_STRATEGIES = ("serial", "uuid", "uuid_v7", "ulid")
+
+MINIMUM_PART_SIZE = 5 * 1024 * 1024  # config.rs:26
+
+# chrono strftime -> java.time.DateTimeFormatter (config.rs to_char patterns)
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%j": "DDD",
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+    "%%": "'%'",
+}
+
+
+def strftime_to_java(pattern: str) -> str:
+    """chrono/strftime time-partition pattern → Java DateTimeFormatter
+    pattern (`%Y/%m/%d` → `yyyy/MM/dd`). Literal ASCII letters are quoted
+    (they are pattern letters to Java); unknown % tokens are plan errors."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "%":
+            tok = pattern[i : i + 2]
+            if tok not in _STRFTIME_TO_JAVA:
+                raise FileSinkOptionError(
+                    f"unsupported partitioning.time_pattern token '{tok}'"
+                )
+            out.append(_STRFTIME_TO_JAVA[tok])
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def parse_data_size(value: object, opt: str) -> int:
+    """'5MB' / '5 MB' / raw int → bytes (reference pull_opt_data_size)."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    s = str(value).strip().lower().replace(" ", "")
+    units = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}
+    for suffix, mult in sorted(units.items(), key=lambda kv: -len(kv[0])):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)]
+            try:
+                return int(float(num) * mult)
+            except ValueError:
+                break
+    try:
+        return int(s)
+    except ValueError:
+        raise FileSinkOptionError(f"invalid data size for {opt}: {value!r}") from None
+
+
+def parse_duration_seconds(value: object, opt: str) -> int:
+    """'30s' / '5m' / '1h' / '5 minutes' / raw int → seconds."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    s = str(value).strip().lower()
+    compact = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    if s and s[-1] in compact and s[:-1].replace(".", "", 1).isdigit():
+        return int(float(s[:-1]) * compact[s[-1]])
+    try:
+        from arroyo_spark.durations import duration_us
+
+        return duration_us(s) // 1_000_000
+    except ValueError:
+        raise FileSinkOptionError(f"invalid duration for {opt}: {value!r}") from None
+
+
+@dataclass
+class FileSinkOptions:
+    time_pattern: str | None = None
+    filename_prefix: str | None = None
+    filename_suffix: str | None = None
+    filename_strategy: str | None = None  # default uuid_v7 (config.rs:308)
+    parquet_compression: str | None = None  # Spark writer value
+    json_compression: str | None = None
+    rolling_file_size: int | None = None  # bytes
+    rolling_interval: int | None = None  # seconds
+    rolling_inactivity: int | None = None  # seconds
+    watermark_expiration: bool = False
+    multipart_target_part_size: int | None = None
+    multipart_max_parts: int | None = None
+
+    @property
+    def needs_rename(self) -> bool:
+        return bool(
+            self.filename_prefix
+            or self.filename_suffix
+            or self.filename_strategy
+        )
+
+    def writer_options(self, fmt: str, df_schema=None) -> dict[str, str]:
+        """Options to set on the DataFrameWriter for format `fmt`."""
+        opts: dict[str, str] = {}
+        if fmt == "parquet" and self.parquet_compression:
+            opts["compression"] = self.parquet_compression
+        if fmt == "json" and self.json_compression:
+            opts["compression"] = self.json_compression
+        if self.rolling_file_size and df_schema is not None:
+            per_row = max(1, estimated_row_bytes(df_schema))
+            opts["maxRecordsPerFile"] = str(
+                max(1, self.rolling_file_size // per_row)
+            )
+        return opts
+
+
+def estimated_row_bytes(schema) -> int:
+    """Schema-derived per-row size estimate (Catalyst defaultSize analog)
+    used to translate byte-based rolling into `maxRecordsPerFile`."""
+    from pyspark.sql import types as T
+
+    sizes = {
+        T.BooleanType: 1,
+        T.ByteType: 1,
+        T.ShortType: 2,
+        T.IntegerType: 4,
+        T.FloatType: 4,
+        T.LongType: 8,
+        T.DoubleType: 8,
+        T.DateType: 4,
+        T.TimestampType: 8,
+        T.TimestampNTZType: 8,
+    }
+
+    def one(dt) -> int:
+        for cls, n in sizes.items():
+            if isinstance(dt, cls):
+                return n
+        if isinstance(dt, T.DecimalType):
+            return 16
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return 20
+        if isinstance(dt, T.ArrayType):
+            return 4 * one(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return sum(one(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.MapType):
+            return 4 * (one(dt.keyType) + one(dt.valueType))
+        return 8
+
+    return sum(one(f.dataType) for f in schema.fields)
+
+
+def parse_file_sink_options(options: dict) -> FileSinkOptions:
+    """Validate and pull the filesystem sink option surface
+    (config.rs FromOpts impls; error messages mirror the reference)."""
+    o = FileSinkOptions()
+    o.time_pattern = options.get("partitioning.time_pattern")
+    if o.time_pattern is not None:
+        o.time_pattern = str(o.time_pattern)
+        strftime_to_java(o.time_pattern)  # validate at plan time
+    pref = options.get("filename.prefix")
+    o.filename_prefix = str(pref) if pref is not None else None
+    suf = options.get("filename.suffix")
+    o.filename_suffix = str(suf) if suf is not None else None
+    strat = options.get("filename.strategy")
+    if strat is not None:
+        s = str(strat).lower()
+        if s not in _FILENAME_STRATEGIES:
+            raise FileSinkOptionError(f"invalid filename.strategy '{strat}'")
+        o.filename_strategy = s
+    pc = options.get("parquet.compression")
+    if pc is not None:
+        s = str(pc).lower()
+        if s not in _PARQUET_COMPRESSION:
+            raise FileSinkOptionError(f"invalid parquet compression '{pc}'")
+        o.parquet_compression = _PARQUET_COMPRESSION[s]
+    jc = options.get("json.compression")
+    if jc is not None:
+        s = str(jc).lower()
+        if s not in _JSON_COMPRESSION:
+            raise FileSinkOptionError(f"invalid json compression '{jc}'")
+        o.json_compression = _JSON_COMPRESSION[s]
+    fs = options.get("rolling_policy.file_size")
+    if fs is not None:
+        o.rolling_file_size = parse_data_size(fs, "rolling_policy.file_size")
+    iv = options.get("rolling_policy.interval")
+    if iv is not None:
+        o.rolling_interval = parse_duration_seconds(
+            iv, "rolling_policy.interval"
+        )
+        if o.rolling_interval < 1:
+            raise FileSinkOptionError(
+                "rolling_policy.interval must be at least 1 second"
+            )
+    ia = options.get("rolling_policy.inactivity_interval")
+    if ia is not None:
+        o.rolling_inactivity = parse_duration_seconds(
+            ia, "rolling_policy.inactivity_interval"
+        )
+        if o.rolling_inactivity < 1:
+            raise FileSinkOptionError(
+                "rolling_policy.inactivity_interval must be at least 1 second"
+            )
+    o.watermark_expiration = (
+        str(options.get("rolling_policy.watermark_expiration", "false")).lower()
+        == "true"
+    )
+    tp = options.get("multipart.target_part_size")
+    if tp is not None:
+        o.multipart_target_part_size = parse_data_size(
+            tp, "multipart.target_part_size"
+        )
+        if o.multipart_target_part_size < MINIMUM_PART_SIZE:
+            raise FileSinkOptionError(
+                f"multipart.target_part_size must be >= {MINIMUM_PART_SIZE}"
+            )
+    mp = options.get("multipart.max_parts")
+    if mp is not None:
+        o.multipart_max_parts = int(str(mp))
+        if o.multipart_max_parts < 1:
+            raise FileSinkOptionError("multipart.max_parts must be nonzero")
+    return o
+
+
+# -- filename strategies ----------------------------------------------------
+
+
+def uuid_v7() -> str:
+    """RFC 9562 §5.7 UUIDv7: 48-bit unix-ms, version/variant bits, 74
+    random bits — time-ordered so lexical file order ≈ creation order."""
+    ms = int(time.time() * 1000) & ((1 << 48) - 1)
+    rand_a = secrets.randbits(12)
+    rand_b = secrets.randbits(62)
+    val = (
+        (ms << 80)
+        | (0x7 << 76)
+        | (rand_a << 64)
+        | (0b10 << 62)
+        | rand_b
+    )
+    return str(uuid.UUID(int=val))
+
+
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def ulid() -> str:
+    """Public ULID spec: 26 crockford-base32 chars of (48-bit unix-ms ||
+    80 random bits)."""
+    val = (int(time.time() * 1000) & ((1 << 48) - 1)) << 80 | secrets.randbits(80)
+    chars = []
+    for shift in range(125, -1, -5):
+        chars.append(_CROCKFORD[(val >> shift) & 0x1F])
+    return "".join(chars)
+
+
+def _next_name(strategy: str, serial: int) -> str:
+    if strategy == "serial":
+        return f"{serial:05d}"
+    if strategy == "uuid":
+        return str(uuid.uuid4())
+    if strategy == "ulid":
+        return ulid()
+    return uuid_v7()
+
+
+def apply_filename_strategy(
+    target_dir: str, opts: FileSinkOptions, default_ext: str
+) -> None:
+    """Rename Spark part files to the reference's
+    ``<prefix-><id><suffix>`` naming (config.rs:297-343). Metadata-only:
+    one rename per output file, recursing into partition directories."""
+    if not opts.needs_rename:
+        return
+    strategy = opts.filename_strategy or "uuid_v7"
+    serial = 0
+    for root, _dirs, files in sorted(os.walk(target_dir)):
+        for f in sorted(files):
+            if not f.startswith("part-"):
+                continue
+            ext = opts.filename_suffix
+            if ext is None:
+                ext = "." + default_ext if default_ext else ""
+                for known in (".parquet", ".json", ".txt", ".gz"):
+                    if f.endswith(known):
+                        ext = known
+                        break
+            name = _next_name(strategy, serial)
+            serial += 1
+            prefix = f"{opts.filename_prefix}-" if opts.filename_prefix else ""
+            os.rename(
+                os.path.join(root, f), os.path.join(root, f"{prefix}{name}{ext}")
+            )
+
+
+TIME_PARTITION_COL = "__arroyo_tp"
+
+
+def explode_time_partitions(target_dir: str) -> None:
+    """Rewrite hive-encoded ``__arroyo_tp=<escaped>`` directories into the
+    reference's raw ``<formatted>/...`` nested layout (config.rs writes the
+    formatted string directly into the object path). Spark hive-escapes
+    ``/`` as ``%2F``; decoding it yields the nested date directories.
+    Metadata-only renames, one per time partition."""
+    from urllib.parse import unquote
+
+    if not os.path.isdir(target_dir):
+        return
+    for entry in sorted(os.listdir(target_dir)):
+        full = os.path.join(target_dir, entry)
+        if not (os.path.isdir(full) and entry.startswith(TIME_PARTITION_COL + "=")):
+            continue
+        raw = unquote(entry[len(TIME_PARTITION_COL) + 1 :])
+        dest = os.path.join(target_dir, *raw.split("/"))
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.isdir(dest):
+            # merge into an existing bucket (another batch already wrote it)
+            for f in os.listdir(full):
+                os.rename(os.path.join(full, f), os.path.join(dest, f))
+            os.rmdir(full)
+        else:
+            os.rename(full, dest)

@@ -1,0 +1,328 @@
+"""Filesystem sink option surface — naming, time partitioning, rolling,
+compression (reference: crates/arroyo-connectors/src/filesystem/config.rs)."""
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+
+from arroyo_spark.dialect import PlanError
+from arroyo_spark.streaming.file_sink import (
+    FileSinkOptionError,
+    estimated_row_bytes,
+    parse_data_size,
+    parse_duration_seconds,
+    parse_file_sink_options,
+    strftime_to_java,
+    ulid,
+    uuid_v7,
+)
+
+
+# -- unit: option parsing ----------------------------------------------------
+
+
+def test_strftime_to_java():
+    assert strftime_to_java("%Y/%m/%d") == "yyyy/MM/dd"
+    assert strftime_to_java("%Y-%m-%d-%H") == "yyyy-MM-dd-HH"
+    assert strftime_to_java("year=%Y") == "'y''e''a''r'=yyyy"
+    with pytest.raises(FileSinkOptionError, match="time_pattern token"):
+        strftime_to_java("%Q")
+
+
+def test_parse_data_size():
+    assert parse_data_size("5MB", "x") == 5 * 1024 * 1024
+    assert parse_data_size("512 kb", "x") == 512 * 1024
+    assert parse_data_size(1000, "x") == 1000
+    assert parse_data_size("1000", "x") == 1000
+    with pytest.raises(FileSinkOptionError):
+        parse_data_size("fast", "x")
+
+
+def test_parse_duration_seconds():
+    assert parse_duration_seconds("30s", "x") == 30
+    assert parse_duration_seconds("5m", "x") == 300
+    assert parse_duration_seconds("5 minutes", "x") == 300
+    assert parse_duration_seconds(60, "x") == 60
+
+
+def test_invalid_strategy_and_compression():
+    with pytest.raises(FileSinkOptionError, match="filename.strategy"):
+        parse_file_sink_options({"filename.strategy": "monotonic"})
+    with pytest.raises(FileSinkOptionError, match="invalid parquet compression"):
+        parse_file_sink_options({"parquet.compression": "brotli9"})
+    with pytest.raises(FileSinkOptionError, match="invalid json compression"):
+        parse_file_sink_options({"json.compression": "zstd"})
+    # reference bound: MINIMUM_PART_SIZE (config.rs:26,133)
+    with pytest.raises(FileSinkOptionError, match=">= 5242880"):
+        parse_file_sink_options({"multipart.target_part_size": "1MB"})
+    with pytest.raises(FileSinkOptionError, match="at least 1 second"):
+        parse_file_sink_options({"rolling_policy.interval": 0})
+
+
+def test_lz4_raw_and_uncompressed_map_to_spark_values():
+    o = parse_file_sink_options({"parquet.compression": "uncompressed"})
+    assert o.parquet_compression == "none"
+    o = parse_file_sink_options({"parquet.compression": "lz4_raw"})
+    assert o.parquet_compression == "lz4raw"
+
+
+def test_uuid_v7_and_ulid_shapes():
+    u = uuid_v7()
+    assert u[14] == "7"  # version nibble (RFC 9562 §5.7)
+    assert u[19] in "89ab"  # variant bits
+    stamps = [uuid_v7()[:13] for _ in range(5)]
+    assert stamps == sorted(stamps)  # ms-timestamp prefix is non-decreasing
+    v = ulid()
+    assert len(v) == 26 and all(c in "0123456789ABCDEFGHJKMNPQRSTVWXYZ" for c in v)
+
+
+def test_estimated_row_bytes():
+    from pyspark.sql import types as T
+
+    s = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    assert estimated_row_bytes(s) == 8 + 20 + 8
+
+
+# -- end-to-end through the dialect -----------------------------------------
+
+
+def _write_src(tmp_path, n=4):
+    rows = [
+        {"ts": f"2024-03-0{1 + i % 2}T0{i}:00:00Z", "k": "ab"[i % 2], "v": i}
+        for i in range(n)
+    ]
+    (tmp_path / "in.json").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows)
+    )
+    return rows
+
+
+SRC_DDL = """
+CREATE TABLE src (ts TIMESTAMP, k TEXT, v BIGINT) WITH (
+  connector='single_file', path='$p/in.json', format='json',
+  type='source', event_time_field='ts');
+"""
+
+
+def test_time_pattern_and_fields_layout(spark, tmp_path):
+    """partitioning.time_pattern + fields → raw `<Y/m/d>/k=v/` nested
+    layout (config.rs partition_string_for_fields_and_time)."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "out"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (ts TIMESTAMP, k TEXT, v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'partitioning.time_pattern' = '%Y/%m/%d',
+          'partitioning.fields' = 'k');
+        INSERT INTO snk SELECT ts, k, v FROM src;
+        """
+    )
+    files = glob.glob(str(out / "2024" / "03" / "*" / "k=*" / "*.parquet"))
+    assert files, f"no nested layout under {out}: {list(os.walk(out))}"
+    # no hive-encoded __arroyo_tp= dirs remain
+    assert not glob.glob(str(out / "__arroyo_tp=*"))
+    total = 0
+    for f in files:
+        df = spark.read.parquet(f)
+        assert "__arroyo_tp" not in df.columns
+        total += df.count()
+    assert total == 4
+
+
+def test_time_pattern_json_dir(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outj"
+    os.makedirs(out)
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (ts TIMESTAMP, k TEXT, v BIGINT) WITH (
+          connector='single_file', path='{out}/', format='json',
+          type='sink', 'partitioning.time_pattern' = '%Y-%m-%d');
+        INSERT INTO snk SELECT ts, k, v FROM src;
+        """
+    )
+    days = sorted(
+        d for d in os.listdir(out) if os.path.isdir(out / d)
+    )
+    assert days == ["2024-03-01", "2024-03-02"]
+    rows = []
+    for day in days:
+        for f in os.listdir(out / day):
+            if f.startswith((".", "_")):
+                continue
+            rows.extend(
+                json.loads(l)
+                for l in open(out / day / f).read().splitlines()
+            )
+    assert sorted(r["v"] for r in rows) == [0, 1, 2, 3]
+    assert all("__arroyo_tp" not in r for r in rows)
+
+
+def test_filename_strategy_serial_prefix(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outp"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'filename.strategy' = 'serial',
+          'filename.prefix' = 'events');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    names = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert names and all(f.startswith("events-") for f in names)
+    assert names[0] == "events-00000.parquet"
+    assert spark.read.parquet(str(out)).count() == 4
+
+
+def test_filename_strategy_uuid_v7(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outu"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'filename.strategy' = 'uuid_v7');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    names = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert names and all(len(f) == len("x" * 36 + ".parquet") for f in names)
+    assert all(f[14] == "7" for f in names)
+
+
+def test_parquet_compression_zstd(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outz"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'parquet.compression' = 'zstd');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    import pyarrow.parquet as pq
+
+    f = glob.glob(str(out / "*.parquet"))[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_json_gzip_compression_dir_sink(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outg"
+    os.makedirs(out)
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}/', format='json',
+          type='sink', 'json.compression' = 'gzip');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    gzs = glob.glob(str(out / "part-*.gz"))
+    assert gzs
+    rows = []
+    for f in gzs:
+        rows.extend(
+            json.loads(l)
+            for l in gzip.open(f, "rt").read().splitlines()
+        )
+    assert sorted(r["v"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_rolling_file_size_rolls_files(spark, tmp_path):
+    """rolling_policy.file_size → maxRecordsPerFile from the schema row
+    estimate: 8-byte rows with file_size=16 ⇒ ≤2 records per file."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path, n=8)
+    out = tmp_path / "outr"
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'rolling_policy.file_size' = '16');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    import pyarrow.parquet as pq
+
+    files = glob.glob(str(out / "*.parquet"))
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 2 for f in files)
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 8
+
+
+def test_bad_options_raise_plan_error(spark, tmp_path):
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    script = (
+        SRC_DDL
+        + """
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='$p/out', format='parquet',
+          type='sink', 'parquet.compression' = 'rar');
+        INSERT INTO snk SELECT v FROM src;
+        """
+    )
+    with pytest.raises(PlanError, match="invalid parquet compression"):
+        Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+
+
+def test_streaming_mode_time_pattern(spark, tmp_path):
+    """Streaming INSERT (availableNow) with time_pattern produces the same
+    nested layout; files land under out_path per micro-batch."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outs"
+    Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (ts TIMESTAMP, k TEXT, v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'partitioning.time_pattern' = '%Y/%m/%d');
+        INSERT INTO snk SELECT ts, k, v FROM src;
+        """
+    )
+    files = glob.glob(str(out / "2024" / "03" / "*" / "*.parquet"))
+    assert files, f"layout missing: {list(os.walk(out))}"
+    dirs = sorted({os.path.dirname(f) for f in files})
+    total = sum(
+        spark.read.parquet(d).count() for d in dirs
+    )
+    assert total == 4
