@@ -696,7 +696,18 @@ class Pipeline:
             raise PlanError(f"unsupported source format: {fmt}")
         for c in t.columns:
             if c.virtual_expr is not None:
-                df = df.withColumn(c.name, F.expr(c.virtual_expr))
+                try:
+                    df = df.withColumn(c.name, F.expr(c.virtual_expr))
+                    df.schema  # force analysis of the generated expression
+                except Exception as e:
+                    # reference surfaces the unresolved identifier at table
+                    # create time (virtual_bad_schema.sql: "'x' not found")
+                    m = re.search(r"`([A-Za-z_]\w*)`", str(e))
+                    missing = m.group(1) if m else c.virtual_expr
+                    raise PlanError(
+                        f"Failed to create table {t.name} caused by Error "
+                        f"during planning: '{missing}' not found"
+                    ) from None
             elif c.metadata_key is not None:
                 # file sources carry no connector metadata; typed nulls
                 df = df.withColumn(
@@ -816,6 +827,15 @@ class Pipeline:
     def _handle_create_table(self, t: TableDef) -> None:
         if t.name in self.tables:
             raise PlanError(f"table {t.name} already exists")
+        if str(t.options.get("format", "")) == DEBEZIUM_FORMAT and any(
+            c.virtual_expr is not None for c in t.columns
+        ):
+            # tables.rs:536-538 — virtual fields are computed from the raw
+            # row, which a Debezium envelope doesn't expose
+            raise PlanError(
+                f"Failed to create table {t.name} caused by Error during "
+                "planning: can't use virtual fields with debezium format"
+            )
         self.tables[t.name] = t
         if t.connector is None:
             return  # memory table: registered on first INSERT
@@ -828,10 +848,33 @@ class Pipeline:
     # -- queries -----------------------------------------------------------
 
     def _plan_select(self, select_sql: str) -> DataFrame:
+        self._check_table_refs(select_sql)
         self._check_lookup_joins(select_sql)
         self._check_join_rules(select_sql)
         sql = rewrite_query(self._substitute(select_sql))
         return self.spark.sql(sql)
+
+    def _check_table_refs(self, select_sql: str) -> None:
+        """Reference table-direction rules: sinks are write-only
+        (`select_from_sink.sql`) and memory tables must be written before
+        they are read (`tables.rs` memory-table planning,
+        `error_read_from_unwritten_memory_table.sql`)."""
+        from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+        sql = _strip_string_literals(self._substitute(select_sql))
+        for name in re.findall(r"\b(?:from|join)\s+(\w+)", sql, re.I):
+            t = self.tables.get(name)
+            if t is None:
+                continue
+            if t.table_type == "sink":
+                raise PlanError(
+                    f"attempted to read from table '{name}', but it is a sink"
+                )
+            if t.connector is None and name not in self.memory_written:
+                raise PlanError(
+                    f"Can't query from memory table {name} without first "
+                    "inserting into it."
+                )
 
     def _check_join_rules(self, select_sql: str) -> None:
         """Enforce the reference's stream-join planning rules at plan time
@@ -922,6 +965,7 @@ class Pipeline:
                         dd -= 1
                     j += 1
                 rtext = sql[ro + 1 : j - 1]
+                rel_end = j
                 r_windowed, r_updating = _windowed(rtext), _updating_text(rtext)
             else:
                 mn = _re.match(r"\s*(\w+)", rest)
@@ -930,6 +974,7 @@ class Pipeline:
                 rname = mn.group(1)
                 if rname.lower() in lookups or rname.lower() == "unnest":
                     continue  # lookup-join rules / unnest expansion
+                rel_end = m.end() + mn.end()
                 r_windowed, r_updating = False, _updating_table(rname)
             # left segment: from the nearest same-depth FROM to the join
             from_pos = None
@@ -953,6 +998,40 @@ class Pipeline:
                     raise PlanError("can't handle updating left side of join")
                 if r_updating:
                     raise PlanError("can't handle updating right side of join")
+                # non-windowed inner joins run as updating/expiration joins
+                # keyed on the equijoin columns — a pure filter condition
+                # has no key (updating_filter_join.sql; join.rs planning
+                # extracts equijoin predicates)
+                mo = _re.compile(
+                    r"\s*(?:as\s+)?(?:\w+\s+)?on\b", _re.I
+                ).match(sql, rel_end)
+                if mo:
+                    k, dd = mo.end(), 0
+                    clause = _re.compile(
+                        r"\b(where|group|having|union|join|inner|left|right"
+                        r"|full|cross|window|order|limit)\b",
+                        _re.I,
+                    )
+                    while k < len(sql):
+                        ch = sql[k]
+                        if ch == "(":
+                            dd += 1
+                        elif ch == ")":
+                            if dd == 0:
+                                break
+                            dd -= 1
+                        elif dd == 0 and clause.match(sql, k):
+                            break
+                        k += 1
+                    cond = sql[mo.end() : k]
+                    has_equi = any(
+                        _re.search(r"(?<![<>!])=(?!=)", term)
+                        for term in _re.split(r"\band\b", cond, flags=_re.I)
+                    )
+                    if not has_equi:
+                        raise PlanError(
+                            "Updating joins must include an equijoin condition"
+                        )
             else:
                 if r_updating and jtype == "right":
                     raise PlanError("can't handle updating right side of join")

@@ -305,6 +305,152 @@ def test_fail_updating_inner_join_with_updating(spark, tmp_path):
     run_fail_case(spark, tmp_path, "updating_inner_join_with_updating")
 
 
+def _fail_script(spark, tmp_path, script: str, match: str, rows=None):
+    import json as _json
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        "".join(
+            _json.dumps(r) + "\n"
+            for r in (
+                rows
+                or [{"ts": "2024-01-01T00:00:00Z", "k": 1, "v": 2}]
+            )
+        )
+    )
+    with pytest.raises(PlanError, match=match):
+        Pipeline(spark, {"$p": str(p)}).run_script(script)
+
+
+def test_fail_select_from_sink(spark, tmp_path):
+    """select_from_sink.sql — sinks are write-only."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE cars (ts TIMESTAMP, k BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source');
+        CREATE TABLE cars_output (ts TIMESTAMP, k BIGINT) WITH (
+          connector='single_file', path='$p.out', format='json', type='sink');
+        INSERT INTO cars_output SELECT * from cars_output;
+        """,
+        r"attempted to read from table 'cars_output', but it is a sink",
+    )
+
+
+def test_fail_read_unwritten_memory_table(spark, tmp_path):
+    """error_read_from_unwritten_memory_table.sql."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE memory (event_type TEXT, driver_id BIGINT);
+        SELECT * FROM memory;
+        """,
+        r"Can't query from memory table memory without first inserting",
+    )
+
+
+def test_fail_virtual_fields_with_debezium(spark, tmp_path):
+    """no_virtual_fields_updating.sql (tables.rs:536-538)."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE debezium_source (
+          id INT, date_string TEXT,
+          dt TIMESTAMP GENERATED ALWAYS AS (CAST(date_string as timestamp)) STORED
+        ) WITH (connector='kafka', bootstrap_servers='localhost:9092',
+                type='source', topic='updating', format='debezium_json');
+        SELECT * FROM debezium_source;
+        """,
+        r"Failed to create table debezium_source caused by Error during "
+        r"planning: can't use virtual fields with debezium format",
+    )
+
+
+def test_fail_virtual_bad_schema(spark, tmp_path):
+    """virtual_bad_schema.sql — generated column references a nonexistent
+    field; surfaced at table-create time as '<name>' not found."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE input (
+          length TEXT, diff INT GENERATED ALWAYS AS (notfield) STORED
+        ) WITH (connector='single_file', path='$p', format='json',
+                type='source');
+        SELECT * FROM input;
+        """,
+        r"'notfield' not found",
+    )
+
+
+def test_fail_updating_filter_join(spark, tmp_path):
+    """updating_filter_join.sql — non-windowed joins need an equijoin."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE passengers (ts TIMESTAMP, passenger_id BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source',
+          event_time_field='ts');
+        CREATE TABLE cars (ts TIMESTAMP, car_id BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source',
+          event_time_field='ts');
+        SELECT passenger_id, car_id
+        FROM passengers JOIN cars ON passenger_id < car_id;
+        """,
+        r"Updating joins must include an equijoin condition",
+    )
+
+
+def test_fail_updating_left_side_ctas(spark, tmp_path):
+    """no_updating_joins.sql shape — CTAS of a non-windowed aggregate is an
+    updating stream; joining it (either side) is rejected."""
+    _fail_script(
+        spark,
+        tmp_path,
+        """
+        CREATE TABLE src (ts TIMESTAMP, bidder BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source',
+          event_time_field='ts');
+        CREATE TABLE counts AS (
+          SELECT count(*) as counts, bidder FROM src GROUP BY 2);
+        SELECT a.counts, b.counts
+        FROM counts A JOIN counts B ON A.bidder = b.bidder;
+        """,
+        r"can't handle updating left side of join",
+    )
+
+
+def test_interval_join_with_equi_still_allowed(spark, tmp_path):
+    """Equality + range predicates stay legal (JoinWithExpiration path)."""
+    import json as _json
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        _json.dumps({"ts": "2024-01-01T00:00:00Z", "k": 1, "v": 2}) + "\n"
+    )
+    res = Pipeline(spark, {"$p": str(p)}).run_script(
+        """
+        CREATE TABLE a (ts TIMESTAMP, k BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source',
+          event_time_field='ts');
+        CREATE TABLE b (ts TIMESTAMP, k BIGINT) WITH (
+          connector='single_file', path='$p', format='json', type='source',
+          event_time_field='ts');
+        SELECT a.k FROM a JOIN b ON a.k = b.k
+          AND a.ts BETWEEN b.ts - INTERVAL '1' HOUR AND b.ts;
+        """
+    )
+    assert res.previews[0].count() == 1
+
+
 def test_mixed_windowing_join_rejected(spark, tmp_path):
     """join.rs:44-51 — windowed⋈non-windowed joins are rejected."""
     from arroyo_spark.dialect.pipeline import Pipeline
