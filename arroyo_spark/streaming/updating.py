@@ -151,6 +151,10 @@ class DebeziumEncoder:
         now_us = (
             self.clock_us() if self.clock_us else int(time.time() * 1_000_000)
         )
+        # the batch feeds four jobs (changed-bucket scan, envelope join,
+        # anti-join, snapshot write) — pin it once instead of recomputing
+        # the stateful aggregation per action
+        batch_df = batch_df.persist()
         prev_buckets = self._last_buckets()
         # changed-bucket ids: a bounded driver read (<= n_buckets ints),
         # NOT row data — it selects which snapshot dirs to touch
@@ -178,6 +182,8 @@ class DebeziumEncoder:
             prev_full = prev_full.filter(
                 F.col(_LAST_SEEN) >= now_us - self.ttl_us
             )
+        # read twice (envelope join + carry-over anti-join)
+        prev_full = prev_full.persist()
         prev = prev_full.drop(_LAST_SEEN)
         a = batch_df.alias("__a")
         b = prev.withColumn(_PRESENT, F.lit(True)).alias("__b")
@@ -222,9 +228,15 @@ class DebeziumEncoder:
         snap_path = os.path.join(
             self.state_dir, f"snapshot-{batch_id}-{uuid.uuid4().hex[:8]}"
         )
-        new_snap.withColumn(_BUCKET, self._bucket_expr()).write.partitionBy(
-            _BUCKET
-        ).parquet(snap_path)
+        # repartition on the PK hash (Spark's hashpartitioning is the same
+        # pmod(hash) as _bucket_expr) so each bucket directory is written
+        # by one task — one file per bucket instead of tasks×buckets
+        # sliver files
+        new_snap.repartition(self.n_buckets, *self.pks).withColumn(
+            _BUCKET, self._bucket_expr()
+        ).write.partitionBy(_BUCKET).parquet(snap_path)
+        batch_df.unpersist()
+        prev_full.unpersist()
         buckets = dict(prev_buckets)
         for b in changed:
             buckets[str(b)] = os.path.join(snap_path, f"{_BUCKET}={b}")
