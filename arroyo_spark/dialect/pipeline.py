@@ -1782,6 +1782,12 @@ class Pipeline:
                     )
                 result.previews.append(df)
             elif isinstance(stmt, SetStmt):
+                if stmt.key != "updating_ttl":
+                    # lib.rs:801-806 — updating_ttl is the only SET option
+                    raise PlanError(
+                        f"invalid option '{stmt.key}'; supported options "
+                        "are 'updating_ttl'"
+                    )
                 self.settings[stmt.key] = stmt.value
         return result
 

@@ -40,8 +40,31 @@ _BASE_CONF = {
 }
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def state_store_conf() -> dict[str, str]:
+    """Streaming state-store provider selection. The reference checkpoints
+    operator state to Parquet epochs (arroyo-state/src/parquet.rs); Spark's
+    analog at scale is the RocksDB provider (bounded memory, changelog
+    checkpointing) — the default HDFS-backed store keeps all state on the
+    JVM heap, which dies first on a 10⁹-key updating aggregate. Local test
+    runs keep the (faster for tiny state) default; set
+    ``SPARK_GRAFT_STATE_STORE=rocksdb`` or pass extra_conf to opt in."""
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        return {
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+            # changelog checkpointing: upload deltas, not full SST sets
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled": "true",
+        }
+    return {}
 
 
 def get_spark(
@@ -55,6 +78,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf.update(state_store_conf())
     conf.update(extra_conf or {})
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -702,6 +702,14 @@ def test_set_statement_parsed(spark):
     assert p.settings["updating_ttl"] == ("interval", "1 hour")
 
 
+def test_set_unknown_option_rejected(spark):
+    """lib.rs:801-806 — only updating_ttl is settable."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    with pytest.raises(PlanError, match="supported options are 'updating_ttl'"):
+        Pipeline(spark).run_script("SET parallelism = 4; SELECT 1 AS one")
+
+
 def test_json_helper_renames():
     sql = rewrite_query("SELECT get_first_json_object(v, '$.a') AS a, extract_json_string(v, '$.b') AS b FROM t")
     assert sql.count("get_json_object(") == 2

@@ -721,3 +721,53 @@ def test_retraction_aggregate_streaming_update_mode(spark, tmp_path):
     q.awaitTermination(120)
     # complete mode re-emits survivors only: eu's one remaining row (40)
     assert state == {"eu": (1, 40)}
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The 100 TB-scale state backend: the RocksDB provider (SCALING.md;
+    reference keeps operator state off-heap in parquet epochs,
+    arroyo-state/src/parquet.rs) must produce identical windowed-aggregate
+    results. providerClass is per-query SQLConf, so it can be flipped at
+    runtime for one stream."""
+    from arroyo_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    src = tmp_path / "src"
+    (
+        spark.range(2000)
+        .select((F.col("id") % 11).alias("k"), F.col("id").alias("v"))
+        .write.parquet(str(src))
+    )
+    expect = {
+        (r["k"], r["s"])
+        for r in spark.read.parquet(str(src))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema("k bigint, v bigint").parquet(str(src))
+        agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+        _run_to_memory(agg, "rocksdb_agg", "complete", str(tmp_path / "ck"))
+        got = {(r["k"], r["s"]) for r in spark.table("rocksdb_agg").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == expect
+
+
+def test_state_store_conf_env_knob(monkeypatch):
+    from arroyo_spark.session import ROCKSDB_PROVIDER, state_store_conf
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    assert state_store_conf() == {}
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    conf = state_store_conf()
+    assert (
+        conf["spark.sql.streaming.stateStore.providerClass"]
+        == ROCKSDB_PROVIDER
+    )
