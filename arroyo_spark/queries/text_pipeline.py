@@ -124,18 +124,22 @@ def contamination_5gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 97 == 0).alias("is_eval"),
         F.explode(shingles("text", 5)).alias("sh"),
     )
-    w = Window.partitionBy("sh")
-    marked = ex.withColumn(
-        "has_eval",
-        F.max(F.when(F.col("is_eval"), 1).otherwise(0)).over(w),
+    # distinct eval shingles are ~1/97 of the pair relation; the equi-join
+    # against them beats a window over ALL pairs (which shuffles AND sorts
+    # the full corpus by shingle) — AQE broadcasts the eval side while it
+    # fits, and at 100 TB it degrades to a sort-free shuffle join on `sh`
+    eval_sh = (
+        ex.filter(F.col("is_eval")).select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    marked = ex.filter(~F.col("is_eval")).join(eval_sh, on="sh", how="left")
+    has_eval = F.coalesce(F.col("__hit"), F.lit(0))
     return (
-        marked.filter(~F.col("is_eval"))
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum("has_eval").cast("bigint").alias("n_contaminated"),
-            F.round(F.sum("has_eval") / F.count(F.lit(1)), 6).alias(
+            F.sum(has_eval).cast("bigint").alias("n_contaminated"),
+            F.round(F.sum(has_eval) / F.count(F.lit(1)), 6).alias(
                 "contamination_rate"
             ),
         )
