@@ -434,6 +434,66 @@ class Pipeline:
             df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
         df.createOrReplaceTempView(t.name)
 
+    def _register_generator_source(self, t: TableDef) -> None:
+        """`connector = 'impulse'` / `'nexmark'` — the reference's benchmark
+        generators with predefined schemas (impulse/mod.rs:22-35,
+        nexmark/mod.rs:70-93). Schema may be omitted (inferred) or must
+        match exactly; `event_rate` is required. Bounded in batch mode
+        (`message_count` / `runtime`, defaulting to 10 s of events so
+        previews terminate); rate-source-driven when streaming."""
+        conn = (t.connector or "").lower()
+        opts = t.options
+        if "event_rate" not in opts:
+            raise PlanError("required option 'event_rate' not set")
+        try:
+            event_rate = float(str(opts["event_rate"]))
+        except ValueError:
+            raise PlanError(
+                f"invalid value for event_rate: {opts['event_rate']!r}"
+            ) from None
+        declared = [c.name.lower() for c in t.columns]
+        streaming = self.mode == "streaming"
+        if conn == "impulse":
+            if declared and declared != ["counter", "subtask_index"]:
+                raise PlanError("invalid schema for impulse source")
+            message_count = opts.get("message_count")
+            n = (
+                int(str(message_count))
+                if message_count is not None
+                else max(1, int(event_rate * 10))
+            )
+            from arroyo_spark.streaming.sources import impulse_source
+
+            if streaming:
+                df = impulse_source(self.spark, int(event_rate))
+            else:
+                # deterministic bounded batch analog: counters at
+                # 1/event_rate spacing from a fixed epoch
+                df = self.spark.range(n).select(
+                    F.col("id").alias("counter"),
+                    F.lit(0).cast("bigint").alias("subtask_index"),
+                    (
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                        + F.make_dt_interval(secs=F.col("id") / event_rate)
+                    ).alias(TIMESTAMP_FIELD),
+                )
+        else:
+            if declared and declared != ["person", "auction", "bid"]:
+                raise PlanError(
+                    "invalid schema for nexmark source; omit fields to "
+                    "rely on inference"
+                )
+            runtime = opts.get("runtime")
+            n = int(event_rate * (float(str(runtime)) if runtime else 10.0))
+            from arroyo_spark.streaming.sources import nexmark_table_source
+
+            df = nexmark_table_source(
+                self.spark, event_rate, streaming=streaming, n=max(1, n)
+            )
+            if "datetime" in df.columns:  # batch analog exposes raw datetime
+                df = df.withColumnRenamed("datetime", TIMESTAMP_FIELD)
+        df.createOrReplaceTempView(t.name)
+
     def _register_source(self, t: TableDef) -> None:
         if (t.connector or "").lower() == "confluent":
             # confluent = kafka + Confluent-Cloud profile defaults
@@ -477,6 +537,9 @@ class Pipeline:
             client = self.kinesis_clients.get(t.name) or FakeKinesis()
             df = decode_kinesis_source(self.spark, t, client)
             df.createOrReplaceTempView(t.name)
+            return
+        if (t.connector or "").lower() in ("impulse", "nexmark"):
+            self._register_generator_source(t)
             return
         if (t.connector or "").lower() in ("mqtt", "nats"):
             path = self._capture_queue_source(t)
@@ -839,10 +902,16 @@ class Pipeline:
         self.tables[t.name] = t
         if t.connector is None:
             return  # memory table: registered on first INSERT
-        if t.table_type != "sink" and t.columns:
+        if t.table_type != "sink" and (
+            t.columns
+            or (t.connector or "").lower() in ("impulse", "nexmark")
+        ):
             # sources and lookup tables are readable immediately; column-less
             # tables are sinks whose schema is inferred from the INSERT
-            # (tables.rs:928-953) — never scanned as sources
+            # (tables.rs:928-953) — never scanned as sources. impulse and
+            # nexmark are source-only connectors with predefined schemas
+            # (impulse/mod.rs:22-35, nexmark/mod.rs:70-93), so a column-less
+            # CREATE TABLE is still a readable source.
             self._register_source(t)
 
     # -- queries -----------------------------------------------------------

@@ -1,0 +1,176 @@
+"""`connector = 'impulse'` / `'nexmark'` DDL — the reference's benchmark
+generator connectors with predefined schemas (impulse/mod.rs, nexmark/mod.rs)
+wired through the SQL dialect."""
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from arroyo_spark.dialect import PlanError
+from arroyo_spark.dialect.pipeline import Pipeline
+
+QUERIES = "/root/reference/crates/arroyo-sql-testing/src/test/queries"
+
+
+def test_impulse_columnless_ddl(spark):
+    res = Pipeline(spark).run_script(
+        """
+        create table impulse with (connector = 'impulse', event_rate = '10');
+        select counter, subtask_index from impulse where counter < 3;
+        """
+    )
+    rows = sorted(tuple(r) for r in res.previews[0].collect())
+    assert rows == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_impulse_message_count_bounds_batch(spark):
+    res = Pipeline(spark).run_script(
+        """
+        create table impulse with (connector = 'impulse',
+          event_rate = '1000', message_count = '7');
+        select count(*) as n from impulse;
+        """
+    )
+    assert res.previews[0].collect()[0]["n"] == 7
+
+
+def test_impulse_declared_schema_must_match(spark):
+    with pytest.raises(PlanError, match="invalid schema for impulse source"):
+        Pipeline(spark).run_script(
+            """
+            create table i (x INT) with (connector='impulse', event_rate='5');
+            select 1 as one from i;
+            """
+        )
+
+
+def test_impulse_event_rate_required(spark):
+    with pytest.raises(PlanError, match="required option 'event_rate' not set"):
+        Pipeline(spark).run_script(
+            "create table impulse with (connector = 'impulse');"
+        )
+
+
+def test_hop_to_tumble_shape(spark):
+    """hop_to_tumble.sql — hop with width == slide plans and runs."""
+    res = Pipeline(spark).run_script(
+        """
+        create table impulse with (connector = 'impulse', event_rate = '10');
+        select count(*) as n from impulse
+        group by hop(interval '10 seconds', interval '10 seconds');
+        """
+    )
+    rows = res.previews[0].collect()
+    # 100 events at 10/s from a fixed epoch span 0–9.9 s: one 10s tumble
+    assert [r["n"] for r in rows] == [100]
+
+
+def test_nexmark_columnless_ddl_entities(spark):
+    """Entity proportions (operator.rs:30-57): person 1 : auction 3 :
+    bid 46 per 50 events; exactly one struct non-null per row."""
+    res = Pipeline(spark).run_script(
+        """
+        create table nexmark with (connector = 'nexmark',
+          event_rate = '50', runtime = '10');
+        select
+          count(person) as persons,
+          count(auction) as auctions,
+          count(bid) as bids,
+          count(*) as total
+        from nexmark;
+        """
+    )
+    r = res.previews[0].collect()[0]
+    assert r["total"] == 500
+    assert (r["persons"], r["auctions"], r["bids"]) == (10, 30, 460)
+
+
+def test_nexmark_struct_fields_match_reference(spark):
+    """nexmark/mod.rs:30-68 field lists, including per-entity datetime and
+    extra."""
+    res = Pipeline(spark).run_script(
+        """
+        create table nexmark with (connector = 'nexmark',
+          event_rate = '50', runtime = '1');
+        select person, auction, bid from nexmark;
+        """
+    )
+    df = res.previews[0]
+    fields = {f.name: [c.name for c in f.dataType.fields] for f in df.schema.fields}
+    assert fields["person"] == [
+        "id", "name", "email_address", "credit_card", "city", "state",
+        "datetime", "extra",
+    ]
+    assert fields["auction"] == [
+        "id", "description", "item_name", "initial_bid", "reserve",
+        "datetime", "expires", "seller", "category", "extra",
+    ]
+    assert fields["bid"] == [
+        "auction", "bidder", "price", "channel", "url", "datetime", "extra",
+    ]
+
+
+def test_nexmark_declared_schema_must_match(spark):
+    with pytest.raises(
+        PlanError, match="omit fields to rely on inference"
+    ):
+        Pipeline(spark).run_script(
+            """
+            create table n (x INT) with (connector='nexmark', event_rate='5');
+            select 1 as one from n;
+            """
+        )
+
+
+def _hop_windows(ts, width_s, slide_s):
+    """All [start, start+width) windows containing ts (epoch seconds)."""
+    first = (int(ts // slide_s)) * slide_s
+    out = []
+    start = first
+    while start > ts - width_s:
+        out.append(start)
+        start -= slide_s
+    return [s for s in out if s <= ts < s + width_s]
+
+
+def test_nexmark_q5_reference_script(spark, tmp_path):
+    """The reference's own nexmark_q5.sql (hop-window top-auction
+    self-join), checked against a pure-Python oracle on deterministic
+    bids. Upstream ships no golden fixture for this query; the oracle
+    here plays that role."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        {
+            "datetime": (base + timedelta(milliseconds=137 * i)).isoformat(),
+            "auction": (i * i) % 7,
+        }
+        for i in range(200)
+    ]
+    (tmp_path / "nexmark_bids.json").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows)
+    )
+    script = open(f"{QUERIES}/nexmark_q5.sql").read()
+    res = Pipeline(
+        spark,
+        {"$input_dir": str(tmp_path), "$output_path": str(tmp_path / "o.json")},
+    ).run_script(script)
+    got = sorted(
+        (json.loads(l)["auction"], json.loads(l)["count"])
+        for l in res.sink_json("top_auctions")
+    )
+    # python oracle
+    counts: dict = {}
+    for r in rows:
+        ts = datetime.fromisoformat(r["datetime"]).timestamp()
+        for w in _hop_windows(ts, 10, 2):
+            counts.setdefault(w, {}).setdefault(r["auction"], 0)
+        for w in _hop_windows(ts, 10, 2):
+            counts[w][r["auction"]] += 1
+    want = sorted(
+        (a, n)
+        for w, per in counts.items()
+        for a, n in per.items()
+        if n >= max(per.values())
+    )
+    assert got == want
