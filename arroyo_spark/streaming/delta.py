@@ -195,7 +195,12 @@ class DeltaTableSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch surface: micro-batch == one idempotent commit."""
-        self.commit(batch_df, txn_version=batch_id)
+        if not self.commit(batch_df, txn_version=batch_id):
+            # replayed epoch: still execute the batch so upstream state
+            # stores commit (Spark 4 per-partition commit validation)
+            from arroyo_spark.streaming.sinks import consume_noop
+
+            consume_noop(batch_df)
 
 
 def committed_files(root: str) -> list[str]:

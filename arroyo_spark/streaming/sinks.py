@@ -29,6 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 _INSERT_MANIFEST = re.compile(r"insert-(\d+)\.json")
 
 
+def consume_noop(batch_df: DataFrame) -> None:
+    """Drive the full micro-batch plan without emitting anything.
+
+    Replayed (already-committed) epochs must still EXECUTE the batch:
+    Spark 4 validates that every state-store partition commits each
+    micro-batch, so a bare `return` from foreachBatch fails a recovered
+    stateful query with STATE_STORE_COMMIT_VALIDATION_FAILED ("ensure
+    your foreachBatch function processes the entire DataFrame"). A noop
+    write touches every partition — state commits, nothing is emitted —
+    and only runs on recovery replays, never the steady-state path."""
+    batch_df.write.format("noop").mode("overwrite").save()
+
+
 class TransactionalFileSink:
     """Delta-style transactional table sink on a plain filesystem — the
     reference's `delta` / `iceberg` filesystem sinks
@@ -68,7 +81,8 @@ class TransactionalFileSink:
         """Streaming commit: `batch_id` is Spark's micro-batch epoch
         (monotonic per checkpoint), so an existing manifest means replay."""
         if os.path.exists(self._manifest_path(batch_id)):
-            return  # recovery replay: this epoch is already committed
+            consume_noop(batch_df)  # replay: already committed
+            return
         self._commit(batch_df, f"batch-{batch_id}", self._manifest_path(batch_id))
 
     def commit_insert(self, batch_df: DataFrame) -> None:
@@ -143,7 +157,8 @@ class IdempotentBatchSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = self._marker(batch_id)
         if os.path.exists(marker):
-            return  # replay after recovery: already committed
+            consume_noop(batch_df)  # replay after recovery: committed
+            return
         self.write(batch_df, batch_id)
         # commit point: marker creation is the atomic "second phase"
         with open(marker + ".tmp", "w") as fh:

@@ -143,7 +143,13 @@ class DebeziumEncoder:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
-            return  # recovery replay: this epoch already emitted + committed
+            # recovery replay: this epoch already emitted + committed, but
+            # the batch must still execute so the upstream aggregation's
+            # state stores commit (Spark 4 validates per-partition commits)
+            from arroyo_spark.streaming.sinks import consume_noop
+
+            consume_noop(batch_df)
+            return
         import time
 
         spark = batch_df.sparkSession

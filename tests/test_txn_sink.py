@@ -144,3 +144,51 @@ def test_insert_id_skips_stale_tmp(spark, tmp_path):
     sink.commit_insert(df)  # must become insert-1 (tmp ignored), not collide
     got = sink.read_committed(spark)
     assert got.count() == 4
+
+
+def test_replayed_epoch_commits_state_stores_windowed(spark, tmp_path):
+    """Same Spark 4 commit-validation rule for the idempotent file sink:
+    a replayed epoch over a STATEFUL (windowed) upstream must execute the
+    batch, not skip it (streaming/sinks.consume_noop)."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.streaming.sinks import IdempotentBatchSink
+
+    src = str(tmp_path / "src")
+    base = 1_700_000_000_000_000
+    (
+        spark.range(100)
+        .select(
+            F.timestamp_micros(F.lit(base) + F.col("id") * 1_000_000).alias("ts"),
+            (F.col("id") % 3).alias("k"),
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    out: list[int] = []
+
+    def write(batch_df, batch_id):
+        out.append(batch_df.count())
+
+    sink = IdempotentBatchSink(write, str(tmp_path / "ledger"), "t")
+
+    def start(ck: str):
+        stream = spark.readStream.schema("ts timestamp, k bigint").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 second")
+            .groupBy(F.window("ts", "10 seconds"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    start(str(tmp_path / "ck1"))
+    emitted = list(out)
+    start(str(tmp_path / "ck2"))  # fresh checkpoint: all epochs replay
+    assert out == emitted  # no duplicate writes, and no crash

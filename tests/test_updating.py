@@ -266,3 +266,51 @@ def test_encoder_state_ttl_expires_idle_keys(spark, tmp_path):
     assert by_key["idle"]["op"] == "c" and by_key["idle"]["before"] is None
     assert by_key["live"]["op"] == "u"
     assert by_key["live"]["before"] == {"k": "live", "n": 2}
+
+
+def test_replayed_epochs_still_commit_state_stores(spark, tmp_path):
+    """Spark 4 validates that every state-store partition commits each
+    micro-batch; a foreachBatch that skips a replayed epoch with a bare
+    `return` fails the recovered query with
+    STATE_STORE_COMMIT_VALIDATION_FAILED. Re-running a drained updating
+    aggregate against the SAME encoder state but a FRESH checkpoint
+    replays every epoch id — the encoder must execute the batches
+    (emitting nothing new) instead of early-returning."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.streaming.updating import run_updating_aggregate
+
+    src = str(tmp_path / "src")
+    for part in range(2):  # two files -> two micro-batches
+        (
+            spark.range(part * 50, part * 50 + 50)
+            .select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def start(ck: str):
+        stream = (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+        return run_updating_aggregate(
+            agg,
+            ["k"],
+            None,
+            ck,
+            state_dir=str(tmp_path / "st"),
+            spool=str(tmp_path / "sp"),
+        )
+
+    q1 = start(str(tmp_path / "ck1"))
+    assert q1.awaitTermination(120)
+    first = _collect(str(tmp_path / "sp"))
+    assert first, "first run must emit envelopes"
+    # fresh checkpoint, same state: every batch id replays as committed
+    q2 = start(str(tmp_path / "ck2"))
+    assert q2.awaitTermination(120)  # crashed before the consume fix
+    assert _collect(str(tmp_path / "sp")) == first  # nothing re-emitted
