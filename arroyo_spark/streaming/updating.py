@@ -86,16 +86,46 @@ class DebeziumEncoder:
         state_dir: str | None = None,
         ttl_us: int | None = None,
         clock_us: Callable[[], int] | None = None,
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
     ) -> None:
         self.pks = pks
         self.emit = emit
         self.spool = spool
         self.ttl_us = ttl_us
         self.clock_us = clock_us  # injectable for deterministic TTL tests
+        # None -> sized at first commit from the observed key count and
+        # persisted in the state dir (bucket assignment must stay stable
+        # for the lifetime of the state)
         self.n_buckets = n_buckets
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="dbz_state_")
         os.makedirs(os.path.join(self.state_dir, "commits"), exist_ok=True)
+
+    _KEYS_PER_BUCKET = 25_000  # ≈ a few MB of snapshot parquet per bucket
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_dir, "meta.json")
+
+    def _effective_buckets(self, n_keys: int) -> int:
+        """Bucket count for this state. Sized like shuffle partitions — to
+        STATE size, not core count (SCALING.md): tiny state in many
+        buckets pays per-task overhead on every flush; huge state in few
+        buckets loses rewrite granularity. Chosen once (first commit, or
+        the constructor override), then pinned in `meta.json` because the
+        pmod bucket assignment must never change under existing state."""
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as fh:
+                return int(json.load(fh)["n_buckets"])
+        if self.n_buckets is not None:
+            nb = self.n_buckets
+        else:
+            nb = 8
+            while nb < 4096 and nb * self._KEYS_PER_BUCKET < n_keys:
+                nb *= 2
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"n_buckets": nb}))
+        os.rename(tmp, self._meta_path())
+        return nb
 
     # -- snapshot commit log -------------------------------------------------
 
@@ -118,10 +148,8 @@ class DebeziumEncoder:
         with open(self._marker(commits[-1])) as fh:
             return json.load(fh)["buckets"]
 
-    def _bucket_expr(self):
-        return F.pmod(
-            F.hash(*[F.col(k) for k in self.pks]), F.lit(self.n_buckets)
-        )
+    def _bucket_expr(self, nb: int):
+        return F.pmod(F.hash(*[F.col(k) for k in self.pks]), F.lit(nb))
 
     def _gc(self) -> None:
         """Delete snapshot dirs referenced by neither the latest nor the
@@ -161,12 +189,16 @@ class DebeziumEncoder:
         # anti-join, snapshot write) — pin it once instead of recomputing
         # the stateful aggregation per action
         batch_df = batch_df.persist()
+        if os.path.exists(self._meta_path()) or self.n_buckets is not None:
+            nb = self._effective_buckets(0)
+        else:  # first commit, auto-sized: count also materializes the persist
+            nb = self._effective_buckets(batch_df.count())
         prev_buckets = self._last_buckets()
         # changed-bucket ids: a bounded driver read (<= n_buckets ints),
         # NOT row data — it selects which snapshot dirs to touch
         changed = sorted(
             r["b"]
-            for r in batch_df.select(self._bucket_expr().alias("b"))
+            for r in batch_df.select(self._bucket_expr(nb).alias("b"))
             .distinct()
             .collect()
         )
@@ -238,8 +270,8 @@ class DebeziumEncoder:
         # pmod(hash) as _bucket_expr) so each bucket directory is written
         # by one task — one file per bucket instead of tasks×buckets
         # sliver files
-        new_snap.repartition(self.n_buckets, *self.pks).withColumn(
-            _BUCKET, self._bucket_expr()
+        new_snap.repartition(nb, *self.pks).withColumn(
+            _BUCKET, self._bucket_expr(nb)
         ).write.partitionBy(_BUCKET).parquet(snap_path)
         batch_df.unpersist()
         prev_full.unpersist()

@@ -198,7 +198,10 @@ def test_incremental_snapshot_rewrites_only_changed_buckets(spark, tmp_path):
     from arroyo_spark.streaming.updating import DebeziumEncoder
 
     enc = DebeziumEncoder(
-        ["k"], spool=str(tmp_path / "sp"), state_dir=str(tmp_path / "st")
+        ["k"],
+        spool=str(tmp_path / "sp"),
+        state_dir=str(tmp_path / "st"),
+        n_buckets=64,
     )
     n = 500
     enc(spark.range(n).selectExpr("cast(id as string) k", "id n"), 0)
@@ -314,3 +317,30 @@ def test_replayed_epochs_still_commit_state_stores(spark, tmp_path):
     q2 = start(str(tmp_path / "ck2"))
     assert q2.awaitTermination(120)  # crashed before the consume fix
     assert _collect(str(tmp_path / "sp")) == first  # nothing re-emitted
+
+
+def test_bucket_count_sized_once_and_pinned(spark, tmp_path):
+    """Auto-sized bucket count (state-size rule, SCALING.md) is chosen at
+    first commit and pinned in meta.json — a second encoder instance over
+    the same state keeps the original layout (pmod assignment must never
+    change under existing state)."""
+    import json as _json
+
+    from arroyo_spark.streaming.updating import DebeziumEncoder
+
+    st = str(tmp_path / "st")
+    enc = DebeziumEncoder(["k"], spool=str(tmp_path / "sp"), state_dir=st)
+    enc(spark.range(100).selectExpr("cast(id as string) k", "id n"), 0)
+    meta = _json.load(open(st + "/meta.json"))
+    assert meta["n_buckets"] == 8  # 100 keys -> minimum bucket count
+    # a fresh instance with a DIFFERENT constructor hint still honors meta
+    enc2 = DebeziumEncoder(
+        ["k"], spool=str(tmp_path / "sp"), state_dir=st, n_buckets=64
+    )
+    enc2(spark.createDataFrame([("7", 9)], "k string, n long"), 1)
+    assert _json.load(open(st + "/meta.json"))["n_buckets"] == 8
+    marker = _json.load(open(st + "/commits/commit-1.json"))
+    assert all(
+        "__dbz_bucket=" in p for p in marker["buckets"].values()
+    )
+    assert len(marker["buckets"]) <= 8
