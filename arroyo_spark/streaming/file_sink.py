@@ -349,12 +349,16 @@ def apply_filename_strategy(
                     if f.endswith(known):
                         ext = known
                         break
-            name = _next_name(strategy, serial)
-            serial += 1
             prefix = f"{opts.filename_prefix}-" if opts.filename_prefix else ""
-            os.rename(
-                os.path.join(root, f), os.path.join(root, f"{prefix}{name}{ext}")
-            )
+            # a second INSERT into the same sink restarts serial numbering;
+            # never clobber an earlier commit's files (rename overwrites)
+            while True:
+                name = _next_name(strategy, serial)
+                serial += 1
+                dest = os.path.join(root, f"{prefix}{name}{ext}")
+                if not os.path.exists(dest):
+                    break
+            os.rename(os.path.join(root, f), dest)
 
 
 TIME_PARTITION_COL = "__arroyo_tp"

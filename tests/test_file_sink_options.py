@@ -326,3 +326,27 @@ def test_streaming_mode_time_pattern(spark, tmp_path):
         spark.read.parquet(d).count() for d in dirs
     )
     assert total == 4
+
+
+def test_serial_strategy_second_insert_never_clobbers(spark, tmp_path):
+    """Serial numbering restarts per INSERT; the rename pass must skip
+    names an earlier commit already owns instead of overwriting them."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    _write_src(tmp_path)
+    out = tmp_path / "outm"
+    script = (
+        SRC_DDL
+        + f"""
+        CREATE TABLE snk (v BIGINT) WITH (
+          connector='single_file', path='{out}', format='parquet',
+          type='sink', 'filename.strategy' = 'serial');
+        INSERT INTO snk SELECT v FROM src;
+        INSERT INTO snk SELECT v + 100 FROM src;
+        """
+    )
+    Pipeline(spark, {"$p": str(tmp_path)}).run_script(script)
+    got = sorted(r["v"] for r in spark.read.parquet(str(out)).collect())
+    # second INSERT rewrites the merged sink (overwrite semantics) but the
+    # point is: all 8 rows survive with distinct serial filenames
+    assert len(got) == 8 and got[:4] == [0, 1, 2, 3]
