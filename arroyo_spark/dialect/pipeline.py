@@ -1533,6 +1533,12 @@ class Pipeline:
         except FileSinkOptionError as e:
             raise PlanError(str(e)) from None
         if TIMESTAMP_FIELD not in df.columns:
+            if re.match(r"\s*select\s+distinct\b", select_sql, re.I):
+                # appending _timestamp would change DISTINCT multiplicity
+                raise PlanError(
+                    "partitioning.time_pattern needs the event time: the "
+                    "query does not propagate _timestamp"
+                )
             amended = self._append_outer_select(select_sql, TIMESTAMP_FIELD)
             try:
                 df = self._plan_select(amended)
