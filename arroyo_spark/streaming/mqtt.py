@@ -91,6 +91,23 @@ def validate_mqtt_table(t: TableDef) -> MqttConfig:
     if qos_name not in _QOS_NAMES:
         # error text parity: mod.rs:98
         raise PlanError(f"invalid value for 'qos': {qos_name}")
+    for c in t.columns:
+        if c.metadata_key is None:
+            continue
+        # metadata_defs (mod.rs:244-249): only 'topic', TEXT
+        if c.metadata_key != "topic":
+            raise PlanError(
+                f"unknown mqtt metadata field '{c.metadata_key}' "
+                "(expected one of ['topic'])"
+            )
+        if c.spark_type != "string":
+            # metadata_error.sql parity
+            raise PlanError(
+                f"Failed to create table {t.name} caused by Error during "
+                f"planning: incorrect data type for metadata field "
+                f"'{c.metadata_key}'; expected TEXT, but found "
+                f"{c.sql_type.upper()}"
+            )
     cfg = MqttConfig(
         url=url,
         topic=topic,

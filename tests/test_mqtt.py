@@ -283,3 +283,47 @@ def test_pipeline_mqtt_streaming_mode_e2e(spark, broker, tmp_path):
     got = sorted(json.loads(l)["k"] for l in res.sink_json("outj"))
     counts = {json.loads(l)["k"]: json.loads(l)["n"] for l in res.sink_json("outj")}
     assert got == ["k0", "k1"] and counts == {"k0": 4, "k1": 4}
+
+
+def test_mqtt_metadata_type_error_parity():
+    """metadata_error.sql — metadata field 'topic' must be TEXT
+    (mqtt metadata_defs, mod.rs:244-249)."""
+    import pytest
+
+    from arroyo_spark.dialect import PlanError
+    from arroyo_spark.dialect.parser import parse_script
+    from arroyo_spark.streaming.mqtt import validate_mqtt_table
+
+    stmts = parse_script(
+        """
+        create table mqtt (
+            name TEXT, value INT, topic INT METADATA FROM 'topic'
+        ) with (connector = 'mqtt', url = 'tcp://localhost:1883',
+                topic = 'plant/#', type = 'source', format = 'json');
+        """
+    )
+    with pytest.raises(
+        PlanError,
+        match=r"incorrect data type for metadata field 'topic'; "
+        r"expected TEXT, but found INT",
+    ):
+        validate_mqtt_table(stmts[0])
+
+
+def test_mqtt_unknown_metadata_field_rejected():
+    import pytest
+
+    from arroyo_spark.dialect import PlanError
+    from arroyo_spark.dialect.parser import parse_script
+    from arroyo_spark.streaming.mqtt import validate_mqtt_table
+
+    stmts = parse_script(
+        """
+        create table mqtt (
+            v TEXT, p TEXT METADATA FROM 'partition'
+        ) with (connector = 'mqtt', url = 'tcp://localhost:1883',
+                topic = 't', type = 'source', format = 'json');
+        """
+    )
+    with pytest.raises(PlanError, match="unknown mqtt metadata field"):
+        validate_mqtt_table(stmts[0])
