@@ -243,10 +243,12 @@ def _parse_column(item: str, table: TableDef) -> None:
     if m:
         table.primary_keys = [c.strip() for c in m.group(1).split(",")]
         return
-    m = re.match(r"^(\w+)\s+(.*)$", s, re.S)
+    # column names may be double-quoted identifiers ("watermark" — a
+    # keyword used as a name, no_virtual_fields_updating.sql)
+    m = re.match(r'^(?:(\w+)|"([^"]+)")\s+(.*)$', s, re.S)
     if not m:
         raise PlanError(f"malformed column definition: {item!r}")
-    name, rest = m.group(1), m.group(2).strip()
+    name, rest = (m.group(1) or m.group(2)), m.group(3).strip()
 
     # column options appear in any order (e.g. `TEXT METADATA FROM 'key'
     # PRIMARY KEY`, lookup_join.sql); strip suffixes until none match

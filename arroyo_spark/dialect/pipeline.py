@@ -82,9 +82,59 @@ def _arroyo_ts_json_col(c: str) -> F.Column:
     )
 
 
-def _json_value_col(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
-    """JSON-line column in the reference's sink format (ts as RFC3339).
-    The layout-only time-partition column never serializes."""
+def parse_json_sink_options(options: dict) -> tuple[str, str]:
+    """General sink JSON encoding options (`arroyo-rpc/src/formats.rs:
+    18-41,113-160`): `json.timestamp_format` = RFC3339 (default) |
+    UnixMillis, `json.decimal_encoding` = number (default) | string |
+    bytes. Error wording mirrors the reference's from_opts."""
+    tf_raw = str(options.get("json.timestamp_format", "RFC3339"))
+    tf = {"RFC3339": "rfc3339", "UnixMillis": "unix_millis",
+          "unix_millis": "unix_millis"}.get(tf_raw)
+    if tf is None:
+        raise PlanError("invalid value for `json.timestamp_format`")
+    de = str(options.get("json.decimal_encoding", "number")).lower()
+    if de not in ("number", "string", "bytes"):
+        raise PlanError("invalid value for `json.decimal_encoding`")
+    return tf, de
+
+
+def _decimal_bytes_b64(col_name: str) -> F.Column:
+    """DecimalEncoding::Bytes (formats.rs:46-49): the unscaled value as a
+    minimal two's-complement big-endian byte array, base64-encoded. Python
+    ints are arbitrary-precision, so an Arrow-batched pandas UDF is exact
+    at every DECIMAL(p,s) — this runs on sink encode, not a hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc_series(vals):
+        import base64
+
+        def one(v):
+            if v is None:
+                return None
+            unscaled = int(v.scaleb(-v.as_tuple().exponent))
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            return base64.b64encode(
+                unscaled.to_bytes(length, "big", signed=True)
+            ).decode()
+
+        return vals.map(one)
+
+    # built without annotations: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's signature inference rejects
+    _enc = pandas_udf(_enc_series, "string")
+    return _enc(F.col(col_name)).alias(col_name)
+
+
+def _json_value_col(
+    df: DataFrame,
+    exclude: tuple[str, ...] = (),
+    timestamp_format: str = "rfc3339",
+    decimal_encoding: str = "number",
+) -> F.Column:
+    """JSON-line column in the reference's sink format (ts as RFC3339 by
+    default; UnixMillis and decimal string/bytes encodings per the sink's
+    `json.*` options). The layout-only time-partition column never
+    serializes."""
     from arroyo_spark.streaming.file_sink import TIME_PARTITION_COL
 
     exclude = tuple(exclude) + (TIME_PARTITION_COL,)
@@ -93,15 +143,28 @@ def _json_value_col(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
         if f.name in exclude:
             continue
         if f.dataType.typeName().startswith("timestamp"):
-            cols.append(_arroyo_ts_json_col(f.name))
+            if timestamp_format == "unix_millis":
+                cols.append(F.unix_millis(F.col(f.name)).alias(f.name))
+            else:
+                cols.append(_arroyo_ts_json_col(f.name))
+        elif f.dataType.typeName() == "decimal":
+            if decimal_encoding == "string":
+                cols.append(F.col(f.name).cast("string").alias(f.name))
+            elif decimal_encoding == "bytes":
+                cols.append(_decimal_bytes_b64(f.name))
+            else:
+                cols.append(F.col(f.name))
         else:
             cols.append(F.col(f.name))
     return F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value")
 
 
-def to_arroyo_json(df: DataFrame) -> DataFrame:
+def to_arroyo_json(df: DataFrame, options: dict | None = None) -> DataFrame:
     """One-column DataFrame of JSON lines in the reference's sink format."""
-    return df.select(_json_value_col(df))
+    tf, de = parse_json_sink_options(options or {})
+    return df.select(
+        _json_value_col(df, timestamp_format=tf, decimal_encoding=de)
+    )
 
 
 def _epoch_cols(df: DataFrame) -> list[F.Column]:
@@ -167,10 +230,17 @@ class Pipeline:
         mode: str = "batch",
         eoi_flush: bool = True,
     ) -> None:
-        if mode not in ("batch", "streaming"):
+        if mode not in ("batch", "streaming", "plan"):
             raise PlanError(f"unknown execution mode: {mode}")
         self.spark = spark
         self.mode = mode
+        # mode='plan' is the analog of the reference's parse_and_get_program
+        # used by its planner test-suite (plan_tests.rs:8-17): the full DDL +
+        # query surface is validated and the logical plan built, but no
+        # external system is contacted and nothing executes — sources
+        # register their declared schemas as empty relations, sinks validate
+        # their option surface and skip the write.
+        self.plan_only = mode == "plan"
         # end-of-input watermark flush (streaming mode): Arroyo emits
         # Watermark::MAX when a bounded source drains, flushing all open
         # window state (watermark_generator.rs:137-146). Spark's file
@@ -484,7 +554,12 @@ class Pipeline:
                     "rely on inference"
                 )
             runtime = opts.get("runtime")
-            n = int(event_rate * (float(str(runtime)) if runtime else 10.0))
+            try:
+                n = int(event_rate * (float(str(runtime)) if runtime else 10.0))
+            except ValueError:
+                raise PlanError(
+                    f"invalid value for runtime: {runtime!r}"
+                ) from None
             from arroyo_spark.streaming.sources import nexmark_table_source
 
             df = nexmark_table_source(
@@ -492,9 +567,141 @@ class Pipeline:
             )
             if "datetime" in df.columns:  # batch analog exposes raw datetime
                 df = df.withColumnRenamed("datetime", TIMESTAMP_FIELD)
+        if streaming:
+            # same watermark treatment as every other streaming source
+            # path — without it windowed append-mode aggregates over a
+            # generator fail Spark's analysis and updating state never
+            # expires (rewriters.rs:71-83 default 1s)
+            df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
         df.createOrReplaceTempView(t.name)
 
+    def _attach_plan_columns(self, t: TableDef) -> DataFrame:
+        """Empty relation carrying a source's full decoded schema: declared
+        physical columns, metadata columns as typed nulls, virtual
+        (GENERATED) columns analyzed against the physical ones — the same
+        error surface as `_register_source`'s executing tail
+        (virtual_bad_schema.sql) — and the hidden `_timestamp`."""
+        df = self.spark.createDataFrame([], self._source_schema(t))
+        for c in t.columns:
+            if c.metadata_key is not None:
+                df = df.withColumn(c.name, F.lit(None).cast(c.spark_type))
+        from arroyo_spark.dialect.rewrite import rewrite_expr
+
+        for c in t.columns:
+            if c.virtual_expr is not None:
+                try:
+                    df = df.withColumn(c.name, F.expr(rewrite_expr(c.virtual_expr)))
+                    df.schema  # force analysis of the generated expression
+                except Exception as e:
+                    m = re.search(r"`([A-Za-z_]\w*)`", str(e))
+                    missing = m.group(1) if m else c.virtual_expr
+                    raise PlanError(
+                        f"Failed to create table {t.name} caused by Error "
+                        f"during planning: '{missing}' not found"
+                    ) from None
+        event_time = t.options.get("event_time_field") or (
+            t.watermark.field if t.watermark else None
+        )
+        ts = F.col(str(event_time)) if event_time else F.current_timestamp()
+        return df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
+
+    def _register_plan_source(self, t: TableDef) -> None:
+        """mode='plan' source registration: run the same per-connector DDL
+        validation as the executing path, then register the declared schema
+        as an empty relation — no broker, endpoint, or filesystem is
+        touched (the planner-corpus contract, plan_tests.rs:8-17)."""
+        conn = (t.connector or "").lower()
+        fmt = str(t.options.get("format", "json"))
+        if fmt == "protobuf":
+            raise PlanError(
+                "Protobuf is not yet supported in CREATE TABLE statements"
+            )
+        bad_data = t.options.get("bad_data")
+        if bad_data not in (None, "fail", "drop"):
+            raise PlanError(
+                f"bad_data must be 'fail' or 'drop', got {bad_data!r}"
+            )
+        if bad_data is not None and fmt not in ("json", DEBEZIUM_FORMAT):
+            raise PlanError(f"bad_data is not supported for format {fmt!r}")
+        framing = t.options.get("framing")
+        if framing not in (None, "newline"):
+            raise PlanError(f"unsupported framing: {framing!r}")
+        phys = [
+            c
+            for c in t.columns
+            if c.virtual_expr is None and c.metadata_key is None
+        ]
+        if fmt == "raw_string" and (
+            len(phys) != 1 or phys[0].spark_type != "string"
+        ):
+            raise PlanError(
+                "raw_string sources require exactly one TEXT value column"
+            )
+        if fmt == "raw_bytes" and (
+            len(phys) != 1 or phys[0].spark_type != "binary"
+        ):
+            raise PlanError(
+                "raw_bytes sources require exactly one BYTEA value column"
+            )
+        if conn == "kafka":
+            from arroyo_spark.streaming.kafka import kafka_reader_options
+
+            kafka_reader_options(t)
+        elif conn == "mqtt":
+            from arroyo_spark.streaming.mqtt import validate_mqtt_table
+
+            validate_mqtt_table(t)
+        elif conn == "nats":
+            from arroyo_spark.streaming.nats import validate_nats_table
+
+            validate_nats_table(t)
+        elif conn == "rabbitmq":
+            from arroyo_spark.streaming.rabbitmq import validate_rabbitmq_table
+
+            validate_rabbitmq_table(t)
+        elif conn == "fluvio":
+            from arroyo_spark.streaming.fluvio import validate_fluvio_table
+
+            validate_fluvio_table(t)
+        elif conn == "kinesis":
+            from arroyo_spark.streaming.kinesis import validate_kinesis_table
+
+            validate_kinesis_table(t)
+        elif conn == "redis":
+            from arroyo_spark.streaming.redis import validate_redis_table
+
+            validate_redis_table(t)
+        elif conn in ("polling_http", "sse", "websocket"):
+            if not t.options.get("endpoint"):
+                raise PlanError(
+                    f"{conn} table {t.name} needs an 'endpoint'"
+                )
+        elif conn in ("impulse", "nexmark"):
+            # the generator registration is already plan-safe (lazy column
+            # expressions over spark.range) and validates its options
+            self._register_generator_source(t)
+            return
+        elif conn in ("filesystem", "single_file", "delta"):
+            if t.options.get("path") is None:
+                raise PlanError(f"source table {t.name} needs a 'path' option")
+            if conn == "filesystem":
+                from arroyo_spark.streaming.filesystem import (
+                    filesystem_source_options,
+                )
+
+                filesystem_source_options(t.options)
+        else:
+            raise PlanError(f"Unknown connector '{conn}'")
+        self._attach_plan_columns(t).createOrReplaceTempView(t.name)
+
     def _register_source(self, t: TableDef) -> None:
+        if self.plan_only:
+            if (t.connector or "").lower() == "confluent":
+                from arroyo_spark.streaming.confluent import confluent_as_kafka
+
+                t = confluent_as_kafka(t)
+            self._register_plan_source(t)
+            return
         if (t.connector or "").lower() == "confluent":
             # confluent = kafka + Confluent-Cloud profile defaults
             # (confluent/mod.rs:34-93)
@@ -757,10 +964,12 @@ class Pipeline:
                 )
         else:
             raise PlanError(f"unsupported source format: {fmt}")
+        from arroyo_spark.dialect.rewrite import rewrite_expr
+
         for c in t.columns:
             if c.virtual_expr is not None:
                 try:
-                    df = df.withColumn(c.name, F.expr(c.virtual_expr))
+                    df = df.withColumn(c.name, F.expr(rewrite_expr(c.virtual_expr)))
                     df.schema  # force analysis of the generated expression
                 except Exception as e:
                     # reference surfaces the unresolved identifier at table
@@ -779,7 +988,20 @@ class Pipeline:
         ts = F.col(str(event_time)) if event_time else F.current_timestamp()
         df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
         if self.mode == "streaming" and event_time is not None:
-            df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
+            if (
+                self._idle_micros(t) is not None
+                and not self._source_has_input(path)
+            ):
+                # Watermark::Idle analog (watermark_generator.rs:217-229):
+                # an input-less bounded source is idle from the start —
+                # registering it WITHOUT a watermark keeps it out of
+                # Spark's min-watermark merge, so a union with a live
+                # source still advances and emits. idle_micros <= 0
+                # disables this (the reference never idles such sources,
+                # holding output back — same here via the stuck watermark).
+                pass
+            else:
+                df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
             cutoff = self._eoi_cutoff.get(t.name)
             if cutoff is not None:
                 # the sentinel has done its job (watermark stats are
@@ -787,6 +1009,34 @@ class Pipeline:
                 # this filter); no sentinel-derived row reaches the query
                 df = df.filter(F.col(TIMESTAMP_FIELD) <= F.lit(cutoff))
         df.createOrReplaceTempView(t.name)
+
+    @staticmethod
+    def _idle_micros(t: TableDef) -> int | None:
+        """`idle_micros` source option (tables.rs:421-425): after this long
+        without events a source declares itself idle (Watermark::Idle,
+        watermark_generator.rs:217-229) and stops holding back the
+        downstream min-watermark merge. Default 5 minutes (lib.rs:90);
+        values <= 0 disable idling. Returns µs, or None when disabled."""
+        raw = t.options.get("idle_micros")
+        if raw is None:
+            return 5 * 60 * 1_000_000
+        try:
+            v = int(str(raw))
+        except ValueError:
+            raise PlanError(
+                f"invalid value for idle_micros: {raw!r} (expected an integer)"
+            ) from None
+        return v if v > 0 else None
+
+    @staticmethod
+    def _source_has_input(path: str) -> bool:
+        import glob as _glob
+
+        if os.path.isdir(path):
+            return any(
+                os.path.isfile(os.path.join(path, f)) for f in os.listdir(path)
+            )
+        return any(os.path.isfile(f) for f in _glob.glob(path))
 
     def _watermark_delay(self, t: TableDef) -> str:
         """Delay for Spark's max(event)-delay watermark, from the WATERMARK
@@ -899,6 +1149,8 @@ class Pipeline:
                 f"Failed to create table {t.name} caused by Error during "
                 "planning: can't use virtual fields with debezium format"
             )
+        if t.connector is not None:
+            self._idle_micros(t)  # validate (tables.rs:421-425)
         self.tables[t.name] = t
         if t.connector is None:
             return  # memory table: registered on first INSERT
@@ -916,11 +1168,14 @@ class Pipeline:
 
     # -- queries -----------------------------------------------------------
 
-    def _plan_select(self, select_sql: str) -> DataFrame:
+    def _plan_select(self, select_sql: str, view: bool = False) -> DataFrame:
         self._check_table_refs(select_sql)
         self._check_lookup_joins(select_sql)
         self._check_join_rules(select_sql)
-        sql = rewrite_query(self._substitute(select_sql))
+        self._check_window_functions(select_sql)
+        # view bodies carry _timestamp through their top projection: the
+        # reference appends it to every projection (plan/mod.rs:266-284)
+        sql = rewrite_query(self._substitute(select_sql), append_ts_top=view)
         return self.spark.sql(sql)
 
     def _check_table_refs(self, select_sql: str) -> None:
@@ -982,11 +1237,7 @@ class Pipeline:
                 depth.append(d)
 
         def _windowed(text: str) -> bool:
-            return bool(
-                _re.search(
-                    r"\b(tumble|hop|session|session_window)\s*\(", text, _re.I
-                )
-            )
+            return self._text_windowed(text) != "none"
 
         def _updating_table(name: str) -> bool:
             t = self.tables.get(name)
@@ -1106,6 +1357,203 @@ class Pipeline:
                     raise PlanError("can't handle updating right side of join")
                 raise PlanError(
                     "can't handle non-inner joins without windows"
+                )
+
+    def _text_windowed(
+        self, text: str, _seen: frozenset[str] = frozenset()
+    ) -> str:
+        """Classify a relation's SQL text: 'windowed' (tumble/hop in scope),
+        'session' (session window only), or 'none'. Bare table references
+        are resolved through ``self.view_sql`` so a windowed VIEW joined by
+        name classifies the same as its inlined body (reference
+        WindowDetectingVisitor walks the full input plan,
+        plan/mod.rs WindowDetectingVisitor)."""
+        if re.search(r"\b(tumble|hop)\s*\(", text, re.I):
+            return "windowed"
+        if re.search(r"\bsession(_window)?\s*\(", text, re.I):
+            return "session"
+        for name in set(re.findall(r"\b(?:from|join)\s+(\w+)", text, re.I)):
+            vsql = self.view_sql.get(name)
+            if vsql is not None and name not in _seen:
+                from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+                got = self._text_windowed(
+                    _strip_string_literals(self._substitute(vsql)),
+                    _seen | {name},
+                )
+                if got != "none":
+                    return got
+        return "none"
+
+    def _window_fields(
+        self, text: str, _seen: frozenset[str] = frozenset()
+    ) -> set[str]:
+        """Column names bound to tumble()/hop() calls in a relation's text
+        (``hop(...) AS window`` aliases), recursing through views — the
+        textual analog of WindowDetectingVisitor.fields
+        (plan/window_fn.rs:52-60)."""
+        fields = {
+            m.group(2).lower()
+            for m in re.finditer(
+                r"\b(tumble|hop)\s*\([^()]*\)\s+(?:as\s+)?(\w+)", text, re.I
+            )
+        }
+        for name in set(re.findall(r"\b(?:from|join)\s+(\w+)", text, re.I)):
+            vsql = self.view_sql.get(name)
+            if vsql is not None and name not in _seen:
+                from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+                fields |= self._window_fields(
+                    _strip_string_literals(self._substitute(vsql)),
+                    _seen | {name},
+                )
+        return fields
+
+    def _check_window_functions(self, select_sql: str) -> None:
+        """Reference window-function (OVER clause) input rules
+        (`arroyo-planner/src/plan/window_fn.rs:40-101`):
+
+        - the input relation must already be windowed — a plain table scan,
+          a view over one, or an updating (non-windowed) aggregate is
+          rejected (`no_updating_window_functions.sql`);
+        - session windows are not supported under OVER;
+        - one window expression per OVER spec (window_expr.len() == 1);
+        - PARTITION BY must contain exactly one bare reference to the
+          input's window column (`window_partition_by_column.sql` /
+          `window_with_expression.sql` are the positive shapes).
+
+        The reference executes these as plan errors; without them Spark
+        would happily run the per-micro-batch (wrong) interpretation."""
+        from arroyo_spark.dialect.rewrite import _strip_string_literals
+
+        sql = _strip_string_literals(self._substitute(select_sql))
+        over_re = re.compile(r"\bover\s*\(", re.I)
+        if not over_re.search(sql):
+            return
+        # depth[i] = number of unclosed parens strictly containing i
+        depth, d = [], 0
+        for ch in sql:
+            if ch == "(":
+                depth.append(d)
+                d += 1
+            elif ch == ")":
+                d -= 1
+                depth.append(d)
+            else:
+                depth.append(d)
+
+        def _balanced(start: int) -> int:
+            """End index (exclusive) of the paren group opening at start."""
+            dd, j = 1, start + 1
+            while j < len(sql) and dd:
+                if sql[j] == "(":
+                    dd += 1
+                elif sql[j] == ")":
+                    dd -= 1
+                j += 1
+            return j
+
+        # WITH ctes at statement level (test_no_aggregates_in_window shape)
+        ctes: dict[str, str] = {}
+        for cm in re.finditer(r"\b(\w+)\s+as\s*\(", sql, re.I):
+            if depth[cm.start()] == 0 and re.search(
+                r"\bwith\b", sql[: cm.start()], re.I
+            ):
+                ctes[cm.group(1).lower()] = sql[cm.end() : _balanced(cm.end() - 1) - 1]
+
+        select_re = re.compile(r"\bselect\b", re.I)
+        from_re = re.compile(r"\bfrom\b", re.I)
+        for m in over_re.finditer(sql):
+            d_over = depth[m.start()]
+            over_body = sql[m.end() : _balanced(m.end() - 1) - 1]
+            # enclosing SELECT: last same-depth `select` before the OVER
+            sel_pos = None
+            for sm in select_re.finditer(sql, 0, m.start()):
+                if depth[sm.start()] == d_over:
+                    sel_pos = sm.start()
+            if sel_pos is None:
+                continue
+            # the select's FROM: first same-depth `from` after the OVER
+            from_m = None
+            for fm in from_re.finditer(sql, m.end()):
+                if depth[fm.start()] == d_over:
+                    from_m = fm
+                    break
+            if from_m is None:
+                continue
+            rest = sql[from_m.end() :]
+            msub = re.match(r"\s*\(", rest)
+            if msub:
+                ro = from_m.end() + msub.end() - 1
+                rtext = sql[ro + 1 : _balanced(ro) - 1]
+            else:
+                mn = re.match(r"\s*(\w+)", rest)
+                if not mn:
+                    continue
+                rname = mn.group(1).lower()
+                if rname in ctes:
+                    rtext = ctes[rname]
+                else:
+                    # bare table/view name: _text_windowed resolves views
+                    rtext = f"from {rname}"
+            kind = self._text_windowed(rtext)
+            if kind == "none":
+                raise PlanError(
+                    "Window functions require already windowed input"
+                )
+            if kind == "session":
+                raise PlanError(
+                    "Window functions do not support session windows"
+                )
+            # one window expression per spec group: identical OVER bodies in
+            # the same SELECT plan into one Window node (window_expr must
+            # have length 1, window_fn.rs:66-68)
+            norm = re.sub(r"\s+", " ", over_body.strip().lower())
+            dups = 0
+            for om in over_re.finditer(sql, sel_pos, from_m.start()):
+                if depth[om.start()] != d_over:
+                    continue
+                body = sql[om.end() : _balanced(om.end() - 1) - 1]
+                if re.sub(r"\s+", " ", body.strip().lower()) == norm:
+                    dups += 1
+            if dups > 1:
+                raise PlanError(
+                    "Window functions require exactly one window expression"
+                )
+            # PARTITION BY must name the input's window column exactly once
+            # (bare column reference; expressions over other columns are
+            # allowed alongside it, window_fn.rs:70-101)
+            wfields = self._window_fields(rtext)
+            pm = re.search(
+                r"\bpartition\s+by\b(.*?)(?:\border\s+by\b|$)",
+                over_body,
+                re.I | re.S,
+            )
+            part_items: list[str] = []
+            if pm:
+                item, dd = [], 0
+                for ch in pm.group(1):
+                    if ch == "(":
+                        dd += 1
+                    elif ch == ")":
+                        dd -= 1
+                    if ch == "," and dd == 0:
+                        part_items.append("".join(item).strip())
+                        item = []
+                    else:
+                        item.append(ch)
+                if item and "".join(item).strip():
+                    part_items.append("".join(item).strip())
+            hits = sum(
+                1
+                for it in part_items
+                if re.fullmatch(r"\w+(?:\.\w+)?", it)
+                and it.split(".")[-1].lower() in wfields
+            )
+            if hits != 1:
+                raise PlanError(
+                    "Window function requires exactly one window "
+                    "expression in partition_by"
                 )
 
     def _check_lookup_joins(self, select_sql: str) -> None:
@@ -1377,7 +1825,7 @@ class Pipeline:
             elif fmt == "raw_string":
                 enc = df.select(F.col(df.columns[0]).cast("string").alias("value"))
             else:
-                enc = to_arroyo_json(df)
+                enc = to_arroyo_json(df, sink.options)
             webhook_sink(
                 enc,
                 self._substitute(str(endpoint)),
@@ -1414,7 +1862,9 @@ class Pipeline:
                 # to_avro (nullable -> ["null", T] unions)
                 from arroyo_spark.formats.avro_spark import write_avro_ocf
 
-                if part_fields:
+                if part_fields or tp:
+                    # partitioning.time_pattern would otherwise leak the
+                    # internal __arroyo_tp column into the OCF records
                     raise PlanError(
                         "partitioned sinks support json/parquet formats, not avro"
                     )
@@ -1447,8 +1897,15 @@ class Pipeline:
                 # partition columns become directories; each partition's rows
                 # are newline-framed JSON (reference filesystem sink with
                 # partitioning.fields, filesystem_partition.sql)
+                tf, de = parse_json_sink_options(sink.options)
                 enc = df.select(
-                    *layout, _json_value_col(df, exclude=tuple(layout))
+                    *layout,
+                    _json_value_col(
+                        df,
+                        exclude=tuple(layout),
+                        timestamp_format=tf,
+                        decimal_encoding=de,
+                    ),
                 )
                 w = (
                     enc.repartition(*layout)
@@ -1470,7 +1927,7 @@ class Pipeline:
                     **wopts
                 ).text(target_dir)
             elif fmt == "json":
-                to_arroyo_json(df).write.mode("overwrite").options(
+                to_arroyo_json(df, sink.options).write.mode("overwrite").options(
                     **wopts
                 ).text(target_dir)
             elif fmt == "raw_string":
@@ -1570,7 +2027,12 @@ class Pipeline:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and re.match(r"\bfrom\b", s[i:], re.I):
+            elif (
+                depth == 0
+                and not (i > 0 and re.match(r"\w", s[i - 1]))
+                and re.match(r"from\b", s[i:], re.I)
+            ):
+                # \b after slicing would also match mid-identifier (a_from)
                 return f"{s[:i].rstrip()}, {col} {s[i:]}"
             i += 1
         return s
@@ -1584,19 +2046,70 @@ class Pipeline:
         opt = sink.options.get("partitioning.fields")
         if opt and not fields:
             fields = [str(x) for x in opt] if isinstance(opt, list) else [str(opt)]
-        missing = [c for c in fields if c not in df.columns]
-        if missing:
-            raise PlanError(
-                f"partition field(s) {missing} not in sink schema for {sink.name}"
+        # iceberg partition transforms (iceberg_partitioning.sql;
+        # PARTITIONED BY (bucket(c, 4), hour(ts), identity(b), ...)): the
+        # transform's source column must exist in the sink schema — the
+        # same plan-time check the reference runs. The iceberg sink
+        # executes transforms for real (streaming/iceberg.py
+        # transform_column: spec-correct murmur3 bucketing, epoch-ordinal
+        # time transforms); other sinks take identity columns only.
+        _TRANSFORMS = (
+            "identity|bucket|truncate|year|month|day|hour|void"
+        )
+        iceberg = (sink.connector or "").lower() == "iceberg"
+        out: list[str] = []
+        missing: list[str] = []
+        for f in fields:
+            m = re.fullmatch(
+                rf"({_TRANSFORMS})\s*\(\s*(\w+)\s*(?:,\s*\d+\s*)?\)",
+                f.strip(),
+                re.I,
             )
-        return fields
+            if m:
+                fn, col = m.group(1).lower(), m.group(2)
+                if col not in df.columns:
+                    missing.append(col)
+                    continue
+                if iceberg:
+                    out.append(f.strip())  # executed by IcebergTableSink
+                elif fn == "identity":
+                    out.append(col)
+                elif fn == "void":
+                    continue  # void(c) partitions nothing by definition
+                elif not self.plan_only:
+                    raise PlanError(
+                        f"partition transform {fn}() is only supported on "
+                        "iceberg sinks; use identity partitions"
+                    )
+                continue
+            if f not in df.columns:
+                missing.append(f)
+            else:
+                out.append(f)
+        if missing:
+            # filesystem_invalid_partition.sql wording
+            raise PlanError(
+                f"Failed to create table {sink.name} caused by Error during "
+                f'planning: Unable to get field named "{missing[0]}". '
+                f"Valid fields: {[c for c in df.columns]}"
+            )
+        return out
 
     def _handle_insert(self, stmt: InsertStmt, result: PipelineResult) -> None:
         target = self.tables.get(stmt.target)
         if target is None:
             raise PlanError(f"INSERT into undeclared table {stmt.target}")
-        if target.table_type == "source":
-            raise PlanError(f"cannot INSERT into source table {stmt.target}")
+        if target.table_type == "source" or (target.connector or "").lower() in (
+            "impulse",
+            "nexmark",
+        ):
+            # impulse/nexmark are source-only connectors regardless of the
+            # declared type (insert_into_source.sql); message text mirrors
+            # the reference's
+            raise PlanError(
+                f"attempted to insert into table '{stmt.target}', but it is "
+                "a source"
+            )
         df = self._plan_select(stmt.select_sql)
         df = self._with_time_partition(df, target, stmt.select_sql)
         if self.mode == "streaming" and df.isStreaming and target.connector:
@@ -1604,13 +2117,86 @@ class Pipeline:
             return
         if target.connector is None:
             if stmt.target in self.memory_written:
-                raise PlanError(
-                    f"memory table {stmt.target} can only be inserted into once"
-                )
+                # error_memory_table_double_write.sql wording
+                raise PlanError("Can only insert into a memory table once")
             self.memory_written.add(stmt.target)
             self._cast_to_sink(df, target).createOrReplaceTempView(stmt.target)
             return
-        self._write_sink(result, target, self._cast_to_sink(df, target))
+        cast = self._cast_to_sink(df, target)
+        if self.plan_only:
+            self._validate_sink_plan(target, cast)
+            return
+        self._write_sink(result, target, cast)
+
+    def _validate_sink_plan(self, sink: TableDef, df: DataFrame) -> None:
+        """mode='plan' sink handling: validate the full option surface the
+        executing `_write_sink` would (connection options, file-sink naming/
+        rolling/compression, partition fields and iceberg transforms,
+        format constraints), then stop before any write."""
+        if (sink.connector or "").lower() == "confluent":
+            from arroyo_spark.streaming.confluent import confluent_as_kafka
+
+            sink = confluent_as_kafka(sink)
+        conn = (sink.connector or "").lower()
+        fmt = str(sink.options.get("format", "json"))
+        if fmt == "protobuf":
+            raise PlanError(
+                "Protobuf is not yet supported in CREATE TABLE statements"
+            )
+        if fmt in ("json", DEBEZIUM_FORMAT):
+            parse_json_sink_options(sink.options)
+        from arroyo_spark.streaming.file_sink import (
+            FileSinkOptionError,
+            parse_file_sink_options,
+        )
+
+        if conn in ("delta", "iceberg", "filesystem", "single_file"):
+            try:
+                parse_file_sink_options(sink.options)
+            except FileSinkOptionError as e:
+                raise PlanError(str(e)) from None
+            self._sink_partition_fields(sink, df)
+            if conn == "iceberg" and str(
+                sink.options.get("catalog.type", "")
+            ).lower() == "rest":
+                # rest-catalog DDL (iceberg_partitioning.sql): url +
+                # table_name instead of a filesystem path
+                if not sink.options.get("catalog.rest.url"):
+                    raise PlanError(
+                        f"iceberg sink {sink.name} with catalog.type='rest' "
+                        "needs 'catalog.rest.url'"
+                    )
+                if not sink.options.get("table_name"):
+                    raise PlanError(
+                        f"iceberg sink {sink.name} needs a 'table_name'"
+                    )
+            elif sink.options.get("path") is None:
+                raise PlanError(
+                    f"{conn} sink {sink.name} needs a 'path' option"
+                )
+        elif conn == "kafka":
+            from arroyo_spark.streaming.kafka import (
+                encode_kafka_sink,
+                kafka_writer_options,
+            )
+
+            kafka_writer_options(sink)
+            encode_kafka_sink(df, sink)  # lazy: validates format constraints
+        elif conn == "webhook":
+            if not sink.options.get("endpoint"):
+                raise PlanError(f"webhook sink {sink.name} needs an 'endpoint'")
+        elif conn == "redis":
+            from arroyo_spark.streaming.redis import validate_redis_table
+
+            validate_redis_table(sink)
+        elif conn == "mqtt":
+            from arroyo_spark.streaming.mqtt import validate_mqtt_table
+
+            validate_mqtt_table(sink)
+        elif conn in ("stdout", "blackhole", "preview"):
+            pass
+        else:
+            raise PlanError(f"Unknown connector '{conn}'")
 
     def _run_streaming_insert(
         self, stmt: InsertStmt, target: TableDef, df: DataFrame, result: PipelineResult
@@ -1768,8 +2354,15 @@ class Pipeline:
                     )
                     w.mode("append").options(**wopts).parquet(spool)
                 elif pf:
+                    tf, de = parse_json_sink_options(target.options)
                     enc = batch_df.select(
-                        *pf, _json_value_col(batch_df, exclude=pf)
+                        *pf,
+                        _json_value_col(
+                            batch_df,
+                            exclude=pf,
+                            timestamp_format=tf,
+                            decimal_encoding=de,
+                        ),
                     )
                     (
                         enc.repartition(*pf)
@@ -1779,9 +2372,9 @@ class Pipeline:
                         .text(spool)
                     )
                 else:
-                    to_arroyo_json(batch_df).write.mode("append").options(
-                        **wopts
-                    ).text(spool)
+                    to_arroyo_json(batch_df, target.options).write.mode(
+                        "append"
+                    ).options(**wopts).text(spool)
 
             writer = cast.writeStream.outputMode("append").foreachBatch(for_each)
 
@@ -1842,7 +2435,7 @@ class Pipeline:
             if isinstance(stmt, TableDef):
                 self._handle_create_table(stmt)
             elif isinstance(stmt, ViewDef):
-                df = self._plan_select(stmt.select_sql)
+                df = self._plan_select(stmt.select_sql, view=True)
                 df.createOrReplaceTempView(stmt.name)
                 self.views.add(stmt.name)
                 self.view_sql[stmt.name] = stmt.select_sql

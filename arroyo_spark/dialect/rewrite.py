@@ -92,9 +92,53 @@ def _strip_over_clauses(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
-    """Rewrite one SELECT body; raises PlanError on dialect violations."""
+_RANKING_FNS = (
+    "row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lag|lead"
+)
+
+
+def _default_window_order(sql: str) -> str:
+    """DataFusion permits ranking functions without ORDER BY in the OVER
+    spec (`window_with_expression.sql` — `row_number() OVER (PARTITION BY
+    ...)`), leaving the intra-partition order undefined; Spark rejects
+    them at analysis. Append a constant `ORDER BY 1` (whole-partition,
+    arbitrary order — the same semantics) so those plans analyze."""
+    out, i, n = [], 0, len(sql)
+    pat = re.compile(
+        r"\b(?:" + _RANKING_FNS + r")\s*\((?:[^()]|\([^()]*\))*\)\s+over\s*\(",
+        re.I,
+    )
+    while i < n:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        body = sql[m.end() : j - 1]
+        if not re.search(r"\border\s+by\b", body, re.I):
+            out.append(sql[i : j - 1] + " ORDER BY 1)")
+        else:
+            out.append(sql[i:j])
+        i = j
+    return "".join(out)
+
+
+def rewrite_query(
+    sql: str,
+    timestamp_col: str = "_timestamp",
+    append_ts_top: bool = False,
+) -> str:
+    """Rewrite one SELECT body; raises PlanError on dialect violations.
+    `append_ts_top` additionally appends `_timestamp` to the top-level
+    projection (view bodies — their readers may window over them)."""
     sql = _rewrite_functions(sql)  # first: consumes WITHIN GROUP (ORDER BY)
+    sql = _default_window_order(sql)
     stripped = _strip_over_clauses(_strip_string_literals(sql))
     if re.search(r"\border\s+by\b", stripped, re.I):
         raise PlanError("ORDER BY is not supported in a streaming pipeline")
@@ -114,9 +158,12 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
                 raise PlanError("hop() takes (slide INTERVAL, width INTERVAL)")
             slide, width = parse_interval(args[0]), parse_interval(args[1])
             if duration_us(width) % duration_us(slide) != 0:
+                # reference wording (error_offset_sliding_window.sql):
+                # "hop() width 600s currently must be a multiple of slide 180s"
                 raise PlanError(
-                    "hop() width must be a multiple of slide "
-                    f"(width={width!r}, slide={slide!r})"
+                    f"hop() width {duration_us(width) // 1_000_000}s "
+                    "currently must be a multiple of slide "
+                    f"{duration_us(slide) // 1_000_000}s"
                 )
             return f"window({timestamp_col}, '{width}', '{slide}')"
         if fn == "session":
@@ -127,9 +174,21 @@ def rewrite_query(sql: str, timestamp_col: str = "_timestamp") -> str:
         return m.group(0)
 
     sql = _WINDOW_CALL.sub(repl, sql)
-    sql = re.sub(r"\brow_time\s*\(\s*\)", timestamp_col, sql, flags=re.I)
+    # identity arithmetic keeps a bare `row_time()` VISIBLE: a plain (or
+    # cast) rewrite auto-names the column `_timestamp`, which sink casts
+    # hide — iceberg_partitioning.sql selects `row_time()` bare and aliased
+    sql = re.sub(
+        r"\brow_time\s*\(\s*\)",
+        f"({timestamp_col} + interval '0' second)",
+        sql,
+        flags=re.I,
+    )
+    sql = _rewrite_cast_types(sql)
+    sql = _hoist_nested_explode(sql)
     sql = _rewrite_json_operators(sql)
+    sql = _rewrite_json_has_key(sql)
     _check_nested_windows(sql)
+    sql = _append_ts_projections(sql, top=append_ts_top)
     sql = _inject_hidden_timestamp(sql)
     sql = _unify_instant_joins(sql)
     return sql
@@ -147,10 +206,37 @@ _FN_RENAMES = [
     (r"\btruncate\s*\(", "trunc("),
 ]
 
+# DataFusion crypto digests (crypto_function.sql `sha256(...)`): Spark
+# spells the SHA-2 family sha2(x, bits)
+_SHA2 = re.compile(r"\bsha(224|256|384|512)\s*\(", re.I)
+# json_get(json, key) (datafusion-functions-json; release_post_json.sql)
+_JSON_GET = re.compile(
+    r"\bjson_get\s*\(\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)", re.I
+)
+
 
 def _rewrite_functions(sql: str) -> str:
     for pat, repl in _FN_RENAMES:
         sql = re.sub(pat, repl, sql, flags=re.I)
+    # shaNNN(x) -> sha2(x, NNN)
+    while True:
+        m = _SHA2.search(sql)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        sql = (
+            sql[: m.start()]
+            + f"sha2({sql[m.end() : j - 1]}, {m.group(1)})"
+            + sql[j:]
+        )
+    # json_get(v, k) -> get_json_object(v, '$.' || k)
+    sql = _JSON_GET.sub(r"get_json_object(\1, concat('$.', \2))", sql)
     # approx_distinct(x) -> approx_count_distinct(x, 0.01): DataFusion's HLL
     # is near-exact at small cardinalities; Spark needs rsd<=0.005 for that
     sql = re.sub(
@@ -194,7 +280,270 @@ def _rewrite_functions(sql: str) -> str:
     return sql
 
 
+_SQL_TYPE_MAP = {
+    "text": "string",
+    "bytea": "binary",
+    "datetime": "timestamp",
+    "json": "string",
+}
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """Map the reference's SQL type names to Spark's inside CAST(...) and
+    `::type` casts (`types.rs:44-127`): TEXT→STRING, BYTEA→BINARY,
+    DATETIME→TIMESTAMP, JSON→STRING. Restricted to cast contexts so a
+    column *alias* named `datetime`/`text` is left alone
+    (crypto_function.sql / iceberg_partitioning.sql shapes)."""
+    pat = re.compile(r"\b(?:try_)?cast\s*\(", re.I)
+    out, i, n = [], 0, len(sql)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        body = sql[m.end() : j - 1]
+        body = re.sub(
+            r"(\bas\s+)(text|bytea|datetime|json)\b",
+            lambda mm: mm.group(1) + _SQL_TYPE_MAP[mm.group(2).lower()],
+            body,
+            flags=re.I,
+        )
+        out.append(sql[i : m.end()])
+        out.append(body)
+        out.append(sql[j - 1 : j] if j <= n else "")
+        i = j
+    s = "".join(out)
+    return re.sub(
+        r"::\s*(text|bytea|datetime|json)\b",
+        lambda mm: "::" + _SQL_TYPE_MAP[mm.group(1).lower()],
+        s,
+        flags=re.I,
+    )
+
+
+def rewrite_expr(expr: str) -> str:
+    """Rewrite one scalar expression — virtual-column `GENERATED ALWAYS
+    AS (...)` bodies (tables.rs:685-694) — with the same function-name /
+    SQL-type / JSON-operator mappings as full queries, so
+    `extract_json_string(...)` / `CAST(x AS TEXT)` / `v->>'k'` work in
+    generated columns exactly as they do in SELECTs (parse_log.sql,
+    subscript_in_virtual.sql)."""
+    return _rewrite_json_has_key(
+        _rewrite_json_operators(_rewrite_cast_types(_rewrite_functions(expr)))
+    )
+
+
+def _append_ts_projections(sql: str, top: bool = False) -> str:
+    """Force-append the hidden `_timestamp` to plain (non-aggregating)
+    projections so event time survives intermediate SELECTs — the
+    reference's ArroyoRewriter appends `_timestamp` to every projection
+    (`arroyo-planner/src/plan/mod.rs:266-284`); without it a window over
+    `(SELECT f(x) AS y FROM t)` has no event-time column to resolve
+    (async_udf_subquery.sql, parse.sql, program_compilation.sql).
+
+    Applied to FROM/JOIN-position subqueries and WITH-clause bodies at any
+    depth, and to the top-level SELECT only when `top=True` (views — their
+    readers may window over them; previews keep their visible schema).
+    Aggregating (GROUP BY), DISTINCT, `*`, and set-op projections are left
+    alone — the windowed-aggregate rule in `_inject_hidden_timestamp`
+    owns aggregate event-time propagation."""
+    stripped = _strip_string_literals(sql)
+    depth_arr, d = [], 0
+    for ch in stripped:
+        if ch == "(":
+            depth_arr.append(d)
+            d += 1
+        elif ch == ")":
+            d -= 1
+            depth_arr.append(d)
+        else:
+            depth_arr.append(d)
+
+    def _balanced_end(open_pos: int) -> int:
+        bd, j = 1, open_pos + 1
+        while j < len(sql) and bd:
+            if stripped[j] == "(":
+                bd += 1
+            elif stripped[j] == ")":
+                bd -= 1
+            j += 1
+        return j
+
+    # candidate select blocks: (start, end) spans of the block's text
+    blocks: list[tuple[int, int]] = []
+    for m in re.finditer(r"\b(from|join)\s*\(", stripped, re.I):
+        op = m.end() - 1
+        blocks.append((op + 1, _balanced_end(op) - 1))
+    if re.match(r"\s*with\b", stripped, re.I):
+        for m in re.finditer(r"\b(\w+)\s+as\s*\(", stripped, re.I):
+            if depth_arr[m.start()] == 0:
+                op = m.end() - 1
+                blocks.append((op + 1, _balanced_end(op) - 1))
+    if top:
+        blocks.append((0, len(sql)))
+
+    def _amend_select(s: int, e: int) -> int | None:
+        """Insert position for one plain SELECT span, or None if it must
+        be left alone (aggregate / join / DISTINCT / `*` / already has
+        _timestamp)."""
+        body = stripped[s:e]
+        sm = re.search(r"\bselect\b", body, re.I)
+        if not sm or body[: sm.start()].strip():
+            return None  # not a bare SELECT (e.g. parenthesized join)
+        bdepth = depth_arr[s + sm.start()]
+        from_pos = None
+        has_gb = has_join = False
+        for km in re.finditer(
+            r"\bfrom\b|\bgroup\s+by\b|\bjoin\b", body, re.I
+        ):
+            if depth_arr[s + km.start()] != bdepth:
+                continue
+            kw = km.group(0).lower()
+            if kw == "from" and from_pos is None:
+                from_pos = km.start()
+            elif kw.startswith("group"):
+                has_gb = True
+            else:
+                # both join inputs carry _timestamp; a bare append would
+                # be ambiguous (windowed_inner_join.sql)
+                has_join = True
+        if from_pos is None or has_gb or has_join:
+            return None
+        select_list = body[sm.end() : from_pos]
+        if re.match(r"\s*distinct\b", select_list, re.I):
+            return None
+        if _AGG_FN.search(select_list):
+            return None  # global aggregate (no GROUP BY): no event time
+        if re.search(r"(^|[\s,.(])\*", select_list):
+            return None  # `*` / `t.*` already carries _timestamp
+        if re.search(r"\b_timestamp\b", select_list, re.I):
+            return None
+        return s + from_pos
+
+    def _amend_block(s: int, e: int) -> list[int]:
+        """Insert positions for a block that may be a single SELECT or a
+        set-op chain. Set-op branches amend ALL-or-nothing so arity stays
+        consistent (the reference appends to every projection, keeping
+        union schemas aligned)."""
+        body = stripped[s:e]
+        sm = re.search(r"\S", body)
+        if not sm:
+            return []
+        bdepth = depth_arr[s + sm.start()]
+        cuts = [
+            km
+            for km in re.finditer(
+                r"\bunion(?:\s+all)?\b|\bintersect\b|\bexcept\b", body, re.I
+            )
+            if depth_arr[s + km.start()] == bdepth
+        ]
+        if not cuts:
+            pos = _amend_select(s, e)
+            return [pos] if pos is not None else []
+        bounds = [s] + [s + c.start() for c in cuts] + [e]
+        seg_starts = [s] + [s + c.end() for c in cuts]
+        branches = list(zip(seg_starts, bounds[1:]))
+        out: list[int] = []
+        for bs, be in branches:
+            pos = _amend_select(bs, be)
+            if pos is None:
+                return []  # one unamendable branch -> leave the chain alone
+            out.append(pos)
+        return out
+
+    inserts: list[int] = []
+    for s, e in blocks:
+        inserts.extend(_amend_block(s, e))
+    for pos in sorted(set(inserts), reverse=True):
+        sql = sql[:pos] + ", _timestamp " + sql[pos:]
+    return sql
+
+
+def _hoist_nested_explode(sql: str) -> str:
+    """DataFusion lets unnest() sit inside a larger expression
+    (`select unnest(a)->'name' ...`, unnest.sql); Spark requires the
+    generator at the top of a projection. Hoist it:
+    ``E(explode(X))`` → ``explode(transform(X, __unnest_el ->
+    E(__unnest_el)))`` — identical row expansion, with the per-element
+    expression moved into a lambda."""
+    ex = re.compile(r"\bexplode\s*\(", re.I)
+    changed = True
+    while changed:
+        changed = False
+        stripped = _strip_string_literals(sql)
+        depth_arr, d = [], 0
+        for ch in stripped:
+            if ch == "(":
+                depth_arr.append(d)
+                d += 1
+            elif ch == ")":
+                d -= 1
+                depth_arr.append(d)
+            else:
+                depth_arr.append(d)
+        for m in ex.finditer(stripped):
+            d0 = depth_arr[m.start()]
+            depth, j = 1, m.end()
+            while j < len(sql) and depth:
+                if stripped[j] == "(":
+                    depth += 1
+                elif stripped[j] == ")":
+                    depth -= 1
+                j += 1
+            arg = sql[m.end() : j - 1]
+            # select-list item bounds at the call's depth
+            s = None
+            for am in re.finditer(r",|\bselect\b", stripped[: m.start()], re.I):
+                if depth_arr[am.start()] == d0:
+                    s = am.end()
+            if s is None:
+                continue
+            e = len(sql)
+            for am in re.finditer(r",|\bfrom\b", stripped, re.I):
+                if am.start() >= j and depth_arr[am.start()] == d0:
+                    e = am.start()
+                    break
+            item = sql[s:e]
+            body = item.strip()
+            # already a top-level generator (plain `explode(x) [as y]`)?
+            mt = re.match(r"^explode\s*\(", body, re.I)
+            if mt:
+                bd, k = 1, mt.end()
+                while k < len(body) and bd:
+                    if body[k] == "(":
+                        bd += 1
+                    elif body[k] == ")":
+                        bd -= 1
+                    k += 1
+                if re.fullmatch(r"(\s+as\s+\w+)?\s*", body[k:], re.I):
+                    continue
+            am = re.search(r"\s+as\s+(\w+)\s*$", item, re.I)
+            alias = am.group(1) if am else None
+            expr_end = am.start() if am else len(item)
+            rel_call_s, rel_call_e = m.start() - s, j - s
+            expr = (
+                item[:rel_call_s] + "__unnest_el" + item[rel_call_e:expr_end]
+            )
+            if re.search(r"\bexplode\s*\(", expr, re.I):
+                continue  # one generator per item; leave the rest alone
+            new = f"explode(transform({arg}, __unnest_el -> {expr.strip()}))"
+            if alias:
+                new += f" as {alias}"
+            sql = sql[:s] + " " + new + " " + sql[e:]
+            changed = True
+            break
+    return sql
+
+
 _ARROW = re.compile(r"(->>|->)\s*'([^']+)'")
+_JSON_HAS_KEY = re.compile(r"\?\s*'([^']+)'")
 
 
 def _lhs_start(sql: str, end: int) -> int:
@@ -260,6 +609,24 @@ def _rewrite_json_operators(sql: str) -> str:
                 f"coalesce(to_json(try_variant_get(try_parse_json({lhs}), "
                 f"'$.{key}')), 'null')"
             )
+        sql = sql[:start] + repl + sql[m.end():]
+
+
+def _rewrite_json_has_key(sql: str) -> str:
+    """`x ? 'key'` — JSON key-presence operator
+    (datafusion-functions-json `json_contains`; release_post_json.sql
+    `value ? 'id'`) → a variant probe that is true iff the key exists."""
+    while True:
+        m = _JSON_HAS_KEY.search(_strip_string_literals(sql))
+        if not m:
+            return sql
+        start = _lhs_start(sql, m.start())
+        lhs = sql[start : m.start()].strip()
+        key = sql[m.start(1) : m.end(1)]
+        repl = (
+            f"(try_variant_get(try_parse_json({lhs}), '$.{key}') "
+            "is not null)"
+        )
         sql = sql[:start] + repl + sql[m.end():]
 
 
@@ -389,7 +756,10 @@ def _check_nested_windows(sql: str, start: int = 0, end: int | None = None) -> s
         return own_sig
     if own_sig is not None:
         if own_sig != inner_sig:
-            raise PlanError("window in group by does not match input window")
+            raise PlanError(
+                "This feature is not implemented: window in group by does "
+                "not match input window"
+            )
         return own_sig
     if aggregates:
         wname = next(nm for s, nm in inner if s)
@@ -671,8 +1041,27 @@ def _inject_hidden_timestamp(sql: str) -> str:
             # reference's `misplaced_hop.sql` error (SURVEY.md §2.3)
             m = _WINDOWED_CALL.search(select_list)
             if m and re.search(r"\(\s*_timestamp\b", select_list[m.end() - 1 :]):
+                # recover the dialect name the user wrote (misplaced_hop.sql
+                # wording): session_window <- session; window(ts, w) <-
+                # tumble; window(ts, w, s) <- hop
+                call = _extract_call(select_list, m.start())
+                if m.group(1).lower() == "session_window":
+                    fn = "session"
+                else:
+                    args = call[call.index("(") + 1 : -1]
+                    commas = 0
+                    dd = 0
+                    for ch in args:
+                        if ch == "(":
+                            dd += 1
+                        elif ch == ")":
+                            dd -= 1
+                        elif ch == "," and dd == 0:
+                            commas += 1
+                    fn = "hop" if commas >= 2 else "tumble"
                 raise PlanError(
-                    "tumble/hop/session may only be used in a GROUP BY clause"
+                    f"time window function {fn} is not allowed in this "
+                    "context. Are you missing a GROUP BY clause?"
                 )
             continue
         gb_end = gb_pos

@@ -127,6 +127,11 @@ def parse_duration_seconds(value: object, opt: str) -> int:
     """'30s' / '5m' / '1h' / '5 minutes' / raw int → seconds."""
     if isinstance(value, (int, float)):
         return int(value)
+    if isinstance(value, tuple) and len(value) == 2 and value[0] == "interval":
+        # DDL interval literal: 'rolling_policy.interval' = interval '10
+        # minutes' (analytics_ingest.sql) — the option parser yields
+        # ('interval', '10 minutes')
+        value = value[1]
     s = str(value).strip().lower()
     compact = {"s": 1, "m": 60, "h": 3600, "d": 86400}
     if s and s[-1] in compact and s[:-1].replace(".", "", 1).isdigit():

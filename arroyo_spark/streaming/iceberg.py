@@ -27,10 +27,12 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -143,6 +145,184 @@ _AVRO_OF_ICEBERG = {
 }
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm, Appendix B of the
+    Iceberg spec) — the hash behind the bucket[N] transform. Spark's
+    built-in hash() uses seed 42 and different encodings, so it is NOT
+    spec-compatible; this implementation matches the spec's test vectors
+    (`test_iceberg.py::test_bucket_transform_spec_vectors`)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    # signed 32-bit, like the Java implementation
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _bucket_hash_bytes(v, kind: str) -> bytes:
+    """Spec single-value hash encodings (Appendix B): int/long/date/
+    timestamp hash as the 64-bit little-endian long; strings as UTF-8."""
+    import struct
+
+    if kind == "string":
+        return str(v).encode("utf-8")
+    return struct.pack("<q", int(v))
+
+
+@dataclass
+class PartitionTransform:
+    """One PARTITIONED BY entry (iceberg_partitioning.sql surface;
+    partition transform spec)."""
+
+    source: str
+    transform: str  # identity | bucket[N] | truncate[W] | year|month|day|hour | void
+    name: str  # partition field / layout column name (Java naming rules)
+    param: int | None = None
+
+
+_TRANSFORM_RE = re.compile(
+    r"^(identity|bucket|truncate|year|month|day|hour|void)"
+    r"\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)$",
+    re.I,
+)
+
+
+def parse_partition_transforms(exprs: list[str]) -> list[PartitionTransform]:
+    """`['bucket(count, 4)', 'hour(ts)', 'b']` -> typed transforms. Bare
+    column names are identity. Names follow the Java PartitionSpec
+    conventions (`count_bucket`, `ts_hour`, `count_null`, ...)."""
+    out: list[PartitionTransform] = []
+    suffix = {
+        "bucket": "bucket",
+        "truncate": "trunc",
+        "year": "year",
+        "month": "month",
+        "day": "day",
+        "hour": "hour",
+        "void": "null",
+    }
+    for e in exprs:
+        e = str(e).strip()
+        m = _TRANSFORM_RE.match(e)
+        if not m:
+            out.append(PartitionTransform(e, "identity", e))
+            continue
+        fn, col, param = m.group(1).lower(), m.group(2), m.group(3)
+        if fn == "identity":
+            out.append(PartitionTransform(col, "identity", col))
+        elif fn in ("bucket", "truncate"):
+            if param is None:
+                raise ValueError(f"{fn}() requires a numeric argument: {e}")
+            out.append(
+                PartitionTransform(
+                    col, f"{fn}[{param}]", f"{col}_{suffix[fn]}", int(param)
+                )
+            )
+        else:
+            out.append(PartitionTransform(col, fn, f"{col}_{suffix[fn]}"))
+    return out
+
+
+def transform_column(pt: PartitionTransform, dt) -> "object":
+    """Spark Column computing the transform's value (partition spec:
+    year/month/day/hour are ordinals from the 1970 epoch; truncate is
+    floor-based; bucket is murmur3(seed 0) & MAX_INT % N)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    col = F.col(pt.source)
+    tr = pt.transform
+    if tr == "identity":
+        return col
+    if tr == "void":
+        return F.lit(None).cast(dt)
+    if tr == "year":
+        return (F.year(col) - 1970).cast("int")
+    if tr == "month":
+        return ((F.year(col) - 1970) * 12 + F.month(col) - 1).cast("int")
+    if tr == "day":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+    if tr == "hour":
+        return F.floor(F.unix_micros(col.cast("timestamp")) / 3_600_000_000).cast(
+            "int"
+        )
+    if tr.startswith("truncate["):
+        w = pt.param or 1
+        if isinstance(dt, T.StringType):
+            return F.substring(col, 1, w)
+        return (col - F.pmod(col, F.lit(w))).cast(dt)
+    if tr.startswith("bucket["):
+        n = pt.param or 1
+        if isinstance(dt, T.StringType):
+            kind = "string"
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            kind = "timestamp"
+        elif isinstance(dt, T.DateType):
+            kind = "date"
+        else:
+            kind = "long"
+        src = col
+        if kind == "timestamp":
+            src = F.unix_micros(col.cast("timestamp"))
+        elif kind == "date":
+            src = F.datediff(col, F.lit("1970-01-01"))
+        from pyspark.sql.functions import pandas_udf
+
+        hkind = "string" if kind == "string" else "long"
+
+        def _bucket_series(vals):
+            def one(v):
+                if v is None:
+                    return None
+                h = murmur3_32(_bucket_hash_bytes(v, hkind))
+                return (h & 0x7FFFFFFF) % n
+
+            return vals.map(one)
+
+        # no annotations: `from __future__ import annotations` stringifies
+        # hints, which pandas_udf's inference rejects
+        return pandas_udf(_bucket_series, "int")(src)
+    raise ValueError(f"unsupported partition transform: {tr}")
+
+
+def _transform_result_type(pt: PartitionTransform, source_type: str) -> str:
+    """Iceberg type of the transform's result (for manifest partition
+    records and hive-dir value parsing)."""
+    if pt.transform in ("identity", "void") or pt.transform.startswith(
+        "truncate["
+    ):
+        return source_type
+    if pt.transform == "day":
+        return "int"  # ordinal days; stored as int in the r102 record
+    return "int"  # bucket/year/month/hour
+
+
 def _parse_partition_value(raw: str, iceberg_type: str):
     """Hive-style dir value -> typed Iceberg partition value."""
     if raw == "__HIVE_DEFAULT_PARTITION__":
@@ -180,7 +360,13 @@ class IcebergTableSink:
         shuffle_by_partition: bool = False,
     ) -> None:
         self.root = root
-        self.partition_by = list(partition_by or [])
+        # entries may be plain columns (identity) or transform calls
+        # (`bucket(count, 4)`, `hour(ts)`, ... — iceberg_partitioning.sql);
+        # layout + manifests use the transform RESULT columns
+        self.transforms = parse_partition_transforms(
+            [str(p) for p in (partition_by or [])]
+        )
+        self.partition_by = [t.name for t in self.transforms]
         self.app_id = app_id
         # reference `shuffle_by_partition.enabled` (filesystem/iceberg
         # table config): pre-shuffle rows so each partition is written by
@@ -238,6 +424,14 @@ class IcebergTableSink:
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        src_types = {f.name: f.dataType for f in batch_df.schema.fields}
+        for t in self.transforms:
+            if t.transform != "identity":
+                # derived partition column (computed executor-side; bucket
+                # is the spec-correct murmur3, transform_column above)
+                batch_df = batch_df.withColumn(
+                    t.name, transform_column(t, src_types[t.source])
+                )
         if self.shuffle_by_partition and self.partition_by:
             batch_df = batch_df.repartition(*self.partition_by)
         writer = batch_df.write.mode("overwrite")
@@ -247,6 +441,10 @@ class IcebergTableSink:
         part_types = {
             f.name: _iceberg_type(f.dataType) for f in batch_df.schema.fields
         }
+        for t in self.transforms:
+            part_types[t.name] = _transform_result_type(
+                t, str(_iceberg_type(src_types[t.source]))
+            )
         out: list[tuple[str, int, int, dict]] = []
         for p in sorted(
             glob.glob(os.path.join(staging, "**", "part-*.parquet"), recursive=True)
@@ -292,14 +490,19 @@ class IcebergTableSink:
         type_of = {f["name"]: f["type"] for f in schema_json.get("fields", [])}
         return [
             {
-                "name": c,
+                "name": t.name,
                 "type": [
                     "null",
-                    _AVRO_OF_ICEBERG.get(str(type_of.get(c, "string")), "string"),
+                    _AVRO_OF_ICEBERG.get(
+                        _transform_result_type(
+                            t, str(type_of.get(t.source, "string"))
+                        ),
+                        "string",
+                    ),
                 ],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(self.partition_by)
+            for i, t in enumerate(self.transforms)
         ]
 
     def _write_manifest(
@@ -397,12 +600,12 @@ class IcebergTableSink:
             "spec-id": 0,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": id_of.get(c, i + 1),
+                    "name": t.name,
+                    "transform": t.transform,
+                    "source-id": id_of.get(t.source, i + 1),
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(self.partition_by)
+                for i, t in enumerate(self.transforms)
             ],
         }
 

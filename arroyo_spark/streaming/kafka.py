@@ -569,7 +569,15 @@ def encode_kafka_sink(df: DataFrame, t: TableDef) -> DataFrame:
             F.lit('{"before":null,"after":'), after, F.lit(',"op":"c"}')
         )
     elif cfg.format == "json":
-        value = _json_value_col(payload)
+        # general JSON encoding options (formats.rs:18-49): UnixMillis
+        # timestamps / string- or bytes-encoded decimals apply to kafka
+        # sinks exactly as to file sinks
+        from arroyo_spark.dialect.pipeline import parse_json_sink_options
+
+        tf, de = parse_json_sink_options(t.options)
+        value = _json_value_col(
+            payload, timestamp_format=tf, decimal_encoding=de
+        )
     elif cfg.format == "raw_string":
         if len(payload.columns) != 1:
             raise PlanError("raw_string sinks require a single value column")

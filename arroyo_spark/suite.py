@@ -134,7 +134,36 @@ _GREEN_R03 = frozenset(
 )
 
 
+_GREEN_R04 = frozenset(
+    {
+        "agg_bits_bools", "array_agg_sorted", "contamination_5gram_overlap",
+        "cube_orders_status_priority", "dedup_duplicate_clusters",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_hamming",
+        "doc_fingerprints", "embedding_kmeans_clusters",
+        "embedding_label_centroid_sim", "first_last_by_time",
+        "funnel_signup_view_purchase", "hop_hourly_15m_by_type",
+        "knn_cosine_topk", "knn_ivf_ann", "knn_lsh_ann",
+        "median_percentiles", "mm_image_features",
+        "nested_tumble_peak_quarter", "nexmark_q5_hot_users",
+        "nexmark_q8_new_sellers", "q10_returned_items",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_diversity",
+        "q20_dominant_suppliers", "q21_waiting_suppliers",
+        "q2_min_price_supplier", "q8_market_share", "q9_product_profit",
+        "range_join_value_bands", "rollup_cascade_15m_1h_1d",
+        "sample_stratified_by_source", "semdedup_cluster_pruning",
+        "session_30m_by_user", "setop_intersect_except",
+        "text_bpe_token_counts", "text_lang_id", "text_quality_scores",
+        "text_repetition_stats", "text_token_stats", "tfidf_top_terms",
+        "tumble_daily_global", "tumble_hourly_by_type", "window_fn_census",
+        "window_fn_most_active_user",
+    }
+)
+
+
 def _verification_tier(name: str) -> int:
+    if name in _GREEN_R04:
+        return 4
     if name in _GREEN_R03:
         return 3
     if name in _GREEN_R02:

@@ -201,6 +201,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # the same two streaming anchors under the RocksDB state store — the
+    # configuration recommended for 100×-scale state (session.py
+    # state_store_conf: bounded memory + changelog checkpointing). Labeled
+    # rows so the scale path has a regression anchor instead of dead
+    # config; expect a constant-factor overhead vs the in-heap default at
+    # this tiny state size.
+    from arroyo_spark.session import ROCKSDB_PROVIDER
+
+    _SS = "spark.sql.streaming.stateStore.providerClass"
+    _CL = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    try:
+        prev_provider = spark.conf.get(_SS)
+    except Exception:
+        prev_provider = None
+    spark.conf.set(_SS, ROCKSDB_PROVIDER)
+    spark.conf.set(_CL, "true")
+    try:
+        timings["streaming_tumble_2m_rows_rocksdb"] = _bench_streaming(spark)
+        print(
+            f"# streaming_tumble_2m_rows_rocksdb: "
+            f"{timings['streaming_tumble_2m_rows_rocksdb']:.3f}s",
+            file=sys.stderr,
+        )
+        timings["streaming_updating_1m_rows_rocksdb"] = (
+            _bench_streaming_updating(spark)
+        )
+        print(
+            f"# streaming_updating_1m_rows_rocksdb: "
+            f"{timings['streaming_updating_1m_rows_rocksdb']:.3f}s",
+            file=sys.stderr,
+        )
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(_SS, prev_provider)
+        else:
+            spark.conf.unset(_SS)
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

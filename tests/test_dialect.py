@@ -1127,7 +1127,7 @@ def test_partition_field_not_in_sink_schema_rejected(spark, tmp_path):
     from arroyo_spark.dialect.pipeline import Pipeline
 
     (tmp_path / "in.json").write_text('{"a": 1}\n')
-    with pytest.raises(PlanError, match="partition field"):
+    with pytest.raises(PlanError, match='Unable to get field named "nope"'):
         Pipeline(spark, {"$p": str(tmp_path)}).run_script(
             f"""
             CREATE TABLE src (a BIGINT) WITH (connector='single_file',
@@ -1206,3 +1206,168 @@ def test_streaming_unpartitioned_parquet_sink_reaches_path(spark, tmp_path):
     Pipeline(spark, mode="streaming").run_script(script)
     got = sorted(r["n"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2]
+
+
+# -- window-function (OVER) input rules --------------------------------------
+# Reference: arroyo-planner/src/plan/window_fn.rs:40-101 and the planner
+# corpus no_updating_window_functions.sql / window_function.sql /
+# window_partition_by_column.sql / window_with_expression.sql.
+
+NEXMARK_DDL = "CREATE TABLE nexmark WITH (connector = 'nexmark', event_rate = '10');"
+
+
+def test_window_fn_requires_windowed_input(spark):
+    # the reference's no_updating_window_functions.sql, verbatim
+    script = NEXMARK_DDL + """
+    SELECT *, row_number() OVER (partition by bid.auction order by bid.datetime desc) as row_num
+         FROM nexmark where bid is not null"""
+    with pytest.raises(PlanError, match="already windowed input"):
+        run_script(spark, script)
+
+
+def test_window_fn_over_windowed_input_plans(spark):
+    # the reference's window_function.sql, verbatim
+    script = NEXMARK_DDL + """
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY window
+            ORDER BY count DESC) as row_num
+        FROM (SELECT count(*) as count,
+            hop(interval '2 seconds', interval '10 seconds') as window
+                FROM nexmark
+                group by window)) WHERE row_num <= 5"""
+    res = run_script(spark, script)
+    assert res.previews[0].count() > 0
+
+
+def test_window_fn_partition_by_extra_column_plans(spark):
+    # window_partition_by_column.sql: extra non-window partition keys are fine
+    script = NEXMARK_DDL + """
+    SELECT * FROM (
+        SELECT *,  row_number() OVER (
+            PARTITION BY window, auction
+            ORDER BY count DESC) AS row_num
+        FROM (SELECT count(*) AS count, bid.auction AS auction,
+            hop(interval '2 seconds', interval '60 seconds') AS window
+                FROM nexmark WHERE bid is not null
+                GROUP BY 2, window)) WHERE row_num <= 5"""
+    res = run_script(spark, script)
+    assert res.previews[0].count() > 0
+
+
+def test_window_fn_no_order_by_gets_default(spark):
+    # window_with_expression.sql: row_number() without ORDER BY is legal in
+    # DataFusion; the dialect appends a constant ORDER BY so Spark analyzes
+    script = """CREATE TABLE impulse with (connector = 'impulse', event_rate = '50');
+    SELECT *, row_number() OVER (PARTITION BY 2 * counter, window) as row_number
+    FROM (SELECT count(*) AS count, counter,
+          hop(interval '2 seconds', interval '60 seconds') AS window
+          FROM impulse GROUP BY 2, window)"""
+    res = run_script(spark, script)
+    assert res.previews[0].count() > 0
+
+
+def test_window_fn_rejects_session_window_input(spark):
+    script = """CREATE TABLE impulse with (connector = 'impulse', event_rate = '50');
+    SELECT *, row_number() OVER (PARTITION BY window ORDER BY c DESC) rn FROM
+      (SELECT count(*) c, session(interval '5 seconds') as window
+       FROM impulse GROUP BY window)"""
+    with pytest.raises(PlanError, match="session windows"):
+        run_script(spark, script)
+
+
+def test_window_fn_partition_by_must_include_window(spark):
+    script = NEXMARK_DDL + """
+    SELECT *, row_number() OVER (PARTITION BY auction ORDER BY count DESC) rn FROM
+      (SELECT count(*) count, bid.auction auction, tumble(interval '10 seconds') as window
+       FROM nexmark WHERE bid is not null GROUP BY 2, window)"""
+    with pytest.raises(PlanError, match="partition_by"):
+        run_script(spark, script)
+
+
+def test_window_fn_over_windowed_view_by_name(spark):
+    # windowed-ness must resolve through a named VIEW, not just inline
+    # subqueries (ADVICE r4: view_sql consulted for updating but not window)
+    script = NEXMARK_DDL + """
+    CREATE VIEW counts AS (
+      SELECT count(*) as count, bid.auction as auction,
+             tumble(interval '10 seconds') as window
+      FROM nexmark WHERE bid is not null GROUP BY 2, window);
+    SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY window ORDER BY count DESC) rn
+      FROM counts) WHERE rn <= 3"""
+    res = run_script(spark, script)
+    assert res.previews[0].count() > 0
+
+
+# -- source idle-time handling (idle_micros) ---------------------------------
+# Reference: tables.rs:421-425 (option), lib.rs:90 (default 5 min),
+# watermark_generator.rs:217-229 (Watermark::Idle semantics).
+
+
+def _idle_union_script(src_a, src_b, out, idle_opt=""):
+    return f"""
+    CREATE TABLE live (t TIMESTAMP, v BIGINT) WITH (
+      connector = 'filesystem', path = '{src_a}', format = 'json',
+      type = 'source', event_time_field = 't');
+    CREATE TABLE quiet (t TIMESTAMP, v BIGINT) WITH (
+      connector = 'filesystem', path = '{src_b}', format = 'json',
+      type = 'source', event_time_field = 't'{idle_opt});
+    CREATE TABLE out (n BIGINT) WITH (
+      connector = 'filesystem', path = '{out}', format = 'json',
+      type = 'sink');
+    INSERT INTO out SELECT count(*) AS n FROM
+      (SELECT t, v FROM live UNION ALL SELECT t, v FROM quiet)
+    GROUP BY tumble(interval '1 hour');
+    """
+
+
+def test_idle_source_union_still_advances(spark, tmp_path):
+    """A two-source union where one source has no input: the idle default
+    (5 min) drops the empty source from the watermark merge, so windows
+    still close and output is emitted."""
+    a = tmp_path / "live"
+    b = tmp_path / "quiet"
+    a.mkdir()
+    b.mkdir()
+    (a / "in.json").write_text(
+        '{"t": "2024-01-01T00:05:00", "v": 1}\n'
+        '{"t": "2024-01-01T00:06:00", "v": 2}\n'
+        '{"t": "2024-01-01T01:05:00", "v": 3}\n'
+    )
+    out = str(tmp_path / "out.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark, mode="streaming").run_script(
+        _idle_union_script(a, b, out)
+    )
+    got = sorted(json.loads(l)["n"] for l in res.sink_json("out"))
+    assert got == [1, 2]
+
+
+def test_idle_disabled_holds_output(spark, tmp_path):
+    """idle_micros <= 0 disables idling (tables.rs filter(|t| *t > 0)): the
+    empty source keeps its stuck watermark in the merge and no window
+    closes — the reference's behavior for a never-idle silent source."""
+    a = tmp_path / "live"
+    b = tmp_path / "quiet"
+    a.mkdir()
+    b.mkdir()
+    (a / "in.json").write_text('{"t": "2024-01-01T00:05:00", "v": 1}\n')
+    out = str(tmp_path / "out.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(spark, mode="streaming").run_script(
+        _idle_union_script(a, b, out, idle_opt=", idle_micros = '0'")
+    )
+    assert res.sink_json("out") == []
+
+
+def test_idle_micros_validation(spark):
+    with pytest.raises(PlanError, match="idle_micros"):
+        run_script(
+            spark,
+            """CREATE TABLE s (t TIMESTAMP) WITH (connector = 'filesystem',
+               path = '/tmp/x', format = 'json', type = 'source',
+               idle_micros = 'abc');""",
+        )

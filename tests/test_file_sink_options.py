@@ -350,3 +350,112 @@ def test_serial_strategy_second_insert_never_clobbers(spark, tmp_path):
     # second INSERT rewrites the merged sink (overwrite semantics) but the
     # point is: all 8 rows survive with distinct serial filenames
     assert len(got) == 8 and got[:4] == [0, 1, 2, 3]
+
+
+# -- sink JSON encoding options (formats.rs:18-49,113-160) -------------------
+
+
+def _enc_script(src, out, extra_opts=""):
+    return f"""
+    CREATE TABLE src (t TIMESTAMP, d DECIMAL(10, 3), v BIGINT) WITH (
+      connector = 'single_file', path = '{src}', format = 'json',
+      type = 'source');
+    CREATE TABLE out (t TIMESTAMP, d DECIMAL(10, 3), v BIGINT) WITH (
+      connector = 'single_file', path = '{out}', format = 'json',
+      type = 'sink'{extra_opts});
+    INSERT INTO out SELECT t, d, v FROM src;
+    """
+
+
+SRC_LINE = '{"t": "2024-03-01T12:30:45.5", "d": -12.345, "v": 7}\n'
+
+
+def test_json_sink_timestamp_unix_millis(spark, tmp_path):
+    import json
+
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    out = tmp_path / "out.json"
+    run_script(
+        spark,
+        _enc_script(
+            tmp_path / "in.json",
+            out,
+            extra_opts=", 'json.timestamp_format' = 'UnixMillis'",
+        ),
+    )
+    row = json.loads(out.read_text().splitlines()[0])
+    assert row["t"] == 1709296245500  # epoch millis, not RFC3339
+
+
+def test_json_sink_decimal_string(spark, tmp_path):
+    import json
+
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    out = tmp_path / "out.json"
+    run_script(
+        spark,
+        _enc_script(
+            tmp_path / "in.json",
+            out,
+            extra_opts=", 'json.decimal_encoding' = 'string'",
+        ),
+    )
+    row = json.loads(out.read_text().splitlines()[0])
+    assert row["d"] == "-12.345"
+
+
+def test_json_sink_decimal_bytes(spark, tmp_path):
+    import base64
+    import json
+
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    out = tmp_path / "out.json"
+    run_script(
+        spark,
+        _enc_script(
+            tmp_path / "in.json",
+            out,
+            extra_opts=", 'json.decimal_encoding' = 'bytes'",
+        ),
+    )
+    row = json.loads(out.read_text().splitlines()[0])
+    # two's-complement big-endian unscaled int (scale 3): -12345
+    unscaled = int.from_bytes(base64.b64decode(row["d"]), "big", signed=True)
+    assert unscaled == -12345
+
+
+def test_json_sink_default_stays_rfc3339(spark, tmp_path):
+    import json
+
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    out = tmp_path / "out.json"
+    run_script(spark, _enc_script(tmp_path / "in.json", out))
+    row = json.loads(out.read_text().splitlines()[0])
+    assert row["t"].startswith("2024-03-01T12:30:45")
+    assert row["d"] == -12.345
+
+
+def test_json_sink_invalid_timestamp_format(spark, tmp_path):
+    import pytest
+
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    with pytest.raises(PlanError, match="json.timestamp_format"):
+        run_script(
+            spark,
+            _enc_script(
+                tmp_path / "in.json",
+                tmp_path / "out.json",
+                extra_opts=", 'json.timestamp_format' = 'iso9000'",
+            ),
+        )

@@ -1,0 +1,125 @@
+"""Planner-corpus sweep: every query in the reference's planner test suite
+(`arroyo-planner/src/test/queries/*.sql`, 63 files) runs through the dialect
+in plan mode, with the reference runner's semantics
+(`arroyo-planner/src/test/plan_tests.rs:8-17`):
+
+- files starting with `--fail` must raise a PlanError;
+- `--fail=<msg>` files must raise a PlanError whose whitespace-normalized
+  text contains `<msg>` (modulo the planner-frame prefixes the reference
+  wraps around messages — "Error during planning: " etc.);
+- every other file must plan cleanly.
+
+The runner pre-registers a `nexmark` connector table and the five test UDFs
+(`src/test/mod.rs:14-31`, `src/test/udfs/`); this file mirrors both. Plan
+mode (`Pipeline(mode='plan')`) is the analog of `parse_and_get_program`:
+full DDL + query validation and logical planning, no external systems.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql.functions import pandas_udf
+
+from arroyo_spark.dialect.errors import PlanError
+from arroyo_spark.dialect.pipeline import Pipeline
+
+QUERIES_DIR = "/root/reference/crates/arroyo-planner/src/test/queries"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(QUERIES_DIR), reason="reference corpus not available"
+)
+
+
+# -- the reference's test schema provider (src/test/mod.rs:14-31) ------------
+
+NEXMARK_DDL = (
+    "CREATE TABLE nexmark WITH (connector = 'nexmark', event_rate = '10');\n"
+)
+
+
+# -- the reference's test UDFs (src/test/udfs/*.rs), as planning stand-ins ---
+
+def _get_city(ip):  # async_udf_subquery.sql
+    return "city"
+
+
+def _cbor_to_json(v):  # bluesky_trends.sql
+    return "{}"
+
+
+def _parse_log(v):  # parse_log.sql
+    return "{}"
+
+
+def _parse_prom(v):  # prometheus.sql
+    return "{}"
+
+
+def _udfs():
+    # built lazily: @pandas_udf parses its DDL type against the active
+    # session, so it can't run at import time
+    @pandas_udf("double")
+    def _irate(v: pd.Series) -> float:  # prometheus.sql (UDAF)
+        return 0.0
+
+    return {
+        "get_city": _get_city,
+        "cbor_to_json": _cbor_to_json,
+        "parse_log": _parse_log,
+        "parse_prom": _parse_prom,
+        "irate": _irate,
+    }
+
+# messages where the dialect's wording intentionally differs from the
+# reference's (the reference embeds DataFusion/Arrow internals we don't
+# reproduce); the sweep still requires the same identifying content
+EXPECT_OVERRIDES = {
+    "filesystem_invalid_partition.sql": 'Unable to get field named "not_a_real_field"',
+}
+
+_FILES = sorted(f for f in os.listdir(QUERIES_DIR) if f.endswith(".sql"))
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _strip_planner_frames(msg: str) -> str:
+    """The reference's --fail strings carry DataFusion planner frames."""
+    return _norm(msg).removeprefix("Error during planning: ")
+
+
+@pytest.mark.parametrize("fname", _FILES)
+def test_planner_corpus(spark, tmp_path, fname):
+    query = open(os.path.join(QUERIES_DIR, fname)).read()
+    fail = query.startswith("--fail")
+    expected = None
+    if query.startswith("--fail="):
+        expected = query.splitlines()[0].split("=", 1)[1].strip()
+
+    script = query
+    if re.search(r"\bfrom\s+nexmark\b", query, re.I) and not re.search(
+        r"create\s+table\s+nexmark", query, re.I
+    ):
+        script = NEXMARK_DDL + query
+
+    subs = {
+        "$input_dir": str(tmp_path),
+        "$output_path": str(tmp_path / "out.json"),
+    }
+    pipeline = Pipeline(spark, substitutions=subs, udfs=_udfs(), mode="plan")
+    if fail:
+        with pytest.raises(PlanError) as exc:
+            pipeline.run_script(script)
+        if expected is not None:
+            want = EXPECT_OVERRIDES.get(fname, _strip_planner_frames(expected))
+            got = _norm(str(exc.value))
+            assert want in got, (
+                f"{fname}: expected error containing {want!r}, got {got!r}"
+            )
+    else:
+        pipeline.run_script(script)
