@@ -1,0 +1,41 @@
+"""PII detection / redaction expressions — the scrubbing step a training
+pipeline runs before anything leaves the raw zone (emails, phone numbers,
+IP addresses). Pure `pyspark.sql.functions` regex expressions: JVM-side,
+whole-stage-codegen, zero shuffle — a projection that scales to 100 TB by
+construction (the same way the reference's scalar functions are plain
+DataFusion expressions, `arroyo-planner/src/functions.rs`).
+
+Patterns stay inside the RE2-compatible subset (character classes, bounded
+repetition, no lookaround) so the DuckDB oracles run the byte-identical
+regex.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+# RE2-safe patterns (shared verbatim with the DuckDB oracles)
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3,4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(col: str) -> list[F.Column]:
+    """Occurrence counts per PII class."""
+    c = F.col(col)
+    return [
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+    ]
+
+
+def redact(col: str) -> F.Column:
+    """All PII classes replaced by typed placeholders. Email first: a
+    phone/IP-ish substring inside an email local part must not be
+    rewritten before the email pattern sees it."""
+    c = F.col(col)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return c

@@ -1,0 +1,227 @@
+"""Corpus-curation operators: PII scrubbing, deterministic per-group
+sampling, Johnson-Lindenstrauss random projection, and token-budget shard
+packing — the remaining steps a 100 TB pretraining pipeline runs between
+raw ingestion and tokenization (BASELINE.json's LLM-data-pipeline
+surface, alongside dedup/similarity/text in the sibling modules).
+
+Scale notes (100 TB):
+- PII scrub is a pure regex projection (operators/pii.py): codegen'd,
+  zero shuffle. The suite query CONSTRUCTS deterministic contact strings
+  from doc_id inside the query (the synthetic corpus contains no real
+  PII), so the redaction logic is exercised for real and the DuckDB
+  oracle replays the identical construction + the byte-identical RE2-safe
+  patterns.
+- reservoir sampling is a hash-ranked top-k per group: one shuffle on the
+  group key; rank by md5(doc_id) is reproducible across retries and
+  partitionings where rand() would be neither. Skewed groups: the window
+  ranks within each group's partitions after the shuffle — for extreme
+  single-group skew, pre-aggregate a per-partition top-k first (same
+  pattern as the LSH max_bucket cap).
+- random projection quantizes each float to an int64 micro-unit before
+  the signed sum, so the aggregation is EXACT integer arithmetic —
+  order-independent, hash-stable against the DuckDB replay (the same
+  determinism convention as suite.py's decimal-routed sums). One
+  posexplode + one groupBy(vec_id): a single shuffle, 8 conditional sums;
+  the ±1 matrix is derived from md5(i:j) parity, so no broadcast state.
+- token packing is an integer running sum per source (one window shuffle)
+  — the greedy sequence-packing assignment used to build fixed-budget
+  training shards.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.operators import pii
+from arroyo_spark.operators import text as T
+from arroyo_spark.suite import query
+
+# deterministic in-query contact-line construction (shared with oracles)
+_DUCK_PAYLOAD = (
+    "text || ' contact user' || doc_id || '@mail-' || (doc_id % 7) || "
+    "'.com call +1-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+    "|| ' from 10.' || (doc_id % 256) || '.0.1'"
+)
+
+
+def _spark_payload() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail-"),
+        (d % 7).cast("string"),
+        F.lit(".com call +1-555-0"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+
+
+@query(
+    "pii_scrub_redaction",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_DUCK_PAYLOAD} AS payload FROM documents),
+    r AS (
+      SELECT doc_id, payload,
+             regexp_replace(regexp_replace(regexp_replace(payload,
+               '{pii.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{pii.PHONE_RE.replace(chr(92), chr(92))}', '<PHONE>', 'g'),
+               '{pii.IPV4_RE}', '<IP>', 'g') AS redacted
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(payload, '{pii.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(payload, '{pii.PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(payload, '{pii.IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM r
+    """,
+    tags=("curation", "pii"),
+)
+def pii_scrub_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select("doc_id", _spark_payload().alias("payload"))
+    counts = [c.cast("bigint").alias(c._jc.toString().split(" AS ")[-1].strip("`"))
+              for c in pii.pii_counts("payload")]
+    return p.select(
+        "doc_id",
+        F.regexp_count(F.col("payload"), F.lit(pii.EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("payload"), F.lit(pii.PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("payload"), F.lit(pii.IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(pii.redact("payload").cast("binary")).alias("redacted_md5"),
+        F.length(pii.redact("payload")).cast("bigint").alias("redacted_len"),
+    )
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents)
+    WHERE rk <= 50
+    """,
+    tags=("curation", "sampling"),
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group 'reservoir': rank by md5(doc_id) inside
+    each source and keep the first 50 — an unbiased uniform sample under
+    the random-oracle property of the hash, reproducible across retries
+    (F.rand() is neither)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+
+
+_PROJ_DIMS = 8
+
+
+def _duck_proj(j: int) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        " * (CASE WHEN strpos('02468ace', "
+        f"substr(md5((i - 1) || ':' || {j}), 1, 1)) > 0 "
+        f"THEN 1 ELSE -1 END))) AS BIGINT) AS p{j}"
+    )
+
+
+@query(
+    "embedding_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(_duck_proj(j) for j in range(_PROJ_DIMS))
+    + " FROM embeddings",
+    tags=("curation", "embeddings", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project D-dim embeddings onto 8
+    ±1 pseudo-random axes (sign = md5(i:j) parity — no materialized
+    projection matrix). Values quantized to int64 micro-units first so
+    the signed sums are exact integer arithmetic (order-independent
+    across engines and partitionings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn(
+        "qv",
+        F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    aggs = []
+    for j in range(_PROJ_DIMS):
+        sign = F.expr(
+            "case when instr('02468ace', substring(md5(cast("
+            f"concat(cast(i as string), ':', '{j}') as binary)), 1, 1)) > 0 "
+            "then 1 else -1 end"
+        )
+        aggs.append(F.sum(F.col("qv") * sign).cast("bigint").alias(f"p{j}"))
+    return ex.groupBy("vec_id").agg(*aggs)
+
+
+_SHARD_TOKENS = 5_000
+
+
+@query(
+    "token_budget_shard_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT) AS shard
+    FROM t
+    """,
+    tags=("curation", "packing"),
+)
+def token_budget_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs (in stable doc_id order) to
+    fixed-token-budget training shards per source. Integer running sum —
+    exact, one window shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _SHARD_TOKENS)
+        .cast("bigint")
+        .alias("shard"),
+    )
