@@ -248,6 +248,9 @@ class Pipeline:
         # far-future sentinel row (see _stage_with_sentinel).
         self.eoi_flush = eoi_flush
         self._eoi_cutoff: dict[str, object] = {}
+        # sources registered through an idle-sentinel staging dir (see
+        # _stage_idle_sentinel): they keep their watermark
+        self._idle_staged: set[str] = set()
         self.substitutions = substitutions or {}
         from arroyo_spark.functions.json_udfs import DEFAULT_JSON_UDFS
 
@@ -326,6 +329,20 @@ class Pipeline:
             return None
         sentinel_ts = mx + timedelta(days=3650)
         self._eoi_cutoff[t.name] = mx + timedelta(days=365)
+        self._write_sentinel_file(staged, t, fmt, event_time, sentinel_ts)
+        return staged
+
+    def _write_sentinel_file(
+        self, staged: str, t: TableDef, fmt: str, event_time: str, sentinel_ts
+    ) -> None:
+        """Write one sentinel row (all columns null except the event time)
+        into `staged`, with a later mtime so the file stream reads it
+        LAST."""
+        import glob as _glob
+        import shutil
+        import tempfile
+        import time as _time
+
         if fmt == "parquet":
             row = self.spark.createDataFrame(
                 [tuple(
@@ -348,6 +365,35 @@ class Pipeline:
                 fh.write('{"%s": "%s"}\n' % (event_time, iso))
         later = _time.time() + 60
         os.utime(sentinel, (later, later))
+
+    def _stage_idle_sentinel(
+        self, t: TableDef, fmt: str, event_time: str
+    ) -> str | None:
+        """Input-less source with idling enabled (`idle_micros`, default 5
+        minutes — tables.rs:421-425, lib.rs:90): the reference's
+        Watermark::Idle drops the source from the downstream min-watermark
+        merge until events arrive (watermark_generator.rs:217-229). Spark's
+        merge has no per-source exclusion, so under eoi_flush
+        (run-to-completion — the staged dir is provably empty for the whole
+        run) we stage a single far-future sentinel row instead: the source
+        KEEPS its watermark (a windowed aggregate over it alone still
+        analyzes and emits nothing) while its merged watermark never holds
+        back a union with live sources. The sentinel is filtered from the
+        query via `_eoi_cutoff`. Returns the staged dir, or None when the
+        event column is virtual/metadata (can't synthesize a raw value)."""
+        import tempfile
+        from datetime import datetime, timedelta
+
+        if not any(
+            c.name == event_time and c.virtual_expr is None and c.metadata_key is None
+            for c in t.columns
+        ):
+            return None
+        staged = tempfile.mkdtemp(prefix=f"idle_{t.name}_")
+        sentinel_ts = datetime(2200, 1, 1)
+        self._eoi_cutoff[t.name] = sentinel_ts - timedelta(days=365)
+        self._write_sentinel_file(staged, t, fmt, event_time, sentinel_ts)
+        self._idle_staged.add(t.name)
         return staged
 
     def _capture_http_source(self, t: TableDef) -> str:
@@ -805,6 +851,12 @@ class Pipeline:
             and fs_compression != "zstd"
         ):
             stream_src = self._stage_with_sentinel(t, path, fmt, str(event_time))
+            if (
+                stream_src is None
+                and self._idle_micros(t) is not None
+                and not self._source_has_input(path)
+            ):
+                stream_src = self._stage_idle_sentinel(t, fmt, str(event_time))
         stream_src = stream_src or _stream_path(path)
         if fmt == "protobuf":
             # arroyo-rpc/src/formats.rs:389-391 — protobuf is API-only in
@@ -991,14 +1043,20 @@ class Pipeline:
             if (
                 self._idle_micros(t) is not None
                 and not self._source_has_input(path)
+                and t.name not in self._idle_staged
             ):
-                # Watermark::Idle analog (watermark_generator.rs:217-229):
-                # an input-less bounded source is idle from the start —
-                # registering it WITHOUT a watermark keeps it out of
-                # Spark's min-watermark merge, so a union with a live
-                # source still advances and emits. idle_micros <= 0
-                # disables this (the reference never idles such sources,
-                # holding output back — same here via the stuck watermark).
+                # Watermark::Idle analog (watermark_generator.rs:217-229),
+                # fallback when the idle sentinel can't be staged (tail
+                # mode / virtual event column): an input-less source is
+                # idle from the start — registering it WITHOUT a watermark
+                # keeps it out of Spark's min-watermark merge, so a union
+                # with a live source still advances and emits. idle_micros
+                # <= 0 disables this (the reference never idles such
+                # sources, holding output back — same here via the stuck
+                # watermark). The preferred path stages a far-future
+                # sentinel instead (_stage_idle_sentinel), which keeps the
+                # watermark so an aggregate over the idle source alone
+                # still analyzes.
                 pass
             else:
                 df = df.withWatermark(TIMESTAMP_FIELD, self._watermark_delay(t))
@@ -1176,7 +1234,23 @@ class Pipeline:
         # view bodies carry _timestamp through their top projection: the
         # reference appends it to every projection (plan/mod.rs:266-284)
         sql = rewrite_query(self._substitute(select_sql), append_ts_top=view)
-        return self.spark.sql(sql)
+        if not view:
+            return self.spark.sql(sql)
+        try:
+            return self.spark.sql(sql)
+        except Exception as e:  # AnalysisException
+            # a view over an updating/global aggregate (e.g. `SELECT a FROM
+            # (SELECT k, count(*) AS a ... GROUP BY k)`) exposes no
+            # `_timestamp` to append; the reference still accepts such views
+            # (its rewriter re-derives event time through aggregates), so
+            # degrade to the un-appended body rather than surfacing a raw
+            # UNRESOLVED_COLUMN error
+            if "_timestamp" not in str(e):
+                raise
+            sql = rewrite_query(
+                self._substitute(select_sql), append_ts_top=False
+            )
+            return self.spark.sql(sql)
 
     def _check_table_refs(self, select_sql: str) -> None:
         """Reference table-direction rules: sinks are write-only

@@ -87,8 +87,6 @@ def _spark_payload() -> F.Column:
 def pii_scrub_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     p = docs.select("doc_id", _spark_payload().alias("payload"))
-    counts = [c.cast("bigint").alias(c._jc.toString().split(" AS ")[-1].strip("`"))
-              for c in pii.pii_counts("payload")]
     return p.select(
         "doc_id",
         F.regexp_count(F.col("payload"), F.lit(pii.EMAIL_RE))

@@ -161,7 +161,36 @@ _GREEN_R04 = frozenset(
 )
 
 
+_GREEN_R05 = frozenset(
+    {
+        "above_nation_avg_spenders", "agg_bits_bools", "agg_having",
+        "anti_join_no_orders", "array_agg_sorted", "asof_purchase_last_click",
+        "count_distinct", "date_functions", "dedup_duplicate_clusters",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_hamming",
+        "embedding_kmeans_clusters", "embedding_label_centroid_sim",
+        "filter_project", "first_last_by_time",
+        "interval_join_signup_purchase", "json_extract_props",
+        "knn_cosine_topk", "knn_ivf_ann", "lookup_enrich_segment",
+        "median_percentiles", "mm_audio_features", "mm_video_frame_stats",
+        "multi_hash_ids", "q12_priority_by_linestatus",
+        "q13_customer_order_distribution", "q14_promo_revenue_share",
+        "q17_small_quantity_revenue", "q18_large_volume_orders",
+        "q19_or_predicate_revenue", "q1_pricing_summary",
+        "q22_idle_rich_customers", "q3_shipping_priority",
+        "q4_order_priority_check", "q5_region_revenue",
+        "q6_forecast_revenue", "q7_volume_shipping",
+        "rollup_revenue_by_region_nation", "scalar_functions",
+        "semdedup_cluster_pruning", "semi_join_big_spenders",
+        "stats_aggregates", "text_corpus_freq_stats", "union_all_agg",
+        "window_running_totals", "window_topk_per_type",
+    }
+)
+
+
 def _verification_tier(name: str) -> int:
+    if name in _GREEN_R05:
+        return 5
     if name in _GREEN_R04:
         return 4
     if name in _GREEN_R03:
@@ -189,6 +218,7 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from arroyo_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         functions_extra,
         multimodal,

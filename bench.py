@@ -215,6 +215,10 @@ def main() -> None:
         prev_provider = spark.conf.get(_SS)
     except Exception:
         prev_provider = None
+    try:
+        prev_cl = spark.conf.get(_CL)
+    except Exception:
+        prev_cl = None
     spark.conf.set(_SS, ROCKSDB_PROVIDER)
     spark.conf.set(_CL, "true")
     try:
@@ -237,6 +241,10 @@ def main() -> None:
             spark.conf.set(_SS, prev_provider)
         else:
             spark.conf.unset(_SS)
+        if prev_cl is not None:
+            spark.conf.set(_CL, prev_cl)
+        else:
+            spark.conf.unset(_CL)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

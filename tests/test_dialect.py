@@ -1285,6 +1285,21 @@ def test_window_fn_partition_by_must_include_window(spark):
         run_script(spark, script)
 
 
+def test_view_over_updating_aggregate_subquery(spark):
+    # regression (ADVICE r5): append_ts_top=True on a view whose FROM is a
+    # non-windowed aggregate subquery appended `_timestamp` to a projection
+    # whose input exposes none -> raw UNRESOLVED_COLUMN. The reference
+    # accepts this shape (its rewriter propagates event time through
+    # aggregates), so we degrade to the un-appended body.
+    script = NEXMARK_DDL + """
+    CREATE VIEW v AS SELECT a FROM
+      (SELECT bid.auction AS k, count(*) AS a
+       FROM nexmark WHERE bid is not null GROUP BY 1);
+    SELECT a FROM v"""
+    res = run_script(spark, script)
+    assert res.previews[0].count() > 0
+
+
 def test_window_fn_over_windowed_view_by_name(spark):
     # windowed-ness must resolve through a named VIEW, not just inline
     # subqueries (ADVICE r4: view_sql consulted for updating but not window)
@@ -1360,6 +1375,29 @@ def test_idle_disabled_holds_output(spark, tmp_path):
     res = Pipeline(spark, mode="streaming").run_script(
         _idle_union_script(a, b, out, idle_opt=", idle_micros = '0'")
     )
+    assert res.sink_json("out") == []
+
+
+def test_idle_source_alone_windowed_agg_runs_empty(spark, tmp_path):
+    """Regression (ADVICE r5): a windowed append-mode aggregate over a
+    SINGLE empty source must still analyze and run (emitting nothing) —
+    the idle sentinel keeps the watermark instead of dropping it."""
+    b = tmp_path / "quiet"
+    b.mkdir()
+    out = str(tmp_path / "out.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = f"""
+    CREATE TABLE quiet (t TIMESTAMP, v BIGINT) WITH (
+      connector = 'filesystem', path = '{b}', format = 'json',
+      type = 'source', event_time_field = 't');
+    CREATE TABLE out (n BIGINT) WITH (
+      connector = 'filesystem', path = '{out}', format = 'json',
+      type = 'sink');
+    INSERT INTO out SELECT count(*) AS n FROM quiet
+    GROUP BY tumble(interval '1 hour');
+    """
+    res = Pipeline(spark, mode="streaming").run_script(script)
     assert res.sink_json("out") == []
 
 
