@@ -82,11 +82,14 @@ def _arroyo_ts_json_col(c: str) -> F.Column:
     )
 
 
-def parse_json_sink_options(options: dict) -> tuple[str, str]:
+def parse_json_sink_options(options: dict) -> tuple[str, str, bool]:
     """General sink JSON encoding options (`arroyo-rpc/src/formats.rs:
-    18-41,113-160`): `json.timestamp_format` = RFC3339 (default) |
+    18-41,101,113-160`): `json.timestamp_format` = RFC3339 (default) |
     UnixMillis, `json.decimal_encoding` = number (default) | string |
-    bytes. Error wording mirrors the reference's from_opts."""
+    bytes, `json.include_schema` = Kafka-Connect envelope with the
+    embedded schema. Error wording mirrors the reference's from_opts,
+    including the include_schema × confluent_schema_registry mutual
+    exclusion (formats.rs:127-131)."""
     tf_raw = str(options.get("json.timestamp_format", "RFC3339"))
     tf = {"RFC3339": "rfc3339", "UnixMillis": "unix_millis",
           "unix_millis": "unix_millis"}.get(tf_raw)
@@ -95,7 +98,100 @@ def parse_json_sink_options(options: dict) -> tuple[str, str]:
     de = str(options.get("json.decimal_encoding", "number")).lower()
     if de not in ("number", "string", "bytes"):
         raise PlanError("invalid value for `json.decimal_encoding`")
-    return tf, de
+    inc_raw = str(options.get("json.include_schema", "false")).lower()
+    if inc_raw not in ("true", "false"):
+        raise PlanError("invalid value for `json.include_schema`")
+    include_schema = inc_raw == "true"
+    csr = str(
+        options.get("json.confluent_schema_registry", "false")
+    ).lower() == "true"
+    if include_schema and csr:
+        raise PlanError(
+            "at most one of `json.confluent_schema_registry` and "
+            "`json.include_schema` may be set"
+        )
+    return tf, de, include_schema
+
+
+def kafka_connect_schema(schema, exclude: tuple[str, ...] = ()) -> dict:
+    """Kafka-Connect's bespoke almost-JSON-schema for a Spark schema —
+    the `schema` half of the `json.include_schema` envelope
+    (`arroyo-formats/src/json/mod.rs:89-180` arrow_to_kafka_json; the
+    type names `int8..int64/float/double/bytes` and the
+    org.apache.kafka.connect.data.{Timestamp,Date,Decimal} logical names
+    are the Connect converter's, not JSON Schema's)."""
+    from pyspark.sql import types as T
+
+    def field_json(name: str, dt, nullable: bool) -> dict:
+        prim = {
+            T.BooleanType: "boolean",
+            T.ByteType: "int8",
+            T.ShortType: "int16",
+            T.IntegerType: "int32",
+            T.LongType: "int64",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.StringType: "string",
+            T.BinaryType: "bytes",
+        }.get(type(dt))
+        if prim is not None:
+            return {"type": prim, "field": name, "optional": nullable}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {
+                "type": "int64",
+                "field": name,
+                "optional": nullable,
+                "name": "org.apache.kafka.connect.data.Timestamp",
+            }
+        if isinstance(dt, T.DateType):
+            return {
+                "type": "int64",
+                "field": name,
+                "optional": nullable,
+                "name": "org.apache.kafka.connect.data.Date",
+            }
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "field": name,
+                "optional": nullable,
+                "name": "org.apache.kafka.connect.data.Decimal",
+                "scale": dt.scale,
+            }
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "array",
+                "items": field_json("item", dt.elementType, dt.containsNull),
+                "field": name,
+                "optional": nullable,
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    field_json(f.name, f.dataType, f.nullable)
+                    for f in dt.fields
+                ],
+                "field": name,
+                "optional": nullable,
+            }
+        raise PlanError(
+            f"json.include_schema does not support column type {dt.simpleString()}"
+        )
+
+    from arroyo_spark.streaming.file_sink import TIME_PARTITION_COL
+
+    skip = set(exclude) | {TIME_PARTITION_COL}
+    return {
+        "type": "struct",
+        "name": "ArroyoJson",
+        "fields": [
+            field_json(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in skip
+        ],
+        "optional": False,
+    }
 
 
 def _decimal_bytes_b64(col_name: str) -> F.Column:
@@ -130,6 +226,7 @@ def _json_value_col(
     exclude: tuple[str, ...] = (),
     timestamp_format: str = "rfc3339",
     decimal_encoding: str = "number",
+    include_schema: bool = False,
 ) -> F.Column:
     """JSON-line column in the reference's sink format (ts as RFC3339 by
     default; UnixMillis and decimal string/bytes encodings per the sink's
@@ -156,14 +253,30 @@ def _json_value_col(
                 cols.append(F.col(f.name))
         else:
             cols.append(F.col(f.name))
-    return F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("value")
+    payload = F.to_json(F.struct(*cols), {"ignoreNullFields": "false"})
+    if include_schema:
+        # Kafka-Connect envelope (ser.rs:149-160): {"schema": S,
+        # "payload": row}. The schema is constant per sink, so it rides
+        # as a literal prefix — the wrap is a JVM-side concat, never
+        # per-row Python.
+        import json as _json
+
+        sch = _json.dumps(
+            kafka_connect_schema(df.schema, exclude), separators=(",", ":")
+        )
+        payload = F.concat(
+            F.lit('{"schema":' + sch + ',"payload":'), payload, F.lit("}")
+        )
+    return payload.alias("value")
 
 
 def to_arroyo_json(df: DataFrame, options: dict | None = None) -> DataFrame:
     """One-column DataFrame of JSON lines in the reference's sink format."""
-    tf, de = parse_json_sink_options(options or {})
+    tf, de, inc = parse_json_sink_options(options or {})
     return df.select(
-        _json_value_col(df, timestamp_format=tf, decimal_encoding=de)
+        _json_value_col(
+            df, timestamp_format=tf, decimal_encoding=de, include_schema=inc
+        )
     )
 
 
@@ -1971,7 +2084,7 @@ class Pipeline:
                 # partition columns become directories; each partition's rows
                 # are newline-framed JSON (reference filesystem sink with
                 # partitioning.fields, filesystem_partition.sql)
-                tf, de = parse_json_sink_options(sink.options)
+                tf, de, inc = parse_json_sink_options(sink.options)
                 enc = df.select(
                     *layout,
                     _json_value_col(
@@ -1979,6 +2092,7 @@ class Pipeline:
                         exclude=tuple(layout),
                         timestamp_format=tf,
                         decimal_encoding=de,
+                        include_schema=inc,
                     ),
                 )
                 w = (
@@ -2428,7 +2542,7 @@ class Pipeline:
                     )
                     w.mode("append").options(**wopts).parquet(spool)
                 elif pf:
-                    tf, de = parse_json_sink_options(target.options)
+                    tf, de, inc = parse_json_sink_options(target.options)
                     enc = batch_df.select(
                         *pf,
                         _json_value_col(
@@ -2436,6 +2550,7 @@ class Pipeline:
                             exclude=pf,
                             timestamp_format=tf,
                             decimal_encoding=de,
+                            include_schema=inc,
                         ),
                     )
                     (

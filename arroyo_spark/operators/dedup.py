@@ -315,3 +315,83 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= radius)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def positioned_shingle_hashes(col: Column | str = "text", n: int = 10) -> Column:
+    """md5 of each word n-gram shingle IN POSITION ORDER (no distinct):
+    element i hashes tokens[i..i+n-1]. Built by zipping n shifted views of
+    the token array (O(tokens) per doc, like `shingles`)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, F.lit(1), length)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, F.lit(i + 1), length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.transform(acc, F.md5)
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_doc_freq: int = 16,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing a verbatim run of
+    >= ``k`` tokens, with the length of the longest shared run — the
+    pretraining dedup family of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), whose suffix-array plan doesn't
+    distribute. This is the equi-join reformulation:
+
+    1. every doc emits its positioned k-token shingle hashes (a doc pair
+       shares a >=k-token substring iff it shares a k-shingle);
+    2. shingles appearing in more than ``max_doc_freq`` docs are dropped
+       (boilerplate stop-shingles — the standard frequency cap, and the
+       skew bound: each surviving shingle joins <= C docs, so join
+       fan-out is <= C^2 rows per shingle, never a cartesian);
+    3. matched positions are grouped into maximal consecutive runs per
+       (pair, diagonal) with the islands trick (pos - row_number is
+       constant within a run), so a run of m matched shingle positions is
+       a shared substring of m + k - 1 tokens.
+
+    One explode, two equi-joins (freq filter + self-join), one bounded
+    window per (pair, diagonal) — every shuffle is keyed and capped;
+    returns (doc_a, doc_b, max_run_tokens).
+    """
+    from pyspark.sql import Window
+
+    sh = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(positioned_shingle_hashes("text", k)).alias("pos", "g"),
+    )
+    keep = (
+        sh.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("g")
+    )
+    f = sh.join(keep, "g")
+    a = f.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = f.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    rl = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (k - 1)).alias("run_tokens")
+    )
+    return rl.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").cast("bigint").alias("max_run_tokens")
+    )

@@ -25,7 +25,17 @@ Scale notes (100 TB):
   the ±1 matrix is derived from md5(i:j) parity, so no broadcast state.
 - token packing is an integer running sum per source (one window shuffle)
   — the greedy sequence-packing assignment used to build fixed-budget
-  training shards.
+  training shards. SKEW NOTE (100 TB): the per-source running sum
+  serializes each source into ONE task — inherent to single-level
+  deterministic greedy packing (the assignment of doc k depends on every
+  earlier doc in its source). A corpus dominated by one source stalls on
+  that task; `token_budget_shard_packing_2level` is the scale path: docs
+  hash into _PACK_PARTS sub-partitions per source, each packed
+  independently (parallelism = sources x _PACK_PARTS), then shard ids are
+  made globally contiguous by offsetting with the per-sub-partition shard
+  counts (a tiny aggregate + broadcast join back). Packing density is
+  marginally lower (each sub-partition's last shard may be under-full) —
+  the standard trade for unserialized packing.
 """
 
 from __future__ import annotations
@@ -222,4 +232,97 @@ def token_budget_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum - F.col("n_tokens")) / _SHARD_TOKENS)
         .cast("bigint")
         .alias("shard"),
+    )
+
+
+_PACK_PARTS = 16
+
+
+@query(
+    "token_budget_shard_packing_2level",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, doc_id % {_PACK_PARTS} AS p,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, p, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                   PARTITION BY source, p ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT) AS local_shard
+      FROM t),
+    c AS (
+      SELECT source, p, max(local_shard) + 1 AS n_shards
+      FROM s GROUP BY source, p),
+    o AS (
+      SELECT source, p,
+             CAST(sum(n_shards) OVER (
+                   PARTITION BY source ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_shards AS BIGINT) AS off
+      FROM c)
+    SELECT s.doc_id, s.source, s.n_tokens,
+           s.local_shard + o.off AS shard
+    FROM s JOIN o ON s.source = o.source AND s.p = o.p
+    """,
+    tags=("curation", "packing"),
+)
+def token_budget_shard_packing_2level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level greedy packing — the 100 TB scale path for
+    `token_budget_shard_packing` (whose per-source running sum serializes
+    each source into one task). Level 1: docs hash into _PACK_PARTS
+    deterministic sub-partitions per source (`doc_id % P`) and each
+    sub-partition packs independently (the window key is (source, p), so
+    parallelism is sources x P instead of sources). Level 2: shard ids
+    are made globally contiguous per source by offsetting each
+    sub-partition with the cumulative shard count of earlier
+    sub-partitions — a P-rows-per-source aggregate and a broadcast join
+    back, both negligible. Deterministic and DuckDB-replayable; each
+    sub-partition's final shard may be under-full (the density cost of
+    unserialized packing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_PARTS).alias("p"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "p")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "doc_id",
+        "source",
+        "p",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _SHARD_TOKENS)
+        .cast("bigint")
+        .alias("local_shard"),
+    )
+    c = s.groupBy("source", "p").agg(
+        (F.max("local_shard") + 1).alias("n_shards")
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = c.select(
+        "source",
+        "p",
+        (F.sum("n_shards").over(wo) - F.col("n_shards"))
+        .cast("bigint")
+        .alias("off"),
+    )
+    return s.join(F.broadcast(o), ["source", "p"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("local_shard") + F.col("off")).cast("bigint").alias("shard"),
     )

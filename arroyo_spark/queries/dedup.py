@@ -308,3 +308,58 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_hamming_pairs(docs, radius=1)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 reformulated as shingle-run joins).
+# ---------------------------------------------------------------------------
+
+_ES_K = 10
+_ES_CAP = 16
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(tk, i, i + {_ES_K} - 1), ' ')) AS g
+      FROM toks,
+           unnest(range(1, greatest(len(tk) - {_ES_K} + 1, 0) + 1)) AS u(i)),
+    keep AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+      WHERE df <= {_ES_CAP}),
+    f AS (SELECT sh.* FROM sh JOIN keep USING (g)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM pairs),
+    rl AS (
+      SELECT doc_a, doc_b, count(*) + {_ES_K} - 1 AS run_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+    FROM rl GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "substring"),
+    bench=True,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing a verbatim >= 10-token run, with the longest
+    shared run length — suffix-array exact-substring dedup (Lee et al.
+    2022) re-expressed as capped shingle equi-joins + islands runs (see
+    `operators/dedup.exact_substring_pairs` for the scale argument)."""
+    from arroyo_spark.operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, k=_ES_K, max_doc_freq=_ES_CAP)

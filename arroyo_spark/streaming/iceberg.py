@@ -185,6 +185,40 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
+def murmur3_32_long_vec(vals):
+    """Vectorized MurmurHash3 x86 32-bit over an (N,) int64 numpy array,
+    each value hashed as its 8-byte little-endian encoding — the spec's
+    single-value hash for int/long/date/timestamp sources (Appendix B).
+    8 bytes = exactly two 4-byte blocks and no tail, so the whole
+    algorithm is wrapping uint32 shift/mul/xor on the array: the hot loop
+    of a bucketed Iceberg write stays in numpy instead of per-row Python.
+    Matches `murmur3_32(struct.pack('<q', v))` bit-for-bit
+    (`test_iceberg.py::test_bucket_vectorized_matches_scalar`). Returns
+    signed int32 like the Java implementation."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    u = vals.astype(np.int64).view(np.uint64)
+    h = np.zeros(len(u), dtype=np.uint32)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    for k in (lo, hi):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # length
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h.view(np.int32)
+
+
 def _bucket_hash_bytes(v, kind: str) -> bytes:
     """Spec single-value hash encodings (Appendix B): int/long/date/
     timestamp hash as the 64-bit little-endian long; strings as UTF-8."""
@@ -297,13 +331,31 @@ def transform_column(pt: PartitionTransform, dt) -> "object":
         hkind = "string" if kind == "string" else "long"
 
         def _bucket_series(vals):
-            def one(v):
-                if v is None:
-                    return None
-                h = murmur3_32(_bucket_hash_bytes(v, hkind))
-                return (h & 0x7FFFFFFF) % n
+            if hkind == "string":
+                # variable-length UTF-8: scalar path (spec hash over the
+                # encoded bytes; string partition-bucketing is rare next
+                # to time/id bucketing)
+                def one(v):
+                    if v is None:
+                        return None
+                    h = murmur3_32(_bucket_hash_bytes(v, hkind))
+                    return (h & 0x7FFFFFFF) % n
 
-            return vals.map(one)
+                return vals.map(one)
+            import numpy as np
+            import pandas as pd
+
+            mask = vals.isna().to_numpy()
+            filled = (
+                pd.to_numeric(vals.fillna(0)).to_numpy(dtype=np.int64)
+            )
+            h = murmur3_32_long_vec(filled)
+            out = (h.astype(np.int64) & 0x7FFFFFFF) % n
+            res = pd.Series(out, index=vals.index, dtype="Int64").astype(
+                "Int32"
+            )
+            res[mask] = None
+            return res
 
         # no annotations: `from __future__ import annotations` stringifies
         # hints, which pandas_udf's inference rejects

@@ -574,9 +574,10 @@ def encode_kafka_sink(df: DataFrame, t: TableDef) -> DataFrame:
         # sinks exactly as to file sinks
         from arroyo_spark.dialect.pipeline import parse_json_sink_options
 
-        tf, de = parse_json_sink_options(t.options)
+        tf, de, inc = parse_json_sink_options(t.options)
         value = _json_value_col(
-            payload, timestamp_format=tf, decimal_encoding=de
+            payload, timestamp_format=tf, decimal_encoding=de,
+            include_schema=inc,
         )
     elif cfg.format == "raw_string":
         if len(payload.columns) != 1:

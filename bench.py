@@ -174,6 +174,53 @@ def main() -> None:
 
     warm.select(_warm_udf(F.col("v"))).count()
 
+    # calibration control: a fixed, trivial, state-free query timed FIRST
+    # every run (scan + arithmetic + one global sum over lineitem — no
+    # joins, no Python, no streaming). Its time tracks machine speed
+    # (CPU + page cache + JVM), so per-query times can be read normalized
+    # (query / calibration) to separate environment drift from code cost
+    # across rounds (BASELINE.md grew one-directional ~+10% like-for-like
+    # drift on untouched code three rounds running). Best-of-3; excluded
+    # from the suite total so totals stay like-for-like with prior rounds.
+    def _bench_calibration() -> float:
+        # two fixed legs timed together: a lineitem scan+sum (IO + codegen
+        # arithmetic at the round's sf, ~30ms) and an sf-independent
+        # 20M-row -> 100k-group hash aggregation (~0.6s; shuffle write/
+        # read + partial/final agg — the machinery the suite's queries
+        # spend their time in, and what environment contention slows
+        # down). A pure range-sum is useless here: codegen strength-
+        # reduces it to ~60ms regardless of row count.
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        scan = li.select(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("s")
+        )
+        shuf = (
+            spark.range(20_000_000)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                (F.col("id") % 977).alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.avg("v").alias("a"),
+                F.max("v").alias("m"),
+            )
+        )
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            scan.collect()
+            shuf.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    calibration = _bench_calibration()
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, q in sorted(bench_set.items()):
         # best-of-2: the second run measures steady-state compute (codegen
@@ -255,6 +302,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration": calibration,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -459,3 +459,61 @@ def test_json_sink_invalid_timestamp_format(spark, tmp_path):
                 extra_opts=", 'json.timestamp_format' = 'iso9000'",
             ),
         )
+
+
+def test_json_sink_include_schema_envelope(spark, tmp_path):
+    """json.include_schema wraps each row in the Kafka-Connect envelope
+    {"schema": S, "payload": row} (formats.rs:101, ser.rs:149-160) with
+    the Connect almost-JSON-schema type names (json/mod.rs:89-180)."""
+    import json
+
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    out = tmp_path / "out.json"
+    run_script(
+        spark,
+        _enc_script(
+            tmp_path / "in.json",
+            out,
+            extra_opts=", 'json.include_schema' = 'true'",
+        ),
+    )
+    row = json.loads(out.read_text().splitlines()[0])
+    assert set(row) == {"schema", "payload"}
+    assert row["payload"]["v"] == 7
+    assert row["payload"]["d"] == -12.345
+    sch = row["schema"]
+    assert sch["type"] == "struct" and sch["name"] == "ArroyoJson"
+    by_field = {f["field"]: f for f in sch["fields"]}
+    assert by_field["t"]["type"] == "int64"
+    assert by_field["t"]["name"] == "org.apache.kafka.connect.data.Timestamp"
+    assert by_field["d"]["type"] == "bytes"
+    assert by_field["d"]["name"] == "org.apache.kafka.connect.data.Decimal"
+    assert by_field["d"]["scale"] == 3
+    assert by_field["v"]["type"] == "int64"
+
+
+def test_json_include_schema_excludes_confluent_registry(spark, tmp_path):
+    """formats.rs:127-131 — include_schema and confluent_schema_registry
+    are mutually exclusive, with the reference's error wording."""
+    import pytest
+
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text(SRC_LINE)
+    with pytest.raises(
+        PlanError,
+        match="at most one of `json.confluent_schema_registry` and "
+        "`json.include_schema` may be set",
+    ):
+        run_script(
+            spark,
+            _enc_script(
+                tmp_path / "in.json",
+                tmp_path / "out.json",
+                extra_opts=", 'json.include_schema' = 'true', "
+                "'json.confluent_schema_registry' = 'true'",
+            ),
+        )

@@ -224,3 +224,12 @@ def test_rollup_cascade_single_raw_scan(spark, sf_dir):
         if "Location: InMemoryFileIndex" in l and "events" in l
     ]
     assert len(scans) == 1, plan[:3000]
+
+
+def test_exact_substring_bounded_joins(spark, sf_dir):
+    # shingle equi-joins behind the df-cap filter: no cartesian / nested
+    # loop, and exactly one Generate (the positioned-shingle posexplode is
+    # shared by the frequency filter and both self-join sides)
+    plan = plan_of(spark, sf_dir, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
