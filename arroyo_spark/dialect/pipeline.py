@@ -342,6 +342,7 @@ class Pipeline:
         udfs: dict[str, object] | None = None,
         mode: str = "batch",
         eoi_flush: bool = True,
+        checkpoint_dir: str | None = None,
     ) -> None:
         if mode not in ("batch", "streaming", "plan"):
             raise PlanError(f"unknown execution mode: {mode}")
@@ -364,6 +365,19 @@ class Pipeline:
         # sources registered through an idle-sentinel staging dir (see
         # _stage_idle_sentinel): they keep their watermark
         self._idle_staged: set[str] = set()
+        # stop/restore support (the reference's checkpoint-compact-stop /
+        # restore-at-different-parallelism smoke legs,
+        # smoke_tests.rs:405-478): when set, source staging dirs, sink
+        # checkpoints, spools and updating state all live under this
+        # stable root, so a later Pipeline with the SAME checkpoint_dir
+        # resumes from Spark's streaming checkpoints — already-processed
+        # input files are recognized by path, sink spools accumulate
+        # across legs, and watermark/window/updating state restores. Run
+        # non-final legs with eoi_flush=False (the EOI sentinel is only
+        # staged on the finishing leg).
+        self.checkpoint_dir = checkpoint_dir
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
         self.substitutions = substitutions or {}
         from arroyo_spark.functions.json_udfs import DEFAULT_JSON_UDFS
 
@@ -507,6 +521,54 @@ class Pipeline:
         self._eoi_cutoff[t.name] = sentinel_ts - timedelta(days=365)
         self._write_sentinel_file(staged, t, fmt, event_time, sentinel_ts)
         self._idle_staged.add(t.name)
+        return staged
+
+    def _stage_persistent(self, t: TableDef, path: str, fmt: str, event_time):
+        """Stable staging dir under ``checkpoint_dir`` for stop/restore:
+        a restored run must see already-processed files at the SAME
+        absolute paths (Spark's file-source checkpoint tracks paths), so
+        input files are synced in by basename each leg — new files appear
+        incrementally, prior ones keep their path. The EOI sentinel is
+        written only when ``eoi_flush`` (the finishing leg); earlier legs
+        stop mid-stream like the reference's checkpoint-stop."""
+        import glob as _glob
+        import shutil
+        from datetime import timedelta
+
+        staged = os.path.join(str(self.checkpoint_dir), f"src_{t.name}")
+        os.makedirs(staged, exist_ok=True)
+        files = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            )
+        for f in files:
+            shutil.copy(f, os.path.join(staged, os.path.basename(f)))
+        if (
+            files
+            and self.eoi_flush
+            and event_time is not None
+            and any(
+                c.name == str(event_time)
+                and c.virtual_expr is None
+                and c.metadata_key is None
+                for c in t.columns
+            )
+        ):
+            reader = self.spark.read.schema(self._source_schema(t))
+            bdf = (
+                reader.parquet(*files) if fmt == "parquet" else reader.json(files)
+            )
+            mx = bdf.agg(
+                F.max(F.col(str(event_time)).cast("timestamp"))
+            ).first()[0]
+            if mx is not None:
+                self._eoi_cutoff[t.name] = mx + timedelta(days=365)
+                self._write_sentinel_file(
+                    staged, t, fmt, str(event_time), mx + timedelta(days=3650)
+                )
         return staged
 
     def _capture_http_source(self, t: TableDef) -> str:
@@ -956,6 +1018,14 @@ class Pipeline:
         )
         stream_src = None
         if (
+            streaming
+            and self.checkpoint_dir
+            and fmt in ("json", "parquet")
+            and not t.options.get("json.unstructured")
+            and fs_compression != "zstd"
+        ):
+            stream_src = self._stage_persistent(t, path, fmt, event_time)
+        elif (
             streaming
             and self.eoi_flush
             and event_time
@@ -2452,7 +2522,11 @@ class Pipeline:
                         == "true",
                     ),
                 )
-            ck0 = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+            ck0 = (
+                os.path.join(self.checkpoint_dir, f"ck_{target.name}")
+                if self.checkpoint_dir
+                else tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+            )
             q0 = (
                 self._cast_to_sink(df, target)
                 .writeStream.outputMode("append")
@@ -2473,7 +2547,11 @@ class Pipeline:
             raise PlanError(
                 f"streaming sinks support json/debezium_json/parquet, got {fmt!r}"
             )
-        ck = tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+        ck = (
+            os.path.join(self.checkpoint_dir, f"ck_{target.name}")
+            if self.checkpoint_dir
+            else tempfile.mkdtemp(prefix=f"ck_{target.name}_")
+        )
         cast = self._cast_to_sink(df, target)
         from arroyo_spark.streaming.file_sink import (
             FileSinkOptionError,
@@ -2501,7 +2579,17 @@ class Pipeline:
             from arroyo_spark.streaming.updating import DebeziumEncoder
 
             pks = target.primary_keys or [cast.columns[0]]
-            spool = tempfile.mkdtemp(prefix=f"dbz_{target.name}_")
+            dbz_state = None
+            if self.checkpoint_dir:
+                spool = os.path.join(
+                    self.checkpoint_dir, f"dbz_{target.name}"
+                )
+                os.makedirs(spool, exist_ok=True)
+                dbz_state = os.path.join(
+                    self.checkpoint_dir, f"dbzstate_{target.name}"
+                )
+            else:
+                spool = tempfile.mkdtemp(prefix=f"dbz_{target.name}_")
             # SET updating_ttl governs key-state retention
             # (lib.rs:107,790-819; default 24h)
             ttl_us = None
@@ -2512,7 +2600,11 @@ class Pipeline:
                 ttl_us = duration_us(raw_ttl[1])
             writer = (
                 cast.writeStream.outputMode("update")
-                .foreachBatch(DebeziumEncoder(pks, spool=spool, ttl_us=ttl_us))
+                .foreachBatch(
+                    DebeziumEncoder(
+                        pks, spool=spool, ttl_us=ttl_us, state_dir=dbz_state
+                    )
+                )
             )
         else:
             # partitioned sinks and parquet sinks write straight to the
@@ -2522,6 +2614,11 @@ class Pipeline:
             # the single_file path after the drain
             if out_path and (part_fields or tp or fmt == "parquet"):
                 spool = out_path
+            elif self.checkpoint_dir:
+                spool = os.path.join(
+                    self.checkpoint_dir, f"spool_{target.name}"
+                )
+                os.makedirs(spool, exist_ok=True)
             else:
                 spool = tempfile.mkdtemp(prefix=f"sink_{target.name}_")
             pf = tuple(tp + part_fields)

@@ -175,3 +175,102 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.bpe_token_count("text").alias("n_bpe_tokens"),
         T.token_count("text").alias("n_ws_tokens"),
     )
+
+
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS tk FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             list_sum(list_transform(tk, w -> len(w)))
+               / CAST(len(tk) AS DOUBLE) AS mean_len,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+               / CAST(len(tk) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter([{_in_list(_GOPHER_REQUIRED)}],
+                  w -> list_contains(tk, w))) AS BIGINT) AS stop_hits,
+             (len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))
+               / CAST(len(tk) AS DOUBLE) AS symbol_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(alpha_ratio, 6) AS alpha_word_ratio,
+           stop_hits,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+           (mean_len >= 3 AND mean_len <= 10) AS pass_mean_word_len,
+           (alpha_ratio >= 0.8) AS pass_alpha_ratio,
+           (stop_hits >= 2) AS pass_stopwords,
+           (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_len >= 3 AND mean_len <= 10)
+            AND (alpha_ratio >= 0.8)
+            AND (stop_hits >= 2)
+            AND (symbol_ratio <= 0.1)) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "curation"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, Table A1 —
+    public method): hard pass/fail per heuristic plus the conjunctive
+    `keep` flag, next to the score-based `text_quality_scores`. Pure
+    higher-order-function expressions over the token array — codegen'd,
+    zero shuffle, trivially 100 TB-parallel. On the synthetic corpus the
+    required-stopword gate (>=2 of Gopher's 8 function words) correctly
+    fails every doc — the vocabulary only contains "the" — so the
+    per-rule columns carry the discrimination; on natural text `keep`
+    is the conjunctive filter a pretraining pipeline applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    d = docs.select("doc_id", "text", tk.alias("tk"))
+    n = F.size("tk").cast("bigint")
+    mean_len = F.aggregate(
+        "tk", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    ) / n.cast("double")
+    alpha = F.size(
+        F.filter("tk", lambda w: w.rlike("[a-z]"))
+    ) / n.cast("double")
+    stop_hits = sum(
+        F.array_contains("tk", w).cast("int") for w in _GOPHER_REQUIRED
+    ).cast("bigint")
+    symbol = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ) / n.cast("double")
+    m = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_len"),
+        alpha.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        symbol.alias("symbol_ratio"),
+    )
+    pass_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    pass_ml = (F.col("mean_len") >= 3) & (F.col("mean_len") <= 10)
+    pass_ar = F.col("alpha_ratio") >= 0.8
+    pass_sw = F.col("stop_hits") >= 2
+    pass_sr = F.col("symbol_ratio") <= 0.1
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_len", 6).alias("mean_word_len"),
+        F.round("alpha_ratio", 6).alias("alpha_word_ratio"),
+        "stop_hits",
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        pass_wc.alias("pass_word_count"),
+        pass_ml.alias("pass_mean_word_len"),
+        pass_ar.alias("pass_alpha_ratio"),
+        pass_sw.alias("pass_stopwords"),
+        pass_sr.alias("pass_symbol_ratio"),
+        (pass_wc & pass_ml & pass_ar & pass_sw & pass_sr).alias("keep"),
+    )

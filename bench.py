@@ -174,14 +174,15 @@ def main() -> None:
 
     warm.select(_warm_udf(F.col("v"))).count()
 
-    # calibration control: a fixed, trivial, state-free query timed FIRST
-    # every run (scan + arithmetic + one global sum over lineitem — no
-    # joins, no Python, no streaming). Its time tracks machine speed
-    # (CPU + page cache + JVM), so per-query times can be read normalized
-    # (query / calibration) to separate environment drift from code cost
-    # across rounds (BASELINE.md grew one-directional ~+10% like-for-like
-    # drift on untouched code three rounds running). Best-of-3; excluded
-    # from the suite total so totals stay like-for-like with prior rounds.
+    # calibration control: a fixed, trivial, state-free workload timed
+    # before AND after the suite (no joins, no Python, no streaming). Its
+    # time tracks machine speed (CPU + shuffle machinery + page cache +
+    # JVM), so per-query times can be read normalized (query /
+    # calibration) to separate environment drift from code cost across
+    # rounds (BASELINE.md grew one-directional ~+10% like-for-like drift
+    # on untouched code three rounds running). Best-of-3 per sample;
+    # excluded from the suite total so totals stay like-for-like with
+    # prior rounds.
     def _bench_calibration() -> float:
         # two fixed legs timed together: a lineitem scan+sum (IO + codegen
         # arithmetic at the round's sf, ~30ms) and an sf-independent
@@ -218,8 +219,8 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 4)
 
-    calibration = _bench_calibration()
-    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+    calibration_pre = _bench_calibration()
+    print(f"# calibration (pre): {calibration_pre:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_set.items()):
@@ -292,6 +293,14 @@ def main() -> None:
             spark.conf.set(_CL, prev_cl)
         else:
             spark.conf.unset(_CL)
+
+    # second calibration sample after the suite: min(pre, post) estimates
+    # the machine's attainable speed for the session (the same min
+    # estimator the best-of-N query timings use), so a transient load
+    # burst at one sample point doesn't skew the normalizer
+    calibration_post = _bench_calibration()
+    print(f"# calibration (post): {calibration_post:.3f}s", file=sys.stderr)
+    calibration = min(calibration_pre, calibration_post)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -602,6 +602,55 @@ def test_parse_virtual_and_metadata_columns():
 # --- streaming execution mode ----------------------------------------------
 
 
+def run_golden_restore(
+    spark, tmp_path, name, sink, input_file, ts_field="timestamp",
+    debezium=False,
+):
+    """Reference smoke-test restore leg (smoke_tests.rs:405-478): run on
+    the first half of the (time-ordered) input with a pinned
+    checkpoint_dir, stop WITHOUT the end-of-input flush, then restore at
+    a different shuffle parallelism over the full input and finish; the
+    accumulated sink output must equal the golden exactly."""
+    src_dir = tmp_path / f"{name}_src"
+    src_dir.mkdir()
+    lines = [
+        l for l in open(f"{INPUTS}/{input_file}").read().splitlines()
+        if l.strip()
+    ]
+    lines.sort(key=lambda l: json.loads(l)[ts_field])
+    half = len(lines) // 2
+    (src_dir / "part0.json").write_text("\n".join(lines[:half]))
+    script = open(f"{QUERIES}/{name}.sql").read()
+    out = str(tmp_path / f"{name}_out.json")
+    ck = str(tmp_path / f"{name}_ck")
+    subs = {f"$input_dir/{input_file}": str(src_dir), "$output_path": out}
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    Pipeline(
+        spark, subs, mode="streaming", eoi_flush=False, checkpoint_dir=ck
+    ).run_script(script)
+    (src_dir / "part1.json").write_text("\n".join(lines[half:]))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        res = Pipeline(
+            spark, subs, mode="streaming", checkpoint_dir=ck
+        ).run_script(script)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    golden_lines = open(f"{GOLDEN}/{name}.json").read().splitlines()
+    if debezium:
+        got = _replay_debezium(res.sink_json(sink))
+        want = _replay_debezium(golden_lines)
+    else:
+        got = _canon(res.sink_json(sink))
+        want = _canon(golden_lines)
+    assert got == want, (
+        f"{name} restore-leg: {len(got)} rows vs golden {len(want)}; "
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), (got[:1], want[:1]))}"
+    )
+
+
 @ref_available
 def test_streaming_mode_hourly(spark, tmp_path):
     """The same dialect script executed through Structured Streaming must
@@ -643,6 +692,45 @@ def test_streaming_mode_hourly(spark, tmp_path):
         f"streaming vs golden: missing={sorted(set(want) - set(got))[:4]} "
         f"extra={sorted(set(got) - set(want))[:4]}"
     )
+
+
+@ref_available
+def test_restore_golden_hourly_by_event_type(spark, tmp_path):
+    run_golden_restore(
+        spark, tmp_path, "hourly_by_event_type", "group_by_aggregate",
+        "cars.json",
+    )
+
+
+@ref_available
+def test_restore_golden_grouped_aggregates(spark, tmp_path):
+    run_golden_restore(
+        spark, tmp_path, "grouped_aggregates", "aggregates",
+        "impulse.json", debezium=True,
+    )
+
+
+@ref_available
+@pytest.mark.parametrize(
+    "name,sink,input_file",
+    [
+        ("select_star", "cars_output", "cars.json"),
+        ("cast_to_sink_type", "cars_output", "cars.json"),
+        ("session_window", "session_window_output", "impulse.json"),
+        ("sliding_window_end", "impulse_sink", "impulse.json"),
+        ("tight_watermark", "group_by_aggregate", "cars.json"),
+        ("month_loose_watermark", "group_by_aggregate", "cars.json"),
+        ("union", "union_output", "impulse.json"),
+        # batch-only goldens excluded from the streaming matrix:
+        # most_active_driver_last_hour (ROW_NUMBER() — Spark
+        # NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING) and the
+        # windowed_*_join family (COUNT(DISTINCT) — "Distinct
+        # aggregations are not supported on streaming
+        # DataFrames/Datasets")
+    ],
+)
+def test_restore_golden_matrix(spark, tmp_path, name, sink, input_file):
+    run_golden_restore(spark, tmp_path, name, sink, input_file)
 
 
 @ref_available
