@@ -11,7 +11,12 @@
   `main.rs:111-120`).
 
 Options: ``--streaming`` switches execution mode, ``--sub K=V`` applies
-the test-style path substitutions, ``--cpus N`` sizes local parallelism.
+the test-style path substitutions, ``--cpus N`` sizes local parallelism,
+``--state-dir DIR`` pins checkpoints/state so a later invocation with
+the same dir restores and continues (the reference's `arroyo run
+--state-dir`, main.rs:64-66); ``--no-eoi-flush`` keeps final windows
+open across such stop/restore legs (run intermediate legs with it, the
+final leg without).
 """
 
 from __future__ import annotations
@@ -33,7 +38,13 @@ def cmd_run(args: argparse.Namespace) -> int:
     subs = dict(kv.split("=", 1) for kv in args.sub)
     script = open(args.script).read()
     mode = "streaming" if args.streaming else "batch"
-    result = Pipeline(spark, subs or None, mode=mode).run_script(script)
+    result = Pipeline(
+        spark,
+        subs or None,
+        mode=mode,
+        eoi_flush=not args.no_eoi_flush,
+        checkpoint_dir=args.state_dir,
+    ).run_script(script)
     for df in result.previews:
         for line in (
             df.toJSON().collect() if not df.isStreaming else []
@@ -95,6 +106,19 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--streaming", action="store_true")
         sp.add_argument("--sub", action="append", default=[], metavar="K=V")
         sp.add_argument("--cpus", type=int, default=4)
+        sp.add_argument(
+            "--state-dir",
+            "-s",
+            default=None,
+            help="directory where checkpoints and state are written and "
+            "restored from (arroyo run --state-dir analog)",
+        )
+        sp.add_argument(
+            "--no-eoi-flush",
+            action="store_true",
+            help="keep end-of-input windows open (use on intermediate "
+            "stop/restore legs)",
+        )
         sp.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1055,6 +1055,7 @@ class Pipeline:
         framing = t.options.get("framing")
         if framing not in (None, "newline"):
             raise PlanError(f"unsupported framing: {framing!r}")
+        frame_max = self._framing_max_length(t)
         if t.options.get("json.unstructured") or fmt in ("raw_string", "raw_bytes"):
             # whole line as a single value column: unstructured JSON
             # (json_operators.sql), raw_string (formats.rs:396+,
@@ -1096,6 +1097,24 @@ class Pipeline:
                 df = df.select(F.encode("value", "UTF-8").alias(name))
             else:
                 df = df.withColumnRenamed("value", name)
+            if frame_max is not None:
+                # framing.newline.max_length: each framed line is
+                # TRUNCATED to N bytes, not dropped (de.rs:104-108,
+                # test_max_line_length). Byte semantics: slice the UTF-8
+                # encoding (Spark's substring operates on binary too).
+                if fmt == "raw_bytes":
+                    df = df.select(
+                        F.substring(F.col(name), 1, frame_max).alias(name)
+                    )
+                else:
+                    df = df.select(
+                        F.decode(
+                            F.substring(
+                                F.encode(F.col(name), "UTF-8"), 1, frame_max
+                            ),
+                            "UTF-8",
+                        ).alias(name)
+                    )
         elif fmt == DEBEZIUM_FORMAT:
             if streaming:
                 raise PlanError(
@@ -1268,6 +1287,29 @@ class Pipeline:
                 f"invalid value for idle_micros: {raw!r} (expected an integer)"
             ) from None
         return v if v > 0 else None
+
+    @staticmethod
+    def _framing_max_length(t: TableDef) -> int | None:
+        """`framing.newline.max_length` (formats.rs:523,
+        NewlineDelimitedFraming): optional u64 cap — framed lines longer
+        than this are truncated to the first N bytes (de.rs:104-108)."""
+        raw = t.options.get("framing.newline.max_length")
+        if raw is None:
+            return None
+        if t.options.get("framing") != "newline":
+            raise PlanError(
+                "framing.newline.max_length requires framing = 'newline'"
+            )
+        try:
+            v = int(str(raw))
+            if v < 0:
+                raise ValueError
+        except ValueError:
+            raise PlanError(
+                "invalid value for framing.newline.max_length: "
+                f"{raw!r} (expected an unsigned integer)"
+            ) from None
+        return v
 
     @staticmethod
     def _source_has_input(path: str) -> bool:

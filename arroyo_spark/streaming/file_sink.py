@@ -151,6 +151,7 @@ class FileSinkOptions:
     filename_suffix: str | None = None
     filename_strategy: str | None = None  # default uuid_v7 (config.rs:308)
     parquet_compression: str | None = None  # Spark writer value
+    parquet_row_group_bytes: int | None = None  # formats.rs:344,356-360
     json_compression: str | None = None
     rolling_file_size: int | None = None  # bytes
     rolling_interval: int | None = None  # seconds
@@ -172,6 +173,11 @@ class FileSinkOptions:
         opts: dict[str, str] = {}
         if fmt == "parquet" and self.parquet_compression:
             opts["compression"] = self.parquet_compression
+        if fmt == "parquet" and self.parquet_row_group_bytes:
+            # parquet.row_group_size (formats.rs:356-360; applied at
+            # parquet.rs:49): Spark's writer reads the Hadoop
+            # ParquetOutputFormat block-size knob per write
+            opts["parquet.block.size"] = str(self.parquet_row_group_bytes)
         if fmt == "json" and self.json_compression:
             opts["compression"] = self.json_compression
         if self.rolling_file_size and df_schema is not None:
@@ -243,6 +249,12 @@ def parse_file_sink_options(options: dict) -> FileSinkOptions:
         if s not in _PARQUET_COMPRESSION:
             raise FileSinkOptionError(f"invalid parquet compression '{pc}'")
         o.parquet_compression = _PARQUET_COMPRESSION[s]
+    rg = options.get("parquet.row_group_size")
+    if rg is not None:
+        v = parse_data_size(rg, "parquet.row_group_size")
+        if v <= 0:
+            raise FileSinkOptionError("row_group_size must be > 0")
+        o.parquet_row_group_bytes = v
     jc = options.get("json.compression")
     if jc is not None:
         s = str(jc).lower()

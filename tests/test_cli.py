@@ -62,3 +62,49 @@ def test_cli_run_and_visualize(tmp_path):
     assert "table src [single_file/source]" in viz.stdout
     assert "Physical Plan" in viz.stdout
     assert "HashAggregate" in viz.stdout
+
+
+def test_cli_state_dir_stop_restore(tmp_path):
+    """`run --streaming --state-dir` legs resume from the pinned state:
+    leg 1 (--no-eoi-flush) processes the first file and stops; leg 2
+    sees the second file, restores, and the sink accumulates both — the
+    reference's `arroyo run --state-dir` workflow (main.rs:64-66)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"t": "2024-01-01T00:05:00", "v": 1}\n'
+        '{"t": "2024-01-01T01:05:00", "v": 2}\n'
+    )
+    out = tmp_path / "out.json"
+    script = tmp_path / "q.sql"
+    script.write_text(
+        "CREATE TABLE src (t TIMESTAMP, v BIGINT) WITH ("
+        "connector='filesystem', path='$src', format='json',"
+        " type='source', event_time_field='t');\n"
+        "CREATE TABLE out (n BIGINT) WITH (connector='filesystem',"
+        " path='$out', format='json', type='sink');\n"
+        "INSERT INTO out SELECT count(*) AS n FROM src"
+        " GROUP BY tumble(interval '1 hour');\n"
+    )
+    state = str(tmp_path / "state")
+
+    def leg(*extra):
+        return subprocess.run(
+            [
+                sys.executable, "-m", "arroyo_spark", "run", str(script),
+                "--streaming", "--sub", f"$src={src}", "--sub",
+                f"$out={out}", "--cpus", "2", "--state-dir", state, *extra,
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    r1 = leg("--no-eoi-flush")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    (src / "b.json").write_text('{"t": "2024-01-01T02:05:00", "v": 3}\n')
+    r2 = leg()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    got = sorted(
+        json.loads(l)["n"] for l in out.read_text().splitlines() if l.strip()
+    )
+    # three 1-hour windows, one event each, accumulated across both legs
+    assert got == [1, 1, 1]

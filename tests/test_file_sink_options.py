@@ -517,3 +517,91 @@ def test_json_include_schema_excludes_confluent_registry(spark, tmp_path):
                 "'json.confluent_schema_registry' = 'true'",
             ),
         )
+
+
+def test_parquet_row_group_size_option(spark, tmp_path):
+    """parquet.row_group_size (formats.rs:356-360): a data-size string
+    parsed to bytes, passed to the writer as the Hadoop parquet block
+    size; row groups in the written file respect it."""
+    import pyarrow.parquet as pq
+
+    from arroyo_spark.dialect.pipeline import run_script
+    from arroyo_spark.streaming.file_sink import (
+        FileSinkOptionError,
+        parse_file_sink_options,
+    )
+
+    o = parse_file_sink_options({"parquet.row_group_size": "1MB"})
+    assert o.parquet_row_group_bytes == 1024 * 1024
+    assert (
+        o.writer_options("parquet")["parquet.block.size"]
+        == str(1024 * 1024)
+    )
+    with pytest.raises(FileSinkOptionError, match="row_group_size"):
+        parse_file_sink_options({"parquet.row_group_size": "0"})
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        "\n".join('{"v": %d}' % i for i in range(50_000)) + "\n"
+    )
+    out = str(tmp_path / "out") + "/"
+    run_script(
+        spark,
+        f"""
+        CREATE TABLE src (v BIGINT) WITH (
+          connector = 'single_file', path = '{src}', format = 'json',
+          type = 'source');
+        CREATE TABLE out (v BIGINT) WITH (
+          connector = 'filesystem', path = '{out}', format = 'parquet',
+          type = 'sink', 'parquet.row_group_size' = '64kb');
+        INSERT INTO out SELECT v FROM src;
+        """,
+    )
+    parts = glob.glob(os.path.join(out, "*.parquet"))
+    assert parts
+    # 50k int64 rows >> 64 KB: at least one file must have multiple
+    # row groups (the default 128 MB block would give exactly one)
+    assert any(pq.ParquetFile(p).num_row_groups > 1 for p in parts)
+
+
+def test_framing_max_length_truncates_lines(spark, tmp_path):
+    """framing.newline.max_length truncates framed lines to N bytes
+    (de.rs:104-108, test_max_line_length vectors)."""
+    from arroyo_spark.dialect.pipeline import run_script
+
+    src = tmp_path / "in.txt"
+    src.write_text("one block\ntwo block\nwhole\n")
+    out = str(tmp_path / "out.json")
+    res = run_script(
+        spark,
+        f"""
+        CREATE TABLE src (line TEXT) WITH (
+          connector = 'single_file', path = '{src}', format = 'raw_string',
+          type = 'source', framing = 'newline',
+          'framing.newline.max_length' = '5');
+        CREATE TABLE out (line TEXT) WITH (
+          connector = 'single_file', path = '{out}', format = 'json',
+          type = 'sink');
+        INSERT INTO out SELECT line FROM src;
+        """,
+    )
+    got = sorted(json.loads(l)["line"] for l in res.sink_json("out"))
+    assert got == sorted(["one b", "two b", "whole"])
+
+
+def test_framing_max_length_validation(spark, tmp_path):
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.txt").write_text("x\n")
+    with pytest.raises(PlanError, match="framing.newline.max_length"):
+        run_script(
+            spark,
+            f"""
+            CREATE TABLE src (line TEXT) WITH (
+              connector = 'single_file', path = '{tmp_path}/in.txt',
+              format = 'raw_string', type = 'source', framing = 'newline',
+              'framing.newline.max_length' = 'abc');
+            SELECT line FROM src;
+            """,
+        )
