@@ -734,6 +734,31 @@ def test_restore_golden_matrix(spark, tmp_path, name, sink, input_file):
 
 
 @ref_available
+def test_restore_golden_hourly_rocksdb(spark, tmp_path):
+    """The restore leg on the RocksDB state-store provider — the
+    recommended 100x-scale configuration must checkpoint/restore
+    through the dialect exactly like the default provider."""
+    from arroyo_spark.session import ROCKSDB_PROVIDER
+
+    _SS = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(_SS)
+    except Exception:
+        prev = None
+    spark.conf.set(_SS, ROCKSDB_PROVIDER)
+    try:
+        run_golden_restore(
+            spark, tmp_path, "hourly_by_event_type", "group_by_aggregate",
+            "cars.json",
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(_SS, prev)
+        else:
+            spark.conf.unset(_SS)
+
+
+@ref_available
 def test_streaming_mode_no_flush_leaves_tail_pending(spark, tmp_path):
     """eoi_flush=False preserves unbounded-stream semantics: windows still
     open at the final watermark stay unemitted."""

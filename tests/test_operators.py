@@ -515,3 +515,35 @@ def test_simhash_hamming_max_bucket_caps_pairs(spark):
     capped = simhash_hamming_pairs(docs, radius=1, max_bucket=5).count()
     assert full == 20 * 19 // 2
     assert capped == 5 * 4 // 2
+
+
+def test_exact_substring_pairs_run_lengths(spark):
+    """Hand-built docs with a known shared run: the longest-shared-run
+    length must be exact (run of m matched k-shingle positions = m+k-1
+    tokens), pairs below k tokens shared must not appear, and the
+    doc-frequency cap must drop boilerplate shingles."""
+    from arroyo_spark.operators.dedup import exact_substring_pairs
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two " + shared + " outro red blue"),
+            (2, shared + " totally different tail here now"),
+            (3, "no overlap with anything else at all whatsoever in here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_run_tokens"]
+        for r in exact_substring_pairs(docs, k=10).collect()
+    }
+    # docs 1 and 2 share exactly the 12-token run; doc 3 shares nothing
+    assert got == {(1, 2): 12}
+
+    # boilerplate cap: the same 10-token run in MORE than max_doc_freq
+    # docs is dropped entirely
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], "doc_id long, text string"
+    )
+    assert exact_substring_pairs(many, k=10, max_doc_freq=4).count() == 0
+    assert exact_substring_pairs(many, k=10, max_doc_freq=16).count() == 45
