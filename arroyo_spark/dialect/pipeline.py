@@ -2171,12 +2171,17 @@ class Pipeline:
                 return
             if fmt == "parquet":
                 # parquet sinks are directories; write directly to the path.
-                # Partitioned sinks repartition on the partition keys first —
-                # the analog of the key-calc + shuffle the reference inserts
-                # before partitioned sinks (arroyo-planner/src/lib.rs:718-766)
-                # — so each output partition is written by one task instead
-                # of every task emitting a sliver of every partition.
-                w = df.repartition(*layout).write if layout else df.write
+                # `shuffle_by_partition.enabled` (config.rs:146-162)
+                # repartitions on the partition keys first so each output
+                # partition is written by one task instead of every task
+                # emitting a sliver of every partition — fewer files, but
+                # the reference defaults it OFF (skewed keys backlog one
+                # writer), and so do we.
+                w = (
+                    df.repartition(*layout).write
+                    if layout and fso.shuffle_by_partition
+                    else df.write
+                )
                 if layout:
                     w = w.partitionBy(*layout)
                 wopts = fso.writer_options("parquet", df.schema)
@@ -2208,7 +2213,11 @@ class Pipeline:
                     ),
                 )
                 w = (
-                    enc.repartition(*layout)
+                    (
+                        enc.repartition(*layout)
+                        if fso.shuffle_by_partition
+                        else enc
+                    )
                     .write.partitionBy(*layout)
                     .mode("overwrite")
                 )
@@ -2511,10 +2520,11 @@ class Pipeline:
         the data path. The driver only touches files afterwards for the
         reference's single_file semantics (merge to one file) and the
         PipelineResult test surface. Partitioned sinks
-        (``partitioning.fields`` / PARTITIONED BY) repartition on the
-        partition keys then write hive-style directories — the analog of
-        the key-calc + shuffle the reference inserts before partitioned
-        sinks (arroyo-planner/src/lib.rs:718-766).
+        (``partitioning.fields`` / PARTITIONED BY) write hive-style
+        directories; with ``shuffle_by_partition.enabled`` they
+        repartition on the partition keys first (config.rs:146-162 —
+        fewer files, one writer per key; OFF by default like the
+        reference, since skewed keys backlog one writer).
 
         The Debezium update path computes before-images DISTRIBUTED: the
         encoder diffs each micro-batch against a keyed parquet snapshot
@@ -2674,11 +2684,15 @@ class Pipeline:
 
             def for_each(batch_df: DataFrame, batch_id: int) -> None:
                 if fmt == "parquet":
-                    w = (
-                        batch_df.repartition(*pf).write.partitionBy(*pf)
-                        if pf
-                        else batch_df.write
-                    )
+                    if pf:
+                        src = (
+                            batch_df.repartition(*pf)
+                            if fso.shuffle_by_partition
+                            else batch_df
+                        )
+                        w = src.write.partitionBy(*pf)
+                    else:
+                        w = batch_df.write
                     w.mode("append").options(**wopts).parquet(spool)
                 elif pf:
                     tf, de, inc = parse_json_sink_options(target.options)
@@ -2693,7 +2707,11 @@ class Pipeline:
                         ),
                     )
                     (
-                        enc.repartition(*pf)
+                        (
+                            enc.repartition(*pf)
+                            if fso.shuffle_by_partition
+                            else enc
+                        )
                         .write.partitionBy(*pf)
                         .mode("append")
                         .options(**wopts)

@@ -159,6 +159,11 @@ class FileSinkOptions:
     watermark_expiration: bool = False
     multipart_target_part_size: int | None = None
     multipart_max_parts: int | None = None
+    multipart_minimum_size: int | None = None  # config.rs:117-124 (v2)
+    sink_version: str = "v1"  # config.rs:36-40 (v1 default)
+    # config.rs:146-162: pre-shuffle on partition keys to reduce file
+    # count (reference default: DISABLED — skewed keys can backlog)
+    shuffle_by_partition: bool = False
 
     @property
     def needs_rename(self) -> bool:
@@ -300,6 +305,23 @@ def parse_file_sink_options(options: dict) -> FileSinkOptions:
         o.multipart_max_parts = int(str(mp))
         if o.multipart_max_parts < 1:
             raise FileSinkOptionError("multipart.max_parts must be nonzero")
+    ms = options.get("multipart.minimum_multipart_size")
+    if ms is not None:
+        # files below this use a single put instead of multipart
+        # (config.rs:117-124; object-store tuning, local-fs no-op)
+        o.multipart_minimum_size = parse_data_size(
+            ms, "multipart.minimum_multipart_size"
+        )
+    sv = options.get("sink.version")
+    if sv is not None:
+        s = str(sv).lower()
+        if s not in ("v1", "v2"):
+            raise FileSinkOptionError(f"invalid sink.version '{sv}'")
+        o.sink_version = s
+    o.shuffle_by_partition = (
+        str(options.get("shuffle_by_partition.enabled", "false")).lower()
+        == "true"
+    )
     return o
 
 

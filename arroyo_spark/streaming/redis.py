@@ -33,7 +33,7 @@ from arroyo_spark.dialect.parser import TableDef
 class RedisClient:
     """Minimal client surface the sink/lookup need (plug redis-py here)."""
 
-    def set(self, key: str, value: str) -> None:  # pragma: no cover
+    def set(self, key: str, value: str, ttl_secs: int | None = None) -> None:  # pragma: no cover
         raise NotImplementedError
 
     def push(self, key: str, value: str, prepend: bool, max_length: int | None) -> None:  # pragma: no cover
@@ -60,12 +60,16 @@ class FakeRedis(RedisClient):
 
     def __init__(self) -> None:
         self.strings: dict[str, str] = {}
+        self.ttls: dict[str, int] = {}
         self.lists: dict[str, list[str]] = {}
         self.hashes: dict[str, dict[str, str]] = {}
         self.mget_calls = 0
 
-    def set(self, key: str, value: str) -> None:
+    def set(self, key: str, value: str, ttl_secs: int | None = None) -> None:
         self.strings[key] = value
+        if ttl_secs is not None:
+            # recorded for assertions; a real client issues SET ... EX
+            self.ttls[key] = ttl_secs
 
     def push(self, key: str, value: str, prepend: bool, max_length: int | None) -> None:
         lst = self.lists.setdefault(key, [])
@@ -97,7 +101,8 @@ class HttpKvClient(RedisClient):
     def __init__(self, base_url: str) -> None:
         self.base_url = base_url
 
-    def set(self, key: str, value: str) -> None:
+    def set(self, key: str, value: str, ttl_secs: int | None = None) -> None:
+        # the HTTP KV protocol has no expiry; ttl is accepted and ignored
         import urllib.parse
         import urllib.request
 
@@ -138,6 +143,7 @@ class RedisTableConfig:
     key_column: str | None = None
     field_column: str | None = None
     max_length: int | None = None
+    ttl_secs: int | None = None  # target.ttl_secs (redis/mod.rs:327-331)
     prepend: bool = False
     cache_max_bytes: int | None = None
     cache_ttl_us: int | None = None
@@ -209,6 +215,14 @@ def validate_redis_table(t: TableDef) -> RedisTableConfig:
     if target == "string":
         cfg.key_prefix = str(opts["target.key_prefix"])
         cfg.key_column = opts.get("target.key_column")
+        if "target.ttl_secs" in opts:
+            try:
+                ttl = int(str(opts["target.ttl_secs"]))
+            except ValueError:
+                ttl = 0
+            if ttl <= 0:
+                raise PlanError("target.ttl_secs must be greater than 0")
+            cfg.ttl_secs = ttl
     elif target == "list":
         cfg.key_prefix = str(opts["target.key_prefix"])
         cfg.key_column = opts.get("target.key_column")
@@ -259,6 +273,7 @@ def write_redis_sink(
     field_col = cfg.field_column
     prefix = cfg.key_prefix or ""
     target, prepend, max_length = cfg.target, cfg.prepend, cfg.max_length
+    ttl_secs = cfg.ttl_secs
 
     cols = ["__value"]
     enc = df.withColumn("__value", _json_value_col(df))
@@ -274,7 +289,7 @@ def write_redis_sink(
         for row in it:
             key = prefix + (str(row[key_col]) if key_col else "")
             if target == "string":
-                ops.append(("set", key, row["__value"]))
+                ops.append(("set", key, row["__value"], ttl_secs))
             elif target == "list":
                 ops.append(("push", key, row["__value"], prepend, max_length))
             else:

