@@ -1434,6 +1434,16 @@ class Pipeline:
             )
         if t.connector is not None:
             self._idle_micros(t)  # validate (tables.rs:421-425)
+            wfc = t.options.get("wait_for_control")
+            if wfc is not None:
+                # single_file/mod.rs:131 — the reference's smoke-test
+                # harness gates emission on control messages; in the
+                # run-to-completion model every run drains fully, so the
+                # option validates and is a no-op
+                if str(wfc).lower() not in ("true", "false"):
+                    raise PlanError(
+                        f"invalid value for wait_for_control: {wfc!r}"
+                    )
         self.tables[t.name] = t
         if t.connector is None:
             return  # memory table: registered on first INSERT
@@ -2004,6 +2014,12 @@ class Pipeline:
             # iceberg writes v2 metadata.json + Avro manifests. Parquet
             # data files with µs timestamps (tables.rs:246-266 — Spark's
             # native unit).
+            cat_type = str(sink.options.get("catalog.type", "")).lower()
+            if conn == "iceberg" and cat_type and cat_type != "rest":
+                # config.rs:637-640 — rest is the only catalog variant
+                raise PlanError(
+                    f"unsupported Iceberg catalog.type '{cat_type}'"
+                )
             path = sink.options.get("path")
             if path is None:
                 raise PlanError(f"{conn} sink {sink.name} needs a 'path' option")
@@ -2465,11 +2481,18 @@ class Pipeline:
             except FileSinkOptionError as e:
                 raise PlanError(str(e)) from None
             self._sink_partition_fields(sink, df)
-            if conn == "iceberg" and str(
-                sink.options.get("catalog.type", "")
-            ).lower() == "rest":
+            cat_type = str(sink.options.get("catalog.type", "")).lower()
+            if conn == "iceberg" and cat_type and cat_type != "rest":
+                # config.rs:637-640 — rest is the only catalog variant
+                raise PlanError(
+                    f"unsupported Iceberg catalog.type '{cat_type}'"
+                )
+            if conn == "iceberg" and cat_type == "rest":
                 # rest-catalog DDL (iceberg_partitioning.sql): url +
-                # table_name instead of a filesystem path
+                # table_name instead of a filesystem path;
+                # catalog.warehouse / catalog.rest.token / location_path
+                # (config.rs:600-610,967) are optional pass-throughs to
+                # the catalog client
                 if not sink.options.get("catalog.rest.url"):
                     raise PlanError(
                         f"iceberg sink {sink.name} with catalog.type='rest' "

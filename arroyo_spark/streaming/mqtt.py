@@ -61,6 +61,12 @@ class MqttConfig:
     password: str | None = None
     client_prefix: str = "arroyo-mqtt"
     max_packet_size: int = 10240
+    # tls.{ca,cert,key} PEM material, applied only under mqtts/ssl
+    # schemes (mod.rs:65-87); the local codec speaks plaintext, a
+    # production client wraps the socket with these
+    tls_ca: str | None = None
+    tls_cert: str | None = None
+    tls_key: str | None = None
 
     @property
     def host_port(self) -> tuple[str, int]:
@@ -117,6 +123,9 @@ def validate_mqtt_table(t: TableDef) -> MqttConfig:
         password=opts.get("password"),
         client_prefix=opts.get("client_prefix", "arroyo-mqtt"),
         max_packet_size=int(opts.get("max_packet_size", "10240")),
+        tls_ca=opts.get("tls.ca"),
+        tls_cert=opts.get("tls.cert"),
+        tls_key=opts.get("tls.key"),
     )
     if typ == "sink":
         cfg.retain = opts.get("sink.retain", "false").lower() == "true"

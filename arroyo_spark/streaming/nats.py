@@ -68,6 +68,7 @@ class NatsConfig:
     replay_policy: str = "Instant"
     filter_subjects: list[str] = field(default_factory=list)
     consumer: dict[str, int] = field(default_factory=dict)
+    description: str | None = None  # consumer.description passthrough
 
     @property
     def host_port(self) -> tuple[str, int]:
@@ -130,6 +131,9 @@ def validate_nats_table(t: TableDef) -> NatsConfig:
             cfg.ack_policy, cfg.replay_policy = ack, replay
             raw = opts.get("consumer.filter_subjects")
             cfg.filter_subjects = raw.split(",") if raw else []
+            # consumer.description: free-text passthrough on the JetStream
+            # consumer (mod.rs option surface; no validation to apply)
+            cfg.description = opts.get("consumer.description")
             for k, dflt in _CONSUMER_DEFAULTS.items():
                 cfg.consumer[k] = int(opts.get(f"consumer.{k}", dflt))
         return cfg

@@ -1522,3 +1522,18 @@ def test_idle_micros_validation(spark):
                path = '/tmp/x', format = 'json', type = 'source',
                idle_micros = 'abc');""",
         )
+
+
+def test_wait_for_control_validated(spark, tmp_path):
+    # single_file/mod.rs:131 — the smoke-harness gating option validates
+    # as a bool and is a no-op under run-to-completion
+    (tmp_path / "in.json").write_text('{"v": 1}\n')
+    base = f"""
+    CREATE TABLE src (v BIGINT) WITH (
+      connector = 'single_file', path = '{tmp_path}/in.json',
+      format = 'json', type = 'source', wait_for_control = '%s');
+    SELECT v FROM src"""
+    res = run_script(spark, base % "true")
+    assert res.previews[0].count() == 1
+    with pytest.raises(PlanError, match="wait_for_control"):
+        run_script(spark, base % "maybe")

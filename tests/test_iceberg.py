@@ -377,3 +377,24 @@ def test_partition_transforms_via_ddl(spark, tmp_path):
     # epoch-day ordinal of 2024-01-01 is 19723
     assert any("day=19723" in d.replace("t_day", "day") for d in dirs)
     assert all("v_bucket=" in d for d in dirs)
+
+
+def test_unknown_catalog_type_rejected(spark, tmp_path):
+    """config.rs:637-640 — rest is the only Iceberg catalog variant."""
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import run_script
+
+    (tmp_path / "in.json").write_text('{"v": 1}\n')
+    with pytest.raises(PlanError, match="unsupported Iceberg catalog.type 'glue'"):
+        run_script(
+            spark,
+            f"""
+            CREATE TABLE src (v BIGINT) WITH (
+              connector = 'single_file', path = '{tmp_path}/in.json',
+              format = 'json', type = 'source');
+            CREATE TABLE ice (v BIGINT) WITH (
+              connector = 'iceberg', type = 'sink',
+              'catalog.type' = 'glue', table_name = 't');
+            INSERT INTO ice SELECT v FROM src;
+            """,
+        )

@@ -327,3 +327,20 @@ def test_mqtt_unknown_metadata_field_rejected():
     )
     with pytest.raises(PlanError, match="unknown mqtt metadata field"):
         validate_mqtt_table(stmts[0])
+
+
+def test_tls_material_accepted():
+    # tls.{ca,cert,key} (mod.rs:65-87): accepted PEM material, applied
+    # under mqtts/ssl schemes; a lone cert without key is kept but
+    # ignored by the client like the reference (mod.rs:457-461)
+    cfg = validate_mqtt_table(
+        _table(
+            _src(
+                ", 'tls.ca'='CA_PEM', 'tls.cert'='CERT_PEM',"
+                " 'tls.key'='KEY_PEM'"
+            )
+        )
+    )
+    assert (cfg.tls_ca, cfg.tls_cert, cfg.tls_key) == (
+        "CA_PEM", "CERT_PEM", "KEY_PEM",
+    )
