@@ -302,3 +302,90 @@ def text_corpus_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").cast("bigint").alias("sum_df"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity scoring (Wenzek et al. 2020, public method):
+# score each doc under a bigram model and bucket into head/middle/tail
+# terciles per language — the standard quality split used to curate
+# CommonCrawl-scale corpora. The model here is the corpus's own MLE
+# bigram model (every doc bigram is in the corpus by construction, so no
+# smoothing is needed and the score is exactly determined by integer
+# counts), keeping the computation DuckDB-replayable.
+#
+# Scale: one explode to the bigram stream, two count aggregations over
+# it (bigram and context), two equi-joins back, one groupBy(doc) and one
+# per-language window — every shuffle keyed, volume linear in tokens.
+# Determinism: each log2 term is a ratio of exact integers rounded to 9
+# decimals before averaging; the per-doc mean rounds to 6.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, lang, tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS u(i)),
+    cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY w1, w2),
+    cw1 AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY w1),
+    terms AS (
+      SELECT bg.doc_id, bg.lang,
+             round(log2(cw1.cw1 / CAST(cbg.cbg AS DOUBLE)), 9) AS term
+      FROM bg
+      JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+      JOIN cw1 ON bg.w1 = cw1.w1),
+    pd AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(term), 6) AS ppl_score
+      FROM terms GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_bigrams, ppl_score,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_score, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM pd
+    """,
+    tags=("text", "curation", "perplexity"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(
+        "doc_id", "lang", F.explode(pairs).alias("b")
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    cw1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    terms = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cw1, ["w1"])
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log2(F.col("cw1") / F.col("cbg").cast("double")), 9
+            ).alias("term"),
+        )
+    )
+    pd = terms.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("term"), 6).alias("ppl_score"),
+    )
+    w = Window.partitionBy("lang").orderBy("ppl_score", "doc_id")
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return pd.select(
+        "doc_id", "lang", "n_bigrams", "ppl_score", bucket.alias("bucket")
+    )
