@@ -233,3 +233,45 @@ def test_exact_substring_bounded_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_exact_substring")
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoop" not in plan, plan[:3000]
+
+
+def test_curation_projections_shuffle_free(spark, sf_dir):
+    # PII scrub and Gopher rule filters are pure codegen projections:
+    # NO Exchange, no Python, no generator
+    for name in ("pii_scrub_redaction", "text_gopher_filters"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name}: {plan[:2000]}"
+        assert "Generate" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_curation_single_shuffle_shapes(spark, sf_dir):
+    # reservoir sampling / JL projection / greedy packing: ONE keyed
+    # shuffle each (formatted plans list the exchange at most twice via
+    # AQE sections), never a cartesian
+    for name, max_exchange in (
+        ("sample_reservoir_per_source", 2),
+        ("embedding_random_projection", 2),
+        ("token_budget_shard_packing", 2),
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange") <= max_exchange, (
+            f"{name}: {plan.count('Exchange')} exchanges"
+        )
+
+
+def test_two_level_packing_broadcast_offsets(spark, sf_dir):
+    # the offset-merge join back must be a broadcast (P rows per source),
+    # never a shuffle join or cartesian
+    plan = plan_of(spark, sf_dir, "token_budget_shard_packing_2level")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_bigram_perplexity_no_cartesian_joins(spark, sf_dir):
+    # bigram/context model joins are equi-joins; the only Window is the
+    # per-language ntile over the doc-level relation
+    plan = plan_of(spark, sf_dir, "text_bigram_perplexity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
