@@ -39,7 +39,7 @@ import os
 import secrets
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class FileSinkOptionError(ValueError):

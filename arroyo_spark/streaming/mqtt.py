@@ -28,7 +28,6 @@ retained messages, and `#`/`+` topic-filter matching.
 
 from __future__ import annotations
 
-import os
 import socket
 import socketserver
 import threading
