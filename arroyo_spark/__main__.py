@@ -44,6 +44,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         mode=mode,
         eoi_flush=not args.no_eoi_flush,
         checkpoint_dir=args.state_dir,
+        force=args.force,
     ).run_script(script)
     for df in result.previews:
         for line in (
@@ -118,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
             action="store_true",
             help="keep end-of-input windows open (use on intermediate "
             "stop/restore legs)",
+        )
+        sp.add_argument(
+            "--force",
+            "-f",
+            action="store_true",
+            help="start even if the state dir was created by a different "
+            "query (arroyo run --force analog)",
         )
         sp.set_defaults(fn=fn)
     args = ap.parse_args(argv)

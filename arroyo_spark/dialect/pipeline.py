@@ -343,6 +343,7 @@ class Pipeline:
         mode: str = "batch",
         eoi_flush: bool = True,
         checkpoint_dir: str | None = None,
+        force: bool = False,
     ) -> None:
         if mode not in ("batch", "streaming", "plan"):
             raise PlanError(f"unknown execution mode: {mode}")
@@ -376,6 +377,7 @@ class Pipeline:
         # non-final legs with eoi_flush=False (the EOI sentinel is only
         # staged on the finishing leg).
         self.checkpoint_dir = checkpoint_dir
+        self.force = force
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
         self.substitutions = substitutions or {}
@@ -1287,6 +1289,27 @@ class Pipeline:
                 f"invalid value for idle_micros: {raw!r} (expected an integer)"
             ) from None
         return v if v > 0 else None
+
+    def _check_state_fingerprint(self, script: str) -> None:
+        """Restoring a state dir created by a DIFFERENT query is almost
+        always a mistake (wrong --state-dir or wrong script): the
+        reference's `arroyo run` refuses unless --force
+        (run.rs:193-203). The fingerprint is the script text itself,
+        stored on first run."""
+        if not self.checkpoint_dir:
+            return
+        fp = os.path.join(self.checkpoint_dir, "pipeline.query")
+        if os.path.exists(fp):
+            if open(fp).read() != script and not self.force:
+                raise PlanError(
+                    "The specified state is for a different pipeline; this "
+                    "likely means either the state directory is incorrect "
+                    "or the query is incorrect. If you would like to "
+                    "continue pass force=True (--force)"
+                )
+        else:
+            with open(fp, "w") as fh:
+                fh.write(script)
 
     @staticmethod
     def _framing_max_length(t: TableDef) -> int | None:
@@ -2799,6 +2822,7 @@ class Pipeline:
     # -- entry -------------------------------------------------------------
 
     def run_script(self, script: str) -> PipelineResult:
+        self._check_state_fingerprint(script)
         result = PipelineResult()
         for stmt in parse_script(script):
             if isinstance(stmt, TableDef):

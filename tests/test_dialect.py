@@ -1537,3 +1537,38 @@ def test_wait_for_control_validated(spark, tmp_path):
     assert res.previews[0].count() == 1
     with pytest.raises(PlanError, match="wait_for_control"):
         run_script(spark, base % "maybe")
+
+
+def test_state_dir_query_fingerprint(spark, tmp_path):
+    """Restoring a state dir created by a different query refuses with
+    the reference's wording (run.rs:193-203) unless force=True."""
+    b = tmp_path / "src"
+    b.mkdir()
+    (b / "a.json").write_text('{"t": "2024-01-01T00:05:00", "v": 1}\n')
+    out = str(tmp_path / "out.json")
+    ck = str(tmp_path / "ck")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    def script(agg):
+        return f"""
+        CREATE TABLE src (t TIMESTAMP, v BIGINT) WITH (
+          connector = 'filesystem', path = '{b}', format = 'json',
+          type = 'source', event_time_field = 't');
+        CREATE TABLE out (n BIGINT) WITH (
+          connector = 'filesystem', path = '{out}', format = 'json',
+          type = 'sink');
+        INSERT INTO out SELECT {agg} AS n FROM src
+        GROUP BY tumble(interval '1 hour');
+        """
+
+    Pipeline(spark, mode="streaming", checkpoint_dir=ck).run_script(
+        script("count(*)")
+    )
+    with pytest.raises(PlanError, match="state is for a different pipeline"):
+        Pipeline(spark, mode="streaming", checkpoint_dir=ck).run_script(
+            script("sum(v)")
+        )
+    # force continues anyway; the same query never trips the check
+    Pipeline(
+        spark, mode="streaming", checkpoint_dir=ck, force=True
+    ).run_script(script("sum(v)"))
