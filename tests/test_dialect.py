@@ -694,6 +694,45 @@ def test_streaming_mode_hourly(spark, tmp_path):
     )
 
 
+_STREAMABLE_GOLDENS = [
+    ("select_star", "cars_output", False),
+    ("cast_to_sink_type", "cars_output", False),
+    ("session_window", "session_window_output", False),
+    ("sliding_window_end", "impulse_sink", False),
+    ("tight_watermark", "group_by_aggregate", False),
+    ("month_loose_watermark", "group_by_aggregate", False),
+    ("union", "union_output", False),
+    ("hourly_by_event_type", "group_by_aggregate", False),
+    ("grouped_aggregates", "aggregates", True),
+]
+
+
+@ref_available
+@pytest.mark.parametrize("name,sink,debezium", _STREAMABLE_GOLDENS)
+def test_streaming_golden_matrix(spark, tmp_path, name, sink, debezium):
+    """Run-mode matrix leg (a) — straight streaming execution of every
+    streamable golden query must reproduce the golden exactly
+    (smoke_tests.rs runs each smoke query straight before the
+    checkpoint/restore legs)."""
+    script = open(f"{QUERIES}/{name}.sql").read()
+    out = str(tmp_path / f"{name}.json")
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    res = Pipeline(
+        spark, {"$input_dir": INPUTS, "$output_path": out}, mode="streaming"
+    ).run_script(script)
+    golden_lines = open(f"{GOLDEN}/{name}.json").read().splitlines()
+    if debezium:
+        got = _replay_debezium(res.sink_json(sink))
+        want = _replay_debezium(golden_lines)
+    else:
+        got = _canon(res.sink_json(sink))
+        want = _canon(golden_lines)
+    assert got == want, (
+        f"{name} streaming-leg: {len(got)} rows vs golden {len(want)}"
+    )
+
+
 @ref_available
 def test_restore_golden_hourly_by_event_type(spark, tmp_path):
     run_golden_restore(
