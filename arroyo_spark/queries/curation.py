@@ -326,3 +326,98 @@ def token_budget_shard_packing_2level(
         "n_tokens",
         (F.col("local_shard") + F.col("off")).cast("bigint").alias("shard"),
     )
+
+
+_PIPE_MIN_TOK, _PIPE_MAX_TOK = 20, 5000
+_PIPE_CAP = 40
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    f AS (
+      SELECT * FROM t
+      WHERE lang = 'en'
+        AND n_tokens BETWEEN {_PIPE_MIN_TOK} AND {_PIPE_MAX_TOK}),
+    k AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
+      WHERE doc_id = keep_id),
+    r AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tokens,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        FROM k)
+      WHERE rk <= {_PIPE_CAP})
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT) AS shard
+    FROM r
+    """,
+    tags=("curation", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship: the four steps a pretraining
+    pipeline chains — language + token-bound quality filter, exact
+    dedup (keep the lowest doc_id per normalized-text fingerprint),
+    deterministic per-source reservoir cap, and greedy token-budget
+    shard assignment — composed into ONE Spark plan. Shuffle budget:
+    one window by fingerprint (dedup) and two windows sharing the
+    `source` partitioning (rank + pack — Spark reuses the exchange,
+    only re-sorting), all keyed; no joins, no cartesian, no Python."""
+    from arroyo_spark.operators.dedup import normalize_text
+    from arroyo_spark.operators import text as TT
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(normalize_text("text")).alias("fp"),
+        TT.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    f = t.filter(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(_PIPE_MIN_TOK, _PIPE_MAX_TOK)
+    )
+    k = (
+        f.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    r = (
+        k.select(
+            "doc_id", "source", "n_tokens",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= _PIPE_CAP)
+    )
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(wp) - F.col("n_tokens")) / _SHARD_TOKENS
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )

@@ -275,3 +275,15 @@ def test_bigram_perplexity_no_cartesian_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_bigram_perplexity")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_curation_pipeline_two_exchanges_one_scan(spark, sf_dir):
+    # the 4-step flagship composes into ONE plan: a single corpus scan,
+    # one shuffle by fingerprint (dedup) and ONE shared shuffle by source
+    # (reservoir rank + pack re-sort over the same exchange); Spark also
+    # pushes WindowGroupLimit so the rank cap filters map-side
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan[:3000]
+    assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
