@@ -363,3 +363,59 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_pairs(docs, k=_ES_K, max_doc_freq=_ES_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Stream-native exact dedup: Spark's stateful dropDuplicates on ingest.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("dedup", "streaming"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: the documents table replayed through Structured
+    Streaming with the engine's stateful `dropDuplicates` operator — the
+    streaming counterpart of `dedup_exact` (a pipeline deduplicating a
+    document FEED rather than a resting corpus). Emits the distinct
+    fingerprint set (deterministic regardless of which arrival the state
+    store kept), verified against the batch DuckDB oracle.
+
+    Scale: dropDuplicates state is hash-partitioned by fingerprint across
+    the state store (RocksDB at 100x state); in production the bounded
+    memory-sink capture below is a real sink and, with late-arrival
+    bounds, `dropDuplicatesWithinWatermark` caps state retention."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="sde_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    ded = stream.select(
+        F.md5(normalize_text("text")).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+    name = "sde_" + _uuid.uuid4().hex[:8]
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sde_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
