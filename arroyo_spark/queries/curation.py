@@ -365,6 +365,7 @@ _PIPE_CAP = 40
     FROM r
     """,
     tags=("curation", "pipeline"),
+    bench=True,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation flagship: the four steps a pretraining
