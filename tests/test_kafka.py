@@ -287,6 +287,21 @@ def test_encode_json_sink_key_and_timestamp(spark):
     assert bytes(rows[0]["key"]) == b"1"
 
 
+def test_encode_json_sink_include_schema(spark):
+    # json.include_schema applies to kafka sinks exactly as to file
+    # sinks (ser.rs:149-160): each value is the Connect envelope
+    t = _table(_sink_ddl(",\n 'json.include_schema' = 'true'"))
+    df = spark.createDataFrame([(1, 10)], "user_id bigint, n bigint")
+    out = encode_kafka_sink(df, t)
+    row = json.loads(out.collect()[0]["value"])
+    assert set(row) == {"schema", "payload"}
+    assert row["payload"] == {"user_id": 1, "n": 10}
+    assert row["schema"]["type"] == "struct"
+    assert {f["field"]: f["type"] for f in row["schema"]["fields"]} == {
+        "user_id": "int64", "n": "int64",
+    }
+
+
 def test_encode_sink_bad_key_field(spark):
     t = _table(_sink_ddl(",\n 'sink.key_field' = 'nope'"))
     df = spark.createDataFrame([(1, 10)], "user_id bigint, n bigint")
