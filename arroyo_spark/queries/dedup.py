@@ -419,3 +419,65 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm — public method): select the minimum k-gram hash in every
+# sliding window of w consecutive positions. Guarantees any shared run of
+# >= w+k-1 tokens contributes at least one COMMON selected fingerprint,
+# at ~2/(w+1) the density of the full shingle set — the standard
+# partial-overlap fingerprint for plagiarism/near-dup detection, distinct
+# from whole-doc hashing (doc_fingerprints) and from the equi-join
+# substring dedup above (this is the compact per-doc sketch form).
+# Pure array HOFs + one explode: shuffle-free until the consumer
+# aggregates; scales linearly in tokens.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram size
+_WIN_W = 4  # winnowing window
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(tk) - {_WIN_K} + 1, 0) + 1),
+               i -> md5(array_to_string(
+                      list_slice(tk, i, i + {_WIN_K} - 1), ' '))) AS hs
+      FROM t)
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - {_WIN_W} + 1, 0) + 1),
+             i -> list_aggregate(
+                    list_slice(hs, i, i + {_WIN_W} - 1), 'min')))) AS fp
+    FROM h
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import positioned_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = positioned_shingle_hashes("text", _WIN_K)
+    d = docs.select("doc_id", hs.alias("hs"))
+    n_wins = F.size("hs") - (_WIN_W - 1)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — short docs
+    # (fewer than k+w-1 tokens) must yield an empty fingerprint set
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(wins)).alias("fp"),
+    )

@@ -547,3 +547,35 @@ def test_exact_substring_pairs_run_lengths(spark):
     )
     assert exact_substring_pairs(many, k=10, max_doc_freq=4).count() == 0
     assert exact_substring_pairs(many, k=10, max_doc_freq=16).count() == 45
+
+
+def test_winnowing_guarantee_and_short_docs(spark, tmp_path):
+    """Winnowing invariants: two docs sharing a run of >= w+k-1 tokens
+    share at least one selected fingerprint; docs shorter than k+w-1
+    tokens yield an EMPTY set (sequence(1,0) would otherwise generate a
+    descending [1,0])."""
+    import os
+
+    from arroyo_spark.suite import all_queries
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 >= w+k-1
+    rows = [
+        (1, "x y " + shared + " tail one"),
+        (2, shared + " completely different words here"),
+        (3, "tiny doc"),  # < k+w-1 tokens -> no fingerprints
+    ]
+    import pandas as pd
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text"]
+    ).assign(lang="en", source="s", n_chars=0).to_parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = all_queries()["doc_winnowing_fingerprints"].fn(spark, d).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(3) is None
+    assert by_doc[1] & by_doc[2], "shared run must yield a common fingerprint"
