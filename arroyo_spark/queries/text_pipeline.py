@@ -389,3 +389,52 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pd.select(
         "doc_id", "lang", "n_bigrams", "ppl_score", bucket.alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: the share of a doc's distinct 3-grams that occur in NO
+# other document — high novelty = original text, low novelty = boilerplate
+# / template prose (the inverse signal of the dedup family, used to rank
+# docs for curation). Same single-scan shape as contamination: explode
+# distinct shingles, one shuffle by shingle (a window marks corpus-unique
+# ones), one groupBy doc. No join-back, no second corpus scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_duck_ngrams(3)})) AS g
+      FROM t),
+    m AS (
+      SELECT doc_id, g,
+             count(*) OVER (PARTITION BY g) AS df
+      FROM sh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM m GROUP BY doc_id
+    """,
+    tags=("text", "curation", "novelty"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("g")
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    m = sh.select("doc_id", "g", df_w.alias("df"))
+    novel = F.sum((F.col("df") == 1).cast("int"))
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        novel.cast("bigint").alias("n_novel"),
+        F.round(
+            novel / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novelty"),
+    )
