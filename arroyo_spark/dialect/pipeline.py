@@ -390,6 +390,14 @@ class Pipeline:
         self.views: set[str] = set()
         self.view_sql: dict[str, str] = {}
         self._txn_sinks: dict[str, object] = {}
+        # per-sink INSERT ordinal: the pipeline supports several INSERTs
+        # merging into one sink, and each needs its OWN Spark streaming
+        # checkpoint — sharing ck_<sink> would make the second INSERT
+        # resume the first one's seen-files log and silently emit nothing
+        # under --state-dir. Ordinals are assigned in statement order, so
+        # they are stable across stop/restore legs of the same script
+        # (guarded by _check_state_fingerprint).
+        self._insert_seq: dict[str, int] = {}
         # injectable connector clients by table name (tests/local runs; a
         # production deployment registers boto3/rstream/fluvio-backed
         # clients here): kinesis, rabbitmq, fluvio
@@ -1058,6 +1066,19 @@ class Pipeline:
         if framing not in (None, "newline"):
             raise PlanError(f"unsupported framing: {framing!r}")
         frame_max = self._framing_max_length(t)
+        if frame_max is not None and fmt not in (
+            "json",
+            "raw_string",
+            "raw_bytes",
+        ):
+            # newline framing slices a byte stream into records — it has
+            # no meaning for block formats (parquet/avro container files)
+            # and the debezium path re-frames its envelope itself; reject
+            # rather than silently ignore the truncation cap
+            raise PlanError(
+                "framing.newline.max_length is not supported for format "
+                f"{fmt!r}"
+            )
         if t.options.get("json.unstructured") or fmt in ("raw_string", "raw_bytes"):
             # whole line as a single value column: unstructured JSON
             # (json_operators.sql), raw_string (formats.rs:396+,
@@ -1132,15 +1153,36 @@ class Pipeline:
                 "fail": "FAILFAST",
                 "drop": "DROPMALFORMED",
             }[bad_data]
-            if fs_compression == "zstd":
-                # binaryFile scan + executor-side pyarrow inflate; the
-                # line -> struct parse stays JVM-side (from_json). from_json
-                # has no DROPMALFORMED, so 'drop' filters null parses.
+            if fs_compression == "zstd" or frame_max is not None:
+                # line-framed read path: zstd needs the executor-side
+                # pyarrow inflate, and framing.newline.max_length needs the
+                # RAW line so it can be byte-truncated BEFORE
+                # deserialization for every format (de.rs:95-110) — a
+                # truncated line that is no longer valid JSON then follows
+                # the bad_data mode like any malformed record. The line ->
+                # struct parse stays JVM-side (from_json). from_json has no
+                # DROPMALFORMED, so 'drop' keys off a corrupt-record column.
                 from pyspark.sql import types as T
 
                 from arroyo_spark.streaming.filesystem import read_zstd_lines
 
-                lines = read_zstd_lines(self.spark, path, streaming, fs_regex)
+                if fs_compression == "zstd":
+                    lines = read_zstd_lines(self.spark, path, streaming, fs_regex)
+                elif streaming:
+                    lines = self.spark.readStream.option(
+                        "maxFilesPerTrigger", 1
+                    ).text(_stream_path(path))
+                else:
+                    lines = self.spark.read.text(path)
+                if frame_max is not None:
+                    lines = lines.select(
+                        F.decode(
+                            F.substring(
+                                F.encode("value", "UTF-8"), 1, frame_max
+                            ),
+                            "UTF-8",
+                        ).alias("value")
+                    )
                 schema = self._source_schema(t)
                 # PERMISSIVE from_json yields null FIELDS (not a null
                 # struct) on malformed input, so 'drop' keys off a
@@ -2580,6 +2622,13 @@ class Pipeline:
         the single_file/result surface, like the append path."""
         import tempfile
 
+        # one checkpoint per INSERT statement, not per sink (see
+        # _insert_seq); ordinal 0 keeps the bare ck_<sink> name so
+        # existing single-INSERT state dirs restore unchanged
+        ordinal = self._insert_seq.get(target.name, 0)
+        self._insert_seq[target.name] = ordinal + 1
+        ins_sfx = "" if ordinal == 0 else f"_i{ordinal}"
+
         if (target.connector or "").lower() == "confluent":
             from arroyo_spark.streaming.confluent import confluent_as_kafka
 
@@ -2621,7 +2670,7 @@ class Pipeline:
                     ),
                 )
             ck0 = (
-                os.path.join(self.checkpoint_dir, f"ck_{target.name}")
+                os.path.join(self.checkpoint_dir, f"ck_{target.name}{ins_sfx}")
                 if self.checkpoint_dir
                 else tempfile.mkdtemp(prefix=f"ck_{target.name}_")
             )
@@ -2646,7 +2695,7 @@ class Pipeline:
                 f"streaming sinks support json/debezium_json/parquet, got {fmt!r}"
             )
         ck = (
-            os.path.join(self.checkpoint_dir, f"ck_{target.name}")
+            os.path.join(self.checkpoint_dir, f"ck_{target.name}{ins_sfx}")
             if self.checkpoint_dir
             else tempfile.mkdtemp(prefix=f"ck_{target.name}_")
         )
@@ -2680,11 +2729,11 @@ class Pipeline:
             dbz_state = None
             if self.checkpoint_dir:
                 spool = os.path.join(
-                    self.checkpoint_dir, f"dbz_{target.name}"
+                    self.checkpoint_dir, f"dbz_{target.name}{ins_sfx}"
                 )
                 os.makedirs(spool, exist_ok=True)
                 dbz_state = os.path.join(
-                    self.checkpoint_dir, f"dbzstate_{target.name}"
+                    self.checkpoint_dir, f"dbzstate_{target.name}{ins_sfx}"
                 )
             else:
                 spool = tempfile.mkdtemp(prefix=f"dbz_{target.name}_")
@@ -2714,7 +2763,7 @@ class Pipeline:
                 spool = out_path
             elif self.checkpoint_dir:
                 spool = os.path.join(
-                    self.checkpoint_dir, f"spool_{target.name}"
+                    self.checkpoint_dir, f"spool_{target.name}{ins_sfx}"
                 )
                 os.makedirs(spool, exist_ok=True)
             else:

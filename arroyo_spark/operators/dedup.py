@@ -262,9 +262,10 @@ def simhash_hamming_pairs(
 
     Scale note: 16-bit SimHash (kept for bit-exact cross-engine oracles)
     yields only 2^8 values per band at radius 1 — fine for suite-sized
-    corpora, skewed at 100 TB. Production uses the same plan over a 64-bit
-    SimHash (4 x 16-bit bands, 65k+ bucket keys); ``max_bucket`` caps
-    pathological buckets exactly like `lsh_candidate_pairs`.
+    corpora, skewed at 100 TB. The production-width variant is
+    implemented below as `simhash64_hamming_pairs` (64-bit hash, 4 x
+    16-bit bands, 65k+ bucket keys — use THAT at scale); ``max_bucket``
+    caps pathological buckets exactly like `lsh_candidate_pairs`.
     """
     n_bands = radius + 1
     width = 16 // n_bands
@@ -293,6 +294,142 @@ def simhash_hamming_pairs(
         bands = bands.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= max_bucket
         ).drop("rn")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair can match in several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc — the production-width variant (Manku,
+    Jain & Sarma 2007 use 64-bit fingerprints for web-scale dedup).
+
+    The per-word hash is md5 (bit-identical in every engine): bits
+    63..32 come from the first 8 hex chars, bits 31..0 from the next 8.
+    bit_b(doc) = 1 iff sum over distinct words of (2*bit_b(hash(w)) - 1)
+    >= 0. The two 32-bit halves are assembled into ONE signed BIGINT with
+    overflow-free arithmetic ((hi - 2^32 when hi >= 2^31) * 2^32 + lo —
+    plain two's complement, identical in Spark ANSI mode and DuckDB), so
+    hamming distance is a single bit_count(xor(a, b)).
+
+    Everything is JVM-side expression work: one explode, one 64-column
+    conditional-sum HashAggregate — a single shuffle by doc id.
+    """
+    words = (
+        exploded_words(docs, id_col)
+        .withColumn("m", F.md5("w"))
+        .withColumn("hi", F.conv(F.substring("m", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring("m", 9, 8), 16, 10).cast("long"))
+    )
+
+    def bit_sum(src: str, b: int, name: str) -> Column:
+        return F.sum(
+            F.when(
+                F.shiftright(F.col(src), b).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
+        ).alias(name)
+
+    bit_sums = words.groupBy(id_col).agg(
+        *[bit_sum("lo", b, f"s{b}") for b in range(32)],
+        *[bit_sum("hi", b, f"s{b + 32}") for b in range(32)],
+    )
+    lo_val = None
+    hi_val = None
+    for b in range(32):
+        lo_term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hi_term = F.when(F.col(f"s{b + 32}") >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        lo_val = lo_term if lo_val is None else lo_val + lo_term
+        hi_val = hi_term if hi_val is None else hi_val + hi_term
+    lo_val = lo_val.cast("long")
+    hi_val = hi_val.cast("long")
+    signed_hi = F.when(hi_val >= F.lit(1 << 31), hi_val - F.lit(1 << 32)).otherwise(
+        hi_val
+    )
+    return bit_sums.select(
+        id_col,
+        (signed_hi * F.lit(1 << 32) + lo_val).cast("bigint").alias("simhash"),
+        lo_val.alias("sim_lo"),
+        hi_val.alias("sim_hi"),
+    )
+
+
+def simhash64_hamming_pairs(
+    docs: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash hamming distance <=
+    ``radius`` via the pigeonhole banded equi-join (same plan as
+    `simhash_hamming_pairs`, production hash width): radius 3 gives 4 x
+    16-bit bands — 65k+ values per band key, so bucket skew stays sane
+    at 100 TB where the 16-bit variant's 2^8-value bands collapse.
+
+    Band values are extracted from the two unsigned 32-bit halves (never
+    from the signed assembled hash), so every band key is non-negative
+    and identical across engines; candidates are verified with the exact
+    popcount of the XOR of the signed hashes.
+    """
+    n_bands = radius + 1
+    if 64 % n_bands != 0 or (64 // n_bands) > 32 and n_bands != 1:
+        raise ValueError("radius + 1 must divide 64 into <= 32-bit bands")
+    width = 64 // n_bands
+    sims = simhash64(docs, id_col)
+
+    def band_val(i: int) -> Column:
+        off = i * width
+        if n_bands == 1:
+            return F.col("simhash")
+        src, local = ("sim_lo", off) if off < 32 else ("sim_hi", off - 32)
+        return (
+            F.shiftright(F.col(src), local)
+            .bitwiseAND((1 << width) - 1)
+            .cast("long")
+        )
+
+    bands = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), band_val(i).alias("val")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "val").orderBy(id_col)
+        bands = (
+            bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -310,6 +310,76 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, radius=1)
 
 
+def _simhash64_oracle() -> str:
+    # md5 word hash: bits 63..32 = first 8 hex chars, 31..0 = next 8;
+    # signed 64-bit assembly via overflow-free two's-complement arithmetic
+    # (identical expression shape to operators/dedup.simhash64)
+    bit_sums = ",\n             ".join(
+        [
+            f"SUM(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+            for b in range(32)
+        ]
+        + [
+            f"SUM(CASE WHEN (hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b + 32}"
+            for b in range(32)
+        ]
+    )
+    lo_val = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi_val = " + ".join(
+        f"(CASE WHEN s{b + 32} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) t WHERE w <> ''
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS lo
+      FROM words
+    ), bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ), halves AS (
+      SELECT doc_id, {lo_val} AS lov, {hi_val} AS hiv FROM bits
+    ), sims AS (
+      SELECT doc_id,
+             CAST((CASE WHEN hiv >= 2147483648 THEN hiv - 4294967296
+                        ELSE hiv END) * 4294967296 + lov AS BIGINT) AS simhash
+      FROM halves
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query(
+    "dedup_simhash64_hamming",
+    oracle=_simhash64_oracle(),
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash near-dup: 64-bit fingerprints (Manku,
+    Jain & Sarma 2007), radius 3, found through the pigeonhole 4 x
+    16-bit banded equi-join — the scale configuration the 16-bit
+    variant's docstring caveats point at (65k+ values per band key, so
+    band buckets stay balanced at 100 TB). The all-pairs form here is
+    ORACLE-only; the Spark plan is the banded join + exact popcount
+    verify (plan-gated: no cartesian product)."""
+    from arroyo_spark.operators.dedup import simhash64_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64_hamming_pairs(docs, radius=3)
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring dedup (Lee et al. 2022 reformulated as shingle-run joins).
 # ---------------------------------------------------------------------------

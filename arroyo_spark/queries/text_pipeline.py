@@ -438,3 +438,94 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel / F.count(F.lit(1)).cast("double"), 6
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier (Joulin et al. 2016, "Bag of
+# Tricks for Efficient Text Classification") — the standard pairing with
+# the CCNet perplexity filter in pretraining pipelines (a linear model
+# over hashed bag-of-ngram features scores each doc; docs above the
+# threshold are kept). Features are unigrams + bigrams hashed through the
+# md5 hashing trick; the weight vector is DETERMINISTIC (derived from the
+# feature hash itself, the same device as the JL random projection in
+# queries/curation.py) so there is no model artifact to ship and the
+# oracle is exact — a production deployment broadcasts a trained weight
+# array and looks weights up by the same bucket id.
+#
+# Scale: a pure per-row projection — array HOFs only, integer-exact
+# accumulation (weights are ints in [-1000, 1000], summed as BIGINT, so
+# no float-order risk), NO explode, NO shuffle (plan-gated like
+# pii_scrub_redaction). At 100 TB this is a map-only pass fused into
+# whole-stage codegen with whatever scan feeds it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_concat(
+               tk,
+               list_transform(range(1, len(tk)),
+                              i -> tk[i] || '_' || tk[i + 1])) AS feats
+      FROM t),
+    s AS (
+      SELECT doc_id,
+             CAST(len(feats) AS BIGINT) AS n_feats,
+             list_reduce(
+               list_prepend(
+                 CAST(0 AS BIGINT),
+                 list_transform(
+                   feats,
+                   g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+                        % 2001 - 1000)),
+               (acc, x) -> acc + x) AS isum
+      FROM f)
+    SELECT doc_id, n_feats,
+           round(isum / (1000.0 * n_feats), 9) AS lm_score,
+           round(1 / (1 + exp(-round(isum / (1000.0 * n_feats), 9))), 6)
+             AS quality_prob,
+           (isum >= 0) AS keep
+    FROM s WHERE n_feats > 0
+    """,
+    tags=("text", "curation", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(tk, bigrams)
+    isum = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + (
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+            % 2001
+            - 1000
+        ),
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        isum.alias("isum"),
+    ).filter(F.col("n_feats") > 0)
+    lm_score = F.round(
+        F.col("isum") / (F.lit(1000.0) * F.col("n_feats")), 9
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        lm_score.alias("lm_score"),
+        F.round(1 / (1 + F.exp(-lm_score)), 6).alias("quality_prob"),
+        (F.col("isum") >= 0).alias("keep"),
+    )

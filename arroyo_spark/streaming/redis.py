@@ -216,11 +216,19 @@ def validate_redis_table(t: TableDef) -> RedisTableConfig:
         cfg.key_prefix = str(opts["target.key_prefix"])
         cfg.key_column = opts.get("target.key_column")
         if "target.ttl_secs" in opts:
+            # the reference reports the greater-than-0 message only for a
+            # parsed 0; a non-numeric value is a u64 parse error
             try:
                 ttl = int(str(opts["target.ttl_secs"]))
+                if ttl < 0:
+                    raise ValueError
             except ValueError:
-                ttl = 0
-            if ttl <= 0:
+                raise PlanError(
+                    "invalid value for target.ttl_secs: "
+                    f"{opts['target.ttl_secs']!r} (expected an unsigned "
+                    "integer)"
+                ) from None
+            if ttl == 0:
                 raise PlanError("target.ttl_secs must be greater than 0")
             cfg.ttl_secs = ttl
     elif target == "list":

@@ -188,7 +188,39 @@ _GREEN_R05 = frozenset(
 )
 
 
+_GREEN_R06 = frozenset(
+    {
+        "contamination_5gram_overlap", "corpus_curation_pipeline",
+        "cube_orders_status_priority", "dedup_exact",
+        "dedup_exact_substring", "dedup_minhash_lsh",
+        "doc_fingerprints", "doc_winnowing_fingerprints",
+        "embedding_label_centroid_sim", "embedding_random_projection",
+        "funnel_signup_view_purchase", "hop_hourly_15m_by_type",
+        "knn_cosine_topk", "knn_lsh_ann", "mm_image_features",
+        "nested_tumble_peak_quarter", "nexmark_q5_hot_users",
+        "nexmark_q8_new_sellers", "pii_scrub_redaction",
+        "q10_returned_items", "q11_important_parts", "q15_top_supplier",
+        "q16_supplier_diversity", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q2_min_price_supplier",
+        "q8_market_share", "q9_product_profit",
+        "range_join_value_bands", "rollup_cascade_15m_1h_1d",
+        "sample_reservoir_per_source", "sample_stratified_by_source",
+        "session_30m_by_user", "setop_intersect_except",
+        "streaming_dedup_exact", "text_bigram_perplexity",
+        "text_bpe_token_counts", "text_gopher_filters", "text_lang_id",
+        "text_ngram_novelty", "text_quality_scores",
+        "text_repetition_stats", "text_token_stats", "tfidf_top_terms",
+        "token_budget_shard_packing",
+        "token_budget_shard_packing_2level", "tumble_daily_global",
+        "tumble_hourly_by_type", "window_fn_census",
+        "window_fn_most_active_user",
+    }
+)
+
+
 def _verification_tier(name: str) -> int:
+    if name in _GREEN_R06:
+        return 6
     if name in _GREEN_R05:
         return 5
     if name in _GREEN_R04:

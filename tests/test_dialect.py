@@ -773,6 +773,43 @@ def test_restore_golden_matrix(spark, tmp_path, name, sink, input_file):
 
 
 @ref_available
+def test_restore_two_inserts_one_sink(spark, tmp_path):
+    """Two INSERTs merging into one sink under --state-dir: each INSERT
+    must get its OWN streaming checkpoint (ck_<sink> / ck_<sink>_i1) —
+    a shared path made the second INSERT resume the first's seen-files
+    log and silently emit nothing (ADVICE r6). Run the reference's
+    test_merge_sink script through the two-leg stop/restore matrix and
+    demand the exact golden output."""
+    src_dir = tmp_path / "merge_src"
+    src_dir.mkdir()
+    lines = [
+        l for l in open(f"{INPUTS}/cars.json").read().splitlines()
+        if l.strip()
+    ]
+    lines.sort(key=lambda l: json.loads(l)["timestamp"])
+    half = len(lines) // 2
+    (src_dir / "part0.json").write_text("\n".join(lines[:half]))
+    out = str(tmp_path / "merge_out.json")
+    ck = str(tmp_path / "merge_ck")
+    script = open(f"{QUERIES}/test_merge_sink.sql").read()
+    subs = {"$input_dir/cars.json": str(src_dir), "$output_path": out}
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    Pipeline(
+        spark, subs, mode="streaming", eoi_flush=False, checkpoint_dir=ck
+    ).run_script(script)
+    assert os.path.isdir(os.path.join(ck, "ck_cars_output"))
+    assert os.path.isdir(os.path.join(ck, "ck_cars_output_i1"))
+    (src_dir / "part1.json").write_text("\n".join(lines[half:]))
+    res = Pipeline(
+        spark, subs, mode="streaming", checkpoint_dir=ck
+    ).run_script(script)
+    got = _canon(res.sink_json("cars_output"))
+    want = _canon(open(f"{GOLDEN}/test_merge_sink.json").read().splitlines())
+    assert got == want, f"{len(got)} rows vs golden {len(want)}"
+
+
+@ref_available
 def test_restore_golden_hourly_rocksdb(spark, tmp_path):
     """The restore leg on the RocksDB state-store provider — the
     recommended 100x-scale configuration must checkpoint/restore

@@ -589,6 +589,55 @@ def test_framing_max_length_truncates_lines(spark, tmp_path):
     assert got == sorted(["one b", "two b", "whole"])
 
 
+def test_framing_max_length_truncates_structured_json(spark, tmp_path):
+    """A STRUCTURED newline-framed json source must also byte-truncate
+    each line before deserialization (de.rs:95-110 truncates for every
+    format, ADVICE r6): a line cut mid-JSON becomes malformed and then
+    follows bad_data ('drop' here); lines shorter than the cap parse
+    normally."""
+    from arroyo_spark.dialect.pipeline import run_script
+
+    src = tmp_path / "in.json"
+    # first record is 9 bytes and survives a 16-byte cap; the second is
+    # longer and gets cut mid-object -> malformed -> dropped
+    src.write_text('{"a": 1}\n{"a": 2, "pad": "xxxxxxxxxxxxxxxx"}\n')
+    out = str(tmp_path / "out.json")
+    res = run_script(
+        spark,
+        f"""
+        CREATE TABLE src (a BIGINT) WITH (
+          connector = 'single_file', path = '{src}', format = 'json',
+          type = 'source', framing = 'newline',
+          'framing.newline.max_length' = '16', bad_data = 'drop');
+        CREATE TABLE out (a BIGINT) WITH (
+          connector = 'single_file', path = '{out}', format = 'json',
+          type = 'sink');
+        INSERT INTO out SELECT a FROM src;
+        """,
+    )
+    got = [json.loads(l)["a"] for l in res.sink_json("out")]
+    assert got == [1]
+
+
+def test_framing_max_length_rejected_for_block_formats(spark, tmp_path):
+    """framing.newline.max_length on a block format (parquet) must be
+    rejected, not silently ignored."""
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import run_script
+
+    with pytest.raises(PlanError, match="not supported for format"):
+        run_script(
+            spark,
+            f"""
+            CREATE TABLE src (a BIGINT) WITH (
+              connector = 'single_file', path = '{tmp_path}/in.parquet',
+              format = 'parquet', type = 'source', framing = 'newline',
+              'framing.newline.max_length' = '5');
+            SELECT a FROM src;
+            """,
+        )
+
+
 def test_framing_max_length_validation(spark, tmp_path):
     from arroyo_spark.dialect.errors import PlanError
     from arroyo_spark.dialect.pipeline import run_script

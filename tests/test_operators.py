@@ -504,6 +504,42 @@ def test_simhash_hamming_pairs_exact_recall(spark):
     assert (1, 2, 0) in got  # identical docs at hamming 0
 
 
+def test_simhash64_hamming_pairs_exact_recall(spark):
+    """64-bit banded candidates + popcount verify == brute force at
+    radius 3 (4 x 16-bit pigeonhole bands); the signed two's-complement
+    assembly XORs/popcounts exactly like the unsigned value."""
+    from arroyo_spark.operators.dedup import simhash64, simhash64_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # identical -> hamming 0
+            (3, "alpha beta gamma epsilon"),
+            (4, "totally different words here entirely"),
+            (5, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash64_hamming_pairs(docs, radius=3).collect()
+    }
+    sims = simhash64(docs).collect()
+    brute = {
+        (a["doc_id"], b["doc_id"], bin((a["simhash"] ^ b["simhash"]) & ((1 << 64) - 1)).count("1"))
+        for a in sims
+        for b in sims
+        if a["doc_id"] < b["doc_id"]
+        and bin((a["simhash"] ^ b["simhash"]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == brute
+    assert (1, 2, 0) in got
+    # the halves really are the assembled value (two's complement)
+    for r in sims:
+        unsigned = (r["sim_hi"] << 32) | r["sim_lo"]
+        assert r["simhash"] == unsigned - (1 << 64) * (unsigned >> 63)
+
+
 def test_simhash_hamming_max_bucket_caps_pairs(spark):
     from arroyo_spark.operators.dedup import simhash_hamming_pairs
 

@@ -235,10 +235,25 @@ def test_exact_substring_bounded_joins(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan[:3000]
 
 
+def test_simhash64_banded_equi_join(spark, sf_dir):
+    # the production-width SimHash dedup must find candidates through the
+    # pigeonhole (band, val) equi-join — a hash join, never a cartesian
+    # or nested loop over the corpus
+    plan = plan_of(spark, sf_dir, "dedup_simhash64_hamming")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+    assert "Join" in plan
+
+
 def test_curation_projections_shuffle_free(spark, sf_dir):
-    # PII scrub and Gopher rule filters are pure codegen projections:
-    # NO Exchange, no Python, no generator
-    for name in ("pii_scrub_redaction", "text_gopher_filters"):
+    # PII scrub, Gopher rule filters and the fastText-style linear
+    # quality classifier are pure codegen projections: NO Exchange, no
+    # Python, no generator
+    for name in (
+        "pii_scrub_redaction",
+        "text_gopher_filters",
+        "text_quality_classifier",
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name}: {plan[:2000]}"
         assert "Generate" not in plan, f"{name}: {plan[:2000]}"

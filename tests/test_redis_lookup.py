@@ -432,3 +432,13 @@ def test_redis_string_target_ttl(spark):
                 " 'target.key_prefix'='p', 'target.ttl_secs'='0')"
             )
         )
+    # a non-numeric value is a PARSE error, distinct from the 0 case
+    # (the reference's u64 parse failure, redis/mod.rs:327-331)
+    with pytest.raises(PlanError, match="invalid value for target.ttl_secs"):
+        validate_redis_table(
+            _table(
+                "create table s (v TEXT NOT NULL) with (connector='redis',"
+                " type='sink', address='redis://a', target='string',"
+                " 'target.key_prefix'='p', 'target.ttl_secs'='abc')"
+            )
+        )
