@@ -478,6 +478,7 @@ def exact_substring_pairs(
     id_col: str = "doc_id",
     k: int = 10,
     max_doc_freq: int = 16,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate pairs: documents sharing a verbatim run of
     >= ``k`` tokens, with the length of the longest shared run — the
@@ -499,6 +500,16 @@ def exact_substring_pairs(
     One explode, two equi-joins (freq filter + self-join), one bounded
     window per (pair, diagonal) — every shuffle is keyed and capped;
     returns (doc_a, doc_b, max_run_tokens).
+
+    ``materialize=True`` persists the positioned (doc, pos, hash) shingle
+    stream (DISK_ONLY) before the frequency cap and self-join, collapsing
+    the declarative form's duplicated self-join subtrees into a SCAN-ONCE
+    plan: the corpus is read and shingled exactly once, and the cap agg +
+    both join sides read the cached stream. This is the 100 TB deployment
+    shape (the shingling explode is the dominant cost; recomputing it per
+    subtree is 4 linear corpus passes). The cache lives until the session
+    drops it — callers running many queries in one session should
+    ``unpersist()`` the returned frame's source when done.
     """
     from pyspark.sql import Window
 
@@ -506,6 +517,10 @@ def exact_substring_pairs(
         F.col(id_col),
         F.posexplode(positioned_shingle_hashes("text", k)).alias("pos", "g"),
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.DISK_ONLY)
     keep = (
         sh.groupBy("g")
         .agg(F.countDistinct(id_col).alias("df"))

@@ -422,3 +422,188 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation (C4 / RefinedWeb staples — Raffel et al. 2020,
+# Penedo et al. 2023): url-normalized dedup and per-registered-domain doc
+# caps. The documents table carries no URL column, so a deterministic URL
+# is constructed from doc_id in-query (the pii_scrub_redaction payload
+# pattern) with enough mess — mixed-case scheme/host, www. prefixes,
+# default ports, trailing slashes, shuffled + tracking query params,
+# multi-label public suffixes — to exercise every canonicalization rule.
+#
+# Scale: canonicalization and domain extraction are pure projections
+# (operators/urls.py, zero shuffle); dedup is ONE groupBy(canonical_url);
+# the domain cap is ONE window shuffle by registered domain with a
+# deterministic md5 rank (no RNG — reproducible under retries).
+# ---------------------------------------------------------------------------
+
+_DUCK_URL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)"
+    " || '://'"
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+    " || 'Site' || (doc_id % 20) || '.'"
+    " || (CASE (doc_id % 20) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
+    "          WHEN 2 THEN 'co.uk' ELSE 'github.io' END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)"
+    " || '/Article/' || (doc_id % 5)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
+    " || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=2&a=1'"
+    "          WHEN 1 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)"
+)
+
+_URL_RE_HOSTPORT = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def _spark_url() -> F.Column:
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, "HTTP").when(d % 3 == 1, "https").otherwise("HTTPS")
+    )
+    suffix = (
+        F.when((d % 20) % 4 == 0, "com")
+        .when((d % 20) % 4 == 1, "org")
+        .when((d % 20) % 4 == 2, "co.uk")
+        .otherwise("github.io")
+    )
+    qs = (
+        F.when(d % 3 == 0, "?utm_source=feed&b=2&a=1")
+        .when(d % 3 == 1, "?b=2&a=1")
+        .otherwise("?a=1&b=2")
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(d % 2 == 0, "WWW.").otherwise(""),
+        F.lit("Site"),
+        (d % 20).cast("string"),
+        F.lit("."),
+        suffix,
+        F.when(d % 7 == 0, ":443").otherwise(""),
+        F.lit("/Article/"),
+        (d % 5).cast("string"),
+        F.when(d % 2 == 0, "/").otherwise(""),
+        qs,
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '{_URL_RE_HOSTPORT}', 1) AS hostport,
+        regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/$', '') AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS raw_qs
+      FROM u),
+    p2 AS (
+      SELECT doc_id, scheme, path,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                       '^www\\.', '') AS host,
+        array_to_string(
+          list_sort(list_filter(string_split(raw_qs, '&'),
+                    p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS cqs
+      FROM parts),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || host ||
+        (CASE WHEN port <> ''
+                   AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END) ||
+        path ||
+        (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END) AS canonical_url
+      FROM p2)
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+    tags=("curation", "url", "dedup"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalized dedup: canonicalize every document's URL
+    (lowercase scheme/host, drop default ports / www. / trailing slash /
+    utm_ params, sort query params) and keep the minimum doc_id per
+    canonical URL — the crawl-level dedup C4 and RefinedWeb run before
+    any content-based pass."""
+    from arroyo_spark.operators.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", canonicalize_url(_spark_url()).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+
+
+_DOMAIN_CAP = 8
+
+
+@query(
+    "domain_doc_caps",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
+    h AS (
+      SELECT doc_id,
+        lower(regexp_replace(regexp_extract(url, '{_URL_RE_HOSTPORT}', 1),
+                             ':[0-9]+$', '')) AS host
+      FROM u),
+    d AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h),
+    r AS (
+      SELECT doc_id,
+        CASE WHEN len(L) >= 3
+                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
+             THEN L[-3] || '.' || L[-2] || '.' || L[-1]
+             WHEN len(L) < 3
+                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
+             THEN host
+             ELSE L[-2] || '.' || L[-1] END AS domain
+      FROM d),
+    k AS (
+      SELECT doc_id, domain,
+        row_number() OVER (PARTITION BY domain
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        count(*) OVER (PARTITION BY domain) AS n_domain_docs
+      FROM r)
+    SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk,
+           CAST(n_domain_docs AS BIGINT) AS n_domain_docs
+    FROM k WHERE rk <= {_DOMAIN_CAP}
+    """,
+    tags=("curation", "url", "domain"),
+)
+def domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain document caps (the RefinedWeb/C4 head-domain
+    guard: no single domain may dominate the corpus): extract the
+    registered domain under public-suffix-lite rules, rank that domain's
+    docs by a deterministic md5 hash, keep the first 8. One window
+    shuffle keyed by domain; the hash rank makes the sample reproducible
+    under retries where rand() would not be."""
+    from arroyo_spark.operators.urls import registered_domain, url_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        registered_domain(url_host(_spark_url())).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("domain")
+    return (
+        r.select(
+            "doc_id",
+            "domain",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_domain_docs"),
+        )
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+    )

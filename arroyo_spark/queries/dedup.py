@@ -388,9 +388,7 @@ _ES_K = 10
 _ES_CAP = 16
 
 
-@query(
-    "dedup_exact_substring",
-    oracle=f"""
+_ES_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -420,7 +418,12 @@ _ES_CAP = 16
       FROM runs GROUP BY doc_a, doc_b, diag, grp)
     SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
     FROM rl GROUP BY doc_a, doc_b
-    """,
+    """
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=_ES_ORACLE,
     tags=("dedup", "substring"),
     bench=True,
 )
@@ -433,6 +436,27 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_pairs(docs, k=_ES_K, max_doc_freq=_ES_CAP)
+
+
+@query(
+    "dedup_exact_substring_mat",
+    oracle=_ES_ORACLE,
+    tags=("dedup", "substring", "materialize"),
+    bench=True,
+)
+def dedup_exact_substring_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_exact_substring` with ``materialize=True`` — the 100 TB
+    deployment shape: the positioned shingle stream is persisted
+    (DISK_ONLY) so the corpus is scanned and shingled ONCE instead of
+    once per duplicated self-join subtree (plan-gated to a single
+    documents scan). Benched alongside the declarative form so the
+    scan-once win is a recorded number, not a docstring promise."""
+    from arroyo_spark.operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(
+        docs, k=_ES_K, max_doc_freq=_ES_CAP, materialize=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -262,9 +262,7 @@ def _bucket_sql(vec: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-@query(
-    "knn_lsh_ann",
-    oracle=f"""
+KNN_LSH_ORACLE = f"""
     WITH b AS (
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
       FROM embeddings
@@ -283,7 +281,12 @@ def _bucket_sql(vec: str) -> str:
       FROM scored
     )
     SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
-    """,
+    """
+
+
+@query(
+    "knn_lsh_ann",
+    oracle=KNN_LSH_ORACLE,
     tags=("similarity", "ann", "lsh"),
     bench=True,
 )

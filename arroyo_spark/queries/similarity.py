@@ -28,9 +28,7 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-@query(
-    "knn_cosine_topk",
-    oracle=f"""
+_KNN_EXACT_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 20 = 0
     ), scored AS (
@@ -44,7 +42,12 @@ def _cos(a: str, b: str) -> str:
       FROM scored
     )
     SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
-    """,
+    """
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=_KNN_EXACT_ORACLE,
     tags=("similarity", "knn", "embedding"),
     bench=True,
 )
@@ -187,9 +190,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "knn_ivf_ann",
-    oracle=f"""
+_KNN_IVF_ORACLE = f"""
     WITH {_KM_CTES},
     qs AS (
       SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
@@ -218,7 +219,12 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
-    """,
+    """
+
+
+@query(
+    "knn_ivf_ann",
+    oracle=_KNN_IVF_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,3 +299,76 @@ def semdedup_cluster_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.coalesce("pruned", F.lit(False)).alias("pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall self-check: both approximate indexes (sign-LSH buckets and the
+# IVF k-means cells) scored against the exact brute-force top-k ground
+# truth INSIDE one plan — per-query recall@k as a hash-checked number, so
+# a regression in bucket locality (plane set, cell count, probe count)
+# trips the correctness gate instead of silently degrading quality.
+# Deterministic by construction: both inputs already are.
+#
+# Scale: the exact arm is the expensive one (it exists to audit the ANN
+# arms and runs on a SAMPLE of queries — vec_id % 20 here); the recall
+# join keys on (q_id, n_id), k rows per query on each side.
+# ---------------------------------------------------------------------------
+
+
+def _recall_arm_sql(method: str, cte: str) -> str:
+    return f"""
+      SELECT e.q_id, '{method}' AS method,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(a.n_id) AS BIGINT) AS n_hits,
+             round(count(a.n_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM exact e LEFT JOIN {cte} a ON a.q_id = e.q_id AND a.n_id = e.n_id
+      GROUP BY e.q_id"""
+
+
+def _ann_recall_oracle() -> str:
+    from arroyo_spark.queries.functions_extra import KNN_LSH_ORACLE
+
+    return f"""
+    WITH exact AS (SELECT q_id, n_id FROM ({_KNN_EXACT_ORACLE}) t),
+         lsh AS (SELECT q_id, n_id FROM ({KNN_LSH_ORACLE}) t),
+         ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t)
+    {_recall_arm_sql('lsh', 'lsh')}
+    UNION ALL
+    {_recall_arm_sql('ivf', 'ivf')}
+    """
+
+
+@query(
+    "ann_recall_check",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "recall"),
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.queries.functions_extra import knn_lsh_ann
+
+    exact = knn_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    arms = []
+    for method, fn in (("lsh", knn_lsh_ann), ("ivf", knn_ivf_ann)):
+        ap = fn(spark, sf_dir).select(
+            F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
+        )
+        arms.append(
+            exact.join(
+                ap,
+                (F.col("q_id") == F.col("aq_id"))
+                & (F.col("n_id") == F.col("a_id")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("k"),
+                F.count("a_id").cast("bigint").alias("n_hits"),
+                F.round(
+                    F.count("a_id") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("recall"),
+            )
+            .select(
+                "q_id", F.lit(method).alias("method"), "k", "n_hits", "recall"
+            )
+        )
+    return arms[0].unionAll(arms[1])

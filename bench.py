@@ -234,6 +234,10 @@ def main() -> None:
             rows = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # queries that persist intermediates (materialize= variants)
+            # must pay their cache build in EVERY timed run — and must
+            # not leak cached subtrees into later queries' plans
+            spark.catalog.clearCache()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 

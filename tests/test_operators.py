@@ -615,3 +615,45 @@ def test_winnowing_guarantee_and_short_docs(spark, tmp_path):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc.get(3) is None
     assert by_doc[1] & by_doc[2], "shared run must yield a common fingerprint"
+
+
+def test_url_canonicalization_rules(spark):
+    """Every canonicalization rule on targeted vectors: scheme/host case,
+    default vs non-default ports, www., trailing slash, param sort +
+    utm_ strip, and registered-domain suffix rules."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    vectors = [
+        ("HTTPS://WWW.Example.COM:443/A/?b=2&utm_source=x&a=1",
+         "https://example.com/A?a=1&b=2"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://news.site.co.uk/p/", "https://news.site.co.uk/p"),
+        ("https://example.org", "https://example.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in vectors]
+
+    dom_vectors = [
+        ("www.example.com", "example.com"),
+        ("news.site.co.uk", "site.co.uk"),
+        ("user.github.io", "user.github.io"),
+        ("github.io", "github.io"),
+        ("example.org", "example.org"),
+        ("a.b.c.example.com", "example.com"),
+    ]
+    ddf = spark.createDataFrame([(h,) for h, _ in dom_vectors], "host string")
+    got = [r[0] for r in ddf.select(registered_domain("host")).collect()]
+    assert got == [want for _, want in dom_vectors]
+
+    hdf = spark.createDataFrame(
+        [("HTTPS://WWW.Example.COM:443/x",)], "url string"
+    )
+    assert hdf.select(url_host("url")).collect()[0][0] == "www.example.com"

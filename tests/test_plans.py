@@ -24,6 +24,10 @@ def plan_of(spark, sf_dir, name: str) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    # queries with materialize= persist an intermediate at build time;
+    # drop it so cached subtrees never leak into OTHER queries' plans
+    # (CacheManager substitutes matching subtrees session-wide)
+    spark.catalog.clearCache()
     return buf.getvalue()
 
 
@@ -235,6 +239,24 @@ def test_exact_substring_bounded_joins(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan[:3000]
 
 
+def test_exact_substring_materialize_scan_once(spark, sf_dir):
+    # materialize=True persists the positioned shingle stream, so the
+    # final plan reads documents EXACTLY once (the declarative form's
+    # duplicated self-join subtrees read it 4x) and reuses the cache
+    # through InMemoryTableScan; results identical to the plain form
+    try:
+        plan = plan_of(spark, sf_dir, "dedup_exact_substring_mat")
+        assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+        assert "InMemoryTableScan" in plan, plan[:3000]
+        mat = QUERIES["dedup_exact_substring_mat"].fn(spark, sf_dir)
+        plain = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
+        assert sorted(map(tuple, mat.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_simhash64_banded_equi_join(spark, sf_dir):
     # the production-width SimHash dedup must find candidates through the
     # pigeonhole (band, val) equi-join — a hash join, never a cartesian
@@ -271,6 +293,19 @@ def test_curation_single_shuffle_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert plan.count("Exchange") <= max_exchange, (
+            f"{name}: {plan.count('Exchange')} exchanges"
+        )
+
+
+def test_url_curation_single_shuffle_shapes(spark, sf_dir):
+    # url canonicalization / domain extraction are pure projections; the
+    # dedup groupBy and the domain-cap window are each ONE keyed shuffle
+    # (<= 2 Exchange lines in the formatted plan via AQE sections)
+    for name in ("url_canonical_dedup", "domain_doc_caps"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Join" not in plan, f"{name}: {plan[:2000]}"
+        assert plan.count("Exchange") <= 2, (
             f"{name}: {plan.count('Exchange')} exchanges"
         )
 

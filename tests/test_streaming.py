@@ -771,3 +771,94 @@ def test_state_store_conf_env_knob(monkeypatch):
         conf["spark.sql.streaming.stateStore.providerClass"]
         == ROCKSDB_PROVIDER
     )
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """The curation flagship's streaming leg: quality filter + stateful
+    exact dedup run ON INGEST through Structured Streaming (the
+    dedup-on-arrival deployment shape), then the batch finishing steps
+    (reservoir cap + shard packing) over the drained state — and the
+    result must equal `corpus_curation_pipeline` run fully in batch.
+
+    The streaming dedup is a keyed min(struct(doc_id, ...)) aggregation
+    rather than dropDuplicates: the batch pipeline keeps the LOWEST
+    doc_id per fingerprint, and a min-aggregate reaches the same winner
+    regardless of arrival order (dropDuplicates keeps the first arrival
+    — covered by streaming_dedup_exact; with late-arrival bounds,
+    dropDuplicatesWithinWatermark caps its state)."""
+    import glob
+    import os
+
+    from arroyo_spark.operators import text as TT
+    from arroyo_spark.operators.dedup import normalize_text
+    from arroyo_spark.queries.curation import (
+        _PIPE_CAP,
+        _PIPE_MAX_TOK,
+        _PIPE_MIN_TOK,
+        _SHARD_TOKENS,
+        corpus_curation_pipeline,
+    )
+    from pyspark.sql import Window
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tmp_path / "curation_src"
+    staged.mkdir()
+    files = [src] if os.path.isfile(src) else sorted(
+        glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, staged / os.path.basename(f))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(str(staged))
+    t = stream.select(
+        "doc_id",
+        "source",
+        F.col("lang"),
+        F.md5(normalize_text("text")).alias("fp"),
+        TT.token_count("text").cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(_PIPE_MIN_TOK, _PIPE_MAX_TOK)
+    )
+    ded = t.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "source", "n_tokens")).alias("w")
+    )
+    _run_to_memory(
+        ded, "curation_stream", "complete", str(tmp_path / "ck")
+    )
+    kept = spark.table("curation_stream").select("w.*")
+    # batch finishing: deterministic per-source reservoir cap + greedy
+    # token-budget shard packing (identical tail to the batch query)
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    r = (
+        kept.select(
+            "doc_id", "source", "n_tokens",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= _PIPE_CAP)
+    )
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        tuple(row)
+        for row in r.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(
+                (F.sum("n_tokens").over(wp) - F.col("n_tokens"))
+                / _SHARD_TOKENS
+            )
+            .cast("bigint")
+            .alias("shard"),
+        ).collect()
+    }
+    want = {
+        tuple(row) for row in corpus_curation_pipeline(spark, sf_dir).collect()
+    }
+    assert got == want and got
