@@ -575,3 +575,227 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(wins)).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb, Penedo et al. 2023 §3.3: lines duplicated
+# across many documents are boilerplate — headers, nav menus, footers —
+# and are removed from the doc while the doc itself is kept). The
+# synthetic corpus has no newlines, so "lines" are fixed-width token
+# chunks (the plumbing — explode lines with position, corpus frequency
+# over the line partition, order-preserving doc rebuild — is exactly the
+# production shape; a real corpus swaps the chunker for split('\n')).
+#
+# Scale: one explode to the line stream, ONE shuffle by line hash (the
+# window marks corpus frequency — same single-scan shape as
+# contamination/novelty, no join-back), one groupBy(doc) rebuild.
+# Frequency is occurrence count (window-friendly in both engines);
+# per-doc repeats are rare enough that it tracks document frequency.
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8  # tokens per pseudo-line
+_LINE_CAP = 2  # lines occurring more often than this are boilerplate
+
+
+@query(
+    "dedup_line_level",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(
+               list_slice(tk, u.i * {_LINE_W} + 1,
+                          u.i * {_LINE_W} + {_LINE_W}), ' ') AS line
+      FROM t,
+           unnest(range(0, CAST(ceil(len(tk) / {_LINE_W}.0) AS INT))) AS u(i)),
+    f AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) AS freq
+      FROM c)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN freq <= {_LINE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(
+             CASE WHEN freq <= {_LINE_CAP} THEN line END, ' ' ORDER BY pos),
+             '')) AS cleaned_md5
+    FROM f GROUP BY doc_id
+    """,
+    tags=("dedup", "line", "curation"),
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(tk, i * _LINE_W + 1, _LINE_W)
+                ).alias("line"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,line:string>>"))
+    c = docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.pos", "c.line"
+    )
+    f = c.select(
+        "doc_id",
+        "pos",
+        "line",
+        F.count(F.lit(1)).over(Window.partitionBy("line")).alias("freq"),
+    )
+    kept_struct = F.when(
+        F.col("freq") <= _LINE_CAP, F.struct("pos", "line")
+    )
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("freq") <= _LINE_CAP).cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["line"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-quality check — the sketch counterpart of
+# ann_recall_check: for every LSH candidate pair, the Jaccard similarity
+# ESTIMATED from signature agreement (Broder 1997: P[minhash collision]
+# = J) next to the EXACT shingle-set Jaccard, with the absolute error.
+# Makes sketch fidelity a hash-checked number, so a change to the hash
+# family / signature width / banding that degrades the estimator trips
+# the correctness gate.
+#
+# Scale: signatures and candidates come from the single-pass LSH plan;
+# the exact arm joins only the exploded shingles of CANDIDATE pairs
+# (the standard verify stage) — never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"min(substr(md5(w), {4 * i + 1}, 4)) AS h{i}" for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', 'b{b}', {hs}))".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS w FROM shl
+    ), sigs AS (
+      SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), est AS (
+      SELECT cand.doc_a, cand.doc_b,
+             ({agree}) / CAST({num_hashes} AS DOUBLE) AS est_j
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.doc_a
+      JOIN sigs sb ON sb.doc_id = cand.doc_b
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM shl
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), exact AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (na + nb - inter) AS exact_j
+      FROM inter
+    )
+    SELECT est.doc_a, est.doc_b,
+           round(est.est_j, 6) AS est_jaccard,
+           round(coalesce(exact.exact_j, 0), 6) AS exact_jaccard,
+           round(abs(est.est_j - coalesce(exact.exact_j, 0)), 6) AS abs_err
+    FROM est LEFT JOIN exact
+      ON exact.doc_a = est.doc_a AND exact.doc_b = est.doc_b
+    """
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=_minhash_estimate_oracle(),
+    tags=("dedup", "minhash", "sketch-quality"),
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = DEFAULT_NUM_HASHES
+    cand = lsh_candidate_pairs(docs)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n)],
+    )
+    agree = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(n)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (agree / F.lit(float(n))).alias("est_j")
+        )
+    )
+    exact = jaccard_pairs(docs, n=3, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_j")
+    )
+    j = est.join(exact, ["doc_a", "doc_b"], "left")
+    ex = F.coalesce(F.col("exact_j"), F.lit(0.0))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round("est_j", 6).alias("est_jaccard"),
+        F.round(ex, 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_j") - ex), 6).alias("abs_err"),
+    )

@@ -333,3 +333,134 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH ANN: L independent sign-LSH tables, candidate union
+# across tables — the standard recall amplifier (Indyk & Motwani 1998;
+# recall 1-(1-p^k)^L vs a single table's p^k). The single-table form
+# above stays registered (bench anchor + the minimal plan); this is the
+# configuration a production deployment tunes. Candidates are
+# DISTINCT-ed before the exact cosine rank so each pair is scored once
+# no matter how many tables it collides in.
+#
+# Scale: per-table bucketing is a projection over one corpus scan; the
+# candidate union is L broadcast equi-joins against the SAMPLED query
+# side; scoring joins candidates back by id (keyed). No cross product.
+# ---------------------------------------------------------------------------
+
+_MT_TABLES = 4
+_MT_PLANES_PER = 4
+_mt_rng = random.Random(7)
+_MT_PLANES = [
+    [[_mt_rng.gauss(0, 1) for _ in range(_DIM)] for _ in range(_MT_PLANES_PER)]
+    for _ in range(_MT_TABLES)
+]
+
+
+def _mt_bucket_sql(vec: str, table: int) -> str:
+    terms = []
+    for i, p in enumerate(_MT_PLANES[table]):
+        proj = _DOT_SQL.format(a=vec, b=_plane_literal_sql(p))
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _mt_cand_arm(table: int) -> str:
+    return f"""
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id
+      FROM b q JOIN b c ON q.t{table} = c.t{table}
+      WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id"""
+
+
+KNN_LSH_MT_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_mt_bucket_sql('embedding', t)} AS t{t}" for t in range(_MT_TABLES))}
+      FROM embeddings
+    ), cand AS (
+      SELECT DISTINCT q_id, n_id FROM (
+        {" UNION ALL ".join(_mt_cand_arm(t) for t in range(_MT_TABLES))}
+      ) u
+    ), scored AS (
+      SELECT cand.q_id, cand.n_id,
+             round({_cos_sql('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.q_id
+      JOIN embeddings en ON en.vec_id = cand.n_id
+    ), ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
+    """
+
+
+@query(
+    "knn_lsh_multitable_ann",
+    oracle=KNN_LSH_MT_ORACLE,
+    tags=("similarity", "ann", "lsh", "multitable"),
+)
+def knn_lsh_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+    from arroyo_spark.operators.similarity import (
+        as_double,
+        dot_arrow,
+        lsh_bucket,
+        norm,
+    )
+
+    emb = ensure_min_parallelism(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    b = emb
+    for t in range(_MT_TABLES):
+        b = b.withColumn(f"t{t}", lsh_bucket(F.col("vec"), _MT_PLANES[t]))
+    q_keys = b.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"t{t}").alias(f"qt{t}") for t in range(_MT_TABLES)],
+    )
+    arms = [
+        b.select(F.col("vec_id").alias("n_id"), F.col(f"t{t}"))
+        .join(
+            F.broadcast(q_keys.select("q_id", F.col(f"qt{t}").alias(f"t{t}"))),
+            f"t{t}",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        for t in range(_MT_TABLES)
+    ]
+    cand = arms[0]
+    for a in arms[1:]:
+        cand = cand.unionAll(a)
+    cand = cand.distinct()
+    qv = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        norm(F.col("vec")).alias("q_norm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        norm(F.col("vec")).alias("n_norm"),
+    )
+    pair_dot = dot_arrow()
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "n_id")
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ),
+        )
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= 3)

@@ -326,13 +326,19 @@ def _recall_arm_sql(method: str, cte: str) -> str:
 
 
 def _ann_recall_oracle() -> str:
-    from arroyo_spark.queries.functions_extra import KNN_LSH_ORACLE
+    from arroyo_spark.queries.functions_extra import (
+        KNN_LSH_MT_ORACLE,
+        KNN_LSH_ORACLE,
+    )
 
     return f"""
     WITH exact AS (SELECT q_id, n_id FROM ({_KNN_EXACT_ORACLE}) t),
          lsh AS (SELECT q_id, n_id FROM ({KNN_LSH_ORACLE}) t),
+         lsh_mt AS (SELECT q_id, n_id FROM ({KNN_LSH_MT_ORACLE}) t),
          ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t)
     {_recall_arm_sql('lsh', 'lsh')}
+    UNION ALL
+    {_recall_arm_sql('lsh_mt', 'lsh_mt')}
     UNION ALL
     {_recall_arm_sql('ivf', 'ivf')}
     """
@@ -344,11 +350,18 @@ def _ann_recall_oracle() -> str:
     tags=("similarity", "ann", "recall"),
 )
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arroyo_spark.queries.functions_extra import knn_lsh_ann
+    from arroyo_spark.queries.functions_extra import (
+        knn_lsh_ann,
+        knn_lsh_multitable_ann,
+    )
 
     exact = knn_cosine_topk(spark, sf_dir).select("q_id", "n_id")
     arms = []
-    for method, fn in (("lsh", knn_lsh_ann), ("ivf", knn_ivf_ann)):
+    for method, fn in (
+        ("lsh", knn_lsh_ann),
+        ("lsh_mt", knn_lsh_multitable_ann),
+        ("ivf", knn_ivf_ann),
+    ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
         )
@@ -371,4 +384,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_id", F.lit(method).alias("method"), "k", "n_hits", "recall"
             )
         )
-    return arms[0].unionAll(arms[1])
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

@@ -180,9 +180,7 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-@query(
-    "text_gopher_filters",
-    oracle=f"""
+GOPHER_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, text, {_TOKS} AS tk FROM documents
     ), m AS (
@@ -215,7 +213,12 @@ _GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
             AND (stop_hits >= 2)
             AND (symbol_ratio <= 0.1)) AS keep
     FROM m
-    """,
+    """
+
+
+@query(
+    "text_gopher_filters",
+    oracle=GOPHER_ORACLE,
     tags=("text", "quality", "curation"),
 )
 def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,4 +276,113 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_sw.alias("pass_stopwords"),
         pass_sr.alias("pass_symbol_ratio"),
         (pass_wc & pass_ml & pass_ar & pass_sw & pass_sr).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script detection — the writing-system counterpart of the n-gram
+# language ID above (multilingual pipelines bucket by SCRIPT before any
+# per-language model: script is cheap, reliable, and decides which lang-ID
+# / tokenizer to run). Counts per-script codepoints with engine regex
+# script classes (Java \p{IsX} == RE2 \p{X} for these scripts). The
+# synthetic corpus is pure ASCII, so a deterministic multi-script suffix
+# is appended in-query by doc_id (the pii/url payload pattern) to give
+# every script class real work.
+#
+# Scale: a pure regexp-count projection — zero shuffle, plan-gated with
+# the other text projections.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SUFFIX = {
+    0: " привет мир данных",
+    1: " 世界数据流",
+    2: " ροή δεδομένων",
+    3: "",
+}
+
+
+@query(
+    "text_script_detection",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || (CASE doc_id % 4
+                      WHEN 0 THEN '{_SCRIPT_SUFFIX[0]}'
+                      WHEN 1 THEN '{_SCRIPT_SUFFIX[1]}'
+                      WHEN 2 THEN '{_SCRIPT_SUFFIX[2]}'
+                      ELSE '' END) AS payload
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(payload, '[a-zA-Z]')) AS BIGINT) AS n_latin,
+             CAST(len(regexp_extract_all(payload, '\\p{{Cyrillic}}')) AS BIGINT) AS n_cyrillic,
+             CAST(len(regexp_extract_all(payload, '\\p{{Han}}')) AS BIGINT) AS n_han,
+             CAST(len(regexp_extract_all(payload, '\\p{{Greek}}')) AS BIGINT) AS n_greek,
+             CAST(len(regexp_extract_all(payload, '[0-9]')) AS BIGINT) AS n_digit
+      FROM p)
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek, n_digit,
+           CASE
+             WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                  AND n_latin >= n_greek THEN 'latin'
+             WHEN n_cyrillic >= n_han AND n_cyrillic >= n_greek
+                  THEN 'cyrillic'
+             WHEN n_han >= n_greek THEN 'han'
+             ELSE 'greek'
+           END AS dominant_script,
+           round(n_latin / CAST(n_latin + n_cyrillic + n_han + n_greek
+                                AS DOUBLE), 6) AS latin_ratio
+    FROM m
+    """,
+    tags=("text", "script", "curation"),
+)
+def text_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    payload = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, _SCRIPT_SUFFIX[0])
+        .when(d % 4 == 1, _SCRIPT_SUFFIX[1])
+        .when(d % 4 == 2, _SCRIPT_SUFFIX[2])
+        .otherwise(""),
+    )
+    p = docs.select("doc_id", payload.alias("payload"))
+    counts = {
+        "n_latin": "[a-zA-Z]",
+        "n_cyrillic": r"\p{IsCyrillic}",
+        "n_han": r"\p{IsHan}",
+        "n_greek": r"\p{IsGreek}",
+        "n_digit": "[0-9]",
+    }
+    m = p.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("payload"), F.lit(pat))
+            .cast("bigint")
+            .alias(name)
+            for name, pat in counts.items()
+        ],
+    )
+    lat, cyr, han, grk = (
+        F.col("n_latin"),
+        F.col("n_cyrillic"),
+        F.col("n_han"),
+        F.col("n_greek"),
+    )
+    dominant = (
+        F.when((lat >= cyr) & (lat >= han) & (lat >= grk), "latin")
+        .when((cyr >= han) & (cyr >= grk), "cyrillic")
+        .when(han >= grk, "han")
+        .otherwise("greek")
+    )
+    return m.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_han",
+        "n_greek",
+        "n_digit",
+        dominant.alias("dominant_script"),
+        F.round(
+            lat / (lat + cyr + han + grk).cast("double"), 6
+        ).alias("latin_ratio"),
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from arroyo_spark.catalog import load_table
 from arroyo_spark.operators import text as T
 from arroyo_spark.operators.dedup import shingles
+from arroyo_spark.queries.text import GOPHER_ORACLE
 from arroyo_spark.suite import query
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
@@ -321,9 +322,7 @@ def text_corpus_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_bigram_perplexity",
-    oracle=f"""
+BIGRAM_PPL_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
     bg AS (
@@ -346,7 +345,12 @@ def text_corpus_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
            END AS bucket
     FROM pd
-    """,
+    """
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=BIGRAM_PPL_ORACLE,
     tags=("text", "curation", "perplexity"),
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,9 +464,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_quality_classifier",
-    oracle=f"""
+QUALITY_CLS_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     f AS (
       SELECT doc_id,
@@ -489,7 +491,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS quality_prob,
            (isum >= 0) AS keep
     FROM s WHERE n_feats > 0
-    """,
+    """
+
+
+@query(
+    "text_quality_classifier",
+    oracle=QUALITY_CLS_ORACLE,
     tags=("text", "curation", "classifier"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,4 +535,79 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_score.alias("lm_score"),
         F.round(1 / (1 + F.exp(-lm_score)), 6).alias("quality_prob"),
         (F.col("isum") >= 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal ensemble: the decision a real curation pipeline actually
+# makes — Gopher rule passes (Rae et al. 2021), the fastText-style linear
+# classifier verdict (Joulin et al. 2016) and the CCNet perplexity bucket
+# (Wenzek et al. 2020) combined into one keep/drop per document, in ONE
+# composed plan. Signals stay inspectable (each arm's column is emitted),
+# the verdict is conjunctive: >= 3/5 Gopher rules AND classifier keep AND
+# not in the perplexity tail.
+#
+# Scale: the rule + classifier arms are projections over the corpus scan;
+# the perplexity arm contributes its keyed aggregations; the final
+# combination is two doc_id equi-joins (AQE broadcasts the doc-level
+# relations when small). Docs the perplexity/classifier arms cannot score
+# (no bigrams / no features) are excluded by the inner joins — the same
+# rows every engine excludes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_quality_ensemble",
+    oracle=f"""
+    WITH g0 AS (SELECT * FROM ({GOPHER_ORACLE}) t),
+    g AS (
+      SELECT doc_id,
+             CAST(CAST(pass_word_count AS INT) + CAST(pass_mean_word_len AS INT)
+                  + CAST(pass_alpha_ratio AS INT) + CAST(pass_stopwords AS INT)
+                  + CAST(pass_symbol_ratio AS INT) AS BIGINT) AS gopher_passes
+      FROM g0),
+    c AS (SELECT doc_id, quality_prob, keep AS cls_keep
+          FROM ({QUALITY_CLS_ORACLE}) t),
+    p AS (SELECT doc_id, bucket AS ppl_bucket FROM ({BIGRAM_PPL_ORACLE}) t)
+    SELECT g.doc_id, g.gopher_passes, c.quality_prob, c.cls_keep,
+           p.ppl_bucket,
+           (g.gopher_passes >= 3 AND c.cls_keep AND p.ppl_bucket <> 'tail')
+             AS keep
+    FROM g JOIN c USING (doc_id) JOIN p USING (doc_id)
+    """,
+    tags=("text", "curation", "ensemble"),
+)
+def curation_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.queries.text import text_gopher_filters
+
+    g = text_gopher_filters(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("pass_word_count").cast("int")
+            + F.col("pass_mean_word_len").cast("int")
+            + F.col("pass_alpha_ratio").cast("int")
+            + F.col("pass_stopwords").cast("int")
+            + F.col("pass_symbol_ratio").cast("int")
+        )
+        .cast("bigint")
+        .alias("gopher_passes"),
+    )
+    c = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_prob", F.col("keep").alias("cls_keep")
+    )
+    p = text_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", F.col("bucket").alias("ppl_bucket")
+    )
+    j = g.join(c, "doc_id").join(p, "doc_id")
+    return j.select(
+        "doc_id",
+        "gopher_passes",
+        "quality_prob",
+        "cls_keep",
+        "ppl_bucket",
+        (
+            (F.col("gopher_passes") >= 3)
+            & F.col("cls_keep")
+            & (F.col("ppl_bucket") != "tail")
+        ).alias("keep"),
     )

@@ -267,6 +267,27 @@ def test_simhash64_banded_equi_join(spark, sf_dir):
     assert "Join" in plan
 
 
+def test_multitable_lsh_recall_and_plan(spark, sf_dir):
+    # the L-table union must amplify recall well past the single table on
+    # the fixture (0.45 vs 0.05 at sf0.001), and the candidate arms must
+    # be broadcast equi-joins — no cartesian, no nested loop
+    plan = plan_of(spark, sf_dir, "knn_lsh_multitable_ann")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    import pyspark.sql.functions as F
+
+    rec = {
+        r["method"]: r["avg_r"]
+        for r in QUERIES["ann_recall_check"]
+        .fn(spark, sf_dir)
+        .groupBy("method")
+        .agg(F.avg("recall").alias("avg_r"))
+        .collect()
+    }
+    assert rec["lsh_mt"] >= rec["lsh"] + 0.2, rec
+
+
 def test_curation_projections_shuffle_free(spark, sf_dir):
     # PII scrub, Gopher rule filters and the fastText-style linear
     # quality classifier are pure codegen projections: NO Exchange, no
@@ -275,6 +296,7 @@ def test_curation_projections_shuffle_free(spark, sf_dir):
         "pii_scrub_redaction",
         "text_gopher_filters",
         "text_quality_classifier",
+        "text_script_detection",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name}: {plan[:2000]}"
