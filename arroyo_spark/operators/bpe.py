@@ -1,0 +1,91 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — the standard subword
+tokenizer-training algorithm): iteratively merge the most frequent
+adjacent symbol pair across the corpus vocabulary.
+
+Determinism design (the k-means pattern — see operators/clustering.py):
+- training runs on the WORD VOCABULARY with corpus frequencies (the
+  textbook formulation), so per-iteration work is over |vocab| rows, not
+  corpus tokens; the only corpus-sized pass is the initial word count;
+- the best pair per iteration is chosen by (count DESC, a, b) — exact
+  integer counts, total order, no ties;
+- merge application is a portable greedy LEFT-TO-RIGHT fold over the
+  symbol array (string accumulator; a space boundary in the suffix test
+  prevents re-merging just-merged output, so runs behave like textbook
+  BPE: "aaa" + merge(a,a) -> ["aa","a"]). Spark's F.aggregate and
+  DuckDB's list_reduce evaluate the identical fold.
+
+Scale: each iteration is one pair-count aggregation (shuffle keyed by
+pair) plus a 1-ROW collect (the argmax pair — bounded driver traffic,
+like the k x dim centroid matrix in k-means) and a map-only fold. At 100
+TB the vocabulary relation is millions of rows — trivially distributed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) — corpus word frequencies with each word split
+    into its initial character symbols."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+    )
+
+
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of merge (a, b) to a symbol array,
+    returning the new symbol array."""
+    merged = F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, s: F.when(
+            (s == F.lit(b)) & acc.endswith(F.lit(" " + a)),
+            F.concat(acc, s),
+        ).otherwise(F.concat(acc, F.lit(" "), s)),
+    )
+    return F.split(F.ltrim(merged), " ")
+
+
+def bpe_train_segment(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Run ``n_merges`` BPE iterations; returns (vocab with final
+    segmentation, the learned merge list in order)."""
+    vocab = bpe_vocab(docs, text_col)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        two = F.size("syms") >= 2
+        n = F.size("syms")
+        pairs = (
+            vocab.filter(two)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+    return vocab, merges

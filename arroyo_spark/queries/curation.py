@@ -607,3 +607,87 @@ def domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _DOMAIN_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (the multilingual/source re-weighting
+# staple — Devlin et al. 2019 mBERT exponent sampling, Conneau et al.
+# 2020 XLM-R α=0.3, Raffel et al. 2020 T5 §3.4.3): given each source's
+# natural token share p_s, sample with q_s ∝ p_s^α so head sources are
+# down-weighted and tail sources up-weighted; the per-doc multiplier is
+# q_s / p_s. α = 0.5 here so the exponent is an exact IEEE sqrt (pow()
+# is not bit-portable across libm implementations; sqrt is correctly
+# rounded everywhere). Float discipline: sqrt terms are rounded to 9dp
+# and summed as DECIMAL so normalization is order-independent.
+#
+# Scale: ONE groupBy(source) aggregation (decimal-exact token sums) plus
+# a 1-row totals broadcast — the output is |sources| rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source),
+    scored AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p,
+             CAST(round(sqrt(n_tokens /
+                  CAST(sum(n_tokens) OVER () AS DOUBLE)), 9)
+                  AS DECIMAL(18, 9)) AS q_raw
+      FROM per_source),
+    norm AS (
+      SELECT *, CAST(sum(q_raw) OVER () AS DECIMAL(28, 9)) AS z
+      FROM scored)
+    SELECT source, n_docs, n_tokens,
+           round(p, 6) AS p_natural,
+           round(CAST(q_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q_sampled,
+           round(CAST(q_raw AS DOUBLE) / CAST(z AS DOUBLE) / p, 6)
+             AS doc_weight
+    FROM norm
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.select(
+        "source", T.token_count("text").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    # totals/normalizer via GLOBAL windows over the aggregated relation:
+    # it is |sources| rows (tiny by construction), so the single-partition
+    # window is free and the plan keeps ONE corpus scan — the crossJoin-
+    # with-aggregated-totals alternative re-derived per_source per branch
+    # (4 corpus scans)
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    scored = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        F.round(F.sqrt(p), 9).cast("decimal(18,9)").alias("q_raw"),
+    )
+    norm = scored.withColumn(
+        "z", F.sum("q_raw").over(w).cast("decimal(28,9)")
+    )
+    q = F.col("q_raw").cast("double") / F.col("z").cast("double")
+    return norm.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p_natural"),
+        F.round(q, 6).alias("q_sampled"),
+        F.round(q / F.col("p"), 6).alias("doc_weight"),
+    )

@@ -611,3 +611,73 @@ def curation_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ppl_bucket") != "tail")
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — 3 iterations of
+# most-frequent-pair merging over the corpus vocabulary, the second
+# iterative distributed algorithm with a full value-level oracle (the
+# k-means pattern): exact integer pair counts + a total (count DESC, a,
+# b) order make every merge choice reproducible, and the greedy
+# left-to-right fold applies merges identically in Spark (F.aggregate)
+# and DuckDB (list_reduce). See operators/bpe.py for the scale argument.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_iter_cte(i: int) -> str:
+    """CTEs for one BPE iteration: pair counts -> argmax -> fold apply."""
+    prev = f"v{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT freq,
+             unnest(list_slice(syms, 1, len(syms) - 1)) AS a,
+             unnest(list_slice(syms, 2, len(syms))) AS b
+      FROM {prev} WHERE len(syms) >= 2),
+    c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM p{i} GROUP BY a, b),
+    m{i} AS (SELECT a, b FROM c{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{i} AS (
+      SELECT word, freq,
+             string_split(ltrim(list_reduce(
+               list_prepend('', syms),
+               (acc, s) -> CASE WHEN s = m{i}.b
+                                AND ends_with(acc, ' ' || m{i}.a)
+                           THEN acc || s ELSE acc || ' ' || s END)), ' ')
+               AS syms
+      FROM {prev} CROSS JOIN m{i})"""
+
+
+@query(
+    "bpe_merge_training",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BPE_MERGES + 1))}
+    SELECT word, freq,
+           array_to_string(syms, ' ') AS segmented,
+           CAST(len(syms) AS BIGINT) AS n_symbols
+    FROM v{_BPE_MERGES}
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary after 3 learned BPE merges: each word's final
+    subword segmentation and symbol count. The per-iteration argmax pair
+    is a 1-row collect (bounded driver traffic, the k-means centroid
+    pattern); everything else is keyed aggregation + map-only folds."""
+    from arroyo_spark.operators.bpe import bpe_train_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _merges = bpe_train_segment(docs, n_merges=_BPE_MERGES)
+    return vocab.select(
+        "word",
+        "freq",
+        F.array_join("syms", " ").alias("segmented"),
+        F.size("syms").cast("bigint").alias("n_symbols"),
+    )

@@ -657,3 +657,25 @@ def test_url_canonicalization_rules(spark):
         [("HTTPS://WWW.Example.COM:443/x",)], "url string"
     )
     assert hdf.select(url_host("url")).collect()[0][0] == "www.example.com"
+
+
+def test_bpe_train_merges_and_run_semantics(spark):
+    """BPE on a hand-built corpus: the argmax pair order is (count desc,
+    a, b); runs merge greedily left-to-right ('aaaa' + merge(a,a) ->
+    'aa aa', 'aaa' -> 'aa a'); merged symbols join later merges."""
+    from arroyo_spark.operators.bpe import bpe_train_segment
+
+    docs = spark.createDataFrame(
+        [("ab ab ab cd cd aaaa aaa",)], "text string"
+    )
+    vocab, merges = bpe_train_segment(docs, n_merges=2)
+    segs = {r["word"]: r["syms"] for r in vocab.collect()}
+    # pair counts: (a,b)x3, (c,d)x2, (a,a)x5 (3 in aaaa + 2 in aaa)
+    assert merges[0] == ("a", "a")
+    # after merging (a,a): aaaa -> [aa, aa], aaa -> [aa, a]; next best is
+    # (a,b)x3 over (aa,aa)x1, (c,d)x2
+    assert merges[1] == ("a", "b")
+    assert segs["aaaa"] == ["aa", "aa"]
+    assert segs["aaa"] == ["aa", "a"]
+    assert segs["ab"] == ["ab"]
+    assert segs["cd"] == ["c", "d"]

@@ -332,6 +332,15 @@ def test_url_curation_single_shuffle_shapes(spark, sf_dir):
         )
 
 
+def test_mixture_weights_single_scan(spark, sf_dir):
+    # totals/normalizer come from global windows over the |sources|-row
+    # aggregated relation — ONE corpus scan, no joins (the crossJoin-
+    # with-totals alternative re-derived the aggregation per branch)
+    plan = plan_of(spark, sf_dir, "corpus_mixture_weights")
+    assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
 def test_two_level_packing_broadcast_offsets(spark, sf_dir):
     # the offset-merge join back must be a broadcast (P rows per source),
     # never a shuffle join or cartesian

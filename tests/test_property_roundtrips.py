@@ -174,3 +174,43 @@ def test_mqtt_publish_packet_frame_round_trip(payload, topic_text):
     finally:
         a.close()
         b.close()
+
+
+# --- URL canonicalization properties ----------------------------------------
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over the full
+    cross product of rule interactions (a canonical form must be a fixed
+    point, or dedup keys drift across passes); also spot-checks that the
+    second pass is the identity on already-canonical inputs."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.urls import canonicalize_url
+
+    urls = [
+        scheme + "://" + www + "host" + h + "." + suffix + port + path + qs
+        for scheme, www, h, suffix, port, path, qs in itertools.product(
+            ["http", "HTTPS"],
+            ["", "www.", "WWW."],
+            ["1", "22"],
+            ["com", "co.uk", "github.io"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/A/b", "/A/b/"],
+            ["", "?b=2&a=1", "?utm_source=x&a=1", "?utm_source=x"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select("url", canonicalize_url("url").alias("c1"))
+        .select("url", "c1", canonicalize_url("c1").alias("c2"))
+        .collect()
+    )
+    bad = [(r["url"], r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
+    # default ports vanish, non-default ports survive
+    by_url = {r["url"]: r["c1"] for r in rows}
+    assert by_url["http://host1.com:80"] == "http://host1.com"
+    assert by_url["http://host1.com:8080"] == "http://host1.com:8080"
