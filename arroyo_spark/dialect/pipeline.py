@@ -1079,6 +1079,12 @@ class Pipeline:
                 "framing.newline.max_length is not supported for format "
                 f"{fmt!r}"
             )
+        if frame_max is not None:
+            # byte truncation may split a multibyte char: decode must be
+            # lossy (U+FFFD) so the line becomes a malformed RECORD
+            # (bad_data applies), not a query abort — belt-and-braces for
+            # bare sessions that skipped apply_runtime_conf
+            self.spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
         if t.options.get("json.unstructured") or fmt in ("raw_string", "raw_bytes"):
             # whole line as a single value column: unstructured JSON
             # (json_operators.sql), raw_string (formats.rs:396+,
@@ -1169,19 +1175,32 @@ class Pipeline:
                 if fs_compression == "zstd":
                     lines = read_zstd_lines(self.spark, path, streaming, fs_regex)
                 elif streaming:
+                    # read the STAGED source (persistent staging under
+                    # --state-dir / EOI sentinel), exactly like the
+                    # non-framed json branch — reading the raw path would
+                    # skip the sentinel (watermark never flushes) and
+                    # break the stop/restore path contract
                     lines = self.spark.readStream.option(
                         "maxFilesPerTrigger", 1
-                    ).text(_stream_path(path))
+                    ).text(stream_src)
                 else:
                     lines = self.spark.read.text(path)
                 if frame_max is not None:
+                    truncated = F.decode(
+                        F.substring(F.encode("value", "UTF-8"), 1, frame_max),
+                        "UTF-8",
+                    )
+                    # the EOI sentinel line is engine-internal (not part
+                    # of the framed input) — exempt it, or a cap shorter
+                    # than the sentinel JSON would drop it and the final
+                    # watermark flush with it
                     lines = lines.select(
-                        F.decode(
-                            F.substring(
-                                F.encode("value", "UTF-8"), 1, frame_max
-                            ),
-                            "UTF-8",
-                        ).alias("value")
+                        F.when(
+                            F.input_file_name().contains("zz_eoi_sentinel"),
+                            F.col("value"),
+                        )
+                        .otherwise(truncated)
+                        .alias("value")
                     )
                 schema = self._source_schema(t)
                 # PERMISSIVE from_json yields null FIELDS (not a null
@@ -2643,21 +2662,30 @@ class Pipeline:
             # table is exactly-once (tests/test_delta.py, test_iceberg.py)
             if not out_path:
                 raise PlanError(f"{conn} sink {target.name} needs a 'path' option")
+            # txn identity is per INSERT, not per sink: each INSERT's
+            # streaming query numbers its batchIds from 0, so a SHARED
+            # app_id would make the second INSERT's commits look like
+            # recovery replays of the first's (txn version already >=
+            # batch_id) and silently drop them — the same bug class as
+            # the shared checkpoint path, one layer down
+            txn_key = f"{target.name}{ins_sfx}"
+            txn_app = f"arroyo-spark{ins_sfx}"
             if conn == "delta":
                 from arroyo_spark.streaming.delta import DeltaTableSink
 
                 txn = self._txn_sinks.setdefault(
-                    target.name,
+                    txn_key,
                     DeltaTableSink(
                         out_path,
                         partition_by=self._sink_partition_fields(target, df),
+                        app_id=txn_app,
                     ),
                 )
             else:
                 from arroyo_spark.streaming.iceberg import IcebergTableSink
 
                 txn = self._txn_sinks.setdefault(
-                    target.name,
+                    txn_key,
                     IcebergTableSink(
                         out_path,
                         partition_by=self._sink_partition_fields(target, df),
@@ -2667,6 +2695,7 @@ class Pipeline:
                             )
                         ).lower()
                         == "true",
+                        app_id=txn_app,
                     ),
                 )
             ck0 = (

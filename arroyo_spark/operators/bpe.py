@@ -30,11 +30,10 @@ from pyspark.sql import DataFrame
 def bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, syms) — corpus word frequencies with each word split
     into its initial character symbols."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
-    )
+    from arroyo_spark.operators.text import toks
+
     return (
-        docs.select(F.explode(toks).alias("word"))
+        docs.select(F.explode(toks(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .withColumn("syms", F.split("word", ""))

@@ -126,6 +126,7 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (doc_a < doc_b).
 
@@ -142,9 +143,12 @@ def lsh_candidate_pairs(
     are dropped (they are near-certain duplicate cliques better handled
     by the exact-dedup pass). Off by default to match the oracle exactly.
     """
-    b = lsh_band_keys(
-        minhash_signatures(docs, id_col, num_hashes), id_col, num_hashes, bands
-    )
+    # callers that ALSO consume the signatures (minhash_jaccard_estimate)
+    # pass them in, so the scan->shingle->md5->min-agg pipeline is planned
+    # once, not once per consumer
+    if sigs is None:
+        sigs = minhash_signatures(docs, id_col, num_hashes)
+    b = lsh_band_keys(sigs, id_col, num_hashes, bands)
     buckets = (
         b.groupBy("band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))

@@ -88,6 +88,10 @@ def registered_domain(host: Column | str) -> Column:
     """
     h = _c(host)
     labels = F.split(h, r"\.")
+    # CASE branches guard every element_at by label count first: Spark 4
+    # default ANSI mode makes an out-of-range element_at a query-killing
+    # error, and crawl data DOES contain single-label hosts (localhost,
+    # intranet names) — those are their own registered domain
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
     last3 = F.concat_ws(
         ".",
@@ -96,6 +100,8 @@ def registered_domain(host: Column | str) -> Column:
         F.element_at(labels, -1),
     )
     is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
-    return F.when(F.size(labels) >= 3, F.when(is_multi, last3).otherwise(last2)).otherwise(
-        F.when(is_multi, h).otherwise(last2)
+    return (
+        F.when(F.size(labels) <= 1, h)
+        .when(F.size(labels) >= 3, F.when(is_multi, last3).otherwise(last2))
+        .otherwise(F.when(is_multi, h).otherwise(last2))
     )

@@ -691,3 +691,97 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_sampled"),
         F.round(q / F.col("p"), 6).alias("doc_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking — the downstream-prep step every
+# embedding/RAG pipeline runs after curation (fixed-size token windows
+# with stride overlap so no boundary context is lost; each chunk carries
+# its doc, index and token offsets for provenance). Chunks here are
+# WINDOW=32 tokens with STRIDE=24 (8-token overlap), tail kept if >= 8
+# tokens unless it is the only chunk.
+#
+# Scale: pure array HOFs + one explode — shuffle-free (the consumer
+# groups or embeds downstream); linear in corpus tokens.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
+_CHUNK_MIN_TAIL = 8
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    n AS (
+      SELECT doc_id, tk, len(tk) AS n_tok,
+             greatest(CAST(ceil((len(tk) - {_CHUNK_W}) /
+                      {_CHUNK_STRIDE}.0) AS INT) + 1, 1) AS n_chunks
+      FROM t WHERE len(tk) > 0),
+    c AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             u.i * {_CHUNK_STRIDE} + 1 AS tok_start,
+             least(u.i * {_CHUNK_STRIDE} + {_CHUNK_W}, n_tok) AS tok_end,
+             array_to_string(list_slice(tk, u.i * {_CHUNK_STRIDE} + 1,
+               least(u.i * {_CHUNK_STRIDE} + {_CHUNK_W}, n_tok)), ' ')
+               AS chunk_text
+      FROM n, unnest(range(0, n_chunks)) AS u(i))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_end AS BIGINT) AS tok_end,
+           CAST(tok_end - tok_start + 1 AS BIGINT) AS n_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM c
+    WHERE chunk_idx = 0 OR tok_end - tok_start + 1 >= {_CHUNK_MIN_TAIL}
+    """,
+    tags=("curation", "chunking"),
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    n_tok = F.size(tk)
+    n_chunks = F.greatest(
+        F.ceil((n_tok - _CHUNK_W) / F.lit(float(_CHUNK_STRIDE))).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            (i * _CHUNK_STRIDE + 1).cast("bigint").alias("tok_start"),
+            F.least(i * _CHUNK_STRIDE + _CHUNK_W, n_tok)
+            .cast("bigint")
+            .alias("tok_end"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    tk,
+                    i * _CHUNK_STRIDE + 1,
+                    F.least(i * _CHUNK_STRIDE + _CHUNK_W, n_tok)
+                    - (i * _CHUNK_STRIDE),
+                ),
+            ).alias("chunk_text"),
+        ),
+    )
+    c = (
+        docs.filter(n_tok > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.*")
+    )
+    ln = F.col("tok_end") - F.col("tok_start") + 1
+    return c.filter(
+        (F.col("chunk_idx") == 0) | (ln >= _CHUNK_MIN_TAIL)
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        "tok_end",
+        ln.cast("bigint").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

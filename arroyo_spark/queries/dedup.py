@@ -630,10 +630,10 @@ _LINE_CAP = 2  # lines occurring more often than this are boilerplate
 def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from arroyo_spark.operators.text import toks
+
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
-    )
+    tk = toks("text")
     n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
     chunks = F.when(
         n_chunks > 0,
@@ -733,12 +733,18 @@ def _minhash_estimate_oracle(num_hashes: int = 8, bands: int = 4) -> str:
       FROM cand
       JOIN sigs sa ON sa.doc_id = cand.doc_a
       JOIN sigs sb ON sb.doc_id = cand.doc_b
+    ), cdocs AS (
+      SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
     ), sized AS (
-      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM shl
+      -- exact arm restricted to CANDIDATE docs/pairs (the verify-stage
+      -- discipline: never exact-Jaccard the whole shingle-sharing space)
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+      FROM shl JOIN cdocs USING (doc_id)
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
       FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
       GROUP BY 1, 2, 3, 4
     ), exact AS (
       SELECT doc_a, doc_b,
@@ -765,10 +771,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from arroyo_spark.operators.dedup import ensure_min_parallelism, shingles
+
     docs = load_table(spark, sf_dir, "documents")
     n = DEFAULT_NUM_HASHES
-    cand = lsh_candidate_pairs(docs)
+    # signatures computed ONCE and shared by the candidate generator
     sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(docs, sigs=sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n)],
@@ -787,8 +796,40 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", (agree / F.lit(float(n))).alias("est_j")
         )
     )
-    exact = jaccard_pairs(docs, n=3, threshold=0.0).select(
-        "doc_a", "doc_b", F.col("jaccard").alias("exact_j")
+    # exact arm: shingle streams of CANDIDATE docs only, aggregated for
+    # candidate PAIRS only — the standard LSH verify stage, not the
+    # all-shingle-sharing-pairs blow-up
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = ensure_min_parallelism(
+        docs.join(cand_docs, "doc_id", "left_semi")
+    ).select("doc_id", shingles("text", 3).alias("sh"))
+    sized = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("exact_j"),
     )
     j = est.join(exact, ["doc_a", "doc_b"], "left")
     ex = F.coalesce(F.col("exact_j"), F.lit(0.0))

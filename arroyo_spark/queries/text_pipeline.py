@@ -501,9 +501,7 @@ QUALITY_CLS_ORACLE = f"""
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
-    )
+    tk = T.toks("text")
     n = F.size(tk)
     bigrams = F.zip_with(
         F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
@@ -639,14 +637,19 @@ def _bpe_iter_cte(i: int) -> str:
              FROM p{i} GROUP BY a, b),
     m{i} AS (SELECT a, b FROM c{i} ORDER BY cnt DESC, a, b LIMIT 1),
     v{i} AS (
+      -- LEFT JOIN ON TRUE + null guard: if the vocabulary exhausts
+      -- mergeable pairs before iteration {i}, m{i} is EMPTY and this
+      -- iteration must be a NO-OP (the Spark side breaks out of the
+      -- loop) — a CROSS JOIN would empty the whole vocabulary instead
       SELECT word, freq,
-             string_split(ltrim(list_reduce(
+             CASE WHEN m{i}.a IS NULL THEN syms
+             ELSE string_split(ltrim(list_reduce(
                list_prepend('', syms),
                (acc, s) -> CASE WHEN s = m{i}.b
                                 AND ends_with(acc, ' ' || m{i}.a)
                            THEN acc || s ELSE acc || ' ' || s END)), ' ')
-               AS syms
-      FROM {prev} CROSS JOIN m{i})"""
+             END AS syms
+      FROM {prev} LEFT JOIN m{i} ON TRUE)"""
 
 
 @query(

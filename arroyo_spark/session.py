@@ -32,6 +32,12 @@ _BASE_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Lossy UTF-8 decode (U+FFFD replacement, the Rust from_utf8_lossy the
+    # reference's formats use) instead of MALFORMED_CHARACTER_CODING: a
+    # framing.newline.max_length byte cap that splits a multibyte char
+    # must yield a malformed record that follows bad_data, not abort the
+    # pipeline (de.rs:104-108).
+    "spark.sql.legacy.codingErrorAction": "true",
     # Small dimension tables (region/nation/supplier/customer at test SF)
     # should broadcast; 64 MB covers every dim at sf<=1 while big tables
     # still sort-merge/shuffle-hash join.

@@ -153,3 +153,26 @@ def test_pipeline_delta_ddl_writes_delta_log(spark, tmp_path):
     Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script2)
     got2 = sorted(r["a"] for r in read_delta(spark, str(tmp_path / "delta_out2")).collect())
     assert got2 == [10, 20, 30]
+
+
+def test_pipeline_two_streaming_inserts_one_delta_sink(spark, tmp_path):
+    """Two streaming INSERTs into ONE delta sink: each needs its own txn
+    app_id (both queries number batchIds from 0 — a shared app_id made
+    the second INSERT's commits look like recovery replays and silently
+    dropped them)."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    (tmp_path / "in.json").write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+      path='$p/in.json', format='json', type='source');
+    CREATE TABLE dt (a BIGINT) WITH (connector='delta', type='sink',
+      path='$p/delta_merge');
+    INSERT INTO dt SELECT a * 10 AS a FROM src;
+    INSERT INTO dt SELECT a * 100 AS a FROM src;
+    """
+    Pipeline(spark, {"$p": str(tmp_path)}, mode="streaming").run_script(script)
+    got = sorted(
+        r["a"] for r in read_delta(spark, str(tmp_path / "delta_merge")).collect()
+    )
+    assert got == [10, 20, 30, 100, 200, 300]

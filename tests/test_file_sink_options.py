@@ -619,6 +619,71 @@ def test_framing_max_length_truncates_structured_json(spark, tmp_path):
     assert got == [1]
 
 
+def test_framing_max_length_multibyte_split_is_bad_data(spark, tmp_path):
+    """A byte cap that splits a multibyte UTF-8 char must yield a
+    MALFORMED record that follows bad_data (lossy U+FFFD decode, the
+    reference's from_utf8_lossy behavior) — not abort the query with
+    MALFORMED_CHARACTER_CODING."""
+    from arroyo_spark.dialect.pipeline import run_script
+
+    src = tmp_path / "in.json"
+    # second record: the 16-byte cap lands mid-'é' -> malformed -> dropped
+    src.write_text('{"a": 1}\n{"a": 2, "p": "ééééééé"}\n')
+    out = str(tmp_path / "out.json")
+    res = run_script(
+        spark,
+        f"""
+        CREATE TABLE src (a BIGINT) WITH (
+          connector = 'single_file', path = '{src}', format = 'json',
+          type = 'source', framing = 'newline',
+          'framing.newline.max_length' = '16', bad_data = 'drop');
+        CREATE TABLE out (a BIGINT) WITH (
+          connector = 'single_file', path = '{out}', format = 'json',
+          type = 'sink');
+        INSERT INTO out SELECT a FROM src;
+        """,
+    )
+    assert [json.loads(l)["a"] for l in res.sink_json("out")] == [1]
+
+
+def test_framing_max_length_streaming_keeps_eoi_flush(spark, tmp_path):
+    """Streaming framed json source: the truncation path must read the
+    STAGED source so the EOI sentinel still flushes windows (a raw-path
+    read would leave the final window open forever), and the sentinel
+    line itself is exempt from truncation."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        '{"ts": "2024-01-01T00:10:00", "v": 1}\n'
+        '{"ts": "2024-01-01T00:20:00", "v": 2, "pad": "xxxxxxxxxxxxxxxxxxxx"}\n'
+        '{"ts": "2024-01-01T01:10:00", "v": 3}\n'
+    )
+    out = str(tmp_path / "out.json")
+    res = Pipeline(
+        spark,
+        mode="streaming",
+    ).run_script(
+        f"""
+        CREATE TABLE src (ts TIMESTAMP NOT NULL, v BIGINT,
+          watermark FOR ts AS (ts - interval '5 second')) WITH (
+          connector = 'single_file', path = '{src}', format = 'json',
+          type = 'source', event_time_field = 'ts', framing = 'newline',
+          'framing.newline.max_length' = '48', bad_data = 'drop');
+        CREATE TABLE out (n BIGINT) WITH (
+          connector = 'single_file', path = '{out}', format = 'json',
+          type = 'sink');
+        INSERT INTO out
+        SELECT count(*) AS n FROM src
+        GROUP BY tumble(interval '1 hour');
+        """
+    )
+    # record 2 exceeds the 48-byte cap -> malformed -> dropped; both
+    # hourly windows still CLOSE (sentinel survived), so counts are 1, 1
+    got = sorted(json.loads(l)["n"] for l in res.sink_json("out"))
+    assert got == [1, 1]
+
+
 def test_framing_max_length_rejected_for_block_formats(spark, tmp_path):
     """framing.newline.max_length on a block format (parquet) must be
     rejected, not silently ignored."""

@@ -642,6 +642,7 @@ def test_url_canonicalization_rules(spark):
     assert got == [want for _, want in vectors]
 
     dom_vectors = [
+        ("localhost", "localhost"),  # single-label: no ANSI element_at crash
         ("www.example.com", "example.com"),
         ("news.site.co.uk", "site.co.uk"),
         ("user.github.io", "user.github.io"),
