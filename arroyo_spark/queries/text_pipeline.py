@@ -684,3 +684,134 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("syms", " ").alias("segmented"),
         F.size("syms").cast("bigint").alias("n_symbols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch frequency estimation vs exact counts (Cormode &
+# Muthukrishnan 2005) — the third sketch-quality check alongside
+# ann_recall_check and minhash_jaccard_estimate: CMS is the standard
+# bounded-memory token-frequency structure for streaming corpora (heavy
+# hitters, frequency caps on ingest). Hash rows use the md5 hashing
+# trick (portable), width 512, depth 4; the estimate for a token is the
+# MIN over depth rows of its bucket counter. CMS never underestimates —
+# `overestimate` is the per-token error the pigeonholed width buys, and
+# it is emitted as hash-checked data.
+#
+# Scale: one explode of the token stream, ONE shuffle keyed by
+# (row, bucket) for the sketch (the sketch table is depth x width = 2048
+# rows REGARDLESS of corpus size — that's the point), one exact groupBy
+# for ground truth, broadcast join of the tiny sketch back to the
+# distinct-token relation. In production the exact arm disappears and
+# the sketch table IS the artifact.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256
+_CMS_D = 4
+
+
+def _cms_bucket_sql(row: int, tok: str = "w") -> str:
+    return (
+        f"CAST('0x' || substr(md5('{row}:' || {tok}), 1, 8) AS BIGINT) "
+        f"% {_CMS_W}"
+    )
+
+
+@query(
+    "cms_token_frequency",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    w AS (
+      -- word BIGRAMS: the synthetic unigram vocabulary (~31 tokens)
+      -- would never collide at any sane width; the ~1000-term bigram
+      -- space exercises the overestimate bound for real
+      SELECT unnest({_duck_ngrams(2)}) AS w FROM t),
+    cells AS (
+      SELECT u.r AS r,
+             CASE u.r
+               {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(_CMS_D))}
+             END AS bucket
+      FROM w, unnest(range(0, {_CMS_D})) AS u(r)),
+    sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY r, bucket),
+    exact AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY w),
+    est AS (
+      SELECT exact.w, exact.n,
+             min(sketch.c) AS est_n
+      FROM exact,
+           unnest(range(0, {_CMS_D})) AS u(r)
+      JOIN sketch ON sketch.r = u.r
+        AND sketch.bucket = (CASE u.r
+          {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r, 'exact.w')}" for r in range(_CMS_D))}
+          END)
+      GROUP BY exact.w, exact.n)
+    SELECT w AS token, n AS exact_n, CAST(est_n AS BIGINT) AS cms_n,
+           CAST(est_n - n AS BIGINT) AS overestimate
+    FROM est
+    """,
+    tags=("text", "sketch-quality", "cms"),
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    w = docs.select(F.explode(bigrams).alias("w"))
+
+    def bucket(row: int, col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    cells = w.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(r, F.col("w")).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.bucket")
+    sketch = cells.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = w.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    probes = exact.select(
+        "w",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(r, F.col("w")).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("w", "n", "p.r", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("w", "n")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("n").alias("exact_n"),
+        F.col("est_n").alias("cms_n"),
+        (F.col("est_n") - F.col("n")).cast("bigint").alias("overestimate"),
+    )

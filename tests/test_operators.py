@@ -680,3 +680,16 @@ def test_bpe_train_merges_and_run_semantics(spark):
     assert segs["aaa"] == ["aa", "a"]
     assert segs["ab"] == ["ab"]
     assert segs["cd"] == ["c", "d"]
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min-sketch structural invariant: the estimate is min over
+    depth rows of a counter that includes every occurrence of the token,
+    so cms_n >= exact_n for EVERY token (and equality holds for tokens
+    with a collision-free row)."""
+    from arroyo_spark.suite import all_queries
+
+    df = all_queries()["cms_token_frequency"].fn(spark, sf_dir).toPandas()
+    assert (df.cms_n >= df.exact_n).all()
+    assert (df.overestimate == df.cms_n - df.exact_n).all()
+    assert (df.overestimate == 0).any()  # some row is collision-free
