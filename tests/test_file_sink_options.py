@@ -776,3 +776,44 @@ def test_shuffle_by_partition_controls_file_count(spark, tmp_path):
     )
     assert n_shuffled <= n_default
     assert n_shuffled == 2  # one file per partition key
+
+
+def test_framing_max_length_stop_restore(spark, tmp_path):
+    """Framed json source under --state-dir: the truncation path reads
+    the PERSISTENT staging dir, so a stop/restore run resumes from the
+    checkpoint without re-emitting leg-1 rows and still truncates."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "p0.json").write_text(
+        '{"ts": "2024-01-01T00:10:00", "v": 1}\n'
+    )
+    out = str(tmp_path / "out.json")
+    ck = str(tmp_path / "ck")
+    script = f"""
+    CREATE TABLE src (ts TIMESTAMP NOT NULL, v BIGINT,
+      watermark FOR ts AS (ts - interval '5 second')) WITH (
+      connector = 'single_file', path = '{src_dir}', format = 'json',
+      type = 'source', event_time_field = 'ts', framing = 'newline',
+      'framing.newline.max_length' = '48', bad_data = 'drop');
+    CREATE TABLE out (n BIGINT) WITH (
+      connector = 'single_file', path = '{out}', format = 'json',
+      type = 'sink');
+    INSERT INTO out
+    SELECT count(*) AS n FROM src GROUP BY tumble(interval '1 hour');
+    """
+    Pipeline(
+        spark, mode="streaming", eoi_flush=False, checkpoint_dir=ck
+    ).run_script(script)
+    (src_dir / "p1.json").write_text(
+        '{"ts": "2024-01-01T00:20:00", "v": 2, "pad": "xxxxxxxxxxxxxxxxxxx"}\n'
+        '{"ts": "2024-01-01T01:10:00", "v": 3}\n'
+    )
+    res = Pipeline(
+        spark, mode="streaming", checkpoint_dir=ck
+    ).run_script(script)
+    # the padded record exceeds the cap -> dropped; windows close on the
+    # restore leg's EOI flush: hour 0 has 1 row (v=1), hour 1 has 1 (v=3)
+    got = sorted(json.loads(l)["n"] for l in res.sink_json("out"))
+    assert got == [1, 1]
