@@ -815,3 +815,63 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").alias("cms_n"),
         (F.col("est_n") - F.col("n")).cast("bigint").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE application: encode the corpus with the merges learned above — the
+# train -> apply composition every tokenizer pipeline runs. Application
+# is a VOCABULARY LOOKUP (word -> trained segmentation), the standard
+# deployment shape: the corpus token stream equi-joins the trained vocab
+# (AQE broadcasts it while it fits), then per-doc symbol counts roll up.
+# Emits each doc's word count, encoded symbol count and the compression
+# ratio the learned merges bought.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BPE_MERGES + 1))},
+    seg AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+      FROM v{_BPE_MERGES}),
+    stream AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT stream.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(seg.n_syms) AS BIGINT) AS n_symbols,
+           round(sum(seg.n_syms) / CAST(count(*) AS DOUBLE), 6)
+             AS symbols_per_word
+    FROM stream JOIN seg USING (word)
+    GROUP BY stream.doc_id
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.bpe import bpe_train_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _merges = bpe_train_segment(docs, n_merges=_BPE_MERGES)
+    seg = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_syms")
+    )
+    stream = docs.select(
+        "doc_id", F.explode(T.toks("text")).alias("word")
+    )
+    return (
+        stream.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("symbols_per_word"),
+        )
+    )
