@@ -862,3 +862,81 @@ def test_streaming_curation_pipeline_matches_batch(spark, sf_dir, tmp_path):
         tuple(row) for row in corpus_curation_pipeline(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch builds on ingest: the (row, bucket) counter
+    aggregation run through Structured Streaming (update-capable — the
+    sketch table is depth x width rows regardless of corpus size) must
+    equal the batch sketch over the same corpus."""
+    import glob
+    import os
+
+    from arroyo_spark.operators.text import toks
+    from arroyo_spark.queries.text_pipeline import _CMS_D, _CMS_W
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tmp_path / "cms_src"
+    staged.mkdir()
+    files = [src] if os.path.isfile(src) else sorted(
+        glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, staged / os.path.basename(f))
+    schema = spark.read.parquet(src).schema
+
+    def bucket(row, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    def cells(df):
+        tk = toks("text")
+        n = F.size(tk)
+        bigrams = F.zip_with(
+            F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        w = df.select(F.explode(bigrams).alias("w"))
+        return w.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket(r, F.col("w")).alias("bucket"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        ).groupBy("c.r", "c.bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(staged))
+    q = (
+        cells(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in spark.table("cms_stream").collect()
+    }
+    want = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cells(spark.read.parquet(src)).collect()
+    }
+    assert got == want and got
