@@ -785,3 +785,104 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln.cast("bigint").alias("n_tokens"),
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weighted sampling: the assembly step that makes the temperature
+# weights actionable — each doc is kept with probability proportional to
+# its source's q/p multiplier (down-sampling head sources; up-weighting
+# tail sources saturates at keep-all, with the residual >1 weight left to
+# the loader as a repeat factor). Deterministic md5-bucket acceptance,
+# the established no-RNG discipline.
+#
+# Scale: per-source rates are a |sources|-row broadcast onto one corpus
+# scan; the acceptance test is a pure hash predicate — no shuffle beyond
+# the rate aggregation itself.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_mixture_sample",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    per_source AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source),
+    scored AS (
+      SELECT source,
+             n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p,
+             CAST(round(sqrt(n_tokens /
+                  CAST(sum(n_tokens) OVER () AS DOUBLE)), 9)
+                  AS DECIMAL(18, 9)) AS q_raw
+      FROM per_source),
+    rates AS (
+      SELECT source,
+             least(CAST(q_raw AS DOUBLE)
+                   / CAST(sum(q_raw) OVER () AS DOUBLE) / p, 1.0) AS keep_p
+      FROM scored),
+    b AS (
+      SELECT d.doc_id, d.source, rates.keep_p,
+             CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % 1000000 AS bucket
+      FROM per_doc d JOIN rates USING (source))
+    SELECT doc_id, source,
+           round(keep_p, 6) AS keep_p
+    FROM b
+    WHERE bucket < CAST(floor(keep_p * 1000000) AS BIGINT)
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    scored = per_source.select(
+        "source",
+        p.alias("p"),
+        F.round(F.sqrt(p), 9).cast("decimal(18,9)").alias("q_raw"),
+    )
+    rates = scored.select(
+        "source",
+        F.least(
+            F.col("q_raw").cast("double")
+            / F.sum("q_raw").over(w).cast("double")
+            / F.col("p"),
+            F.lit(1.0),
+        ).alias("keep_p"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_p",
+            bucket.alias("bucket"),
+        )
+        .filter(
+            F.col("bucket")
+            < F.floor(F.col("keep_p") * 1000000).cast("bigint")
+        )
+        .select("doc_id", "source", F.round("keep_p", 6).alias("keep_p"))
+    )
