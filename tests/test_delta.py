@@ -176,3 +176,40 @@ def test_pipeline_two_streaming_inserts_one_delta_sink(spark, tmp_path):
         r["a"] for r in read_delta(spark, str(tmp_path / "delta_merge")).collect()
     )
     assert got == [10, 20, 30, 100, 200, 300]
+
+
+def test_two_streaming_inserts_delta_stop_restore(spark, tmp_path):
+    """The per-INSERT (checkpoint, txn app_id) pairing must be STABLE
+    across stop/restore legs: leg 1 drains half the input through both
+    INSERTs without the EOI flush, leg 2 adds the rest and finishes —
+    the table must hold exactly one copy of every row from both INSERTs
+    (replays skipped per app_id, nothing cross-wired)."""
+    import json as _json
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "p0.json").write_text('{"a": 1}\n{"a": 2}\n')
+    ck = str(tmp_path / "ck")
+    script = """
+    CREATE TABLE src (a BIGINT) WITH (connector='single_file',
+      path='$p/src', format='json', type='source');
+    CREATE TABLE dt (a BIGINT) WITH (connector='delta', type='sink',
+      path='$p/delta_restore');
+    INSERT INTO dt SELECT a * 10 AS a FROM src;
+    INSERT INTO dt SELECT a * 100 AS a FROM src;
+    """
+    subs = {"$p": str(tmp_path)}
+    Pipeline(
+        spark, subs, mode="streaming", eoi_flush=False, checkpoint_dir=ck
+    ).run_script(script)
+    (src_dir / "p1.json").write_text('{"a": 3}\n')
+    Pipeline(
+        spark, subs, mode="streaming", checkpoint_dir=ck
+    ).run_script(script)
+    got = sorted(
+        r["a"]
+        for r in read_delta(spark, str(tmp_path / "delta_restore")).collect()
+    )
+    assert got == [10, 20, 30, 100, 200, 300]
