@@ -875,3 +875,39 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("symbols_per_word"),
         )
     )
+
+
+@query(
+    "curation_quality_ensemble_mat",
+    oracle=f"""
+    WITH g0 AS (SELECT * FROM ({GOPHER_ORACLE}) t),
+    g AS (
+      SELECT doc_id,
+             CAST(CAST(pass_word_count AS INT) + CAST(pass_mean_word_len AS INT)
+                  + CAST(pass_alpha_ratio AS INT) + CAST(pass_stopwords AS INT)
+                  + CAST(pass_symbol_ratio AS INT) AS BIGINT) AS gopher_passes
+      FROM g0),
+    c AS (SELECT doc_id, quality_prob, keep AS cls_keep
+          FROM ({QUALITY_CLS_ORACLE}) t),
+    p AS (SELECT doc_id, bucket AS ppl_bucket FROM ({BIGRAM_PPL_ORACLE}) t)
+    SELECT g.doc_id, g.gopher_passes, c.quality_prob, c.cls_keep,
+           p.ppl_bucket,
+           (g.gopher_passes >= 3 AND c.cls_keep AND p.ppl_bucket <> 'tail')
+             AS keep
+    FROM g JOIN c USING (doc_id) JOIN p USING (doc_id)
+    """,
+    tags=("text", "curation", "ensemble", "materialize"),
+)
+def curation_quality_ensemble_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`curation_quality_ensemble` at the 100 TB deployment shape: the
+    corpus scan is persisted (DISK_ONLY) before the arms compose, and
+    Spark's CacheManager substitutes the cached relation into every
+    matching subtree — the composed plan reads the corpus ONCE (the
+    declarative form re-reads it per arm; plan-gated to a single file
+    scan + InMemoryTableScan reuse). Same device as
+    `dedup_exact_substring_mat`; identical output, identical oracle."""
+    from pyspark import StorageLevel
+
+    base = load_table(spark, sf_dir, "documents")
+    base.persist(StorageLevel.DISK_ONLY)
+    return curation_quality_ensemble(spark, sf_dir)

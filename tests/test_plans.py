@@ -239,6 +239,33 @@ def test_exact_substring_bounded_joins(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan[:3000]
 
 
+def test_ensemble_materialize_scan_once(spark, sf_dir):
+    # the materialized ensemble persists the corpus scan; CacheManager
+    # substitutes it into every arm, so the composed plan has exactly one
+    # file scan (the declarative form reads documents 5x)
+    try:
+        plan = plan_of(spark, sf_dir, "curation_quality_ensemble_mat")
+        assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+        assert "InMemoryTableScan" in plan
+        mat = sorted(
+            map(
+                tuple,
+                QUERIES["curation_quality_ensemble_mat"]
+                .fn(spark, sf_dir)
+                .collect(),
+            )
+        )
+        plain = sorted(
+            map(
+                tuple,
+                QUERIES["curation_quality_ensemble"].fn(spark, sf_dir).collect(),
+            )
+        )
+        assert mat == plain
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_exact_substring_materialize_scan_once(spark, sf_dir):
     # materialize=True persists the positioned shingle stream, so the
     # final plan reads documents EXACTLY once (the declarative form's
