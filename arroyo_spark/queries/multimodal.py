@@ -117,3 +117,63 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "sample_rate", "n_samples", F.col("audio_ms").alias("duration_ms"), "rms_milli"
     )
+
+
+@query(
+    "mm_content_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             'MEDIA-' || (doc_id % 200) || '-' ||
+               repeat('x', (doc_id % 200) % 37 + 8) AS payload
+      FROM documents)
+    SELECT sha256(payload) AS content_sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(encode(payload))) AS BIGINT) AS blob_bytes
+    FROM m GROUP BY 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup — the universal first pass of every
+    image/audio pipeline: hash the raw BYTES (before any decode), keep
+    one media id per digest. Blobs are constructed deterministically from
+    doc_id (the pii/url payload pattern; raw text bytes have no exact
+    byte-duplicates, so a 200-way id fold gives every digest real
+    copies). The sha runs JVM-side on the binary column
+    (multimodal.content_hash, no Python in the path); dedup is a plain
+    hash-groupBy on the digest — the exact-dedup plan over blobs.
+
+    Scale: one scan, one shuffle keyed by sha-256; at 100 TB the digest
+    GROUP BY is the cheapest possible keyed reduction and the blob bytes
+    never shuffle (only the 64-hex digest and the counters do)."""
+    from arroyo_spark.multimodal import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    payload = F.concat(
+        F.lit("MEDIA-"),
+        (d % 200).cast("string"),
+        F.lit("-"),
+        F.repeat(F.lit("x"), ((d % 200) % 37 + 8).cast("int")),
+    )
+    m = content_hash(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(payload, "UTF-8").alias("content"),
+        )
+    )
+    return (
+        m.select(
+            "content_sha",
+            "media_id",
+            F.octet_length("content").cast("bigint").alias("blob_bytes"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("media_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("blob_bytes").cast("bigint").alias("blob_bytes"),
+        )
+    )
