@@ -692,17 +692,19 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_recall_check and minhash_jaccard_estimate: CMS is the standard
 # bounded-memory token-frequency structure for streaming corpora (heavy
 # hitters, frequency caps on ingest). Hash rows use the md5 hashing
-# trick (portable), width 512, depth 4; the estimate for a token is the
-# MIN over depth rows of its bucket counter. CMS never underestimates —
-# `overestimate` is the per-token error the pigeonholed width buys, and
-# it is emitted as hash-checked data.
+# trick (portable), width 256, depth 4; the estimate for a term is the
+# MIN over depth rows of its bucket counter (error ~ N/width per the CMS
+# bound). CMS never underestimates — `overestimate` is the per-term
+# error the pigeonholed width buys, and it is emitted as hash-checked
+# data.
 #
-# Scale: one explode of the token stream, ONE shuffle keyed by
-# (row, bucket) for the sketch (the sketch table is depth x width = 2048
-# rows REGARDLESS of corpus size — that's the point), one exact groupBy
-# for ground truth, broadcast join of the tiny sketch back to the
-# distinct-token relation. In production the exact arm disappears and
-# the sketch table IS the artifact.
+# Scale: the SKETCH arm is one explode of the bigram stream and ONE
+# shuffle keyed by (row, bucket) — the sketch table is depth x width =
+# 1024 rows REGARDLESS of corpus size, which is the point. The exact
+# ground-truth arm (one more pass + groupBy term) exists only for this
+# quality check; in production it disappears and the sketch table IS the
+# artifact. The tiny sketch broadcasts back onto the distinct-term
+# relation.
 # ---------------------------------------------------------------------------
 
 _CMS_W = 256
@@ -714,6 +716,52 @@ def _cms_bucket_sql(row: int, tok: str = "w") -> str:
         f"CAST('0x' || substr(md5('{row}:' || {tok}), 1, 8) AS BIGINT) "
         f"% {_CMS_W}"
     )
+
+
+def cms_bucket(row: int, col: F.Column) -> F.Column:
+    """CMS bucket id for hash row ``row`` — md5 hashing trick, portable
+    (shared by the suite query and the streaming parity test)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def cms_bigram_stream(docs: DataFrame) -> DataFrame:
+    """The term stream the sketch counts: ALL word bigrams, one row each."""
+    tk = T.toks("text")
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return docs.select(F.explode(bigrams).alias("w"))
+
+
+def cms_sketch(w: DataFrame) -> DataFrame:
+    """(r, bucket, c) counter table — depth x width rows total."""
+    cells = w.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_bucket(r, F.col("w")).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.bucket")
+    return cells.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
 
 
 @query(
@@ -753,41 +801,8 @@ def _cms_bucket_sql(row: int, tok: str = "w") -> str:
 )
 def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tk = T.toks("text")
-    n = F.size(tk)
-    bigrams = F.zip_with(
-        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    w = docs.select(F.explode(bigrams).alias("w"))
-
-    def bucket(row: int, col: F.Column) -> F.Column:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
-    cells = w.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        bucket(r, F.col("w")).alias("bucket"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("c")
-    ).select("c.r", "c.bucket")
-    sketch = cells.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    w = cms_bigram_stream(docs)
+    sketch = cms_sketch(w)
     exact = w.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     probes = exact.select(
         "w",
@@ -797,7 +812,7 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        bucket(r, F.col("w")).alias("bucket"),
+                        cms_bucket(r, F.col("w")).alias("bucket"),
                     )
                     for r in range(_CMS_D)
                 ]

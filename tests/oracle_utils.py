@@ -73,6 +73,11 @@ def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
 
 def run_query_vs_oracle(spark, duck, q, sf_dir: str) -> list[str]:
     sp_df = q.fn(spark, sf_dir).toPandas()
+    # materialize= variants persist relations (some persist the bare
+    # corpus scan, which CacheManager would substitute into EVERY later
+    # query's plan session-wide) — drop caches so each parity check
+    # exercises the real parquet path
+    spark.catalog.clearCache()
     if q.oracle is None:
         return [] if len(sp_df) >= 0 else ["spark query failed"]
     du_df = duck.execute(q.oracle).df()

@@ -184,7 +184,7 @@ def test_two_streaming_inserts_delta_stop_restore(spark, tmp_path):
     INSERTs without the EOI flush, leg 2 adds the rest and finishes —
     the table must hold exactly one copy of every row from both INSERTs
     (replays skipped per app_id, nothing cross-wired)."""
-    import json as _json
+
 
     from arroyo_spark.dialect.pipeline import Pipeline
 

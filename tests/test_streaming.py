@@ -872,8 +872,10 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
     import glob
     import os
 
-    from arroyo_spark.operators.text import toks
-    from arroyo_spark.queries.text_pipeline import _CMS_D, _CMS_W
+    from arroyo_spark.queries.text_pipeline import (
+        cms_bigram_stream,
+        cms_sketch,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     staged = tmp_path / "cms_src"
@@ -885,38 +887,11 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
         os.symlink(f, staged / os.path.basename(f))
     schema = spark.read.parquet(src).schema
 
-    def bucket(row, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
     def cells(df):
-        tk = toks("text")
-        n = F.size(tk)
-        bigrams = F.zip_with(
-            F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-        w = df.select(F.explode(bigrams).alias("w"))
-        return w.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            bucket(r, F.col("w")).alias("bucket"),
-                        )
-                        for r in range(_CMS_D)
-                    ]
-                )
-            ).alias("c")
-        ).groupBy("c.r", "c.bucket").agg(F.count(F.lit(1)).alias("c"))
+        # the PRODUCTION sketch builders — imported, not copied, so this
+        # parity leg keeps testing the real implementation if the
+        # hashing/tokenization ever changes
+        return cms_sketch(cms_bigram_stream(df))
 
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
