@@ -37,6 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from arroyo_spark.session import apply_runtime_conf
 
             apply_runtime_conf(spark)
+            # cache hygiene owned by the runner: `materialize=` queries
+            # persist intermediates they cannot unpersist before the
+            # caller's action; clearing HERE (before each build) keeps a
+            # prior query's cached corpus out of this query's plan
+            # (CacheManager substitutes matching subtrees session-wide)
+            spark.catalog.clearCache()
             return q.fn(spark, sf_dir)
 
         return run

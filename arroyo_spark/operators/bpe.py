@@ -19,6 +19,15 @@ Scale: each iteration is one pair-count aggregation (shuffle keyed by
 pair) plus a 1-ROW collect (the argmax pair — bounded driver traffic,
 like the k x dim centroid matrix in k-means) and a map-only fold. At 100
 TB the vocabulary relation is millions of rows — trivially distributed.
+
+Materialization (the operators/graph.py connected-components pattern):
+the initial vocabulary is ``localCheckpoint()``-ed — ONE corpus scan,
+period — and each merge application is checkpointed again, so iteration
+i's argmax collect executes over the |vocab|-row snapshot, never a
+replay of the corpus word-count plus i-1 accumulated folds. Without
+this, M merges cost M corpus scans + O(M^2) fold re-evaluation through
+lineage — the difference between a toy demo and the 10k-30k merges a
+production tokenizer trains.
 """
 
 from __future__ import annotations
@@ -56,11 +65,17 @@ def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
 
 def bpe_train_segment(
     docs: DataFrame, n_merges: int = 3, text_col: str = "text"
-) -> tuple[DataFrame, list[tuple[str, str]]]:
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Run ``n_merges`` BPE iterations; returns (vocab with final
-    segmentation, the learned merge list in order)."""
-    vocab = bpe_vocab(docs, text_col)
-    merges: list[tuple[str, str]] = []
+    segmentation, the learned merge list ``[(a, b, pair_count), ...]``
+    in training order — the artifact a tokenizer actually ships).
+
+    The initial vocab build is the ONLY plan that touches the corpus;
+    it is materialized (localCheckpoint truncates lineage) before the
+    loop, and each merge application re-checkpoints the |vocab|-row
+    relation so no iteration replays prior folds."""
+    vocab = bpe_vocab(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         two = F.size("syms") >= 2
         n = F.size("syms")
@@ -84,7 +99,9 @@ def bpe_train_segment(
         ).limit(1).collect()
         if not best:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint()
     return vocab, merges

@@ -96,7 +96,16 @@ def kmeans_lloyd_full(
     ((id, cluster) after ``iters`` assignment/update rounds, the centroids
     used for the FINAL assignment). The centroids let callers (e.g. IVF
     ANN probing) replay cell selection deterministically."""
-    q = quantize(df.select(id_col, vec_col), vec_col).select(id_col, "v")
+    # materialize the quantized vectors ONCE (localCheckpoint truncates
+    # lineage, the operators/bpe.py pattern): every assignment round and
+    # the centroid update read the snapshot, not a parquet re-scan +
+    # re-quantize per iteration — MLlib caches its training input for the
+    # same reason
+    q = (
+        quantize(df.select(id_col, vec_col), vec_col)
+        .select(id_col, "v")
+        .localCheckpoint()
+    )
     init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
     centroids = [[float(x) for x in r["v"]] for r in init]
     assigned = assign_clusters(q, centroids)

@@ -44,7 +44,11 @@ def canonicalize_url(col: Column | str) -> Column:
     - trailing slash dropped from the path;
     - query params sorted byte-wise, ``utm_``-prefixed tracking params
       dropped (fragment-free inputs assumed — crawls store URLs without
-      fragments).
+      fragments);
+    - inputs that do not parse as ``scheme://host...`` (scheme-less or
+      malformed strings — real crawl data has them) pass through
+      UNCHANGED: collapsing them onto a shared ``://`` key would dedup
+      every malformed URL into one group and silently drop all but one.
     """
     u = _c(col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -72,13 +76,14 @@ def canonicalize_url(col: Column | str) -> Column:
         )
     )
     qs = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    return F.when((scheme == "") | (hostport == ""), u).otherwise(canon)
 
 
 def registered_domain(host: Column | str) -> Column:

@@ -560,7 +560,12 @@ _DOMAIN_CAP = 8
     d AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h),
     r AS (
       SELECT doc_id,
-        CASE WHEN len(L) >= 3
+        -- single-label branch mirrors the Spark operator
+        -- (registered_domain: len <= 1 -> the host itself); without it a
+        -- 1-label host makes L[-2] NULL and the concat a NULL domain,
+        -- silently diverging from the operator if the URL fixture changes
+        CASE WHEN len(L) <= 1 THEN host
+             WHEN len(L) >= 3
                   AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
              THEN L[-3] || '.' || L[-2] || '.' || L[-1]
              WHEN len(L) < 3

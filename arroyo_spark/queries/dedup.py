@@ -628,8 +628,6 @@ _LINE_CAP = 2  # lines occurring more often than this are boilerplate
     tags=("dedup", "line", "curation"),
 )
 def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from arroyo_spark.operators.text import toks
 
     docs = load_table(spark, sf_dir, "documents")
@@ -650,12 +648,15 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = docs.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.pos", "c.line"
     )
-    f = c.select(
-        "doc_id",
-        "pos",
-        "line",
-        F.count(F.lit(1)).over(Window.partitionBy("line")).alias("freq"),
+    # line frequency via groupBy + equi-join back, NOT a window over
+    # PARTITION BY line: a boilerplate line occurring 10^9 times at web
+    # scale would land in ONE window partition (buffer + spill on the hot
+    # key), while the aggregate pre-combines map-side and AQE's skew-join
+    # splits the hot key on the join (the text_corpus_freq_stats shape)
+    freq = c.groupBy("line").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
     )
+    f = c.join(freq, "line").select("doc_id", "pos", "line", "freq")
     kept_struct = F.when(
         F.col("freq") <= _LINE_CAP, F.struct("pos", "line")
     )

@@ -485,12 +485,20 @@ QUALITY_CLS_ORACLE = f"""
                         % 2001 - 1000)),
                (acc, x) -> acc + x) AS isum
       FROM f)
+    , s2 AS (
+      SELECT doc_id, n_feats, isum,
+             round(isum / (1000.0 * n_feats), 9) AS lm
+      FROM s WHERE n_feats > 0)
     SELECT doc_id, n_feats,
-           round(isum / (1000.0 * n_feats), 9) AS lm_score,
-           round(1 / (1 + exp(-round(isum / (1000.0 * n_feats), 9))), 6)
-             AS quality_prob,
+           lm AS lm_score,
+           -- Elliott sigmoid x/(1+|x|), not 1/(1+exp(-x)): exp() is a
+           -- libm call whose low bits differ across platforms (the same
+           -- class as pow(), which this repo routes through sqrt); the
+           -- rational form uses only correctly-rounded IEEE ops, so the
+           -- 6dp round can never straddle an engine-dependent boundary
+           round(0.5 + 0.5 * lm / (1 + abs(lm)), 6) AS quality_prob,
            (isum >= 0) AS keep
-    FROM s WHERE n_feats > 0
+    FROM s2
     """
 
 
@@ -531,7 +539,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_feats",
         lm_score.alias("lm_score"),
-        F.round(1 / (1 + F.exp(-lm_score)), 6).alias("quality_prob"),
+        # Elliott sigmoid (algebraic, libm-free): bit-portable where
+        # 1/(1+exp(-x)) is not — see the oracle comment
+        F.round(
+            F.lit(0.5) + F.lit(0.5) * lm_score / (F.lit(1.0) + F.abs(lm_score)),
+            6,
+        ).alias("quality_prob"),
         (F.col("isum") >= 0).alias("keep"),
     )
 
@@ -625,7 +638,13 @@ _BPE_MERGES = 3
 
 
 def _bpe_iter_cte(i: int) -> str:
-    """CTEs for one BPE iteration: pair counts -> argmax -> fold apply."""
+    """CTEs for one BPE iteration: pair counts -> argmax -> fold apply.
+
+    v{i} is MATERIALIZED: each v{i} is referenced twice (the next
+    iteration's pair stream and its fold), so inlined CTEs expand the
+    parquet scan 2^depth times — at depth 24 that exhausts file
+    descriptors before it exhausts patience. Materializing per level is
+    the oracle-side analog of the Spark loop's localCheckpoint."""
     prev = f"v{i - 1}"
     return f"""
     p{i} AS (
@@ -635,8 +654,8 @@ def _bpe_iter_cte(i: int) -> str:
       FROM {prev} WHERE len(syms) >= 2),
     c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
              FROM p{i} GROUP BY a, b),
-    m{i} AS (SELECT a, b FROM c{i} ORDER BY cnt DESC, a, b LIMIT 1),
-    v{i} AS (
+    m{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{i} AS MATERIALIZED (
       -- LEFT JOIN ON TRUE + null guard: if the vocabulary exhausts
       -- mergeable pairs before iteration {i}, m{i} is EMPTY and this
       -- iteration must be a NO-OP (the Spark side breaks out of the
@@ -683,6 +702,59 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.array_join("syms", " ").alias("segmented"),
         F.size("syms").cast("bigint").alias("n_symbols"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE at depth: 24 merge iterations, emitting the learned MERGE LIST
+# itself — (rank, a, b, pair count) in training order, the artifact a
+# tokenizer ships (merges.txt). Checking the list is strictly stronger
+# than checking a segmentation: iteration i's argmax depends on the
+# vocabulary state after merges 1..i-1, so one wrong choice anywhere
+# cascades into every later rank. This is the depth proof for the
+# iterative harness (the localCheckpoint materialization in
+# operators/bpe.py is what makes 24 — or 24k — iterations linear in
+# iterations instead of quadratic lineage replay).
+#
+# Scale: per iteration one |vocab|-row pair-count shuffle + a 1-ROW
+# collect; the merge list itself is M driver-side rows (a tokenizer's
+# merges.txt — kilobytes at production M), re-parallelized only to emit
+# the checked artifact.
+# ---------------------------------------------------------------------------
+
+_BPE_DEEP_MERGES = 24
+
+
+@query(
+    "bpe_merge_training_deep",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BPE_DEEP_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a, b, cnt FROM m{i}"
+        for i in range(1, _BPE_DEEP_MERGES + 1)
+    )}
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merge_training_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge list after 24 BPE iterations: (rank, a, b, cnt)
+    per merge, in training order. Each row came from one bounded 1-row
+    argmax collect (the k-means centroid pattern); if pair merging
+    exhausts early both engines stop emitting ranks at the same point
+    (the oracle's m{{i}} CTEs go empty, the Spark loop breaks)."""
+    from arroyo_spark.operators.bpe import bpe_train_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    _vocab, merges = bpe_train_segment(docs, n_merges=_BPE_DEEP_MERGES)
+    rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank bigint, a string, b string, cnt bigint"
     )
 
 

@@ -218,7 +218,35 @@ _GREEN_R06 = frozenset(
 )
 
 
+_GREEN_R07 = frozenset(
+    {
+        "agg_bits_bools", "agg_having", "ann_recall_check",
+        "anti_join_no_orders", "array_agg_sorted", "bpe_encode_corpus",
+        "bpe_merge_training", "cms_token_frequency",
+        "corpus_mixture_weights", "count_distinct",
+        "curation_mixture_sample", "curation_quality_ensemble",
+        "curation_quality_ensemble_mat", "date_functions",
+        "dedup_duplicate_clusters", "dedup_embedding_cosine",
+        "dedup_exact_substring_mat", "dedup_line_level",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash64_hamming",
+        "dedup_simhash_hamming", "doc_chunking_overlap", "domain_doc_caps",
+        "embedding_kmeans_clusters", "filter_project", "first_last_by_time",
+        "json_extract_props", "knn_ivf_ann", "knn_lsh_multitable_ann",
+        "lookup_enrich_segment", "median_percentiles",
+        "minhash_jaccard_estimate", "mm_audio_features", "mm_content_dedup",
+        "mm_video_frame_stats", "multi_hash_ids", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue", "scalar_functions",
+        "semdedup_cluster_pruning", "semi_join_big_spenders",
+        "stats_aggregates", "text_quality_classifier",
+        "text_script_detection", "union_all_agg", "url_canonical_dedup",
+        "window_running_totals", "window_topk_per_type",
+    }
+)
+
+
 def _verification_tier(name: str) -> int:
+    if name in _GREEN_R07:
+        return 7
     if name in _GREEN_R06:
         return 6
     if name in _GREEN_R05:

@@ -636,6 +636,11 @@ def test_url_canonicalization_rules(spark):
         ("http://example.com:8080/x", "http://example.com:8080/x"),
         ("https://news.site.co.uk/p/", "https://news.site.co.uk/p"),
         ("https://example.org", "https://example.org"),
+        # malformed / scheme-less inputs pass through UNCHANGED — they
+        # must never collapse onto a shared '://'-style canonical key
+        ("example.com/path", "example.com/path"),
+        ("not a url at all", "not a url at all"),
+        ("ftp:/missing-slash", "ftp:/missing-slash"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in vectors], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
@@ -672,10 +677,10 @@ def test_bpe_train_merges_and_run_semantics(spark):
     vocab, merges = bpe_train_segment(docs, n_merges=2)
     segs = {r["word"]: r["syms"] for r in vocab.collect()}
     # pair counts: (a,b)x3, (c,d)x2, (a,a)x5 (3 in aaaa + 2 in aaa)
-    assert merges[0] == ("a", "a")
+    assert merges[0] == ("a", "a", 5)
     # after merging (a,a): aaaa -> [aa, aa], aaa -> [aa, a]; next best is
     # (a,b)x3 over (aa,aa)x1, (c,d)x2
-    assert merges[1] == ("a", "b")
+    assert merges[1] == ("a", "b", 3)
     assert segs["aaaa"] == ["aa", "aa"]
     assert segs["aaa"] == ["aa", "a"]
     assert segs["ab"] == ["ab"]

@@ -284,6 +284,44 @@ def test_exact_substring_materialize_scan_once(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def _df_plan(spark, df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    spark.catalog.clearCache()
+    return buf.getvalue()
+
+
+def test_bpe_training_single_corpus_scan(spark, sf_dir):
+    # the scale claim of operators/bpe.py AS EXECUTED: the initial vocab
+    # build is the only plan touching parquet (exactly one documents
+    # scan), and after localCheckpoint the trained vocab's plan reads the
+    # snapshot — zero file scans, so M merge iterations cost zero corpus
+    # re-scans and no O(M^2) fold replay through lineage
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.operators.bpe import bpe_train_segment, bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vplan = _df_plan(spark, bpe_vocab(docs))
+    assert len(_fact_scans(vplan, "documents")) == 1, vplan[:3000]
+    vocab, merges = bpe_train_segment(docs, n_merges=3)
+    assert len(merges) == 3
+    tplan = _df_plan(spark, vocab)
+    assert len(_fact_scans(tplan, "documents")) == 0, tplan[:3000]
+    assert "ExistingRDD" in tplan, tplan[:3000]
+
+
+def test_line_level_dedup_skew_safe(spark, sf_dir):
+    # line frequency must come from groupBy(line) + equi-join back, never
+    # count(*) OVER (PARTITION BY line): a 10^9-occurrence boilerplate
+    # line is one window partition (hot-key buffer/spill) but a map-side-
+    # combined aggregate + AQE-skew-splittable join
+    plan = plan_of(spark, sf_dir, "dedup_line_level")
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_simhash64_banded_equi_join(spark, sf_dir):
     # the production-width SimHash dedup must find candidates through the
     # pigeonhole (band, val) equi-join — a hash join, never a cartesian
