@@ -547,10 +547,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOMAIN_CAP = 8
 
-
-@query(
-    "domain_doc_caps",
-    oracle=f"""
+_DOMAIN_CAPS_ORACLE = f"""
     WITH u AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
     h AS (
       SELECT doc_id,
@@ -582,7 +579,12 @@ _DOMAIN_CAP = 8
     SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk,
            CAST(n_domain_docs AS BIGINT) AS n_domain_docs
     FROM k WHERE rk <= {_DOMAIN_CAP}
-    """,
+    """
+
+
+@query(
+    "domain_doc_caps",
+    oracle=_DOMAIN_CAPS_ORACLE,
     tags=("curation", "url", "domain"),
 )
 def domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,6 +613,76 @@ def domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(wc).cast("bigint").alias("n_domain_docs"),
         )
         .filter(F.col("rk") <= _DOMAIN_CAP)
+    )
+
+
+@query(
+    "streaming_domain_caps",
+    oracle=_DOMAIN_CAPS_ORACLE,
+    tags=("curation", "url", "domain", "streaming"),
+)
+def streaming_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`domain_doc_caps` ON INGEST: the documents table replayed through
+    Structured Streaming into a custom stateful operator
+    (`streaming/stateful.streaming_domain_caps`) that admits each
+    domain's ``cap`` lowest-(md5, doc_id) documents with BOUNDED state
+    (cap pairs + one counter per domain). Selection is hash-ranked, not
+    arrival-ordered, so the drained state equals the batch window's
+    answer exactly — same oracle, same columns. The final per-domain
+    emission is the one with the largest n_seen (the counter is strictly
+    increasing, so max(n_seen) is the last state, independent of sink
+    row order)."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.urls import registered_domain, url_host
+    from arroyo_spark.streaming.stateful import (
+        streaming_domain_caps as _caps_op,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="sdc_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    keyed = stream.select(
+        "doc_id",
+        registered_domain(url_host(_spark_url())).alias("domain"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    admitted = _caps_op(keyed, cap=_DOMAIN_CAP)
+    name = "sdc_" + _uuid.uuid4().hex[:8]
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdc_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    w = Window.partitionBy("domain").orderBy(F.col("n_seen").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # admitted arrays are stored sorted by (hash, id): position = rank
+    return final.select(
+        "domain",
+        F.col("n_seen").alias("n_domain_docs"),
+        F.posexplode("ids").alias("_p", "doc_id"),
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        "domain",
+        (F.col("_p") + 1).cast("bigint").alias("rk"),
+        F.col("n_domain_docs").cast("bigint"),
     )
 
 

@@ -190,7 +190,8 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_KNN_IVF_ORACLE = f"""
+def _knn_ivf_oracle(n_probe: int = 3) -> str:
+    return f"""
     WITH {_KM_CTES},
     qs AS (
       SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
@@ -201,7 +202,7 @@ _KNN_IVF_ORACLE = f"""
                                   ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')},
                                            c1.cid) AS rn
         FROM qs CROSS JOIN c1
-      ) r WHERE rn <= 3
+      ) r WHERE rn <= {n_probe}
     ), cand AS (
       SELECT qcells.q_id, a2.vec_id AS n_id
       FROM qcells JOIN a2 ON a2.cid = qcells.cell
@@ -220,6 +221,9 @@ _KNN_IVF_ORACLE = f"""
     )
     SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
     """
+
+
+_KNN_IVF_ORACLE = _knn_ivf_oracle(3)
 
 
 @query(
@@ -335,12 +339,15 @@ def _ann_recall_oracle() -> str:
     WITH exact AS (SELECT q_id, n_id FROM ({_KNN_EXACT_ORACLE}) t),
          lsh AS (SELECT q_id, n_id FROM ({KNN_LSH_ORACLE}) t),
          lsh_mt AS (SELECT q_id, n_id FROM ({KNN_LSH_MT_ORACLE}) t),
-         ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t)
+         ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t),
+         ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
     UNION ALL
     {_recall_arm_sql('ivf', 'ivf')}
+    UNION ALL
+    {_recall_arm_sql('ivf_1p', 'ivf_1p')}
     """
 
 
@@ -355,12 +362,25 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_lsh_multitable_ann,
     )
 
+    from arroyo_spark.operators.similarity import ivf_topk
+
+    def _ivf_1p(spark_, sf_dir_):
+        # single-probe control arm: same cells, same scoring, n_probe=1 —
+        # the measured baseline the multi-probe lever is judged against
+        # (Jégou et al. 2011: probing the top cells, not just the
+        # nearest, is IVF's standard recall knob)
+        emb_ = load_table(spark_, sf_dir_, "embeddings")
+        return ivf_topk(
+            emb_, emb_.filter(F.col("vec_id") % 20 == 0), k=3, n_probe=1
+        )
+
     exact = knn_cosine_topk(spark, sf_dir).select("q_id", "n_id")
     arms = []
     for method, fn in (
         ("lsh", knn_lsh_ann),
         ("lsh_mt", knn_lsh_multitable_ann),
         ("ivf", knn_ivf_ann),
+        ("ivf_1p", _ivf_1p),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")

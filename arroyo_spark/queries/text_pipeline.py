@@ -998,3 +998,150 @@ def curation_quality_ensemble_mat(spark: SparkSession, sf_dir: str) -> DataFrame
     base = load_table(spark, sf_dir, "documents")
     base.persist(StorageLevel.DISK_ONLY)
     return curation_quality_ensemble(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how much more likely its hashed-n-gram features are under a TARGET
+# domain's distribution than under the raw corpus distribution, and keep
+# the docs the target distribution up-weights. The standard modern
+# alternative to binary quality classifiers — selection is by importance
+# ratio, not a hard rule. Target here = the `src0` source slice (a
+# production run feeds a curated corpus like wiki/books as the target).
+#
+# Determinism: both bucket distributions are exact integer counts; the
+# per-bucket log-ratio is computed once on the B=64-row bucket relation
+# with Laplace smoothing, scaled to integer MICRO-NATS (round(ln * 1e6)
+# as BIGINT), so the per-doc score is an integer-exact sum of bucket
+# weights — order-independent, no float accumulation. The single libm
+# call (ln of a ratio of exact-in-double integer products) happens B
+# times on identical inputs in both engines, under the suite's
+# pre-round-log-terms discipline.
+#
+# Scale: pass 1 is explode -> ONE groupBy(bucket) counting raw and
+# target in the same aggregate (the target indicator is a map-side
+# expression) -> a B-row weight table, broadcast. Pass 2 re-explodes and
+# equi-joins the broadcast weights, then one groupBy(doc_id). Two corpus
+# passes total (DSIR's own shape); no shuffle wider than B rows in pass
+# 1. At sf0.01 feature-count products stay exact in doubles; at 100 TB
+# the smoothing products exceed 2^53, so the weight table would be built
+# in log space per term (log(n+1) - log(N+B)) — same plan, same B rows.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_TARGET = "src0"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               tk,
+               list_transform(range(1, len(tk)),
+                              i -> tk[i] || '_' || tk[i + 1]))) AS g
+      FROM t),
+    fb AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+               AS bucket
+      FROM f),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tgt
+      FROM fb GROUP BY bucket),
+    totals AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+             CAST(sum(n_tgt) AS BIGINT) AS nt
+      FROM counts),
+    w AS (
+      SELECT bucket,
+             CAST(round(ln(
+               ((n_tgt + 1) * (nr + {_DSIR_B})) /
+               CAST((n_raw + 1) * (nt + {_DSIR_B}) AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS w_micro
+      FROM counts, totals),
+    scored AS (
+      SELECT fb.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.w_micro) AS BIGINT) AS w_sum_micro
+      FROM fb JOIN w USING (bucket)
+      GROUP BY fb.doc_id)
+    SELECT doc_id, n_feats, w_sum_micro,
+           round(w_sum_micro / (1e6 * n_feats), 6) AS avg_log_ratio,
+           (w_sum_micro > 0) AS keep
+    FROM scored
+    """,
+    tags=("text", "curation", "dsir", "importance-sampling"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score: integer micro-nat sum of
+    hashed-feature log-ratios (target / raw), the average log-ratio, and
+    the keep verdict (docs the target domain up-weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    n = F.size(tk)
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(tk, bigrams)
+    fb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(feats).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    counts = fb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum((F.col("source") == _DSIR_TARGET).cast("int"))
+        .cast("bigint")
+        .alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").cast("bigint").alias("nr"),
+        F.sum("n_tgt").cast("bigint").alias("nt"),
+    )
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("n_tgt") + 1) * (F.col("nr") + _DSIR_B))
+                / ((F.col("n_raw") + 1) * (F.col("nt") + _DSIR_B)).cast(
+                    "double"
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    scored = (
+        fb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w_micro").cast("bigint").alias("w_sum_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "w_sum_micro",
+        F.round(
+            F.col("w_sum_micro") / (F.lit(1e6) * F.col("n_feats")), 6
+        ).alias("avg_log_ratio"),
+        (F.col("w_sum_micro") > 0).alias("keep"),
+    )

@@ -65,3 +65,82 @@ def streaming_dedup_by_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_domain_caps(
+    stream: DataFrame,
+    cap: int = 8,
+    domain_col: str = "domain",
+    rank_col: str = "h",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """On-ingest per-domain document caps (the RefinedWeb/C4 head-domain
+    guard as a STREAMING operator): for every registered domain, maintain
+    the ``cap`` lowest-(hash, id) documents seen so far plus a total-seen
+    counter, emitting the domain's current admitted set whenever it
+    changes (update mode).
+
+    Selection is by deterministic hash rank, not arrival order, so the
+    final state after draining any replay equals the batch
+    ``domain_doc_caps`` answer regardless of file/batch arrival order —
+    the same order-independence argument as the min-struct streaming
+    dedup leg (tests/test_streaming.py).
+
+    Scale: state is BOUNDED at ``cap`` (hash, id) pairs + one counter per
+    domain — O(domains * cap) total in the state store (RocksDB at
+    scale), hash-partitioned by domain; a hot domain costs the same
+    state as a cold one. Per batch, each updated domain does an
+    O(batch_rows + cap) merge, no shuffle beyond the groupBy.
+    """
+    out_schema = StructType.fromDDL(
+        f"{domain_col} string, hs array<string>, ids array<bigint>, "
+        "n_seen bigint"
+    )
+    state_schema = StructType.fromDDL(
+        "hs array<string>, ids array<bigint>, n bigint"
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[str, int]] = []
+        for pdf in batches:
+            rows.extend(
+                zip(
+                    (str(h) for h in pdf[rank_col]),
+                    (int(i) for i in pdf[id_col]),
+                )
+            )
+        if not rows:
+            return
+        if state.exists:
+            hs, ids, n = state.get
+            cur = list(zip((str(h) for h in hs), (int(i) for i in ids)))
+        else:
+            cur, n = [], 0
+        n = int(n) + len(rows)
+        # set() guards against replayed rows under at-least-once
+        # delivery; the sort order (hash, id) matches the batch window's
+        # ORDER BY md5(doc_id), doc_id
+        merged = sorted(set(cur) | set(rows))[:cap]
+        state.update(
+            ([h for h, _ in merged], [i for _, i in merged], n)
+        )
+        yield pd.DataFrame(
+            {
+                domain_col: [key[0]],
+                "hs": [[h for h, _ in merged]],
+                "ids": [[i for _, i in merged]],
+                "n_seen": [n],
+            }
+        )
+
+    return stream.groupBy(domain_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

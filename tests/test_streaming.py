@@ -915,3 +915,86 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
         for r in cells(spark.read.parquet(src)).collect()
     }
     assert got == want and got
+
+
+def test_streaming_domain_caps_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Per-domain caps ON INGEST with a stop/restore leg: half the corpus
+    arrives, the query checkpoints and STOPS; the rest arrives and a new
+    query restores from the same checkpoint. The merged final state must
+    equal the batch `domain_doc_caps` answer — hash-ranked admission is
+    order-independent, and the restored state (cap pairs + counter per
+    domain) carries leg 1's admissions into leg 2's merges."""
+    import glob
+    import os
+
+    from arroyo_spark.operators.urls import registered_domain, url_host
+    from arroyo_spark.queries.curation import (
+        _DOMAIN_CAP,
+        _spark_url,
+        domain_doc_caps,
+    )
+    from arroyo_spark.streaming.stateful import streaming_domain_caps
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+
+    # memory sinks cannot recover from a checkpoint; the durable
+    # emission log (foreachBatch -> parquet append) is also the realistic
+    # deployment shape for an update-mode stateful operator
+    out = str(tmp_path / "emissions")
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        keyed = stream.select(
+            "doc_id",
+            registered_domain(url_host(_spark_url())).alias("domain"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        admitted = streaming_domain_caps(keyed, cap=_DOMAIN_CAP)
+        q = (
+            admitted.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    t1 = spark.read.parquet(out).collect()
+    assert t1, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+    rows = spark.read.parquet(out).collect()
+
+    # final state per domain = the emission with the largest n_seen (the
+    # counter strictly increases), across both legs
+    best: dict = {}
+    for r in rows:
+        if (
+            r["domain"] not in best
+            or r["n_seen"] > best[r["domain"]]["n_seen"]
+        ):
+            best[r["domain"]] = r
+    got = {
+        (int(i), d, p + 1, int(r["n_seen"]))
+        for d, r in best.items()
+        for p, i in enumerate(r["ids"])
+    }
+    expect = {tuple(row) for row in domain_doc_caps(spark, sf_dir).collect()}
+    assert got == expect and got
