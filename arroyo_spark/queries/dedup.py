@@ -597,6 +597,32 @@ _LINE_W = 8  # tokens per pseudo-line
 _LINE_CAP = 2  # lines occurring more often than this are boilerplate
 
 
+def _line_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line): the corpus as positioned fixed-width
+    pseudo-lines (the synthetic corpus has no newlines; the chunker swaps
+    for split('\\n') on natural text). Shared by the line-level dedup and
+    the Bloom-filter membership check."""
+    from arroyo_spark.operators.text import toks
+
+    tk = toks("text")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(tk, i * _LINE_W + 1, _LINE_W)
+                ).alias("line"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,line:string>>"))
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.pos", "c.line"
+    )
+
+
 @query(
     "dedup_line_level",
     oracle=f"""
@@ -628,26 +654,8 @@ _LINE_CAP = 2  # lines occurring more often than this are boilerplate
     tags=("dedup", "line", "curation"),
 )
 def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arroyo_spark.operators.text import toks
-
     docs = load_table(spark, sf_dir, "documents")
-    tk = toks("text")
-    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
-    chunks = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(
-                    " ", F.slice(tk, i * _LINE_W + 1, _LINE_W)
-                ).alias("line"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,line:string>>"))
-    c = docs.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.pos", "c.line"
-    )
+    c = _line_chunks(docs)
     # line frequency via groupBy + equi-join back, NOT a window over
     # PARTITION BY line: a boilerplate line occurring 10^9 times at web
     # scale would land in ONE window partition (buffer + spill on the hot
@@ -840,4 +848,153 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_j", 6).alias("est_jaccard"),
         F.round(ex, 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est_j") - ex), 6).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter line membership (Bloom 1970; the Dolma pipeline's
+# paragraph-dedup primitive — Soldaini et al. 2024 use a Bloom filter to
+# dedup paragraphs across shards in bounded memory): build the filter
+# from the FIRST half of the corpus (the already-ingested shards), probe
+# every distinct line of the second half, and emit membership, exact
+# ground truth and the false-positive flag per probe line. The fourth
+# sketch-quality check (CMS / MinHash / ANN recall are the others):
+# Bloom's no-false-negative guarantee (present => in_filter) is
+# property-tested, and the false-positive rate the m/k sizing buys is
+# hash-checked data.
+#
+# Scale: the filter is m = 8192 bit positions REGARDLESS of corpus size
+# (the point — Dolma's filter is a few GB for trillions of tokens); the
+# built bit set is <= m*k rows and broadcasts onto the probe stream. Two
+# distincts (one per half) are the only shuffles; at 100 TB the builder
+# side would be the resident filter, not a relation rebuilt per query.
+# Everything is md5-derived — portable, no RNG.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bit positions
+_BLOOM_K = 3  # hash functions
+_BLOOM_SPLIT = 250  # doc_id < split builds, >= split probes
+
+
+def _bloom_bucket(r: int, col: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+def _bloom_bucket_sql(r: int, tok: str = "line") -> str:
+    return (
+        f"CAST('0x' || substr(md5('{r}:' || {tok}), 1, 8) AS BIGINT) "
+        f"% {_BLOOM_M}"
+    )
+
+
+@query(
+    "bloom_line_membership",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(tk, u.i * {_LINE_W} + 1,
+                          u.i * {_LINE_W} + {_LINE_W}), ' ') AS line
+      FROM t,
+           unnest(range(0, CAST(ceil(len(tk) / {_LINE_W}.0) AS INT))) AS u(i)),
+    bl AS (SELECT DISTINCT line FROM c WHERE doc_id < {_BLOOM_SPLIT}),
+    bits AS (
+      SELECT DISTINCT u.r AS r,
+             CASE u.r
+               {" ".join(f"WHEN {r} THEN {_bloom_bucket_sql(r)}" for r in range(_BLOOM_K))}
+             END AS bucket
+      FROM bl, unnest(range(0, {_BLOOM_K})) AS u(r)),
+    pr AS (SELECT DISTINCT line FROM c WHERE doc_id >= {_BLOOM_SPLIT}),
+    probes AS (
+      SELECT line, u.r AS r,
+             CASE u.r
+               {" ".join(f"WHEN {r} THEN {_bloom_bucket_sql(r)}" for r in range(_BLOOM_K))}
+             END AS bucket
+      FROM pr, unnest(range(0, {_BLOOM_K})) AS u(r)),
+    hits AS (
+      SELECT probes.line, CAST(count(bits.r) AS BIGINT) AS nhit
+      FROM probes LEFT JOIN bits USING (r, bucket)
+      GROUP BY probes.line)
+    SELECT md5(hits.line) AS line_md5,
+           (nhit = {_BLOOM_K}) AS in_filter,
+           (bl.line IS NOT NULL) AS present,
+           (nhit = {_BLOOM_K} AND bl.line IS NULL) AS false_positive
+    FROM hits LEFT JOIN bl USING (line)
+    """,
+    tags=("dedup", "sketch-quality", "bloom", "line"),
+)
+def bloom_line_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership per distinct second-half line: in_filter
+    (all k bit positions set by the first-half build), present (exact
+    ground truth) and the false_positive flag. present => in_filter is
+    structural (property-tested); the FP rate is the (m, k, n) tradeoff
+    emitted as data."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = _line_chunks(docs)
+    bl = (
+        lines.filter(F.col("doc_id") < _BLOOM_SPLIT)
+        .select("line")
+        .distinct()
+    )
+    bits = (
+        bl.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _bloom_bucket(r, F.col("line")).alias("bucket"),
+                        )
+                        for r in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.r", "p.bucket")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    pr = (
+        lines.filter(F.col("doc_id") >= _BLOOM_SPLIT)
+        .select("line")
+        .distinct()
+    )
+    probes = pr.select(
+        "line",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bloom_bucket(r, F.col("line")).alias("bucket"),
+                    )
+                    for r in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p"),
+    ).select("line", "p.r", "p.bucket")
+    hits = (
+        probes.join(F.broadcast(bits), ["r", "bucket"], "left")
+        .groupBy("line")
+        .agg(F.count("hit").cast("bigint").alias("nhit"))
+    )
+    return hits.join(
+        bl.withColumn("bmark", F.lit(1)), "line", "left"
+    ).select(
+        F.md5("line").alias("line_md5"),
+        (F.col("nhit") == _BLOOM_K).alias("in_filter"),
+        F.col("bmark").isNotNull().alias("present"),
+        ((F.col("nhit") == _BLOOM_K) & F.col("bmark").isNull()).alias(
+            "false_positive"
+        ),
     )

@@ -1078,6 +1078,7 @@ _DSIR_TARGET = "src0"
     FROM scored
     """,
     tags=("text", "curation", "dsir", "importance-sampling"),
+    bench=True,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance score: integer micro-nat sum of

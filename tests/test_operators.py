@@ -698,3 +698,95 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert (df.cms_n >= df.exact_n).all()
     assert (df.overestimate == df.cms_n - df.exact_n).all()
     assert (df.overestimate == 0).any()  # some row is collision-free
+
+
+def test_bpe_apply_merge_property_vs_python_model(spark):
+    """The greedy left-to-right merge fold (Spark F.aggregate) must agree
+    with the textbook Python model on randomized symbol arrays: merge
+    (a, b) joins s==b onto a PRECEDING UNMERGED a (last output token
+    equals a exactly), and just-merged output never re-merges. 300
+    seeded-random cases over a 3-symbol alphabet hit runs, alternations
+    and absent pairs the hand vectors don't."""
+    import random
+
+    from arroyo_spark.operators.bpe import _apply_merge
+
+    def model(syms: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        for s in syms:
+            if s == b and out and out[-1] == a:
+                out[-1] = a + s
+            else:
+                out.append(s)
+        return out
+
+    rng = random.Random(8)
+    alpha = ["a", "b", "c"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(1, 12))]
+        a, b = rng.choice(alpha), rng.choice(alpha)
+        cases.append((i, syms, a, b))
+    # one Spark job per distinct (a, b): _apply_merge takes literals
+    for (a, b) in {(a, b) for _, _, a, b in cases}:
+        sub = [c for c in cases if c[2] == a and c[3] == b]
+        sdf = spark.createDataFrame(
+            [(i, syms) for i, syms, _, _ in sub],
+            "i int, syms array<string>",
+        )
+        res = {
+            r["i"]: list(r["m"])
+            for r in sdf.select(
+                "i", _apply_merge(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, syms, _, _ in sub:
+            assert res[i] == model(syms, a, b), (syms, a, b, res[i])
+
+
+def test_url_canonicalize_idempotent_property(spark):
+    """canonicalize_url is idempotent: canon(canon(u)) == canon(u) for
+    seeded-random URLs spanning schemes, cases, ports, www, paths,
+    trailing slashes, utm params and malformed strings."""
+    import random
+
+    from arroyo_spark.operators.urls import canonicalize_url
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", ""])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["Example.COM", "site.co.uk", "a.b.org", "x"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/A/b/"])
+        qs = rng.choice(
+            ["", "?b=2&a=1", "?utm_source=x&a=1", "?utm_only=1", "?a=1&a=1"]
+        )
+        if scheme:
+            urls.append(f"{scheme}://{www}{host}{port}{path}{qs}")
+        else:
+            urls.append(f"{www}{host}{port}{path}{qs}")  # malformed
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom structural invariant: a line present in the build set has
+    ALL k bit positions set, so present => in_filter for every probe
+    (no false negatives, Bloom 1970); false_positive is exactly
+    in_filter & ~present; and the 8192/3 sizing yields a small nonzero
+    FP count on this fixture (the check is measuring something real)."""
+    from arroyo_spark.suite import all_queries
+
+    df = all_queries()["bloom_line_membership"].fn(spark, sf_dir).toPandas()
+    assert (~df.present | df.in_filter).all()
+    assert (df.false_positive == (df.in_filter & ~df.present)).all()
+    assert df.present.any()
+    assert df.false_positive.any()
+    assert df.false_positive.sum() < 0.05 * len(df)
