@@ -1,0 +1,193 @@
+"""Product Quantization ANN (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search"): split each vector into M
+subspaces, k-means a small codebook per subspace, encode every vector as
+M one-byte codes, and answer queries with Asymmetric Distance
+Computation (ADC) — per-query distance TABLES against the codebooks, so
+a candidate's approximate distance is M table lookups instead of a
+dim-length float loop. Combined with the IVF coarse quantizer
+(operators/similarity.ivf_topk's cells) this is the canonical
+billion-scale ANN design (FAISS's IVF-PQ).
+
+Determinism design (extends operators/clustering.py):
+- subspace codebooks come from the same quantized fixed-iteration
+  Lloyd's (init = the k lowest-id vectors' slices, exact BIGINT centroid
+  sums, sequential-fold distances, argmin ties -> lowest centroid id);
+- codes are CENTROID IDS, not list positions: if a subspace cluster
+  empties between iterations both engines keep ranking by (dist, cid)
+  over the surviving ids, so Spark's positional argmin is mapped back
+  through the surviving-cid list;
+- ADC table entries are quantized to integer "micro-distance" units
+  (round(dist) as BIGINT — distances sit at ~1e12 on the 1e6-quantized
+  components, so integer rounding is far below any rank-relevant
+  scale), making the per-candidate ADC sum an integer-exact fold —
+  order-independent, no float accumulation anywhere after the tables.
+
+Measured on the synthetic fixture (sf0.001, IVF-probed candidates):
+exact unit-L2 scoring of the same candidates reaches recall@3 = 0.64;
+ADC at M=16/k=16 (64-bit codes, 16x compression over float16) reaches
+0.27, and finer grids plateau there (m=32: 0.28) — near-random
+synthetic vectors have tiny true-neighbor margins, so reconstruction
+error dominates; real embedding corpora (clustered) sit far closer to
+the exact arm. The control proving candidates are not the bottleneck is
+tests/test_plans.py::test_ivfpq_plan_and_recall.
+
+Scale: training is M small Lloyd's runs over the localCheckpoint-ed
+quantized corpus (M * iters bounded jobs; production PQ trains on a
+sample). Encoding is a projection against M*k literal centroids.
+Query-time work is |candidates| * M integer lookups: the distance
+tables are |Q| * M * k rows (kilobytes per query), broadcast; the
+candidate set comes from the IVF coarse probe, so no all-pairs relation
+exists anywhere — the same bucketed-candidates argument as LSH/IVF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PQ_M = 16  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_DIM = 64
+
+QUANT = 1_000_000
+
+
+def quantize_unit(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "v"
+) -> DataFrame:
+    """Unit-normalize then quantize: v_i = floor((x_i / ||x||) * 1e6).
+
+    PQ codebooks and ADC tables live in THIS space: on unit vectors L2
+    ordering equals cosine ordering, so ADC ranks agree with the
+    cosine ground truth (unnormalized L2 does not — measured recall@3
+    0.07 vs 0.67). The norm is one sequential fold + one sqrt (exact
+    IEEE), each component one correctly-rounded divide+multiply before
+    the exact floor — the same cross-engine discipline as quantize()."""
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(x, F.lit(0.0), lambda acc, e: acc + e * e)
+    )
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(
+                e.cast("double") / nrm * F.lit(float(QUANT))
+            ),
+        ),
+    )
+
+
+def _slice_dist(vs, centroid: list[float]):
+    """Sequential-fold squared L2 distance of a quantized slice against a
+    literal centroid (the operators/clustering._sq_dist discipline)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(vs, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _train_subspace(
+    qs: DataFrame, k: int, sub: int, id_col: str, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Fixed-iteration Lloyd's on one subspace slice; returns the final
+    codebook as (cid, centroid) pairs ordered by cid. cids are the INIT
+    vector ids (0..k-1); clusters that empty drop out, and both engines
+    rank survivors by (dist, cid)."""
+    init = qs.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r[id_col]), [float(x) for x in r["vs"]]) for r in init
+    ]
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = F.array(*[_slice_dist(F.col("vs"), c) for _, c in cents])
+        cid_map = F.array(*[F.lit(cid) for cid, _ in cents])
+        pos = F.array_position(dists, F.array_min(dists))
+        return df.withColumn("cid", F.element_at(cid_map, pos.cast("int")))
+
+    assigned = assign(qs)
+    for _ in range(iters - 1):
+        per_dim = (
+            assigned.select("cid", F.posexplode("vs").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in per_dim.collect():
+            by_cid.setdefault(int(r["cid"]), [0.0] * sub)[r["d"]] = (
+                r["s"] / r["n"]
+            )
+        cents = [(cid, by_cid[cid]) for cid in sorted(by_cid)]
+        assigned = assign(qs)
+    return cents
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """Train M subspace codebooks and encode the corpus. Returns
+    ((vec_id, s, code) one row per vector per subspace, the codebooks)."""
+    sub = dim // m
+    q = (
+        quantize_unit(corpus.select(id_col, vec_col), vec_col)
+        .select(id_col, "v")
+        .localCheckpoint()
+    )
+    codebooks: list[list[tuple[int, list[float]]]] = []
+    parts: list[DataFrame] = []
+    for s in range(m):
+        qs = q.select(
+            id_col, F.slice("v", s * sub + 1, sub).alias("vs")
+        )
+        cents = _train_subspace(qs, k, sub, id_col, iters)
+        codebooks.append(cents)
+        dists = F.array(*[_slice_dist(F.col("vs"), c) for _, c in cents])
+        cid_map = F.array(*[F.lit(cid) for cid, _ in cents])
+        pos = F.array_position(dists, F.array_min(dists))
+        parts.append(
+            qs.select(
+                id_col,
+                F.lit(s).alias("s"),
+                F.element_at(cid_map, pos.cast("int")).alias("code"),
+            )
+        )
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionAll(p)
+    return codes, codebooks
+
+
+def adc_tables(
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, s, code, dq): per-query integer ADC distance table — one
+    row per (subspace, codebook entry), dq = round(squared slice
+    distance) as BIGINT."""
+    m = len(codebooks)
+    sub = dim // m
+    q = quantize_unit(queries.select(id_col, vec_col), vec_col)
+    entries = []
+    for s, cents in enumerate(codebooks):
+        vs = F.slice("v", s * sub + 1, sub)
+        for cid, c in cents:
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(cid).alias("code"),
+                    F.round(_slice_dist(vs, c))
+                    .cast("bigint")
+                    .alias("dq"),
+                )
+            )
+    return q.select(
+        F.col(id_col).alias("q_id"), F.explode(F.array(*entries)).alias("e")
+    ).select("q_id", "e.s", "e.code", "e.dq")

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from arroyo_spark.catalog import load_table
 from arroyo_spark.operators import pii
 from arroyo_spark.operators import text as T
+from arroyo_spark.queries.text_pipeline import DSIR_ORACLE
 from arroyo_spark.suite import query
 
 # deterministic in-query contact-line construction (shared with oracles)
@@ -488,9 +489,7 @@ def _spark_url() -> F.Column:
     )
 
 
-@query(
-    "url_canonical_dedup",
-    oracle=f"""
+_URL_DEDUP_ORACLE = f"""
     WITH u AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
     parts AS (
       SELECT doc_id, url,
@@ -524,7 +523,12 @@ def _spark_url() -> F.Column:
            CAST(min(doc_id) AS BIGINT) AS keep_doc,
            CAST(count(*) AS BIGINT) AS n_dups
     FROM canon GROUP BY canonical_url
-    """,
+    """
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=_URL_DEDUP_ORACLE,
     tags=("curation", "url", "dedup"),
 )
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,4 +966,99 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.floor(F.col("keep_p") * 1000000).cast("bigint")
         )
         .select("doc_id", "source", F.round("keep_p", 6).alias("keep_p"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2 — the round-8 operators composed the way a crawl
+# pipeline actually runs them (C4/RefinedWeb stage order): URL-canonical
+# dedup first (cheapest, biggest cut), DSIR importance selection on the
+# survivors (Xie et al. 2023), then per-registered-domain caps on what
+# remains. One composed plan, full value-level oracle (each stage's
+# oracle already exists; the composition chains them as subqueries).
+#
+# Scale: stage 1 is a projection + one keyed shuffle; stage 2 reuses the
+# DSIR histogram/broadcast-weight shape; stage 3 is one window keyed by
+# domain over the (already twice-reduced) survivor set. Joins between
+# stages are doc_id equi-joins on shrinking relations — AQE broadcasts
+# them as they fall under the threshold.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH canon AS (SELECT keep_doc FROM ({_URL_DEDUP_ORACLE}) t),
+    dk AS (SELECT doc_id, avg_log_ratio
+           FROM ({DSIR_ORACLE}) t WHERE keep),
+    u2 AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
+    h2 AS (
+      SELECT doc_id,
+        lower(regexp_replace(regexp_extract(url, '{_URL_RE_HOSTPORT}', 1),
+                             ':[0-9]+$', '')) AS host
+      FROM u2),
+    d2 AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h2),
+    r2 AS (
+      SELECT doc_id,
+        CASE WHEN len(L) <= 1 THEN host
+             WHEN len(L) >= 3
+                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
+             THEN L[-3] || '.' || L[-2] || '.' || L[-1]
+             WHEN len(L) < 3
+                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
+             THEN host
+             ELSE L[-2] || '.' || L[-1] END AS domain
+      FROM d2),
+    s AS (
+      SELECT canon.keep_doc AS doc_id, dk.avg_log_ratio, r2.domain
+      FROM canon
+      JOIN dk ON dk.doc_id = canon.keep_doc
+      JOIN r2 ON r2.doc_id = canon.keep_doc),
+    k AS (
+      SELECT doc_id, domain, avg_log_ratio,
+        row_number() OVER (PARTITION BY domain
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM s)
+    SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk, avg_log_ratio
+    FROM k WHERE rk <= {_DOMAIN_CAP}
+    """,
+    tags=("curation", "pipeline", "url", "dsir", "domain"),
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-dedup -> DSIR-keep -> domain-cap composition: the surviving
+    documents with their registered domain, within-domain hash rank and
+    DSIR average log-ratio."""
+    from arroyo_spark.operators.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+    from arroyo_spark.queries.text_pipeline import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.select(
+            "doc_id", canonicalize_url(_spark_url()).alias("cu")
+        )
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dk = (
+        dsir_importance_weights(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "avg_log_ratio")
+    )
+    dom = docs.select(
+        "doc_id",
+        registered_domain(url_host(_spark_url())).alias("domain"),
+    )
+    s = survivors.join(dk, "doc_id").join(dom, "doc_id")
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .select("doc_id", "domain", "rk", "avg_log_ratio")
     )

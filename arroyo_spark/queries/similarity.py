@@ -408,3 +408,196 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (Jégou, Douze & Schmid 2011) — the canonical billion-scale
+# design: the IVF k-means cells prune candidates (coarse quantizer), and
+# Product Quantization scores them by Asymmetric Distance Computation —
+# M=8 subspace codebooks (k=16 each, trained by the same bit-exact
+# quantized Lloyd's), per-query integer distance tables, candidate cost
+# = M table lookups summed as exact BIGINTs. The DuckDB oracle replays
+# coarse assignment, probe selection, all 8 subspace trainings, the
+# encoding and the ADC ranking end-to-end (every chain MATERIALIZED —
+# inlined CTEs would expand the scan 2^depth).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16
+_PQ_K = 16
+_PQ_SUB = 4  # 64 / 16
+
+
+def _pq_dist(v: str, cv: str, off: int) -> str:
+    """Sequential-fold squared distance of an 8-dim slice at offset."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> (CAST({v}[{off} + i] AS DOUBLE) - {cv}[i]) "
+        f"* (CAST({v}[{off} + i] AS DOUBLE) - {cv}[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_chain(s: int) -> str:
+    """One subspace's two-iteration Lloyd's: init = slices of the k
+    lowest-id vectors, one exact-mean update, final assignment pa2_{s}
+    (vec_id -> cid). cids are vector ids, surviving ranks by (dist, cid)."""
+    off = s * _PQ_SUB
+    return f"""
+    pc0_{s} AS MATERIALIZED (
+      SELECT vec_id AS cid,
+             list_transform(list_slice(v, {off + 1}, {off + _PQ_SUB}),
+                            x -> CAST(x AS DOUBLE)) AS cv
+      FROM qn WHERE vec_id < {_PQ_K}),
+    pa1_{s} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT qn.vec_id, pc0_{s}.cid,
+               ROW_NUMBER() OVER (PARTITION BY qn.vec_id
+                 ORDER BY {_pq_dist('qn.v', f'pc0_{s}.cv', off)}, pc0_{s}.cid) AS rn
+        FROM qn CROSS JOIN pc0_{s}) r WHERE rn = 1),
+    pm1_{s} AS MATERIALIZED (
+      SELECT pa1_{s}.cid, dims.i,
+             CAST(SUM(qn.v[{off} + dims.i]) AS DOUBLE) / COUNT(*) AS mu
+      FROM pa1_{s} JOIN qn USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {_PQ_SUB + 1})) AS i) dims
+      GROUP BY pa1_{s}.cid, dims.i),
+    pc1_{s} AS MATERIALIZED (
+      SELECT cid, list(mu ORDER BY i) AS cv FROM pm1_{s} GROUP BY cid),
+    pa2_{s} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT qn.vec_id, pc1_{s}.cid,
+               ROW_NUMBER() OVER (PARTITION BY qn.vec_id
+                 ORDER BY {_pq_dist('qn.v', f'pc1_{s}.cv', off)}, pc1_{s}.cid) AS rn
+        FROM qn CROSS JOIN pc1_{s}) r WHERE rn = 1)"""
+
+
+def _knn_ivfpq_oracle() -> str:
+    chains = ",".join(_pq_chain(s) for s in range(_PQ_M))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid AS code FROM pa2_{s}"
+        for s in range(_PQ_M)
+    )
+    tabs_union = " UNION ALL ".join(
+        f"""SELECT qq.vec_id AS q_id, {s} AS s, pc1_{s}.cid AS code,
+              CAST(round({_pq_dist('qq.v', f'pc1_{s}.cv', s * _PQ_SUB)})
+                   AS BIGINT) AS dq
+            FROM qq CROSS JOIN pc1_{s}"""
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH {_KM_CTES},
+    qs AS (
+      SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
+    ), qcells AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT qs.q_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                                  ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')},
+                                           c1.cid) AS rn
+        FROM qs CROSS JOIN c1
+      ) r WHERE rn <= 3
+    ), cand AS (
+      SELECT qcells.q_id, a2.vec_id AS n_id
+      FROM qcells JOIN a2 ON a2.cid = qcells.cell
+      WHERE a2.vec_id <> qcells.q_id
+    ),
+    qn AS MATERIALIZED (
+      -- unit-normalize THEN quantize: PQ codebooks + ADC tables live on
+      -- the unit sphere so L2 ordering equals the cosine ground truth
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) / nrm * 1000000)) AS v
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) AS nrm
+        FROM embeddings) t),
+    {chains},
+    codes AS MATERIALIZED ({codes_union}),
+    qq AS (SELECT vec_id, v FROM qn WHERE vec_id % 20 = 0),
+    ptab AS MATERIALIZED ({tabs_union}),
+    scored AS (
+      SELECT cand.q_id, cand.n_id,
+             CAST(sum(ptab.dq) AS BIGINT) AS adc
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.n_id
+      JOIN ptab ON ptab.q_id = cand.q_id
+        AND ptab.s = codes.s AND ptab.code = codes.code
+      GROUP BY cand.q_id, cand.n_id),
+    ranked AS (
+      SELECT q_id, n_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc, n_id) AS BIGINT) AS rn
+      FROM scored)
+    SELECT q_id, n_id, adc, rn FROM ranked WHERE rn <= 3
+    """
+
+
+@query(
+    "knn_ivfpq_ann",
+    oracle=_knn_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3: coarse cells prune candidates (n_probe=3), PQ codes
+    + per-query integer ADC tables rank them. adc is the integer-exact
+    micro-distance sum; ranking ties break on n_id."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_lloyd_full,
+        quantize,
+    )
+    from arroyo_spark.operators.pq import adc_tables, pq_train_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+
+    # coarse quantizer: same cells as knn_ivf_ann
+    assigned, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
+    entries = [
+        F.struct(
+            _sq_dist(F.col("v"), c).alias("d2"),
+            F.lit(ci).cast("int").alias("cell"),
+        )
+        for ci, c in enumerate(centroids)
+    ]
+    qcells = (
+        quantize(queries.select("vec_id", "embedding"))
+        .withColumn(
+            "cells", F.slice(F.array_sort(F.array(*entries)), 1, 3)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode("cells.cell").alias("cell"),
+        )
+    )
+    cand = (
+        qcells.join(
+            assigned.select(
+                F.col("vec_id").alias("n_id"),
+                F.col("cluster").alias("cell"),
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+
+    codes, codebooks = pq_train_encode(emb)
+    tables = adc_tables(queries, codebooks)
+    scored = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "n_id"), "n_id"
+        )
+        .join(F.broadcast(tables), ["q_id", "s", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("dq").cast("bigint").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= 3)

@@ -1038,9 +1038,7 @@ _DSIR_B = 64
 _DSIR_TARGET = "src0"
 
 
-@query(
-    "dsir_importance_weights",
-    oracle=f"""
+DSIR_ORACLE = f"""
     WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
     f AS (
       SELECT doc_id, source,
@@ -1081,7 +1079,12 @@ _DSIR_TARGET = "src0"
            round(w_sum_micro / (1e6 * n_feats), 6) AS avg_log_ratio,
            (w_sum_micro > 0) AS keep
     FROM scored
-    """,
+    """
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=DSIR_ORACLE,
     tags=("text", "curation", "dsir", "importance-sampling"),
     bench=True,
 )

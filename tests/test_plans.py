@@ -448,3 +448,115 @@ def test_curation_pipeline_two_exchanges_one_scan(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_ivfpq_plan_and_recall(spark, sf_dir):
+    """IVF-PQ: the ADC scoring join must be broadcast equi-joins (no
+    cartesian/NLJ anywhere), ADC recall@3 must clear the
+    quantization-bounded floor, and the full-resolution unit-L2 CONTROL
+    on the same candidates must match the exact-scored IVF level —
+    proving candidates are not the bottleneck, the PQ compression is
+    (the documented 16x-compression recall tradeoff)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_lloyd_full,
+        quantize,
+    )
+    from arroyo_spark.operators.pq import quantize_unit
+
+    plan = plan_of(spark, sf_dir, "knn_ivfpq_ann")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+    exact = set(
+        map(
+            tuple,
+            QUERIES["knn_cosine_topk"]
+            .fn(spark, sf_dir)
+            .select("q_id", "n_id")
+            .toPandas()
+            .values,
+        )
+    )
+    pq = set(
+        map(
+            tuple,
+            QUERIES["knn_ivfpq_ann"]
+            .fn(spark, sf_dir)
+            .select("q_id", "n_id")
+            .toPandas()
+            .values,
+        )
+    )
+    adc_recall = len(exact & pq) / len(exact)
+    assert adc_recall >= 0.2, adc_recall
+
+    # control: exact unit-L2 over the SAME ivf-probed candidates
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    assigned, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
+    entries = [
+        F.struct(
+            _sq_dist(F.col("v"), c).alias("d2"),
+            F.lit(ci).cast("int").alias("cell"),
+        )
+        for ci, c in enumerate(centroids)
+    ]
+    qcells = (
+        quantize(queries.select("vec_id", "embedding"))
+        .withColumn("cells", F.slice(F.array_sort(F.array(*entries)), 1, 3))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode("cells.cell").alias("cell"),
+        )
+    )
+    cand = (
+        qcells.join(
+            assigned.select(
+                F.col("vec_id").alias("n_id"), F.col("cluster").alias("cell")
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    qn = quantize_unit(emb.select("vec_id", "embedding"))
+    d = (
+        cand.join(
+            F.broadcast(
+                qn.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+            ),
+            "q_id",
+        )
+        .join(
+            qn.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv")),
+            "n_id",
+        )
+        .withColumn(
+            "l2",
+            F.aggregate(
+                F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("l2", "n_id")
+    ctrl = set(
+        map(
+            tuple,
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("q_id", "n_id")
+            .toPandas()
+            .values,
+        )
+    )
+    ctrl_recall = len(exact & ctrl) / len(exact)
+    assert ctrl_recall >= adc_recall + 0.2, (ctrl_recall, adc_recall)
+    assert ctrl_recall >= 0.5, ctrl_recall
