@@ -31,9 +31,11 @@ error dominates; real embedding corpora (clustered) sit far closer to
 the exact arm. The control proving candidates are not the bottleneck is
 tests/test_plans.py::test_ivfpq_plan_and_recall.
 
-Scale: training is M small Lloyd's runs over the localCheckpoint-ed
-quantized corpus (M * iters bounded jobs; production PQ trains on a
-sample). Encoding is a projection against M*k literal centroids.
+Scale: all M subspaces train together — per iteration ONE assignment
+projection + ONE (s, cid, d) aggregation over the localCheckpoint-ed
+quantized corpus (jobs are O(iters), not O(M*iters); production PQ
+trains on a sample). Encoding is a projection against M*k literal
+centroids.
 Query-time work is |candidates| * M integer lookups: the distance
 tables are |Q| * M * k rows (kilobytes per query), broadcast; the
 candidate set comes from the IVF coarse probe, so no all-pairs relation
@@ -86,39 +88,30 @@ def _slice_dist(vs, centroid: list[float]):
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _train_subspace(
-    qs: DataFrame, k: int, sub: int, id_col: str, iters: int = 2
-) -> list[tuple[int, list[float]]]:
-    """Fixed-iteration Lloyd's on one subspace slice; returns the final
-    codebook as (cid, centroid) pairs ordered by cid. cids are the INIT
-    vector ids (0..k-1); clusters that empty drop out, and both engines
-    rank survivors by (dist, cid)."""
-    init = qs.filter(F.col(id_col) < k).orderBy(id_col).collect()
-    cents: list[tuple[int, list[float]]] = [
-        (int(r[id_col]), [float(x) for x in r["vs"]]) for r in init
-    ]
-
-    def assign(df: DataFrame) -> DataFrame:
-        dists = F.array(*[_slice_dist(F.col("vs"), c) for _, c in cents])
+def _assign_all(
+    q: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    sub: int,
+    id_col: str,
+) -> DataFrame:
+    """(vec_id, s, code): every subspace's argmin in ONE projection —
+    one corpus pass regardless of M (the per-subspace loop form costs M
+    passes)."""
+    entries = []
+    for s, cents in enumerate(codebooks):
+        vs = F.slice("v", s * sub + 1, sub)
+        dists = F.array(*[_slice_dist(vs, c) for _, c in cents])
         cid_map = F.array(*[F.lit(cid) for cid, _ in cents])
         pos = F.array_position(dists, F.array_min(dists))
-        return df.withColumn("cid", F.element_at(cid_map, pos.cast("int")))
-
-    assigned = assign(qs)
-    for _ in range(iters - 1):
-        per_dim = (
-            assigned.select("cid", F.posexplode("vs").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        by_cid: dict[int, list[float]] = {}
-        for r in per_dim.collect():
-            by_cid.setdefault(int(r["cid"]), [0.0] * sub)[r["d"]] = (
-                r["s"] / r["n"]
+        entries.append(
+            F.struct(
+                F.lit(s).alias("s"),
+                F.element_at(cid_map, pos.cast("int")).alias("code"),
             )
-        cents = [(cid, by_cid[cid]) for cid in sorted(by_cid)]
-        assigned = assign(qs)
-    return cents
+        )
+    return q.select(
+        id_col, F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.s", "e.code")
 
 
 def pq_train_encode(
@@ -131,35 +124,65 @@ def pq_train_encode(
     iters: int = 2,
 ) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
     """Train M subspace codebooks and encode the corpus. Returns
-    ((vec_id, s, code) one row per vector per subspace, the codebooks)."""
+    ((vec_id, s, code) one row per vector per subspace, the codebooks).
+
+    All M subspaces train TOGETHER: one init collect (k rows), then per
+    iteration one assignment projection + one (s, cid, d) aggregation
+    over a single corpus pass — jobs are O(iters), not O(M * iters).
+    Centroid values and argmin ordering are identical to the
+    per-subspace formulation (same fold expressions, same (dist, cid)
+    tie-break), so the DuckDB oracle is unchanged."""
     sub = dim // m
     q = (
         quantize_unit(corpus.select(id_col, vec_col), vec_col)
         .select(id_col, "v")
         .localCheckpoint()
     )
-    codebooks: list[list[tuple[int, list[float]]]] = []
-    parts: list[DataFrame] = []
-    for s in range(m):
-        qs = q.select(
-            id_col, F.slice("v", s * sub + 1, sub).alias("vs")
-        )
-        cents = _train_subspace(qs, k, sub, id_col, iters)
-        codebooks.append(cents)
-        dists = F.array(*[_slice_dist(F.col("vs"), c) for _, c in cents])
-        cid_map = F.array(*[F.lit(cid) for cid, _ in cents])
-        pos = F.array_position(dists, F.array_min(dists))
-        parts.append(
-            qs.select(
-                id_col,
-                F.lit(s).alias("s"),
-                F.element_at(cid_map, pos.cast("int")).alias("code"),
+    init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    codebooks: list[list[tuple[int, list[float]]]] = [
+        [
+            (
+                int(r[id_col]),
+                [float(x) for x in r["v"][s * sub : (s + 1) * sub]],
             )
+            for r in init
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters - 1):
+        assigned = _assign_all(q, codebooks, sub, id_col)
+        # one pass: (s, cid, d, x) for every subspace dimension
+        dims_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.element_at(
+                        "v", F.col("s") * sub + d + 1
+                    ).alias("x"),
+                )
+                for d in range(sub)
+            ]
         )
-    codes = parts[0]
-    for p in parts[1:]:
-        codes = codes.unionAll(p)
-    return codes, codebooks
+        per_dim = (
+            assigned.join(q, id_col)
+            .select("s", "code", F.explode(dims_entries).alias("e"))
+            .select("s", "code", "e.d", "e.x")
+            .groupBy("s", "code", "d")
+            .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        )
+        by_sc: dict[tuple[int, int], list[float]] = {}
+        for r in per_dim.collect():
+            by_sc.setdefault((int(r["s"]), int(r["code"])), [0.0] * sub)[
+                r["d"]
+            ] = r["sm"] / r["n"]
+        codebooks = [
+            [
+                (cid, by_sc[(s, cid)])
+                for cid in sorted(c for (ss, c) in by_sc if ss == s)
+            ]
+            for s in range(m)
+        ]
+    return _assign_all(q, codebooks, sub, id_col), codebooks
 
 
 def adc_tables(
