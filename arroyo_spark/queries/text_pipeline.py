@@ -1082,17 +1082,10 @@ DSIR_ORACLE = f"""
     """
 
 
-@query(
-    "dsir_importance_weights",
-    oracle=DSIR_ORACLE,
-    tags=("text", "curation", "dsir", "importance-sampling"),
-    bench=True,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DSIR importance score: integer micro-nat sum of
-    hashed-feature log-ratios (target / raw), the average log-ratio, and
-    the keep verdict (docs the target domain up-weights)."""
-    docs = load_table(spark, sf_dir, "documents")
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket): one row per hashed unigram/bigram
+    feature occurrence — STATELESS, so the identical expressions score
+    a document stream on ingest (the streaming parity leg)."""
     tk = T.toks("text")
     n = F.size(tk)
     bigrams = F.zip_with(
@@ -1101,7 +1094,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit("_"), b),
     )
     feats = F.concat(tk, bigrams)
-    fb = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         F.explode(feats).alias("g"),
@@ -1113,18 +1106,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("bucket"),
     )
-    # per-(doc, bucket) histogram: ONE tokenize+explode feeds both the
-    # global counts and the scoring join. persist() is LAZY on purpose
-    # (the dedup_exact_substring_mat convention): the build cost lands
-    # inside the consumer's execution — bench runs pay it every timed
-    # run, and the runner-owned clearCache keeps it out of other plans
-    from pyspark import StorageLevel
 
-    per = (
-        fb.groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+
+def dsir_weight_table(per: DataFrame) -> DataFrame:
+    """(bucket, w_micro) — the B-row broadcast weight artifact, from the
+    per-(doc, source, bucket) count histogram."""
     counts = per.groupBy("bucket").agg(
         F.sum("c").cast("bigint").alias("n_raw"),
         F.sum(
@@ -1139,7 +1125,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_raw").cast("bigint").alias("nr"),
         F.sum("n_tgt").cast("bigint").alias("nt"),
     )
-    w = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(
             F.log(
@@ -1153,6 +1139,33 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w_micro"),
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=DSIR_ORACLE,
+    tags=("text", "curation", "dsir", "importance-sampling"),
+    bench=True,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score: integer micro-nat sum of
+    hashed-feature log-ratios (target / raw), the average log-ratio, and
+    the keep verdict (docs the target domain up-weights)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # per-(doc, bucket) histogram: ONE tokenize+explode feeds both the
+    # global counts and the scoring join. persist() is LAZY on purpose
+    # (the dedup_exact_substring_mat convention): the build cost lands
+    # inside the consumer's execution — bench runs pay it every timed
+    # run, and the runner-owned clearCache keeps it out of other plans
+    per = (
+        dsir_features(docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = dsir_weight_table(per)
     scored = (
         per.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

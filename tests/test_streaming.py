@@ -998,3 +998,63 @@ def test_streaming_domain_caps_stop_restore_matches_batch(
     }
     expect = {tuple(row) for row in domain_doc_caps(spark, sf_dir).collect()}
     assert got == expect and got
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """DSIR ON INGEST (the deployed shape — Xie et al. 2023 weights are
+    a trained artifact): the B-row integer weight table trains in batch,
+    then the document STREAM scores against it on arrival (stateless
+    feature hashing -> stream-static broadcast join -> streaming
+    per-doc aggregate). Final per-doc scores must equal the batch
+    `dsir_importance_weights` output exactly — integer micro-nat sums
+    are arrival-order-independent by construction."""
+    import glob
+    import os
+
+    from arroyo_spark.queries.text_pipeline import (
+        dsir_features,
+        dsir_weight_table,
+    )
+    from arroyo_spark.suite import all_queries
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    batch_docs = spark.read.parquet(src)
+    per = (
+        dsir_features(batch_docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    weights = dsir_weight_table(per).collect()
+    wdf = spark.createDataFrame(weights)  # the broadcast artifact
+
+    staged = tmp_path / "dsir_src"
+    staged.mkdir()
+    files = [src] if os.path.isfile(src) else sorted(
+        glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, staged / os.path.basename(f))
+    stream = spark.readStream.schema(batch_docs.schema).parquet(str(staged))
+    scored = (
+        dsir_features(stream)
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w_micro").cast("bigint").alias("w_sum_micro"),
+        )
+    )
+    _run_to_memory(scored, "dsir_stream", "complete", str(tmp_path / "ck"))
+    got = {
+        (r["doc_id"], r["n_feats"], r["w_sum_micro"])
+        for r in spark.table("dsir_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_feats"], r["w_sum_micro"])
+        for r in all_queries()["dsir_importance_weights"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "n_feats", "w_sum_micro")
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want and got
