@@ -340,7 +340,8 @@ def _ann_recall_oracle() -> str:
          lsh AS (SELECT q_id, n_id FROM ({KNN_LSH_ORACLE}) t),
          lsh_mt AS (SELECT q_id, n_id FROM ({KNN_LSH_MT_ORACLE}) t),
          ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t),
-         ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t)
+         ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t),
+         ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
@@ -348,14 +349,14 @@ def _ann_recall_oracle() -> str:
     {_recall_arm_sql('ivf', 'ivf')}
     UNION ALL
     {_recall_arm_sql('ivf_1p', 'ivf_1p')}
+    UNION ALL
+    {_recall_arm_sql('ivfpq', 'ivfpq')}
     """
 
 
-@query(
-    "ann_recall_check",
-    oracle=_ann_recall_oracle(),
-    tags=("similarity", "ann", "recall"),
-)
+# NOTE: registered at module END (query(...)(ann_recall_check)) because
+# the oracle composes _knn_ivfpq_oracle(), defined below with the PQ
+# family
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.queries.functions_extra import (
         knn_lsh_ann,
@@ -381,6 +382,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_mt", knn_lsh_multitable_ann),
         ("ivf", knn_ivf_ann),
         ("ivf_1p", _ivf_1p),
+        ("ivfpq", knn_ivfpq_ann),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
@@ -601,3 +603,11 @@ def knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rn") <= 3)
+
+
+# deferred registration: the recall oracle composes the IVF-PQ chain
+query(
+    "ann_recall_check",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "recall"),
+)(ann_recall_check)
