@@ -341,6 +341,76 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("bigint")
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, q_vec, cell): each query exploded onto its ``n_probe``
+    nearest cells — quantized distance rank, ties -> lowest cell id. The
+    ONE owner of IVF probe selection (ivf_topk, ivf_candidates and the
+    IVF-PQ arm all go through here, so they cannot desynchronize)."""
+    from arroyo_spark.operators.clustering import _sq_dist, quantize
+
+    entries = [
+        F.struct(
+            _sq_dist(F.col("v"), c).alias("d2"),
+            F.lit(ci).cast("int").alias("cell"),
+        )
+        for ci, c in enumerate(centroids)
+    ]
+    return (
+        quantize(queries.select(id_col, vec_col), vec_col)
+        .withColumn(
+            "cells", F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+        )
+        .select(
+            F.col(id_col).alias("q_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+            F.explode("cells.cell").alias("cell"),
+        )
+    )
+
+
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF coarse quantizer as a candidate generator (the IVF-PQ
+    path and recall controls): k-means cells over the corpus, each query
+    probing its ``n_probe`` nearest cells. Returns (corpus cell
+    assignment (vec_id, cluster), candidate pairs (q_id, n_id) with
+    self-pairs removed)."""
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
+
+    assigned, centroids = kmeans_lloyd_full(
+        ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    cand = (
+        _probe_cells(queries, centroids, n_probe, id_col, vec_col)
+        .select("q_id", "cell")
+        .join(
+            assigned.select(
+                F.col(id_col).alias("n_id"),
+                F.col("cluster").alias("cell"),
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    return assigned, cand
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -364,11 +434,7 @@ def ivf_topk(
     selection exactly — recall is approximate by design, but the result
     set is fully deterministic and cross-engine verifiable.
     """
-    from arroyo_spark.operators.clustering import (
-        _sq_dist,
-        kmeans_lloyd_full,
-        quantize,
-    )
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
 
     assigned, centroids = kmeans_lloyd_full(
         ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
@@ -382,22 +448,8 @@ def ivf_topk(
     )
 
     # probe selection on the same quantized space the centroids live in
-    entries = [
-        F.struct(
-            _sq_dist(F.col("v"), c).alias("d2"),
-            F.lit(ci).cast("int").alias("cell"),
-        )
-        for ci, c in enumerate(centroids)
-    ]
-    q = (
-        quantize(queries.select(id_col, vec_col), vec_col)
-        .withColumn("cells", F.slice(F.array_sort(F.array(*entries)), 1, n_probe))
-        .select(
-            F.col(id_col).alias("q_id"),
-            as_double(F.col(vec_col)).alias("q_vec"),
-            F.explode("cells.cell").alias("cell"),
-        )
-    )
+    # (shared with ivf_candidates / the IVF-PQ arm)
+    q = _probe_cells(queries, centroids, n_probe, id_col, vec_col)
     pair_dot = dot_arrow()  # Arrow-batched: the fold expression has no codegen
     scored = (
         cmem.withColumn("n_norm", norm(F.col("n_vec")))

@@ -501,7 +501,7 @@ _URL_DEDUP_ORACLE = f"""
         regexp_extract(url, '\\?([^#]*)', 1) AS raw_qs
       FROM u),
     p2 AS (
-      SELECT doc_id, scheme, path,
+      SELECT doc_id, url, scheme, hostport, path,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
                        '^www\\.', '') AS host,
@@ -511,13 +511,19 @@ _URL_DEDUP_ORACLE = f"""
       FROM parts),
     canon AS (
       SELECT doc_id,
-        scheme || '://' || host ||
-        (CASE WHEN port <> ''
-                   AND NOT (scheme = 'http' AND port = '80')
-                   AND NOT (scheme = 'https' AND port = '443')
-              THEN ':' || port ELSE '' END) ||
-        path ||
-        (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END) AS canonical_url
+        -- malformed / scheme-less inputs pass through UNCHANGED,
+        -- mirroring operators/urls.canonicalize_url: collapsing them
+        -- onto a shared '://' key would dedup every malformed URL into
+        -- one group
+        CASE WHEN scheme = '' OR hostport = '' THEN url ELSE
+          scheme || '://' || host ||
+          (CASE WHEN port <> ''
+                     AND NOT (scheme = 'http' AND port = '80')
+                     AND NOT (scheme = 'https' AND port = '443')
+                THEN ':' || port ELSE '' END) ||
+          path ||
+          (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END)
+        END AS canonical_url
       FROM p2)
     SELECT canonical_url,
            CAST(min(doc_id) AS BIGINT) AS keep_doc,
@@ -551,20 +557,24 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOMAIN_CAP = 8
 
-_DOMAIN_CAPS_ORACLE = f"""
-    WITH u AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
-    h AS (
+def _duck_domain_ctes(sfx: str = "") -> str:
+    """u/h/d/r CTE chain (suffixable): doc_id -> registered domain under
+    the lite suffix rules — the single SQL mirror of
+    operators/urls.registered_domain, shared by the domain-caps oracles
+    and the pipeline-v2 composition (one copy, so a suffix-rule change
+    cannot desynchronize them)."""
+    return f"""u{sfx} AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
+    h{sfx} AS (
       SELECT doc_id,
         lower(regexp_replace(regexp_extract(url, '{_URL_RE_HOSTPORT}', 1),
                              ':[0-9]+$', '')) AS host
-      FROM u),
-    d AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h),
-    r AS (
+      FROM u{sfx}),
+    d{sfx} AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h{sfx}),
+    r{sfx} AS (
       SELECT doc_id,
         -- single-label branch mirrors the Spark operator
         -- (registered_domain: len <= 1 -> the host itself); without it a
-        -- 1-label host makes L[-2] NULL and the concat a NULL domain,
-        -- silently diverging from the operator if the URL fixture changes
+        -- 1-label host makes L[-2] NULL and the concat a NULL domain
         CASE WHEN len(L) <= 1 THEN host
              WHEN len(L) >= 3
                   AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
@@ -573,7 +583,11 @@ _DOMAIN_CAPS_ORACLE = f"""
                   AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
              THEN host
              ELSE L[-2] || '.' || L[-1] END AS domain
-      FROM d),
+      FROM d{sfx})"""
+
+
+_DOMAIN_CAPS_ORACLE = f"""
+    WITH {_duck_domain_ctes()},
     k AS (
       SELECT doc_id, domain,
         row_number() OVER (PARTITION BY domain
@@ -662,15 +676,28 @@ def streaming_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     admitted = _caps_op(keyed, cap=_DOMAIN_CAP)
     name = "sdc_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sdc_ck_")
     q = (
         admitted.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdc_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_domain_caps: stream did not drain in 600s"
+            )
+    finally:
+        # the memory table holds the drained state; the staging symlinks
+        # and checkpoint are single-use
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     w = Window.partitionBy("domain").orderBy(F.col("n_seen").desc())
     final = (
         spark.table(name)
@@ -991,24 +1018,7 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH canon AS (SELECT keep_doc FROM ({_URL_DEDUP_ORACLE}) t),
     dk AS (SELECT doc_id, avg_log_ratio
            FROM ({DSIR_ORACLE}) t WHERE keep),
-    u2 AS (SELECT doc_id, {_DUCK_URL} AS url FROM documents),
-    h2 AS (
-      SELECT doc_id,
-        lower(regexp_replace(regexp_extract(url, '{_URL_RE_HOSTPORT}', 1),
-                             ':[0-9]+$', '')) AS host
-      FROM u2),
-    d2 AS (SELECT doc_id, host, string_split(host, '.') AS L FROM h2),
-    r2 AS (
-      SELECT doc_id,
-        CASE WHEN len(L) <= 1 THEN host
-             WHEN len(L) >= 3
-                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
-             THEN L[-3] || '.' || L[-2] || '.' || L[-1]
-             WHEN len(L) < 3
-                  AND (L[-2] || '.' || L[-1]) IN ('co.uk', 'com.au', 'github.io')
-             THEN host
-             ELSE L[-2] || '.' || L[-1] END AS domain
-      FROM d2),
+    {_duck_domain_ctes('2')},
     s AS (
       SELECT canon.keep_doc AS doc_id, dk.avg_log_ratio, r2.domain
       FROM canon

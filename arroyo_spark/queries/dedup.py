@@ -503,15 +503,26 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text("text")).alias("fingerprint")
     ).dropDuplicates(["fingerprint"])
     name = "sde_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sde_ck_")
     q = (
         ded.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sde_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_exact: stream did not drain in 600s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
 
 

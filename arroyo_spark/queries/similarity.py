@@ -416,7 +416,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ ANN (Jégou, Douze & Schmid 2011) — the canonical billion-scale
 # design: the IVF k-means cells prune candidates (coarse quantizer), and
 # Product Quantization scores them by Asymmetric Distance Computation —
-# M=8 subspace codebooks (k=16 each, trained by the same bit-exact
+# M=_PQ_M subspace codebooks (k=_PQ_K each, trained by the same bit-exact
 # quantized Lloyd's), per-query integer distance tables, candidate cost
 # = M table lookups summed as exact BIGINTs. The DuckDB oracle replays
 # coarse assignment, probe selection, all 8 subspace trainings, the
@@ -430,7 +430,7 @@ _PQ_SUB = 4  # 64 / 16
 
 
 def _pq_dist(v: str, cv: str, off: int) -> str:
-    """Sequential-fold squared distance of an 8-dim slice at offset."""
+    """Sequential-fold squared distance of a _PQ_SUB-dim slice at offset."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         f"list_transform(range(1, {_PQ_SUB + 1}), "
@@ -548,46 +548,15 @@ def knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-distance sum; ranking ties break on n_id."""
     from pyspark.sql import Window
 
-    from arroyo_spark.operators.clustering import (
-        _sq_dist,
-        kmeans_lloyd_full,
-        quantize,
-    )
     from arroyo_spark.operators.pq import adc_tables, pq_train_encode
+    from arroyo_spark.operators.similarity import ivf_candidates
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
 
-    # coarse quantizer: same cells as knn_ivf_ann
-    assigned, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
-    entries = [
-        F.struct(
-            _sq_dist(F.col("v"), c).alias("d2"),
-            F.lit(ci).cast("int").alias("cell"),
-        )
-        for ci, c in enumerate(centroids)
-    ]
-    qcells = (
-        quantize(queries.select("vec_id", "embedding"))
-        .withColumn(
-            "cells", F.slice(F.array_sort(F.array(*entries)), 1, 3)
-        )
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode("cells.cell").alias("cell"),
-        )
-    )
-    cand = (
-        qcells.join(
-            assigned.select(
-                F.col("vec_id").alias("n_id"),
-                F.col("cluster").alias("cell"),
-            ),
-            "cell",
-        )
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-    )
+    # coarse quantizer: same cells and probe selection as knn_ivf_ann
+    # (shared implementation — they cannot drift apart)
+    _assigned, cand = ivf_candidates(emb, queries, n_clusters=8, n_probe=3)
 
     codes, codebooks = pq_train_encode(emb)
     tables = adc_tables(queries, codebooks)

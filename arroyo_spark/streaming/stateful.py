@@ -120,11 +120,18 @@ def streaming_domain_caps(
             cur = list(zip((str(h) for h in hs), (int(i) for i in ids)))
         else:
             cur, n = [], 0
-        n = int(n) + len(rows)
-        # set() guards against replayed rows under at-least-once
-        # delivery; the sort order (hash, id) matches the batch window's
+        # count DISTINCT (hash, id) pairs within the batch so the
+        # counter and the admitted set agree on what one arrival is;
+        # across batches the state store commits atomically with the
+        # batch (a replayed micro-batch restarts from the prior state
+        # version), so the counter stays exactly-once. Cross-batch
+        # duplicates of the same id would need the full id set
+        # (unbounded state) to dedup — unique doc ids make that moot.
+        # The sort order (hash, id) matches the batch window's
         # ORDER BY md5(doc_id), doc_id
-        merged = sorted(set(cur) | set(rows))[:cap]
+        batch = sorted(set(rows))
+        n = int(n) + len(batch)
+        merged = sorted(set(cur) | set(batch))[:cap]
         state.update(
             ([h for h, _ in merged], [i for _, i in merged], n)
         )

@@ -461,12 +461,8 @@ def test_ivfpq_plan_and_recall(spark, sf_dir):
     from pyspark.sql import Window
 
     from arroyo_spark.catalog import load_table
-    from arroyo_spark.operators.clustering import (
-        _sq_dist,
-        kmeans_lloyd_full,
-        quantize,
-    )
     from arroyo_spark.operators.pq import quantize_unit
+    from arroyo_spark.operators.similarity import ivf_candidates
 
     plan = plan_of(spark, sf_dir, "knn_ivfpq_ann")
     assert "CartesianProduct" not in plan, plan[:3000]
@@ -496,35 +492,11 @@ def test_ivfpq_plan_and_recall(spark, sf_dir):
     adc_recall = len(exact & pq) / len(exact)
     assert adc_recall >= 0.2, adc_recall
 
-    # control: exact unit-L2 over the SAME ivf-probed candidates
+    # control: exact unit-L2 over the SAME ivf-probed candidates (the
+    # shared production candidate generator, not a copy)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    assigned, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
-    entries = [
-        F.struct(
-            _sq_dist(F.col("v"), c).alias("d2"),
-            F.lit(ci).cast("int").alias("cell"),
-        )
-        for ci, c in enumerate(centroids)
-    ]
-    qcells = (
-        quantize(queries.select("vec_id", "embedding"))
-        .withColumn("cells", F.slice(F.array_sort(F.array(*entries)), 1, 3))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode("cells.cell").alias("cell"),
-        )
-    )
-    cand = (
-        qcells.join(
-            assigned.select(
-                F.col("vec_id").alias("n_id"), F.col("cluster").alias("cell")
-            ),
-            "cell",
-        )
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-    )
+    _assigned, cand = ivf_candidates(emb, queries, n_clusters=8, n_probe=3)
     qn = quantize_unit(emb.select("vec_id", "embedding"))
     d = (
         cand.join(
