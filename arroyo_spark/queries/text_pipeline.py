@@ -783,14 +783,14 @@ _CMS_W = 256
 _CMS_D = 4
 
 
-def _cms_bucket_sql(row: int, tok: str = "w") -> str:
+def _cms_bucket_sql(row: int, tok: str = "w", width: int = _CMS_W) -> str:
     return (
         f"CAST('0x' || substr(md5('{row}:' || {tok}), 1, 8) AS BIGINT) "
-        f"% {_CMS_W}"
+        f"% {width}"
     )
 
 
-def cms_bucket(row: int, col: F.Column) -> F.Column:
+def cms_bucket(row: int, col: F.Column, width: int = _CMS_W) -> F.Column:
     """CMS bucket id for hash row ``row`` — md5 hashing trick, portable
     (shared by the suite query and the streaming parity test)."""
     return (
@@ -799,7 +799,7 @@ def cms_bucket(row: int, col: F.Column) -> F.Column:
             16,
             10,
         ).cast("bigint")
-        % _CMS_W
+        % width
     )
 
 
@@ -815,7 +815,7 @@ def cms_bigram_stream(docs: DataFrame) -> DataFrame:
     return docs.select(F.explode(bigrams).alias("w"))
 
 
-def cms_sketch(w: DataFrame) -> DataFrame:
+def cms_sketch(w: DataFrame, width: int = _CMS_W) -> DataFrame:
     """(r, bucket, c) counter table — depth x width rows total."""
     cells = w.select(
         F.explode(
@@ -823,7 +823,7 @@ def cms_sketch(w: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        cms_bucket(r, F.col("w")).alias("bucket"),
+                        cms_bucket(r, F.col("w"), width).alias("bucket"),
                     )
                     for r in range(_CMS_D)
                 ]
@@ -836,9 +836,8 @@ def cms_sketch(w: DataFrame) -> DataFrame:
 
 
 
-@query(
-    "cms_token_frequency",
-    oracle=f"""
+def _cms_oracle(width: int = _CMS_W) -> str:
+    return f"""
     WITH t AS (SELECT {_TOKS} AS tk FROM documents),
     w AS (
       -- word BIGRAMS: the synthetic unigram vocabulary (~31 tokens)
@@ -848,7 +847,7 @@ def cms_sketch(w: DataFrame) -> DataFrame:
     cells AS (
       SELECT u.r AS r,
              CASE u.r
-               {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(_CMS_D))}
+               {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r, width=width)}" for r in range(_CMS_D))}
              END AS bucket
       FROM w, unnest(range(0, {_CMS_D})) AS u(r)),
     sketch AS (
@@ -862,19 +861,29 @@ def cms_sketch(w: DataFrame) -> DataFrame:
            unnest(range(0, {_CMS_D})) AS u(r)
       JOIN sketch ON sketch.r = u.r
         AND sketch.bucket = (CASE u.r
-          {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r, 'exact.w')}" for r in range(_CMS_D))}
+          {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r, 'exact.w', width)}" for r in range(_CMS_D))}
           END)
       GROUP BY exact.w, exact.n)
     SELECT w AS token, n AS exact_n, CAST(est_n AS BIGINT) AS cms_n,
            CAST(est_n - n AS BIGINT) AS overestimate
     FROM est
-    """,
-    tags=("text", "sketch-quality", "cms"),
-)
-def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+CMS_ORACLE = _cms_oracle()
+
+
+def _cms_estimates(
+    spark: SparkSession, sf_dir: str, width: int = _CMS_W
+) -> DataFrame:
+    """(token, exact_n, cms_n, overestimate) at the given sketch width —
+    shared by the fidelity check (width 256, a deliberately tight sketch
+    so the overestimate bound is exercised) and the heavy-hitter
+    decision (width 2048, sized so the threshold sits above the
+    collision noise floor, the way a production cap would size it)."""
     docs = load_table(spark, sf_dir, "documents")
     w = cms_bigram_stream(docs)
-    sketch = cms_sketch(w)
+    sketch = cms_sketch(w, width)
     exact = w.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     probes = exact.select(
         "w",
@@ -884,7 +893,7 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        cms_bucket(r, F.col("w")).alias("bucket"),
+                        cms_bucket(r, F.col("w"), width).alias("bucket"),
                     )
                     for r in range(_CMS_D)
                 ]
@@ -901,6 +910,58 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("exact_n"),
         F.col("est_n").alias("cms_n"),
         (F.col("est_n") - F.col("n")).cast("bigint").alias("overestimate"),
+    )
+
+
+@query(
+    "cms_token_frequency",
+    oracle=CMS_ORACLE,
+    tags=("text", "sketch-quality", "cms"),
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cms_estimates(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy hitters — the DECISION the sketch exists to make (Cormode &
+# Muthukrishnan 2005 §4): which terms exceed a frequency threshold,
+# judged FROM THE SKETCH (production keeps only the depth x width
+# counters; the exact arm here exists to grade the decision). CMS never
+# underestimates, so the sketch-flagged set contains every truly-heavy
+# term (zero false negatives — the guarantee the frequency-cap use case
+# relies on); false POSITIVES are near-threshold terms pushed over by
+# collision overestimate, emitted as hash-checked data.
+#
+# Scale: a filter over the cms_token_frequency relation — same one
+# explode + B-row sketch + broadcast probe; the flagged set is the only
+# output.
+# ---------------------------------------------------------------------------
+
+_CMS_HEAVY_T = 40
+_CMS_HH_W = 2048
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    SELECT token, cms_n, exact_n,
+           (exact_n >= {_CMS_HEAVY_T}) AS is_heavy_exact,
+           (exact_n < {_CMS_HEAVY_T}) AS false_positive
+    FROM ({_cms_oracle(_CMS_HH_W)}) t WHERE cms_n >= {_CMS_HEAVY_T}
+    """,
+    tags=("text", "sketch-quality", "cms", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms the SKETCH flags as >= T occurrences, with the exact count
+    and the false-positive verdict. Composes the registered CMS query —
+    one implementation of the sketch, two checked decisions."""
+    est = _cms_estimates(spark, sf_dir, _CMS_HH_W)
+    return est.filter(F.col("cms_n") >= _CMS_HEAVY_T).select(
+        "token",
+        "cms_n",
+        "exact_n",
+        (F.col("exact_n") >= _CMS_HEAVY_T).alias("is_heavy_exact"),
+        (F.col("exact_n") < _CMS_HEAVY_T).alias("false_positive"),
     )
 
 

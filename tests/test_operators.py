@@ -790,3 +790,37 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert df.present.any()
     assert df.false_positive.any()
     assert df.false_positive.sum() < 0.05 * len(df)
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark, sf_dir):
+    """Heavy-hitter decision invariants: CMS never underestimates, so
+    EVERY term with exact_n >= T is in the sketch-flagged set (zero
+    false negatives — the guarantee a frequency cap relies on);
+    false_positive is exactly the flagged-but-not-heavy remainder, and
+    at width 2048 it is a small nonzero near-threshold fringe."""
+    import duckdb
+
+    from arroyo_spark.queries.text_pipeline import _CMS_HEAVY_T
+    from arroyo_spark.suite import all_queries
+
+    df = all_queries()["cms_heavy_hitters"].fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    n_heavy_exact = con.execute(
+        """
+        WITH t AS (SELECT list_filter(string_split_regex(lower(text),
+                   '\\s+'), w -> w <> '') AS tk FROM documents),
+        w AS (SELECT unnest(list_transform(range(1, len(tk)),
+              i -> concat_ws(' ', tk[i], tk[i+1]))) AS w FROM t)
+        SELECT count(*) FROM (
+          SELECT w FROM w GROUP BY w HAVING count(*) >= ?)
+        """,
+        [_CMS_HEAVY_T],
+    ).fetchone()[0]
+    assert int(df.is_heavy_exact.sum()) == n_heavy_exact  # zero FN
+    assert (df.false_positive == ~df.is_heavy_exact).all()
+    assert df.false_positive.any()
+    assert df.false_positive.sum() < 0.5 * len(df)
