@@ -25,10 +25,15 @@ Determinism design (extends operators/clustering.py):
 Measured on the synthetic fixture (sf0.001, IVF-probed candidates):
 exact unit-L2 scoring of the same candidates reaches recall@3 = 0.64;
 ADC at M=16/k=16 (64-bit codes, 16x compression over float16) reaches
-0.27, and finer grids plateau there (m=32: 0.28) — near-random
-synthetic vectors have tiny true-neighbor margins, so reconstruction
-error dominates; real embedding corpora (clustered) sit far closer to
-the exact arm. The control proving candidates are not the bottleneck is
+0.2667 raw and 0.28 residual-encoded — near-random synthetic vectors
+have tiny true-neighbor margins AND near-origin cell centroids (the
+residual lever removes a cell's DC component, which is ~0 when cells
+have no structure), so reconstruction error dominates; real embedding
+corpora (clustered) gain far more from the residual and sit closer to
+the exact arm. The production recovery is the rerank stage
+(queries/similarity.knn_ivfpq_rerank): ADC shortlist R=20 + exact
+integer refine reaches 0.5067 at |Q|*20 exact pairs. The control
+proving candidates are not the bottleneck is
 tests/test_plans.py::test_ivfpq_plan_and_recall.
 
 Scale: all M subspaces train together — per iteration ONE assignment
@@ -69,12 +74,15 @@ def quantize_unit(
     nrm = F.sqrt(
         F.aggregate(x, F.lit(0.0), lambda acc, e: acc + e * e)
     )
+    # zero-norm guard: an all-zero embedding (empty doc) must quantize to
+    # zeros, not inf/NaN components (ANSI floor would error / diverge
+    # from the oracle's silent inf)
     return df.withColumn(
         out_col,
         F.transform(
             F.col(vec_col),
-            lambda e: F.floor(
-                e.cast("double") / nrm * F.lit(float(QUANT))
+            lambda e: F.when(nrm == 0.0, F.lit(0).cast("bigint")).otherwise(
+                F.floor(e.cast("double") / nrm * F.lit(float(QUANT)))
             ),
         ),
     )
@@ -132,12 +140,26 @@ def pq_train_encode(
     Centroid values and argmin ordering are identical to the
     per-subspace formulation (same fold expressions, same (dist, cid)
     tie-break), so the DuckDB oracle is unchanged."""
-    sub = dim // m
     q = (
         quantize_unit(corpus.select(id_col, vec_col), vec_col)
         .select(id_col, "v")
         .localCheckpoint()
     )
+    return _train_encode_quantized(q, m, k, dim, id_col, iters)
+
+
+def _train_encode_quantized(
+    q: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    id_col: str,
+    iters: int,
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """The training/encoding core on an already-quantized (id, v) frame
+    (integer components — exact sums). Shared by the raw path and the
+    residual path, so the two encodings cannot drift algorithmically."""
+    sub = dim // m
     init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
     codebooks: list[list[tuple[int, list[float]]]] = [
         [
@@ -214,3 +236,146 @@ def adc_tables(
     return q.select(
         F.col(id_col).alias("q_id"), F.explode(F.array(*entries)).alias("e")
     ).select("q_id", "e.s", "e.code", "e.dq")
+
+
+# ---------------------------------------------------------------------------
+# Residual encoding (Jégou et al. 2011 §III — what FAISS's IVFPQ stores):
+# PQ codes the RESIDUAL x - centroid(cell(x)) instead of x itself. The
+# coarse residual removes each cell's DC component, so the subspace
+# codebooks spend their 4 bits on local structure instead of re-encoding
+# cell position — the standard lever for ADC reconstruction error.
+#
+# Determinism: the cell centroid is itself quantized to integers
+# (floor(exact-BIGINT-sum / count) per dimension — one correctly-rounded
+# divide + one exact floor), so residual components stay exact integers
+# and every downstream sum keeps the order-independent discipline.
+# ---------------------------------------------------------------------------
+
+
+def cell_unit_centroids(
+    qn: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    dim: int = PQ_DIM,
+) -> dict[int, list[int]]:
+    """{cell: [mu_0..mu_dim-1]}: per-cell integer centroid in the
+    unit-quantized space, mu_d = floor(sum(v_d) / count). Bounded
+    driver collect: n_cells * dim values (the codebook convention)."""
+    dims_entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.element_at("v", d + 1).alias("x"),
+            )
+            for d in range(dim)
+        ]
+    )
+    per = (
+        assigned.select(id_col, "cluster")
+        .join(qn, id_col)
+        .select("cluster", F.explode(dims_entries).alias("e"))
+        .select("cluster", "e.d", "e.x")
+        .groupBy("cluster", "d")
+        .agg(
+            F.floor(F.sum("x") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mu")
+        )
+    )
+    cents: dict[int, list[int]] = {}
+    for r in per.collect():
+        cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["d"])] = int(
+            r["mu"]
+        )
+    return cents
+
+
+def residualize(
+    df: DataFrame,
+    cents: dict[int, list[int]],
+    cluster_col: str = "cluster",
+    vec_col: str = "v",
+) -> DataFrame:
+    """v := v - cell_centroid[cluster] (exact integer arithmetic). The
+    centroid set is bounded (n_cells literals), selected by a when-chain
+    — no join, stays inside whole-stage codegen."""
+    expr = None
+    for cell in sorted(cents):
+        arr = F.array(*[F.lit(int(x)) for x in cents[cell]])
+        cond = F.col(cluster_col) == int(cell)
+        expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+    return df.withColumn(
+        vec_col, F.zip_with(F.col(vec_col), expr, lambda a, b: a - b)
+    )
+
+
+def pq_train_encode_residual(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> tuple[
+    DataFrame,
+    list[list[tuple[int, list[float]]]],
+    dict[int, list[int]],
+]:
+    """Residual-encoded PQ: codebooks trained on x - centroid(cell(x)).
+    Returns (codes, codebooks, cell centroids). ``assigned`` is the
+    coarse quantizer's (id, cluster) output — the SAME cells that prune
+    candidates, so code space and probe space cannot desynchronize."""
+    qn = (
+        quantize_unit(corpus.select(id_col, vec_col), vec_col)
+        .select(id_col, "v")
+        .localCheckpoint()
+    )
+    cents = cell_unit_centroids(qn, assigned, id_col=id_col, dim=dim)
+    rq = (
+        residualize(
+            qn.join(assigned.select(id_col, "cluster"), id_col), cents
+        )
+        .select(id_col, "v")
+        .localCheckpoint()
+    )
+    codes, codebooks = _train_encode_quantized(rq, m, k, dim, id_col, iters)
+    return codes, codebooks, cents
+
+
+def adc_tables_residual(
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    cents: dict[int, list[int]],
+    probes: DataFrame,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, cell, s, code, dq): one integer ADC table per PROBED
+    (query, cell) pair — the query's residual is cell-dependent, so each
+    probed cell gets its own table. Size = |Q| * n_probe * M * k rows
+    (still kilobytes per query), broadcast onto candidates."""
+    m = len(codebooks)
+    sub = dim // m
+    qn = quantize_unit(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("q_id"), "v"
+    )
+    rq = residualize(probes.join(qn, "q_id"), cents, cluster_col="cell")
+    entries = []
+    for s, cents_s in enumerate(codebooks):
+        vs = F.slice("v", s * sub + 1, sub)
+        for cid, c in cents_s:
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(cid).alias("code"),
+                    F.round(_slice_dist(vs, c))
+                    .cast("bigint")
+                    .alias("dq"),
+                )
+            )
+    return rq.select(
+        "q_id", "cell", F.explode(F.array(*entries)).alias("e")
+    ).select("q_id", "cell", "e.s", "e.code", "e.dq")

@@ -389,16 +389,38 @@ def ivf_candidates(
     probing its ``n_probe`` nearest cells. Returns (corpus cell
     assignment (vec_id, cluster), candidate pairs (q_id, n_id) with
     self-pairs removed)."""
+    assigned, _probes, cand = ivf_probe_candidates(
+        corpus, queries, n_clusters, n_probe, id_col, vec_col, iters, dim
+    )
+    return assigned, cand.select("q_id", "n_id")
+
+
+def ivf_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ivf_candidates keeping the cell structure the residual-PQ path
+    needs: returns (assignment (id, cluster), probes (q_id, cell),
+    candidates (q_id, n_id, cell)) — cell is the candidate's OWN cell,
+    which is also the probed cell it matched, so per-cell query
+    residual tables join directly on (q_id, cell)."""
     from arroyo_spark.operators.clustering import kmeans_lloyd_full
 
     assigned, centroids = kmeans_lloyd_full(
         ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
+    probes = _probe_cells(queries, centroids, n_probe, id_col, vec_col).select(
+        "q_id", "cell"
+    )
     cand = (
-        _probe_cells(queries, centroids, n_probe, id_col, vec_col)
-        .select("q_id", "cell")
-        .join(
+        probes.join(
             assigned.select(
                 F.col(id_col).alias("n_id"),
                 F.col("cluster").alias("cell"),
@@ -406,9 +428,9 @@ def ivf_candidates(
             "cell",
         )
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
+        .select("q_id", "n_id", "cell")
     )
-    return assigned, cand
+    return assigned, probes, cand
 
 
 def ivf_topk(

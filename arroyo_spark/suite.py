@@ -244,7 +244,55 @@ _GREEN_R07 = frozenset(
 )
 
 
+_GREEN_R08 = frozenset(
+    {
+        "above_nation_avg_spenders", "asof_purchase_last_click",
+        "bloom_line_membership", "bpe_merge_training_deep",
+        "cms_heavy_hitters", "contamination_5gram_overlap",
+        "corpus_curation_pipeline", "curation_pipeline_v2", "dedup_exact",
+        "dedup_exact_substring", "dedup_minhash_lsh",
+        "doc_fingerprints", "doc_winnowing_fingerprints",
+        "dsir_importance_weights", "embedding_label_centroid_sim",
+        "embedding_random_projection", "interval_join_signup_purchase",
+        "knn_cosine_topk", "knn_ivfpq_ann", "knn_lsh_ann",
+        "mm_image_features", "pii_scrub_redaction",
+        "q12_priority_by_linestatus", "q13_customer_order_distribution",
+        "q14_promo_revenue_share", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q19_or_predicate_revenue",
+        "q22_idle_rich_customers", "q4_order_priority_check",
+        "q6_forecast_revenue", "q7_volume_shipping",
+        "range_join_value_bands", "rollup_revenue_by_region_nation",
+        "sample_reservoir_per_source", "sample_stratified_by_source",
+        "streaming_dedup_exact", "streaming_domain_caps",
+        "text_bigram_perplexity", "text_bpe_token_counts",
+        "text_corpus_freq_stats", "text_gopher_filters", "text_lang_id",
+        "text_ngram_novelty", "text_quality_scores",
+        "text_repetition_stats", "text_token_stats", "tfidf_top_terms",
+        "token_budget_shard_packing", "token_budget_shard_packing_2level",
+    }
+)
+
+
+# Queries whose implementation OR oracle changed in the CURRENT round after
+# their last green check. They sort FIRST (ahead of never-verified queries'
+# peers) so the driver's bounded sweep re-verifies modified code before
+# trusting its stale green tier. Reset/repopulate each round as code is
+# touched (advisor r08 finding: a freshest-tier listing must not include
+# same-round-modified queries).
+_DIRTY_CURRENT_ROUND: set[str] = {
+    # r09 edits:
+    "knn_ivfpq_ann",        # residual encoding (PQ over x - coarse centroid)
+    "ann_recall_check",     # ivfpq arm now residual-encoded
+    "dsir_importance_weights",  # libm-free ln via pre-rounded log table
+    "text_quality_classifier",  # quality_prob -> quality_score rename
+}
+
+
 def _verification_tier(name: str) -> int:
+    if name in _DIRTY_CURRENT_ROUND:
+        return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R08:
+        return 8
     if name in _GREEN_R07:
         return 7
     if name in _GREEN_R06:
