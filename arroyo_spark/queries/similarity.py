@@ -483,13 +483,13 @@ def _knn_ivfpq_oracle() -> str:
 
 
 def _knn_ivfpq_rerank_oracle() -> str:
-    """ADC shortlist (top-10) + exact integer unit-L2 re-rank — the
-    standard FAISS refine stage. Every arithmetic step is BIGINT-exact:
+    """ADC shortlist (top-``_PQ_RERANK``) + exact integer unit-L2 re-rank —
+    the standard FAISS refine stage. Every arithmetic step is BIGINT-exact:
     (q_i - n_i)^2 <= 4e12 per dim, 64-dim sums <= 2.6e14 << 2^63."""
     return (
         _ivfpq_ctes()
-        + """,
-    shortlist AS (SELECT q_id, n_id FROM ranked WHERE rn <= 20),
+        + f""",
+    shortlist AS (SELECT q_id, n_id FROM ranked WHERE rn <= {_PQ_RERANK}),
     rr AS (
       SELECT s.q_id, s.n_id,
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -682,7 +682,7 @@ def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = (
         shortlist.join(
             F.broadcast(
-                qn.select(
+                qn.filter(F.col("vec_id") % 20 == 0).select(
                     F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
                 )
             ),

@@ -273,24 +273,53 @@ _GREEN_R08 = frozenset(
 )
 
 
+_GREEN_R09 = frozenset(
+    {
+        "agg_bits_bools", "ann_recall_check", "array_agg_sorted",
+        "bpe_encode_corpus", "bpe_merge_training", "cms_token_frequency",
+        "corpus_mixture_weights", "cube_orders_status_priority",
+        "curation_mixture_sample", "curation_quality_ensemble",
+        "curation_quality_ensemble_mat", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard", "doc_chunking_overlap", "domain_doc_caps",
+        "dsir_importance_weights", "embedding_kmeans_clusters",
+        "first_last_by_time", "funnel_signup_view_purchase",
+        "hop_hourly_15m_by_type", "knn_ivf_ann", "knn_ivfpq_ann",
+        "knn_ivfpq_rerank", "knn_lsh_multitable_ann",
+        "lookup_enrich_segment", "median_percentiles", "multi_hash_ids",
+        "nested_tumble_peak_quarter", "nexmark_q5_hot_users",
+        "nexmark_q8_new_sellers", "q10_returned_items",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_diversity",
+        "q20_dominant_suppliers", "q21_waiting_suppliers",
+        "q2_min_price_supplier", "q8_market_share", "q9_product_profit",
+        "rollup_cascade_15m_1h_1d", "semdedup_cluster_pruning",
+        "session_30m_by_user", "setop_intersect_except",
+        "text_quality_classifier", "text_script_detection",
+        "tumble_daily_global", "tumble_hourly_by_type",
+        "url_canonical_dedup", "window_fn_census",
+        "window_fn_most_active_user",
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
 # trusting its stale green tier. Reset/repopulate each round as code is
 # touched (advisor r08 finding: a freshest-tier listing must not include
-# same-round-modified queries).
+# same-round-modified queries; advisor r09 finding: entries must describe
+# edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r09 edits:
-    "knn_ivfpq_ann",        # residual encoding (PQ over x - coarse centroid)
-    "ann_recall_check",     # ivfpq arm now residual-encoded
-    "dsir_importance_weights",  # libm-free ln via pre-rounded log table
-    "text_quality_classifier",  # quality_prob -> quality_score rename
+    # r10 edits (populated as code is touched this round):
+    "knn_ivfpq_rerank",  # query subset filtered before broadcast; oracle
+                         # shortlist size now interpolates _PQ_RERANK
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R09:
+        return 9
     if name in _GREEN_R08:
         return 8
     if name in _GREEN_R07:
