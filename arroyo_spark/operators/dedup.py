@@ -97,6 +97,58 @@ def minhash_signatures(
     )
 
 
+def with_minhash_signature(
+    df: DataFrame,
+    col: Column | str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append per-ROW MinHash signature columns h0..h{n-1} — the
+    STATELESS form of `minhash_signatures` (array_min over the in-row
+    shingle array instead of explode + groupBy), bit-identical to the
+    batch aggregation since both take the min of the same md5-slice set.
+
+    This is the streaming-side building block: a readStream can compute
+    full signatures per document with NO shuffle and no state, then feed
+    band keys to a bounded stateful bucket operator
+    (`streaming.stateful.streaming_lsh_buckets`). Docs with no shingles
+    (< shingle_n words) yield NULL h columns — filter them, matching
+    their absence from the batch aggregate.
+
+    The per-shingle md5 array is materialized in its own projection so
+    the shingle pipeline runs once per row, not once per hash.
+
+    Batch-vs-stream tradeoff: the explode+groupBy form map-side-combines
+    across a 1000-executor shuffle and is kept for batch; per-row
+    array_min is the right shape when each row must stay independent
+    (one pass over an O(doc_len) array per hash)."""
+    if num_hashes > 8:
+        raise ValueError("num_hashes > 8 needs a second md5 seed")
+    out = df.withColumn(
+        "_md5s", F.transform(shingles(col, shingle_n), F.md5)
+    )
+    sig_cols = [
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.array_min(
+                        F.transform(
+                            F.col("_md5s"),
+                            lambda m: F.conv(
+                                F.substring(m, 4 * i + 1, 4), 16, 10
+                            ).cast("int"),
+                        )
+                    )
+                ),
+                4,
+                "0",
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return out.select("*", *sig_cols).drop("_md5s")
+
+
 def lsh_band_keys(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -394,11 +446,26 @@ def simhash64_hamming_pairs(
     and identical across engines; candidates are verified with the exact
     popcount of the XOR of the signed hashes.
     """
+    return hamming64_banded_pairs(simhash64(docs, id_col), radius, id_col, max_bucket)
+
+
+def hamming64_banded_pairs(
+    sims: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pigeonhole banded equi-join over ANY 64-bit fingerprint table with
+    columns (``id_col``, simhash, sim_lo, sim_hi) — the generic hamming-
+    radius pair finder behind both `simhash64_hamming_pairs` (text) and
+    the perceptual image dHash near-dup (`multimodal.perceptual_dhash`).
+    ``sim_lo``/``sim_hi`` are the unsigned 32-bit halves; ``simhash`` is
+    the signed two's-complement assembly used only for the final exact
+    popcount verify."""
     n_bands = radius + 1
     if 64 % n_bands != 0 or (64 // n_bands) > 32 and n_bands != 1:
         raise ValueError("radius + 1 must divide 64 into <= 32-bit bands")
     width = 64 // n_bands
-    sims = simhash64(docs, id_col)
 
     def band_val(i: int) -> Column:
         off = i * width

@@ -119,6 +119,104 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_neardup_oracle() -> str:
+    # dHash bit q (q = r*8 + c) compares grid cells (r, c) and (r, c+1) of
+    # the 9x8 grid, i.e. payload bytes r*9+c and r*9+c+1 (1-based list
+    # index +1); the signed 64-bit assembly is the overflow-free
+    # two's-complement shape shared with the simhash64 oracle.
+    def pos(q: int) -> int:
+        return (q // 8) * 9 + (q % 8)
+
+    lo_val = " + ".join(
+        f"(CASE WHEN by[{pos(q) + 1}] > by[{pos(q) + 2}] THEN {1 << q} ELSE 0 END)"
+        for q in range(32)
+    )
+    hi_val = " + ".join(
+        f"(CASE WHEN by[{pos(q + 32) + 1}] > by[{pos(q + 32) + 2}] THEN {1 << q} ELSE 0 END)"
+        for q in range(32)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(0, 97), p ->
+               32 + (((p * p + (doc_id % 40) * p) % 89 +
+                      CASE WHEN p = doc_id % 72
+                           THEN ((doc_id // 40) % 3) * 16 ELSE 0 END) % 95))
+               AS by
+      FROM documents),
+    halves AS (SELECT doc_id, {lo_val} AS lov, {hi_val} AS hiv FROM g),
+    sims AS (
+      SELECT doc_id,
+             CAST((CASE WHEN hiv >= 2147483648 THEN hiv - 4294967296
+                        ELSE hiv END) * 4294967296 + lov AS BIGINT) AS ph
+      FROM halves)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """
+
+
+@query(
+    "mm_image_neardup",
+    oracle=_mm_neardup_oracle(),
+    tags=("multimodal", "dedup", "perceptual", "hamming"),
+)
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup — the near-dup form every multimodal
+    pipeline runs after exact sha-256 dedup (`mm_content_dedup`): 64-bit
+    dHash per image (decode to a 9x8 grayscale grid in Python via
+    mapInPandas, difference-hash the rows), then hamming-radius-3 pairs
+    through `hamming64_banded_pairs` — the identical pigeonhole banded
+    equi-join text SimHash uses (plan-gated: no cartesian product; the
+    all-pairs form is ORACLE-only).
+
+    Blobs are constructed deterministically from doc_id with PLANTED
+    near-dup structure (40 base images, per-doc single-"pixel" tweaks:
+    same-base pairs land at hamming 0-4, cross-base at >= 12, measured
+    on the full id range), so the fake decode is DuckDB-replayable while
+    Spark routes real bytes through Arrow into the Python decoder.
+
+    Scale: blob scan -> O(1) fingerprint per image (bytes never
+    shuffle); the hamming join touches only the 16-byte fingerprint
+    table — the Manku/Jain/Sarma web-dedup plan applied to images."""
+    from arroyo_spark.multimodal import perceptual_dhash
+    from arroyo_spark.operators.dedup import hamming64_banded_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = (d % 40).cast("long")
+    p0 = (d % 72).cast("long")
+    tweak = ((F.expr("doc_id div 40") % 3) * 16).cast("long")
+
+    def code(p):
+        perturb = F.when(p == p0, tweak).otherwise(F.lit(0).cast("long"))
+        return (
+            F.lit(32) + (((p * p + base * p) % 89) + perturb) % 95
+        ).cast("int")
+
+    payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(96).cast("long")),
+            lambda p: F.char(code(p)),
+        ),
+        "",
+    )
+    media = docs.select(
+        d.alias("media_id"), F.encode(payload, "UTF-8").alias("content")
+    )
+    ph = perceptual_dhash(media)
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    sims = ph.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("simhash"),
+        lo.alias("sim_lo"),
+        hi.alias("sim_hi"),
+    )
+    return hamming64_banded_pairs(sims, radius=3)
+
+
 @query(
     "mm_content_dedup",
     oracle="""

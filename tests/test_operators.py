@@ -824,3 +824,59 @@ def test_cms_heavy_hitters_no_false_negatives(spark, sf_dir):
     assert (df.false_positive == ~df.is_heavy_exact).all()
     assert df.false_positive.any()
     assert df.false_positive.sum() < 0.5 * len(df)
+
+
+def test_perceptual_dhash_matches_independent_python_model(spark):
+    """mapInPandas dHash vs an independent in-test recomputation: bits,
+    half-splitting, and the wrap-indexed FakeDecoder grid all agree."""
+    from arroyo_spark.multimodal import FakeDecoder, perceptual_dhash
+
+    blobs = [b"abcdefgh" * 20, b"zyx", b"\x00\x01\x02" * 40, b"q" * 97]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: (r.ph_lo, r.ph_hi)
+        for r in perceptual_dhash(df).collect()
+    }
+    for i, blob in enumerate(blobs):
+        g = [blob[(r * 9 + c) % len(blob)] for r in range(8) for c in range(9)]
+        lo = hi = 0
+        for r in range(8):
+            for c in range(8):
+                if g[r * 9 + c] > g[r * 9 + c + 1]:
+                    b = r * 8 + c
+                    if b < 32:
+                        lo |= 1 << b
+                    else:
+                        hi |= 1 << (b - 32)
+        assert got[i] == (lo, hi), i
+    # constant image: no pixel exceeds its neighbor -> all-zero hash
+    assert got[3] == (0, 0)
+    # decode contract: empty blob yields the all-zero grid, not a crash
+    assert FakeDecoder().gray_grid(b"", 9, 8) == [0] * 72
+
+
+def test_with_minhash_signature_matches_batch_aggregate(spark, sf_dir):
+    """The stateless per-row signature (array_min over the in-row shingle
+    array) is bit-identical to the explode+groupBy batch aggregation —
+    the parity that lets the streaming leg share the batch oracle."""
+    from arroyo_spark.operators.dedup import (
+        minhash_signatures,
+        with_minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    batch = minhash_signatures(docs).toPandas().set_index("doc_id")
+    row = (
+        with_minhash_signature(docs.select("doc_id", "text"))
+        .filter(F.col("h0").isNotNull())
+        .drop("text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert sorted(batch.index) == sorted(row.index)
+    for i in range(8):
+        col = f"h{i}"
+        assert (batch[col].sort_index() == row[col].sort_index()).all(), col

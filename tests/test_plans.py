@@ -578,3 +578,17 @@ def test_ivfpq_plan_and_recall(spark, sf_dir):
     )
     rr_recall = len(exact & rr) / len(exact)
     assert rr_recall >= adc_recall + 0.2, (rr_recall, adc_recall)
+
+
+def test_mm_image_neardup_banded_no_cartesian(spark, sf_dir):
+    """Perceptual near-dup must come out of the pigeonhole banded
+    equi-join — never an all-pairs product (that form is oracle-only) —
+    and the planted structure must separate: every surviving pair shares
+    the base image class (cross-base hamming is >= 12 by construction)."""
+    plan = plan_of(spark, sf_dir, "mm_image_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    df = QUERIES["mm_image_neardup"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert (df.doc_a % 40 == df.doc_b % 40).all()
+    assert (df.hamming <= 3).all()
