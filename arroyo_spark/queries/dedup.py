@@ -526,6 +526,111 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_SMH_CAP = 32  # streaming LSH bucket cap (max observed bucket: 9 at sf0.1)
+
+
+@query(
+    "streaming_dedup_minhash",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "streaming"),
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup ON INGEST — the streaming leg of
+    `dedup_minhash_lsh` (same oracle): the documents table replayed
+    through Structured Streaming; each document computes its FULL
+    8-hash signature statelessly per row (array_min over the in-row
+    shingle array, bit-identical to the batch explode+groupBy —
+    `operators.dedup.with_minhash_signature`), explodes into 4 band
+    keys, and feeds the bounded stateful bucket operator
+    (`streaming.stateful.streaming_lsh_buckets`): state per band bucket
+    is the cap lowest-(md5, doc_id) members + a seen counter, so the
+    drained buckets equal the batch bucket contents for every bucket
+    within the cap regardless of arrival order (max observed bucket is
+    9 at sf0.1 vs cap 32 — exact parity here; above the cap the lever
+    degrades identically to the batch op's ``max_bucket``).
+
+    Candidate pairs expand from the drained member arrays batch-side
+    (the emission with the largest n_seen per bucket is the final
+    state; expansion is the identical HOF the batch op uses), then
+    de-dupe across bands.
+
+    Scale: NO shuffle before the stateful groupBy (signatures are
+    per-row), state is O(buckets * cap) in the state store (RocksDB at
+    100 TB), and only (doc_id, band_key, 32-hex rank) rows ever enter
+    the shuffle — the document text never leaves the stateless stage."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.dedup import (
+        lsh_band_keys,
+        with_minhash_signature,
+    )
+    from arroyo_spark.streaming.stateful import streaming_lsh_buckets
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="smh_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    sigs = with_minhash_signature(
+        stream.select("doc_id", "text")
+    ).filter(F.col("h0").isNotNull())
+    keyed = lsh_band_keys(sigs.drop("text")).withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    )
+    buckets = streaming_lsh_buckets(keyed, cap=_SMH_CAP)
+    name = "smh_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="smh_ck_")
+    q = (
+        buckets.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_minhash: stream did not drain in 600s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key").orderBy(F.col("n_seen").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.size("ids") > 1))
+        .select("band_key", F.array_sort("ids").alias("ids"))
+    )
+    pair_lists = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        final.select(F.explode(pair_lists).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
 # algorithm — public method): select the minimum k-gram hash in every

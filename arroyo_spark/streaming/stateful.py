@@ -151,3 +151,40 @@ def streaming_domain_caps(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_lsh_buckets(
+    stream: DataFrame,
+    cap: int = 32,
+    band_col: str = "band_key",
+    rank_col: str = "h",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """On-ingest MinHash-LSH bucket membership — the streaming leg of
+    `operators.dedup.lsh_candidate_pairs`: the input is the stateless
+    per-doc band-key stream (signatures via
+    `operators.dedup.with_minhash_signature`, keys via `lsh_band_keys`);
+    state per band_key is the bucket's ``cap`` lowest-(hash, id) member
+    docs plus a total-seen counter.
+
+    This is EXACTLY the `streaming_domain_caps` state machine keyed by
+    band_key instead of domain — same bounded state
+    (O(buckets * cap)), same hash-ranked order-independence argument
+    (the drained state equals the batch bucket contents for every
+    bucket within ``cap``, regardless of file/batch arrival order), so
+    it delegates outright. ``cap`` plays the role of the batch op's
+    ``max_bucket`` skew lever: a boilerplate mega-bucket holds at most
+    ``cap`` members in state (near-certain duplicate cliques are better
+    handled by the exact-dedup pass, per the batch docstring); buckets
+    that stay under ``cap`` reproduce the batch pair set exactly.
+
+    Candidate pairs come from expanding each drained bucket's member
+    array downstream (the emission with the largest n_seen is the final
+    state) — see queries/dedup.streaming_dedup_minhash."""
+    return streaming_domain_caps(
+        stream,
+        cap=cap,
+        domain_col=band_col,
+        rank_col=rank_col,
+        id_col=id_col,
+    )

@@ -1058,3 +1058,85 @@ def test_streaming_dsir_scoring_matches_batch(spark, sf_dir, tmp_path):
     }
     spark.catalog.clearCache()
     assert got == want and got
+
+
+def test_streaming_dedup_minhash_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """MinHash-LSH bucket state ON INGEST with a stop/restore leg: half
+    the corpus arrives, the query checkpoints and STOPS; the rest
+    arrives and a new query restores from the same checkpoint. The
+    drained buckets (merged across both legs' emissions) must expand to
+    exactly the batch `dedup_minhash_lsh` pair set — hash-ranked bucket
+    admission is order-independent and the restored state (cap member
+    pairs + counter per band bucket) carries leg 1's members into leg
+    2's merges."""
+    import glob
+    import os
+
+    from arroyo_spark.operators.dedup import (
+        lsh_band_keys,
+        with_minhash_signature,
+    )
+    from arroyo_spark.queries.dedup import _SMH_CAP, dedup_minhash_lsh
+    from arroyo_spark.streaming.stateful import streaming_lsh_buckets
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        sigs = with_minhash_signature(
+            stream.select("doc_id", "text")
+        ).filter(F.col("h0").isNotNull())
+        keyed = lsh_band_keys(sigs.drop("text")).withColumn(
+            "h", F.md5(F.col("doc_id").cast("string"))
+        )
+        q = (
+            streaming_lsh_buckets(keyed, cap=_SMH_CAP)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count(), "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+    rows = spark.read.parquet(out).collect()
+
+    best: dict = {}
+    for r in rows:
+        if (
+            r["band_key"] not in best
+            or r["n_seen"] > best[r["band_key"]]["n_seen"]
+        ):
+            best[r["band_key"]] = r
+    got = set()
+    for r in best.values():
+        ids = sorted(int(i) for i in r["ids"])
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                got.add((a, b))
+    expect = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == expect and got
