@@ -396,6 +396,149 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999's interpolated formulation) — the CCNet 5-gram-LM shape at trigram
+# order: absolute discounting D = 0.75 (exactly representable in binary,
+# so every arithmetic step is a correctly-rounded IEEE op identical in
+# both engines) with continuation-count backoff:
+#
+#   P(w3|w1w2) = (c123-D)/c12 + D*N1+(w1w2.)/c12 * P(w3|w2)
+#   P(w3|w2)   = (N1+(.w2w3)-D)/N1+(.w2.) + D*N1+(w2.)/N1+(.w2.) * P(w3)
+#   P(w3)      = N1+(.w3) / |trigram types|
+#
+# Every count comes from the trigram TYPE table (one groupBy of the
+# trigram stream, then three tiny aggregations of the type table), so
+# the model is exactly determined by integers; trained on the whole
+# corpus, every scored trigram has c123 >= 1 > D and all denominators
+# are positive — no zero-probability branches, max() never binds.
+#
+# Scale: one explode to the trigram stream, one groupBy to types, three
+# type-table aggregations + one 1-row total broadcast; scoring is ONE
+# keyed equi-join of the stream against the enriched type table — the
+# same linear-in-tokens shape as the bigram scorer. Determinism: P is a
+# fixed expression tree over exact integers (identical parenthesization
+# both engines), round(-log2(P), 9) per trigram, per-doc avg rounds
+# to 6.
+# ---------------------------------------------------------------------------
+
+
+TRIGRAM_KN_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id, lang, tk[u.i] AS w1, tk[u.i + 1] AS w2,
+             tk[u.i + 2] AS w3
+      FROM t, unnest(range(1, len(tk) - 1)) AS u(i)),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n3
+              FROM c123 GROUP BY 1, 2),
+    t23 AS (SELECT w2, w3, count(*) AS t23 FROM c123 GROUP BY 1, 2),
+    mid2 AS (SELECT w2, sum(t23) AS t2, count(*) AS n2 FROM t23 GROUP BY 1),
+    u3 AS (SELECT w3, count(*) AS u3 FROM c123 GROUP BY 1),
+    tot AS (SELECT count(*) AS u FROM c123),
+    model AS (
+      SELECT c123.w1, c123.w2, c123.w3,
+             round(-log2(
+               ((c123.c123 - 0.75) / ctx12.c12)
+               + ((0.75 * ctx12.n3) / ctx12.c12) *
+                 (((t23.t23 - 0.75) / mid2.t2)
+                  + ((0.75 * mid2.n2) / mid2.t2) * (u3.u3 / tot.u))
+             ), 9) AS term
+      FROM c123
+      JOIN ctx12 USING (w1, w2)
+      JOIN t23 USING (w2, w3)
+      JOIN mid2 USING (w2)
+      JOIN u3 USING (w3)
+      CROSS JOIN tot),
+    terms AS (
+      SELECT tg.doc_id, tg.lang, model.term
+      FROM tg JOIN model USING (w1, w2, w3)),
+    pd AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+             round(avg(term), 6) AS kn_score
+      FROM terms GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_trigrams, kn_score,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY kn_score, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM pd
+    """
+
+
+@query(
+    "text_trigram_kneser_ney",
+    oracle=TRIGRAM_KN_ORACLE,
+    tags=("text", "curation", "perplexity", "kneser-ney"),
+)
+def text_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring with CCNet-style
+    head/middle/tail terciles per language — the upgrade path of
+    `text_bigram_perplexity` toward the deployed 5-gram LM curation
+    stage (see module comment for formulas and determinism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    length = F.greatest(n - 2, F.lit(0))
+    trips = F.zip_with(
+        F.zip_with(
+            F.slice(tk, 1, length),
+            F.slice(tk, 2, length),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(tk, 3, length),
+        lambda p, c: F.struct(
+            p.w1.alias("w1"), p.w2.alias("w2"), c.alias("w3")
+        ),
+    )
+    tg = docs.select(
+        "doc_id", "lang", F.explode(trips).alias("t")
+    ).select("doc_id", "lang", "t.w1", "t.w2", "t.w3")
+    c123 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    ctx12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n3")
+    )
+    t23 = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("t23"))
+    mid2 = t23.groupBy("w2").agg(
+        F.sum("t23").alias("t2"), F.count(F.lit(1)).alias("n2")
+    )
+    u3 = c123.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))
+    tot = c123.agg(F.count(F.lit(1)).alias("u"))
+    d = F.lit(0.75)
+    p2 = ((F.col("t23") - d) / F.col("t2")) + (
+        (d * F.col("n2")) / F.col("t2")
+    ) * (F.col("u3") / F.col("u"))
+    p3 = ((F.col("c123") - d) / F.col("c12")) + (
+        (d * F.col("n3")) / F.col("c12")
+    ) * p2
+    model = (
+        c123.join(ctx12, ["w1", "w2"])
+        .join(t23, ["w2", "w3"])
+        .join(mid2, ["w2"])
+        .join(u3, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", F.round(-F.log2(p3), 9).alias("term"))
+    )
+    terms = tg.join(model, ["w1", "w2", "w3"]).select(
+        "doc_id", "lang", "term"
+    )
+    pd = terms.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.round(F.avg("term"), 6).alias("kn_score"),
+    )
+    w = Window.partitionBy("lang").orderBy("kn_score", "doc_id")
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return pd.select(
+        "doc_id", "lang", "n_trigrams", "kn_score", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # N-gram novelty: the share of a doc's distinct 3-grams that occur in NO
 # other document — high novelty = original text, low novelty = boilerplate
 # / template prose (the inverse signal of the dedup family, used to rank

@@ -312,6 +312,13 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     # r10 edits (populated as code is touched this round):
     "knn_ivfpq_rerank",  # query subset filtered before broadcast; oracle
                          # shortlist size now interpolates _PQ_RERANK
+    "dedup_simhash64_hamming",  # banded join extracted into
+                                # hamming64_banded_pairs (pure refactor)
+    # r10 NEW queries (never checked by the driver yet — tier 0 would
+    # also catch them; listed for the accurate-dirty-set record):
+    "mm_image_neardup",
+    "streaming_dedup_minhash",
+    "text_trigram_kneser_ney",
 }
 
 
