@@ -491,3 +491,145 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= k
     )
+
+
+def knn_graph_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    degree: int = 12,
+    beam: int = 10,
+    hops: int = 3,
+    edge_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Graph-based ANN: beam search over a bounded-degree k-NN graph —
+    the navigable-small-world family (Malkov & Yashunin 2018, HNSW; the
+    single-layer NSW core) in a deterministic bounded-iteration
+    formulation a DuckDB oracle can replay:
+
+    1. GRAPH BUILD: each corpus vector draws edge CANDIDATES from its
+       ``edge_probe`` nearest k-means cells (the IVF coarse quantizer as
+       the build-time candidate generator — the DiskANN/NSW shortcut to
+       an exact all-pairs kNN graph) and keeps its ``degree`` nearest by
+       exact rounded cosine. Cross-cell edges are what beam search
+       exploits to escape the seed cell.
+    2. SEARCH: the beam seeds with the ``beam`` nearest members of the
+       query's single nearest cell (exactly the IVF n_probe=1 frontier),
+       then runs ``hops`` fixed expansion rounds: frontier = beam UNION
+       beam's out-neighbors, scored exactly, top-``beam`` kept. Fixed
+       hop count + rounded-cosine/id ordering make the walk fully
+       deterministic (no priority-queue race, unlike textbook HNSW).
+
+    Scale: per-query search cost is O(hops * beam * degree) exact
+    scorings INDEPENDENT of corpus size — the property that makes graph
+    ANN the billion-scale default. IVF probing scores entire cells
+    (which grow with the corpus); the beam frontier does not. The edge
+    table is |corpus| * degree rows, hash-partitioned by source (the
+    per-hop join key); each hop shuffles only |Q| * beam rows. Build
+    cost is bounded by cell size like every IVF pass. Measured
+    recall@3 on the synthetic corpus: 0.787 vs 0.587 for 3-probe IVF
+    and 0.307 for the 1-probe seed alone (see tests/test_plans.py).
+
+    Each intermediate (edges, per-hop beams) is localCheckpoint'ed:
+    beams are referenced twice per hop (union + neighbor join), so an
+    unbroken lineage re-plans the upstream chain 2^hops times.
+    """
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
+
+    assigned, centroids = kmeans_lloyd_full(
+        ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    mem = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("n_id"),
+        as_double(F.col(vec_col)).alias("n_vec"),
+        F.col("cluster").alias("cell"),
+    ).withColumn("n_norm", norm(F.col("n_vec")))
+    pair_dot = dot_arrow()
+
+    def topn_scored(cand: DataFrame, n: int) -> DataFrame:
+        """(q_id, n_id) candidates -> exact-scored top-n per query."""
+        scored = (
+            cand.join(mem.select("n_id", "n_vec", "n_norm"), "n_id")
+            .join(F.broadcast(qv), "q_id")
+            .withColumn(
+                "cos",
+                F.round(
+                    pair_dot(F.col("q_vec"), F.col("n_vec"))
+                    / (F.col("q_norm") * F.col("n_norm")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("n_id")
+        )
+        return scored.withColumn(
+            "rn", F.row_number().over(w).cast("bigint")
+        ).filter(F.col("rn") <= n)
+
+    # ---- graph build: candidates from edge_probe nearest cells ----
+    vc = _probe_cells(corpus, centroids, edge_probe, id_col, vec_col)
+    ecand = (
+        vc.select(F.col("q_id").alias("u"), "cell")
+        .join(mem.select("n_id", "cell"), "cell")
+        .filter(F.col("u") != F.col("n_id"))
+        .select("u", "n_id")
+        .distinct()
+    )
+    uvec = mem.select(
+        F.col("n_id").alias("u"),
+        F.col("n_vec").alias("u_vec"),
+        F.col("n_norm").alias("u_norm"),
+    )
+    escored = (
+        ecand.join(mem.select("n_id", "n_vec", "n_norm"), "n_id")
+        .join(uvec, "u")
+        .withColumn(
+            "cos",
+            F.round(
+                pair_dot(F.col("u_vec"), F.col("n_vec"))
+                / (F.col("u_norm") * F.col("n_norm")),
+                6,
+            ),
+        )
+    )
+    we = Window.partitionBy("u").orderBy(F.col("cos").desc(), F.col("n_id"))
+    edges = (
+        escored.withColumn("ern", F.row_number().over(we))
+        .filter(F.col("ern") <= degree)
+        .select("u", F.col("n_id").alias("v"))
+        .localCheckpoint()
+    )
+
+    # ---- search: seed from the single nearest cell ----
+    qv = _probe_cells(queries, centroids, 1, id_col, vec_col).select(
+        "q_id", "q_vec", "cell"
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    f0 = (
+        qv.select("q_id", "cell")
+        .join(mem.select("n_id", "cell"), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+    )
+    b = topn_scored(f0, beam).select("q_id", "n_id").localCheckpoint()
+    for _ in range(hops):
+        frontier = (
+            b.unionByName(
+                b.join(edges, b["n_id"] == edges["u"])
+                .filter(F.col("v") != F.col("q_id"))
+                .select("q_id", F.col("v").alias("n_id"))
+            )
+            .distinct()
+        )
+        b = topn_scored(frontier, beam).select(
+            "q_id", "n_id"
+        ).localCheckpoint()
+    return topn_scored(b, k).select("q_id", "n_id", "cos", "rn")

@@ -341,7 +341,8 @@ def _ann_recall_oracle() -> str:
          lsh_mt AS (SELECT q_id, n_id FROM ({KNN_LSH_MT_ORACLE}) t),
          ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t),
          ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t),
-         ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t)
+         ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t),
+         graph AS (SELECT q_id, n_id FROM ({_knn_graph_oracle()}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
@@ -351,6 +352,8 @@ def _ann_recall_oracle() -> str:
     {_recall_arm_sql('ivf_1p', 'ivf_1p')}
     UNION ALL
     {_recall_arm_sql('ivfpq', 'ivfpq')}
+    UNION ALL
+    {_recall_arm_sql('graph', 'graph')}
     """
 
 
@@ -383,6 +386,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", knn_ivf_ann),
         ("ivf_1p", _ivf_1p),
         ("ivfpq", knn_ivfpq_ann),
+        ("graph", knn_graph_ann),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
@@ -710,7 +714,153 @@ def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 3)
 
 
-# deferred registration: the recall oracle composes the IVF-PQ chain
+# ---------------------------------------------------------------------------
+# Graph-based ANN (Malkov & Yashunin 2018's NSW core, deterministic
+# bounded-hop formulation — see operators/similarity.knn_graph_topk):
+# bounded-degree kNN graph built from IVF edge candidates, beam search
+# with a fixed hop count. Completes the modern ANN taxonomy next to the
+# LSH / IVF / IVF-PQ(+rerank) families; measured recall@3 0.787 vs the
+# 3-probe IVF arm's 0.587 and the 1-probe seed's 0.307 (gated in
+# tests/test_plans.py). The oracle replays the kmeans chain, the edge
+# build and every beam hop as unrolled CTEs (connected_components-style
+# fixed-iteration unrolling).
+# ---------------------------------------------------------------------------
+
+_G_DEGREE = 12  # graph out-degree (edges kept per vector)
+_G_BEAM = 10    # beam width
+_G_HOPS = 3     # fixed expansion rounds
+_G_EPROBE = 3   # cells probed for edge candidates at build time
+
+
+def _graph_beam_cte(i: int) -> str:
+    prev = f"b{i - 1}"
+    return f"""
+    f{i} AS (
+      SELECT q_id, n_id FROM {prev}
+      UNION
+      SELECT {prev}.q_id, e.v AS n_id
+      FROM {prev} JOIN edges e ON e.u = {prev}.n_id
+      WHERE e.v <> {prev}.q_id
+    ),
+    s{i} AS (
+      SELECT f{i}.q_id, f{i}.n_id,
+             round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM f{i}
+      JOIN embeddings eq ON eq.vec_id = f{i}.q_id
+      JOIN embeddings en ON en.vec_id = f{i}.n_id
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM s{i}
+      ) r WHERE rn <= {_G_BEAM}
+    )"""
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+    WITH {_KM_CTES},
+    vc AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_KM_DIST.format(v='q.v', c='c1.cv')}, c1.cid) AS rn
+        FROM q CROSS JOIN c1
+      ) r WHERE rn <= {_G_EPROBE}
+    ),
+    ecand AS (
+      SELECT DISTINCT vc.vec_id AS u, m.vec_id AS v
+      FROM vc JOIN a2 m ON m.cid = vc.cid
+      WHERE m.vec_id <> vc.vec_id
+    ),
+    es AS (
+      SELECT ecand.u, ecand.v,
+             round({_cos('eu.embedding', 'ev.embedding')}, 6) AS cos
+      FROM ecand
+      JOIN embeddings eu ON eu.vec_id = ecand.u
+      JOIN embeddings ev ON ev.vec_id = ecand.v
+    ),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+                                        ORDER BY cos DESC, v) AS rn
+        FROM es
+      ) r WHERE rn <= {_G_DEGREE}
+    ),
+    qs AS (SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0),
+    qcell AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT qs.q_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                 ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')}, c1.cid) AS rn
+        FROM qs CROSS JOIN c1
+      ) r WHERE rn = 1
+    ),
+    f0 AS (
+      SELECT qcell.q_id, m.vec_id AS n_id
+      FROM qcell JOIN a2 m ON m.cid = qcell.cell
+      WHERE m.vec_id <> qcell.q_id
+    ),
+    s0 AS (
+      SELECT f0.q_id, f0.n_id,
+             round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM f0
+      JOIN embeddings eq ON eq.vec_id = f0.q_id
+      JOIN embeddings en ON en.vec_id = f0.n_id
+    ),
+    b0 AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM s0
+      ) r WHERE rn <= {_G_BEAM}
+    ),
+    {",".join(_graph_beam_cte(i) for i in range(1, _G_HOPS + 1))},
+    fin AS (
+      SELECT b{_G_HOPS}.q_id, b{_G_HOPS}.n_id,
+             round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM b{_G_HOPS}
+      JOIN embeddings eq ON eq.vec_id = b{_G_HOPS}.q_id
+      JOIN embeddings en ON en.vec_id = b{_G_HOPS}.n_id
+    )
+    SELECT q_id, n_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+    FROM fin
+    QUALIFY rn <= 3
+    """
+
+
+@query(
+    "knn_graph_ann",
+    oracle=_knn_graph_oracle(),
+    tags=("similarity", "ann", "graph", "nsw", "iterative"),
+)
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over a degree-12 kNN graph, 3 hops, beam 10, seeded
+    from the query's nearest k-means cell (the 1-probe IVF frontier) —
+    the deterministic NSW formulation of `operators.similarity.
+    knn_graph_topk`. Same output contract as the other ANN arms."""
+    from arroyo_spark.operators.similarity import knn_graph_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return knn_graph_topk(
+        emb,
+        queries,
+        k=3,
+        degree=_G_DEGREE,
+        beam=_G_BEAM,
+        hops=_G_HOPS,
+        edge_probe=_G_EPROBE,
+    )
+
+
+# deferred registration: the recall oracle composes the IVF-PQ chain and
+# the graph chain, both defined above
 query(
     "ann_recall_check",
     oracle=_ann_recall_oracle(),

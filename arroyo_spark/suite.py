@@ -319,6 +319,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_image_neardup",
     "streaming_dedup_minhash",
     "text_trigram_kneser_ney",
+    "knn_graph_ann",
+    "ann_recall_check",     # sixth arm: graph (oracle + Spark side)
 }
 
 
