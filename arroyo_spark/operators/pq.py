@@ -379,3 +379,150 @@ def adc_tables_residual(
     return rq.select(
         "q_id", "cell", F.explode(F.array(*entries)).alias("e")
     ).select("q_id", "cell", "e.s", "e.code", "e.dq")
+
+
+# ---------------------------------------------------------------------------
+# Scalar Quantization (SQ8) — the OTHER vector-compression family next to
+# PQ: 8 bits PER DIMENSION with a per-dim affine [min, max] range (FAISS's
+# ScalarQuantizer QT_8bit; also the standard int8 embedding-store format).
+# 4x memory vs float32 at near-exact recall, versus PQ's 64x at lossy
+# recall — the two ends of the compression/accuracy tradeoff, both now
+# measured side-by-side in ann_recall_check.
+#
+# Determinism: everything lives in the unit-quantized BIGINT space
+# (quantize_unit). The "codebook" is 128 integers (per-dim min/max, ONE
+# aggregate pass, 1-row collect). Codes and reconstructions are
+# floor(exact-integer-numerator / divisor) where the numerator is always
+# double-exact (< 2^53) and the true quotient is never within 1/divisor
+# of an integer without BEING one — so the correctly-rounded IEEE divide
+# + floor is identical in Spark and DuckDB. Distances are pure BIGINT
+# folds ((q_i - r_i)^2 <= ~4e12, 64-dim sums <= ~3e14 << 2^63).
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # top code: 256 levels, 8 bits
+
+
+def sq8_train(qn: DataFrame, dim: int = PQ_DIM) -> tuple[list[int], list[int]]:
+    """Per-dimension [min, max] over the unit-quantized corpus — the
+    entire SQ8 'codebook' is 2*dim integers from ONE aggregate pass
+    (map-side-combined min/max; the collect is a single row regardless
+    of corpus size; production trains ranges on a sample anyway)."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at("v", i + 1)
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = qn.agg(*aggs).first()
+    return (
+        [int(row[f"mn{i}"]) for i in range(dim)],
+        [int(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def sq8_encode(
+    qn: DataFrame, mins: list[int], maxs: list[int], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes array<bigint> in [0, 255]): c_i = floor((v_i - mn_i)
+    * 255 / (mx_i - mn_i)), degenerate dims (mx == mn) code to 0. The
+    numerator is exact ((v-mn)*255 <= ~1.1e9 << 2^53); see module note
+    for why floor(divide) is cross-engine exact."""
+    mn = F.array(*[F.lit(x).cast("bigint") for x in mins])
+    mx = F.array(*[F.lit(x).cast("bigint") for x in maxs])
+    codes = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.get(mx, i) == F.get(mn, i), F.lit(0).cast("bigint")
+        ).otherwise(
+            F.floor(
+                ((x - F.get(mn, i)) * F.lit(255)).cast("double")
+                / (F.get(mx, i) - F.get(mn, i))
+            ).cast("bigint")
+        ),
+    )
+    return qn.select(id_col, codes.alias("codes"))
+
+
+def sq8_reconstruct(
+    codes_df: DataFrame,
+    mins: list[int],
+    maxs: list[int],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, r array<bigint>): mid-rise dequantization r_i = floor((512 *
+    mn_i + (2*c_i + 1) * (mx_i - mn_i)) / 512) — i.e. mn + (c + 0.5) *
+    (mx - mn) / 256, kept integer-exact (numerator <= ~6.3e9 << 2^53 and
+    the divisor is a power of two, so the divide itself is EXACT in
+    doubles; floor then has nothing to round)."""
+    mn = F.array(*[F.lit(x).cast("bigint") for x in mins])
+    mx = F.array(*[F.lit(x).cast("bigint") for x in maxs])
+    rec = F.transform(
+        F.col("codes"),
+        lambda c, i: F.floor(
+            (
+                F.lit(512) * F.get(mn, i)
+                + (F.lit(2) * c + F.lit(1)) * (F.get(mx, i) - F.get(mn, i))
+            ).cast("double")
+            / F.lit(512.0)
+        ).cast("bigint"),
+    )
+    return codes_df.select(id_col, rec.alias("r"))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 ANN top-k: the IVF coarse quantizer prunes candidates
+    (same cells/probe selection as every other IVF arm — shared
+    implementation), and candidates are scored ASYMMETRICALLY: the exact
+    unit-quantized query against the SQ8 reconstruction of the corpus
+    vector, squared-L2 as a pure BIGINT fold (on unit vectors L2 order =
+    cosine order). Output (q_id, n_id, d2, rn), rank ties -> lowest
+    n_id.
+
+    Scale: the corpus stores 8-bit codes (4x smaller scans than float32
+    — at 100 TB of float32 embeddings, 25 TB of codes) plus a 128-int
+    broadcast codebook; scoring is |candidates| integer fused ops with
+    no float accumulation. The only collects are the 1-row min/max agg
+    and kmeans' k-row centroids."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.similarity import ivf_probe_candidates
+
+    assigned, probes, cand = ivf_probe_candidates(
+        corpus, queries, n_clusters=n_clusters, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qn = quantize_unit(corpus.select(id_col, vec_col), vec_col).select(
+        id_col, "v"
+    )
+    mins, maxs = sq8_train(qn)
+    rec = sq8_reconstruct(sq8_encode(qn, mins, maxs, id_col), mins, maxs,
+                          id_col)
+    qv = quantize_unit(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.select("q_id", "n_id")
+        .join(rec.withColumnRenamed(id_col, "n_id"), "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("qv", "r", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "d2", "rn")
+    )

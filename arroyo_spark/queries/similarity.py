@@ -342,7 +342,8 @@ def _ann_recall_oracle() -> str:
          ivf AS (SELECT q_id, n_id FROM ({_KNN_IVF_ORACLE}) t),
          ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t),
          ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t),
-         graph AS (SELECT q_id, n_id FROM ({_knn_graph_oracle()}) t)
+         graph AS (SELECT q_id, n_id FROM ({_knn_graph_oracle()}) t),
+         sq8 AS (SELECT q_id, n_id FROM ({_knn_sq8_oracle()}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
@@ -354,6 +355,8 @@ def _ann_recall_oracle() -> str:
     {_recall_arm_sql('ivfpq', 'ivfpq')}
     UNION ALL
     {_recall_arm_sql('graph', 'graph')}
+    UNION ALL
+    {_recall_arm_sql('sq8', 'sq8')}
     """
 
 
@@ -387,6 +390,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_1p", _ivf_1p),
         ("ivfpq", knn_ivfpq_ann),
         ("graph", knn_graph_ann),
+        ("sq8", knn_sq8_ann),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
@@ -859,8 +863,109 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# deferred registration: the recall oracle composes the IVF-PQ chain and
-# the graph chain, both defined above
+# ---------------------------------------------------------------------------
+# IVF-SQ8 ANN (FAISS ScalarQuantizer QT_8bit; the standard int8
+# embedding-store format): 8 bits PER DIMENSION with per-dim affine
+# [min, max] ranges — the high-fidelity end of the compression/accuracy
+# tradeoff (4x memory, near-exact recall) next to PQ's 64x lossy end.
+# Candidates come from the SAME IVF cells/probe selection as every other
+# IVF arm; scoring is asymmetric (exact unit-quantized query vs the SQ8
+# reconstruction), pure-BIGINT squared-L2. The oracle replays the k-means
+# chain, probe selection, the 128-integer min/max "codebook", the 8-bit
+# encoding, the mid-rise dequantization and the integer ranking —
+# operators/pq.py's SQ8 section documents why every floor(divide) is
+# cross-engine exact.
+# ---------------------------------------------------------------------------
+
+
+def _knn_sq8_oracle() -> str:
+    return f"""
+    WITH {_KM_CTES},
+    qs AS (
+      SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
+    ), qcells AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT qs.q_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                                  ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')},
+                                           c1.cid) AS rn
+        FROM qs CROSS JOIN c1
+      ) r WHERE rn <= 3
+    ), cand AS (
+      SELECT qcells.q_id, a2.vec_id AS n_id
+      FROM qcells JOIN a2 ON a2.cid = qcells.cell
+      WHERE a2.vec_id <> qcells.q_id
+    ),
+    qn AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(floor(CAST(x AS DOUBLE) / nrm
+                                           * 1000000) AS BIGINT) END) AS v
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) AS nrm
+        FROM embeddings) t),
+    sqdims AS (SELECT unnest(range(1, 65)) AS i),
+    mm AS MATERIALIZED (
+      -- the whole SQ8 "codebook": per-dim [min, max], 128 integers
+      SELECT sqdims.i, MIN(qn.v[sqdims.i]) AS mn, MAX(qn.v[sqdims.i]) AS mx
+      FROM qn CROSS JOIN sqdims GROUP BY sqdims.i),
+    sqc AS MATERIALIZED (
+      -- c_i = floor((v_i - mn) * 255 / (mx - mn)); numerator exact,
+      -- quotient never straddles an integer without being one
+      SELECT qn.vec_id, mm.i,
+             CASE WHEN mm.mx = mm.mn THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST((qn.v[mm.i] - mm.mn) * 255 AS DOUBLE)
+                                  / (mm.mx - mm.mn)) AS BIGINT) END AS c
+      FROM qn CROSS JOIN mm),
+    rec AS MATERIALIZED (
+      -- mid-rise dequantization: mn + (c + 0.5)*(mx - mn)/256, kept
+      -- integer (the /512 is a power of two -> the divide is EXACT)
+      SELECT sqc.vec_id, sqc.i,
+             CAST(floor(CAST(512 * mm.mn
+                             + (2 * sqc.c + 1) * (mm.mx - mm.mn) AS DOUBLE)
+                        / 512) AS BIGINT) AS r
+      FROM sqc JOIN mm USING (i)),
+    sqd AS (
+      SELECT cand.q_id, cand.n_id,
+             CAST(SUM((qn.v[rec.i] - rec.r) * (qn.v[rec.i] - rec.r))
+                  AS BIGINT) AS d2
+      FROM cand
+      JOIN rec ON rec.vec_id = cand.n_id
+      JOIN qn ON qn.vec_id = cand.q_id
+      GROUP BY cand.q_id, cand.n_id),
+    sq8ranked AS (
+      SELECT q_id, n_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY d2, n_id) AS BIGINT) AS rn
+      FROM sqd)
+    SELECT q_id, n_id, d2, rn FROM sq8ranked WHERE rn <= 3
+    """
+
+
+@query(
+    "knn_sq8_ann",
+    oracle=_knn_sq8_oracle(),
+    tags=("similarity", "ann", "ivf", "sq8"),
+)
+def knn_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 top-3: IVF cells prune (n_probe=3, shared probe
+    selection), candidates scored asymmetrically against their 8-bit
+    scalar-quantized reconstruction — `operators.pq.sq8_topk`. d2 is the
+    integer-exact unit-space squared L2; ties break on n_id."""
+    from arroyo_spark.operators.pq import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return sq8_topk(emb, queries, k=3)
+
+
+# deferred registration: the recall oracle composes the IVF-PQ chain,
+# the graph chain and the SQ8 chain, all defined above
 query(
     "ann_recall_check",
     oracle=_ann_recall_oracle(),

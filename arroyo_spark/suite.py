@@ -320,7 +320,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_dedup_minhash",
     "text_trigram_kneser_ney",
     "knn_graph_ann",
-    "ann_recall_check",     # sixth arm: graph (oracle + Spark side)
+    "knn_sq8_ann",
+    "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
+                            # Spark side)
 }
 
 

@@ -643,3 +643,44 @@ def test_knn_graph_ann_recall_beats_ivf(spark, sf_dir):
     )
     assert r_graph >= r_seed + 0.1, (r_graph, r_seed)
     assert r_graph >= r_ivf, (r_graph, r_ivf)
+
+
+def test_knn_sq8_plan_and_recall(spark, sf_dir):
+    """IVF-SQ8: candidate scoring must be hash/broadcast equi-joins (no
+    cartesian/NLJ), and 8-bit scalar quantization must be near-lossless
+    — recall@3 equal to the exact-scored IVF arm on the same candidates
+    (measured 0.5867 == 0.5867 at sf0.01) and far above the 64x-lossy
+    PQ arm (0.24): the two ends of the compression/accuracy tradeoff."""
+    import pyspark.sql.functions as SF
+
+    from arroyo_spark.queries.similarity import (
+        knn_cosine_topk,
+        knn_ivf_ann,
+        knn_ivfpq_ann,
+        knn_sq8_ann,
+    )
+
+    plan = plan_of(spark, sf_dir, "knn_sq8_ann")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+    exact = knn_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+
+    def recall(arm):
+        ap = arm.select(
+            SF.col("q_id").alias("aq"), SF.col("n_id").alias("an")
+        )
+        hit = exact.join(
+            ap,
+            (exact["q_id"] == ap["aq"]) & (exact["n_id"] == ap["an"]),
+            "left",
+        )
+        n, h = hit.agg(SF.count(SF.lit(1)), SF.count("an")).first()
+        return h / n
+
+    r_sq8 = recall(knn_sq8_ann(spark, sf_dir))
+    r_ivf = recall(knn_ivf_ann(spark, sf_dir))
+    r_pq = recall(knn_ivfpq_ann(spark, sf_dir))
+    assert r_sq8 >= r_ivf - 1e-9, (r_sq8, r_ivf)
+    assert r_sq8 >= r_pq + 0.2, (r_sq8, r_pq)
