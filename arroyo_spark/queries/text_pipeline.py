@@ -148,6 +148,191 @@ def contamination_5gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming contamination guard: on-ingest decontamination, the production
+# counterpart of `contamination_5gram_overlap` and the design Dolma's
+# decontamination step uses at trillion-token scale — a Bloom filter of the
+# BENCHMARK suite's n-grams is built once (the eval slice stands in for it),
+# shipped to every worker, and each arriving document is scored with ZERO
+# state and zero shuffle: membership is a per-row bitmap lookup. The filter
+# is deterministic (md5-derived bit positions, the bloom_line_membership
+# discipline), so the DuckDB oracle replays the exact same bits — false
+# positives included — and the no-false-negative guarantee means a flagged
+# count can only be >= the exact contaminated count (property-tested).
+# ---------------------------------------------------------------------------
+
+_CBLOOM_M = 262144  # bit positions, sized for the eval slice's shingles
+_CBLOOM_K = 3  # hash functions
+
+
+def _cbloom_key(r: int, col: F.Column) -> F.Column:
+    """r * M + bucket as one BIGINT key (bucket = md5-derived, portable)."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _CBLOOM_M
+    )
+    return F.lit(r * _CBLOOM_M) + b
+
+
+def _cbloom_key_sql(r: int, tok: str = "sh") -> str:
+    return (
+        f"{r * _CBLOOM_M} + CAST('0x' || substr(md5('{r}:' || {tok}), 1, 8) "
+        f"AS BIGINT) % {_CBLOOM_M}"
+    )
+
+
+def _cbloom_case_sql(tok: str = "sh") -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {_cbloom_key_sql(r, tok)}" for r in range(_CBLOOM_K)
+    )
+    return f"CASE u.r {whens} END"
+
+
+@query(
+    "streaming_contamination_guard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_eval,
+             list_distinct({_duck_ngrams(5)}) AS sh5
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(sh5) AS sh FROM t WHERE is_eval),
+    bits AS (
+      SELECT DISTINCT {_cbloom_case_sql()} AS key
+      FROM ev, unnest(range(0, {_CBLOOM_K})) AS u(r)),
+    ex AS (
+      SELECT doc_id, unnest(sh5) AS sh FROM t
+      WHERE NOT is_eval AND len(sh5) > 0),
+    probes AS (
+      SELECT doc_id, sh, {_cbloom_case_sql()} AS key
+      FROM ex, unnest(range(0, {_CBLOOM_K})) AS u(r)),
+    hits AS (
+      SELECT doc_id, sh, count(bits.key) AS nhit
+      FROM probes LEFT JOIN bits USING (key)
+      GROUP BY doc_id, sh)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN nhit = {_CBLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(SUM(CASE WHEN nhit = {_CBLOOM_K} THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS flagged_rate
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("text", "contamination", "streaming", "bloom"),
+)
+def streaming_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ON INGEST: the eval slice's distinct 5-gram
+    shingles build a 2^18-bit / k=3 Bloom filter ONCE
+    (batch side, bounded: the bit-key set is <= k*m integers no matter
+    how large the benchmark suite grows); the documents table then
+    replays through Structured Streaming and every arriving doc counts
+    its flagged shingles against the broadcast bitmap — STATELESS and
+    shuffle-free per row (shingle arrays are computed JVM-side; the
+    mapInPandas stage only does md5 bitmap probes), so the guard adds
+    no state store and survives any rescale trivially. Emits per doc:
+    distinct-shingle count, Bloom-flagged count (>= the exact
+    contaminated count, no false negatives) and the flagged rate."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    docs_b = load_table(spark, sf_dir, "documents")
+    keys = (
+        docs_b.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles("text", 5)).alias("sh"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[_cbloom_key(r, F.col("sh")) for r in range(_CBLOOM_K)]
+                )
+            ).alias("key")
+        )
+        .distinct()
+    )
+    # bounded collect: <= k*m = 786k ints REGARDLESS of corpus size (the
+    # resident-filter design — Dolma ships a few GB for trillions of tokens)
+    bitset = frozenset(r.key for r in keys.collect())
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="scg_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    rows = (
+        stream.filter(~(F.col("doc_id") % 97 == 0))
+        .select("doc_id", shingles("text", 5).alias("sh5"))
+        .filter(F.size("sh5") > 0)
+    )
+
+    m_bits, k_hashes = _CBLOOM_M, _CBLOOM_K
+
+    def _score(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ns, nf = [], []
+            for sh_arr in pdf["sh5"]:
+                n, flagged = len(sh_arr), 0
+                for s in sh_arr:
+                    hit = True
+                    for r in range(k_hashes):
+                        h = hashlib.md5(
+                            (f"{r}:{s}").encode("utf-8")
+                        ).hexdigest()
+                        if r * m_bits + int(h[:8], 16) % m_bits not in bitset:
+                            hit = False
+                            break
+                    if hit:
+                        flagged += 1
+                ns.append(n)
+                nf.append(flagged)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_shingles": ns, "n_flagged": nf}
+            )
+
+    scored = rows.mapInPandas(
+        _score, "doc_id bigint, n_shingles bigint, n_flagged bigint"
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_flagged",
+        F.round(F.col("n_flagged") / F.col("n_shingles"), 6).alias(
+            "flagged_rate"
+        ),
+    )
+    name = "scg_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="scg_ck_")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_contamination_guard: stream did not drain in 600s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling: per-source rates from a pure hash of
 # doc_id — reproducible under retries and independent of partitioning.
 # ---------------------------------------------------------------------------

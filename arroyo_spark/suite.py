@@ -321,6 +321,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "text_trigram_kneser_ney",
     "knn_graph_ann",
     "knn_sq8_ann",
+    "streaming_contamination_guard",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

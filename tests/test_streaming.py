@@ -1140,3 +1140,30 @@ def test_streaming_dedup_minhash_stop_restore_matches_batch(
         for r in dedup_minhash_lsh(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_contamination_guard_no_false_negatives(spark, sf_dir):
+    """The on-ingest Bloom guard vs the exact batch contamination check:
+    same doc universe, identical distinct-shingle counts, and the Bloom
+    no-false-negative guarantee — every exactly-contaminated shingle
+    must be flagged, so n_flagged >= n_contaminated per doc. (Equality
+    is NOT asserted: false positives are allowed and oracle-replayed.)"""
+    from arroyo_spark.queries.text_pipeline import (
+        contamination_5gram_overlap,
+        streaming_contamination_guard,
+    )
+
+    g = (
+        streaming_contamination_guard(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    b = (
+        contamination_5gram_overlap(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(g.index) == set(b.index)
+    j = g.join(b, lsuffix="_g")
+    assert (j.n_shingles_g == j.n_shingles).all()
+    assert (j.n_flagged >= j.n_contaminated).all()
