@@ -964,6 +964,169 @@ def knn_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(emb, queries, k=3)
 
 
+# ---------------------------------------------------------------------------
+# PCA by fixed-iteration power method (public classic; Golub & Van Loan) —
+# the data-dependent dimensionality-reduction op next to
+# embedding_random_projection's data-oblivious one. One distributed pass
+# builds the EXACT integer Gram matrix G = X^T X of the coarse-quantized
+# unit corpus (64x64 = 4096 BIGINT sums — the shuffle is 4096 rows per
+# partition after map-side combine, regardless of corpus size); the
+# 8-step power iteration then runs on the 4096-entry matrix driver-side
+# (bounded collect, kmeans-centroid class) in pure integer arithmetic:
+# u = G@w exact, renormalized to the 1e3 scale by half-up integer
+# rounding ((|u|*2000 + m) // (2m), m = max|u|) — so the DuckDB oracle
+# replays every iteration as unrolled materialized CTEs and the final
+# loadings match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_PCA_T = 8       # power iterations
+_PCA_Q = 1000    # coarse divisor: g_i = floor(v_i / 1000), ~3 digits
+_PCA_W = 1000    # iterate scale: w components renormalized to [-1000, 1000]
+
+
+def _pca_iter_cte(t: int) -> str:
+    prev = f"w{t - 1}"
+    return f"""
+    u{t} AS MATERIALIZED (
+      SELECT gm.i AS d, CAST(SUM(gm.gij * {prev}.wv) AS BIGINT) AS uv
+      FROM gm JOIN {prev} ON gm.j = {prev}.d GROUP BY gm.i),
+    m{t} AS (SELECT MAX(abs(uv)) AS m FROM u{t}),
+    w{t} AS MATERIALIZED (
+      SELECT d, CAST(CASE WHEN uv >= 0
+                 THEN (abs(uv) * {2 * _PCA_W} + m) // (2 * m)
+                 ELSE -((abs(uv) * {2 * _PCA_W} + m) // (2 * m))
+               END AS BIGINT) AS wv
+      FROM u{t}, m{t})"""
+
+
+def _pca_oracle() -> str:
+    iters = ",".join(_pca_iter_cte(t) for t in range(1, _PCA_T + 1))
+    last = f"w{_PCA_T}"
+    return f"""
+    WITH qn AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(floor(CAST(x AS DOUBLE) / nrm
+                                           * 1000000) AS BIGINT) END) AS v
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) AS nrm
+        FROM embeddings) t),
+    g AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE)
+                                               / {_PCA_Q}) AS BIGINT)) AS gv
+      FROM qn),
+    gm AS MATERIALIZED (
+      SELECT di.i AS i, dj.j AS j,
+             CAST(SUM(g.gv[di.i] * g.gv[dj.j]) AS BIGINT) AS gij
+      FROM g, unnest(range(1, 65)) AS di(i), unnest(range(1, 65)) AS dj(j)
+      GROUP BY di.i, dj.j),
+    w0 AS (SELECT unnest(range(1, 65)) AS d,
+                  CAST({_PCA_W} AS BIGINT) AS wv),
+    {iters},
+    unext AS (
+      SELECT gm.i AS d, CAST(SUM(gm.gij * {last}.wv) AS BIGINT) AS uv
+      FROM gm JOIN {last} ON gm.j = {last}.d GROUP BY gm.i),
+    num AS (SELECT SUM({last}.wv * unext.uv) AS s
+            FROM {last} JOIN unext USING (d)),
+    ww AS (SELECT SUM(wv * wv) AS s FROM {last}),
+    tr AS (SELECT SUM(gij) AS s FROM gm WHERE i = j),
+    lam AS (SELECT CAST(num.s // ww.s AS BIGINT) AS l FROM num, ww)
+    SELECT CAST({last}.d AS BIGINT) AS dim_id,
+           {last}.wv AS loading_raw,
+           round(CAST({last}.wv AS DOUBLE)
+                 / sqrt(CAST(ww.s AS DOUBLE)), 6) AS loading,
+           round(CAST(lam.l AS DOUBLE) / CAST(tr.s AS DOUBLE), 6)
+             AS pc1_var_share
+    FROM {last}, ww, tr, lam
+    """
+
+
+@query(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    tags=("similarity", "embedding", "pca", "iterative"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the unit-quantized corpus by 8-step
+    integer power iteration. Distributed work is ONE pass building the
+    exact 64x64 Gram matrix (posexplode x transform -> 4096-key partial
+    aggregate; the shuffle is <= 4096 rows per partition no matter the
+    corpus size — at 1e9 docs the coarse 1e3-scale components keep every
+    Gram sum inside BIGINT, and production would route the sums through
+    decimal(38,0) beyond that). The 4096-entry collect and the python
+    iterate loop are bounded-constant driver work, exactly the k-means
+    centroid pattern. Emits per-dim integer loadings (bit-exact vs the
+    unrolled oracle), unit-normalized loadings, and PC1's variance share
+    lambda1 / trace(G)."""
+    from arroyo_spark.operators.pq import quantize_unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qn = quantize_unit(emb.select("vec_id", "embedding")).select("v")
+    g = qn.select(
+        F.transform(
+            "v",
+            lambda x: F.floor(x.cast("double") / F.lit(float(_PCA_Q))).cast(
+                "bigint"
+            ),
+        ).alias("gv")
+    )
+    r1 = g.select("gv", F.posexplode("gv").alias("i0", "gi"))
+    r2 = r1.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode(
+            F.transform("gv", lambda x: F.col("gi") * x)
+        ).alias("j0", "p"),
+    )
+    gm = (
+        r2.select("i", (F.col("j0") + 1).alias("j"), "p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gij"))
+    )
+    gmat = {(r["i"], r["j"]): int(r["gij"]) for r in gm.collect()}
+
+    w = [_PCA_W] * 64
+    for _ in range(_PCA_T):
+        u = [
+            sum(gmat[(d, j)] * w[j - 1] for j in range(1, 65))
+            for d in range(1, 65)
+        ]
+        m = max(abs(x) for x in u)
+        w = [
+            (1 if x >= 0 else -1) * ((abs(x) * 2 * _PCA_W + m) // (2 * m))
+            for x in u
+        ]
+    unext = [
+        sum(gmat[(d, j)] * w[j - 1] for j in range(1, 65))
+        for d in range(1, 65)
+    ]
+    num = sum(w[d] * unext[d] for d in range(64))
+    ww = sum(x * x for x in w)
+    tr = sum(gmat[(d, d)] for d in range(1, 65))
+    lam = num // ww
+
+    out = spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(64)], "dim_id bigint, loading_raw bigint"
+    )
+    return out.select(
+        "dim_id",
+        "loading_raw",
+        F.round(
+            F.col("loading_raw").cast("double")
+            / F.sqrt(F.lit(ww).cast("double")),
+            6,
+        ).alias("loading"),
+        F.round(
+            F.lit(lam).cast("double") / F.lit(tr).cast("double"), 6
+        ).alias("pc1_var_share"),
+    )
+
+
 # deferred registration: the recall oracle composes the IVF-PQ chain,
 # the graph chain and the SQ8 chain, all defined above
 query(

@@ -322,6 +322,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "knn_graph_ann",
     "knn_sq8_ann",
     "streaming_contamination_guard",
+    "embedding_pca_power",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

@@ -684,3 +684,23 @@ def test_knn_sq8_plan_and_recall(spark, sf_dir):
     r_pq = recall(knn_ivfpq_ann(spark, sf_dir))
     assert r_sq8 >= r_ivf - 1e-9, (r_sq8, r_ivf)
     assert r_sq8 >= r_pq + 0.2, (r_sq8, r_pq)
+
+
+def test_embedding_pca_power_plan_and_quality(spark, sf_dir):
+    """PCA power iteration: the distributed side must be the single
+    Gram-matrix aggregation (no cartesian product; the only collects
+    are the bounded 4096-entry Gram + centroid-class scalars), the
+    reported loading vector must be unit-normalized, and PC1 must
+    explain at least the average direction's share of variance (the
+    Rayleigh quotient is monotone non-decreasing under power iteration;
+    measured 0.0263 vs the 1/64 = 0.0156 floor at sf0.01)."""
+    plan = plan_of(spark, sf_dir, "embedding_pca_power")
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+    df = QUERIES["embedding_pca_power"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 64
+    norm2 = (df.loading ** 2).sum()
+    assert 0.99 <= norm2 <= 1.01, norm2
+    share = df.pc1_var_share.iloc[0]
+    assert share >= 1.0 / 64 - 1e-9, share
+    assert (df.pc1_var_share == share).all()
