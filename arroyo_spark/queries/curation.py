@@ -1072,3 +1072,105 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DOMAIN_CAP)
         .select("doc_id", "domain", "rk", "avg_log_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v3 — the CCNet / RedPajama-v2 stage order (Wenzek et
+# al. 2020): near-dup removal first (MinHash-LSH, keep the lowest-id
+# member of every colliding pair), language identification (drop
+# unidentifiable docs — CCNet's lang-score threshold), Gopher rule-based
+# quality gates (Rae et al. 2021), then the Kneser-Ney LM tercile split
+# keeping head+middle per language (CCNet's defining perplexity stage).
+# One composed plan; the oracle chains each stage's existing oracle as a
+# subquery, so the composition is value-checked end-to-end.
+#
+# Scale: every stage is the already-adjudicated shape (LSH banded
+# equi-joins; lang-id/Gopher are pure projections; KN-LM is keyed aggs +
+# one stream join); the inter-stage joins are doc_id equi-joins on
+# monotonically shrinking relations — AQE broadcasts them as they fall
+# under the threshold. No new shuffle class is introduced by composing.
+# ---------------------------------------------------------------------------
+
+
+def _v3_oracle() -> str:
+    from arroyo_spark.queries.dedup import _minhash_oracle
+    from arroyo_spark.queries.text import GOPHER_ORACLE, _langid_oracle
+    from arroyo_spark.queries.text_pipeline import TRIGRAM_KN_ORACLE
+
+    return f"""
+    WITH mh AS (SELECT doc_b FROM ({_minhash_oracle()}) t),
+    removed AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+    li AS (SELECT doc_id, pred_lang FROM ({_langid_oracle()}) t
+           WHERE pred_lang <> 'und'),
+    gp AS (SELECT doc_id, n_words, pass_word_count, pass_mean_word_len,
+                  pass_alpha_ratio, pass_symbol_ratio, pass_stopwords
+           FROM ({GOPHER_ORACLE}) t),
+    kn AS (SELECT doc_id, kn_score, bucket FROM ({TRIGRAM_KN_ORACLE}) t
+           WHERE bucket IN ('head', 'middle'))
+    SELECT li.doc_id, li.pred_lang, gp.n_words, kn.kn_score, kn.bucket
+    FROM li
+    JOIN gp USING (doc_id)
+    JOIN kn USING (doc_id)
+    LEFT JOIN removed USING (doc_id)
+    WHERE removed.doc_id IS NULL
+      AND gp.pass_word_count AND gp.pass_mean_word_len
+      AND gp.pass_alpha_ratio AND gp.pass_symbol_ratio
+    """
+
+
+@query(
+    "curation_pipeline_v3",
+    oracle=_v3_oracle(),
+    tags=("curation", "pipeline", "minhash", "langid", "gopher", "kneser-ney"),
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-dedup -> lang-id -> Gopher -> KN-LM tercile composition
+    (the CCNet stage order): surviving documents with predicted
+    language, Gopher word count, KN score and head/middle bucket. The
+    Gopher gate here is the four corpus-portable rules (word count,
+    mean word length, alpha ratio, symbol ratio); the English-stopword
+    heuristic is deliberately NOT in the conjunction — the synthetic
+    corpus contains none of the required function words (measured
+    0/500 pass_stopwords, which would zero the whole pipeline), and a
+    multilingual deployment applies language-specific heuristics per
+    language bucket anyway (the CCNet design). The stopword rule stays
+    covered by `text_gopher_filters` itself."""
+    from arroyo_spark.queries.dedup import dedup_minhash_lsh
+    from arroyo_spark.queries.text import text_gopher_filters, text_lang_id
+    from arroyo_spark.queries.text_pipeline import text_trigram_kneser_ney
+
+    removed = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    li = (
+        text_lang_id(spark, sf_dir)
+        .filter(F.col("pred_lang") != "und")
+        .select("doc_id", "pred_lang")
+    )
+    gp = text_gopher_filters(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_alpha_ratio",
+        "pass_symbol_ratio",
+    )
+    kn = (
+        text_trigram_kneser_ney(spark, sf_dir)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .select("doc_id", "kn_score", "bucket")
+    )
+    return (
+        li.join(gp, "doc_id")
+        .join(kn, "doc_id")
+        .join(removed, "doc_id", "left_anti")
+        .filter(
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_alpha_ratio")
+            & F.col("pass_symbol_ratio")
+        )
+        .select("doc_id", "pred_lang", "n_words", "kn_score", "bucket")
+    )

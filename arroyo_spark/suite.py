@@ -323,6 +323,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "knn_sq8_ann",
     "streaming_contamination_guard",
     "embedding_pca_power",
+    "curation_pipeline_v3",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

@@ -704,3 +704,32 @@ def test_embedding_pca_power_plan_and_quality(spark, sf_dir):
     share = df.pc1_var_share.iloc[0]
     assert share >= 1.0 / 64 - 1e-9, share
     assert (df.pc1_var_share == share).all()
+
+
+def test_curation_pipeline_v3_stages_and_plan(spark, sf_dir):
+    """The CCNet-order composition must keep a NON-TRIVIAL survivor set
+    (a degenerate gate zeroing the pipeline is the bug this guards —
+    the English-stopword rule did exactly that on this corpus), every
+    survivor must satisfy each stage's contract, and the composed plan
+    must stay cartesian-free."""
+    import pyspark.sql.functions as SF
+
+    from arroyo_spark.queries.curation import curation_pipeline_v3
+    from arroyo_spark.queries.dedup import dedup_minhash_lsh
+
+    plan = plan_of(spark, sf_dir, "curation_pipeline_v3")
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+    out = curation_pipeline_v3(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert set(out.bucket) <= {"head", "middle"}
+    assert (out.n_words >= 50).all()
+    assert (out.pred_lang != "und").all()
+    removed = {
+        r.doc_id
+        for r in dedup_minhash_lsh(spark, sf_dir)
+        .select(SF.col("doc_b").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    assert not (set(out.doc_id) & removed)
