@@ -275,3 +275,96 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("blob_bytes").cast("bigint").alias("blob_bytes"),
         )
     )
+
+
+def _mm_audio_neardup_oracle() -> str:
+    # acoustic bit q compares band energies q and q+1 (1-based list index
+    # +1); signed 64-bit assembly shared with the simhash64/dHash oracles.
+    lo_val = " + ".join(
+        f"(CASE WHEN en[{q + 1}] > en[{q + 2}] THEN {1 << q} ELSE 0 END)"
+        for q in range(32)
+    )
+    hi_val = " + ".join(
+        f"(CASE WHEN en[{q + 33}] > en[{q + 34}] THEN {1 << q} ELSE 0 END)"
+        for q in range(32)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(0, 65), p ->
+               32 + (((3 * p * p + (doc_id % 40) * (p + 7)) % 91 +
+                      CASE WHEN p = doc_id % 60
+                           THEN ((doc_id // 40) % 3) * 16 ELSE 0 END) % 95))
+               AS en
+      FROM documents),
+    halves AS (SELECT doc_id, {lo_val} AS lov, {hi_val} AS hiv FROM g),
+    sims AS (
+      SELECT doc_id,
+             CAST((CASE WHEN hiv >= 2147483648 THEN hiv - 4294967296
+                        ELSE hiv END) * 4294967296 + lov AS BIGINT) AS ph
+      FROM halves)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """
+
+
+@query(
+    "mm_audio_neardup",
+    oracle=_mm_audio_neardup_oracle(),
+    tags=("multimodal", "audio", "dedup", "perceptual", "hamming"),
+)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup — the audio leg of the perceptual family:
+    64-bit Chromaprint-style fingerprint per blob (decode to 65 coarse
+    band energies in Python via mapInPandas, bit = adjacent-energy
+    difference — `multimodal.acoustic_fingerprint`), then
+    hamming-radius-3 pairs through `hamming64_banded_pairs`. THREE
+    modalities (text SimHash, image dHash, audio) now share one
+    pigeonhole pair-finding plan; the all-pairs form is ORACLE-only.
+
+    Blobs are constructed deterministically from doc_id with PLANTED
+    near-dup structure (40 base signals, per-doc single-band tweaks:
+    same-base pairs land at hamming 0-4, cross-base at >= 17 measured
+    over the id range), so the fake decode is DuckDB-replayable while
+    Spark routes real bytes through Arrow into the Python decoder.
+
+    Scale: blob scan -> O(1) fingerprint per row (bytes never shuffle);
+    the hamming join touches only the 16-byte fingerprint table."""
+    from arroyo_spark.multimodal import acoustic_fingerprint
+    from arroyo_spark.operators.dedup import hamming64_banded_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = (d % 40).cast("long")
+    p0 = (d % 60).cast("long")
+    tweak = ((F.expr("doc_id div 40") % 3) * 16).cast("long")
+
+    def code(p):
+        perturb = F.when(p == p0, tweak).otherwise(F.lit(0).cast("long"))
+        return (
+            F.lit(32)
+            + ((p * p * F.lit(3) + base * (p + F.lit(7))) % 91 + perturb) % 95
+        ).cast("int")
+
+    payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(64).cast("long")),
+            lambda p: F.char(code(p)),
+        ),
+        "",
+    )
+    media = docs.select(
+        d.alias("media_id"), F.encode(payload, "UTF-8").alias("content")
+    )
+    ph = acoustic_fingerprint(media)
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    sims = ph.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("simhash"),
+        lo.alias("sim_lo"),
+        hi.alias("sim_hi"),
+    )
+    return hamming64_banded_pairs(sims, radius=3)
