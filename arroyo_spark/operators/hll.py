@@ -1,0 +1,107 @@
+"""HyperLogLog distinct-count sketch with a deterministic, engine-portable
+construction (Flajolet et al. 2007, the HLL paper; register layout follows
+the classic p=8 / m=256 presentation).
+
+Completes the bounded-sketch family next to CMS (`queries/text_pipeline`)
+and the Bloom line filter (`queries/dedup`): COUNT(DISTINCT) needs a full
+shuffle of every distinct key, while the HLL register table is m=256 rows
+per group REGARDLESS of corpus size — at 100 TB the registers are the only
+state that moves, and per-register MAX is map-side combinable, so the
+pre-shuffle volume is at most (partitions x groups x 256) rows.
+
+Determinism conventions (suite.py docstring):
+- the "random" hash is md5 (portable): bucket = first 8 bits, rho-word =
+  next 32 bits — Spark `conv(substr(md5,...),16,10)`, DuckDB
+  `CAST('0x'||substr(md5,...) AS BIGINT)`;
+- rho (leading zeros + 1) and the harmonic-sum units are generated CASE
+  chains over integer comparisons, textually IDENTICAL in both engines
+  (`rho_case_sql` / `units_case_sql` below feed F.expr AND the oracle);
+- harmonic sum is kept in integer units of 2^-33: unit(reg) = 2^(33-reg),
+  an EXACT BIGINT (max sum 256 * 2^33 = 2^41 < 2^53, so even the final
+  cast to double is exact);
+- the one float step, alpha_m * m^2 * 2^33 / sum, is a fixed left-assoc
+  IEEE expression; the small-range (linear-counting) branch pre-rounds its
+  single libm `ln` to 9 decimals before scaling, per the suite convention.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+P = 8  # register-index bits
+M = 1 << P  # 256 registers
+RHO_MAX = 33  # 32-bit rho word exhausted
+# alpha_256 = 0.7213 / (1 + 1.079/256); both factors written as exact
+# decimal literals so each engine parses the identical doubles.
+ALPHA_EXPR = "(0.7213 / 1.00421484375)"
+# m^2 * 2^33 — exact powers of two, exact doubles.
+SCALE_EXPR = "65536.0 * 8589934592.0"
+SMALL_RANGE_BOUND = 2.5 * M  # 640: below this + zero registers -> linear
+
+
+def rho_case_sql(w: str) -> str:
+    """Leading zeros of the 32-bit word ``w`` plus one, as a portable CASE
+    chain (no log2/bit tricks — identical text parses in Spark and DuckDB)."""
+    parts = [f"WHEN {w} >= {1 << (31 - lz)} THEN {lz + 1}" for lz in range(32)]
+    return "CASE " + " ".join(parts) + f" ELSE {RHO_MAX} END"
+
+
+def units_case_sql(reg: str) -> str:
+    """2^(33 - reg) harmonic-sum units for a register value in 1..33 —
+    BIGINT-exact, so engine sums never touch floats."""
+    parts = [f"WHEN {r} THEN {1 << (33 - r)}" for r in range(1, RHO_MAX + 1)]
+    return f"CASE {reg} " + " ".join(parts) + " END"
+
+
+def estimate_sql(sum_units: str, zero_registers: str) -> str:
+    """The HLL estimate from integer inputs: raw harmonic estimator with
+    the standard small-range linear-counting correction. One float
+    division + one (pre-rounded) ln; identical text runs on both engines."""
+    raw = f"{ALPHA_EXPR} * {SCALE_EXPR} / CAST({sum_units} AS DOUBLE)"
+    return (
+        f"CASE WHEN {raw} <= {SMALL_RANGE_BOUND} AND {zero_registers} > 0 "
+        f"THEN round({float(M)} * round(ln({float(M)} / {zero_registers}), 9), 6) "
+        f"ELSE round({raw}, 6) END"
+    )
+
+
+def hll_bucket(item: Column) -> Column:
+    """Register index: first 8 bits of md5(item)."""
+    return F.conv(F.substring(F.md5(item), 1, 2), 16, 10).cast("int")
+
+
+def hll_word(item: Column) -> Column:
+    """32-bit rho word: md5 hex chars 3..10."""
+    return F.conv(F.substring(F.md5(item), 3, 8), 16, 10).cast("bigint")
+
+
+def hll_sketch(items: DataFrame, group_cols: list[str], item_col: str) -> DataFrame:
+    """Per-group HLL register table reduced to (sum_units, zero_registers,
+    hll_estimate). Two keyed aggregations, both map-side combinable; state
+    is <= 256 rows per group at any corpus size."""
+    w = "__hll_w"
+    regs = (
+        items.select(
+            *group_cols,
+            hll_bucket(F.col(item_col)).alias("__hll_bucket"),
+            hll_word(F.col(item_col)).alias(w),
+        )
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max(F.expr(rho_case_sql(w))).alias("__hll_reg"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(units_case_sql("__hll_reg"))).alias("__hll_present_units"),
+        F.count(F.lit(1)).alias("__hll_present"),
+    )
+    zero = (F.lit(M) - F.col("__hll_present")).cast("bigint")
+    sum_units = (
+        F.col("__hll_present_units") + zero * F.lit(1 << RHO_MAX)
+    ).cast("bigint")
+    return per_group.select(
+        *group_cols,
+        zero.alias("zero_registers"),
+        sum_units.alias("sum_units"),
+    ).withColumn(
+        "hll_estimate", F.expr(estimate_sql("sum_units", "zero_registers"))
+    )

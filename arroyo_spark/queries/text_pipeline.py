@@ -1574,3 +1574,289 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_log_ratio"),
         (F.col("w_sum_micro") > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch — the third bounded sketch next to CMS and the
+# Bloom line filter. Reference parity: the approx_distinct aggregate family
+# (SURVEY.md §2.2 aggregate battery); here built from first principles so the
+# register table itself is checkable data. Two arms exercise both estimator
+# regimes: TPC-H partkeys per returnflag (~2000 distinct at sf0.01 — raw
+# harmonic branch) and document tokens per source (~31 distinct — the
+# small-range linear-counting branch). The exact COUNT(DISTINCT) arm is the
+# verification control riding along, same pattern as ann_recall_check.
+# ---------------------------------------------------------------------------
+
+from arroyo_spark.operators.hll import (  # noqa: E402
+    RHO_MAX as _HLL_RHO_MAX,
+    estimate_sql as _hll_estimate_sql,
+    hll_sketch as _hll_sketch,
+    rho_case_sql as _hll_rho_sql,
+    units_case_sql as _hll_units_sql,
+)
+
+HLL_ORACLE = f"""
+    WITH items AS (
+      SELECT 'partkey_by_returnflag' AS arm, l_returnflag AS grp,
+             CAST(l_partkey AS VARCHAR) AS item
+      FROM lineitem
+      UNION ALL
+      SELECT 'token_by_source' AS arm, source AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS item
+      FROM documents
+    ), hashed AS (
+      SELECT arm, grp,
+             CAST('0x' || substr(md5(item), 1, 2) AS BIGINT) AS bucket,
+             CAST('0x' || substr(md5(item), 3, 8) AS BIGINT) AS w
+      FROM items
+    ), regs AS (
+      SELECT arm, grp, bucket, MAX({_hll_rho_sql('w')}) AS reg
+      FROM hashed GROUP BY arm, grp, bucket
+    ), per_grp AS (
+      SELECT arm, grp,
+             SUM({_hll_units_sql('reg')}) AS present_units,
+             COUNT(*) AS present
+      FROM regs GROUP BY arm, grp
+    ), ex AS (
+      SELECT arm, grp, COUNT(DISTINCT item) AS exact_distinct
+      FROM items GROUP BY arm, grp
+    ), s AS (
+      SELECT p.arm, p.grp,
+             CAST(256 - present AS BIGINT) AS zero_registers,
+             CAST(present_units + (256 - present) * {1 << _HLL_RHO_MAX}
+                  AS BIGINT) AS sum_units,
+             e.exact_distinct
+      FROM per_grp p JOIN ex e ON p.arm = e.arm AND p.grp = e.grp
+    ), est AS (
+      SELECT arm, grp, zero_registers, sum_units,
+             {_hll_estimate_sql('sum_units', 'zero_registers')}
+               AS hll_estimate,
+             exact_distinct
+      FROM s
+    )
+    SELECT arm, grp, zero_registers, sum_units, hll_estimate, exact_distinct,
+           round((hll_estimate - exact_distinct) / exact_distinct * 100, 4)
+             AS rel_error_pct
+    FROM est
+"""
+
+
+@query(
+    "hll_distinct_sketch",
+    oracle=HLL_ORACLE,
+    tags=("sketch", "hll", "distinct", "aggregate"),
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate distinct counts via a deterministic
+    HyperLogLog (p=8, m=256; Flajolet 2007), with the exact
+    COUNT(DISTINCT) control and relative error emitted as hash-checked
+    data. See `operators/hll.py` for the portable register construction.
+
+    Scale: COUNT(DISTINCT key) shuffles every distinct key; the sketch
+    shuffles at most 256 register rows per group, and register MAX is
+    map-side combinable — at 100 TB the registers are the only moving
+    state (the exact arm here is the sf-scale verification control, not
+    the production path)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("partkey_by_returnflag").alias("arm"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("token_by_source").alias("arm"),
+        F.col("source").alias("grp"),
+        F.explode(T.toks("text")).alias("item"),
+    )
+    items = li.unionByName(docs)
+    sketch = _hll_sketch(items, ["arm", "grp"], "item")
+    exact = items.groupBy("arm", "grp").agg(
+        F.countDistinct("item").alias("exact_distinct")
+    )
+    return sketch.join(exact, ["arm", "grp"]).select(
+        "arm",
+        "grp",
+        "zero_registers",
+        "sum_units",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            4,
+        ).alias("rel_error_pct"),
+    )
+
+
+def _hll_item_streams(spark: SparkSession, sf_dir: str):
+    """The two HLL arms as STREAMING (arm, grp, item) frames replayed from
+    the resting parquet (symlink staging, the established replay harness),
+    plus the staging dirs for cleanup. Both arm projections are stateless
+    per-row expressions — the tokenizer explode included — so nothing
+    shuffles before the register aggregation."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    staged_dirs = []
+
+    def replay(table: str):
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        staged = tempfile.mkdtemp(prefix="shll_src_")
+        staged_dirs.append(staged)
+        files = [src] if os.path.isfile(src) else sorted(
+            _glob.glob(os.path.join(src, "*.parquet"))
+        )
+        for f in files:
+            os.symlink(f, os.path.join(staged, os.path.basename(f)))
+        schema = spark.read.parquet(src).schema
+        return spark.readStream.schema(schema).parquet(staged)
+
+    li = replay("lineitem").select(
+        F.lit("partkey_by_returnflag").alias("arm"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    docs = replay("documents").select(
+        F.lit("token_by_source").alias("arm"),
+        F.col("source").alias("grp"),
+        F.explode(T.toks("text")).alias("item"),
+    )
+    return li.unionByName(docs), staged_dirs
+
+
+def hll_registers_streaming(items) -> DataFrame:
+    """Streaming register maintenance: the ONE stateful operator of the
+    on-ingest HLL — groupBy(keys, bucket).max(rho). Update-mode safe
+    (max is monotone under replay/reordering), state bounded at 256 rows
+    per group REGARDLESS of stream length — the entire point of carrying
+    a sketch instead of streaming COUNT(DISTINCT), whose state grows
+    with every distinct key and which Spark (correctly) refuses to run
+    as a streaming aggregate at all."""
+    from arroyo_spark.operators.hll import hll_bucket, hll_word, rho_case_sql
+
+    return (
+        items.select(
+            "arm",
+            "grp",
+            hll_bucket(F.col("item")).alias("bucket"),
+            hll_word(F.col("item")).alias("__w"),
+        )
+        .groupBy("arm", "grp", "bucket")
+        .agg(F.max(F.expr(rho_case_sql("__w"))).alias("reg"))
+    )
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Batch finalization of a drained register table (max-merged across
+    emissions) + the exact-control join: shared by the streaming query
+    and its stop/restore test leg."""
+    from arroyo_spark.operators.hll import (
+        M as _M,
+        RHO_MAX as _RM,
+        estimate_sql,
+        units_case_sql,
+    )
+
+    per_group = (
+        regs.groupBy("arm", "grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("arm", "grp")
+        .agg(
+            F.sum(F.expr(units_case_sql("reg"))).alias("present_units"),
+            F.count(F.lit(1)).alias("present"),
+        )
+    )
+    zero = (F.lit(_M) - F.col("present")).cast("bigint")
+    sum_units = (
+        F.col("present_units") + zero * F.lit(1 << _RM)
+    ).cast("bigint")
+    sketch = per_group.select(
+        "arm",
+        "grp",
+        zero.alias("zero_registers"),
+        sum_units.alias("sum_units"),
+    ).withColumn(
+        "hll_estimate", F.expr(estimate_sql("sum_units", "zero_registers"))
+    )
+    return sketch.join(exact, ["arm", "grp"]).select(
+        "arm",
+        "grp",
+        "zero_registers",
+        "sum_units",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            4,
+        ).alias("rel_error_pct"),
+    )
+
+
+@query(
+    "streaming_hll_distinct",
+    oracle=HLL_ORACLE,
+    tags=("sketch", "hll", "distinct", "streaming"),
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count ON INGEST — the streaming leg of
+    `hll_distinct_sketch` (same oracle): both arms replayed through
+    Structured Streaming, registers maintained by the one streaming
+    aggregation groupBy(arm, grp, bucket).max(rho) in update mode, then
+    finalized batch-side from the drained emission log (max across
+    emissions = final state, because register max is monotone). The
+    exact COUNT(DISTINCT) arm stays batch — it is the sf-scale
+    verification CONTROL, and streaming COUNT(DISTINCT) is unsupported
+    by the engine for exactly the unbounded-state reason the sketch
+    exists.
+
+    Scale: state is <= 256 registers per (arm, grp) in the state store
+    no matter how long the stream runs; pre-shuffle volume is map-side
+    combined register rows, never items; document text/tokens never
+    leave the stateless projection."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    items, staged_dirs = _hll_item_streams(spark, sf_dir)
+    regs = hll_registers_streaming(items)
+    name = "shll_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="shll_ck_")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_hll_distinct: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("partkey_by_returnflag").alias("arm"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("token_by_source").alias("arm"),
+        F.col("source").alias("grp"),
+        F.explode(T.toks("text")).alias("item"),
+    )
+    exact = (
+        li.unionByName(docs)
+        .groupBy("arm", "grp")
+        .agg(F.countDistinct("item").alias("exact_distinct"))
+    )
+    return hll_finalize(spark.table(name), exact)

@@ -324,6 +324,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_contamination_guard",
     "embedding_pca_power",
     "curation_pipeline_v3",
+    "mm_audio_neardup",
+    "hll_distinct_sketch",
+    "streaming_hll_distinct",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

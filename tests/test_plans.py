@@ -733,3 +733,79 @@ def test_curation_pipeline_v3_stages_and_plan(spark, sf_dir):
         .collect()
     }
     assert not (set(out.doc_id) & removed)
+
+
+def test_mm_audio_neardup_banded_no_cartesian(spark, sf_dir):
+    """Acoustic near-dup through the SAME pigeonhole banded machinery as
+    text SimHash and image dHash — no all-pairs product (oracle-only
+    form), planted structure separates (cross-base hamming >= 17 by
+    construction), and the fingerprint matches an independent pure-
+    Python model of the Chromaprint-style difference hash."""
+    plan = plan_of(spark, sf_dir, "mm_audio_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    df = QUERIES["mm_audio_neardup"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert (df.doc_a % 40 == df.doc_b % 40).all()
+    assert (df.hamming <= 3).all()
+
+    def model_fp(doc_id):
+        e = [
+            32
+            + (
+                (3 * p * p + (doc_id % 40) * (p + 7)) % 91
+                + (((doc_id // 40) % 3) * 16 if p == doc_id % 60 else 0)
+            )
+            % 95
+            for p in range(65)
+        ]
+        v = 0
+        for q in range(64):
+            if e[q] > e[q + 1]:
+                v |= 1 << q
+        return v
+
+    for _, r in df.head(20).iterrows():
+        h = bin(model_fp(int(r.doc_a)) ^ model_fp(int(r.doc_b))).count("1")
+        assert h == int(r.hamming), (r.doc_a, r.doc_b, h, r.hamming)
+
+
+def test_hll_sketch_bounded_state_and_accuracy(spark, sf_dir):
+    """HLL distinct sketch: no cartesian/NLJ, the register table is the
+    only pre-estimate state (<= 256 rows per group by construction), both
+    estimator regimes produce estimates within HLL's expected error of the
+    exact control, and registers match an independent pure-Python HLL."""
+    import hashlib
+
+    plan = plan_of(spark, sf_dir, "hll_distinct_sketch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    df = QUERIES["hll_distinct_sketch"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert ((df.zero_registers >= 0) & (df.zero_registers <= 256)).all()
+    # m=256 -> 1.04/sqrt(m) = 6.5% std error; linear counting is tighter.
+    # 3-sigma bound, generous for the tiny-cardinality token arm.
+    assert (df.rel_error_pct.abs() <= 25.0).all(), df.to_string()
+
+    # independent model: pure-Python HLL over the same items for one group
+    from arroyo_spark.catalog import load_table
+
+    flag_items = {
+        str(r.l_partkey)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter("l_returnflag = 'A'")
+        .select("l_partkey")
+        .collect()
+    }
+    regs = [0] * 256
+    for it in flag_items:
+        h = hashlib.md5(it.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:10], 16)
+        rho = 33 if w == 0 else (32 - w.bit_length()) + 1
+        regs[bucket] = max(regs[bucket], rho)
+    zero = sum(1 for r in regs if r == 0)
+    sum_units = sum((1 << 33) if r == 0 else (1 << (33 - r)) for r in regs)
+    row = df[(df.arm == "partkey_by_returnflag") & (df.grp == "A")].iloc[0]
+    assert int(row.zero_registers) == zero
+    assert int(row.sum_units) == sum_units

@@ -1167,3 +1167,94 @@ def test_streaming_contamination_guard_no_false_negatives(spark, sf_dir):
     j = g.join(b, lsuffix="_g")
     assert (j.n_shingles_g == j.n_shingles).all()
     assert (j.n_flagged >= j.n_contaminated).all()
+
+
+def test_streaming_hll_stop_restore_matches_batch(spark, sf_dir, tmp_path):
+    """HLL registers ON INGEST with a stop/restore leg: half of BOTH arm
+    sources arrives, the query checkpoints and STOPS; the rest arrives
+    and a new query restores from the same checkpoint. The final
+    registers (max-merged across both legs' emissions) finalize to the
+    EXACT batch `hll_distinct_sketch` rows — register max is monotone
+    and order-independent, and the restored state carries leg 1's
+    register values into leg 2's maxes."""
+    import glob
+    import os
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.queries.text_pipeline import (
+        hll_finalize,
+        hll_registers_streaming,
+    )
+    from arroyo_spark.suite import all_queries
+
+    arrivals, schemas, file_halves = {}, {}, {}
+    for table in ("lineitem", "documents"):
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        data = tmp_path / f"{table}4"
+        spark.read.parquet(src).repartition(4).write.parquet(str(data))
+        files = sorted(glob.glob(str(data / "*.parquet")))
+        assert len(files) >= 2
+        staged = tmp_path / f"{table}_arrivals"
+        staged.mkdir()
+        arrivals[table] = staged
+        schemas[table] = spark.read.parquet(src).schema
+        half = len(files) // 2
+        file_halves[table] = (files[:half], files[half:])
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+
+    def run():
+        li = (
+            spark.readStream.schema(schemas["lineitem"])
+            .parquet(str(arrivals["lineitem"]))
+            .select(
+                F.lit("partkey_by_returnflag").alias("arm"),
+                F.col("l_returnflag").alias("grp"),
+                F.col("l_partkey").cast("string").alias("item"),
+            )
+        )
+        docs = (
+            spark.readStream.schema(schemas["documents"])
+            .parquet(str(arrivals["documents"]))
+            .select(
+                F.lit("token_by_source").alias("arm"),
+                F.col("source").alias("grp"),
+                F.explode(T.toks("text")).alias("item"),
+            )
+        )
+        q = (
+            hll_registers_streaming(li.unionByName(docs))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for leg in (0, 1):
+        for table in ("lineitem", "documents"):
+            for f in file_halves[table][leg]:
+                os.symlink(f, arrivals[table] / os.path.basename(f))
+        run()
+        assert spark.read.parquet(out).count(), "each leg must emit state"
+
+    batch = (
+        all_queries()["hll_distinct_sketch"].fn(spark, sf_dir).toPandas()
+    )
+    exact = spark.createDataFrame(
+        batch[["arm", "grp", "exact_distinct"]]
+    )
+    got = (
+        hll_finalize(spark.read.parquet(out), exact)
+        .toPandas()
+        .sort_values(["arm", "grp"])
+        .reset_index(drop=True)
+    )
+    want = batch.sort_values(["arm", "grp"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
