@@ -1,0 +1,156 @@
+"""KMV / theta sketch: k-minimum-values distinct sketches with SET-ALGEBRA
+estimators (Bar-Yossef et al. 2002 "Counting distinct elements in a data
+stream"; the union/intersection estimators follow the Dataiku/DataSketches
+theta-sketch presentation, Dasgupta et al. 2016).
+
+Completes the bounded-sketch family: CMS answers frequency, Bloom answers
+membership, HLL answers |A| — KMV is the one that answers |A ∪ B| and
+|A ∩ B| BETWEEN sketches, because keeping the k smallest hash values of a
+set is a uniform sample of the hashed universe that composes under set
+operations. State is k 8-byte hashes per group regardless of set size; the
+exact |A ∩ B| needs a full distinct self-join, which at 100 TB is exactly
+the shuffle the sketch exists to avoid.
+
+Determinism (suite.py conventions):
+- hash = first 48 bits of md5(item), BIGINT-exact in both engines
+  (Spark ``conv(substr(md5, 1, 12), 16, 10)``, DuckDB
+  ``CAST('0x' || substr(md5, 1, 12) AS BIGINT)``), collision-free at test
+  scale and uniform on [0, 2^48);
+- the k smallest DISTINCT hashes per group are a deterministic set — the
+  Spark per-partition prune keeps a superset of the global top-k (any
+  global k-minimum is a partition k-minimum of its own partition), so the
+  final merge equals the oracle's global sort;
+- estimators are single-division float expressions over BIGINT-exact
+  inputs, identical text in both engines ((k-1)·2^48 = 2^54-scale products
+  keep a <= 6-bit mantissa, exact as doubles), rounded per convention.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructType
+
+HASH_BITS = 48
+HASH_SPACE = 1 << HASH_BITS  # 281474976710656
+
+
+def kmv_hash(item: Column) -> Column:
+    """48-bit uniform hash: first 12 hex chars of md5(item)."""
+    return F.conv(F.substring(F.md5(item), 1, 12), 16, 10).cast("bigint")
+
+
+def estimate_sql(kth: str, k: int) -> str:
+    """KMV distinct estimate (k-1)/U(h_k) with U(h) = h/2^48 — one float
+    division over exact inputs; identical text runs in both engines."""
+    return f"round({float((k - 1) * HASH_SPACE)} / CAST({kth} AS DOUBLE), 6)"
+
+
+def intersect_estimate_sql(n_below: str, theta: str) -> str:
+    """Theta-sketch intersection estimate |{h in A∩B : h < θ}| / U(θ).
+    n_below <= k keeps the product n_below·2^48 exact as a double."""
+    return (
+        f"round(CAST({n_below} AS DOUBLE) * {float(HASH_SPACE)} "
+        f"/ CAST({theta} AS DOUBLE), 6)"
+    )
+
+
+def kmv_sketch(
+    items: DataFrame, group_col: str, item_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: (grp, sketch = array of the k smallest
+    distinct hashes ascending, kth = its largest member).
+
+    Scale path: distinct (grp, hash) is a map-side-combinable shuffle of
+    8-byte hashes (items themselves never move past the hash projection);
+    a per-partition bounded prune (O(groups x k) state per task, batch-
+    streaming over Arrow) cuts the final per-group merge to at most
+    (partitions x k) rows, so no agg buffer ever holds a set-sized array —
+    the groupBy(grp).collect_list below is bounded by construction."""
+    hashed = items.select(
+        F.col(group_col).alias("grp"),
+        kmv_hash(F.col(item_col)).alias("h"),
+    ).distinct()
+
+    schema = StructType.fromDDL("grp string, h bigint")
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[str, pd.Series] = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp"):
+                pool = sub["h"]
+                if grp in best:
+                    pool = pd.concat([best[grp], pool])
+                best[grp] = pool.nsmallest(k).reset_index(drop=True)
+        if best:
+            yield pd.concat(
+                [pd.DataFrame({"grp": g, "h": s}) for g, s in best.items()],
+                ignore_index=True,
+            )
+
+    pruned = hashed.mapInPandas(prune, schema)
+    sk = F.slice(F.array_sort(F.collect_list("h")), 1, k)
+    return (
+        pruned.groupBy("grp")
+        .agg(sk.alias("sketch"))
+        .select(
+            "grp",
+            "sketch",
+            F.element_at("sketch", k).alias("kth"),
+            F.expr(estimate_sql(f"element_at(sketch, {k})", k)).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
+def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:
+    """Union / intersection / Jaccard estimates for every group pair
+    (grp_a < grp_b) from the sketch table alone — the point of the
+    exercise: set algebra WITHOUT revisiting the data. The sketch table
+    has one row per group, so the self-join is trivially broadcast."""
+    a = sketches.select(
+        F.col("grp").alias("grp_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("kth").alias("kth_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    b = sketches.select(
+        F.col("grp").alias("grp_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("kth").alias("kth_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k
+    )
+    theta = F.least("kth_a", "kth_b")
+    common_below = F.size(
+        F.filter(
+            F.array_intersect(F.col("sk_a"), F.col("sk_b")),
+            lambda x: x < theta,
+        )
+    )
+    out = pairs.select(
+        "grp_a",
+        "grp_b",
+        "est_a",
+        "est_b",
+        F.element_at(merged, k).alias("kth_union"),
+        theta.alias("theta"),
+        common_below.alias("n_common_below"),
+    )
+    return out.select(
+        "grp_a",
+        "grp_b",
+        "est_a",
+        "est_b",
+        F.expr(estimate_sql("kth_union", k)).alias("union_est"),
+        F.expr(
+            intersect_estimate_sql("n_common_below", "theta")
+        ).alias("inter_est"),
+    )

@@ -1860,3 +1860,164 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("item").alias("exact_distinct"))
     )
     return hll_finalize(spark.table(name), exact)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the fourth bounded sketch: set-ALGEBRA cardinality
+# (union / intersection / Jaccard between groups) from k-minimum-values
+# sketches alone. Universe: partkeys of low-quantity lineitems per ship-year
+# (mod 4) — genuinely partially-overlapping sets (Jaccard ~0.5-0.8 at test
+# SFs). Exact |A∪B| / |A∩B| controls ride along as checked data.
+# ---------------------------------------------------------------------------
+
+from arroyo_spark.operators.kmv import (  # noqa: E402
+    estimate_sql as _kmv_est_sql,
+    intersect_estimate_sql as _kmv_inter_sql,
+    kmv_pair_estimates as _kmv_pairs,
+    kmv_sketch as _kmv_sketch,
+)
+
+_KMV_K = 64
+
+KMV_ORACLE = f"""
+    WITH items AS (
+      SELECT DISTINCT
+             'y' || CAST(year(l_shipdate) % 4 AS VARCHAR) AS grp,
+             l_partkey AS p,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM lineitem WHERE l_quantity <= 12
+    ), ranked AS (
+      SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM items
+    ), sk AS (
+      SELECT grp, list_sort(list(h)) AS sketch, max(h) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY grp
+    ), est AS (
+      SELECT grp, sketch, kth, {_kmv_est_sql('kth', _KMV_K)} AS est_distinct
+      FROM sk
+    ), pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.est_distinct AS est_a, b.est_distinct AS est_b,
+             a.sketch AS ska, b.sketch AS skb,
+             least(a.kth, b.kth) AS theta
+      FROM est a JOIN est b ON a.grp < b.grp
+    ), u AS (
+      SELECT grp_a, grp_b, est_a, est_b, theta,
+             list_sort(list_distinct(list_concat(ska, skb)))[{_KMV_K}]
+               AS kth_union,
+             len(list_filter(list_intersect(ska, skb), x -> x < theta))
+               AS n_common_below
+      FROM pairs
+    ), ue AS (
+      SELECT grp_a, grp_b, est_a, est_b,
+             {_kmv_est_sql('kth_union', _KMV_K)} AS union_est,
+             {_kmv_inter_sql('n_common_below', 'theta')} AS inter_est
+      FROM u
+    ), ex AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS exact_inter
+      FROM items a JOIN items b ON a.p = b.p AND a.grp < b.grp
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT grp, COUNT(DISTINCT p) AS n FROM items GROUP BY grp
+    )
+    SELECT ue.grp_a, ue.grp_b, est_a, est_b, union_est, inter_est,
+           round(inter_est / union_est, 6) AS jaccard_est,
+           CAST(sa.n + sb.n - exact_inter AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           round((union_est - (sa.n + sb.n - exact_inter))
+                 / (sa.n + sb.n - exact_inter) * 100, 4) AS union_err_pct,
+           round((inter_est - exact_inter) / exact_inter * 100, 4)
+             AS inter_err_pct
+    FROM ue
+    JOIN ex ON ue.grp_a = ex.grp_a AND ue.grp_b = ex.grp_b
+    JOIN sizes sa ON sa.grp = ue.grp_a
+    JOIN sizes sb ON sb.grp = ue.grp_b
+"""
+
+
+@query(
+    "kmv_theta_setops",
+    oracle=KMV_ORACLE,
+    tags=("sketch", "kmv", "theta", "distinct", "setops"),
+)
+def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-algebra cardinality from KMV/theta sketches (k=64): per
+    ship-year group of low-quantity partkeys, keep only the k smallest
+    48-bit item hashes; estimate |A|, |A∪B|, |A∩B| and Jaccard for every
+    group pair FROM THE SKETCHES ALONE (`operators/kmv.py`), with the
+    exact distinct-self-join controls and relative errors emitted as
+    hash-checked data.
+
+    Scale: the sketch path shuffles 8-byte hashes once (map-side-combined
+    distinct) and prunes to k rows per group per partition — set algebra
+    then happens on a groups-x-k-row table, NO second pass over the data;
+    the exact control's distinct self-join is the 100 TB shuffle the
+    sketch replaces (here it is the sf-scale verification arm)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") <= 12
+    )
+    items = li.select(
+        F.concat(
+            F.lit("y"), (F.year("l_shipdate") % 4).cast("string")
+        ).alias("grp"),
+        F.col("l_partkey").alias("p"),
+    ).distinct()
+    sketches = _kmv_sketch(
+        items.withColumn("item", F.col("p").cast("string")),
+        "grp",
+        "item",
+        _KMV_K,
+    )
+    pairs = _kmv_pairs(sketches, _KMV_K)
+    sizes = items.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    joined = (
+        pairs.join(inter, ["grp_a", "grp_b"])
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_a"),
+                                     F.col("n").alias("n_a"))),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_b"),
+                                     F.col("n").alias("n_b"))),
+            "grp_b",
+        )
+    )
+    exact_union = (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).cast(
+        "bigint"
+    )
+    return joined.select(
+        "grp_a",
+        "grp_b",
+        "est_a",
+        "est_b",
+        "union_est",
+        "inter_est",
+        F.round(F.col("inter_est") / F.col("union_est"), 6).alias(
+            "jaccard_est"
+        ),
+        exact_union.alias("exact_union"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        F.round(
+            (F.col("union_est") - exact_union) / exact_union * 100, 4
+        ).alias("union_err_pct"),
+        F.round(
+            (F.col("inter_est") - F.col("exact_inter"))
+            / F.col("exact_inter")
+            * 100,
+            4,
+        ).alias("inter_err_pct"),
+    )

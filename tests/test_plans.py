@@ -809,3 +809,43 @@ def test_hll_sketch_bounded_state_and_accuracy(spark, sf_dir):
     row = df[(df.arm == "partkey_by_returnflag") & (df.grp == "A")].iloc[0]
     assert int(row.zero_registers) == zero
     assert int(row.sum_units) == sum_units
+
+
+def test_kmv_theta_setops_bounded_and_accurate(spark, sf_dir):
+    """KMV/theta set algebra: no cartesian (the one nested-loop join is
+    the groups-row sketch-pair table), estimates land within loose
+    multi-sigma bounds of the exact controls (k=64 -> ~12.5% std err,
+    all errors are also emitted as hash-checked data), and the sketch
+    matches an independent pure-Python KMV over the same items."""
+    import hashlib
+
+    plan = plan_of(spark, sf_dir, "kmv_theta_setops")
+    assert "CartesianProduct" not in plan
+    df = QUERIES["kmv_theta_setops"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 6  # 4 ship-year groups -> 6 pairs
+    assert (df.union_err_pct.abs() <= 45).all(), df.to_string()
+    assert (df.inter_err_pct.abs() <= 45).all(), df.to_string()
+    exact_j = df.exact_inter / df.exact_union
+    assert ((df.jaccard_est - exact_j).abs() <= 0.35).all()
+
+    # independent model: pure-Python KMV estimate for group y0
+    from arroyo_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    parts = {
+        int(r.l_partkey)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") <= 12) & (F.year("l_shipdate") % 4 == 0)
+        )
+        .select("l_partkey")
+        .collect()
+    }
+    hs = sorted(
+        int(hashlib.md5(str(p).encode()).hexdigest()[:12], 16)
+        for p in parts
+    )
+    kth = hs[63]
+    est = round(63 * float(1 << 48) / float(kth), 6)
+    got = df[df.grp_a == "y0"].iloc[0]
+    assert abs(float(got.est_a) - est) < 1e-9, (got.est_a, est)
