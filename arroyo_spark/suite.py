@@ -327,6 +327,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_audio_neardup",
     "hll_distinct_sketch",
     "streaming_hll_distinct",
+    "kmv_theta_setops",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }
