@@ -154,3 +154,27 @@ def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:
             intersect_estimate_sql("n_common_below", "theta")
         ).alias("inter_est"),
     )
+
+
+def bounded_group_topk(df: DataFrame, group_col: str, order_col: str,
+                       k: int) -> DataFrame:
+    """Generic bounded per-partition prune: returns a SUPERSET of the
+    global k-smallest rows per group (any global k-minimum is a
+    k-minimum of its own partition), payload columns intact, with
+    O(groups x k) task state — the building block behind distributed
+    top-k WITHOUT a per-group sort shuffle. ``keep='all'`` retains
+    boundary ties so downstream exact tie-breaks stay deterministic."""
+    schema = df.schema
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby(group_col, sort=False):
+                pool = (
+                    pd.concat([best[grp], sub]) if grp in best else sub
+                )
+                best[grp] = pool.nsmallest(k, order_col, keep="all")
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    return df.mapInPandas(prune, schema)

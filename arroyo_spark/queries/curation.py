@@ -1174,3 +1174,100 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pred_lang", "n_words", "kn_score", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis 2006, exponential-race
+# form): sample k docs per source WITHOUT replacement, inclusion probability
+# proportional to token count — the token-budget sampling step of a mixture
+# builder (longer docs carry more tokens, so uniform-doc sampling biases the
+# token mixture; A-ES fixes the marginal exactly).
+# ---------------------------------------------------------------------------
+
+_WRS_K = 5
+_WRS_SPACE = 281474976710656.0  # 2^48, exact double
+
+
+def _wrs_priority_sql(h: str, w: str) -> str:
+    """Exponential race key e = -ln(u)/w with u = (h+1)/2^48 uniform on
+    (0, 1] — SMALLEST k win. (h+1) and the 2^48 division are exact
+    doubles; the single libm ln is pre-rounded to 9 decimals per the
+    suite convention (the DSIR precedent: identical input doubles in
+    both engines), then one division by the integer weight, rounded."""
+    return (
+        f"round((0.0 - round(ln(CAST({h} + 1 AS DOUBLE) / {_WRS_SPACE}), 9))"
+        f" / CAST({w} AS DOUBLE), 9)"
+    )
+
+
+WRS_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '')) AS n_toks,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents
+    ), p AS (
+      SELECT source, doc_id, n_toks,
+             {_wrs_priority_sql('h', 'n_toks')} AS priority
+      FROM t
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY priority, doc_id) AS rn
+      FROM p
+    )
+    SELECT source, doc_id, n_toks, priority, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= {_WRS_K}
+"""
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=WRS_ORACLE,
+    tags=("sampling", "curation", "weighted", "reservoir"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-ES): k=5 docs per source, inclusion
+    proportional to token count, reproducible (the race uses the md5
+    hash of doc_id as its uniform variate — no rand()).
+
+    Scale: the priority is a stateless per-row expression; the global
+    per-group top-k goes through `operators.kmv.bounded_group_topk`
+    (per-partition prune to a k-row superset, O(groups x k) task state)
+    so the final exact selection aggregates at most partitions x k rows
+    per group — NO per-group sort shuffle of the corpus, and the text
+    column never outlives the stateless token count."""
+    from arroyo_spark.operators.kmv import bounded_group_topk, kmv_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(T.toks("text")).alias("n_toks"),
+        kmv_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.expr(_wrs_priority_sql("h", "n_toks")).alias("priority"),
+    )
+    pruned = bounded_group_topk(pri, "source", "priority", _WRS_K)
+    winners = pruned.groupBy("source").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("priority", "doc_id", "n_toks"))
+            ),
+            1,
+            _WRS_K,
+        ).alias("top")
+    )
+    return winners.select(
+        "source", F.posexplode("top").alias("pos", "row")
+    ).select(
+        "source",
+        F.col("row.doc_id").alias("doc_id"),
+        F.col("row.n_toks").alias("n_toks"),
+        F.col("row.priority").alias("priority"),
+        (F.col("pos") + 1).cast("bigint").alias("sample_rank"),
+    )

@@ -328,6 +328,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "hll_distinct_sketch",
     "streaming_hll_distinct",
     "kmv_theta_setops",
+    "sample_weighted_reservoir",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

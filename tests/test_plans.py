@@ -849,3 +849,45 @@ def test_kmv_theta_setops_bounded_and_accurate(spark, sf_dir):
     est = round(63 * float(1 << 48) / float(kth), 6)
     got = df[df.grp_a == "y0"].iloc[0]
     assert abs(float(got.est_a) - est) < 1e-9, (got.est_a, est)
+
+
+def test_weighted_reservoir_no_sort_shuffle_and_model(spark, sf_dir):
+    """A-ES weighted sampling: the Spark plan has NO Window (the
+    per-group top-k goes through the bounded prune, not a per-group
+    sort), the sample over-represents long documents (that is the
+    point of weighting by token count), and the winners match an
+    independent pure-Python exponential race for one source."""
+    import hashlib
+    import math
+
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan[:3000]
+    assert "MapInPandas" in plan
+    df = QUERIES["sample_weighted_reservoir"].fn(spark, sf_dir).toPandas()
+    assert (df.groupby("source").size() == 5).all()
+
+    from arroyo_spark.catalog import load_table
+    import pyspark.sql.functions as F
+    from arroyo_spark.operators import text as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.size(T.toks("text")).alias("n"))
+        .toPandas()
+    )
+    # longer docs win more often under proportional-to-size inclusion
+    assert df.n_toks.mean() > docs.n.mean() * 1.1
+
+    one = docs[docs.source == "src0"]
+    race = []
+    for _, r in one.iterrows():
+        h = int(
+            hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[:12], 16
+        )
+        u = (h + 1) / 281474976710656.0
+        pri = round((0.0 - round(math.log(u), 9)) / r.n, 9)
+        race.append((pri, int(r.doc_id)))
+    want = [d for _, d in sorted(race)[:5]]
+    got = df[df.source == "src0"].sort_values("sample_rank").doc_id.tolist()
+    assert [int(d) for d in got] == want
