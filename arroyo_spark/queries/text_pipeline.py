@@ -2021,3 +2021,160 @@ def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("inter_err_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the fifth bounded sketch, covering the RANK /
+# QUANTILE question (CMS=frequency, Bloom=membership, HLL=distinct, KMV=set
+# algebra): fixed-width bin counts + within-bin linear interpolation, the
+# classic equi-width histogram estimator every warehouse uses for
+# percentile pushdown. State is <=161 bins per group at ANY corpus size;
+# the exact order-statistic control (a full per-group sort at 100 TB —
+# exactly what the sketch avoids) rides along as checked data.
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 65536  # cents per bin (~$655); domain [0, $105k) -> <=161 bins
+
+
+def _hq_est_sql(bin_: str, target: str, cum_before: str, c: str) -> str:
+    """bin start + linear interpolation within the bin — BIGINT-exact
+    inputs, one float division, identical text in both engines."""
+    return (
+        f"round({bin_} * {float(_HQ_WIDTH)} + "
+        f"round(CAST({target} - {cum_before} AS DOUBLE) * {float(_HQ_WIDTH)}"
+        f" / CAST({c} AS DOUBLE), 6), 6)"
+    )
+
+
+HQ_ORACLE = f"""
+    WITH vals AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), hist AS (
+      SELECT grp, cents // {_HQ_WIDTH} AS bin, COUNT(*) AS c
+      FROM vals GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, bin, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bin) - c AS cum_before
+      FROM hist
+    ), sizes AS (SELECT grp, COUNT(*) AS n FROM vals GROUP BY grp),
+    ps AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                 ('p99', 99, 100))
+           AS t(p_label, pnum, pden)),
+    targets AS (
+      SELECT s.grp, p.p_label, s.n,
+             (s.n * p.pnum + p.pden - 1) // p.pden AS target
+      FROM sizes s CROSS JOIN ps p
+    ), pick AS (
+      SELECT t.grp, t.p_label, t.n, t.target, min(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.grp = t.grp AND c.cum >= t.target
+      GROUP BY 1, 2, 3, 4
+    ), est AS (
+      SELECT p.grp, p.p_label, CAST(p.n AS BIGINT) AS n,
+             {_hq_est_sql('p.bin', 'p.target', 'c.cum_before', 'c.c')}
+               AS est_cents
+      FROM pick p JOIN cum c ON c.grp = p.grp AND c.bin = p.bin
+    ), exact AS (
+      SELECT grp, p_label, cents AS exact_cents FROM (
+        SELECT v.grp, t.p_label, v.cents, t.target,
+               row_number() OVER (PARTITION BY v.grp, t.p_label
+                                  ORDER BY v.cents) AS rn
+        FROM vals v JOIN targets t ON t.grp = v.grp)
+      WHERE rn = target
+    )
+    SELECT e.grp, e.p_label, e.n, e.est_cents, x.exact_cents,
+           round((e.est_cents - x.exact_cents) / x.exact_cents * 100, 4)
+             AS err_pct
+    FROM est e JOIN exact x ON e.grp = x.grp AND e.p_label = x.p_label
+"""
+
+
+@query(
+    "quantile_histogram_sketch",
+    oracle=HQ_ORACLE,
+    tags=("sketch", "quantile", "histogram", "percentile"),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price per returnflag from a fixed-width
+    histogram sketch (<=161 bin rows per group at ANY corpus size),
+    with the exact order-statistic control and relative error emitted
+    as hash-checked data. Targets use pure integer ceil arithmetic
+    ((n*pnum + pden - 1) div pden) so both engines pick the identical
+    rank; the only float steps are the shared-text interpolation.
+
+    Scale: ONE map-side-combinable groupBy builds the bin table; the
+    running sum and quantile picks happen on the sketch (<=161 rows per
+    group), NOT the corpus. The exact arm's per-group sort is the
+    100 TB shuffle the sketch replaces — here the verification control."""
+    from pyspark.sql import Window as W
+
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = vals.groupBy(
+        "grp", F.expr(f"cents div {_HQ_WIDTH}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("grp").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    sizes = vals.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    ps = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "p_label string, pnum long, pden long",
+    )
+    targets = sizes.crossJoin(F.broadcast(ps)).select(
+        "grp",
+        "p_label",
+        "n",
+        F.expr("(n * pnum + pden - 1) div pden").alias("target"),
+    )
+    pick = (
+        targets.join(
+            cum.select("grp", "bin", "cum"),
+            ["grp"],
+        )
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("grp", "p_label", "n", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.join(
+        cum.select("grp", "bin", "c", "cum_before"), ["grp", "bin"]
+    ).select(
+        "grp",
+        "p_label",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_hq_est_sql("bin", "target", "cum_before", "c")).alias(
+            "est_cents"
+        ),
+        "target",
+    )
+    ranked = vals.join(F.broadcast(targets), ["grp"]).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("grp", "p_label").orderBy("cents")
+        ),
+    )
+    exact = ranked.filter(F.col("rn") == F.col("target")).select(
+        "grp", "p_label", F.col("cents").alias("exact_cents")
+    )
+    return (
+        est.join(exact, ["grp", "p_label"])
+        .select(
+            "grp",
+            "p_label",
+            "n",
+            "est_cents",
+            "exact_cents",
+            F.expr(
+                "round((est_cents - exact_cents) / exact_cents * 100, 4)"
+            ).alias("err_pct"),
+        )
+    )

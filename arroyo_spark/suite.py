@@ -329,6 +329,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_hll_distinct",
     "kmv_theta_setops",
     "sample_weighted_reservoir",
+    "quantile_histogram_sketch",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

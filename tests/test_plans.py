@@ -891,3 +891,49 @@ def test_weighted_reservoir_no_sort_shuffle_and_model(spark, sf_dir):
     want = [d for _, d in sorted(race)[:5]]
     got = df[df.source == "src0"].sort_values("sample_rank").doc_id.tolist()
     assert [int(d) for d in got] == want
+
+
+def test_quantile_histogram_sketch_accuracy_and_model(spark, sf_dir):
+    """Histogram quantile sketch: no cartesian, estimates land within
+    0.5% of the exact order statistic at every (group, percentile)
+    (bin width $655 on a ~$100k domain), and one cell matches an
+    independent pure-Python histogram interpolation."""
+    plan = plan_of(spark, sf_dir, "quantile_histogram_sketch")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    df = QUERIES["quantile_histogram_sketch"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 9  # 3 flags x 3 percentiles
+    assert (df.err_pct.abs() <= 0.5).all(), df.to_string()
+
+    from arroyo_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    cents = sorted(
+        int(r.c)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter("l_returnflag = 'A'")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    n, W = len(cents), 65536
+    target = (n * 9 + 9) // 10  # ceil(0.9 n)
+    hist: dict[int, int] = {}
+    for c in cents:
+        hist[c // W] = hist.get(c // W, 0) + 1
+    cum = 0
+    for b in sorted(hist):
+        if cum + hist[b] >= target:
+            est = round(
+                b * float(W)
+                + round((target - cum) * float(W) / float(hist[b]), 6),
+                6,
+            )
+            break
+        cum += hist[b]
+    row = df[(df.grp == "A") & (df.p_label == "p90")].iloc[0]
+    assert abs(float(row.est_cents) - est) < 1e-9
+    assert int(row.exact_cents) == cents[target - 1]
