@@ -327,3 +327,62 @@ def acoustic_fingerprint(
     from arroyo_spark.operators.partitioning import ensure_min_parallelism
 
     return ensure_min_parallelism(df).mapInPandas(mapper, schema)
+
+
+def video_frame_fingerprints(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    blob_col: str = "content",
+    id_col: str = "media_id",
+    every_ms: int = 73,
+    grid_w: int = 9,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Per-FRAME 64-bit dHash fingerprints for video rows — the standard
+    video near-dup primitive (sample frames, perceptual-hash each; two
+    videos are near-dups when their frame-fingerprint SETS overlap).
+    Composition of the existing decode stages: `Decoder.sample_frames`
+    then `Decoder.gray_grid` per frame, with `perceptual_dhash`'s exact
+    bit construction.
+
+    Same contract as the image/audio fingerprints: the blob crosses
+    into Python once via Arrow; what returns is (id, frame_no, ph_lo,
+    ph_hi) — O(frames) fixed-width rows per video, blob bytes never
+    shuffle. Downstream pair-finding is a plain equi-join on the
+    assembled fingerprint (each distinct frame hash is its own bucket,
+    bounded by the duplicate-cluster size — the content-dedup shape)."""
+    dec = decoder or FakeDecoder()
+    if (grid_w - 1) * grid_h != 64:
+        raise ValueError("(grid_w - 1) * grid_h must equal 64")
+    schema = StructType.fromDDL(
+        f"{id_col} bigint, frame_no int, ph_lo bigint, ph_hi bigint"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, los, his = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                for fno, fb in enumerate(
+                    dec.sample_frames(bytes(blob), every_ms)
+                ):
+                    g = dec.gray_grid(fb, grid_w, grid_h)
+                    lo = hi = 0
+                    for r in range(grid_h):
+                        for c in range(grid_w - 1):
+                            if g[r * grid_w + c] > g[r * grid_w + c + 1]:
+                                b = r * (grid_w - 1) + c
+                                if b < 32:
+                                    lo |= 1 << b
+                                else:
+                                    hi |= 1 << (b - 32)
+                    ids.append(mid)
+                    fnos.append(fno)
+                    los.append(lo)
+                    his.append(hi)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": fnos, "ph_lo": los, "ph_hi": his}
+            )
+
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(mapper, schema)

@@ -368,3 +368,122 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("sim_hi"),
     )
     return hamming64_banded_pairs(sims, radius=3)
+
+
+def _mm_video_neardup_oracle() -> str:
+    # dHash bit q of a frame grid: row r = q div 8, col c = q mod 8;
+    # compare grid cells r*9+c and r*9+c+1 (1-based list index +1).
+    # Signed 64-bit assembly shared with the simhash64/dHash/audio oracles.
+    lo_val = " + ".join(
+        f"(CASE WHEN en[{(q // 8) * 9 + q % 8 + 1}] >"
+        f" en[{(q // 8) * 9 + q % 8 + 2}] THEN {1 << q} ELSE 0 END)"
+        for q in range(32)
+    )
+    hi_val = " + ".join(
+        f"(CASE WHEN en[{((q + 32) // 8) * 9 + (q + 32) % 8 + 1}] >"
+        f" en[{((q + 32) // 8) * 9 + (q + 32) % 8 + 2}] THEN {1 << q}"
+        f" ELSE 0 END)"
+        for q in range(32)
+    )
+    return f"""
+    WITH g AS (
+      SELECT d.doc_id, t.f,
+             list_transform(range(0, 72), p ->
+               32 + (((p * p * (t.f + 2) +
+                       (d.doc_id % 80) * (p + 3 * t.f + 7)) % 91 +
+                      CASE WHEN t.f = d.doc_id % 8 AND p = d.doc_id % 72
+                           THEN ((d.doc_id // 80) % 5) * 16
+                           ELSE 0 END) % 95))
+               AS en
+      FROM documents d, range(0, 8) t(f)),
+    halves AS (SELECT doc_id, f, {lo_val} AS lov, {hi_val} AS hiv FROM g),
+    fp AS (
+      SELECT doc_id, f,
+             CAST((CASE WHEN hiv >= 2147483648 THEN hiv - 4294967296
+                        ELSE hiv END) * 4294967296 + lov AS BIGINT) AS ph
+      FROM halves)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.ph) AS BIGINT) AS shared_frames
+    FROM fp a JOIN fp b ON a.ph = b.ph AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.ph) >= 5
+    """
+
+
+@query(
+    "mm_video_neardup",
+    oracle=_mm_video_neardup_oracle(),
+    tags=("multimodal", "video", "dedup", "perceptual"),
+)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup — the fourth and last perceptual leg (text
+    SimHash, image dHash, audio fingerprint, now video): sample 8
+    frames per blob, dHash each (`multimodal.video_frame_fingerprints`
+    — decode in Python via mapInPandas, only fixed-width fingerprints
+    come back), then pair videos sharing >= 5 of 8 frame fingerprints
+    via a plain equi-join on the hash — each distinct frame hash is its
+    own bucket, the content-dedup join shape (bucket size = duplicate
+    cluster size; no similarity machinery needed because frame hashes
+    of near-identical frames are IDENTICAL, the near-dup-ness lives in
+    the set overlap).
+
+    Blobs are 584 bytes = 8 interleaved 73-byte frames (byte j belongs
+    to frame j mod 8 — matching FakeDecoder.sample_frames' stride
+    slicing exactly), constructed deterministically from doc_id with
+    PLANTED structure: 80 base videos (kept below the mod-91 grid
+    period — bases equal mod 91 would alias to identical grids); each
+    doc perturbs one pixel of one frame, so same-base pairs share 7-8
+    frames and cross-base pairs share 0 (measured over the id range).
+
+    Scale: one blob scan -> 8 fingerprint rows per video (bytes never
+    shuffle); the pair join touches only the 20-byte fingerprint
+    table."""
+    from arroyo_spark.multimodal import video_frame_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = (d % 80).cast("long")
+    f0 = (d % 8).cast("long")
+    p0 = (d % 72).cast("long")
+    tweak = ((F.expr("doc_id div 80") % 5) * 16).cast("long")
+
+    def code(f, p):
+        perturb = F.when((f == f0) & (p == p0), tweak).otherwise(
+            F.lit(0).cast("long")
+        )
+        return (
+            F.lit(32)
+            + (
+                (p * p * (f + F.lit(2)) + base * (p + f * F.lit(3) + F.lit(7)))
+                % 91
+                + perturb
+            )
+            % 95
+        ).cast("int")
+
+    payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(583).cast("long")),
+            lambda j: F.char(code(j % 8, F.floor(j / 8).cast("long"))),
+        ),
+        "",
+    )
+    media = docs.select(
+        d.alias("media_id"), F.encode(payload, "UTF-8").alias("content")
+    )
+    fps = video_frame_fingerprints(media)
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    fp = fps.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("ph"),
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("ph"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("ph"))
+    return (
+        a.join(b, ["ph"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("ph").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 5)
+    )

@@ -330,6 +330,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "kmv_theta_setops",
     "sample_weighted_reservoir",
     "quantile_histogram_sketch",
+    "mm_video_neardup",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

@@ -937,3 +937,43 @@ def test_quantile_histogram_sketch_accuracy_and_model(spark, sf_dir):
     row = df[(df.grp == "A") & (df.p_label == "p90")].iloc[0]
     assert abs(float(row.est_cents) - est) < 1e-9
     assert int(row.exact_cents) == cents[target - 1]
+
+
+def test_mm_video_neardup_equijoin_and_model(spark, sf_dir):
+    """Video near-dup: the frame-hash pair join is a hash equi-join (no
+    cartesian/NLJ), every emitted pair is same-base sharing >= 5 of 8
+    frames, and frame fingerprints match an independent pure-Python
+    model of the interleaved-frame dHash construction."""
+    plan = plan_of(spark, sf_dir, "mm_video_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    df = QUERIES["mm_video_neardup"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert (df.doc_a % 80 == df.doc_b % 80).all()
+    assert (df.shared_frames >= 5).all() and (df.shared_frames <= 8).all()
+
+    def model_frames(d):
+        base, f0, p0, tw = d % 80, d % 8, d % 72, ((d // 80) % 5) * 16
+        out = []
+        for f in range(8):
+            en = [
+                32
+                + (
+                    (p * p * (f + 2) + base * (p + 3 * f + 7)) % 91
+                    + (tw if (f == f0 and p == p0) else 0)
+                )
+                % 95
+                for p in range(72)
+            ]
+            v = 0
+            for q in range(64):
+                r, c = q // 8, q % 8
+                if en[r * 9 + c] > en[r * 9 + c + 1]:
+                    v |= 1 << q
+            out.append(v)
+        return out
+
+    for _, r in df.head(10).iterrows():
+        a = set(model_frames(int(r.doc_a)))
+        b = set(model_frames(int(r.doc_b)))
+        assert len(a & b) == int(r.shared_frames), (r.doc_a, r.doc_b)
