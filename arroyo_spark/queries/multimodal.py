@@ -214,7 +214,9 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("sim_lo"),
         hi.alias("sim_hi"),
     )
-    return hamming64_banded_pairs(sims, radius=3)
+    # the banded join self-joins its input: persist the compact
+    # fingerprint table (16 bytes/row) so the blob decode runs ONCE
+    return hamming64_banded_pairs(sims.persist(), radius=3)
 
 
 @query(
@@ -367,7 +369,9 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("sim_lo"),
         hi.alias("sim_hi"),
     )
-    return hamming64_banded_pairs(sims, radius=3)
+    # the banded join self-joins its input: persist the compact
+    # fingerprint table (16 bytes/row) so the blob decode runs ONCE
+    return hamming64_banded_pairs(sims.persist(), radius=3)
 
 
 def _mm_video_neardup_oracle() -> str:
@@ -478,6 +482,9 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("ph"),
     )
+    # the pair join self-joins the fingerprints: persist the compact
+    # (id, hash) table so the frame decode runs ONCE over the blobs
+    fp = fp.persist()
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("ph"))
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("ph"))
     return (
