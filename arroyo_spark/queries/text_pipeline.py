@@ -2178,3 +2178,224 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile — the sketches composed: per-source corpus QA (doc counts,
+# HLL vocabulary estimate, histogram token-length quantiles) in bounded
+# state, the profiling report a 100 TB ingest runs BEFORE committing to a
+# full curation pass. Exact controls ride along per the family convention.
+# ---------------------------------------------------------------------------
+
+_CP_WIDTH = 8  # tokens per histogram bin (doc lengths ~10-100)
+
+
+def _cp_est_sql(bin_: str, target: str, cum_before: str, c: str) -> str:
+    return (
+        f"round({bin_} * {float(_CP_WIDTH)} + "
+        f"round(CAST({target} - {cum_before} AS DOUBLE) * {float(_CP_WIDTH)}"
+        f" / CAST({c} AS DOUBLE), 6), 6)"
+    )
+
+
+CORPUS_PROFILE_ORACLE = f"""
+    WITH docs AS (
+      SELECT source, doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ), items AS (
+      SELECT source, unnest(toks) AS item FROM docs
+    ), hashed AS (
+      SELECT source,
+             CAST('0x' || substr(md5(item), 1, 2) AS BIGINT) AS bucket,
+             CAST('0x' || substr(md5(item), 3, 8) AS BIGINT) AS w
+      FROM items
+    ), regs AS (
+      SELECT source, bucket, MAX({_hll_rho_sql('w')}) AS reg
+      FROM hashed GROUP BY source, bucket
+    ), hll AS (
+      SELECT source,
+             CAST(256 - COUNT(*) AS BIGINT) AS zero_registers,
+             CAST(SUM({_hll_units_sql('reg')})
+                  + (256 - COUNT(*)) * {1 << _HLL_RHO_MAX} AS BIGINT)
+               AS sum_units
+      FROM regs GROUP BY source
+    ), hll_est AS (
+      SELECT source,
+             {_hll_estimate_sql('sum_units', 'zero_registers')}
+               AS vocab_est
+      FROM hll
+    ), lens AS (
+      SELECT source, doc_id, len(toks) AS n_toks FROM docs
+    ), hist AS (
+      SELECT source, n_toks // {_CP_WIDTH} AS bin, COUNT(*) AS c
+      FROM lens GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, bin, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin) - c
+               AS cum_before
+      FROM hist
+    ), sizes AS (SELECT source, COUNT(*) AS n_docs FROM lens GROUP BY 1),
+    ps AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10))
+           AS t(p_label, pnum, pden)),
+    targets AS (
+      SELECT s.source, p.p_label, s.n_docs,
+             (s.n_docs * p.pnum + p.pden - 1) // p.pden AS target
+      FROM sizes s CROSS JOIN ps p
+    ), pick AS (
+      SELECT t.source, t.p_label, t.n_docs, t.target, min(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.source = t.source AND c.cum >= t.target
+      GROUP BY 1, 2, 3, 4
+    ), qest AS (
+      SELECT p.source, p.p_label,
+             {_cp_est_sql('p.bin', 'p.target', 'c.cum_before', 'c.c')}
+               AS len_est
+      FROM pick p JOIN cum c ON c.source = p.source AND c.bin = p.bin
+    ), qexact AS (
+      SELECT source, p_label, n_toks AS len_exact FROM (
+        SELECT l.source, t.p_label, l.n_toks, t.target,
+               row_number() OVER (PARTITION BY l.source, t.p_label
+                                  ORDER BY l.n_toks, l.doc_id) AS rn
+        FROM lens l JOIN targets t ON t.source = l.source)
+      WHERE rn = target
+    ), q AS (
+      SELECT e.source,
+             MAX(CASE WHEN e.p_label = 'p50' THEN e.len_est END) AS p50_est,
+             MAX(CASE WHEN x.p_label = 'p50' THEN x.len_exact END)
+               AS p50_exact,
+             MAX(CASE WHEN e.p_label = 'p90' THEN e.len_est END) AS p90_est,
+             MAX(CASE WHEN x.p_label = 'p90' THEN x.len_exact END)
+               AS p90_exact
+      FROM qest e JOIN qexact x
+        ON e.source = x.source AND e.p_label = x.p_label
+      GROUP BY e.source
+    ), ex AS (
+      SELECT source, COUNT(DISTINCT item) AS vocab_exact FROM items
+      GROUP BY source
+    )
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           h.vocab_est, CAST(ex.vocab_exact AS BIGINT) AS vocab_exact,
+           q.p50_est, CAST(q.p50_exact AS BIGINT) AS p50_exact,
+           q.p90_est, CAST(q.p90_exact AS BIGINT) AS p90_exact
+    FROM sizes s
+    JOIN hll_est h ON h.source = s.source
+    JOIN ex ON ex.source = s.source
+    JOIN q ON q.source = s.source
+"""
+
+
+@query(
+    "corpus_profile_sketch",
+    oracle=CORPUS_PROFILE_ORACLE,
+    tags=("sketch", "profile", "hll", "quantile", "curation"),
+)
+def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile from bounded sketches composed: doc
+    count, HLL vocabulary estimate (256 registers/source), and
+    histogram p50/p90 token length (<=16 bins/source) — with the exact
+    COUNT(DISTINCT) and order-statistic controls as checked data. This
+    is the ingest-time QA report: at 100 TB every estimated column
+    costs only map-side-combinable aggregations over sketch-sized
+    state, while both exact controls are corpus-wide shuffles a
+    profiling pass cannot afford (here they verify the sketches).
+
+    Scale: ONE tokenize (persisted doc-level frame reused by both
+    arms); token rows feed the HLL registers, doc-level lengths feed
+    the histogram — no corpus-wide sort, no distinct-key shuffle on the
+    estimated path."""
+    from pyspark.sql import Window as W
+    from arroyo_spark.operators.hll import hll_sketch as _sk
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", T.toks("text").alias("toks"))
+        .persist()
+    )
+    items = docs.select("source", F.explode("toks").alias("item"))
+    hll = _sk(items, ["source"], "item").select(
+        "source", F.col("hll_estimate").alias("vocab_est")
+    )
+    ex = items.groupBy("source").agg(
+        F.countDistinct("item").alias("vocab_exact")
+    )
+    lens = docs.select(
+        "source", "doc_id", F.size("toks").alias("n_toks")
+    )
+    hist = lens.groupBy(
+        "source", F.expr(f"n_toks div {_CP_WIDTH}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("source").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    sizes = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ps = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10)], "p_label string, pnum long, pden long"
+    )
+    targets = sizes.crossJoin(F.broadcast(ps)).select(
+        "source",
+        "p_label",
+        "n_docs",
+        F.expr("(n_docs * pnum + pden - 1) div pden").alias("target"),
+    )
+    pick = (
+        targets.join(cum.select("source", "bin", "cum"), ["source"])
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("source", "p_label", "n_docs", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    qest = pick.join(
+        cum.select("source", "bin", "c", "cum_before"), ["source", "bin"]
+    ).select(
+        "source",
+        "p_label",
+        F.expr(_cp_est_sql("bin", "target", "cum_before", "c")).alias(
+            "len_est"
+        ),
+    )
+    ranked = lens.join(F.broadcast(targets), ["source"]).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source", "p_label").orderBy("n_toks", "doc_id")
+        ),
+    )
+    qexact = ranked.filter(F.col("rn") == F.col("target")).select(
+        "source", "p_label", F.col("n_toks").alias("len_exact")
+    )
+    q = (
+        qest.join(qexact, ["source", "p_label"])
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.when(F.col("p_label") == "p50", F.col("len_est"))
+            ).alias("p50_est"),
+            F.max(
+                F.when(F.col("p_label") == "p50", F.col("len_exact"))
+            ).alias("p50_exact"),
+            F.max(
+                F.when(F.col("p_label") == "p90", F.col("len_est"))
+            ).alias("p90_est"),
+            F.max(
+                F.when(F.col("p_label") == "p90", F.col("len_exact"))
+            ).alias("p90_exact"),
+        )
+    )
+    return (
+        sizes.join(hll, ["source"])
+        .join(ex, ["source"])
+        .join(q, ["source"])
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "vocab_est",
+            F.col("vocab_exact").cast("bigint").alias("vocab_exact"),
+            "p50_est",
+            F.col("p50_exact").cast("bigint").alias("p50_exact"),
+            "p90_est",
+            F.col("p90_exact").cast("bigint").alias("p90_exact"),
+        )
+    )

@@ -331,6 +331,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "sample_weighted_reservoir",
     "quantile_histogram_sketch",
     "mm_video_neardup",
+    "corpus_profile_sketch",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }

@@ -977,3 +977,20 @@ def test_mm_video_neardup_equijoin_and_model(spark, sf_dir):
         a = set(model_frames(int(r.doc_a)))
         b = set(model_frames(int(r.doc_b)))
         assert len(a & b) == int(r.shared_frames), (r.doc_a, r.doc_b)
+
+
+def test_corpus_profile_sketch_composition(spark, sf_dir):
+    """Composed profiling report: no cartesian, one persisted tokenize
+    feeding both sketch arms, and each estimated column sits within its
+    sketch's error of the exact control emitted beside it."""
+    plan = plan_of(spark, sf_dir, "corpus_profile_sketch")
+    assert "CartesianProduct" not in plan
+    df = QUERIES["corpus_profile_sketch"].fn(spark, sf_dir).toPandas()
+    spark.catalog.clearCache()
+    assert len(df) == 20  # one row per source
+    # HLL m=256 on tiny vocab: linear-counting regime, well under 25%
+    rel = (df.vocab_est - df.vocab_exact).abs() / df.vocab_exact
+    assert (rel <= 0.25).all(), df.to_string()
+    # histogram quantiles: within one bin width of the exact statistic
+    assert ((df.p50_est - df.p50_exact).abs() <= 8).all()
+    assert ((df.p90_est - df.p90_exact).abs() <= 8).all()
