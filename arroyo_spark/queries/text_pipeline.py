@@ -2091,34 +2091,24 @@ HQ_ORACLE = f"""
 """
 
 
-@query(
-    "quantile_histogram_sketch",
-    oracle=HQ_ORACLE,
-    tags=("sketch", "quantile", "histogram", "percentile"),
-)
-def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 of extended price per returnflag from a fixed-width
-    histogram sketch (<=161 bin rows per group at ANY corpus size),
-    with the exact order-statistic control and relative error emitted
-    as hash-checked data. Targets use pure integer ceil arithmetic
-    ((n*pnum + pden - 1) div pden) so both engines pick the identical
-    rank; the only float steps are the shared-text interpolation.
-
-    Scale: ONE map-side-combinable groupBy builds the bin table; the
-    running sum and quantile picks happen on the sketch (<=161 rows per
-    group), NOT the corpus. The exact arm's per-group sort is the
-    100 TB shuffle the sketch replaces — here the verification control."""
-    from pyspark.sql import Window as W
-
-    vals = load_table(spark, sf_dir, "lineitem").select(
+def _hq_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100)
         .cast("bigint")
         .alias("cents"),
     )
-    hist = vals.groupBy(
-        "grp", F.expr(f"cents div {_HQ_WIDTH}").alias("bin")
-    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def _hq_report(spark: SparkSession, hist: DataFrame,
+               vals: DataFrame) -> DataFrame:
+    """Finalize a (grp, bin, c) histogram into the p50/p90/p99 report
+    with the exact order-statistic control — shared by the batch sketch
+    and the streaming leg (which drains the same bin table from
+    update-mode emissions). All window work happens on the sketch
+    (<=161 rows per group); the exact arm is the control."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("grp").orderBy("bin").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -2178,6 +2168,98 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_pct"),
         )
     )
+
+
+@query(
+    "quantile_histogram_sketch",
+    oracle=HQ_ORACLE,
+    tags=("sketch", "quantile", "histogram", "percentile"),
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of extended price per returnflag from a fixed-width
+    histogram sketch (<=161 bin rows per group at ANY corpus size),
+    with the exact order-statistic control and relative error emitted
+    as hash-checked data. Targets use pure integer ceil arithmetic
+    ((n*pnum + pden - 1) div pden) so both engines pick the identical
+    rank; the only float steps are the shared-text interpolation.
+
+    Scale: ONE map-side-combinable groupBy builds the bin table; the
+    running sum and quantile picks happen on the sketch (<=161 rows per
+    group), NOT the corpus (`_hq_report`). The exact arm's per-group
+    sort is the 100 TB shuffle the sketch replaces — here the
+    verification control."""
+    vals = _hq_vals(spark, sf_dir)
+    hist = vals.groupBy(
+        "grp", F.expr(f"cents div {_HQ_WIDTH}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return _hq_report(spark, hist, vals)
+
+
+@query(
+    "streaming_quantile_histogram",
+    oracle=HQ_ORACLE,
+    tags=("sketch", "quantile", "histogram", "streaming"),
+)
+def streaming_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile monitoring ON INGEST — the streaming leg of
+    `quantile_histogram_sketch` (same oracle): lineitem replayed through
+    Structured Streaming, the bin table maintained by the ONE streaming
+    aggregation groupBy(grp, bin).count() in update mode (state <=161
+    rows per group no matter how long the stream runs), finalized
+    batch-side from the drained emission log (per-key counts only grow,
+    so max across emissions = final state — the HLL-leg pattern). The
+    exact order-statistic control stays batch: it is the verification
+    arm, and a streaming per-group sort is exactly what the sketch
+    exists to avoid."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    staged = tempfile.mkdtemp(prefix="shq_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    hist = (
+        stream.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("grp", F.expr(f"cents div {_HQ_WIDTH}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = "shq_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="shq_ck_")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_quantile_histogram: stream did not drain in 600s"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    final_hist = (
+        spark.table(name).groupBy("grp", "bin").agg(F.max("c").alias("c"))
+    )
+    return _hq_report(spark, final_hist, _hq_vals(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -332,6 +332,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "quantile_histogram_sketch",
     "mm_video_neardup",
     "corpus_profile_sketch",
+    "streaming_quantile_histogram",
     "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
                             # Spark side)
 }
