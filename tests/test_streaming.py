@@ -1258,3 +1258,87 @@ def test_streaming_hll_stop_restore_matches_batch(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_quantile_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Histogram bin counts ON INGEST with a stop/restore leg: half of
+    lineitem arrives, the query checkpoints and STOPS; the rest arrives
+    and a new query restores from the same checkpoint. The drained bin
+    table (max-merged across emissions — counts only grow) finalizes to
+    the EXACT batch `quantile_histogram_sketch` rows."""
+    import glob
+    import os
+
+    from arroyo_spark.queries.text_pipeline import (
+        _HQ_WIDTH,
+        _hq_report,
+        _hq_vals,
+    )
+    from arroyo_spark.suite import all_queries
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    data = tmp_path / "li4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        hist = (
+            stream.select(
+                F.col("l_returnflag").alias("grp"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("grp", F.expr(f"cents div {_HQ_WIDTH}").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        q = (
+            hist.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+    assert spark.read.parquet(out).count(), "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+
+    final_hist = (
+        spark.read.parquet(out).groupBy("grp", "bin").agg(
+            F.max("c").alias("c")
+        )
+    )
+    got = (
+        _hq_report(spark, final_hist, _hq_vals(spark, sf_dir))
+        .toPandas()
+        .sort_values(["grp", "p_label"])
+        .reset_index(drop=True)
+    )
+    want = (
+        all_queries()["quantile_histogram_sketch"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["grp", "p_label"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
