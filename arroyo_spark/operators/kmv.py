@@ -49,6 +49,28 @@ def estimate_sql(kth: str, k: int) -> str:
     return f"round({float((k - 1) * HASH_SPACE)} / CAST({kth} AS DOUBLE), 6)"
 
 
+def estimate_guarded_sql(kth: str, n: str, k: int) -> str:
+    """Small-set-exact KMV estimate: a sketch with fewer than k members
+    holds EVERY distinct hash of its set, so its size IS the exact count
+    (the standard KMV small-set case) — without this guard the k-th value
+    is NULL in Spark (element_at past the end) while DuckDB's max(h) gives
+    a finite but wrong estimate, a latent engine divergence (ADVICE r10).
+    ``n`` is the engine's size-of-sketch expression; the CASE arms are
+    integer-exact / single-division, identical semantics both engines."""
+    return (
+        f"CASE WHEN {n} < {k} THEN round(CAST({n} AS DOUBLE), 6) "
+        f"ELSE {estimate_sql(kth, k)} END"
+    )
+
+
+def theta_guarded_sql(kth: str, n: str, k: int) -> str:
+    """Per-sketch theta: an exact (size < k) sketch covers the whole hash
+    space, so its theta is 2^48; a full sketch's theta is its k-th value.
+    Makes the intersection estimate degrade to the EXACT common count when
+    both sketches are exact (n_below * 2^48 / 2^48 = n_below)."""
+    return f"CASE WHEN {n} < {k} THEN {HASH_SPACE} ELSE {kth} END"
+
+
 def intersect_estimate_sql(n_below: str, theta: str) -> str:
     """Theta-sketch intersection estimate |{h in A∩B : h < θ}| / U(θ).
     n_below <= k keeps the product n_below·2^48 exact as a double."""
@@ -99,10 +121,14 @@ def kmv_sketch(
         .select(
             "grp",
             "sketch",
-            F.element_at("sketch", k).alias("kth"),
-            F.expr(estimate_sql(f"element_at(sketch, {k})", k)).alias(
-                "est_distinct"
-            ),
+            # array_max == element_at(sketch, k) when full, and stays
+            # non-NULL for small-set (< k member) sketches (ADVICE r10)
+            F.array_max("sketch").alias("kth"),
+            F.expr(
+                estimate_guarded_sql(
+                    "array_max(sketch)", "size(sketch)", k
+                )
+            ).alias("est_distinct"),
         )
     )
 
@@ -128,7 +154,13 @@ def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:
     merged = F.slice(
         F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k
     )
-    theta = F.least("kth_a", "kth_b")
+    # Guarded thetas: an exact (< k member) sketch covers the whole hash
+    # space (theta = 2^48); least() of the two is the pair theta. Keeps
+    # kth/theta non-NULL for small sets (ADVICE r10) and makes the
+    # intersection estimate exact when both sketches are exact.
+    theta_a = F.expr(theta_guarded_sql("kth_a", "size(sk_a)", k))
+    theta_b = F.expr(theta_guarded_sql("kth_b", "size(sk_b)", k))
+    theta = F.least(theta_a, theta_b)
     common_below = F.size(
         F.filter(
             F.array_intersect(F.col("sk_a"), F.col("sk_b")),
@@ -140,7 +172,8 @@ def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:
         "grp_b",
         "est_a",
         "est_b",
-        F.element_at(merged, k).alias("kth_union"),
+        F.array_max(merged).alias("kth_union"),
+        F.size(merged).alias("n_union"),
         theta.alias("theta"),
         common_below.alias("n_common_below"),
     )
@@ -149,7 +182,9 @@ def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:
         "grp_b",
         "est_a",
         "est_b",
-        F.expr(estimate_sql("kth_union", k)).alias("union_est"),
+        F.expr(
+            estimate_guarded_sql("kth_union", "n_union", k)
+        ).alias("union_est"),
         F.expr(
             intersect_estimate_sql("n_common_below", "theta")
         ).alias("inter_est"),

@@ -1871,10 +1871,11 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from arroyo_spark.operators.kmv import (  # noqa: E402
-    estimate_sql as _kmv_est_sql,
+    estimate_guarded_sql as _kmv_est_g_sql,
     intersect_estimate_sql as _kmv_inter_sql,
     kmv_pair_estimates as _kmv_pairs,
     kmv_sketch as _kmv_sketch,
+    theta_guarded_sql as _kmv_theta_g_sql,
 )
 
 _KMV_K = 64
@@ -1894,24 +1895,28 @@ KMV_ORACLE = f"""
       SELECT grp, list_sort(list(h)) AS sketch, max(h) AS kth
       FROM ranked WHERE rn <= {_KMV_K} GROUP BY grp
     ), est AS (
-      SELECT grp, sketch, kth, {_kmv_est_sql('kth', _KMV_K)} AS est_distinct
+      SELECT grp, sketch, kth,
+             {_kmv_est_g_sql('kth', 'len(sketch)', _KMV_K)} AS est_distinct
       FROM sk
     ), pairs AS (
       SELECT a.grp AS grp_a, b.grp AS grp_b,
              a.est_distinct AS est_a, b.est_distinct AS est_b,
              a.sketch AS ska, b.sketch AS skb,
-             least(a.kth, b.kth) AS theta
+             least({_kmv_theta_g_sql('a.kth', 'len(a.sketch)', _KMV_K)},
+                   {_kmv_theta_g_sql('b.kth', 'len(b.sketch)', _KMV_K)})
+               AS theta
       FROM est a JOIN est b ON a.grp < b.grp
     ), u AS (
       SELECT grp_a, grp_b, est_a, est_b, theta,
-             list_sort(list_distinct(list_concat(ska, skb)))[{_KMV_K}]
-               AS kth_union,
+             list_sort(list_distinct(list_concat(ska, skb)))[1:{_KMV_K}]
+               AS merged,
              len(list_filter(list_intersect(ska, skb), x -> x < theta))
                AS n_common_below
       FROM pairs
     ), ue AS (
       SELECT grp_a, grp_b, est_a, est_b,
-             {_kmv_est_sql('kth_union', _KMV_K)} AS union_est,
+             {_kmv_est_g_sql("list_aggregate(merged, 'max')",
+                             'len(merged)', _KMV_K)} AS union_est,
              {_kmv_inter_sql('n_common_below', 'theta')} AS inter_est
       FROM u
     ), ex AS (

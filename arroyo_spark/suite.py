@@ -301,6 +301,33 @@ _GREEN_R09 = frozenset(
 )
 
 
+_GREEN_R10 = frozenset(
+    {
+        'agg_having', 'ann_recall_check', 'anti_join_no_orders',
+        'corpus_profile_sketch', 'count_distinct',
+        'curation_pipeline_v3', 'date_functions',
+        'dedup_duplicate_clusters', 'dedup_exact_substring_mat',
+        'dedup_line_level', 'dedup_simhash', 'dedup_simhash64_hamming',
+        'dedup_simhash_hamming', 'doc_fingerprints',
+        'embedding_pca_power', 'filter_project', 'hll_distinct_sketch',
+        'json_extract_props', 'kmv_theta_setops', 'knn_graph_ann',
+        'knn_ivfpq_rerank', 'knn_sq8_ann', 'minhash_jaccard_estimate',
+        'mm_audio_features', 'mm_audio_neardup', 'mm_content_dedup',
+        'mm_image_neardup', 'mm_video_frame_stats', 'mm_video_neardup',
+        'q1_pricing_summary', 'q3_shipping_priority',
+        'q5_region_revenue', 'quantile_histogram_sketch',
+        'sample_weighted_reservoir', 'scalar_functions',
+        'semi_join_big_spenders', 'stats_aggregates',
+        'streaming_contamination_guard', 'streaming_dedup_minhash',
+        'streaming_hll_distinct', 'streaming_quantile_histogram',
+        'text_bpe_token_counts', 'text_gopher_filters', 'text_lang_id',
+        'text_quality_scores', 'text_token_stats',
+        'text_trigram_kneser_ney', 'union_all_agg',
+        'window_running_totals', 'window_topk_per_type',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -309,38 +336,27 @@ _GREEN_R09 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r10 edits (populated as code is touched this round):
-    "knn_ivfpq_rerank",  # query subset filtered before broadcast; oracle
-                         # shortlist size now interpolates _PQ_RERANK
-    "dedup_simhash64_hamming",  # banded join extracted into
-                                # hamming64_banded_pairs (pure refactor)
-    # r10 NEW queries (never checked by the driver yet — tier 0 would
-    # also catch them; listed for the accurate-dirty-set record):
-    "mm_image_neardup",
-    "streaming_dedup_minhash",
-    "text_trigram_kneser_ney",
-    "knn_graph_ann",
-    "knn_sq8_ann",
-    "streaming_contamination_guard",
-    "embedding_pca_power",
-    "curation_pipeline_v3",
-    "mm_audio_neardup",
-    "hll_distinct_sketch",
-    "streaming_hll_distinct",
-    "kmv_theta_setops",
-    "sample_weighted_reservoir",
-    "quantile_histogram_sketch",
-    "mm_video_neardup",
-    "corpus_profile_sketch",
-    "streaming_quantile_histogram",
-    "ann_recall_check",     # sixth + seventh arms: graph, sq8 (oracle +
-                            # Spark side)
+    # r11 edits (populated as code is touched this round):
+    "kmv_theta_setops",  # small-set guard: element_at clamped to
+                         # size(sketch) + exact-count fallback (ADVICE r10)
+    "sample_weighted_reservoir",  # n_toks > 0 guard both sides (ADVICE r10)
+    "mm_image_neardup",  # bounded persist lifetime (unpersist after action)
+    "mm_audio_neardup",  # bounded persist lifetime
+    "mm_video_neardup",  # bounded persist lifetime
+    "corpus_profile_sketch",  # bounded persist lifetime
+    # r11 NEW queries (never checked — tier 0 would also catch them):
+    "tokenizer_unigram_lm",
+    "classifier_logreg_train",
+    "streaming_kmv_theta",
+    "streaming_corpus_monitor",
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R10:
+        return 10
     if name in _GREEN_R09:
         return 9
     if name in _GREEN_R08:
