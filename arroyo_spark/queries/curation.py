@@ -1212,6 +1212,7 @@ WRS_ORACLE = f"""
       SELECT source, doc_id, n_toks,
              {_wrs_priority_sql('h', 'n_toks')} AS priority
       FROM t
+      WHERE n_toks > 0
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY priority, doc_id) AS rn
@@ -1246,7 +1247,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.toks("text")).alias("n_toks"),
         kmv_hash(F.col("doc_id").cast("string")).alias("h"),
     )
-    pri = docs.select(
+    # A-ES is undefined for weight 0: a zero-token doc divides by zero,
+    # which Spark (non-ANSI) NULLs but other engines may not, and NaN/NULL
+    # priorities silently drop in the pandas prune — exclude them in BOTH
+    # engines so membership can never diverge (ADVICE r10).
+    pri = docs.filter(F.col("n_toks") > 0).select(
         "source",
         "doc_id",
         "n_toks",

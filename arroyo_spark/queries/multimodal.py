@@ -214,9 +214,13 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("sim_lo"),
         hi.alias("sim_hi"),
     )
-    # the banded join self-joins its input: persist the compact
-    # fingerprint table (16 bytes/row) so the blob decode runs ONCE
-    return hamming64_banded_pairs(sims.persist(), radius=3)
+    # the banded join self-joins its input: materialize the compact
+    # fingerprint table (16 bytes/row) so the blob decode runs ONCE.
+    # localCheckpoint (not persist): eager, lineage-truncated, and the
+    # executor storage is reclaimed by the ContextCleaner when the query's
+    # action finishes — a bare persist() lives until LRU eviction across
+    # a long sweep and loses decode-once silently (ADVICE r10).
+    return hamming64_banded_pairs(sims.localCheckpoint(), radius=3)
 
 
 @query(
@@ -369,9 +373,13 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("sim_lo"),
         hi.alias("sim_hi"),
     )
-    # the banded join self-joins its input: persist the compact
-    # fingerprint table (16 bytes/row) so the blob decode runs ONCE
-    return hamming64_banded_pairs(sims.persist(), radius=3)
+    # the banded join self-joins its input: materialize the compact
+    # fingerprint table (16 bytes/row) so the blob decode runs ONCE.
+    # localCheckpoint (not persist): eager, lineage-truncated, and the
+    # executor storage is reclaimed by the ContextCleaner when the query's
+    # action finishes — a bare persist() lives until LRU eviction across
+    # a long sweep and loses decode-once silently (ADVICE r10).
+    return hamming64_banded_pairs(sims.localCheckpoint(), radius=3)
 
 
 def _mm_video_neardup_oracle() -> str:
@@ -482,9 +490,10 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("ph"),
     )
-    # the pair join self-joins the fingerprints: persist the compact
+    # the pair join self-joins the fingerprints: materialize the compact
     # (id, hash) table so the frame decode runs ONCE over the blobs
-    fp = fp.persist()
+    # (localCheckpoint: eager + storage bounded to the query, ADVICE r10)
+    fp = fp.localCheckpoint()
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("ph"))
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("ph"))
     return (

@@ -2398,7 +2398,10 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("source", "doc_id", T.toks("text").alias("toks"))
-        .persist()
+        # localCheckpoint, not persist: eager scan-once materialization
+        # whose storage is reclaimed when the query's action completes,
+        # instead of lingering until LRU eviction (ADVICE r10)
+        .localCheckpoint()
     )
     items = docs.select("source", F.explode("toks").alias("item"))
     hll = _sk(items, ["source"], "item").select(

@@ -368,8 +368,9 @@ def test_multitable_lsh_recall_and_plan(spark, sf_dir):
     assert rec["ivf"] >= rec["ivf_1p"] + 0.2, rec
     # and the graph lever: beam search over the kNN graph from a 1-probe
     # seed must beat the full multi-probe IVF arm (0.787 vs 0.587 at
-    # sf0.01)
-    assert rec["graph"] >= rec["ivf"], rec
+    # sf0.01; 0.05 slack so seeding/tie-order jitter can't flip a
+    # 0.2-margin structural claim into a flaky failure — ADVICE r10)
+    assert rec["graph"] >= rec["ivf"] - 0.05, rec
 
 
 def test_curation_projections_shuffle_free(spark, sf_dir):
@@ -642,7 +643,9 @@ def test_knn_graph_ann_recall_beats_ivf(spark, sf_dir):
         ivf_topk(emb, emb.filter(SF.col("vec_id") % 20 == 0), k=3, n_probe=1)
     )
     assert r_graph >= r_seed + 0.1, (r_graph, r_seed)
-    assert r_graph >= r_ivf, (r_graph, r_ivf)
+    # 0.05 slack: the structural margin is ~0.2 (0.787 vs 0.587 at
+    # sf0.01); zero-margin pinning makes seeding jitter flaky (ADVICE r10)
+    assert r_graph >= r_ivf - 0.05, (r_graph, r_ivf)
 
 
 def test_knn_sq8_plan_and_recall(spark, sf_dir):
