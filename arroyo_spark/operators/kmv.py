@@ -114,9 +114,18 @@ def kmv_sketch(
             )
 
     pruned = hashed.mapInPandas(prune, schema)
-    sk = F.slice(F.array_sort(F.collect_list("h")), 1, k)
+    return sketch_table(pruned, k)
+
+
+def sketch_table(rows: DataFrame, k: int) -> DataFrame:
+    """(grp, h) rows -> (grp, sketch, kth, est_distinct): per-group
+    k smallest distinct hashes ascending + the KMV estimate. The input
+    must already be bounded (a per-partition-pruned superset, or a
+    drained streaming emission log of <= emissions x k rows per group) —
+    collect_list here never sees a set-sized array."""
+    sk = F.slice(F.array_sort(F.collect_set("h")), 1, k)
     return (
-        pruned.groupBy("grp")
+        rows.groupBy("grp")
         .agg(sk.alias("sketch"))
         .select(
             "grp",
@@ -131,6 +140,19 @@ def kmv_sketch(
             ).alias("est_distinct"),
         )
     )
+
+
+def kmv_finalize(emissions: DataFrame, k: int) -> DataFrame:
+    """Merge a drained streaming emission log (grp, sketch array<bigint>)
+    into final sketches: the k smallest distinct hashes of the UNION of
+    a group's emitted sketches equal its final state (every emitted hash
+    was seen, and the final emission is in the log — bottom-k is a
+    monotone merge), so at-least-once emission replay is harmless.
+    Shared by `streaming_kmv_theta` and its stop/restore test leg."""
+    rows = emissions.select(
+        "grp", F.explode("sketch").alias("h")
+    ).distinct()
+    return sketch_table(rows, k)
 
 
 def kmv_pair_estimates(sketches: DataFrame, k: int) -> DataFrame:

@@ -1959,21 +1959,36 @@ def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     then happens on a groups-x-k-row table, NO second pass over the data;
     the exact control's distinct self-join is the 100 TB shuffle the
     sketch replaces (here it is the sf-scale verification arm)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity") <= 12
-    )
-    items = li.select(
-        F.concat(
-            F.lit("y"), (F.year("l_shipdate") % 4).cast("string")
-        ).alias("grp"),
-        F.col("l_partkey").alias("p"),
-    ).distinct()
+    items = _kmv_items(load_table(spark, sf_dir, "lineitem"))
     sketches = _kmv_sketch(
         items.withColumn("item", F.col("p").cast("string")),
         "grp",
         "item",
         _KMV_K,
     )
+    return _kmv_setops_output(sketches, items)
+
+
+def _kmv_items(lineitem: DataFrame) -> DataFrame:
+    """The KMV test universe: distinct (ship-year-mod-4 group, partkey)
+    of low-quantity lineitems — a stateless projection shared by the
+    batch sketch, the streaming replay and the exact controls."""
+    return (
+        lineitem.filter(F.col("l_quantity") <= 12)
+        .select(
+            F.concat(
+                F.lit("y"), (F.year("l_shipdate") % 4).cast("string")
+            ).alias("grp"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+
+
+def _kmv_setops_output(sketches: DataFrame, items: DataFrame) -> DataFrame:
+    """Pair estimates from the sketch table + the exact distinct-self-join
+    controls — the shared downstream of `kmv_theta_setops` and
+    `streaming_kmv_theta` (identical output schema, same oracle)."""
     pairs = _kmv_pairs(sketches, _KMV_K)
     sizes = items.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -2026,6 +2041,91 @@ def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("inter_err_pct"),
     )
+
+
+@query(
+    "streaming_kmv_theta",
+    oracle=KMV_ORACLE,
+    tags=("sketch", "kmv", "theta", "distinct", "setops", "streaming"),
+)
+def streaming_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketches maintained ON INGEST — the streaming leg of
+    `kmv_theta_setops` (same oracle): the lineitem replay runs the
+    stateless (group, 48-bit hash) projection into ONE stateful operator
+    (`streaming.stateful.streaming_kmv_sketch`: bottom-k state per group,
+    bounded at k hashes + a counter regardless of stream length), then
+    the drained emission log is merged batch-side (bottom-k of the union
+    of emissions = final state, a monotone merge —
+    `operators.kmv.kmv_finalize`) and fed to the SAME set-algebra
+    downstream and exact controls as the batch query.
+
+    Scale: this is the sketch family's answer to streaming
+    COUNT(DISTINCT) (state per distinct key, refused by the engine) AND
+    to cross-stream set algebra: sketches drained from separate Kafka
+    topics compose into union/intersection/Jaccard estimates without
+    ever co-shuffling the two streams. State: k x 8 bytes + 1 counter
+    per group in the state store; pre-shuffle rows are 8-byte hashes."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.kmv import kmv_finalize, kmv_hash
+    from arroyo_spark.streaming.stateful import streaming_kmv_sketch
+
+    staged_dirs: list[str] = []
+
+    def replay(table: str):
+        import glob as _glob
+        import os
+
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        staged = tempfile.mkdtemp(prefix="skmv_src_")
+        staged_dirs.append(staged)
+        files = [src] if os.path.isfile(src) else sorted(
+            _glob.glob(os.path.join(src, "*.parquet"))
+        )
+        for f in files:
+            os.symlink(f, os.path.join(staged, os.path.basename(f)))
+        schema = spark.read.parquet(src).schema
+        return spark.readStream.schema(schema).parquet(staged)
+
+    # stateless projection only — no .distinct() (that would be a second
+    # stateful op); the bottom-k state machine dedups hashes inherently
+    hashed = (
+        replay("lineitem")
+        .filter(F.col("l_quantity") <= 12)
+        .select(
+            F.concat(
+                F.lit("y"), (F.year("l_shipdate") % 4).cast("string")
+            ).alias("grp"),
+            kmv_hash(F.col("l_partkey").cast("string")).alias("h"),
+        )
+    )
+    name = "skmv_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="skmv_ck_")
+    q = (
+        streaming_kmv_sketch(hashed, k=_KMV_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_kmv_theta: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    sketches = kmv_finalize(spark.table(name), _KMV_K)
+    items = _kmv_items(load_table(spark, sf_dir, "lineitem"))
+    return _kmv_setops_output(sketches, items)
 
 
 # ---------------------------------------------------------------------------

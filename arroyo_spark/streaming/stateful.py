@@ -188,3 +188,68 @@ def streaming_lsh_buckets(
         rank_col=rank_col,
         id_col=id_col,
     )
+
+
+def streaming_kmv_sketch(
+    stream: DataFrame,
+    k: int = 64,
+    group_col: str = "grp",
+    hash_col: str = "h",
+) -> DataFrame:
+    """On-ingest KMV / theta sketch — the streaming leg of
+    `operators.kmv.kmv_sketch`: per group, maintain the ``k`` smallest
+    DISTINCT 48-bit item hashes seen so far (plus a total-arrivals
+    counter), emitting the group's current sketch whenever it changes
+    (update mode). The input must already be the stateless per-row
+    (group, hash) projection.
+
+    Order-independence: the bottom-k of a set is arrival-order-invariant,
+    so the drained final state equals the batch sketch for any replay
+    order — and the emission LOG is monotone-mergeable: every emitted
+    hash was a seen hash, and the final emission is in the log, so the
+    k smallest distinct hashes of the union of all emissions ARE the
+    final sketch (`operators.kmv.kmv_finalize` does that merge). That is
+    what makes the stop/restore leg and at-least-once sinks exact.
+
+    Scale: state is BOUNDED at k hashes + one counter per group in the
+    state store regardless of stream length — streaming COUNT(DISTINCT)
+    state grows with every distinct key (Spark refuses it); the sketch
+    is the on-ingest answer to the same question, and sketches drained
+    from different streams still compose under set algebra
+    (`operators.kmv.kmv_pair_estimates`)."""
+    out_schema = StructType.fromDDL(
+        f"{group_col} string, sketch array<bigint>, n_seen bigint"
+    )
+    state_schema = StructType.fromDDL("sketch array<bigint>, n bigint")
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hashes: set[int] = set()
+        n_batch = 0
+        for pdf in batches:
+            n_batch += len(pdf)
+            hashes.update(int(h) for h in pdf[hash_col])
+        if not n_batch:
+            return
+        if state.exists:
+            cur, n = state.get
+            hashes.update(int(h) for h in cur)
+            n = int(n) + n_batch
+        else:
+            n = n_batch
+        sketch = sorted(hashes)[:k]
+        state.update((sketch, n))
+        yield pd.DataFrame(
+            {group_col: [key[0]], "sketch": [sketch], "n_seen": [n]}
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1342,3 +1342,89 @@ def test_streaming_quantile_stop_restore_matches_batch(
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_kmv_stop_restore_matches_batch(spark, sf_dir, tmp_path):
+    """KMV bottom-k state ON INGEST with a stop/restore leg: half of
+    lineitem arrives, the query checkpoints and STOPS; the rest arrives
+    and a new query restores from the same checkpoint. The merged
+    emission log (bottom-k of the union of emitted sketches — a
+    monotone merge) must finalize to the EXACT batch sketch table:
+    bottom-k selection is arrival-order-independent and the restored
+    state carries leg 1's k smallest hashes into leg 2's merge."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from arroyo_spark.operators.kmv import (
+        kmv_finalize,
+        kmv_hash,
+        kmv_sketch,
+    )
+    from arroyo_spark.queries.text_pipeline import _KMV_K, _kmv_items
+    from arroyo_spark.streaming.stateful import streaming_kmv_sketch
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    data = tmp_path / "li4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    def run():
+        hashed = (
+            spark.readStream.schema(schema)
+            .parquet(str(staged))
+            .filter(F.col("l_quantity") <= 12)
+            .select(
+                F.concat(
+                    F.lit("y"), (F.year("l_shipdate") % 4).cast("string")
+                ).alias("grp"),
+                kmv_hash(F.col("l_partkey").cast("string")).alias("h"),
+            )
+        )
+        q = (
+            streaming_kmv_sketch(hashed, k=_KMV_K)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+    assert spark.read.parquet(out).count(), "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+
+    got = (
+        kmv_finalize(spark.read.parquet(out), _KMV_K)
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    items = _kmv_items(spark.read.parquet(src))
+    want = (
+        kmv_sketch(
+            items.withColumn("item", F.col("p").cast("string")),
+            "grp",
+            "item",
+            _KMV_K,
+        )
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
