@@ -2492,7 +2492,6 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms); token rows feed the HLL registers, doc-level lengths feed
     the histogram — no corpus-wide sort, no distinct-key shuffle on the
     estimated path."""
-    from pyspark.sql import Window as W
     from arroyo_spark.operators.hll import hll_sketch as _sk
 
     docs = (
@@ -2507,22 +2506,44 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll = _sk(items, ["source"], "item").select(
         "source", F.col("hll_estimate").alias("vocab_est")
     )
-    ex = items.groupBy("source").agg(
-        F.countDistinct("item").alias("vocab_exact")
-    )
     lens = docs.select(
         "source", "doc_id", F.size("toks").alias("n_toks")
     )
     hist = lens.groupBy(
         "source", F.expr(f"n_toks div {_CP_WIDTH}").alias("bin")
     ).agg(F.count(F.lit(1)).alias("c"))
+    return _cp_report(spark, hll, hist, lens, items)
+
+
+def _cp_report(
+    spark: SparkSession,
+    vocab_est: DataFrame,
+    hist: DataFrame,
+    lens: DataFrame,
+    items: DataFrame,
+) -> DataFrame:
+    """Shared downstream of `corpus_profile_sketch` and
+    `streaming_corpus_monitor`: compose (source, vocab_est), the
+    histogram (source, bin, c), and the batch-side exact-control inputs
+    (lens for order statistics, items for COUNT DISTINCT) into the final
+    per-source profile row. n_docs comes from the histogram sums (every
+    doc lands in exactly one bin), so the sketch path alone determines
+    every estimated column."""
+    from pyspark.sql import Window as W
+
+    ex = items.groupBy("source").agg(
+        F.countDistinct("item").alias("vocab_exact")
+    )
     w = W.partitionBy("source").orderBy("bin").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
         "cum_before", F.col("cum") - F.col("c")
     )
-    sizes = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sizes = hist.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs")
+    )
+    hll = vocab_est
     ps = spark.createDataFrame(
         [("p50", 1, 2), ("p90", 9, 10)], "p_label string, pnum long, pden long"
     )
@@ -2589,3 +2610,171 @@ def corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p90_exact").cast("bigint").alias("p90_exact"),
         )
     )
+
+
+def corpus_monitor_state(docs_stream: DataFrame) -> DataFrame:
+    """The ONE stateful operator of the on-ingest corpus monitor: a union
+    of two stateless per-row projections of the document stream —
+    HLL-register rows (kind='hll', idx=bucket, v=rho, one per token) and
+    length-histogram rows (kind='len', idx=token-count bin, v=0, one per
+    doc) — through a single update-mode groupBy(source, kind, idx)
+    keeping (max(v), count). Register = the max arm; bin count = the
+    count arm; doc count = the histogram's column sums, so one bounded
+    aggregation carries the whole QA report.
+
+    Scale: state is <= 256 register rows + <= histogram-bin rows per
+    source REGARDLESS of stream length; both arms are map-side
+    combinable; the raw text never outlives the stateless tokenize."""
+    from arroyo_spark.operators.hll import hll_bucket, hll_word, rho_case_sql
+
+    toks = docs_stream.select("source", T.toks("text").alias("toks"))
+    hll_rows = toks.select(
+        "source",
+        F.lit("hll").alias("kind"),
+        F.explode("toks").alias("item"),
+    ).select(
+        "source",
+        "kind",
+        hll_bucket(F.col("item")).alias("idx"),
+        hll_word(F.col("item")).alias("__w"),
+    ).select(
+        "source",
+        "kind",
+        "idx",
+        F.expr(rho_case_sql("__w")).cast("bigint").alias("v"),
+    )
+    len_rows = toks.select(
+        "source",
+        F.lit("len").alias("kind"),
+        F.expr(f"size(toks) div {_CP_WIDTH}").cast("bigint").alias("idx"),
+        F.lit(0).cast("bigint").alias("v"),
+    )
+    return (
+        hll_rows.unionByName(len_rows)
+        .groupBy("source", "kind", "idx")
+        .agg(
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+
+
+def corpus_monitor_finalize(
+    spark: SparkSession, emissions: DataFrame, lens: DataFrame,
+    items: DataFrame,
+) -> DataFrame:
+    """Merge a drained monitor emission log into the final profile:
+    registers max-merge (monotone), bin counts max-merge (counts only
+    grow across a group's emissions), then the shared `_cp_report`
+    downstream. Shared by `streaming_corpus_monitor` and its
+    stop/restore test leg."""
+    from arroyo_spark.operators.hll import (
+        M as _M,
+        RHO_MAX as _RM,
+        estimate_sql as _est,
+        units_case_sql as _units,
+    )
+
+    final = emissions.groupBy("source", "kind", "idx").agg(
+        F.max("mx").alias("mx"), F.max("c").alias("c")
+    )
+    regs = final.filter(F.col("kind") == "hll")
+    per_source = regs.groupBy("source").agg(
+        F.sum(F.expr(_units("mx"))).alias("present_units"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    zero = (F.lit(_M) - F.col("present")).cast("bigint")
+    sum_units = (
+        F.col("present_units") + zero * F.lit(1 << _RM)
+    ).cast("bigint")
+    vocab = per_source.select(
+        "source",
+        zero.alias("zero_registers"),
+        sum_units.alias("sum_units"),
+    ).select(
+        "source",
+        F.expr(_est("sum_units", "zero_registers")).alias("vocab_est"),
+    )
+    hist = final.filter(F.col("kind") == "len").select(
+        "source", F.col("idx").alias("bin"), "c"
+    )
+    return _cp_report(spark, vocab, hist, lens, items)
+
+
+@query(
+    "streaming_corpus_monitor",
+    oracle=CORPUS_PROFILE_ORACLE,
+    tags=("sketch", "profile", "hll", "quantile", "streaming", "curation"),
+)
+def streaming_corpus_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus profiling report ON INGEST — the streaming leg of
+    `corpus_profile_sketch` (same oracle, same SQL): per-source doc
+    count, HLL vocabulary estimate and p50/p90 token-length percentiles
+    maintained by ONE bounded update-mode aggregation over the document
+    replay (`corpus_monitor_state`), finalized batch-side from the
+    drained emission log (max-merge: registers and bin counts are both
+    monotone across a group's emissions). The exact COUNT(DISTINCT) and
+    order-statistic controls stay batch — they are the sf-scale
+    verification arms, and both are exactly the unbounded-state shuffles
+    the on-ingest monitor exists to avoid.
+
+    This is the production QA surface: every micro-batch updates sketch
+    rows only (256 registers + <= ~16 bins per source), so a 1000-
+    executor ingest can emit a per-source corpus health row continuously
+    with no second pass over the data."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    items_stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    mon = corpus_monitor_state(items_stream)
+    name = "scm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="scm_ck_")
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_corpus_monitor: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", T.toks("text").alias("toks")
+    )
+    lens = docs.select("source", "doc_id", F.size("toks").alias("n_toks"))
+    items = docs.select("source", F.explode("toks").alias("item"))
+    # snapshot the drained emission log: the MemoryPlan-backed view trips
+    # the analyzer on the report's self-referencing joins (cum/targets),
+    # and the log is sketch-sized anyway (<= emissions x (256+bins) rows)
+    emissions = spark.table(name).localCheckpoint()
+    return corpus_monitor_finalize(spark, emissions, lens, items)
+
+
+def _cp_doc_stream(spark: SparkSession, sf_dir: str):
+    """documents as a STREAMING frame replayed from the resting parquet
+    (symlink staging, the established replay harness), plus the staging
+    dirs for cleanup."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="scm_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(staged), [staged]

@@ -1428,3 +1428,82 @@ def test_streaming_kmv_stop_restore_matches_batch(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_corpus_monitor_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Corpus monitor ON INGEST with a stop/restore leg: half of the
+    document corpus arrives, the query checkpoints and STOPS; the rest
+    arrives and a new query restores from the same checkpoint. The
+    drained emission log (registers AND bin counts max-merged — both
+    monotone per group across emissions) must finalize to the EXACT
+    batch `corpus_profile_sketch` rows, restored state carrying leg 1's
+    registers/counts into leg 2."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.queries.text_pipeline import (
+        corpus_monitor_finalize,
+        corpus_monitor_state,
+    )
+    from arroyo_spark.suite import all_queries
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        q = (
+            corpus_monitor_state(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+    assert spark.read.parquet(out).count(), "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+
+    docs = spark.read.parquet(src).select(
+        "source", "doc_id", T.toks("text").alias("toks")
+    )
+    lens = docs.select("source", "doc_id", F.size("toks").alias("n_toks"))
+    items = docs.select("source", F.explode("toks").alias("item"))
+    got = (
+        corpus_monitor_finalize(
+            spark, spark.read.parquet(out), lens, items
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    want = (
+        all_queries()["corpus_profile_sketch"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
