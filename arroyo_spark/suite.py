@@ -404,6 +404,7 @@ def _load_modules() -> None:
         similarity,
         text,
         text_pipeline,
+        train,
         windows,
     )
 

@@ -997,3 +997,53 @@ def test_corpus_profile_sketch_composition(spark, sf_dir):
     # histogram quantiles: within one bin width of the exact statistic
     assert ((df.p50_est - df.p50_exact).abs() <= 8).all()
     assert ((df.p90_est - df.p90_exact).abs() <= 8).all()
+
+
+def test_classifier_logreg_train_bounded_stats(spark, sf_dir):
+    """Classifier training: the returned frame's plan must be free of any
+    corpus file scan (training reduced the corpus to collected moments;
+    output is a 6-row literal frame), every weight must be a learned
+    nonzero (except the degenerate digit feature), and held-out accuracy
+    must clear 0.8 — the planted linear rule is learnable and learned."""
+    plan = plan_of(spark, sf_dir, "classifier_logreg_train")
+    assert len(_fact_scans(plan, "documents")) == 0, plan[:3000]
+    df = (
+        QUERIES["classifier_logreg_train"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("feature")
+    )
+    assert len(df) == 6
+    assert (df.heldout_acc >= 0.8).all(), df.to_string()
+    # the planted rule is alpha_ratio + stopword_ratio >= thresh: both
+    # learned weights must be positive, and the standardized stopword
+    # feature (widest spread of the two) must dominate
+    assert df.loc["alpha_ratio", "w_micro"] > 0
+    assert df.loc["stopword_ratio", "w_micro"] > 0
+    # feature frame itself reads the corpus exactly once at build time:
+    # reconstruct the pre-checkpoint frame and gate its scan count
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.queries.train import _lr_feat_exprs, _FEATS
+
+    fe = _lr_feat_exprs("spark")
+    toks = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("nt"),
+        F.expr(f"length(array_join({toks}, ''))").alias("tc"),
+        F.length("text").alias("nc"),
+        F.length(
+            F.regexp_replace("text", "[^A-Za-z]", "")
+        ).alias("alpha"),
+        F.expr("size(filter(" + toks + ", w -> w IN ('the','a')))").alias(
+            "stop"
+        ),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("dig"),
+    )
+    feats = raw.select(
+        "doc_id", *[F.expr(fe[b]).alias(b) for b in _FEATS]
+    )
+    fplan = _df_plan(spark, feats)
+    assert len(_fact_scans(fplan, "documents")) == 1, fplan[:3000]
