@@ -366,3 +366,363 @@ def classifier_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(heldout_n AS DOUBLE), 6)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the second half of
+# the tokenizer family next to `operators/bpe.py` (BPE trains merges; the
+# unigram LM trains a piece VOCABULARY with per-piece costs; Kudo 2018).
+# Deterministic bounded variant: word TYPES (truncated to 12 chars) are the
+# training units; candidate pieces are their substrings of length 1-4; the
+# seed vocabulary is every single character plus the top-V multi-char
+# substrings by corpus-weighted count; two hard-EM (Viterbi) iterations
+# re-estimate piece counts under integer micro-nat costs.
+#
+# Determinism:
+# - Viterbi runs on BIGINT costs with an explicit tie-break (smallest last-
+#   piece length wins on equal path cost), so the best path is exact;
+# - costs are floor(ln(total/cnt) * 1e6 + 0.5): the ln runs in DRIVER
+#   Python (glibc libm) and in DuckDB (std::log -> the same libm), on the
+#   identical IEEE quotient — bit-equal by construction, and the explicit
+#   floor(+0.5) avoids the engines' round() tie conventions entirely;
+# - add-one smoothing keeps every vocab piece's count positive, so the
+#   fixed vocabulary never needs pruning mid-oracle.
+#
+# Scale (100 TB): the corpus is scanned ONCE into the word-TYPE table
+# (Zipf-bounded, shuffled as (word, count) partials); substring candidates
+# explode 48x per word TYPE, not per token; the seed selection is the
+# bounded_group_topk per-partition prune + an exact rank of the pruned
+# rows; each EM iteration is one mapInPandas Viterbi over word types with
+# the vocab-sized cost dict broadcast, one (piece, freq) partial aggregate,
+# and a vocab-sized driver collect — the PCA/k-means bounded-statistics
+# class. The DuckDB oracle replays both iterations as fully-unrolled
+# forward-DP + backtrack CTE chains, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_UL_MAXW = 12   # word types truncated to this many chars
+_UL_MAXP = 4    # max piece length
+_UL_V = 150     # multi-char seed pieces kept (plus all single chars)
+_UL_T = 2       # hard-EM iterations
+_UL_BIG = 1 << 40
+
+_UL_COST = (
+    "CAST(floor(ln(CAST({total} AS DOUBLE) / CAST({cnt} AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _ul_bat(e: str) -> str:
+    """b_<i> column lookup for a data-dependent position expression."""
+    whens = " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(1, _UL_MAXW + 1)
+    )
+    return (
+        f"(CASE ({e}) WHEN 0 THEN CAST(0 AS BIGINT) {whens} "
+        f"ELSE CAST({_UL_BIG} AS BIGINT) END)"
+    )
+
+
+def _ul_dp_ctes(t: int, cost_table: str) -> str:
+    """Forward Viterbi DP + smallest-j backtrack for iteration `t`,
+    against `cost_table` (piece, cost): emits used{t} = freq-weighted
+    piece-usage counts of every word type's optimal segmentation."""
+    ctes = [
+        f"""
+    hits{t} AS MATERIALIZED (
+      SELECT w.word, pi.i + pl.l - 1 AS e, pl.l AS l, c.cost
+      FROM wt w
+      CROSS JOIN unnest(range(1, {_UL_MAXW + 1})) AS pi(i)
+      CROSS JOIN unnest(range(1, {_UL_MAXP + 1})) AS pl(l)
+      JOIN {cost_table} c ON c.piece = substr(w.word, pi.i, pl.l)
+      WHERE pi.i + pl.l - 1 <= length(w.word)),
+    f{t}_0 AS (
+      SELECT word, freq, length(word) AS L, CAST(0 AS BIGINT) AS b0
+      FROM wt)"""
+    ]
+    for i in range(1, _UL_MAXW + 1):
+        cands = ", ".join(
+            f"d.b{i - j} + coalesce(h{j}.cost, {_UL_BIG})"
+            for j in range(1, min(_UL_MAXP, i) + 1)
+        )
+        joins = "\n      ".join(
+            f"LEFT JOIN hits{t} h{j} ON h{j}.word = d.word"
+            f" AND h{j}.e = {i} AND h{j}.l = {j}"
+            for j in range(1, min(_UL_MAXP, i) + 1)
+        )
+        ctes.append(
+            f"""
+    f{t}_{i} AS MATERIALIZED (
+      SELECT d.*, CAST(least({cands}) AS BIGINT) AS b{i}
+      FROM f{t}_{i - 1} d
+      {joins})"""
+        )
+    ctes.append(
+        f"""
+    bt{t}_0 AS (SELECT *, L AS p0 FROM f{t}_{_UL_MAXW})"""
+    )
+    for s in range(1, _UL_MAXW + 1):
+        pv = f"d.p{s - 1}"
+        whens = " ".join(
+            f"WHEN {pv} >= {j} AND h{j}.cost IS NOT NULL"
+            f" AND {_ul_bat(f'{pv} - {j}')} + h{j}.cost = {_ul_bat(pv)}"
+            f" THEN {j}"
+            for j in range(1, _UL_MAXP + 1)
+        )
+        joins = "\n        ".join(
+            f"LEFT JOIN hits{t} h{j} ON h{j}.word = d.word"
+            f" AND h{j}.e = {pv} AND h{j}.l = {j}"
+            for j in range(1, _UL_MAXP + 1)
+        )
+        ctes.append(
+            f"""
+    bt{t}_{s} AS MATERIALIZED (
+      SELECT q.*,
+             CASE WHEN q.jj{s} > 0 THEN q.p{s - 1} - q.jj{s}
+                  ELSE q.p{s - 1} END AS p{s},
+             CASE WHEN q.jj{s} > 0
+                  THEN substr(q.word, q.p{s - 1} - q.jj{s} + 1, q.jj{s})
+             END AS piece{s}
+      FROM (
+        SELECT d.*,
+               CASE WHEN {pv} <= 0 THEN 0 {whens} ELSE 0 END AS jj{s}
+        FROM bt{t}_{s - 1} d
+        {joins}) q)"""
+    )
+    pieces = ", ".join(f"piece{s}" for s in range(1, _UL_MAXW + 1))
+    ctes.append(
+        f"""
+    used{t} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS used
+      FROM (
+        SELECT freq, unnest([{pieces}]) AS piece FROM bt{t}_{_UL_MAXW})
+      WHERE piece IS NOT NULL GROUP BY piece),
+    c{t} AS MATERIALIZED (
+      SELECT v.piece, CAST(coalesce(u.used, 0) + 1 AS BIGINT) AS cnt
+      FROM vpieces v LEFT JOIN used{t} u ON u.piece = v.piece),
+    tt{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c{t}),
+    cost{t} AS MATERIALIZED (
+      SELECT c.piece, {_UL_COST.format(total='t.total', cnt='c.cnt')} AS cost
+      FROM c{t} c, tt{t} t)"""
+    )
+    return ",".join(ctes)
+
+
+def _ul_oracle() -> str:
+    iters = ",".join(
+        _ul_dp_ctes(t, f"cost{t - 1}") for t in range(1, _UL_T + 1)
+    )
+    last = _UL_T
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents),
+    wt AS MATERIALIZED (
+      SELECT substr(w, 1, {_UL_MAXW}) AS word,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words GROUP BY 1),
+    subs AS MATERIALIZED (
+      SELECT substr(w.word, pi.i, pl.l) AS sub,
+             CAST(SUM(w.freq) AS BIGINT) AS cnt
+      FROM wt w
+      CROSS JOIN unnest(range(1, {_UL_MAXW + 1})) AS pi(i)
+      CROSS JOIN unnest(range(1, {_UL_MAXP + 1})) AS pl(l)
+      WHERE pi.i + pl.l - 1 <= length(w.word)
+      GROUP BY 1),
+    multi_ranked AS (
+      SELECT sub, cnt, row_number() OVER (ORDER BY cnt DESC, sub) AS rn
+      FROM subs WHERE length(sub) > 1),
+    vocab0 AS MATERIALIZED (
+      SELECT sub AS piece, cnt FROM subs WHERE length(sub) = 1
+      UNION ALL
+      SELECT sub, cnt FROM multi_ranked WHERE rn <= {_UL_V}),
+    vpieces AS (SELECT piece FROM vocab0),
+    t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab0),
+    cost0 AS MATERIALIZED (
+      SELECT v.piece, {_UL_COST.format(total='t.total', cnt='v.cnt')} AS cost
+      FROM vocab0 v, t0 t),{iters},
+    g AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wt) AS n_word_types,
+             (SELECT CAST(SUM(freq) AS BIGINT) FROM wt) AS corpus_tokens,
+             (SELECT total FROM tt{last})
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM vpieces)
+               AS corpus_pieces)
+    SELECT v.piece, v.cnt AS seed_count, c.cnt AS final_count,
+           k.cost AS cost_micro,
+           g.n_word_types, g.corpus_tokens, g.corpus_pieces,
+           round(CAST(g.corpus_pieces AS DOUBLE)
+                 / CAST(g.corpus_tokens AS DOUBLE), 6) AS pieces_per_token
+    FROM vocab0 v
+    JOIN c{last} c ON c.piece = v.piece
+    JOIN cost{last} k ON k.piece = v.piece
+    CROSS JOIN g
+    """
+
+
+def _ul_viterbi(word: str, cost: dict) -> list:
+    """Smallest-last-piece-on-tie Viterbi — the exact mirror of the
+    oracle's forward least() + first-matching-j backtrack."""
+    L = len(word)
+    b = [0] * (L + 1)
+    for i in range(1, L + 1):
+        best = _UL_BIG
+        for j in range(1, min(_UL_MAXP, i) + 1):
+            c = cost.get(word[i - j:i])
+            if c is not None and b[i - j] + c < best:
+                best = b[i - j] + c
+        b[i] = best
+    pieces = []
+    p = L
+    while p > 0:
+        for j in range(1, min(_UL_MAXP, p) + 1):
+            c = cost.get(word[p - j:p])
+            if c is not None and b[p - j] + c == b[p]:
+                pieces.append(word[p - j:p])
+                p -= j
+                break
+        else:  # unreachable: every single char is in the vocab
+            break
+    return pieces[::-1]
+
+
+@query(
+    "tokenizer_unigram_lm",
+    oracle=_ul_oracle(),
+    tags=("training", "tokenizer", "unigram", "iterative"),
+)
+def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (2 hard-EM iterations): seed
+    vocabulary from substring counts, Viterbi re-segmentation of the
+    word-TYPE table under integer micro-nat costs, re-estimated counts
+    with add-one smoothing — emitting the final piece table (seed count,
+    final count, cost) plus corpus compression stats, bit-exact vs the
+    unrolled DP oracle."""
+    import math
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.operators.kmv import bounded_group_topk
+
+    wt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.toks("text")).alias("w"))
+        .select(F.substring("w", 1, _UL_MAXW).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # ONE corpus scan: everything downstream (substring counts and
+        # both EM iterations) runs on this checkpointed TYPE table
+        .localCheckpoint()
+    )
+    subs = (
+        wt.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence(1, length(word)),
+                        i -> transform(
+                          sequence(1, least({_UL_MAXP},
+                                            length(word) - i + 1)),
+                          l -> substring(word, i, l))))"""
+                )
+            ).alias("sub"),
+        )
+        .groupBy("sub")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = subs.filter(F.length("sub") == 1)
+    multi = subs.filter(F.length("sub") > 1)
+    # scale path: per-partition prune to a top-V superset (ties kept),
+    # then the exact (cnt DESC, sub) rank runs on <= partitions x V rows
+    pruned = bounded_group_topk(
+        multi.withColumn("_g", F.lit("g")).withColumn(
+            "neg", -F.col("cnt")
+        ),
+        "_g",
+        "neg",
+        _UL_V,
+    )
+    from pyspark.sql import Window as W
+
+    ranked = pruned.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("_g").orderBy(F.desc("cnt"), F.asc("sub"))
+        ),
+    )
+    top_multi = ranked.filter(F.col("rn") <= _UL_V).select("sub", "cnt")
+    vocab0 = [
+        (r["sub"], int(r["cnt"]))
+        for r in chars.unionByName(top_multi).collect()
+    ]  # bounded: |chars| + V rows — the k-row-init collect class
+    total0 = sum(c for _, c in vocab0)
+    cost = {
+        p: int(math.floor(math.log(total0 / c) * 1000000.0 + 0.5))
+        for p, c in vocab0
+    }
+    seed_counts = dict(vocab0)
+    vocab_pieces = sorted(seed_counts)
+
+    import pandas as pd
+
+    counts = {}
+    for _t in range(_UL_T):
+        bc = spark.sparkContext.broadcast(cost)
+
+        def seg(batches, _bc=bc):
+            for pdf in batches:
+                out_p, out_f = [], []
+                cd = _bc.value
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for piece in _ul_viterbi(str(word), cd):
+                        out_p.append(piece)
+                        out_f.append(int(freq))
+                yield pd.DataFrame({"piece": out_p, "freq": out_f})
+
+        used_rows = (
+            wt.mapInPandas(seg, "piece string, freq bigint")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("used"))
+            .collect()
+        )  # bounded: <= |vocab| rows
+        used = {r["piece"]: int(r["used"]) for r in used_rows}
+        counts = {p: used.get(p, 0) + 1 for p in vocab_pieces}
+        total = sum(counts.values())
+        cost = {
+            p: int(
+                math.floor(math.log(total / c) * 1000000.0 + 0.5)
+            )
+            for p, c in counts.items()
+        }
+
+    g_row = wt.agg(
+        F.count(F.lit(1)).alias("nwt"), F.sum("freq").alias("ctok")
+    ).first()
+    n_word_types = int(g_row["nwt"])
+    corpus_tokens = int(g_row["ctok"])
+    corpus_pieces = sum(counts.values()) - len(vocab_pieces)
+
+    rows = [
+        (
+            p,
+            seed_counts[p],
+            counts[p],
+            cost[p],
+            n_word_types,
+            corpus_tokens,
+            corpus_pieces,
+        )
+        for p in vocab_pieces
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "piece string, seed_count bigint, final_count bigint, "
+        "cost_micro bigint, n_word_types bigint, corpus_tokens bigint, "
+        "corpus_pieces bigint",
+    )
+    return out.withColumn(
+        "pieces_per_token",
+        F.expr(
+            "round(CAST(corpus_pieces AS DOUBLE)"
+            " / CAST(corpus_tokens AS DOUBLE), 6)"
+        ),
+    )

@@ -1047,3 +1047,50 @@ def test_classifier_logreg_train_bounded_stats(spark, sf_dir):
     )
     fplan = _df_plan(spark, feats)
     assert len(_fact_scans(fplan, "documents")) == 1, fplan[:3000]
+
+
+def test_unigram_lm_single_scan_and_model(spark, sf_dir):
+    """Unigram-LM training: the corpus is read exactly once (the word-
+    TYPE table build); the emitted piece table is a literal frame with
+    zero file scans; and the Viterbi used in training matches an
+    exhaustive enumeration of every segmentation on toy inputs,
+    including the smallest-last-piece tie-break."""
+    from itertools import product as iproduct
+
+    from arroyo_spark.queries.train import _UL_MAXP, _ul_viterbi
+
+    plan = plan_of(spark, sf_dir, "tokenizer_unigram_lm")
+    assert len(_fact_scans(plan, "documents")) == 0, plan[:3000]
+    df = QUERIES["tokenizer_unigram_lm"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 20
+    assert (df.final_count >= 1).all()          # add-one smoothing floor
+    assert (df.pieces_per_token > 1.0).all()    # words split into pieces
+
+    def brute(word, cost):
+        best = None
+        for cuts in iproduct(range(2), repeat=len(word) - 1):
+            pos, pieces, tot, ok = 0, [], 0, True
+            bounds = [i + 1 for i, c in enumerate(cuts) if c] + [len(word)]
+            for b in bounds:
+                pc = word[pos:b]
+                if len(pc) > _UL_MAXP or pc not in cost:
+                    ok = False
+                    break
+                pieces.append(pc)
+                tot += cost[pc]
+                pos = b
+            if not ok:
+                continue
+            # tie-break: smallest total, then the backtrack order —
+            # lexicographically smallest (last-piece-length, ...) from
+            # the END — matches smallest-j-first backtracking
+            key = (tot, [len(p) for p in reversed(pieces)])
+            if best is None or key < best[0]:
+                best = (key, pieces)
+        return best[1]
+
+    cost = {"a": 5, "b": 7, "ab": 11, "ba": 12, "abab": 30, "bab": 13}
+    for word in ("abab", "ababab", "ba", "aabb", "babab"):
+        if any(ch not in cost for ch in word):
+            continue
+        assert _ul_viterbi(word, cost) == brute(word, cost), word
