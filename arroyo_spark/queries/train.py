@@ -507,13 +507,14 @@ def _ul_dp_ctes(t: int, cost_table: str) -> str:
     return ",".join(ctes)
 
 
-def _ul_oracle() -> str:
+def _ul_train_ctes() -> str:
+    """The WITH body of the training replay (word types -> seed vocab ->
+    T hard-EM iterations -> cost{T}) — shared by the training oracle and
+    the corpus-encoding oracle."""
     iters = ",".join(
         _ul_dp_ctes(t, f"cost{t - 1}") for t in range(1, _UL_T + 1)
     )
-    last = _UL_T
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                 w -> w <> '')) AS w
       FROM documents),
@@ -540,7 +541,13 @@ def _ul_oracle() -> str:
     t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab0),
     cost0 AS MATERIALIZED (
       SELECT v.piece, {_UL_COST.format(total='t.total', cnt='v.cnt')} AS cost
-      FROM vocab0 v, t0 t),{iters},
+      FROM vocab0 v, t0 t),{iters}"""
+
+
+def _ul_oracle() -> str:
+    last = _UL_T
+    return f"""
+    WITH {_ul_train_ctes()},
     g AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wt) AS n_word_types,
              (SELECT CAST(SUM(freq) AS BIGINT) FROM wt) AS corpus_tokens,
@@ -725,4 +732,104 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(corpus_pieces AS DOUBLE)"
             " / CAST(corpus_tokens AS DOUBLE), 6)"
         ),
+    )
+
+
+def _ul_encode_oracle() -> str:
+    """Corpus encoding under the TRAINED model: one more Viterbi DP pass
+    (iteration T+1 against cost{T}) gives each word type its final piece
+    count; per-doc stats are a plain (doc word -> type) equi-join."""
+    enc_t = _UL_T + 1
+    npieces = " + ".join(
+        f"CASE WHEN piece{s} IS NOT NULL THEN 1 ELSE 0 END"
+        for s in range(1, _UL_MAXW + 1)
+    )
+    return f"""
+    WITH {_ul_train_ctes()},{_ul_dp_ctes(enc_t, f"cost{_UL_T}")},
+    npieces AS MATERIALIZED (
+      SELECT word, CAST({npieces} AS BIGINT) AS n_pieces
+      FROM bt{enc_t}_{_UL_MAXW}),
+    docw AS (
+      SELECT doc_id,
+             substr(unnest(list_filter(
+                 string_split_regex(lower(text), '\\s+'),
+                 w -> w <> '')), 1, {_UL_MAXW}) AS word
+      FROM documents)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np.n_pieces) AS BIGINT) AS n_pieces,
+           round(CAST(SUM(np.n_pieces) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pieces_per_word
+    FROM docw d JOIN npieces np ON np.word = d.word
+    GROUP BY d.doc_id
+    """
+
+
+@query(
+    "tokenizer_unigram_encode",
+    oracle=_ul_encode_oracle(),
+    tags=("training", "tokenizer", "unigram", "encode"),
+)
+def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus under the trained unigram LM — the user-facing
+    op after `tokenizer_unigram_lm` (the `bpe_encode_corpus` analog):
+    per doc, word count, total Viterbi piece count under the FINAL
+    trained costs, and pieces/word.
+
+    Scale: training as in `tokenizer_unigram_lm` (bounded collects);
+    encoding itself never re-runs the DP per token — one mapInPandas
+    pass over the word-TYPE table yields (word, n_pieces), and the
+    per-doc stats are a (doc-word -> type) equi-join + count/sum
+    aggregate, i.e. two corpus scans total (type build + encode join),
+    both plain shuffles on word / doc_id."""
+    import math
+
+    import pandas as pd
+
+    from arroyo_spark.operators import text as T
+
+    # retrain (same deterministic path; cost dict is vocab-sized)
+    trained = tokenizer_unigram_lm(spark, sf_dir)
+    cost = {
+        r["piece"]: int(r["cost_micro"])
+        for r in trained.select("piece", "cost_micro").collect()
+    }  # bounded: |vocab| rows
+    bc = spark.sparkContext.broadcast(cost)
+
+    def npieces(batches):
+        for pdf in batches:
+            cd = bc.value
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [
+                        len(_ul_viterbi(str(w), cd)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select(F.explode(T.toks("text")).alias("w"))
+        .select(F.substring("w", 1, _UL_MAXW).alias("word"))
+        .distinct()
+    )
+    seg = wt.mapInPandas(npieces, "word string, n_pieces bigint")
+    stream = docs.select(
+        "doc_id", F.explode(T.toks("text")).alias("w")
+    ).select("doc_id", F.substring("w", 1, _UL_MAXW).alias("word"))
+    return (
+        stream.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.expr(
+                "round(CAST(n_pieces AS DOUBLE)"
+                " / CAST(n_words AS DOUBLE), 6)"
+            ),
+        )
     )

@@ -346,6 +346,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "corpus_profile_sketch",  # bounded persist lifetime
     # r11 NEW queries (never checked — tier 0 would also catch them):
     "tokenizer_unigram_lm",
+    "tokenizer_unigram_encode",
     "classifier_logreg_train",
     "streaming_kmv_theta",
     "streaming_corpus_monitor",
