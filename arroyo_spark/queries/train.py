@@ -104,7 +104,23 @@ def _lr_std_sql(x: str, mean: str, mad: str, engine: str) -> str:
     return f"CAST(least(greatest({raw}, -10000000), 10000000) AS BIGINT)"
 
 
-def _lr_oracle() -> str:
+def _lr_std_cols_duck() -> str:
+    """Standardized-feature select list over (lab f, mu, sd) — shared by
+    the training oracle's train/test splits and v4's whole-corpus apply."""
+    return ",\n             ".join(
+        ["f.x1 AS x1"]
+        + [
+            _lr_std_sql(f"f.{b}", f"mu.m_{b}", f"sd.s_{b}", "duck")
+            + f" AS {b}"
+            for b in _FEATS[1:]
+        ]
+    )
+
+
+def _lr_train_ctes() -> str:
+    """The WITH body of the training replay (features -> label/split ->
+    moments -> standardization -> T unrolled gradient iterations ->
+    w{T}) — shared by the training oracle and the v4 pipeline oracle."""
     fe = _lr_feat_exprs("duck")
     feat_cols = ",\n             ".join(
         f"{fe[b]} AS {b}" for b in _FEATS
@@ -118,14 +134,7 @@ def _lr_oracle() -> str:
         f" // COUNT(*), 1) AS BIGINT) AS s_{b}"
         for b in _FEATS[1:]
     )
-    std_cols = ",\n             ".join(
-        ["f.x1 AS x1"]
-        + [
-            _lr_std_sql(f"f.{b}", f"mu.m_{b}", f"sd.s_{b}", "duck")
-            + f" AS {b}"
-            for b in _FEATS[1:]
-        ]
-    )
+    std_cols = _lr_std_cols_duck()
     zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
     iters = []
     for t in range(1, _LR_T + 1):
@@ -149,23 +158,7 @@ def _lr_oracle() -> str:
     g{t} AS MATERIALIZED (SELECT {grads} FROM s{t}),
     w{t} AS MATERIALIZED (SELECT {upds} FROM {prev}, g{t}, nt)"""
         )
-    last = f"w{_LR_T}"
-    test_z = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
-    out_rows = "\n      UNION ALL\n      ".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS feature_id,"
-        f" '{_FEAT_NAMES[i]}' AS feature,"
-        + (
-            " CAST(0 AS BIGINT) AS mean_micro,"
-            " CAST(1000000 AS BIGINT) AS mad_micro,"
-            if b == "x1"
-            else f" mu.m_{b} AS mean_micro, sd.s_{b} AS mad_micro,"
-        )
-        + f" {last}.w_{b} AS w_micro"
-        f" FROM mu, sd, {last}"
-        for i, b in enumerate(_FEATS)
-    )
-    return f"""
-    WITH raw AS MATERIALIZED (
+    return f"""raw AS MATERIALIZED (
       SELECT doc_id,
              len(list_filter(string_split_regex(lower(text), '\\s+'),
                  w -> w <> '')) AS nt,
@@ -205,7 +198,27 @@ def _lr_oracle() -> str:
     nt AS (SELECT CAST(COUNT(*) * 1000000 AS BIGINT) AS den,
                   CAST(COUNT(*) AS BIGINT) AS n FROM train_std),
     w0 AS (SELECT {', '.join(f'CAST(0 AS BIGINT) AS w_{b}'
-                             for b in _FEATS)}),{','.join(iters)},
+                             for b in _FEATS)}),{','.join(iters)}"""
+
+
+def _lr_oracle() -> str:
+    last = f"w{_LR_T}"
+    test_z = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
+    out_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS feature_id,"
+        f" '{_FEAT_NAMES[i]}' AS feature,"
+        + (
+            " CAST(0 AS BIGINT) AS mean_micro,"
+            " CAST(1000000 AS BIGINT) AS mad_micro,"
+            if b == "x1"
+            else f" mu.m_{b} AS mean_micro, sd.s_{b} AS mad_micro,"
+        )
+        + f" {last}.w_{b} AS w_micro"
+        f" FROM mu, sd, {last}"
+        for i, b in enumerate(_FEATS)
+    )
+    return f"""
+    WITH {_lr_train_ctes()},
     scored AS (
       SELECT s.y_milli,
              CASE WHEN ({test_z}) > 0 THEN CAST(1000 AS BIGINT)
@@ -246,6 +259,65 @@ def classifier_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label is a planted linear rule on two features (alpha+stopword
     ratio), so learnability is part of what the held-out accuracy row
     verifies (0.96 at sf0.01)."""
+    lab, means, mads, w, n_train = _lr_fit(spark, sf_dir)
+
+    std_exprs = ["x1 AS x1"] + [
+        _lr_std_sql(b, str(means[b]), str(mads[b]), "spark") + f" AS {b}"
+        for b in _FEATS[1:]
+    ]
+    test_std = lab.filter(~F.col("is_train")).selectExpr(
+        "y_milli", *std_exprs
+    )
+    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
+    met = test_std.select(
+        "y_milli",
+        F.when(F.expr(f"({zdot})") > 0, F.lit(1000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pred"),
+    ).agg(
+        F.count(F.lit(1)).alias("heldout_n"),
+        F.sum(
+            F.when(F.col("pred") == F.col("y_milli"), 1).otherwise(0)
+        ).alias("heldout_correct"),
+    ).first()
+    heldout_n = int(met["heldout_n"])
+    heldout_correct = int(met["heldout_correct"])
+
+    rows = [
+        (
+            i + 1,
+            _FEAT_NAMES[i],
+            0 if b == "x1" else means[b],
+            1000000 if b == "x1" else mads[b],
+            w[b],
+            n_train,
+            heldout_n,
+            heldout_correct,
+        )
+        for i, b in enumerate(_FEATS)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "feature_id bigint, feature string, mean_micro bigint, "
+        "mad_micro bigint, w_micro bigint, n_train bigint, "
+        "heldout_n bigint, heldout_correct bigint",
+    )
+    return out.withColumn(
+        "heldout_acc",
+        F.expr(
+            "round(CAST(heldout_correct AS DOUBLE)"
+            " / CAST(heldout_n AS DOUBLE), 6)"
+        ),
+    )
+
+
+def _lr_fit(spark: SparkSession, sf_dir: str):
+    """Fit the integer logistic model: returns (lab frame [checkpointed,
+    text-free, with features/label/split], means, mads, weights,
+    n_train). Shared by `classifier_logreg_train` (which adds held-out
+    metrics) and `curation_pipeline_v4` (which applies the model to the
+    whole corpus)."""
     fe = _lr_feat_exprs("spark")
     toks = (
         "filter(split(lower(text), '\\\\s+'), w -> w != '')"
@@ -298,9 +370,6 @@ def classifier_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _FEATS[1:]
     ]
     train_std = train.selectExpr("y_milli", *std_exprs)
-    test_std = lab.filter(~F.col("is_train")).selectExpr(
-        "y_milli", *std_exprs
-    )
 
     w = {b: 0 for b in _FEATS}
     den = 1000000 * n_train
@@ -324,48 +393,7 @@ def classifier_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in _FEATS
         }
 
-    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
-    met = test_std.select(
-        "y_milli",
-        F.when(F.expr(f"({zdot})") > 0, F.lit(1000))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("pred"),
-    ).agg(
-        F.count(F.lit(1)).alias("heldout_n"),
-        F.sum(
-            F.when(F.col("pred") == F.col("y_milli"), 1).otherwise(0)
-        ).alias("heldout_correct"),
-    ).first()
-    heldout_n = int(met["heldout_n"])
-    heldout_correct = int(met["heldout_correct"])
-
-    rows = [
-        (
-            i + 1,
-            _FEAT_NAMES[i],
-            0 if b == "x1" else means[b],
-            1000000 if b == "x1" else mads[b],
-            w[b],
-            n_train,
-            heldout_n,
-            heldout_correct,
-        )
-        for i, b in enumerate(_FEATS)
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "feature_id bigint, feature string, mean_micro bigint, "
-        "mad_micro bigint, w_micro bigint, n_train bigint, "
-        "heldout_n bigint, heldout_correct bigint",
-    )
-    return out.withColumn(
-        "heldout_acc",
-        F.expr(
-            "round(CAST(heldout_correct AS DOUBLE)"
-            " / CAST(heldout_n AS DOUBLE), 6)"
-        ),
-    )
+    return lab, means, mads, w, n_train
 
 
 # ---------------------------------------------------------------------------
@@ -832,4 +860,95 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / CAST(n_words AS DOUBLE), 6)"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v4 — the LEARNED-filter stage order (RedPajama-v2 /
+# fastText-classifier style): near-dup removal (MinHash-LSH), language
+# identification, then the TRAINED logistic quality classifier's keep
+# decision replacing rule-based gates — closing the loop from
+# `classifier_logreg_train`: the model fitted on the doc_id%5<4 seed slice
+# scores the WHOLE corpus, and survivors carry their integer logit as data.
+#
+# Scale: training is the bounded-sufficient-statistics loop above; applying
+# the model is a PURE integer projection over the checkpointed feature
+# frame (weights are literals — no join, no shuffle); dedup/lang-id are the
+# adjudicated v3 shapes. The oracle chains the unrolled training replay
+# with the stage oracles, so the composition is value-checked end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _v4_oracle() -> str:
+    from arroyo_spark.queries.dedup import _minhash_oracle
+    from arroyo_spark.queries.text import _langid_oracle
+
+    last = f"w{_LR_T}"
+    zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
+    return f"""
+    WITH {_lr_train_ctes()},
+    all_std AS MATERIALIZED (
+      SELECT f.doc_id,
+             {_lr_std_cols_duck()}
+      FROM lab f, mu, sd),
+    sc AS MATERIALIZED (
+      SELECT s.doc_id, CAST({zdot} AS BIGINT) AS z_pico
+      FROM all_std s, {last} w),
+    mh AS (SELECT doc_b FROM ({_minhash_oracle()}) t),
+    removed AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+    li AS (SELECT doc_id, pred_lang FROM ({_langid_oracle()}) t
+           WHERE pred_lang <> 'und')
+    SELECT li.doc_id, li.pred_lang, sc.z_pico
+    FROM li
+    JOIN sc USING (doc_id)
+    LEFT JOIN removed USING (doc_id)
+    WHERE removed.doc_id IS NULL AND sc.z_pico > 0
+    """
+
+
+@query(
+    "curation_pipeline_v4",
+    oracle=_v4_oracle(),
+    tags=("curation", "pipeline", "minhash", "langid", "classifier",
+          "training"),
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-dedup -> lang-id -> TRAINED-classifier keep: the learned
+    successor of `curation_pipeline_v3`'s rule gates. The logistic model
+    is fitted on the seed slice inside the query (`_lr_fit`); survivors
+    are documents that (a) are not the higher-id member of a near-dup
+    pair, (b) have an identifiable language, and (c) the classifier
+    scores positive — emitted with their integer logit (z_pico) as
+    hash-checked data."""
+    from arroyo_spark.queries.dedup import dedup_minhash_lsh
+    from arroyo_spark.queries.text import text_lang_id
+
+    lab, means, mads, w, _n = _lr_fit(spark, sf_dir)
+    std_exprs = ["x1 AS x1"] + [
+        _lr_std_sql(b, str(means[b]), str(mads[b]), "spark") + f" AS {b}"
+        for b in _FEATS[1:]
+    ]
+    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
+    sc = (
+        lab.selectExpr("doc_id", *std_exprs)
+        .select(
+            "doc_id",
+            F.expr(f"CAST({zdot} AS BIGINT)").alias("z_pico"),
+        )
+        .filter(F.col("z_pico") > 0)
+    )
+    removed = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    li = (
+        text_lang_id(spark, sf_dir)
+        .filter(F.col("pred_lang") != "und")
+        .select("doc_id", "pred_lang")
+    )
+    return (
+        li.join(sc, "doc_id")
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "z_pico")
     )
