@@ -2778,3 +2778,138 @@ def _cp_doc_stream(spark: SparkSession, sf_dir: str):
         os.symlink(f, os.path.join(staged, os.path.basename(f)))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(staged), [staged]
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap — KMV/theta set algebra APPLIED: the corpus-
+# analysis question "which sources share a vocabulary (near-duplicate or
+# subset feeds)?" answered per source pair from k=64 sketches alone, with
+# containment (|A∩B|/|A| — the subset-feed detector) next to Jaccard.
+# Exact distinct-token controls ride along as checked data (at 100 TB the
+# exact arm is a cross-source distinct self-join the sketches replace).
+# ---------------------------------------------------------------------------
+
+SOURCE_VOCAB_ORACLE = f"""
+    WITH items AS (
+      SELECT DISTINCT source AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS p
+      FROM documents
+    ), hashed AS (
+      SELECT DISTINCT grp, p,
+             CAST('0x' || substr(md5(p), 1, 12) AS BIGINT) AS h
+      FROM items
+    ), ranked AS (
+      SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM hashed
+    ), sk AS (
+      SELECT grp, list_sort(list(h)) AS sketch, max(h) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY grp
+    ), est AS (
+      SELECT grp, sketch, kth,
+             {_kmv_est_g_sql('kth', 'len(sketch)', _KMV_K)} AS est_distinct
+      FROM sk
+    ), pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.est_distinct AS est_a, b.est_distinct AS est_b,
+             a.sketch AS ska, b.sketch AS skb,
+             least({_kmv_theta_g_sql('a.kth', 'len(a.sketch)', _KMV_K)},
+                   {_kmv_theta_g_sql('b.kth', 'len(b.sketch)', _KMV_K)})
+               AS theta
+      FROM est a JOIN est b ON a.grp < b.grp
+    ), u AS (
+      SELECT grp_a, grp_b, est_a, est_b, theta,
+             list_sort(list_distinct(list_concat(ska, skb)))[1:{_KMV_K}]
+               AS merged,
+             len(list_filter(list_intersect(ska, skb), x -> x < theta))
+               AS n_common_below
+      FROM pairs
+    ), ue AS (
+      SELECT grp_a, grp_b, est_a, est_b,
+             {_kmv_est_g_sql("list_aggregate(merged, 'max')",
+                             'len(merged)', _KMV_K)} AS union_est,
+             {_kmv_inter_sql('n_common_below', 'theta')} AS inter_est
+      FROM u
+    ), ex AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS exact_inter
+      FROM hashed a JOIN hashed b ON a.p = b.p AND a.grp < b.grp
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT grp, COUNT(DISTINCT p) AS n FROM hashed GROUP BY grp
+    )
+    SELECT ue.grp_a AS source_a, ue.grp_b AS source_b, est_a, est_b,
+           union_est, inter_est,
+           round(inter_est / union_est, 6) AS jaccard_est,
+           round(inter_est / est_a, 6) AS containment_a_est,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(sa.n AS BIGINT) AS exact_a,
+           round(CAST(exact_inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+             AS containment_a_exact
+    FROM ue
+    JOIN ex ON ue.grp_a = ex.grp_a AND ue.grp_b = ex.grp_b
+    JOIN sizes sa ON sa.grp = ue.grp_a
+"""
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=SOURCE_VOCAB_ORACLE,
+    tags=("sketch", "kmv", "profile", "setops", "curation"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap from KMV sketches (k=64):
+    Jaccard AND containment |A∩B|/|A| estimates for every source pair —
+    the subset-feed / mirror-source detector a corpus audit runs — with
+    the exact distinct-token controls beside them.
+
+    Scale: one tokenize + distinct (source, token-hash) shuffle builds
+    all sketches; the pair algebra runs on a sources x k table. The
+    exact control joins distinct token sets cross-source — the shuffle
+    the sketch path avoids (here it verifies it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("source").alias("grp"),
+        F.explode(T.toks("text")).alias("p"),
+    ).distinct()
+    sketches = _kmv_sketch(
+        items.withColumn("item", F.col("p")), "grp", "item", _KMV_K
+    )
+    pairs = _kmv_pairs(sketches, _KMV_K)
+    sizes = items.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    joined = pairs.join(inter, ["grp_a", "grp_b"]).join(
+        F.broadcast(
+            sizes.select(F.col("grp").alias("grp_a"), F.col("n").alias("n_a"))
+        ),
+        "grp_a",
+    )
+    return joined.select(
+        F.col("grp_a").alias("source_a"),
+        F.col("grp_b").alias("source_b"),
+        "est_a",
+        "est_b",
+        "union_est",
+        "inter_est",
+        F.round(F.col("inter_est") / F.col("union_est"), 6).alias(
+            "jaccard_est"
+        ),
+        F.round(F.col("inter_est") / F.col("est_a"), 6).alias(
+            "containment_a_est"
+        ),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        F.col("n_a").cast("bigint").alias("exact_a"),
+        F.expr(
+            "round(CAST(exact_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"
+        ).alias("containment_a_exact"),
+    )

@@ -349,6 +349,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "tokenizer_unigram_encode",
     "classifier_logreg_train",
     "curation_pipeline_v4",
+    "source_vocab_overlap",
     "streaming_kmv_theta",
     "streaming_corpus_monitor",
 }
