@@ -984,6 +984,38 @@ _PCA_Q = 1000    # coarse divisor: g_i = floor(v_i / 1000), ~3 digits
 _PCA_W = 1000    # iterate scale: w components renormalized to [-1000, 1000]
 
 
+def _pca_gram(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE distributed pass building the exact 64x64 integer Gram matrix
+    of the coarse-quantized unit corpus; returns {(i, j): gij} from the
+    bounded 4096-entry collect. Shared by `embedding_pca_power` and the
+    deflation-based `embedding_pca_top2`."""
+    from arroyo_spark.operators.pq import quantize_unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qn = quantize_unit(emb.select("vec_id", "embedding")).select("v")
+    g = qn.select(
+        F.transform(
+            "v",
+            lambda x: F.floor(x.cast("double") / F.lit(float(_PCA_Q))).cast(
+                "bigint"
+            ),
+        ).alias("gv")
+    )
+    r1 = g.select("gv", F.posexplode("gv").alias("i0", "gi"))
+    r2 = r1.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode(
+            F.transform("gv", lambda x: F.col("gi") * x)
+        ).alias("j0", "p"),
+    )
+    gm = (
+        r2.select("i", (F.col("j0") + 1).alias("j"), "p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gij"))
+    )
+    return {(r["i"], r["j"]): int(r["gij"]) for r in gm.collect()}
+
+
 def _pca_iter_cte(t: int) -> str:
     prev = f"w{t - 1}"
     return f"""
@@ -1064,31 +1096,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid pattern. Emits per-dim integer loadings (bit-exact vs the
     unrolled oracle), unit-normalized loadings, and PC1's variance share
     lambda1 / trace(G)."""
-    from arroyo_spark.operators.pq import quantize_unit
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qn = quantize_unit(emb.select("vec_id", "embedding")).select("v")
-    g = qn.select(
-        F.transform(
-            "v",
-            lambda x: F.floor(x.cast("double") / F.lit(float(_PCA_Q))).cast(
-                "bigint"
-            ),
-        ).alias("gv")
-    )
-    r1 = g.select("gv", F.posexplode("gv").alias("i0", "gi"))
-    r2 = r1.select(
-        (F.col("i0") + 1).alias("i"),
-        F.posexplode(
-            F.transform("gv", lambda x: F.col("gi") * x)
-        ).alias("j0", "p"),
-    )
-    gm = (
-        r2.select("i", (F.col("j0") + 1).alias("j"), "p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("gij"))
-    )
-    gmat = {(r["i"], r["j"]): int(r["gij"]) for r in gm.collect()}
+    gmat = _pca_gram(spark, sf_dir)
 
     w = [_PCA_W] * 64
     for _ in range(_PCA_T):
@@ -1124,6 +1132,211 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(lam).cast("double") / F.lit(tr).cast("double"), 6
         ).alias("pc1_var_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 PCA by power iteration + Hotelling deflation (Golub & Van Loan):
+# after PC1 converges, G2 = G - lambda1 * w w^T / (w.w) removes the first
+# component and the SAME integer power iteration extracts PC2. All
+# arithmetic stays integer (the deflation division mirrors DuckDB's
+# truncating // with a sign-decomposed Python division), so the unrolled
+# oracle matches bit-for-bit; the emitted ortho_cos (cosine between the
+# two integer loading vectors) documents how orthogonal the rounded
+# iterates actually are.
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(x: int, d: int) -> int:
+    """Truncating integer division (toward zero) for positive d — the
+    exact semantics of DuckDB's // on a signed numerator."""
+    return (1 if x >= 0 else -1) * (abs(x) // d)
+
+
+def _pca2_iterate(mat: dict) -> list:
+    """The 8-step integer power iteration of embedding_pca_power, with a
+    max(|u|, 1) guard so a (theoretically) zero iterate cannot divide by
+    zero on the deflated matrix."""
+    w = [_PCA_W] * 64
+    for _ in range(_PCA_T):
+        u = [
+            sum(mat[(d, j)] * w[j - 1] for j in range(1, 65))
+            for d in range(1, 65)
+        ]
+        m = max(max(abs(x) for x in u), 1)
+        w = [
+            (1 if x >= 0 else -1) * ((abs(x) * 2 * _PCA_W + m) // (2 * m))
+            for x in u
+        ]
+    return w
+
+
+def _pca2_iter_cte(pfx: str, t: int, mat: str) -> str:
+    prev = f"{pfx}{t - 1}"
+    return f"""
+    {pfx}u{t} AS MATERIALIZED (
+      SELECT {mat}.i AS d, CAST(SUM({mat}.gij * {prev}.wv) AS BIGINT) AS uv
+      FROM {mat} JOIN {prev} ON {mat}.j = {prev}.d GROUP BY {mat}.i),
+    {pfx}m{t} AS (SELECT greatest(MAX(abs(uv)), 1) AS m FROM {pfx}u{t}),
+    {pfx}{t} AS MATERIALIZED (
+      SELECT d, CAST(CASE WHEN uv >= 0
+                 THEN (abs(uv) * {2 * _PCA_W} + m) // (2 * m)
+                 ELSE -((abs(uv) * {2 * _PCA_W} + m) // (2 * m))
+               END AS BIGINT) AS wv
+      FROM {pfx}u{t}, {pfx}m{t})"""
+
+
+def _pca2_rayleigh_ctes(pfx: str, mat: str) -> str:
+    """unext / num / ww / lam for a converged chain {pfx}{T} on `mat`.
+    lam uses the sign-decomposed truncating division (DuckDB // truncates
+    toward zero; so does the Python driver's _tdiv)."""
+    last = f"{pfx}{_PCA_T}"
+    return f"""
+    {pfx}next AS (
+      SELECT {mat}.i AS d, CAST(SUM({mat}.gij * {last}.wv) AS BIGINT) AS uv
+      FROM {mat} JOIN {last} ON {mat}.j = {last}.d GROUP BY {mat}.i),
+    {pfx}num AS (SELECT CAST(SUM({last}.wv * {pfx}next.uv) AS BIGINT) AS s
+            FROM {last} JOIN {pfx}next USING (d)),
+    {pfx}ww AS (SELECT CAST(SUM(wv * wv) AS BIGINT) AS s FROM {last}),
+    {pfx}lam AS (SELECT CAST({pfx}num.s // {pfx}ww.s AS BIGINT) AS l
+                 FROM {pfx}num, {pfx}ww)"""
+
+
+def _pca2_oracle() -> str:
+    w_iters = "".join(
+        "," + _pca2_iter_cte("w", t, "gm") for t in range(1, _PCA_T + 1)
+    )
+    v_iters = "".join(
+        "," + _pca2_iter_cte("v", t, "defl") for t in range(1, _PCA_T + 1)
+    )
+    return f"""
+    WITH qn AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(floor(CAST(x AS DOUBLE) / nrm
+                                           * 1000000) AS BIGINT) END) AS v
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) AS nrm
+        FROM embeddings) t),
+    g AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE)
+                                               / {_PCA_Q}) AS BIGINT)) AS gv
+      FROM qn),
+    gm AS MATERIALIZED (
+      SELECT di.i AS i, dj.j AS j,
+             CAST(SUM(g.gv[di.i] * g.gv[dj.j]) AS BIGINT) AS gij
+      FROM g, unnest(range(1, 65)) AS di(i), unnest(range(1, 65)) AS dj(j)
+      GROUP BY di.i, dj.j),
+    w0 AS (SELECT unnest(range(1, 65)) AS d,
+                  CAST({_PCA_W} AS BIGINT) AS wv){w_iters},
+    {_pca2_rayleigh_ctes("w", "gm").lstrip()},
+    defl AS MATERIALIZED (
+      SELECT gm.i AS i, gm.j AS j,
+             CAST(gm.gij - ((wlam.l * wa.wv * wb.wv) // www.s)
+                  AS BIGINT) AS gij
+      FROM gm
+      JOIN w{_PCA_T} wa ON wa.d = gm.i
+      JOIN w{_PCA_T} wb ON wb.d = gm.j, wlam, www),
+    v0 AS (SELECT unnest(range(1, 65)) AS d,
+                  CAST({_PCA_W} AS BIGINT) AS wv){v_iters},
+    {_pca2_rayleigh_ctes("v", "defl").lstrip()},
+    tr AS (SELECT CAST(SUM(gij) AS BIGINT) AS s FROM gm WHERE i = j),
+    dotwv AS (
+      SELECT CAST(SUM(a.wv * b.wv) AS BIGINT) AS s
+      FROM w{_PCA_T} a JOIN v{_PCA_T} b USING (d)),
+    ortho AS (
+      SELECT round(CAST(dotwv.s AS DOUBLE)
+                   / sqrt(CAST(www.s AS DOUBLE) * CAST(vww.s AS DOUBLE)),
+                   6) AS c
+      FROM dotwv, www, vww)
+    SELECT CAST(1 AS BIGINT) AS component, CAST(w.d AS BIGINT) AS dim_id,
+           w.wv AS loading_raw,
+           round(CAST(w.wv AS DOUBLE) / sqrt(CAST(www.s AS DOUBLE)), 6)
+             AS loading,
+           round(CAST(wlam.l AS DOUBLE) / CAST(tr.s AS DOUBLE), 6)
+             AS var_share,
+           ortho.c AS ortho_cos
+    FROM w{_PCA_T} w, www, wlam, tr, ortho
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(v.d AS BIGINT), v.wv,
+           round(CAST(v.wv AS DOUBLE) / sqrt(CAST(vww.s AS DOUBLE)), 6),
+           round(CAST(vlam.l AS DOUBLE) / CAST(tr.s AS DOUBLE), 6),
+           ortho.c
+    FROM v{_PCA_T} v, vww, vlam, tr, ortho
+    """
+
+
+@query(
+    "embedding_pca_top2",
+    oracle=_pca2_oracle(),
+    tags=("similarity", "embedding", "pca", "iterative", "deflation"),
+)
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components: PC1 by the integer power iteration,
+    then Hotelling deflation G2 = G - lambda1 w w^T / (w.w) in exact
+    integer arithmetic (truncating division mirrored in both engines),
+    and PC2 by the same iteration on G2. Distributed work is still the
+    ONE Gram pass of `embedding_pca_power` (`_pca_gram`); both iterate
+    chains and the deflation are bounded driver arithmetic on the 4096
+    collected entries. Emits both components' integer loadings, unit
+    loadings, variance shares (lambda_c / trace G) and the cosine
+    between the two integer loading vectors (|cos| ~ 0: deflation
+    preserved orthogonality through the rounding)."""
+    gmat = _pca_gram(spark, sf_dir)
+
+    def rayleigh(mat, w):
+        u = [
+            sum(mat[(d, j)] * w[j - 1] for j in range(1, 65))
+            for d in range(1, 65)
+        ]
+        num = sum(w[d] * u[d] for d in range(64))
+        ww = sum(x * x for x in w)
+        return _tdiv(num, ww), ww
+
+    w1 = _pca2_iterate(gmat)
+    lam1, ww1 = rayleigh(gmat, w1)
+    defl = {
+        (i, j): gmat[(i, j)]
+        - _tdiv(lam1 * w1[i - 1] * w1[j - 1], ww1)
+        for i in range(1, 65)
+        for j in range(1, 65)
+    }
+    w2 = _pca2_iterate(defl)
+    lam2, ww2 = rayleigh(defl, w2)
+    tr = sum(gmat[(d, d)] for d in range(1, 65))
+    dot = sum(w1[d] * w2[d] for d in range(64))
+
+    rows = [
+        (1, d + 1, w1[d], lam1, ww1) for d in range(64)
+    ] + [
+        (2, d + 1, w2[d], lam2, ww2) for d in range(64)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "component bigint, dim_id bigint, loading_raw bigint, "
+        "lam bigint, ww bigint",
+    )
+    return out.select(
+        "component",
+        "dim_id",
+        "loading_raw",
+        F.expr(
+            "round(CAST(loading_raw AS DOUBLE)"
+            " / sqrt(CAST(ww AS DOUBLE)), 6)"
+        ).alias("loading"),
+        F.expr(
+            f"round(CAST(lam AS DOUBLE) / CAST({tr} AS DOUBLE), 6)"
+        ).alias("var_share"),
+        F.expr(
+            f"round(CAST({dot} AS DOUBLE)"
+            f" / sqrt(CAST({ww1} AS DOUBLE) * CAST({ww2} AS DOUBLE)), 6)"
+        ).alias("ortho_cos"),
     )
 
 

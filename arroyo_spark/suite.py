@@ -344,11 +344,14 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_audio_neardup",  # bounded persist lifetime
     "mm_video_neardup",  # bounded persist lifetime
     "corpus_profile_sketch",  # bounded persist lifetime
+    "embedding_pca_power",  # Gram build extracted into _pca_gram (pure
+                            # refactor, shared with embedding_pca_top2)
     # r11 NEW queries (never checked — tier 0 would also catch them):
     "tokenizer_unigram_lm",
     "tokenizer_unigram_encode",
     "classifier_logreg_train",
     "curation_pipeline_v4",
+    "embedding_pca_top2",
     "source_vocab_overlap",
     "streaming_kmv_theta",
     "streaming_corpus_monitor",

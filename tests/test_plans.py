@@ -1219,3 +1219,23 @@ def test_banded_join_skew_cap_bounds_hot_bucket(spark, sf_dir):
     found = set(zip(got_cap.doc_a, got_cap.doc_b))
     assert planted <= found, planted - found
     pd.testing.assert_frame_equal(got_cap, got_raw)
+
+
+def test_pca_top2_deflation_structure(spark, sf_dir):
+    """Top-2 PCA: both components carry positive variance, PC2 does not
+    EXCEED PC1 beyond flat-spectrum tolerance (the synthetic embeddings
+    have a near-uniform spectrum, so 8 fixed integer iterations need not
+    strictly order near-equal eigenvalues — 0.05 share slack), and the
+    two integer loading vectors are near-orthogonal — deflation actually
+    removed the first direction."""
+    df = (
+        QUERIES["embedding_pca_top2"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .groupby("component")
+        .first()
+    )
+    assert len(df) == 2
+    assert df.loc[1, "var_share"] > 0 and df.loc[2, "var_share"] > 0, df
+    assert df.loc[1, "var_share"] >= df.loc[2, "var_share"] - 0.05, df
+    assert abs(df.loc[1, "ortho_cos"]) < 0.2, df
