@@ -450,10 +450,12 @@ def _ul_bat(e: str) -> str:
     )
 
 
-def _ul_dp_ctes(t: int, cost_table: str) -> str:
+def _ul_dp_ctes(t: int, cost_table: str, vocab_table: str = "vpieces") -> str:
     """Forward Viterbi DP + smallest-j backtrack for iteration `t`,
     against `cost_table` (piece, cost): emits used{t} = freq-weighted
-    piece-usage counts of every word type's optimal segmentation."""
+    piece-usage counts of every word type's optimal segmentation, and
+    c{t}/tt{t}/cost{t} smoothed over `vocab_table`'s pieces (the fixed —
+    or pruned — vocabulary of this iteration)."""
     ctes = [
         f"""
     hits{t} AS MATERIALIZED (
@@ -526,7 +528,7 @@ def _ul_dp_ctes(t: int, cost_table: str) -> str:
       WHERE piece IS NOT NULL GROUP BY piece),
     c{t} AS MATERIALIZED (
       SELECT v.piece, CAST(coalesce(u.used, 0) + 1 AS BIGINT) AS cnt
-      FROM vpieces v LEFT JOIN used{t} u ON u.piece = v.piece),
+      FROM {vocab_table} v LEFT JOIN used{t} u ON u.piece = v.piece),
     tt{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c{t}),
     cost{t} AS MATERIALIZED (
       SELECT c.piece, {_UL_COST.format(total='t.total', cnt='c.cnt')} AS cost
@@ -951,4 +953,230 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(sc, "doc_id")
         .join(removed, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "z_pico")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM with vocabulary PRUNING — the full SentencePiece cycle (Kudo
+# 2018): seed -> EM -> prune the low-count tail of the multi-char pieces ->
+# EM again on the surviving vocabulary. Pruning is what makes the unigram
+# trainer converge to a compact vocab in practice; single characters are
+# never pruned (coverage guarantee: every word stays segmentable).
+# ---------------------------------------------------------------------------
+
+_UL_KEEP = 60  # multi-char pieces surviving the prune (of _UL_V seeded)
+
+
+def _ul_prune_oracle_real() -> str:
+    # seed CTEs only (through cost0) — regenerate without the EM chain
+    it1 = _ul_dp_ctes(1, "cost0")
+    it2 = _ul_dp_ctes(2, "cost1p", "v1pieces")
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents),
+    wt AS MATERIALIZED (
+      SELECT substr(w, 1, {_UL_MAXW}) AS word,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words GROUP BY 1),
+    subs AS MATERIALIZED (
+      SELECT substr(w.word, pi.i, pl.l) AS sub,
+             CAST(SUM(w.freq) AS BIGINT) AS cnt
+      FROM wt w
+      CROSS JOIN unnest(range(1, {_UL_MAXW + 1})) AS pi(i)
+      CROSS JOIN unnest(range(1, {_UL_MAXP + 1})) AS pl(l)
+      WHERE pi.i + pl.l - 1 <= length(w.word)
+      GROUP BY 1),
+    multi_ranked AS (
+      SELECT sub, cnt, row_number() OVER (ORDER BY cnt DESC, sub) AS rn
+      FROM subs WHERE length(sub) > 1),
+    vocab0 AS MATERIALIZED (
+      SELECT sub AS piece, cnt FROM subs WHERE length(sub) = 1
+      UNION ALL
+      SELECT sub, cnt FROM multi_ranked WHERE rn <= {_UL_V}),
+    vpieces AS (SELECT piece FROM vocab0),
+    t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab0),
+    cost0 AS MATERIALIZED (
+      SELECT v.piece, {_UL_COST.format(total='t.total', cnt='v.cnt')} AS cost
+      FROM vocab0 v, t0 t),{it1},
+    vocab1 AS MATERIALIZED (
+      SELECT piece, cnt FROM c1 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS prn
+        FROM c1 WHERE length(piece) > 1) t
+      WHERE prn <= {_UL_KEEP}),
+    v1pieces AS (SELECT piece FROM vocab1),
+    tp1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab1),
+    cost1p AS MATERIALIZED (
+      SELECT v.piece, {_UL_COST.format(total='t.total', cnt='v.cnt')} AS cost
+      FROM vocab1 v, tp1 t),{it2},
+    g AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vpieces)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM v1pieces)
+               AS n_pruned,
+             (SELECT CAST(SUM(freq) AS BIGINT) FROM wt) AS corpus_tokens,
+             (SELECT total FROM tt2)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM v1pieces)
+               AS corpus_pieces)
+    SELECT v.piece, v0.cnt AS seed_count, c.cnt AS final_count,
+           k.cost AS cost_micro,
+           g.n_pruned, g.corpus_tokens, g.corpus_pieces,
+           round(CAST(g.corpus_pieces AS DOUBLE)
+                 / CAST(g.corpus_tokens AS DOUBLE), 6) AS pieces_per_token
+    FROM v1pieces v
+    JOIN vocab0 v0 ON v0.piece = v.piece
+    JOIN c2 c ON c.piece = v.piece
+    JOIN cost2 k ON k.piece = v.piece
+    CROSS JOIN g
+    """
+
+
+@query(
+    "tokenizer_unigram_prune",
+    oracle=_ul_prune_oracle_real(),
+    tags=("training", "tokenizer", "unigram", "prune", "iterative"),
+)
+def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with the SentencePiece prune cycle: seed ->
+    hard-EM -> keep single chars + the top-{keep} multi-char pieces by
+    re-estimated count -> hard-EM on the pruned vocabulary. Emits the
+    surviving piece table (seed count, post-prune count, final cost) and
+    the compression stats of the COMPACT model — pieces_per_token rises
+    vs `tokenizer_unigram_lm` exactly by what the pruned tail was
+    buying, which is the datum a vocab-size sweep reads."""
+    import math
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.operators.kmv import bounded_group_topk
+    from pyspark.sql import Window as W
+
+    import pandas as pd
+
+    wt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.toks("text")).alias("w"))
+        .select(F.substring("w", 1, _UL_MAXW).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    subs = (
+        wt.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence(1, length(word)),
+                        i -> transform(
+                          sequence(1, least({_UL_MAXP},
+                                            length(word) - i + 1)),
+                          l -> substring(word, i, l))))"""
+                )
+            ).alias("sub"),
+        )
+        .groupBy("sub")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = subs.filter(F.length("sub") == 1)
+    multi = subs.filter(F.length("sub") > 1)
+    pruned0 = bounded_group_topk(
+        multi.withColumn("_g", F.lit("g")).withColumn("neg", -F.col("cnt")),
+        "_g",
+        "neg",
+        _UL_V,
+    )
+    ranked = pruned0.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("_g").orderBy(F.desc("cnt"), F.asc("sub"))
+        ),
+    )
+    top_multi = ranked.filter(F.col("rn") <= _UL_V).select("sub", "cnt")
+    vocab0 = [
+        (r["sub"], int(r["cnt"]))
+        for r in chars.unionByName(top_multi).collect()
+    ]
+    seed_counts = dict(vocab0)
+    total0 = sum(c for _, c in vocab0)
+    cost = {
+        p: int(math.floor(math.log(total0 / c) * 1000000.0 + 0.5))
+        for p, c in vocab0
+    }
+
+    def em_counts(cost_dict, vocab_pieces):
+        bc = spark.sparkContext.broadcast(cost_dict)
+
+        def seg(batches):
+            for pdf in batches:
+                out_p, out_f = [], []
+                cd = bc.value
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for piece in _ul_viterbi(str(word), cd):
+                        out_p.append(piece)
+                        out_f.append(int(freq))
+                yield pd.DataFrame({"piece": out_p, "freq": out_f})
+
+        used_rows = (
+            wt.mapInPandas(seg, "piece string, freq bigint")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("used"))
+            .collect()
+        )
+        used = {r["piece"]: int(r["used"]) for r in used_rows}
+        return {p: used.get(p, 0) + 1 for p in vocab_pieces}
+
+    # EM 1 over the full seed vocab
+    c1 = em_counts(cost, sorted(seed_counts))
+    # prune: keep all single chars + top-KEEP multis by (cnt DESC, piece)
+    multis = sorted(
+        ((p, c) for p, c in c1.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:_UL_KEEP]
+    vocab1 = {p: c for p, c in c1.items() if len(p) == 1}
+    vocab1.update(dict(multis))
+    tp1 = sum(vocab1.values())
+    cost1p = {
+        p: int(math.floor(math.log(tp1 / c) * 1000000.0 + 0.5))
+        for p, c in vocab1.items()
+    }
+    # EM 2 on the pruned vocabulary
+    c2 = em_counts(cost1p, sorted(vocab1))
+    tt2 = sum(c2.values())
+    cost2 = {
+        p: int(math.floor(math.log(tt2 / c) * 1000000.0 + 0.5))
+        for p, c in c2.items()
+    }
+
+    g_row = wt.agg(F.sum("freq").alias("ctok")).first()
+    corpus_tokens = int(g_row["ctok"])
+    n_pruned = len(seed_counts) - len(vocab1)
+    corpus_pieces = tt2 - len(vocab1)
+
+    rows = [
+        (
+            p,
+            seed_counts[p],
+            c2[p],
+            cost2[p],
+            n_pruned,
+            corpus_tokens,
+            corpus_pieces,
+        )
+        for p in sorted(vocab1)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "piece string, seed_count bigint, final_count bigint, "
+        "cost_micro bigint, n_pruned bigint, corpus_tokens bigint, "
+        "corpus_pieces bigint",
+    )
+    return out.withColumn(
+        "pieces_per_token",
+        F.expr(
+            "round(CAST(corpus_pieces AS DOUBLE)"
+            " / CAST(corpus_tokens AS DOUBLE), 6)"
+        ),
     )

@@ -349,6 +349,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     # r11 NEW queries (never checked — tier 0 would also catch them):
     "tokenizer_unigram_lm",
     "tokenizer_unigram_encode",
+    "tokenizer_unigram_prune",
     "classifier_logreg_train",
     "curation_pipeline_v4",
     "embedding_pca_top2",
