@@ -2874,6 +2874,13 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = _kmv_sketch(
         items.withColumn("item", F.col("p")), "grp", "item", _KMV_K
     )
+    return _svo_output(sketches, items)
+
+
+def _svo_output(sketches: DataFrame, items: DataFrame) -> DataFrame:
+    """Overlap report from the per-source sketch table + the exact
+    distinct-token controls — shared by `source_vocab_overlap` and its
+    on-ingest leg `streaming_source_vocab_overlap` (same oracle)."""
     pairs = _kmv_pairs(sketches, _KMV_K)
     sizes = items.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -2913,3 +2920,68 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(exact_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"
         ).alias("containment_a_exact"),
     )
+
+
+@query(
+    "streaming_source_vocab_overlap",
+    oracle=SOURCE_VOCAB_ORACLE,
+    tags=("sketch", "kmv", "profile", "setops", "streaming"),
+)
+def streaming_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-vocabulary overlap from sketches maintained ON INGEST —
+    the streaming leg of `source_vocab_overlap` (same oracle), and the
+    payoff of KMV's composability: each source's bottom-k token-hash
+    sketch is bounded state in the stream (k hashes + a counter per
+    source, `streaming.stateful.streaming_kmv_sketch`); the drained
+    emission log monotone-merges (`operators.kmv.kmv_finalize`) and the
+    pair algebra runs on the sketch table alone. In production the
+    sources can arrive on SEPARATE streams — their drained sketches
+    still compose into Jaccard/containment without ever co-shuffling
+    the two corpora; the exact controls stay batch (they are the
+    cross-source distinct join the sketches exist to avoid)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.kmv import kmv_finalize, kmv_hash
+    from arroyo_spark.streaming.stateful import streaming_kmv_sketch
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    hashed = stream.select(
+        F.col("source").alias("grp"),
+        F.explode(T.toks("text")).alias("p"),
+    ).select("grp", kmv_hash(F.col("p")).alias("h"))
+    name = "svo_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="svo_ck_")
+    q = (
+        streaming_kmv_sketch(hashed, k=_KMV_K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_source_vocab_overlap: stream did not drain"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    sketches = kmv_finalize(spark.table(name).localCheckpoint(), _KMV_K)
+    items = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("source").alias("grp"),
+            F.explode(T.toks("text")).alias("p"),
+        )
+        .distinct()
+    )
+    return _svo_output(sketches, items)

@@ -354,6 +354,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "curation_pipeline_v4",
     "embedding_pca_top2",
     "source_vocab_overlap",
+    "streaming_source_vocab_overlap",
     "streaming_kmv_theta",
     "streaming_corpus_monitor",
 }
