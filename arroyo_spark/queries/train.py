@@ -1180,3 +1180,180 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(corpus_tokens AS DOUBLE), 6)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-flavored mixture reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures"): multiplicative-weights updates on the source mixture,
+# where each round's per-source EXCESS LOSS is the average negative
+# log-likelihood of that source's tokens under the CURRENT MIXTURE's
+# unigram LM — high-loss (underserved) sources gain weight. Deterministic
+# bounded variant of the group-DRO reweighting loop.
+#
+# Per round the distributed work is: one (token)-keyed aggregate forming
+# the mixture probabilities (integer numerators — order-free BIGINT sums
+# of w_micro * p9), one token->NLL projection (a single ln per token,
+# floor(+0.5)-quantized to nano-nats), and one per-source c*L sum — then a
+# SOURCES-sized driver collect. Weight updates run driver-side with the
+# same floor-quantized exp the oracle replays (glibc == DuckDB libm).
+# ---------------------------------------------------------------------------
+
+_MR_T = 4      # multiplicative-weights rounds
+_MR_ETA = 8.0  # step size on nano-nat excess loss
+
+_MR_NLL = (
+    "CAST(floor(ln(1000000000000000.0 / CAST({num} AS DOUBLE))"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _mr_oracle() -> str:
+    iters = []
+    for t in range(1, _MR_T + 1):
+        prev = f"mw{t - 1}"
+        iters.append(f"""
+    num{t} AS MATERIALIZED (
+      SELECT p.tok, CAST(SUM(w.w * p.p9) AS BIGINT) AS num
+      FROM p JOIN {prev} w ON w.s = p.s GROUP BY p.tok),
+    l{t} AS MATERIALIZED (
+      SELECT tok, {_MR_NLL.format(num='num')} AS lt FROM num{t}),
+    loss{t} AS MATERIALIZED (
+      SELECT p.s,
+             CAST(CAST(SUM(p.c * l.lt) AS BIGINT) // n.n AS BIGINT)
+               AS loss
+      FROM p JOIN l{t} l ON l.tok = p.tok JOIN ns n ON n.s = p.s
+      GROUP BY p.s, n.n),
+    mn{t} AS (SELECT MIN(loss) AS m FROM loss{t}),
+    raw{t} AS MATERIALIZED (
+      SELECT lo.s,
+             CAST(floor(w.w * (floor(exp({_MR_ETA} *
+                    CAST(lo.loss - mn.m AS DOUBLE) / 1000000000.0)
+                    * 1000000000.0 + 0.5) / 1000000000.0) * 1000.0 + 0.5)
+                  AS BIGINT) AS r
+      FROM loss{t} lo JOIN {prev} w ON w.s = lo.s, mn{t} mn),
+    tot{t} AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM raw{t}),
+    mw{t} AS MATERIALIZED (
+      SELECT s, CAST((r * 1000000) // tt.t AS BIGINT) AS w
+      FROM raw{t}, tot{t} tt)""")
+    outs = "\n    UNION ALL\n    ".join(
+        f"SELECT lo.s AS source, CAST({t} AS BIGINT) AS round,"
+        f" lo.loss AS loss_nano, w.w AS w_micro"
+        f" FROM loss{t} lo JOIN mw{t} w ON w.s = lo.s"
+        for t in range(1, _MR_T + 1)
+    )
+    return f"""
+    WITH counts AS MATERIALIZED (
+      SELECT source AS s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> '')) AS tok
+        FROM documents) GROUP BY 1, 2),
+    ns AS MATERIALIZED (
+      SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY s),
+    p AS MATERIALIZED (
+      SELECT c.s, c.tok, c.c, n.n,
+             CAST(floor(c.c * 1000000000.0 / n.n + 0.5) AS BIGINT) AS p9
+      FROM counts c JOIN ns n ON n.s = c.s),
+    nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ns),
+    mw0 AS (SELECT s, CAST(1000000 // nsrc.k AS BIGINT) AS w
+            FROM ns, nsrc),{','.join(iters)}
+    {outs}
+    """
+
+
+@query(
+    "mixture_reweight_doremi",
+    oracle=_mr_oracle(),
+    tags=("training", "mixture", "doremi", "curation", "iterative"),
+)
+def mixture_reweight_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture optimization by multiplicative weights on excess
+    mixture-LM loss (4 rounds): each round scores every source's token
+    distribution against the current mixture's unigram LM and shifts
+    weight toward high-loss sources. Emits (source, round, loss_nano,
+    w_micro) for every round — the full reweighting trajectory as
+    hash-checked data, bit-exact vs the unrolled oracle.
+
+    Scale: the (source, token) count table is built once (ONE tokenize,
+    checkpointed, text-free); each round is two keyed aggregates over it
+    (mixture numerators by token, then c*NLL sums by source) and a
+    SOURCES-sized collect — vocab never reaches the driver. The ln is
+    one call per token per round, floor(+0.5)-quantized to integer
+    nano-nats before any summation, so the per-source losses are
+    order-independent BIGINT sums."""
+    import math
+
+    from arroyo_spark.operators import text as T
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(T.toks("text")).alias("tok"))
+        .groupBy(F.col("source").alias("s"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = counts.groupBy("s").agg(F.sum("c").alias("n"))
+    p = (
+        counts.join(ns, "s")
+        .select(
+            "s",
+            "tok",
+            "c",
+            "n",
+            F.expr(
+                "CAST(floor(c * 1000000000.0 / n + 0.5) AS BIGINT)"
+            ).alias("p9"),
+        )
+        .localCheckpoint()
+    )
+    sources = sorted(r["s"] for r in ns.collect())
+    k = len(sources)
+    w = {s: 1000000 // k for s in sources}
+
+    out_rows = []
+    for t in range(1, _MR_T + 1):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(s, w[s]) for s in sources], "s string, w bigint"
+            )
+        )
+        num = (
+            p.join(wdf, "s")
+            .groupBy("tok")
+            .agg(F.sum(F.col("w") * F.col("p9")).alias("num"))
+        )
+        lt = num.select(
+            "tok", F.expr(_MR_NLL.format(num="num")).alias("lt")
+        )
+        loss_rows = (
+            p.join(lt, "tok")
+            .groupBy("s", "n")
+            .agg(F.sum(F.col("c") * F.col("lt")).alias("ssum"))
+            .select(
+                "s",
+                F.expr("CAST(CAST(ssum AS BIGINT) div n AS BIGINT)").alias(
+                    "loss"
+                ),
+            )
+            .collect()
+        )  # bounded: one row per source
+        loss = {r["s"]: int(r["loss"]) for r in loss_rows}
+        mn = min(loss.values())
+        raw = {}
+        for s in sources:
+            m9 = (
+                math.floor(
+                    math.exp(_MR_ETA * float(loss[s] - mn) / 1e9)
+                    * 1000000000.0
+                    + 0.5
+                )
+                / 1000000000.0
+            )
+            raw[s] = int(math.floor(w[s] * m9 * 1000.0 + 0.5))
+        tot = sum(raw.values())
+        w = {s: (raw[s] * 1000000) // tot for s in sources}
+        out_rows += [(s, t, loss[s], w[s]) for s in sources]
+
+    return spark.createDataFrame(
+        out_rows,
+        "source string, round bigint, loss_nano bigint, w_micro bigint",
+    )

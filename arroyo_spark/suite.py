@@ -352,6 +352,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "tokenizer_unigram_prune",
     "classifier_logreg_train",
     "curation_pipeline_v4",
+    "mixture_reweight_doremi",
     "embedding_pca_top2",
     "source_vocab_overlap",
     "streaming_source_vocab_overlap",
