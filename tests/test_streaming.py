@@ -1507,3 +1507,68 @@ def test_streaming_corpus_monitor_stop_restore_matches_batch(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_kmv_order_independence(spark, tmp_path):
+    """Bottom-k selection is arrival-order-invariant: replaying the SAME
+    rows in two different file orders (ascending vs descending hash)
+    must drain to identical final sketches — the property that makes the
+    emission-log merge and at-least-once sinks exact."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from arroyo_spark.operators.kmv import kmv_finalize
+    from arroyo_spark.streaming.stateful import streaming_kmv_sketch
+
+    rows = pd.DataFrame(
+        {
+            "grp": ["g%d" % (i % 3) for i in range(600)],
+            "h": [(i * 2654435761) % (1 << 48) for i in range(600)],
+        }
+    )
+    outs = []
+    for order, asc in (("fwd", True), ("rev", False)):
+        data = tmp_path / f"data_{order}"
+        data.mkdir()
+        ordered = rows.sort_values("h", ascending=asc).reset_index(
+            drop=True
+        )
+        # four files arriving as four micro-batches in this order
+        for i in range(4):
+            ordered.iloc[i * 150:(i + 1) * 150].to_parquet(
+                data / f"part-{i}.parquet"
+            )
+        staged = tmp_path / f"arr_{order}"
+        staged.mkdir()
+        for f in sorted(glob.glob(str(data / "*.parquet"))):
+            os.symlink(f, staged / os.path.basename(f))
+        out = str(tmp_path / f"emissions_{order}")
+        q = (
+            streaming_kmv_sketch(
+                spark.readStream.schema("grp string, h bigint").parquet(
+                    str(staged)
+                ),
+                k=16,
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid, _o=out: bdf.write.mode("append").parquet(
+                    _o
+                )
+            )
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{order}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        outs.append(
+            kmv_finalize(spark.read.parquet(out), 16)
+            .toPandas()
+            .sort_values("grp")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
