@@ -2985,3 +2985,193 @@ def streaming_source_vocab_overlap(
         .distinct()
     )
     return _svo_output(sketches, items)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor — the CHANGE-detection leg of the streaming QA
+# surface (corpus monitor = health, this = drift): per source, the KL
+# divergence between the arriving corpus half's token distribution and the
+# resting reference half's, over 256 md5 buckets with Laplace smoothing.
+# The production shape: reference histograms computed once from yesterday's
+# corpus, arriving documents maintained as ONE bounded update-mode count
+# per (source, bucket) — an ingest pipeline alarms on kl_nano exceeding a
+# threshold without ever re-scanning the reference.
+#
+# Determinism: bucket counts are exact BIGINTs; each KL term's log-ratio is
+# ln of an exact integer ratio (smoothed counts cross-multiplied), sign-
+# decomposed so ln always sees a ratio >= 1, floor(+0.5)-quantized to
+# nano-nats BEFORE summation; the final division is signed integer
+# division, where Spark `div` and DuckDB `//` both truncate toward zero.
+# ---------------------------------------------------------------------------
+
+_DRIFT_LOG = (
+    "CASE WHEN {num} >= {den} THEN CAST(floor("
+    "ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
+    " ELSE 0 - CAST(floor("
+    "ln(CAST({den} AS DOUBLE) / CAST({num} AS DOUBLE))"
+    " * 1000000000.0 + 0.5) AS BIGINT) END"
+)
+
+DRIFT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS tok
+      FROM documents
+    ), bk AS (
+      SELECT source, doc_id % 2 = 1 AS cur,
+             CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS b
+      FROM toks
+    ), agg AS (
+      SELECT source, b,
+             CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+             CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+      FROM bk GROUP BY 1, 2
+    ), ns AS (
+      SELECT source, CAST(SUM(c_cur) AS BIGINT) AS ncur,
+             CAST(SUM(c_ref) AS BIGINT) AS nref
+      FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT s.source, gb.b,
+             coalesce(a.c_cur, 0) AS c_cur, coalesce(a.c_ref, 0) AS c_ref
+      FROM (SELECT DISTINCT source FROM agg) s
+      CROSS JOIN unnest(range(0, 256)) AS gb(b)
+      LEFT JOIN agg a ON a.source = s.source AND a.b = gb.b
+    ), terms AS (
+      SELECT g.source,
+             CAST(g.c_cur + 1 AS BIGINT) AS pnum,
+             CAST(n.ncur + 256 AS BIGINT) AS pden,
+             CAST((g.c_cur + 1) * (n.nref + 256) AS BIGINT) AS num,
+             CAST((g.c_ref + 1) * (n.ncur + 256) AS BIGINT) AS den
+      FROM grid g JOIN ns n USING (source)
+    ), lt AS (
+      SELECT source, pnum, pden,
+             {_DRIFT_LOG.format(num='num', den='den')} AS lg
+      FROM terms
+    ), kl AS (
+      SELECT source, pden,
+             CAST(CAST(SUM(pnum * lg) AS BIGINT) // pden AS BIGINT)
+               AS kl_nano
+      FROM lt GROUP BY source, pden
+    )
+    SELECT k.source, n.ncur AS n_cur, n.nref AS n_ref, k.kl_nano
+    FROM kl k JOIN ns n USING (source)
+"""
+
+
+def drift_finalize(
+    spark: SparkSession, cur: DataFrame, ref: DataFrame
+) -> DataFrame:
+    """(source, b, c_cur) x (source, b, c_ref) -> per-source smoothed-KL
+    report. Shared by `streaming_drift_monitor` and its stop/restore
+    test leg. Inputs need not cover all 256 buckets — the dense grid is
+    rebuilt here (sources x 256 rows, trivially bounded)."""
+    sources = cur.select("source").union(ref.select("source")).distinct()
+    grid = sources.select(
+        "source", F.explode(F.sequence(F.lit(0), F.lit(255))).alias("b")
+    )
+    g = (
+        grid.join(cur, ["source", "b"], "left")
+        .join(ref, ["source", "b"], "left")
+        .fillna(0, ["c_cur", "c_ref"])
+    )
+    ns = g.groupBy("source").agg(
+        F.sum("c_cur").cast("bigint").alias("ncur"),
+        F.sum("c_ref").cast("bigint").alias("nref"),
+    )
+    terms = g.join(ns, "source").select(
+        "source",
+        (F.col("c_cur") + 1).cast("bigint").alias("pnum"),
+        (F.col("ncur") + 256).cast("bigint").alias("pden"),
+        ((F.col("c_cur") + 1) * (F.col("nref") + 256))
+        .cast("bigint")
+        .alias("num"),
+        ((F.col("c_ref") + 1) * (F.col("ncur") + 256))
+        .cast("bigint")
+        .alias("den"),
+    )
+    lt = terms.select(
+        "source",
+        "pnum",
+        "pden",
+        F.expr(_DRIFT_LOG.format(num="num", den="den")).alias("lg"),
+    )
+    kl = lt.groupBy("source", "pden").agg(
+        F.expr(
+            "CAST(CAST(SUM(pnum * lg) AS BIGINT) div pden AS BIGINT)"
+        ).alias("kl_nano")
+    )
+    return kl.join(ns, "source").select(
+        "source",
+        F.col("ncur").alias("n_cur"),
+        F.col("nref").alias("n_ref"),
+        "kl_nano",
+    )
+
+
+@query(
+    "streaming_drift_monitor",
+    oracle=DRIFT_ORACLE,
+    tags=("sketch", "drift", "kl", "streaming", "curation"),
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift ON INGEST: the odd-doc half
+    of the corpus streams in and maintains ONE bounded update-mode count
+    per (source, md5-bucket) — 256 rows per source in the state store no
+    matter the stream length; the even-doc half is the resting reference
+    histogram. Finalization computes the Laplace-smoothed bucketed KL
+    per source from the drained counts (max-merged — counts only grow)
+    and the reference table. kl_nano is the alarm statistic a production
+    ingest monitors; n_cur/n_ref ride along as the volume controls."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, 2), 16, 10
+    ).cast("bigint")
+    counts = (
+        stream.filter(F.col("doc_id") % 2 == 1)
+        .select("source", F.explode(T.toks("text")).alias("tok"))
+        .select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    name = "sdm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sdm_ck_")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_drift_monitor: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    cur = (
+        spark.table(name)
+        .groupBy("source", "b")
+        .agg(F.max("c_cur").alias("c_cur"))
+        .localCheckpoint()
+    )
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("source", F.explode(T.toks("text")).alias("tok"))
+        .select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    return drift_finalize(spark, cur, ref)

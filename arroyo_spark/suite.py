@@ -358,6 +358,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_source_vocab_overlap",
     "streaming_kmv_theta",
     "streaming_corpus_monitor",
+    "streaming_drift_monitor",
 }
 
 

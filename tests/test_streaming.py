@@ -1572,3 +1572,96 @@ def test_streaming_kmv_order_independence(spark, tmp_path):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_streaming_drift_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Drift-monitor bucket counts ON INGEST with a stop/restore leg:
+    half of the odd-doc stream arrives, the query checkpoints and STOPS;
+    the rest arrives and a new query restores from the same checkpoint.
+    The drained counts (max-merged — counts only grow) must finalize to
+    the EXACT batch `streaming_drift_monitor` oracle rows."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyspark.sql.functions as SF
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.queries.text_pipeline import drift_finalize
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    bucket = SF.conv(
+        SF.substring(SF.md5(SF.col("tok")), 1, 2), 16, 10
+    ).cast("bigint")
+
+    def run():
+        counts = (
+            spark.readStream.schema(schema)
+            .parquet(str(staged))
+            .filter(SF.col("doc_id") % 2 == 1)
+            .select("source", SF.explode(T.toks("text")).alias("tok"))
+            .select("source", bucket.alias("b"))
+            .groupBy("source", "b")
+            .agg(SF.count(SF.lit(1)).alias("c_cur"))
+        )
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+    assert spark.read.parquet(out).count(), "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run()
+
+    cur = (
+        spark.read.parquet(out)
+        .groupBy("source", "b")
+        .agg(SF.max("c_cur").alias("c_cur"))
+    )
+    ref = (
+        spark.read.parquet(src)
+        .filter(SF.col("doc_id") % 2 == 0)
+        .select("source", SF.explode(T.toks("text")).alias("tok"))
+        .select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(SF.count(SF.lit(1)).alias("c_ref"))
+    )
+    from arroyo_spark.suite import all_queries
+
+    got = (
+        drift_finalize(spark, cur, ref)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    want = (
+        all_queries()["streaming_drift_monitor"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
