@@ -2854,6 +2854,7 @@ SOURCE_VOCAB_ORACLE = f"""
 @query(
     "source_vocab_overlap",
     oracle=SOURCE_VOCAB_ORACLE,
+    bench=True,
     tags=("sketch", "kmv", "profile", "setops", "curation"),
 )
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,6 +243,7 @@ def _lr_oracle() -> str:
 @query(
     "classifier_logreg_train",
     oracle=_lr_oracle(),
+    bench=True,
     tags=("training", "classifier", "curation", "iterative"),
 )
 def classifier_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +626,7 @@ def _ul_viterbi(word: str, cost: dict) -> list:
 @query(
     "tokenizer_unigram_lm",
     oracle=_ul_oracle(),
+    bench=True,
     tags=("training", "tokenizer", "unigram", "iterative"),
 )
 def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
