@@ -1239,3 +1239,16 @@ def test_pca_top2_deflation_structure(spark, sf_dir):
     assert df.loc[1, "var_share"] > 0 and df.loc[2, "var_share"] > 0, df
     assert df.loc[1, "var_share"] >= df.loc[2, "var_share"] - 0.05, df
     assert abs(df.loc[1, "ortho_cos"]) < 0.2, df
+
+
+def test_unigram_encode_two_scans(spark, sf_dir):
+    """Corpus encoding under the trained unigram model: the returned
+    plan reads documents exactly TWICE (the word-TYPE build feeding the
+    per-type n_pieces map, and the per-doc token stream it joins) — the
+    DP never runs per token, and training's own scans happened eagerly
+    at build time against bounded collects."""
+    plan = plan_of(spark, sf_dir, "tokenizer_unigram_encode")
+    assert len(_fact_scans(plan, "documents")) == 2, plan[:3000]
+    assert "MapInPandas" in plan
+    df = QUERIES["tokenizer_unigram_encode"].fn(spark, sf_dir).toPandas()
+    assert (df.n_pieces >= df.n_words).all()  # a word is >= 1 piece
