@@ -1203,8 +1203,15 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MR_T = 4      # multiplicative-weights rounds
 _MR_ETA = 8.0  # step size on nano-nat excess loss
 
+# greatest(num, 1): a token whose owning sources all collapse to zero
+# weight would make the mixture numerator 0 -> ln(inf). Can't happen at
+# the test corpus's adversity level (weights stay ~50k micro), but a
+# pathological loss spread over many rounds could zero a weight; the
+# guard caps that token's NLL at ln(1e15) ~ 34.5 nats, identically in
+# both engines, instead of diverging on infinity handling.
 _MR_NLL = (
-    "CAST(floor(ln(1000000000000000.0 / CAST({num} AS DOUBLE))"
+    "CAST(floor(ln(1000000000000000.0"
+    " / CAST(greatest({num}, 1) AS DOUBLE))"
     " * 1000000000.0 + 0.5) AS BIGINT)"
 )
 
