@@ -3044,19 +3044,26 @@ DRIFT_ORACLE = f"""
              CAST(g.c_cur + 1 AS BIGINT) AS pnum,
              CAST(n.ncur + 256 AS BIGINT) AS pden,
              CAST((g.c_cur + 1) * (n.nref + 256) AS BIGINT) AS num,
-             CAST((g.c_ref + 1) * (n.ncur + 256) AS BIGINT) AS den
+             CAST((g.c_ref + 1) * (n.ncur + 256) AS BIGINT) AS den,
+             CAST(((g.c_cur + 1) * 1000) // (n.ncur + 256) AS BIGINT)
+               AS p3,
+             CAST(((g.c_ref + 1) * 1000) // (n.nref + 256) AS BIGINT)
+               AS q3
       FROM grid g JOIN ns n USING (source)
     ), lt AS (
-      SELECT source, pnum, pden,
+      SELECT source, pnum, pden, p3, q3,
              {_DRIFT_LOG.format(num='num', den='den')} AS lg
       FROM terms
     ), kl AS (
       SELECT source, pden,
              CAST(CAST(SUM(pnum * lg) AS BIGINT) // pden AS BIGINT)
-               AS kl_nano
+               AS kl_nano,
+             CAST(CAST(SUM((p3 - q3) * lg) AS BIGINT) // 1000 AS BIGINT)
+               AS psi_nano
       FROM lt GROUP BY source, pden
     )
-    SELECT k.source, n.ncur AS n_cur, n.nref AS n_ref, k.kl_nano
+    SELECT k.source, n.ncur AS n_cur, n.nref AS n_ref, k.kl_nano,
+           k.psi_nano
     FROM kl k JOIN ns n USING (source)
 """
 
@@ -3091,23 +3098,38 @@ def drift_finalize(
         ((F.col("c_ref") + 1) * (F.col("ncur") + 256))
         .cast("bigint")
         .alias("den"),
+        # PSI uses per-mille integer probabilities: |p3 - q3| <= 1000,
+        # so the (p3-q3)*lg products stay far inside BIGINT and the
+        # signed division by 1000 truncates identically in both engines
+        F.expr(
+            "CAST(((c_cur + 1) * 1000) div (ncur + 256) AS BIGINT)"
+        ).alias("p3"),
+        F.expr(
+            "CAST(((c_ref + 1) * 1000) div (nref + 256) AS BIGINT)"
+        ).alias("q3"),
     )
     lt = terms.select(
         "source",
         "pnum",
         "pden",
+        "p3",
+        "q3",
         F.expr(_DRIFT_LOG.format(num="num", den="den")).alias("lg"),
     )
     kl = lt.groupBy("source", "pden").agg(
         F.expr(
             "CAST(CAST(SUM(pnum * lg) AS BIGINT) div pden AS BIGINT)"
-        ).alias("kl_nano")
+        ).alias("kl_nano"),
+        F.expr(
+            "CAST(CAST(SUM((p3 - q3) * lg) AS BIGINT) div 1000 AS BIGINT)"
+        ).alias("psi_nano"),
     )
     return kl.join(ns, "source").select(
         "source",
         F.col("ncur").alias("n_cur"),
         F.col("nref").alias("n_ref"),
         "kl_nano",
+        "psi_nano",
     )
 
 
