@@ -1366,3 +1366,137 @@ def mixture_reweight_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "source string, round bigint, loss_nano bigint, w_micro bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deployed-classifier monitoring — the production loop AFTER training: the
+# model fitted offline (`_lr_fit`) is broadcast into the ingest stream as
+# literal weights; every arriving document is scored STATELESSLY; the only
+# state is two counters per source (docs seen, docs kept) in one bounded
+# update-mode aggregate. The emitted per-source keep-rate is the deployment
+# health row an ingest pipeline alarms on (a source whose keep-rate
+# collapses = upstream quality incident).
+# ---------------------------------------------------------------------------
+
+
+def _lr_score_cols(means: dict, mads: dict, w: dict) -> str:
+    """The trained model as ONE literal Spark SQL expression over the raw
+    feature columns (nt, tc, nc, alpha, stop, dig): standardize with the
+    fitted moments, dot with the fitted weights — a pure projection."""
+    fe = _lr_feat_exprs("spark")
+    parts = []
+    for b in _FEATS:
+        x = fe[b]
+        if b == "x1":
+            std = x
+        else:
+            std = _lr_std_sql(f"({x})", str(means[b]), str(mads[b]),
+                              "spark")
+        parts.append(f"({std}) * {w[b]}")
+    return " + ".join(parts)
+
+
+@query(
+    "streaming_classifier_scores",
+    oracle=f"""
+    WITH {{train_ctes}},
+    all_std AS MATERIALIZED (
+      SELECT f.doc_id,
+             {{std_cols}}
+      FROM lab f, mu, sd),
+    sc AS (
+      SELECT s.doc_id, CAST({{zdot}} AS BIGINT) AS z_pico
+      FROM all_std s, w{_LR_T} w),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT src.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sc.z_pico > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           round(CAST(SUM(CASE WHEN sc.z_pico > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS keep_rate
+    FROM src JOIN sc USING (doc_id)
+    GROUP BY src.source
+    """.format(
+        train_ctes=_lr_train_ctes(),
+        std_cols=_lr_std_cols_duck(),
+        zdot=" + ".join(f"s.{b} * w.w_{b}" for b in _FEATS),
+    ),
+    tags=("training", "classifier", "streaming", "curation"),
+)
+def streaming_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-classifier keep-rates ON INGEST: fit offline
+    (`_lr_fit`), then score the document replay with the weights as
+    broadcast literals — a stateless projection — and maintain TWO
+    counters per source (seen, kept) in one bounded update-mode
+    aggregate. Finalized from the drained emission log by max-merge
+    (counters only grow). At 100 TB this is the deployment monitor of
+    the v4 pipeline: per-source keep-rate per micro-batch, zero
+    per-document state, the model itself ~100 bytes of literals."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.queries.text_pipeline import _cp_doc_stream
+
+    lab, means, mads, w, _n = _lr_fit(spark, sf_dir)
+    score = _lr_score_cols(means, mads, w)
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    toks = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+    raw = stream.select(
+        "source",
+        F.expr(f"size({toks})").alias("nt"),
+        F.expr(f"length(array_join({toks}, ''))").alias("tc"),
+        F.length("text").alias("nc"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("alpha"),
+        F.expr(
+            f"size(filter({toks}, w -> w IN ({_LR_STOP})))"
+        ).alias("stop"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("dig"),
+    )
+    scored = raw.select(
+        "source",
+        (F.expr(f"CAST({score} AS BIGINT)") > 0).alias("keep"),
+    )
+    counts = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+    name = "scs_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="scs_ck_")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_classifier_scores: stream did not drain"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    final = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("n_keep").cast("bigint").alias("n_keep"),
+        )
+    )
+    return final.withColumn(
+        "keep_rate",
+        F.expr(
+            "round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ),
+    )

@@ -359,6 +359,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_kmv_theta",
     "streaming_corpus_monitor",
     "streaming_drift_monitor",
+    "streaming_classifier_scores",
 }
 
 
