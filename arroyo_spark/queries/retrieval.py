@@ -1,0 +1,213 @@
+"""Full-text retrieval operators — the IR surface of a training-data
+pipeline (hard-negative mining, "more-like-this" expansion, eval-set
+retrieval baselines):
+
+- `bm25_retrieval_topk`: Okapi BM25 top-k retrieval of corpus documents
+  for a deterministic query set (the 8 lowest doc_ids as "more like
+  this" probes — the mining pattern used to pull near-topic documents
+  for contrastive training data). Robertson & Walker 1994 / the Lucene
+  practical scoring function, k1 = 1.2, b = 0.75.
+
+The reference engine has no IR scoring surface (SURVEY §2 covers SQL
+aggregates and windows); this is a beyond-reference pipeline operator in
+the same family as `tfidf_top_terms` (`queries/text_pipeline.py`), which
+ranks a document's own terms — BM25 ranks *documents for a query*, the
+missing retrieval direction.
+
+Determinism (suite.py conventions):
+- every count, document length, and the final score are BIGINT; all
+  integer divisions run over non-negative operands where Spark ``div``
+  and DuckDB ``//`` agree;
+- the ONLY float is the idf log, computed once per (query-term, df)
+  pair as ``round(ln(2(N+1)/(2df+1)) * 1e6)`` with IDENTICAL expression
+  text in both engines and immediately quantized to integer micro-nats
+  (the `dsir_weight_table` precedent) — per-term scores then sum as
+  exact integers, so accumulation order cannot flip a rank;
+- BM25+-style idf ``ln((N+1)/(df+0.5))`` stays strictly positive for
+  df <= N (plain Robertson idf goes negative for df > N/2, which would
+  break the non-negative-division arrangement).
+
+Scale (100 TB): ONE corpus tokenize feeds tf; dl and df are windows over
+the (doc_id, word)-bucketed term table (the `tfidf_top_terms` shape); the
+query-term table and per-term idf table are query-vocabulary-sized and
+broadcast; candidate generation is a keyed equi-join on word (docs
+sharing no query term are never touched — inverted-index semantics);
+the top-k is `bounded_group_topk`'s per-partition prune (O(queries x k)
+task state, no corpus-wide sort), with the exact rank window running on
+the pruned superset only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.operators import text as T
+from arroyo_spark.operators.kmv import bounded_group_topk
+from arroyo_spark.suite import query
+
+_BM25_K1M = 1200     # k1 = 1.2 in milli
+_BM25_BM = 750       # b = 0.75 in milli
+_BM25_NQ = 8         # query documents (lowest doc_ids)
+_BM25_K = 5          # results per query
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+# Shared-text scoring fragments (Spark F.expr and DuckDB read the same
+# string, so the lone libm ln and every integer division agree).
+_IDF_MICRO = (
+    "CAST(round(ln(CAST(2 * (n_docs + 1) AS DOUBLE) / (2 * df + 1))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def _term_micro_sql(div: str) -> str:
+    """Integer BM25 term score in micro-units; ``div`` is the engine's
+    truncating integer-division operator (identical on non-negative
+    operands: Spark ``div``, DuckDB ``//``)."""
+    part_milli = f"(1000 - {_BM25_BM} + ({_BM25_BM} * dl * n_docs) {div} tt)"
+    denom_milli = f"(tf * 1000 + ({_BM25_K1M} * {part_milli}) {div} 1000)"
+    return (
+        f"({_IDF_MICRO} * tf * ({_BM25_K1M} + 1000)) {div} {denom_milli}"
+    )
+
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dlen AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+scal AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS tt
+),
+qdocs AS (
+  SELECT doc_id AS query_id FROM documents ORDER BY doc_id LIMIT {_BM25_NQ}
+),
+qterms AS (
+  SELECT DISTINCT q.query_id, t.word
+  FROM tf t JOIN qdocs q ON t.doc_id = q.query_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf
+  WHERE word IN (SELECT DISTINCT word FROM qterms)
+  GROUP BY word
+),
+cand AS (
+  SELECT qt.query_id, t.doc_id, t.tf, d.dl, f.df, s.n_docs, s.tt
+  FROM tf t
+  JOIN qterms qt USING (word)
+  JOIN dlen d ON t.doc_id = d.doc_id
+  JOIN dfreq f USING (word)
+  CROSS JOIN scal s
+  WHERE t.doc_id <> qt.query_id
+),
+terms AS (
+  SELECT query_id, doc_id, {_term_micro_sql('//')} AS term_micro
+  FROM cand
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(term_micro) AS BIGINT) AS score_micro
+  FROM terms GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_terms, score_micro, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+  ) AS rn
+  FROM scored
+) ranked
+WHERE rn <= {_BM25_K}
+"""
+
+
+def bm25_candidates(docs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, tf, dl, df, n_docs, tt) candidate rows: one
+    corpus tokenize -> term-frequency table; dl and df as partition
+    windows (the `tfidf_top_terms` shape); the bounded query-term table
+    broadcast onto the word-keyed join — inverted-index candidate
+    generation, docs sharing no query term never shuffle."""
+    tf = (
+        docs.select("doc_id", F.explode(T.toks("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # four downstream branches (dl window, query terms, totals, the
+        # candidate join) would each re-tokenize the corpus; checkpoint
+        # the compact text-free term table so the scan runs ONCE and the
+        # cache lifetime is bounded to the query (the knn_graph_topk /
+        # ADVICE-r10 convention).
+        .localCheckpoint()
+    )
+    tf_dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    qdocs = (
+        docs.select(F.col("doc_id").alias("query_id"))
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    qterms = (
+        tf.join(F.broadcast(qdocs), tf["doc_id"] == qdocs["query_id"])
+        .select("query_id", "word")
+        .distinct()
+    )
+    qwords = qterms.select("word").distinct()
+    restricted = tf_dl.join(F.broadcast(qwords), "word")
+    with_df = restricted.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word")).cast("bigint")
+    )
+    scal = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    totals = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
+    return (
+        with_df.join(F.broadcast(qterms), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(totals))
+    )
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=BM25_ORACLE,
+    tags=("text", "retrieval", "bm25", "pipeline"),
+    bench=True,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BM25-ranked corpus documents for each of the 8 probe
+    queries, self-matches excluded. Output is all-BIGINT (exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = bm25_candidates(docs)
+    scored = (
+        cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("term_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    # Superset prune (keeps boundary ties), then the exact rank runs on
+    # O(queries x k) rows only.
+    pruned = bounded_group_topk(
+        scored.withColumn("neg_score", -F.col("score_micro")),
+        "query_id",
+        "neg_score",
+        _BM25_K,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _BM25_K)
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
+    )

@@ -360,6 +360,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_corpus_monitor",
     "streaming_drift_monitor",
     "streaming_classifier_scores",
+    "bm25_retrieval_topk",
 }
 
 
@@ -412,6 +413,7 @@ def _load_modules() -> None:
         relational,
         relational_extra,
         relational_tpch2,
+        retrieval,
         similarity,
         text,
         text_pipeline,

@@ -880,3 +880,86 @@ def test_with_minhash_signature_matches_batch_aggregate(spark, sf_dir):
     for i in range(8):
         col = f"h{i}"
         assert (batch[col].sort_index() == row[col].sort_index()).all(), col
+
+
+def test_bm25_matches_independent_python_model(spark):
+    """Integer BM25 (micro-nat idf, milli k1/b, truncating divisions) on
+    a small planted corpus vs an independent pure-Python recomputation:
+    per-pair scores, matched-term counts, and ranks all agree, and the
+    planted on-topic document outranks the off-topic one."""
+    import math
+
+    from arroyo_spark.queries.retrieval import (
+        _BM25_K1M,
+        _BM25_BM,
+        bm25_candidates,
+    )
+    import pyspark.sql.functions as F
+
+    texts = {
+        0: "spark shuffle join broadcast",          # probe (lowest ids)
+        1: "parquet scan pushdown filter",          # probe
+        2: "spark join strategies broadcast hash join explained",
+        3: "gardening tips for tomato plants in spring",
+        4: "filter pushdown reaches the parquet scan layer",
+        5: "spark spark spark shuffle shuffle broadcast",
+        6: "unrelated poetry about the sea and sky",
+        7: "a scan of the parquet filter pushdown path",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # engine path (reuse the candidate builder; probes = 8 lowest ids =
+    # ALL docs here, so every ordered pair with shared terms scores)
+    cand = bm25_candidates(docs)
+    from arroyo_spark.queries.retrieval import _term_micro_sql
+
+    got = {
+        (r.query_id, r.doc_id): (r.n_terms, r.score_micro)
+        for r in cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_micro").cast("bigint").alias("score_micro"),
+        )
+        .collect()
+    }
+
+    # independent model
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    tf = {i: {} for i in texts}
+    for i, ws in toks.items():
+        for w in ws:
+            tf[i][w] = tf[i].get(w, 0) + 1
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n_docs, tt = len(texts), sum(dl.values())
+    df_ = {}
+    for i in texts:
+        for w in tf[i]:
+            df_[w] = df_.get(w, 0) + 1
+    want = {}
+    for q in texts:
+        for d in texts:
+            if d == q:
+                continue
+            shared = set(tf[q]) & set(tf[d])
+            if not shared:
+                continue
+            s = 0
+            for w in sorted(shared):
+                idf = int(
+                    math.floor(
+                        math.log(2 * (n_docs + 1) / (2 * df_[w] + 1)) * 1e6
+                        + 0.5
+                    )
+                )
+                part = 1000 - _BM25_BM + (_BM25_BM * dl[d] * n_docs) // tt
+                denom = tf[d][w] * 1000 + (_BM25_K1M * part) // 1000
+                s += (idf * tf[d][w] * (_BM25_K1M + 1000)) // denom
+            want[(q, d)] = (len(shared), s)
+    assert got == want
+    # topical separation: for the "spark shuffle join broadcast" probe,
+    # the spark-join doc beats gardening and poetry
+    assert got[(0, 2)][1] > got.get((0, 3), (0, 0))[1]
+    assert (0, 6) not in got  # no shared terms -> never a candidate

@@ -1252,3 +1252,18 @@ def test_unigram_encode_two_scans(spark, sf_dir):
     assert "MapInPandas" in plan
     df = QUERIES["tokenizer_unigram_encode"].fn(spark, sf_dir).toPandas()
     assert (df.n_pieces >= df.n_words).all()  # a word is >= 1 piece
+
+
+def test_bm25_checkpointed_term_table_no_text_rescan(spark, sf_dir):
+    """BM25 retrieval: the corpus tokenize runs ONCE, eagerly, into the
+    checkpointed text-free term table at build time — the returned plan
+    must contain NO scan that still reads the text column (four branches
+    would otherwise each re-tokenize), the query side must broadcast, and
+    candidate generation is a keyed equi-join (inverted-index semantics,
+    no corpus-wide sort or cartesian work)."""
+    plan = plan_of(spark, sf_dir, "bm25_retrieval_topk")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert not any("text" in r for r in reads), plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # bounded_group_topk prune, not a sort
