@@ -105,3 +105,122 @@ def bpe_train_segment(
             "syms", _apply_merge(F.col("syms"), a, b)
         ).localCheckpoint()
     return vocab, merges
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (Schuster & Nakajima 2012; the BERT tokenizer) — the
+# likelihood-scored sibling of BPE: each iteration merges the pair that
+# maximizes count(ab) / (count(a) * count(b)), i.e. the pair whose fusion
+# most increases unigram-LM corpus likelihood, instead of raw pair count.
+# Non-initial symbols carry the '##' continuation prefix; a merge strips
+# the right side's '##' (so ("a", "##b") -> "ab", ("##b", "##c") -> "##bc").
+# ---------------------------------------------------------------------------
+
+_WP_SCALE = 1_000_000_000_000  # score = cnt * SCALE div (c_a * c_b)
+
+
+def wordpiece_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) — word frequencies with WordPiece initial
+    symbols: first character bare, every later character '##'-prefixed."""
+    from arroyo_spark.operators.text import toks
+
+    head = F.substring("word", 1, 1)
+    tail = F.expr("substring(word, 2)")
+    syms = F.when(F.length("word") == 1, F.array(head)).otherwise(
+        F.concat(
+            F.array(head),
+            F.transform(
+                F.split(tail, ""), lambda s: F.concat(F.lit("##"), s)
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(toks(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("syms", syms)
+    )
+
+
+def wordpiece_train_segment(
+    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> tuple[DataFrame, list[tuple[str, str, int, int]]]:
+    """Run ``n_merges`` WordPiece iterations; returns (vocab with final
+    segmentation, the merge list ``[(a, b, pair_count, score_scaled),
+    ...]`` in training order).
+
+    Determinism: the score is the INTEGER cross-ratio
+    ``cnt * SCALE div (c_a * c_b)`` — no floats anywhere; truncation
+    ties break on (a, b), a total order. BIGINT headroom: cnt * SCALE
+    needs cnt < 9e6; beyond that (a 100 TB corpus) production routes the
+    ratio through decimal(38,0), the classifier_logreg_train note.
+
+    Scale: per iteration one |vocab|-row symbol-count aggregation + one
+    pair-count aggregation (both map-side combined), two joins of the
+    pair stream against the symbol counts, and a 1-ROW argmax collect;
+    the corpus is scanned exactly once (v0 is localCheckpoint-ed and
+    every merge application re-checkpoints the |vocab|-row relation —
+    the BPE materialization discipline)."""
+    vocab = wordpiece_vocab(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        syms_counts = (
+            vocab.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        sa = syms_counts.select(
+            F.col("sym").alias("a"), F.col("c").alias("ca")
+        )
+        sb = syms_counts.select(
+            F.col("sym").alias("b"), F.col("c").alias("cb")
+        )
+        scored = (
+            pairs.join(sa, "a")
+            .join(sb, "b")
+            .withColumn(
+                "score_scaled",
+                F.expr(f"(cnt * {_WP_SCALE}) div (ca * cb)"),
+            )
+        )
+        best = scored.orderBy(
+            F.col("score_scaled").desc(), F.col("a"), F.col("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        cnt, sc = int(best[0]["cnt"]), int(best[0]["score_scaled"])
+        merges.append((a, b, cnt, sc))
+        bs = b[2:] if b.startswith("##") else b
+        # the accumulator ends with " <a>" on a match, so appending the
+        # ##-stripped right side yields the merged token a || bs in place
+        # (the same space-boundary trick as _apply_merge: just-merged
+        # output cannot re-merge within the pass)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.lit(""),
+            lambda acc, s: F.when(
+                (s == F.lit(b)) & acc.endswith(F.lit(" " + a)),
+                F.concat(acc, F.lit(bs)),
+            ).otherwise(F.concat(acc, F.lit(" "), s)),
+        )
+        vocab = vocab.withColumn(
+            "syms", F.split(F.ltrim(merged), " ")
+        ).localCheckpoint()
+    return vocab, merges

@@ -1500,3 +1500,104 @@ def streaming_classifier_scores(
             "round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece merge training (Schuster & Nakajima 2012) — the third tokenizer
+# family beside BPE (`operators/bpe.py`, count-argmax merges) and the
+# unigram LM (`tokenizer_unigram_lm`, EM pruning): WordPiece merges the
+# pair maximizing the LIKELIHOOD ratio count(ab) / (count(a) * count(b)),
+# the BERT tokenizer's training rule. Checking the merge LIST is the
+# strongest artifact check (the bpe_merge_training_deep argument: a wrong
+# argmax anywhere cascades into every later rank).
+#
+# Determinism: the score is the integer cross-ratio
+# cnt * 1e12 div (c_a * c_b) — zero floats in the whole query; truncation
+# ties break on (a, b). Spark `div` == DuckDB `//` (all operands
+# non-negative counts).
+#
+# Scale: per iteration one |vocab|-row symbol-count agg + one pair-count
+# agg + a 1-row argmax collect; ONE corpus scan total (v0 checkpointed).
+# ---------------------------------------------------------------------------
+
+_WP_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+_WP_MERGES = 12
+
+
+def _wp_iter_cte(i: int) -> str:
+    """CTEs for one WordPiece iteration: symbol counts -> pair counts ->
+    likelihood-ratio argmax -> ##-stripping fold apply. v{i} and m{i} are
+    MATERIALIZED (multi-referenced; the bpe_merge_training_deep lesson —
+    inlined CTEs expand the corpus scan 2^depth times)."""
+    prev = f"v{i - 1}"
+    return f"""
+    s{i} AS (
+      SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, unnest(syms) AS s FROM {prev}) t GROUP BY s),
+    p{i} AS (
+      SELECT freq,
+             unnest(list_slice(syms, 1, len(syms) - 1)) AS a,
+             unnest(list_slice(syms, 2, len(syms))) AS b
+      FROM {prev} WHERE len(syms) >= 2),
+    c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM p{i} GROUP BY a, b),
+    m{i} AS MATERIALIZED (
+      SELECT c{i}.a AS a, c{i}.b AS b, cnt,
+             (cnt * 1000000000000) // (sa.c * sb.c) AS score_scaled,
+             CASE WHEN c{i}.b LIKE '##%' THEN c{i}.b[3:] ELSE c{i}.b END AS bs
+      FROM c{i}
+      JOIN s{i} sa ON c{i}.a = sa.sym
+      JOIN s{i} sb ON c{i}.b = sb.sym
+      ORDER BY score_scaled DESC, a, b LIMIT 1),
+    v{i} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE + null guard: empty m{i} (pairs exhausted)
+      -- must be a NO-OP iteration, matching the Spark loop's break
+      SELECT word, freq,
+             CASE WHEN m{i}.a IS NULL THEN syms
+             ELSE string_split(ltrim(list_reduce(
+               list_prepend('', syms),
+               (acc, s) -> CASE WHEN s = m{i}.b
+                                AND ends_with(acc, ' ' || m{i}.a)
+                           THEN acc || m{i}.bs
+                           ELSE acc || ' ' || s END)), ' ')
+             END AS syms
+      FROM {prev} LEFT JOIN m{i} ON TRUE)"""
+
+
+@query(
+    "tokenizer_wordpiece_train",
+    oracle=f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CASE WHEN len(word) = 1 THEN [word]
+             ELSE list_prepend(word[1:1],
+                  list_transform(string_split(word[2:], ''),
+                                 s -> '##' || s))
+             END AS syms
+      FROM (SELECT unnest({_WP_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_wp_iter_cte(i) for i in range(1, _WP_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a, b, cnt, score_scaled"
+        f" FROM m{i}"
+        for i in range(1, _WP_MERGES + 1)
+    )}
+    """,
+    tags=("text", "tokenizer", "wordpiece", "iterative"),
+)
+def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned WordPiece merge list after 12 iterations: (rank, a, b,
+    pair count, integer likelihood score) in training order. Each row is
+    one bounded 1-row argmax collect; if merging exhausts early both
+    engines stop emitting ranks at the same point."""
+    from arroyo_spark.operators.bpe import wordpiece_train_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    _vocab, merges = wordpiece_train_segment(docs, n_merges=_WP_MERGES)
+    rows = [
+        (i + 1, a, b, cnt, sc) for i, (a, b, cnt, sc) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, a string, b string, cnt bigint,"
+        " score_scaled bigint"
+    )

@@ -361,6 +361,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_drift_monitor",
     "streaming_classifier_scores",
     "bm25_retrieval_topk",
+    "tokenizer_wordpiece_train",
 }
 
 

@@ -963,3 +963,79 @@ def test_bm25_matches_independent_python_model(spark):
     # the spark-join doc beats gardening and poetry
     assert got[(0, 2)][1] > got.get((0, 3), (0, 0))[1]
     assert (0, 6) not in got  # no shared terms -> never a candidate
+
+
+def test_wordpiece_train_matches_independent_python_model(spark):
+    """Distributed WordPiece training vs an independent pure-Python
+    implementation on a planted corpus: merge order, counts, integer
+    likelihood scores, and the ##-stripped segmentation all agree —
+    and the chosen pair differs from BPE's count argmax (the likelihood
+    ratio prefers exclusive pairs over merely frequent ones)."""
+    from arroyo_spark.operators.bpe import (
+        _WP_SCALE,
+        wordpiece_train_segment,
+    )
+
+    # "qu" appears 4x and q/u appear ONLY together (score 1/4 * SCALE);
+    # "th" appears 6x but t and h are diluted by "tat" and "hat" —
+    # count argmax (BPE) would pick th first, likelihood picks qu.
+    words = ["quiz"] * 2 + ["quit"] * 2 + ["the"] * 6 + ["tat"] * 3 + [
+        "hat"
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, w, "en", "s", len(w)) for i, w in enumerate(words)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    vocab, merges = wordpiece_train_segment(docs, n_merges=3)
+
+    # independent model
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    segs = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in freqs
+    }
+    want = []
+    for _ in range(3):
+        sym_c: dict[str, int] = {}
+        pair_c: dict[tuple, int] = {}
+        for w, f in freqs.items():
+            for s in segs[w]:
+                sym_c[s] = sym_c.get(s, 0) + f
+            for x, y in zip(segs[w], segs[w][1:]):
+                pair_c[(x, y)] = pair_c.get((x, y), 0) + f
+        best = sorted(
+            pair_c,
+            key=lambda p: (
+                -(pair_c[p] * _WP_SCALE // (sym_c[p[0]] * sym_c[p[1]])),
+                p[0],
+                p[1],
+            ),
+        )[0]
+        a, b = best
+        sc = pair_c[best] * _WP_SCALE // (sym_c[a] * sym_c[b])
+        want.append((a, b, pair_c[best], sc))
+        bs = b[2:] if b.startswith("##") else b
+        for w in segs:
+            out, i = [], 0
+            while i < len(segs[w]):
+                if (
+                    i + 1 < len(segs[w])
+                    and segs[w][i] == a
+                    and segs[w][i + 1] == b
+                ):
+                    out.append(a + bs)
+                    i += 2
+                else:
+                    out.append(segs[w][i])
+                    i += 1
+            segs[w] = out
+    assert merges == want, (merges, want)
+    # likelihood beats raw count: BPE's count argmax here is (t, ##h)
+    # with pair count 6 (score only S/9), but every WordPiece choice is
+    # an exclusive low-count pair scoring S/4 or better
+    assert all(m[2] < 6 for m in merges), merges
+    assert all(m[3] >= _WP_SCALE // 4 for m in merges), merges
+    got_segs = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got_segs == segs, (got_segs, segs)
