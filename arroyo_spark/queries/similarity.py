@@ -1347,3 +1347,151 @@ query(
     oracle=_ann_recall_oracle(),
     tags=("similarity", "ann", "recall"),
 )(ann_recall_check)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based nearest-neighbor mining (Artetxe & Schwenk 2019, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+# LASER/CCMatrix bitext-mining criterion): a candidate pair scores by its
+# cosine RELATIVE to the average of both endpoints' k-NN neighborhoods,
+# margin(x, y) = cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2), which kills
+# hubness false positives that absolute-threshold cosine mining admits.
+# Sides: even vec_ids vs odd vec_ids (the two-corpus split); probes are a
+# deterministic stride of the even side; `mutual` marks forward-backward
+# consistent pairs (x in y's backward top-k).
+#
+# Determinism: cosines are the 6dp-rounded sequential-fold values (the
+# brute_force_topk contract), lifted to exact integer micro-units; the
+# neighborhood sums are BIGINT; the margin is ONE shared-text float
+# expression (a multiply and a divide on identical integer inputs — IEEE
+# exact both engines) rounded to 6.
+#
+# Scale: both directions run the bounded-query matrix scorer (probes and
+# the <= |probes| x k candidate set are the collected sides, never the
+# corpus); at 100 TB the two top-k stages swap to the IVF/graph ANN arms
+# (`ivf_topk`, `knn_graph_topk`) with margins computed identically.
+# ---------------------------------------------------------------------------
+
+_MM_K = 4
+_MM_STRIDE = 10
+
+
+def _mm_oracle() -> str:
+    fwd_cos = _cos("q.embedding", "c.embedding")
+    bwd_cos = _cos("y.embedding", "a.embedding")
+    return f"""
+    WITH fwd_s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round({fwd_cos}, 6) AS cos
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id % 2 = 1
+      WHERE q.vec_id % {_MM_STRIDE} = 0
+    ),
+    fwd4 AS (
+      SELECT *, CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS rn
+        FROM fwd_s
+      ) r WHERE rn <= {_MM_K}
+    ),
+    suma AS (
+      SELECT q_id, CAST(SUM(cos_micro) AS BIGINT) AS sum_a
+      FROM fwd4 GROUP BY q_id
+    ),
+    cand AS (SELECT DISTINCT n_id FROM fwd4),
+    bwd_s AS (
+      SELECT y.vec_id AS y_id, a.vec_id AS x_id,
+             round({bwd_cos}, 6) AS cos
+      FROM embeddings y
+      JOIN cand ON y.vec_id = cand.n_id
+      JOIN embeddings a ON a.vec_id % 2 = 0
+    ),
+    bwd4 AS (
+      SELECT *, CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+                                     ORDER BY cos DESC, x_id) AS rn
+        FROM bwd_s
+      ) r WHERE rn <= {_MM_K}
+    ),
+    sumb AS (
+      SELECT y_id, CAST(SUM(cos_micro) AS BIGINT) AS sum_b
+      FROM bwd4 GROUP BY y_id
+    ),
+    best AS (SELECT q_id, n_id, cos, cos_micro FROM fwd4 WHERE rn = 1)
+    SELECT b.q_id, b.n_id, b.cos,
+           round(CAST(b.cos_micro AS DOUBLE) * {2 * _MM_K}.0
+                 / CAST(sa.sum_a + sb.sum_b AS DOUBLE), 6) AS margin,
+           (m.x_id IS NOT NULL) AS mutual
+    FROM best b
+    JOIN suma sa ON b.q_id = sa.q_id
+    JOIN sumb sb ON b.n_id = sb.y_id
+    LEFT JOIN bwd4 m ON m.y_id = b.n_id AND m.x_id = b.q_id
+    WHERE sa.sum_a + sb.sum_b > 0
+    """
+
+
+@query(
+    "embedding_margin_mining",
+    oracle=_mm_oracle(),
+    tags=("similarity", "embedding", "mining", "bitext"),
+)
+def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best cross-side neighbor per probe with its ratio margin and the
+    forward-backward `mutual` consistency flag — the mined-pair report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_side = emb.filter(F.col("vec_id") % 2 == 0)
+    b_side = emb.filter(F.col("vec_id") % 2 == 1)
+    probes = emb.filter(F.col("vec_id") % _MM_STRIDE == 0)
+
+    micro = F.expr("CAST(round(cos * 1000000) AS BIGINT)")
+    fwd4 = brute_force_topk(b_side, probes, k=_MM_K).withColumn(
+        "cos_micro", micro
+    )
+    suma = fwd4.groupBy("q_id").agg(
+        F.sum("cos_micro").cast("bigint").alias("sum_a")
+    )
+    cand = fwd4.select(F.col("n_id").alias("vec_id")).distinct()
+    cand_vecs = emb.join(F.broadcast(cand), "vec_id")
+    bwd4 = brute_force_topk(a_side, cand_vecs, k=_MM_K).withColumn(
+        "cos_micro", micro
+    )
+    sumb = bwd4.select(
+        F.col("q_id").alias("y_id"),
+        F.col("n_id").alias("x_id"),
+        "cos_micro",
+    )
+    sum_b = sumb.groupBy("y_id").agg(
+        F.sum("cos_micro").cast("bigint").alias("sum_b")
+    )
+    best = fwd4.filter(F.col("rn") == 1)
+    # fresh column names: sum_b and the mutual-pair set both derive from
+    # bwd4, and re-joining the same lineage trips the ambiguous-self-join
+    # analyzer check
+    mutual = sumb.select(
+        F.col("y_id").alias("my_id"),
+        F.col("x_id").alias("mx_id"),
+        F.lit(True).alias("mutual"),
+    )
+    out = (
+        best.join(suma, "q_id")
+        .join(sum_b, best["n_id"] == sum_b["y_id"])
+        .join(
+            mutual,
+            (best["n_id"] == mutual["my_id"])
+            & (best["q_id"] == mutual["mx_id"]),
+            "left",
+        )
+        .filter(F.col("sum_a") + F.col("sum_b") > 0)
+    )
+    return out.select(
+        "q_id",
+        "n_id",
+        "cos",
+        F.expr(
+            f"round(CAST(cos_micro AS DOUBLE) * {2 * _MM_K}.0"
+            " / CAST(sum_a + sum_b AS DOUBLE), 6)"
+        ).alias("margin"),
+        F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
+    )

@@ -362,6 +362,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_classifier_scores",
     "bm25_retrieval_topk",
     "tokenizer_wordpiece_train",
+    "embedding_margin_mining",
 }
 
 

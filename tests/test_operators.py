@@ -1039,3 +1039,61 @@ def test_wordpiece_train_matches_independent_python_model(spark):
     assert all(m[3] >= _WP_SCALE // 4 for m in merges), merges
     got_segs = {r.word: list(r.syms) for r in vocab.collect()}
     assert got_segs == segs, (got_segs, segs)
+
+
+def test_margin_mining_prefers_aligned_pair_over_hub(spark):
+    """Ratio-margin mining on a planted set: an exclusive aligned pair
+    scores margin >> 1 and mutual=True, while a probe inside a dense
+    cluster (all candidates equally close on BOTH sides) stays at margin
+    ~1 despite raw cosine ~1 — the hubness suppression an absolute
+    cosine threshold cannot do."""
+    from arroyo_spark.queries.similarity import embedding_margin_mining
+
+    def vec(*pairs):
+        v = [0.0] * 8
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        # probe 0 (even) exclusively aligned with 1 (odd)
+        (0, vec((0, 1.0))),
+        (1, vec((0, 1.0), (1, 0.05))),
+        # dense cluster around dim 2: probe 10 + even members 12/14/16,
+        # odd candidates 3/5/7/9 — everything ~equally close
+        (10, vec((2, 1.0), (3, 0.001))),
+        (12, vec((2, 1.0), (3, 0.002))),
+        (14, vec((2, 1.0), (3, 0.003))),
+        (16, vec((2, 1.0), (3, 0.004))),
+        (3, vec((2, 1.0), (3, 0.010))),
+        (5, vec((2, 1.0), (3, 0.011))),
+        (7, vec((2, 1.0), (3, 0.012))),
+        (9, vec((2, 1.0), (3, 0.013))),
+        # far-away fillers keep top-k populated on both sides
+        (2, vec((4, 1.0))),
+        (4, vec((5, 1.0))),
+        (11, vec((4, 1.0), (5, 0.4))),
+        (13, vec((5, 1.0), (6, 0.4))),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import arroyo_spark.queries.similarity as sim
+
+    sim_orig = sim.load_table
+    sim.load_table = lambda s, d, t: emb  # noqa: ARG005
+    try:
+        got = {
+            r.q_id: r
+            for r in embedding_margin_mining(spark, "unused").collect()
+        }
+    finally:
+        sim.load_table = sim_orig
+    aligned, hub = got[0], got[10]
+    assert aligned.n_id == 1 and aligned.mutual
+    assert aligned.margin > 1.5, aligned
+    # hub probe: raw cos ~1 but the margin sees the dense neighborhood
+    assert hub.cos > 0.99, hub
+    assert abs(hub.margin - 1.0) < 0.05, hub
+    assert aligned.margin > hub.margin + 0.5
