@@ -1471,29 +1471,39 @@ DSIR_ORACLE = f"""
     """
 
 
-def dsir_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, bucket): one row per hashed unigram/bigram
-    feature occurrence — STATELESS, so the identical expressions score
-    a document stream on ingest (the streaming parity leg)."""
-    tk = T.toks("text")
+def dsir_feature_array(text_col: str = "text") -> F.Column:
+    """The in-row unigram+bigram feature array — the shared construction
+    behind the batch explode path and the stateless per-row streaming
+    scorer (parity by construction, the with_minhash_signature rule)."""
+    tk = T.toks(text_col)
     n = F.size(tk)
     bigrams = F.zip_with(
         F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit("_"), b),
     )
-    feats = F.concat(tk, bigrams)
+    return F.concat(tk, bigrams)
+
+
+def dsir_bucket(g: F.Column) -> F.Column:
+    """md5-hashed feature bucket in [0, _DSIR_B)."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+
+
+def dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket): one row per hashed unigram/bigram
+    feature occurrence — STATELESS, so the identical expressions score
+    a document stream on ingest (the streaming parity leg)."""
     return docs.select(
         "doc_id",
         "source",
-        F.explode(feats).alias("g"),
+        F.explode(dsir_feature_array()).alias("g"),
     ).select(
         "doc_id",
         "source",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-            % _DSIR_B
-        ).alias("bucket"),
+        dsir_bucket(F.col("g")).alias("bucket"),
     )
 
 
@@ -3198,3 +3208,192 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ref"))
     )
     return drift_finalize(spark, cur, ref)
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR — importance weighting ON INGEST, the deployed form of
+# `dsir_importance_weights` (Xie et al. 2023): the 64-bucket log-ratio
+# weight table is trained ONCE from the resting corpus (the deployed-model
+# pattern of streaming_classifier_scores), folded into a map literal, and
+# every arriving document scores STATELESSLY inside its own row — the
+# in-row feature array (shared construction with the batch explode path,
+# parity by construction) aggregates w_micro through the map with zero
+# per-document state. The single stateful operator is the per-source
+# monitor aggregate, every column of it monotone (counts, and the
+# positive/negative parts of the weight sum separately), so the final
+# state is the per-key MAX across the drained update-mode emissions.
+#
+# Scale: state = one row of five BIGINTs per source forever; the weight
+# table is 64 entries broadcast inside the plan; document text never
+# reaches a shuffle.
+# ---------------------------------------------------------------------------
+
+_SDSIR_FINAL = (
+    "round(CAST(w_net_micro AS DOUBLE)"
+    " / CAST(1000000 * n_feats AS BIGINT), 6)"
+)
+_SDSIR_RATE = "round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+
+SDSIR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               tk,
+               list_transform(range(1, len(tk)),
+                              i -> tk[i] || '_' || tk[i + 1]))) AS g
+      FROM t),
+    fb AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+               AS bucket
+      FROM f),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tgt
+      FROM fb GROUP BY bucket),
+    totals AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+             CAST(sum(n_tgt) AS BIGINT) AS nt
+      FROM counts),
+    w AS (
+      SELECT bucket,
+             CAST(round(ln(
+               ((n_tgt + 1) * (nr + {_DSIR_B})) /
+               CAST((n_raw + 1) * (nt + {_DSIR_B}) AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS w_micro
+      FROM counts, totals),
+    scored AS (
+      SELECT fb.doc_id, fb.source,
+             CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(w.w_micro) AS BIGINT) AS ws
+      FROM fb JOIN w USING (bucket)
+      GROUP BY fb.doc_id, fb.source),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ws > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             CAST(sum(nf) AS BIGINT) AS n_feats,
+             CAST(sum(ws) AS BIGINT) AS w_net_micro
+      FROM scored GROUP BY source)
+    SELECT source, n_docs, n_keep, n_feats, w_net_micro,
+           {_SDSIR_RATE} AS keep_rate,
+           {_SDSIR_FINAL} AS avg_log_ratio
+    FROM per_src
+"""
+
+
+def sdsir_weight_map(spark: SparkSession, sf_dir: str) -> F.Column:
+    """The offline-trained 64-bucket weight table as a map literal
+    (bounded B-row collect — the broadcast-artifact pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = dsir_features(docs).groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_rows = dsir_weight_table(per).collect()  # bounded: B = 64 rows
+    map_args: list = []
+    for r in w_rows:
+        map_args.append(F.lit(int(r["bucket"])).cast("long"))
+        map_args.append(F.lit(int(r["w_micro"])).cast("long"))
+    return F.create_map(*map_args)
+
+
+def sdsir_monitor(stream: DataFrame, w_map: F.Column) -> DataFrame:
+    """Stateless per-row scoring + the ONE bounded stateful aggregate:
+    per-source counts and the positive/negative importance-mass parts
+    (every column monotone, so emission-log max = final state)."""
+    feats = dsir_feature_array()
+    buckets = F.transform(feats, lambda g: dsir_bucket(g))
+    w_sum = F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.coalesce(
+            F.element_at(w_map, b), F.lit(0).cast("long")
+        ),
+    )
+    scored = stream.select(
+        "source",
+        F.size(feats).cast("long").alias("nf"),
+        w_sum.alias("ws"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ws") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum("nf").cast("long").alias("n_feats"),
+        F.sum(F.when(F.col("ws") > 0, F.col("ws")).otherwise(0))
+        .cast("long")
+        .alias("w_pos"),
+        F.sum(F.when(F.col("ws") < 0, -F.col("ws")).otherwise(0))
+        .cast("long")
+        .alias("w_neg"),
+    )
+
+
+def sdsir_finalize(emissions: DataFrame) -> DataFrame:
+    """Monotone per-key max over the drained update-mode emission log,
+    then the shared-text derived columns."""
+    final = (
+        emissions.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("n_keep").cast("bigint").alias("n_keep"),
+            F.max("n_feats").cast("bigint").alias("n_feats"),
+            F.max("w_pos").cast("bigint").alias("w_pos"),
+            F.max("w_neg").cast("bigint").alias("w_neg"),
+        )
+        .withColumn("w_net_micro", F.col("w_pos") - F.col("w_neg"))
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        "n_feats",
+        "w_net_micro",
+        F.expr(_SDSIR_RATE).alias("keep_rate"),
+        F.expr(_SDSIR_FINAL).alias("avg_log_ratio"),
+    )
+
+
+@query(
+    "streaming_dsir_weights",
+    oracle=SDSIR_ORACLE,
+    tags=("text", "curation", "dsir", "streaming"),
+)
+def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR monitor on ingest: doc count, importance-keep
+    count/rate, and the net importance mass, under the offline-trained
+    weight table."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    w_map = sdsir_weight_map(spark, sf_dir)
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    monitored = sdsir_monitor(stream, w_map)
+    name = "sdsir_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sdsir_ck_")
+    q = (
+        monitored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dsir_weights: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    return sdsir_finalize(spark.table(name))

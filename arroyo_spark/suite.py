@@ -363,6 +363,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_retrieval_topk",
     "tokenizer_wordpiece_train",
     "embedding_margin_mining",
+    "streaming_dsir_weights",
+    "dsir_importance_weights",  # refactor: feature build extracted into
+                                # dsir_feature_array/dsir_bucket (pure)
 }
 
 

@@ -1665,3 +1665,79 @@ def test_streaming_drift_stop_restore_matches_batch(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_dsir_stop_restore_matches_batch(spark, sf_dir, tmp_path):
+    """DSIR importance monitoring ON INGEST with a stop/restore leg:
+    half the corpus arrives under the offline-trained weight map, the
+    query checkpoints and STOPS; the rest arrives into a restored query.
+    The max-merged emissions finalize to the exact batch replay (the
+    streaming_dsir_weights oracle semantics) — every monitored column is
+    a monotone cumulative count/sum, so restored state carries leg 1
+    into leg 2's emissions."""
+    import glob
+    import os
+
+    import duckdb
+
+    from arroyo_spark.queries.text_pipeline import (
+        SDSIR_ORACLE,
+        sdsir_finalize,
+        sdsir_monitor,
+        sdsir_weight_map,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    schema = spark.read.parquet(src).schema
+    half = len(files) // 2
+
+    w_map = sdsir_weight_map(spark, sf_dir)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(arrivals))
+        q = (
+            sdsir_monitor(stream, w_map)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for leg in (0, 1):
+        for f in files[:half] if leg == 0 else files[half:]:
+            os.symlink(f, arrivals / os.path.basename(f))
+        run()
+        assert spark.read.parquet(out).count(), "each leg must emit"
+
+    got = (
+        sdsir_finalize(spark.read.parquet(out))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{src}')"
+    )
+    want = (
+        con.execute(SDSIR_ORACLE)
+        .df()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
