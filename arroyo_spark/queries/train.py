@@ -1601,3 +1601,183 @@ def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank bigint, a string, b string, cnt bigint,"
         " score_scaled bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encoding — inference for the trained vocab: longest-
+# match-first left-to-right (the BERT runtime matcher), which on some words
+# DIVERGES from the merge-order segmentation training produced (the classic
+# BPE-vs-WordPiece inference asymmetry: greedy matching jumps straight to
+# the longest vocab prefix even where no merge chain builds it). The query
+# emits both segmentations per word TYPE with the divergence flag — the
+# artifact check that the matcher really is greedy and not a merge replay.
+#
+# Vocabulary = initial alphabet (bare first-chars + ##continuations) plus
+# every merge product — all 12 intermediates included, per the WordPiece
+# vocab contract. Encoding the training corpus never hits [UNK] (each
+# word's own characters put their bare/## forms in the alphabet), so the
+# matcher's total function is exercised without an UNK escape hatch.
+#
+# Scale: the vocab is a bounded artifact (alphabet + merges) broadcast to
+# a mapInPandas matcher over word TYPES (never corpus tokens); the oracle
+# replays the matcher as a recursive CTE with a correlated longest-prefix
+# argmax over the same vset.
+# ---------------------------------------------------------------------------
+
+
+_WPE_MAXLEN = 16  # unrolled match-length ceiling (>= longest vocab raw)
+
+
+def _wpe_pl_cases() -> str:
+    return ",\n".join(
+        f"CASE WHEN (CASE WHEN first THEN rem[1:{L}] IN "
+        f"(SELECT raw FROM vset WHERE is_start AND len(raw) = {L}) "
+        f"ELSE rem[1:{L}] IN "
+        f"(SELECT raw FROM vset WHERE NOT is_start AND len(raw) = {L}) "
+        f"END) THEN {L} END"
+        for L in range(_WPE_MAXLEN, 0, -1)
+    )
+
+
+def _wpe_oracle() -> str:
+    prods = " UNION ALL ".join(
+        f"SELECT a || (CASE WHEN b LIKE '##%' THEN b[3:] ELSE b END)"
+        f" AS tok FROM m{i}"
+        for i in range(1, _WP_MERGES + 1)
+    )
+    return f"""
+    WITH RECURSIVE v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CASE WHEN len(word) = 1 THEN [word]
+             ELSE list_prepend(word[1:1],
+                  list_transform(string_split(word[2:], ''),
+                                 s -> '##' || s))
+             END AS syms
+      FROM (SELECT unnest({_WP_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_wp_iter_cte(i) for i in range(1, _WP_MERGES + 1))},
+    alpha AS (
+      SELECT DISTINCT s AS tok
+      FROM (SELECT unnest(syms) AS s FROM v0) t),
+    vset AS MATERIALIZED (
+      SELECT tok,
+             CASE WHEN tok LIKE '##%' THEN tok[3:] ELSE tok END AS raw,
+             tok NOT LIKE '##%' AS is_start
+      FROM (SELECT tok FROM alpha
+            UNION SELECT DISTINCT tok FROM ({prods}) p) u),
+    enc AS (
+      -- greedy longest-match, one piece per recursion step. The match
+      -- length is an UNROLLED length-descending COALESCE over
+      -- uncorrelated per-length IN sets: a correlated scalar subquery
+      -- here silently yields NULL once the recursive term carries more
+      -- than one row (DuckDB delim-join limitation, found r11).
+      SELECT word, freq, word AS rem, true AS first,
+             '' AS seg, 0 AS np
+      FROM v0
+      UNION ALL
+      SELECT word, freq,
+             rem[1 + pl:],
+             false,
+             seg || ' ' || (CASE WHEN first THEN rem[1:pl]
+                            ELSE '##' || rem[1:pl] END),
+             np + 1
+      FROM (
+        SELECT word, freq, rem, first, seg, np,
+               COALESCE({_wpe_pl_cases()}) AS pl
+        FROM enc e WHERE len(rem) > 0
+      ) stepped),
+    done AS (
+      SELECT word, freq, ltrim(seg) AS greedy_seg,
+             CAST(np AS BIGINT) AS n_greedy
+      FROM enc WHERE len(rem) = 0),
+    train AS (
+      SELECT word, array_to_string(syms, ' ') AS train_seg,
+             CAST(len(syms) AS BIGINT) AS n_train
+      FROM v{_WP_MERGES})
+    SELECT done.word, freq, n_train, n_greedy, train_seg, greedy_seg,
+           (train_seg <> greedy_seg) AS diverged
+    FROM done JOIN train USING (word)
+    """
+
+
+@query(
+    "tokenizer_wordpiece_encode",
+    oracle=_wpe_oracle(),
+    tags=("text", "tokenizer", "wordpiece"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encoding of every corpus word type
+    under the trained vocab, against the training segmentation."""
+    from arroyo_spark.operators.bpe import (
+        wordpiece_train_segment,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, merges = wordpiece_train_segment(docs, n_merges=_WP_MERGES)
+    alpha = [
+        r["s"]
+        for r in wordpiece_vocab(docs)
+        .select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    ]  # bounded: the character alphabet in both prefix forms
+    prods = [
+        a + (b[2:] if b.startswith("##") else b) for a, b, _c, _s in merges
+    ]
+    bare = sorted({t for t in set(alpha) | set(prods) if not t.startswith("##")})
+    cont = sorted(
+        {t[2:] for t in set(alpha) | set(prods) if t.startswith("##")}
+    )
+    bc = spark.sparkContext.broadcast((frozenset(bare), frozenset(cont)))
+
+    import pandas as pd
+
+    def _match(batches):
+        bare_set, cont_set = bc.value
+        max_b = max((len(t) for t in bare_set), default=1)
+        max_c = max((len(t) for t in cont_set), default=1)
+        for pdf in batches:
+            words, freqs, segs, tsegs = [], [], [], []
+            for word, freq, syms in zip(
+                pdf["word"], pdf["freq"], pdf["syms"]
+            ):
+                pieces, pos, first = [], 0, True
+                while pos < len(word):
+                    pool = bare_set if first else cont_set
+                    cap = (max_b if first else max_c)
+                    ln = min(cap, len(word) - pos)
+                    while ln > 0 and word[pos : pos + ln] not in pool:
+                        ln -= 1
+                    raw = word[pos : pos + ln]
+                    pieces.append(raw if first else "##" + raw)
+                    pos += ln
+                    first = False
+                words.append(word)
+                freqs.append(int(freq))
+                segs.append(" ".join(pieces))
+                tsegs.append(" ".join(list(syms)))
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "freq": freqs,
+                    "greedy_seg": segs,
+                    "train_seg": tsegs,
+                }
+            )
+
+    out = vocab.mapInPandas(
+        _match,
+        "word string, freq bigint, greedy_seg string, train_seg string",
+    )
+    return out.select(
+        "word",
+        "freq",
+        (F.size(F.split("train_seg", " "))).cast("bigint").alias("n_train"),
+        (F.size(F.split("greedy_seg", " "))).cast("bigint").alias(
+            "n_greedy"
+        ),
+        "train_seg",
+        "greedy_seg",
+        (F.col("train_seg") != F.col("greedy_seg")).alias("diverged"),
+    )

@@ -364,6 +364,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "tokenizer_wordpiece_train",
     "embedding_margin_mining",
     "streaming_dsir_weights",
+    "tokenizer_wordpiece_encode",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

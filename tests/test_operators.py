@@ -1097,3 +1097,45 @@ def test_margin_mining_prefers_aligned_pair_over_hub(spark):
     assert hub.cos > 0.99, hub
     assert abs(hub.margin - 1.0) < 0.05, hub
     assert aligned.margin > hub.margin + 0.5
+
+
+def test_wordpiece_greedy_encode_diverges_from_merge_order(spark):
+    """The BPE-vs-WordPiece inference asymmetry, planted: training
+    merges build ab -> ##cd -> abc, so 'abcd' trains to [ab, ##cd]; the
+    greedy longest-match runtime instead jumps to the longer bare token
+    'abc' and emits [abc, ##d] — same piece count, different pieces, so
+    only the segmentation-string comparison catches it."""
+    from arroyo_spark.operators.bpe import (
+        wordpiece_train_segment,
+        wordpiece_vocab,
+    )
+    from arroyo_spark.queries.train import tokenizer_wordpiece_encode
+    import arroyo_spark.queries.train as tr
+
+    words = ["abc"] * 2 + ["abcd"] * 1 + ["zcd"] * 4
+    docs = spark.createDataFrame(
+        [(i, w, "en", "s", len(w)) for i, w in enumerate(words)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    _vocab, merges = wordpiece_train_segment(docs, n_merges=3)
+    assert [m[:2] for m in merges] == [
+        ("a", "##b"),
+        ("##c", "##d"),
+        ("ab", "##c"),
+    ], merges
+
+    orig_load, orig_merges = tr.load_table, tr._WP_MERGES
+    tr.load_table = lambda s, d, t: docs  # noqa: ARG005
+    tr._WP_MERGES = 3
+    try:
+        got = {
+            r.word: r for r in tokenizer_wordpiece_encode(spark, "x").collect()
+        }
+    finally:
+        tr.load_table, tr._WP_MERGES = orig_load, orig_merges
+    r = got["abcd"]
+    assert r.train_seg == "ab ##cd" and r.greedy_seg == "abc ##d", r
+    assert r.diverged and r.n_train == r.n_greedy == 2
+    assert got["abc"].greedy_seg == "abc" and not got["abc"].diverged
+    assert got["zcd"].train_seg == "z ##cd" and not got["zcd"].diverged
