@@ -14,6 +14,7 @@ from arroyo_spark.operators.dedup import (
     DEFAULT_NUM_HASHES,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_signatures,
     normalize_text,
     simhash16,
 )
@@ -1114,3 +1115,169 @@ def bloom_line_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration calibration — the measurement that turns the
+# MinHash S-curve from folklore into checked data (Leskovec-Rajaraman-
+# Ullman ch.3: P(candidate | s) = 1 - (1 - s^r)^b): every (bands, rows)
+# arrangement of the 8-hash signature is swept against the EXACT shingle
+# Jaccard, emitting measured precision/recall at tau beside the
+# theoretical detection probability. This is the dedup family's
+# ann_recall_check: the artifact an engineer reads to pick b x r before
+# a 100 TB dedup run.
+#
+# Determinism: candidate sets and hit counts are exact integers; the two
+# ratios are single shared-text float divisions (zero-candidate guarded);
+# the theory column is a Python-computed literal inlined into BOTH
+# engines' query text.
+#
+# Scale: ONE shingle->signature pass (checkpointed) feeds all four band
+# joins; the exact-Jaccard control is the capped shingle equi-join
+# (complete for J >= tau > 0 because such pairs share a shingle), which
+# at 100 TB restricts to LSH candidates (the jaccard_pairs contract) —
+# the calibration then reads recall against a held-out sample instead.
+# ---------------------------------------------------------------------------
+
+_LSH_CAL_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+_LSH_CAL_TAU = 0.5
+
+
+def _lsh_cal_metrics_sql() -> tuple[str, str]:
+    prec = (
+        "CASE WHEN n_candidates = 0 THEN 0.0 "
+        "ELSE round(CAST(n_hit AS DOUBLE) / n_candidates, 6) END"
+    )
+    rec = (
+        "CASE WHEN n_true = 0 THEN 0.0 "
+        "ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END"
+    )
+    return prec, rec
+
+
+def _lsh_cal_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"min(substr(md5(s), {4 * i + 1}, 4)) AS h{i}" for i in range(8)
+    )
+    parts, finals = [], []
+    prec, rec = _lsh_cal_metrics_sql()
+    for b, r in _LSH_CAL_CONFIGS:
+        band_exprs = ", ".join(
+            "md5(concat_ws('|', 'b{i}', {hs}))".format(
+                i=i, hs=", ".join(f"h{i * r + j}" for j in range(r))
+            )
+            for i in range(b)
+        )
+        parts.append(f"""
+    bands_{b}_{r} AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs),
+    cand_{b}_{r} AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands_{b}_{r} x JOIN bands_{b}_{r} y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    m_{b}_{r} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(sum(CASE WHEN COALESCE(j.jaccard, 0)
+                                         >= {_LSH_CAL_TAU}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_hit
+      FROM cand_{b}_{r} c LEFT JOIN jac j USING (doc_a, doc_b))""")
+        theory = round(1.0 - (1.0 - _LSH_CAL_TAU**r) ** b, 6)
+        finals.append(
+            f"SELECT 'b{b}r{r}' AS config, CAST({b} AS BIGINT) AS b,"
+            f" CAST({r} AS BIGINT) AS r, n_candidates, n_true, n_hit,"
+            f" {prec} AS precision, {rec} AS recall,"
+            f" CAST({theory} AS DOUBLE) AS theory_at_tau"
+            f" FROM m_{b}_{r}, tr"
+        )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+               AS shingles
+      FROM toks
+    ), sized AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM shl
+    ), sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sized GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jac AS (
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+      FROM inter
+    ), tr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true
+      FROM jac WHERE jaccard >= {_LSH_CAL_TAU}
+    ),
+    {",".join(parts)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@query(
+    "dedup_lsh_calibration",
+    oracle=_lsh_cal_oracle(),
+    tags=("dedup", "minhash", "lsh", "calibration"),
+)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall at tau=0.5 for each (bands, rows)
+    arrangement of the 8-hash MinHash signature, beside the theoretical
+    S-curve detection probability."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).localCheckpoint()
+    exact = jaccard_pairs(docs, n=3, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    ).localCheckpoint()
+    n_true = exact.filter(F.col("jaccard") >= _LSH_CAL_TAU).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    prec, rec = _lsh_cal_metrics_sql()
+    arms = []
+    for b, r in _LSH_CAL_CONFIGS:
+        cand = lsh_candidate_pairs(docs, num_hashes=8, bands=b, sigs=sigs)
+        hits = cand.join(exact, ["doc_a", "doc_b"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("jaccard"), F.lit(0.0))
+                        >= _LSH_CAL_TAU,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        theory = round(1.0 - (1.0 - _LSH_CAL_TAU**r) ** b, 6)
+        arms.append(
+            hits.crossJoin(F.broadcast(n_true)).select(
+                F.lit(f"b{b}r{r}").alias("config"),
+                F.lit(b).cast("bigint").alias("b"),
+                F.lit(r).cast("bigint").alias("r"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.expr(prec).alias("precision"),
+                F.expr(rec).alias("recall"),
+                F.lit(theory).cast("double").alias("theory_at_tau"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -365,6 +365,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "embedding_margin_mining",
     "streaming_dsir_weights",
     "tokenizer_wordpiece_encode",
+    "dedup_lsh_calibration",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

@@ -1139,3 +1139,26 @@ def test_wordpiece_greedy_encode_diverges_from_merge_order(spark):
     assert r.diverged and r.n_train == r.n_greedy == 2
     assert got["abc"].greedy_seg == "abc" and not got["abc"].diverged
     assert got["zcd"].train_seg == "z ##cd" and not got["zcd"].diverged
+
+
+def test_lsh_calibration_monotone_tradeoff(spark, sf_dir):
+    """The measured S-curve trade-off must be monotone in rows-per-band:
+    more rows -> fewer candidates, never-lower precision, never-higher
+    recall; the r=1 arm is the ~complete/imprecise end, and every arm's
+    candidate count bounds its hits."""
+    from arroyo_spark.suite import all_queries
+
+    df = (
+        all_queries()["dedup_lsh_calibration"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    assert list(df.r) == [1, 2, 4, 8]
+    assert df.n_candidates.is_monotonic_decreasing
+    assert df.precision.is_monotonic_increasing
+    assert df.recall.is_monotonic_decreasing
+    assert (df.n_hit <= df.n_candidates).all()
+    assert df.loc[0, "recall"] == 1.0  # b8r1 pigeonholes tau=0.5 dups
+    assert (df.n_true > 0).all()
