@@ -3397,3 +3397,141 @@ def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ck, ignore_errors=True)
 
     return sdsir_finalize(spark.table(name))
+
+
+# ---------------------------------------------------------------------------
+# Distributed top-k with DETERMINISTIC error bounds — the mergeable-summary
+# / TPUT shape (Agarwal-Cormode et al. 2012 "Mergeable Summaries"; Cao &
+# Wang 2004 TPUT): partition the corpus into B deterministic buckets,
+# keep each bucket's exact top-k token counts plus its truncation error
+# (the k+1-th count), and bound every candidate's GLOBAL count from the
+# summaries alone:  lower = sum of counts where present,  upper = lower +
+# sum of absent buckets' truncation errors. Unlike CMS (probabilistic
+# overestimate) the interval is deterministic — any token whose true count
+# exceeds Σ err_b is guaranteed captured. The exact global count rides
+# along as the verification control, with `bound_ok` emitted as data.
+#
+# Determinism: pure integer counts, ranks by (count DESC, word) — total
+# order; bucket = doc_id % B is data-deterministic.
+#
+# Scale: one (bucket, word) count shuffle (map-side combined); per-bucket
+# summaries are O(B x k) rows via the bounded_group_topk prune (no
+# vocab-wide sort); the exact control is one more keyed agg over the same
+# count table. B and k are knobs: at 100 TB, B = executor count and the
+# candidate table stays B x k rows.
+# ---------------------------------------------------------------------------
+
+_TKB_B = 8    # buckets
+_TKB_K = 16   # per-bucket summary size
+
+TKB_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id % {_TKB_B} AS bucket, unnest({_TOKS}) AS word
+      FROM documents),
+    counts AS (
+      SELECT bucket, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY bucket, word),
+    ranked AS (
+      SELECT bucket, word, c,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY c DESC, word) AS rk
+      FROM counts),
+    summ AS (SELECT bucket, word, c FROM ranked WHERE rk <= {_TKB_K}),
+    errs AS (
+      SELECT bucket,
+             CAST(COALESCE(max(CASE WHEN rk = {_TKB_K} + 1 THEN c END), 0)
+                  AS BIGINT) AS err
+      FROM ranked GROUP BY bucket),
+    tot_err AS (SELECT CAST(sum(err) AS BIGINT) AS all_err FROM errs),
+    cands AS (SELECT DISTINCT word FROM summ),
+    present AS (
+      SELECT s.word,
+             CAST(sum(s.c) AS BIGINT) AS lower_c,
+             CAST(sum(e.err) AS BIGINT) AS present_err,
+             CAST(count(*) AS BIGINT) AS n_buckets_present
+      FROM summ s JOIN errs e USING (bucket)
+      GROUP BY s.word),
+    exact AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS exact_c
+      FROM counts GROUP BY word)
+    SELECT p.word, p.lower_c,
+           p.lower_c + (t.all_err - p.present_err) AS upper_c,
+           x.exact_c, p.n_buckets_present,
+           (x.exact_c >= p.lower_c
+            AND x.exact_c <= p.lower_c + (t.all_err - p.present_err))
+             AS bound_ok
+    FROM present p
+    JOIN exact x USING (word)
+    CROSS JOIN tot_err t
+"""
+
+
+@query(
+    "topk_distributed_bounds",
+    oracle=TKB_ORACLE,
+    tags=("sketch", "topk", "heavy-hitters", "mergeable"),
+)
+def topk_distributed_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate heavy tokens with deterministic [lower, upper] global-
+    count bounds from B bucket summaries, beside the exact control."""
+    from arroyo_spark.operators.kmv import bounded_group_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            (F.col("doc_id") % _TKB_B).alias("bucket"),
+            F.explode(T.toks("text")).alias("word"),
+        )
+        .groupBy("bucket", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # summaries, errors and the exact control all read this compact
+        # (bucket, word, c) relation; checkpoint so the corpus tokenize
+        # runs once (bounded cache lifetime, the BM25 convention)
+        .localCheckpoint()
+    )
+    pruned = bounded_group_topk(
+        counts.withColumn("neg_c", -F.col("c")), "bucket", "neg_c", _TKB_K + 1
+    )
+    ranked = pruned.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(F.col("c").desc(), "word")
+        ),
+    )
+    summ = ranked.filter(F.col("rk") <= _TKB_K).select("bucket", "word", "c")
+    errs = ranked.groupBy("bucket").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _TKB_K + 1, F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("err")
+    )
+    tot_err = errs.agg(F.sum("err").cast("bigint").alias("all_err"))
+    present = (
+        summ.join(F.broadcast(errs), "bucket")
+        .groupBy("word")
+        .agg(
+            F.sum("c").cast("bigint").alias("lower_c"),
+            F.sum("err").cast("bigint").alias("present_err"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_present"),
+        )
+    )
+    exact = counts.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("exact_c")
+    )
+    upper = F.col("lower_c") + (F.col("all_err") - F.col("present_err"))
+    return (
+        present.join(exact, "word")
+        .crossJoin(F.broadcast(tot_err))
+        .select(
+            "word",
+            "lower_c",
+            upper.alias("upper_c"),
+            "exact_c",
+            "n_buckets_present",
+            (
+                (F.col("exact_c") >= F.col("lower_c"))
+                & (F.col("exact_c") <= upper)
+            ).alias("bound_ok"),
+        )
+    )

@@ -366,6 +366,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_dsir_weights",
     "tokenizer_wordpiece_encode",
     "dedup_lsh_calibration",
+    "topk_distributed_bounds",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

@@ -1162,3 +1162,49 @@ def test_lsh_calibration_monotone_tradeoff(spark, sf_dir):
     assert (df.n_hit <= df.n_candidates).all()
     assert df.loc[0, "recall"] == 1.0  # b8r1 pigeonholes tau=0.5 dups
     assert (df.n_true > 0).all()
+
+
+def test_topk_bounds_capture_guarantee(spark, sf_dir):
+    """Mergeable-summary guarantee: every token whose exact global count
+    exceeds the total truncation error MUST surface as a candidate, and
+    every emitted interval contains the exact count."""
+    import duckdb
+
+    from arroyo_spark.queries.text_pipeline import _TKB_B, _TKB_K
+    from arroyo_spark.suite import all_queries
+
+    df = (
+        all_queries()["topk_distributed_bounds"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert df.bound_ok.all()
+    assert (df.n_buckets_present.between(1, _TKB_B)).all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exact = con.execute("""
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text),'\\s+'),
+                        w -> w <> '')) AS word
+          FROM documents) t GROUP BY word
+    """).df()
+    all_err = con.execute(f"""
+        WITH counts AS (
+          SELECT doc_id % {_TKB_B} AS bucket, word, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),'\\s+'),
+                          w -> w <> '')) AS word
+            FROM documents) t GROUP BY 1, 2),
+        ranked AS (SELECT bucket, c, ROW_NUMBER() OVER (
+                     PARTITION BY bucket ORDER BY c DESC, word) rk
+                   FROM counts)
+        SELECT COALESCE(sum(CASE WHEN rk = {_TKB_K} + 1 THEN c END), 0)
+        FROM ranked
+    """).fetchone()[0]
+    cands = set(df.word)
+    must = set(exact[exact.c > all_err].word)
+    assert must, "fixture too small: no token clears the error budget"
+    assert must <= cands, must - cands
