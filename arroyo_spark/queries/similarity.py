@@ -1495,3 +1495,137 @@ def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("margin"),
         F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming centroid monitor — embedding-space drift detection ON INGEST,
+# the vector-side sibling of `streaming_drift_monitor` (token distributions)
+# and `streaming_classifier_scores` (trained weights): k-means centroids are
+# trained OFFLINE on the resting corpus (the deployed-model pattern), every
+# arriving vector is assigned STATELESSLY to its nearest centroid (centroid
+# literals live in the plan — zero state, zero shuffle per row), and the
+# one stateful aggregate keeps per-cluster occupancy and the quantized
+# distance mass — rising mean distance or a shifting occupancy profile is
+# the embedding-drift alarm.
+#
+# Determinism: assignment replays the bit-exact Lloyd's chain (quantized
+# BIGINT components, sequential-fold double distances — the
+# embedding_kmeans_clusters design); the per-row distance is floor()-ed to
+# BIGINT *before* the cross-row sum, so accumulation is order-independent
+# under any micro-batch interleaving. Monitor columns are monotone counts/
+# sums: emission-log max = final state (stop/restore safe).
+#
+# Scale: centroids are a k x dim literal; state is one row of two BIGINTs
+# per cluster forever; embeddings never shuffle pre-aggregation.
+# ---------------------------------------------------------------------------
+
+_SCM_MEAN = (
+    "round(CAST(dist_sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE)"
+    " / 1000000000000.0, 6)"
+)
+
+SCM_ORACLE = f"""
+    WITH {_KM_CTES},
+    a2d AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2
+      ) r WHERE rn = 1
+    ),
+    mon AS (
+      SELECT cid,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CAST(floor(dist) AS BIGINT)) AS BIGINT)
+               AS dist_sum_q
+      FROM a2d GROUP BY cid)
+    SELECT CAST(cid AS INT) AS cluster, n_vecs, dist_sum_q,
+           {_SCM_MEAN} AS mean_dist
+    FROM mon
+"""
+
+
+@query(
+    "streaming_centroid_monitor",
+    oracle=SCM_ORACLE,
+    tags=("similarity", "clustering", "streaming", "monitoring"),
+)
+def streaming_centroid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster occupancy + quantized distance mass of the embedding
+    stream under offline-trained k-means centroids."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _assigned, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    staged = tempfile.mkdtemp(prefix="scmon_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+
+    monitored = scm_monitor(stream, centroids)
+    name = "scmon_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="scmon_ck_")
+    q = (
+        monitored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_centroid_monitor: stream did not drain in 600s"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    return scm_finalize(spark.table(name))
+
+
+def scm_monitor(stream: DataFrame, centroids: list) -> DataFrame:
+    """Stateless nearest-centroid assignment + the ONE bounded stateful
+    aggregate (per-cluster monotone count / distance-mass sums)."""
+    from arroyo_spark.operators.clustering import _sq_dist, quantize
+
+    q = quantize(stream.select("vec_id", "embedding"))
+    dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+    scored = q.select(
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.floor(F.array_min(dists)).cast("long").alias("d_int"),
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d_int").cast("long").alias("dist_sum_q"),
+    )
+
+
+def scm_finalize(emissions: DataFrame) -> DataFrame:
+    final = emissions.groupBy("cluster").agg(
+        F.max("n_vecs").cast("bigint").alias("n_vecs"),
+        F.max("dist_sum_q").cast("bigint").alias("dist_sum_q"),
+    )
+    return final.select(
+        "cluster",
+        "n_vecs",
+        "dist_sum_q",
+        F.expr(_SCM_MEAN).alias("mean_dist"),
+    )

@@ -367,6 +367,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "tokenizer_wordpiece_encode",
     "dedup_lsh_calibration",
     "topk_distributed_bounds",
+    "streaming_centroid_monitor",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

@@ -1741,3 +1741,80 @@ def test_streaming_dsir_stop_restore_matches_batch(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_centroid_monitor_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Centroid monitoring ON INGEST with a stop/restore leg: half the
+    embedding stream arrives under the offline-trained centroids, the
+    query checkpoints and STOPS; the rest arrives into a restored query.
+    The max-merged emissions finalize to the exact batch replay — counts
+    and floor-quantized distance sums are monotone cumulative state."""
+    import glob
+    import os
+
+    import duckdb
+
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
+    from arroyo_spark.queries.similarity import (
+        SCM_ORACLE,
+        scm_finalize,
+        scm_monitor,
+    )
+    from arroyo_spark.catalog import load_table
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _a, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
+
+    data = tmp_path / "emb4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    schema = spark.read.parquet(src).schema
+    half = len(files) // 2
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(arrivals))
+        q = (
+            scm_monitor(stream, centroids)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for leg in (0, 1):
+        for f in files[:half] if leg == 0 else files[half:]:
+            os.symlink(f, arrivals / os.path.basename(f))
+        run()
+        assert spark.read.parquet(out).count(), "each leg must emit"
+
+    got = (
+        scm_finalize(spark.read.parquet(out))
+        .toPandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{src}')"
+    )
+    want = (
+        con.execute(SCM_ORACLE)
+        .df()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
