@@ -5,7 +5,7 @@ the identical sequential-fold dot product."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from arroyo_spark.catalog import load_table
 from arroyo_spark.operators.similarity import brute_force_topk
@@ -1629,3 +1629,156 @@ def scm_finalize(emissions: DataFrame) -> DataFrame:
         "dist_sum_q",
         F.expr(_SCM_MEAN).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling — the training-pair mining step for
+# embedding-model fine-tuning (DPR / E5 / GTR recipes): for each anchor,
+# HARD negatives (highest-cosine different-label vectors — the pairs that
+# sharpen the decision boundary) and RANDOM negatives (deterministic
+# md5-race different-label draws — the in-batch-negative stand-in), both
+# emitted with their cosines so a loss can weight them.
+#
+# Determinism: cosines are the 6dp-rounded sequential-fold values; the
+# "random" draw is the established md5-race (no RNG — reproducible
+# epoch-over-epoch, the sample_stratified_by_source discipline).
+#
+# Scale: anchors are a bounded probe stride; hard arms run the bounded-
+# query matrix scorer per label (corpus side never collected); the random
+# race is ONE corpus scan against broadcast anchors with per-partition
+# bounded_group_topk state (O(anchors x k)) — no |corpus x anchors|
+# relation ever shuffles.
+# ---------------------------------------------------------------------------
+
+_CNS_K = 4
+_CNS_STRIDE = 10
+
+
+def _cns_oracle() -> str:
+    cos = _cos("p.av", "c.embedding")
+    return f"""
+    WITH probes AS (
+      SELECT vec_id AS anchor_id, label AS al, embedding AS av
+      FROM embeddings WHERE vec_id % {_CNS_STRIDE} = 0
+    ),
+    cand AS (
+      SELECT p.anchor_id, c.vec_id AS n_id,
+             round({cos}, 6) AS cos,
+             CAST('0x' || substr(md5(p.anchor_id || ':' || c.vec_id), 1, 8)
+                  AS BIGINT) AS hkey
+      FROM probes p JOIN embeddings c ON c.label <> p.al
+    ),
+    hard AS (
+      SELECT anchor_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT)
+               AS rn
+      FROM cand
+    ),
+    rnd AS (
+      SELECT anchor_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY hkey, n_id) AS BIGINT) AS rn
+      FROM cand
+    )
+    SELECT anchor_id, 'hard' AS neg_type, n_id, cos, rn
+    FROM hard WHERE rn <= {_CNS_K}
+    UNION ALL
+    SELECT anchor_id, 'rand' AS neg_type, n_id, cos, rn
+    FROM rnd WHERE rn <= {_CNS_K}
+    """
+
+
+@query(
+    "contrastive_negative_sampling",
+    oracle=_cns_oracle(),
+    tags=("similarity", "embedding", "mining", "contrastive"),
+)
+def contrastive_negative_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per anchor: 4 hard (highest different-label cosine) and 4
+    deterministic-random negatives, with cosines and ranks."""
+    from arroyo_spark.operators.kmv import bounded_group_topk
+    from arroyo_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _CNS_STRIDE == 0)
+
+    # HARD arm: per-label matrix scorer — each label's probes score only
+    # against the complement corpus, so no post-filter can under-deliver
+    labels = sorted(
+        r["label"] for r in probes.select("label").distinct().collect()
+    )  # bounded: the label alphabet
+    hard_arms = []
+    for lab in labels:
+        arm = brute_force_topk(
+            emb.filter(F.col("label") != lab),
+            probes.filter(F.col("label") == lab),
+            k=_CNS_K,
+        )
+        hard_arms.append(arm)
+    hard = hard_arms[0]
+    for a in hard_arms[1:]:
+        hard = hard.unionByName(a)
+    hard = hard.select(
+        F.col("q_id").alias("anchor_id"),
+        F.lit("hard").alias("neg_type"),
+        "n_id",
+        "cos",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+    # RANDOM arm: md5 race over one corpus scan vs broadcast anchors
+    anchors = probes.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("al")
+    )
+    pairs = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(anchors), F.col("label") != F.col("al"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("n_id"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor_id").cast("string"),
+                            F.lit(":"),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hkey"),
+        )
+    )
+    pruned = bounded_group_topk(pairs, "anchor_id", "hkey", _CNS_K)
+    w = Window.partitionBy("anchor_id").orderBy("hkey", "n_id")
+    rnd_ids = pruned.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= _CNS_K)
+    av = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        as_double("embedding").alias("av"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("n_id"), as_double("embedding").alias("nv")
+    )
+    rnd = (
+        rnd_ids.join(av, "anchor_id")
+        .join(nv, "n_id")
+        .select(
+            "anchor_id",
+            F.lit("rand").alias("neg_type"),
+            "n_id",
+            F.round(cosine(F.col("av"), F.col("nv")), 6).alias("cos"),
+            "rn",
+        )
+    )
+    return hard.unionByName(rnd)

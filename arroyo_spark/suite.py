@@ -368,6 +368,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_lsh_calibration",
     "topk_distributed_bounds",
     "streaming_centroid_monitor",
+    "contrastive_negative_sampling",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

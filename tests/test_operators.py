@@ -1208,3 +1208,32 @@ def test_topk_bounds_capture_guarantee(spark, sf_dir):
     must = set(exact[exact.c > all_err].word)
     assert must, "fixture too small: no token clears the error budget"
     assert must <= cands, must - cands
+
+
+def test_contrastive_negatives_hard_vs_random_separation(spark, sf_dir):
+    """Each anchor gets exactly 4 hard + 4 random different-label
+    negatives; the hard arm's cosines dominate the random arm's on
+    average (they are the different-label maxima by construction)."""
+    from arroyo_spark.suite import all_queries
+
+    df = (
+        all_queries()["contrastive_negative_sampling"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    per = df.groupby(["anchor_id", "neg_type"]).size()
+    assert (per == 4).all(), per[per != 4]
+    h = df[df.neg_type == "hard"].groupby("anchor_id").cos.max()
+    r = df[df.neg_type == "rand"].groupby("anchor_id").cos.max()
+    # per anchor, no random draw can beat the hard maximum (hard =
+    # global top-4 over the same candidate pool; a lucky random draw
+    # can land INSIDE the top-4, so only the max-vs-max bound is exact)
+    joined = h.to_frame("hmax").join(r.to_frame("rmax"))
+    assert (joined.hmax >= joined.rmax).all(), joined[
+        joined.hmax < joined.rmax
+    ]
+    # and the arms separate in aggregate
+    assert (
+        df[df.neg_type == "hard"].cos.mean()
+        > df[df.neg_type == "rand"].cos.mean() + 0.1
+    )
