@@ -4,7 +4,7 @@ identical deterministic hashes (md5 / portable polynomial hash)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from arroyo_spark.catalog import load_table
@@ -1281,3 +1281,227 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental snapshot dedup — the production crawl-increment mode: a NEW
+# batch (here the deterministic 20% slice doc_id % 5 = 4) is deduplicated
+# against the RESTING corpus without ever re-deduping old-vs-old. Verdict
+# precedence per new document:
+#   exact_old  — normalized-md5 fingerprint already in the old corpus
+#   exact_new  — fingerprint seen earlier (lower doc_id) inside the batch
+#   near_old   — MinHash band collision with an OLD doc verified at
+#                exact shingle Jaccard >= 0.5 (best match: max J, min id)
+#   unique     — everything else
+# (near-dups WITHIN the increment are left to the next full LSH pass —
+# the asymmetric new x old band join is the point of the incremental
+# mode: its cost scales with the increment, not the corpus.)
+#
+# Determinism: fingerprints/band keys/Jaccard are the established exact
+# constructions; match_id is -1 for unique so no NULLs reach the hash.
+#
+# Scale: old-side fingerprints and band keys are keyed joins (no old-old
+# pair work); the exact-Jaccard verify runs only on band-collision
+# candidates; everything map-side combines before its single keyed
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_INC_TAU = 0.5
+
+
+def _inc_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"min(substr(md5(s), {4 * i + 1}, 4)) AS h{i}" for i in range(8)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', 'b{b}', {hs}))".format(
+            b=b, hs=", ".join(f"h{b * 2 + r}" for r in range(2))
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, doc_id % 5 = 4 AS is_new FROM documents),
+    fps AS (
+      SELECT doc_id, is_new,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM base),
+    old_fp AS (
+      SELECT fp, CAST(min(doc_id) AS BIGINT) AS old_id
+      FROM fps WHERE NOT is_new GROUP BY fp),
+    new_first AS (
+      SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_id
+      FROM fps WHERE is_new GROUP BY fp),
+    toks AS (
+      SELECT doc_id, is_new,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM base),
+    shl AS (
+      SELECT doc_id, is_new,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+               AS shingles
+      FROM toks),
+    sized AS (
+      SELECT doc_id, is_new, len(shingles) AS n_sh, unnest(shingles) AS s
+      FROM shl),
+    sigs AS (
+      SELECT doc_id, is_new,
+             {sig_cols}
+      FROM sized GROUP BY doc_id, is_new),
+    bands AS (
+      SELECT doc_id, is_new, unnest([{band_exprs}]) AS band_key
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands n JOIN bands o
+        ON n.band_key = o.band_key AND n.is_new AND NOT o.is_new),
+    jpairs AS (
+      SELECT c.new_id, c.old_id,
+             round(CAST(count(*) AS DOUBLE)
+                   / (min(a.n_sh) + min(b.n_sh) - count(*)), 6) AS jaccard
+      FROM cand c
+      JOIN sized a ON a.doc_id = c.new_id
+      JOIN sized b ON b.doc_id = c.old_id AND b.s = a.s
+      GROUP BY c.new_id, c.old_id),
+    near AS (
+      SELECT new_id, old_id, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, old_id) AS rn
+        FROM jpairs WHERE jaccard >= {_INC_TAU}
+      ) r WHERE rn = 1)
+    SELECT f.doc_id,
+           CASE WHEN ofp.old_id IS NOT NULL THEN 'exact_old'
+                WHEN nf.first_id < f.doc_id THEN 'exact_new'
+                WHEN nr.old_id IS NOT NULL THEN 'near_old'
+                ELSE 'unique' END AS verdict,
+           CAST(CASE WHEN ofp.old_id IS NOT NULL THEN ofp.old_id
+                WHEN nf.first_id < f.doc_id THEN nf.first_id
+                WHEN nr.old_id IS NOT NULL THEN nr.old_id
+                ELSE -1 END AS BIGINT) AS match_id,
+           CASE WHEN ofp.old_id IS NOT NULL
+                  OR nf.first_id < f.doc_id THEN 1.0
+                WHEN nr.old_id IS NOT NULL THEN nr.jaccard
+                ELSE 0.0 END AS jaccard
+    FROM fps f
+    LEFT JOIN old_fp ofp USING (fp)
+    LEFT JOIN new_first nf USING (fp)
+    LEFT JOIN near nr ON nr.new_id = f.doc_id
+    WHERE f.is_new
+    """
+
+
+@query(
+    "dedup_incremental",
+    oracle=_inc_oracle(),
+    tags=("dedup", "incremental", "minhash", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict per increment document against the resting corpus:
+    exact_old / exact_new / near_old / unique, with the matched doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("is_new", F.col("doc_id") % 5 == 4)
+    fps = base.select(
+        "doc_id", "is_new", F.md5(normalize_text("text")).alias("fp")
+    )
+    old_fp = (
+        fps.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("old_exact_id"))
+    )
+    new_first = (
+        fps.filter(F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("first_id"))
+    )
+
+    sigs = minhash_signatures(base, num_hashes=8)
+    from arroyo_spark.operators.dedup import lsh_band_keys, shingles
+
+    flags = base.select("doc_id", "is_new")
+    bands = lsh_band_keys(sigs, num_hashes=8, bands=4).join(flags, "doc_id")
+    nb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    ob = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band_key"
+    )
+    cand = nb.join(ob, "band_key").select("new_id", "old_id").distinct()
+
+    sized = base.select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a = sized.select(
+        F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"), "s"
+    )
+    b = sized.select(
+        F.col("doc_id").alias("bid"), F.col("n_sh").alias("nb_sh"),
+        F.col("s").alias("s2"),
+    )
+    jpairs = (
+        cand.join(a, "new_id")
+        .join(b, (F.col("old_id") == F.col("bid")) & (F.col("s") == F.col("s2")))
+        .groupBy("new_id", "old_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb_sh").alias("nb_sh"),
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb_sh") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    near = (
+        jpairs.filter(F.col("jaccard") >= _INC_TAU)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(
+                    F.col("jaccard").desc(), "old_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id"),
+            F.col("old_id").alias("near_id"),
+            F.col("jaccard").alias("near_j"),
+        )
+    )
+
+    out = (
+        fps.filter(F.col("is_new"))
+        .join(F.broadcast(old_fp), "fp", "left")
+        .join(F.broadcast(new_first), "fp", "left")
+        .join(near, fps["doc_id"] == near["new_id"], "left")
+    )
+    exact_old = F.col("old_exact_id").isNotNull()
+    exact_new = F.col("first_id") < F.col("doc_id")
+    near_old = F.col("near_id").isNotNull()
+    return out.select(
+        "doc_id",
+        F.when(exact_old, F.lit("exact_old"))
+        .when(exact_new, F.lit("exact_new"))
+        .when(near_old, F.lit("near_old"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+        F.when(exact_old, F.col("old_exact_id"))
+        .when(exact_new, F.col("first_id"))
+        .when(near_old, F.col("near_id"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("match_id"),
+        F.when(exact_old | exact_new, F.lit(1.0))
+        .when(near_old, F.col("near_j"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )

@@ -369,6 +369,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "topk_distributed_bounds",
     "streaming_centroid_monitor",
     "contrastive_negative_sampling",
+    "dedup_incremental",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

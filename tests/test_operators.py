@@ -1237,3 +1237,50 @@ def test_contrastive_negatives_hard_vs_random_separation(spark, sf_dir):
         df[df.neg_type == "hard"].cos.mean()
         > df[df.neg_type == "rand"].cos.mean() + 0.1
     )
+
+
+def test_dedup_incremental_verdict_precedence(spark):
+    """All four incremental verdicts on a planted corpus, including the
+    precedence rules: an exact old-corpus match wins over a same-batch
+    copy; a batch-internal copy points at the FIRST batch occurrence;
+    near-dups match the old doc, not fellow increment docs."""
+    import arroyo_spark.queries.dedup as dd
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    texts = {
+        # old corpus (doc_id % 5 != 4)
+        0: base,
+        1: "completely different words entirely unrelated content here",
+        2: "  ALPHA beta   gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon ",  # == 0
+        # increment (doc_id % 5 == 4)
+        4: base,                                   # exact_old -> 0
+        9: "brand new unique increment document with fresh tokens only",
+        14: "brand new unique increment document with fresh tokens only",
+        # ^ exact_new -> 9 (first batch occurrence), NOT old
+        19: base.replace("upsilon", "CHANGED"),    # near_old -> 0
+        24: "nothing like anything else at all truly singular text",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    orig = dd.load_table
+    dd.load_table = lambda s, d, t: docs  # noqa: ARG005
+    try:
+        got = {
+            r.doc_id: r for r in dd.dedup_incremental(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+    assert got[4].verdict == "exact_old" and got[4].match_id == 0
+    assert got[4].jaccard == 1.0
+    assert got[9].verdict == "unique" and got[9].match_id == -1
+    assert got[14].verdict == "exact_new" and got[14].match_id == 9
+    assert got[19].verdict == "near_old" and got[19].match_id == 0
+    assert 0.5 <= got[19].jaccard < 1.0
+    assert got[24].verdict == "unique" and got[24].jaccard == 0.0
