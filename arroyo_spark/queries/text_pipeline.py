@@ -3535,3 +3535,154 @@ def topk_distributed_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency diagnostics — corpus fingerprinting per source: the
+# least-squares slope of ln(freq) vs ln(rank) over each source's top-K
+# words (natural text sits near -1; templated/boilerplate feeds flatten,
+# spam/gibberish steepens — a distribution-shift fingerprint that
+# complements the KL drift monitor), beside exact vocabulary size, token
+# count and type-token ratio.
+#
+# Determinism: log terms are floor(ln*1e6 + 0.5) micro-ints computed by
+# DRIVER Python (math.log) on one side and DuckDB ln() on the other —
+# both call glibc libm, bit-equal on identical input doubles (the
+# tokenizer_unigram_lm precedent); all regression sums are exact integer
+# arithmetic; the single float division casts the SAME exact integers to
+# DOUBLE in both engines; the final slope is emitted BOTH as the exact
+# half-up micro BIGINT and its derived double.
+#
+# Scale: one (source, word) count shuffle; top-K per source via the
+# bounded_group_topk prune (O(sources x K) state, no vocab sort); the
+# regression runs driver-side on the bounded sources x K collect (the
+# embedding_pca_power bounded-statistics pattern); T/V aggregates stay
+# distributed and the K-row slope table broadcasts back.
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 32
+
+
+def _zipf_slope_micro(pairs: list) -> int:
+    """Half-up micro-int least-squares slope from (rank, count) pairs —
+    exact integer sums, one float division (same double-cast path as the
+    oracle's CAST ... AS DOUBLE)."""
+    import math
+
+    xs = [
+        int(math.floor(math.log(float(rn)) * 1e6 + 0.5)) for rn, _c in pairs
+    ]
+    ys = [
+        int(math.floor(math.log(float(c)) * 1e6 + 0.5)) for _rn, c in pairs
+    ]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    q = float(num) / float(den)
+    return int(math.floor(q * 1e6 + 0.5))
+
+
+ZIPF_ORACLE = f"""
+    WITH w AS (
+      SELECT source, unnest({_TOKS}) AS word FROM documents),
+    wc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY source, word),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, word) AS rn
+      FROM wc),
+    fit AS (
+      SELECT source, CAST(rn AS BIGINT) AS rn, c,
+             CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rn <= {_ZIPF_K}),
+    sums AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM fit GROUP BY source),
+    slope AS (
+      SELECT source, n AS n_fit,
+             CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micro
+      FROM sums WHERE n >= 2),
+    tv AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_vocab
+      FROM w GROUP BY source)
+    SELECT tv.source, n_tokens, n_vocab,
+           round(CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr,
+           n_fit, zipf_slope_micro,
+           round(zipf_slope_micro / 1000000.0, 6) AS zipf_slope
+    FROM tv JOIN slope USING (source)
+"""
+
+
+@query(
+    "corpus_zipf_diagnostics",
+    oracle=ZIPF_ORACLE,
+    tags=("text", "diagnostics", "zipf", "quality"),
+)
+def corpus_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope over the top-32 words + exact vocab/token
+    counts and type-token ratio."""
+    from arroyo_spark.operators.kmv import bounded_group_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(T.toks("text")).alias("word"))
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pruned = bounded_group_topk(
+        wc.withColumn("neg_c", -F.col("c")), "source", "neg_c", _ZIPF_K
+    )
+    ranked = (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("c").desc(), "word"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _ZIPF_K)
+        .select("source", "rn", "c")
+    )
+    by_src: dict = {}
+    for r in ranked.collect():  # bounded: sources x K rows
+        by_src.setdefault(r["source"], []).append((r["rn"], r["c"]))
+    slope_rows = [
+        (src, len(pairs), _zipf_slope_micro(sorted(pairs)))
+        for src, pairs in sorted(by_src.items())
+        if len(pairs) >= 2
+    ]
+    slopes = spark.createDataFrame(
+        slope_rows, "source string, n_fit bigint, zipf_slope_micro bigint"
+    )
+    tv = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("word").cast("bigint").alias("n_vocab"),
+    )
+    return tv.join(F.broadcast(slopes), "source").select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.expr(
+            "round(CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+        ).alias("ttr"),
+        "n_fit",
+        "zipf_slope_micro",
+        F.expr("round(zipf_slope_micro / 1000000.0, 6)").alias(
+            "zipf_slope"
+        ),
+    )

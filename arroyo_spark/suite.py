@@ -370,6 +370,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_centroid_monitor",
     "contrastive_negative_sampling",
     "dedup_incremental",
+    "corpus_zipf_diagnostics",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

@@ -1284,3 +1284,38 @@ def test_dedup_incremental_verdict_precedence(spark):
     assert got[19].verdict == "near_old" and got[19].match_id == 0
     assert 0.5 <= got[19].jaccard < 1.0
     assert got[24].verdict == "unique" and got[24].jaccard == 0.0
+
+
+def test_zipf_slope_separates_natural_from_uniform(spark):
+    """A planted 1/r (Zipfian) source fits slope ~ -1; a uniform source
+    (every word equally frequent) fits slope 0 — the fingerprint the
+    diagnostic exists for."""
+    import arroyo_spark.queries.text_pipeline as tp
+
+    rows, did = [], 0
+    # zipfian: word w_r appears floor(64/r) times, r = 1..16
+    zs = []
+    for r in range(1, 17):
+        zs += [f"w{r}"] * (64 // r)
+    rows.append((did, " ".join(zs), "en", "zipfian", 1)); did += 1
+    # uniform: 16 words, 4 times each
+    us = [f"u{r}" for r in range(16) for _ in range(4)]
+    rows.append((did, " ".join(us), "en", "uniform", 1)); did += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    orig = tp.load_table
+    tp.load_table = lambda s, d, t: docs  # noqa: ARG005
+    try:
+        got = {
+            r.source: r
+            for r in tp.corpus_zipf_diagnostics(spark, "x").collect()
+        }
+    finally:
+        tp.load_table = orig
+    assert got["uniform"].zipf_slope == 0.0
+    assert -1.15 < got["zipfian"].zipf_slope < -0.85, got["zipfian"]
+    assert got["zipfian"].n_fit == 16 and got["uniform"].n_fit == 16
+    assert got["uniform"].ttr > got["zipfian"].ttr
