@@ -1231,6 +1231,7 @@ def _lsh_cal_oracle() -> str:
     "dedup_lsh_calibration",
     oracle=_lsh_cal_oracle(),
     tags=("dedup", "minhash", "lsh", "calibration"),
+    bench=True,
 )
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured precision/recall at tau=0.5 for each (bands, rows)

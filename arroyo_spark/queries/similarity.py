@@ -1436,6 +1436,7 @@ def _mm_oracle() -> str:
     "embedding_margin_mining",
     oracle=_mm_oracle(),
     tags=("similarity", "embedding", "mining", "bitext"),
+    bench=True,
 )
 def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best cross-side neighbor per probe with its ratio margin and the
