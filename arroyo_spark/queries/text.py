@@ -386,3 +386,98 @@ def text_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             lat / (lat + cyr + han + grk).cast("double"), 6
         ).alias("latin_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Artifact detection — the curation signals that separate prose from
+# code / markup / chat-template residue (the C4 "remove pages with code
+# markers" rule, StarCoder's inverse selector, Dolma's HTML-artifact
+# strip): per document, integer counts of HTML tags, chat-template
+# markers, code punctuation, camelCase / snake_case pairs and indented
+# runs, plus a single rounded artifact-density ratio and two rule
+# verdicts. Pure column expressions over ONE scan — a narrow codegen'd
+# projection at any scale. Regex patterns are chosen to mean the same
+# thing under Java regex (Spark) and RE2 (DuckDB): literal classes,
+# bounded quantifiers, no backrefs.
+# ---------------------------------------------------------------------------
+
+_ART_HTML = "</?[a-z][a-z0-9]*>"
+_ART_CHAT = r"<\|[a-z_]+\|>"
+_ART_PUNCT = "[{};=]"
+_ART_CAMEL = "[a-z][A-Z]"
+_ART_SNAKE = "[a-z]_[a-z]"
+
+_ART_DENSITY = (
+    "round(CAST((html_tags + chat_markers + brace_chars) AS DOUBLE)"
+    " / CAST(greatest(n_chars, 1) AS DOUBLE), 6)"
+)
+
+
+def _art_count_duck(pat: str) -> str:
+    return f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+
+
+ARTIFACT_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             {_art_count_duck(_ART_HTML)} AS html_tags,
+             {_art_count_duck(_ART_CHAT)} AS chat_markers,
+             {_art_count_duck(_ART_PUNCT)} AS brace_chars,
+             {_art_count_duck(_ART_CAMEL)} AS camel_pairs,
+             {_art_count_duck(_ART_SNAKE)} AS snake_pairs
+      FROM documents)
+    SELECT doc_id, html_tags, chat_markers, brace_chars, camel_pairs,
+           snake_pairs,
+           {_ART_DENSITY} AS artifact_density,
+           ((brace_chars * 3 + camel_pairs * 2 + snake_pairs * 2) * 50
+              >= n_chars) AS is_codey,
+           (html_tags > 2 OR chat_markers > 0) AS has_markup
+    FROM c
+"""
+
+
+@query(
+    "text_artifact_detection",
+    oracle=ARTIFACT_ORACLE,
+    tags=("text", "quality", "artifacts", "curation"),
+)
+def text_artifact_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document code/markup/template artifact counts + verdicts."""
+    from arroyo_spark.catalog import load_table
+
+    def cnt(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+        ).cast("bigint")
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "n_chars",
+        cnt(_ART_HTML).alias("html_tags"),
+        cnt(_ART_CHAT).alias("chat_markers"),
+        cnt(_ART_PUNCT).alias("brace_chars"),
+        cnt(_ART_CAMEL).alias("camel_pairs"),
+        cnt(_ART_SNAKE).alias("snake_pairs"),
+    )
+    return c.select(
+        "doc_id",
+        "html_tags",
+        "chat_markers",
+        "brace_chars",
+        "camel_pairs",
+        "snake_pairs",
+        F.expr(_ART_DENSITY).alias("artifact_density"),
+        (
+            (
+                F.col("brace_chars") * 3
+                + F.col("camel_pairs") * 2
+                + F.col("snake_pairs") * 2
+            )
+            * 50
+            >= F.col("n_chars")
+        ).alias("is_codey"),
+        ((F.col("html_tags") > 2) | (F.col("chat_markers") > 0)).alias(
+            "has_markup"
+        ),
+    )

@@ -371,6 +371,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "contrastive_negative_sampling",
     "dedup_incremental",
     "corpus_zipf_diagnostics",
+    "text_artifact_detection",
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

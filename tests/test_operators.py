@@ -1319,3 +1319,41 @@ def test_zipf_slope_separates_natural_from_uniform(spark):
     assert -1.15 < got["zipfian"].zipf_slope < -0.85, got["zipfian"]
     assert got["zipfian"].n_fit == 16 and got["uniform"].n_fit == 16
     assert got["uniform"].ttr > got["zipfian"].ttr
+
+
+def test_artifact_detection_flags_code_markup_chat(spark):
+    """Planted artifact docs: a code snippet trips is_codey, an HTML
+    fragment and a chat-template residue trip has_markup, clean prose
+    trips neither; counts are exact."""
+    import arroyo_spark.queries.text as tx
+
+    texts = {
+        0: "def do_thing(x): return {myVar: x}; other_var = x; done;",
+        1: "<div><p>hello</p><br><span>world</span></div> plain tail",
+        2: "assistant reply ends here <|end_of_text|> next turn begins",
+        3: "this is perfectly ordinary prose about gardens and rain",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    # the function imports load_table from the catalog at call time
+    import arroyo_spark.catalog as cat
+
+    real = cat.load_table
+    cat.load_table = lambda s, d, t: docs  # noqa: ARG005
+    try:
+        got = {
+            r.doc_id: r
+            for r in tx.text_artifact_detection(spark, "x").collect()
+        }
+    finally:
+        cat.load_table = real
+    code, html, chat, prose = got[0], got[1], got[2], got[3]
+    assert code.is_codey and not code.has_markup
+    assert code.brace_chars >= 5 and code.snake_pairs >= 2
+    assert html.has_markup and html.html_tags == 7
+    assert chat.has_markup and chat.chat_markers == 1
+    assert not prose.is_codey and not prose.has_markup
+    assert prose.artifact_density == 0.0
