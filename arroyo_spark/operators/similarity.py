@@ -86,6 +86,7 @@ def brute_force_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector (self excluded).
 
@@ -104,24 +105,35 @@ def brute_force_topk(
     results hash-match the DuckDB oracle. The +margin on the per-batch
     cut protects against round-to-6dp ties reordering candidates.
     Vectors must be fixed-dimension and non-null.
+
+    ``exclude_match_col``: when set (e.g. "label"), a corpus row is
+    skipped for queries sharing its value — ONE corpus pass serves every
+    per-group exclusion (contrastive different-label mining) instead of
+    one pass per group.
     """
     import numpy as np
 
     spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType
-    q_rows = queries.select(id_col, vec_col).collect()  # bounded: |Q| << |C|
+    q_cols = [id_col, vec_col] + (
+        [exclude_match_col] if exclude_match_col else []
+    )
+    q_rows = queries.select(*q_cols).collect()  # bounded: |Q| << |C|
     q_ids = np.array([r[0] for r in q_rows])
+    q_excl = (
+        np.array([r[2] for r in q_rows]) if exclude_match_col else None
+    )
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     dim = Q.shape[1]
     q_norm = np.zeros(len(q_rows))
     for j in range(dim):
         q_norm = q_norm + Q[:, j] * Q[:, j]
     q_norm = np.sqrt(q_norm)
-    bc = spark.sparkContext.broadcast((q_ids, Q, q_norm))
+    bc = spark.sparkContext.broadcast((q_ids, Q, q_norm, q_excl))
     keep = k + 8  # margin for 6dp-rounding ties across the JVM-side re-rank
 
     def _score(batches):
-        q_ids, Q, q_norm = bc.value
+        q_ids, Q, q_norm, q_excl = bc.value
         nq = len(q_ids)
         for pdf in batches:
             if not len(pdf):
@@ -134,11 +146,17 @@ def brute_force_topk(
                 n_norm = n_norm + C[:, j] * C[:, j]
                 acc = acc + np.outer(C[:, j], Q[:, j])
             cos = acc / np.outer(np.sqrt(n_norm), q_norm)
+            c_excl = (
+                pdf[_excl_name].to_numpy() if q_excl is not None else None
+            )
             out_q, out_n, out_c = [], [], []
             for qi in range(nq):
                 col = cos[:, qi]
                 order = np.lexsort((n_ids, -col))
-                order = order[n_ids[order] != q_ids[qi]][:keep]
+                order = order[n_ids[order] != q_ids[qi]]
+                if q_excl is not None:
+                    order = order[c_excl[order] != q_excl[qi]]
+                order = order[:keep]
                 out_q.append(np.full(len(order), q_ids[qi]))
                 out_n.append(n_ids[order])
                 out_c.append(col[order])
@@ -159,8 +177,12 @@ def brute_force_topk(
             StructField("cos", DoubleType()),
         ]
     )
+    _excl_name = exclude_match_col
+    c_cols = [id_col, vec_col] + (
+        [exclude_match_col] if exclude_match_col else []
+    )
     scored = (
-        ensure_min_parallelism(corpus.select(id_col, vec_col))
+        ensure_min_parallelism(corpus.select(*c_cols))
         .mapInPandas(_score, schema=schema)
     )
     scored = scored.withColumn("cos", F.round("cos", 6))

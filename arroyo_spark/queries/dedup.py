@@ -1405,9 +1405,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_old / exact_new / near_old / unique, with the matched doc."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.withColumn("is_new", F.col("doc_id") % 5 == 4)
+    # three consumers each (fingerprint branches; band-key sides):
+    # checkpoint the COMPACT derived tables so the corpus text is read
+    # only for the two shingle sides of the candidate verify
     fps = base.select(
         "doc_id", "is_new", F.md5(normalize_text("text")).alias("fp")
-    )
+    ).localCheckpoint()
     old_fp = (
         fps.filter(~F.col("is_new"))
         .groupBy("fp")
@@ -1419,10 +1422,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("bigint").alias("first_id"))
     )
 
-    sigs = minhash_signatures(base, num_hashes=8)
+    sigs = minhash_signatures(base, num_hashes=8).localCheckpoint()
     from arroyo_spark.operators.dedup import lsh_band_keys, shingles
 
-    flags = base.select("doc_id", "is_new")
+    flags = fps.select("doc_id", "is_new")
     bands = lsh_band_keys(sigs, num_hashes=8, bands=4).join(flags, "doc_id")
     nb = bands.filter(F.col("is_new")).select(
         F.col("doc_id").alias("new_id"), "band_key"

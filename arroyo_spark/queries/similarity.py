@@ -1706,22 +1706,13 @@ def contrastive_negative_sampling(
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % _CNS_STRIDE == 0)
 
-    # HARD arm: per-label matrix scorer — each label's probes score only
-    # against the complement corpus, so no post-filter can under-deliver
-    labels = sorted(
-        r["label"] for r in probes.select("label").distinct().collect()
-    )  # bounded: the label alphabet
-    hard_arms = []
-    for lab in labels:
-        arm = brute_force_topk(
-            emb.filter(F.col("label") != lab),
-            probes.filter(F.col("label") == lab),
-            k=_CNS_K,
-        )
-        hard_arms.append(arm)
-    hard = hard_arms[0]
-    for a in hard_arms[1:]:
-        hard = hard.unionByName(a)
+    # HARD arm: ONE exclusion-aware matrix-scorer pass — each corpus
+    # partition masks same-label candidates per query in numpy, so the
+    # whole different-label top-k costs a single corpus scan instead of
+    # one pass per label
+    hard = brute_force_topk(
+        emb, probes, k=_CNS_K, exclude_match_col="label"
+    )
     hard = hard.select(
         F.col("q_id").alias("anchor_id"),
         F.lit("hard").alias("neg_type"),

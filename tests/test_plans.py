@@ -1267,3 +1267,27 @@ def test_bm25_checkpointed_term_table_no_text_rescan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan  # bounded_group_topk prune, not a sort
+
+
+def test_dedup_incremental_two_text_scans(spark, sf_dir):
+    """Incremental dedup reads document text exactly TWICE (the two
+    shingle sides of the candidate verify): fingerprints and signatures
+    are checkpointed compact tables, and the three fingerprint branches
+    plus both band-key sides reuse them instead of re-tokenizing."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert sum("text" in r for r in reads) == 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_sampling_single_hard_pass(spark, sf_dir):
+    """The hard-negative arm is ONE exclusion-aware matrix-scorer pass
+    (same-label masking inside the partition scorer), not a per-label
+    arm union — the returned plan holds at most 5 embedding scans
+    (hard pass, random-race pair scan, two cosine vector sides, the
+    anchor set) regardless of how many labels exist."""
+    plan = plan_of(spark, sf_dir, "contrastive_negative_sampling")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(reads) <= 5, plan[:3000]
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
