@@ -465,6 +465,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     iters: int = 2,
     dim: int = 64,
+    member_filter=None,
 ):
     """IVF (inverted-file) approximate nearest neighbors: k-means partitions
     the corpus into `n_clusters` cells; each query scores only the
@@ -484,8 +485,16 @@ def ivf_topk(
         ensure_min_parallelism(corpus), k=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    # corpus members keep their ORIGINAL embeddings for exact scoring
-    cmem = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+    # corpus members keep their ORIGINAL embeddings for exact scoring.
+    # member_filter is the FILTERED-SEARCH hook: the metadata predicate
+    # prunes the member side BEFORE any scoring (index trained on the
+    # full corpus, filter applied at query time — the standard
+    # filtered-ANN arrangement), so per-probe work scales with the
+    # filtered population
+    mem_src = (
+        corpus.filter(member_filter) if member_filter is not None else corpus
+    )
+    cmem = assigned.join(mem_src.select(id_col, vec_col), id_col).select(
         F.col(id_col).alias("n_id"),
         as_double(F.col(vec_col)).alias("n_vec"),
         F.col("cluster").alias("cell"),

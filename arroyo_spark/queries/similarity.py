@@ -1774,3 +1774,70 @@ def contrastive_negative_sampling(
         )
     )
     return hard.unionByName(rnd)
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — the production "WHERE category = X" ANN mode:
+# the IVF index is trained on the FULL corpus, the metadata predicate
+# (label % 3 = 0 here) prunes the member side at query time BEFORE any
+# scoring, and ranking runs over the filtered candidates only. The known
+# filtered-search hazard — probed cells can hold few/no matching members
+# — is exactly what the recall unit test measures against the filtered
+# brute-force control.
+#
+# Determinism: the same bit-exact Lloyd's + probe-selection chain as
+# knn_ivf_ann; the filter is a pure integer predicate, so the DuckDB
+# oracle replays the whole filtered search exactly.
+# ---------------------------------------------------------------------------
+
+
+def _knn_filtered_oracle(n_probe: int = 3) -> str:
+    return f"""
+    WITH {_KM_CTES},
+    qs AS (
+      SELECT vec_id AS q_id, v AS qv FROM q WHERE vec_id % 20 = 0
+    ), qcells AS (
+      SELECT q_id, cid AS cell FROM (
+        SELECT qs.q_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                                  ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')},
+                                           c1.cid) AS rn
+        FROM qs CROSS JOIN c1
+      ) r WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT qcells.q_id, a2.vec_id AS n_id
+      FROM qcells
+      JOIN a2 ON a2.cid = qcells.cell
+      JOIN embeddings el ON el.vec_id = a2.vec_id AND el.label % 3 = 0
+      WHERE a2.vec_id <> qcells.q_id
+    ), scored AS (
+      SELECT cand.q_id, cand.n_id,
+             round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.q_id
+      JOIN embeddings en ON en.vec_id = cand.n_id
+    ), ranked AS (
+      SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 3
+    """
+
+
+@query(
+    "knn_filtered_ann",
+    oracle=_knn_filtered_oracle(3),
+    tags=("similarity", "ann", "ivf", "filtered"),
+)
+def knn_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 restricted to label % 3 = 0 members — metadata-filtered
+    vector search with the predicate pruning candidates pre-scoring."""
+    from arroyo_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return ivf_topk(
+        emb, queries, k=3, member_filter=F.col("label") % 3 == 0
+    )

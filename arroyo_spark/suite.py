@@ -372,6 +372,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_incremental",
     "corpus_zipf_diagnostics",
     "text_artifact_detection",
+    "knn_filtered_ann",
+    "knn_ivf_ann",  # ivf_topk gained the member_filter hook (default
+                    # path unchanged; re-verified)
     "dsir_importance_weights",  # refactor: feature build extracted into
                                 # dsir_feature_array/dsir_bucket (pure)
 }

@@ -1357,3 +1357,30 @@ def test_artifact_detection_flags_code_markup_chat(spark):
     assert chat.has_markup and chat.chat_markers == 1
     assert not prose.is_codey and not prose.has_markup
     assert prose.artifact_density == 0.0
+
+
+def test_filtered_ann_recall_and_predicate(spark, sf_dir):
+    """Filtered IVF search: every result satisfies the predicate, and
+    recall against the filtered brute-force control clears the floor
+    despite the filtered-probe hazard (cells holding few matches)."""
+    from arroyo_spark.operators.similarity import brute_force_topk
+    from arroyo_spark.catalog import load_table as lt
+    from arroyo_spark.suite import all_queries
+
+    got = (
+        all_queries()["knn_filtered_ann"].fn(spark, sf_dir).toPandas()
+    )
+    emb = lt(spark, sf_dir, "embeddings")
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[n] % 3 == 0 for n in got.n_id), "predicate leak"
+    exact = brute_force_topk(
+        emb.filter(F.col("label") % 3 == 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        k=3,
+    ).toPandas()
+    gset = set(zip(got.q_id, got.n_id))
+    eset = set(zip(exact.q_id, exact.n_id))
+    recall = len(gset & eset) / len(eset)
+    assert recall >= 0.5 - 0.05, recall  # explicit slack (ADVICE r10)
