@@ -1384,3 +1384,40 @@ def test_filtered_ann_recall_and_predicate(spark, sf_dir):
     eset = set(zip(exact.q_id, exact.n_id))
     recall = len(gset & eset) / len(eset)
     assert recall >= 0.5 - 0.05, recall  # explicit slack (ADVICE r10)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1999])
+def test_bounded_group_topk_superset_equivalence(spark, seed):
+    """Randomized check of the prune contract: for skewed group sizes,
+    duplicate order values and k larger than some groups, the pruned
+    superset (a) contains every true global top-k row per group
+    (keep='all' boundary ties included) and (b) never drops a row that
+    an exact window rank would keep."""
+    import numpy as np
+
+    from arroyo_spark.operators.kmv import bounded_group_topk
+
+    rng = np.random.RandomState(seed)
+    n = 3000
+    grp = rng.zipf(1.5, n) % 17          # skewed group sizes
+    val = rng.randint(0, 50, n)          # heavy ties
+    pid = np.arange(n)
+    df = spark.createDataFrame(
+        [(int(g), int(v), int(i)) for g, v, i in zip(grp, val, pid)],
+        "g int, v int, id int",
+    ).repartition(8)
+    k = 5
+    pruned = bounded_group_topk(df, "g", "v", k).toPandas()
+    full = df.toPandas()
+    for g, sub in full.groupby("g"):
+        kth = sub.v.nsmallest(min(k, len(sub))).max()
+        want = sub[sub.v <= kth]          # true top-k incl. boundary ties
+        got = pruned[pruned.g == g]
+        missing = set(want.id) - set(got.id)
+        assert not missing, (g, missing)
+        # the usage contract: an exact re-selection over the pruned
+        # superset reproduces the true top-k EXACTLY (got holds every
+        # at-or-below-boundary row and nothing below-boundary is lost;
+        # rows ABOVE the boundary from other partitions are allowed —
+        # that is what makes it a per-partition superset prune)
+        assert set(got[got.v <= kth].id) == set(want.id), g
