@@ -109,7 +109,10 @@ def brute_force_topk(
     ``exclude_match_col``: when set (e.g. "label"), a corpus row is
     skipped for queries sharing its value — ONE corpus pass serves every
     per-group exclusion (contrastive different-label mining) instead of
-    one pass per group.
+    one pass per group. The column must be NON-NULL on both sides: numpy
+    ``!=`` keeps a NULL-vs-non-NULL row while SQL ``<>`` yields NULL and
+    drops it, a latent engine divergence (ADVICE r11) — drop or fill
+    NULL-label rows before calling.
     """
     import numpy as np
 

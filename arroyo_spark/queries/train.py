@@ -1729,6 +1729,17 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = sorted(
         {t[2:] for t in set(alpha) | set(prods) if t.startswith("##")}
     )
+    # The oracle unrolls greedy match lengths only up to _WPE_MAXLEN; a
+    # longer merge-product raw form (possible on a repetitive corpus, since
+    # products chain) would silently diverge between engines. Fail loudly
+    # instead (ADVICE r11).
+    longest = max((len(t) for t in bare + cont), default=1)
+    if longest > _WPE_MAXLEN:
+        raise ValueError(
+            f"wordpiece vocab raw form of length {longest} exceeds the "
+            f"oracle unroll bound _WPE_MAXLEN={_WPE_MAXLEN}; raise the "
+            "bound to keep both engines on the same matcher"
+        )
     bc = spark.sparkContext.broadcast((frozenset(bare), frozenset(cont)))
 
     import pandas as pd
@@ -1749,6 +1760,14 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ln = min(cap, len(word) - pos)
                     while ln > 0 and word[pos : pos + ln] not in pool:
                         ln -= 1
+                    if ln == 0:
+                        # Training-corpus words always match (their own
+                        # chars seed the alphabet); an OOV char on reuse
+                        # must fail visibly, not spin forever (ADVICE r11).
+                        raise ValueError(
+                            f"no vocab piece matches {word!r} at {pos} "
+                            "(out-of-vocabulary input to greedy matcher)"
+                        )
                     raw = word[pos : pos + ln]
                     pieces.append(raw if first else "##" + raw)
                     pos += ln

@@ -328,6 +328,37 @@ _GREEN_R10 = frozenset(
 )
 
 
+_GREEN_R11 = frozenset(
+    {
+        'bm25_retrieval_topk', 'bpe_merge_training_deep',
+        'classifier_logreg_train', 'cms_heavy_hitters',
+        'contamination_5gram_overlap', 'contrastive_negative_sampling',
+        'corpus_curation_pipeline', 'corpus_profile_sketch',
+        'corpus_zipf_diagnostics', 'curation_pipeline_v4',
+        'dedup_incremental', 'dedup_lsh_calibration',
+        'dsir_importance_weights', 'embedding_margin_mining',
+        'embedding_pca_power', 'embedding_pca_top2',
+        'embedding_random_projection', 'kmv_theta_setops',
+        'knn_filtered_ann', 'knn_ivf_ann', 'mixture_reweight_doremi',
+        'mm_audio_neardup', 'mm_image_neardup', 'mm_video_neardup',
+        'pii_scrub_redaction', 'sample_reservoir_per_source',
+        'sample_stratified_by_source', 'sample_weighted_reservoir',
+        'source_vocab_overlap', 'streaming_centroid_monitor',
+        'streaming_classifier_scores', 'streaming_corpus_monitor',
+        'streaming_drift_monitor', 'streaming_dsir_weights',
+        'streaming_kmv_theta', 'streaming_source_vocab_overlap',
+        'text_artifact_detection', 'text_bigram_perplexity',
+        'text_corpus_freq_stats', 'text_ngram_novelty',
+        'text_repetition_stats', 'tfidf_top_terms',
+        'token_budget_shard_packing',
+        'token_budget_shard_packing_2level', 'tokenizer_unigram_encode',
+        'tokenizer_unigram_lm', 'tokenizer_unigram_prune',
+        'tokenizer_wordpiece_encode', 'tokenizer_wordpiece_train',
+        'topk_distributed_bounds',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -336,53 +367,17 @@ _GREEN_R10 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r11 edits (populated as code is touched this round):
-    "kmv_theta_setops",  # small-set guard: element_at clamped to
-                         # size(sketch) + exact-count fallback (ADVICE r10)
-    "sample_weighted_reservoir",  # n_toks > 0 guard both sides (ADVICE r10)
-    "mm_image_neardup",  # bounded persist lifetime (unpersist after action)
-    "mm_audio_neardup",  # bounded persist lifetime
-    "mm_video_neardup",  # bounded persist lifetime
-    "corpus_profile_sketch",  # bounded persist lifetime
-    "embedding_pca_power",  # Gram build extracted into _pca_gram (pure
-                            # refactor, shared with embedding_pca_top2)
-    # r11 NEW queries (never checked — tier 0 would also catch them):
-    "tokenizer_unigram_lm",
-    "tokenizer_unigram_encode",
-    "tokenizer_unigram_prune",
-    "classifier_logreg_train",
-    "curation_pipeline_v4",
-    "mixture_reweight_doremi",
-    "embedding_pca_top2",
-    "source_vocab_overlap",
-    "streaming_source_vocab_overlap",
-    "streaming_kmv_theta",
-    "streaming_corpus_monitor",
-    "streaming_drift_monitor",
-    "streaming_classifier_scores",
-    "bm25_retrieval_topk",
-    "tokenizer_wordpiece_train",
-    "embedding_margin_mining",
-    "streaming_dsir_weights",
-    "tokenizer_wordpiece_encode",
-    "dedup_lsh_calibration",
-    "topk_distributed_bounds",
-    "streaming_centroid_monitor",
-    "contrastive_negative_sampling",
-    "dedup_incremental",
-    "corpus_zipf_diagnostics",
-    "text_artifact_detection",
-    "knn_filtered_ann",
-    "knn_ivf_ann",  # ivf_topk gained the member_filter hook (default
-                    # path unchanged; re-verified)
-    "dsir_importance_weights",  # refactor: feature build extracted into
-                                # dsir_feature_array/dsir_bucket (pure)
+    # r12 edits (populated as code is touched this round):
+    "tokenizer_wordpiece_encode",  # ADVICE r11: _WPE_MAXLEN loud assert +
+                                   # OOV ln==0 guard in the greedy matcher
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R11:
+        return 11
     if name in _GREEN_R10:
         return 10
     if name in _GREEN_R09:
