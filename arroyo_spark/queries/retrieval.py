@@ -73,8 +73,7 @@ def _term_micro_sql(div: str) -> str:
     )
 
 
-BM25_ORACLE = f"""
-WITH toks AS (
+_BM25_CTES = f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS word FROM documents
 ),
 tf AS (
@@ -119,14 +118,18 @@ scored AS (
          CAST(COUNT(*) AS BIGINT) AS n_terms,
          CAST(SUM(term_micro) AS BIGINT) AS score_micro
   FROM terms GROUP BY query_id, doc_id
-)
-SELECT query_id, doc_id, n_terms, score_micro, CAST(rn AS BIGINT) AS rn
-FROM (
+),
+bm_ranked AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score_micro DESC, doc_id
   ) AS rn
   FROM scored
-) ranked
+)"""
+
+BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, n_terms, score_micro, CAST(rn AS BIGINT) AS rn
+FROM bm_ranked
 WHERE rn <= {_BM25_K}
 """
 
@@ -176,6 +179,35 @@ def bm25_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk(docs: DataFrame, k: int) -> DataFrame:
+    """Top-k BM25 results per probe query: (query_id, doc_id, n_terms,
+    score_micro, rn). Superset prune first (keeps boundary ties), then
+    the exact rank window runs on O(queries x k) rows only."""
+    cand = bm25_candidates(docs)
+    scored = (
+        cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("term_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    pruned = bounded_group_topk(
+        scored.withColumn("neg_score", -F.col("score_micro")),
+        "query_id",
+        "neg_score",
+        k,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
+    )
+
+
 @query(
     "bm25_retrieval_topk",
     oracle=BM25_ORACLE,
@@ -186,28 +218,160 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 BM25-ranked corpus documents for each of the 8 probe
     queries, self-matches excluded. Output is all-BIGINT (exact)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = bm25_candidates(docs)
-    scored = (
-        cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("term_micro").cast("bigint").alias("score_micro"),
+    return bm25_topk(docs, _BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion — the standard
+# hard-negative-mining stack (Cormack, Clarke & Buettcher 2009, SIGIR):
+# compose the two shipped retrieval directions, lexical BM25 (above) and
+# dense cosine ANN (`operators/similarity.brute_force_topk`), by fusing
+# their per-query rank lists with RRF(d) = sum_arms 1/(k + rank_arm(d)),
+# k = 60. A document strong in only one arm is demoted below one that is
+# decent in both — the property the planted-fixture test asserts.
+#
+# Determinism: RRF here is pure integer rank arithmetic — each arm's
+# contribution is `SCALE div (k + rn)` (non-negative truncating division,
+# identical in Spark `div` and DuckDB `//`), summed as BIGINT; absent-arm
+# contribution is 0 and the arm rank is emitted as 0 (both engines). Final
+# order (rrf_micro DESC, doc_id) has no float anywhere.
+#
+# Scale (100 TB): each arm already bounds its output to O(queries x pool)
+# rows (BM25 via `bounded_group_topk`, dense via the matrix scorer's
+# per-partition prune); fusion is a full-outer equi-join + window over
+# that bounded relation only — the corpus is never touched again.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60               # the standard RRF constant
+_RRF_POOL = 20            # per-arm candidate pool fed into fusion
+_RRF_TOPK = 10            # fused results per query
+_RRF_SCALE = 1_000_000_000  # integer contribution = SCALE div (K + rank)
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    topk: int,
+    rrf_k: int = _RRF_K,
+    scale: int = _RRF_SCALE,
+) -> DataFrame:
+    """Fuse two ranked arms (query_id, doc_id, rn) by reciprocal-rank
+    fusion. Emits (query_id, doc_id, bm25_rank, dense_rank, rrf_micro,
+    rn) with absent-arm ranks as 0. Integer-exact; input arms must
+    already be bounded to their per-query pools."""
+    s = sparse.select(
+        "query_id", "doc_id", F.col("rn").alias("bm25_rank")
+    )
+    d = dense.select(
+        "query_id", "doc_id", F.col("rn").alias("dense_rank")
+    )
+    fused = (
+        s.join(d, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "bm25_rank",
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "dense_rank",
+            F.coalesce(F.col("dense_rank"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "rrf_micro",
+            F.expr(
+                f"CASE WHEN bm25_rank = 0 THEN 0"
+                f" ELSE {scale} div ({rrf_k} + bm25_rank) END"
+                f" + CASE WHEN dense_rank = 0 THEN 0"
+                f" ELSE {scale} div ({rrf_k} + dense_rank) END"
+            ).cast("bigint"),
         )
     )
-    # Superset prune (keeps boundary ties), then the exact rank runs on
-    # O(queries x k) rows only.
-    pruned = bounded_group_topk(
-        scored.withColumn("neg_score", -F.col("score_micro")),
-        "query_id",
-        "neg_score",
-        _BM25_K,
-    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), "doc_id"
+        F.col("rrf_micro").desc(), "doc_id"
     )
     return (
-        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= _BM25_K)
-        .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
+        fused.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "dense_rank",
+            "rrf_micro", "rn",
+        )
     )
+
+
+def _hybrid_oracle() -> str:
+    from arroyo_spark.queries.similarity import _cos
+
+    return f"""
+WITH {_BM25_CTES},
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_vec
+  FROM embeddings e JOIN qdocs ON e.vec_id = qdocs.query_id
+),
+dn_scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         round({_cos('q.q_vec', 'c.embedding')}, 6) AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+),
+dn_ranked AS (
+  SELECT q_id AS query_id, n_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, n_id) AS rn
+  FROM dn_scored
+),
+arm_s AS (SELECT query_id, doc_id, rn FROM bm_ranked
+          WHERE rn <= {_RRF_POOL}),
+arm_d AS (SELECT query_id, doc_id, rn FROM dn_ranked
+          WHERE rn <= {_RRF_POOL}),
+fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(s.rn, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(d.rn, 0) AS BIGINT) AS dense_rank,
+         CAST((CASE WHEN s.rn IS NULL THEN 0
+               ELSE {_RRF_SCALE} // ({_RRF_K} + s.rn) END)
+            + (CASE WHEN d.rn IS NULL THEN 0
+               ELSE {_RRF_SCALE} // ({_RRF_K} + d.rn) END)
+           AS BIGINT) AS rrf_micro
+  FROM arm_s s FULL OUTER JOIN arm_d d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, bm25_rank, dense_rank, rrf_micro,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS rn
+  FROM fused
+) r
+WHERE rn <= {_RRF_TOPK}
+"""
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=_hybrid_oracle(),
+    tags=("text", "retrieval", "rrf", "hybrid", "pipeline"),
+    bench=True,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-10 per probe query: BM25 top-20 + dense-cosine top-20
+    (same 8 lowest-doc_id probes; doc_id and vec_id share the id
+    domain), reciprocal-rank-fused with k=60. All-BIGINT output."""
+    from arroyo_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, _RRF_POOL)
+    qdocs = (
+        docs.select(F.col("doc_id").alias("query_id"))
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    probes = emb.join(
+        F.broadcast(qdocs), emb["vec_id"] == F.col("query_id")
+    ).select("vec_id", "embedding")
+    dense = brute_force_topk(emb, probes, k=_RRF_POOL).select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        "rn",
+    )
+    return rrf_fuse(sparse, dense, _RRF_TOPK)

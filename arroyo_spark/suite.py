@@ -370,6 +370,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     # r12 edits (populated as code is touched this round):
     "tokenizer_wordpiece_encode",  # ADVICE r11: _WPE_MAXLEN loud assert +
                                    # OOV ln==0 guard in the greedy matcher
+    "bm25_retrieval_topk",  # refactor: ranked-topk extracted into
+                            # bm25_topk(docs, k) (pure; shared with hybrid)
+    "hybrid_retrieval_rrf",  # NEW r12
 }
 
 

@@ -1421,3 +1421,35 @@ def test_bounded_group_topk_superset_equivalence(spark, seed):
         # rows ABOVE the boundary from other partitions are allowed —
         # that is what makes it a per-partition superset prune)
         assert set(got[got.v <= kth].id) == set(want.id), g
+
+
+def test_rrf_fusion_beats_single_arms(spark):
+    """Planted fixture: the relevant doc sits at rank 2 in BOTH arms
+    while each arm's rank-1 is arm-specific noise. RRF must promote the
+    both-arms doc to fused rank 1 (recall@1 = 1 where either arm alone
+    scores 0), and absent-arm ranks must surface as 0."""
+    from arroyo_spark.queries.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 100, 2), (1, 11, 3)],
+        "query_id bigint, doc_id bigint, rn bigint",
+    )
+    dense = spark.createDataFrame(
+        [(1, 20, 1), (1, 100, 2), (1, 21, 3)],
+        "query_id bigint, doc_id bigint, rn bigint",
+    )
+    fused = rrf_fuse(sparse, dense, topk=5).toPandas()
+    fused = fused.sort_values("rn").reset_index(drop=True)
+    # neither arm's own top-1 is the relevant doc...
+    assert 100 not in (10, 20)
+    # ...but fusion ranks it first: 2/(60+2) beats 1/(60+1) + 0
+    assert fused.loc[0, "doc_id"] == 100
+    assert fused.loc[0, "bm25_rank"] == 2 and fused.loc[0, "dense_rank"] == 2
+    # single-arm docs carry rank 0 for the missing arm
+    one_armed = fused[fused.doc_id == 10].iloc[0]
+    assert one_armed.bm25_rank == 1 and one_armed.dense_rank == 0
+    # integer contributions: 1e9 div 62 twice vs 1e9 div 61 once
+    assert fused.loc[0, "rrf_micro"] == 2 * (10**9 // 62)
+    assert one_armed.rrf_micro == 10**9 // 61
+    # every fused row is ranked contiguously from 1
+    assert list(fused.rn) == list(range(1, len(fused) + 1))

@@ -1291,3 +1291,17 @@ def test_contrastive_sampling_single_hard_pass(spark, sf_dir):
     assert len(reads) <= 5, plan[:3000]
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_bounded_fusion_no_text_rescan(spark, sf_dir):
+    """Hybrid RRF fusion: both arms are bounded to O(queries x pool)
+    before the fusion join — the returned plan must show no scan still
+    reading document text (the BM25 term table is checkpointed), no
+    cartesian work anywhere, the broadcast inverted-index join on the
+    sparse arm, and the dense arm's matrix scorer (MapInPandas)."""
+    plan = plan_of(spark, sf_dir, "hybrid_retrieval_rrf")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert not any("text" in r for r in reads), plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
