@@ -221,39 +221,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_duplicate_clusters",
-    oracle="""
-    WITH RECURSIVE toks AS (
+_CLUSTER_CTES = """cl_toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS tk
       FROM documents
-    ), sh AS (
+    ), cl_sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(tk) - 2, 0) + 1),
                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
-      FROM toks
-    ), sized AS (
-      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
-    ), inter AS (
+      FROM cl_toks
+    ), cl_sized AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM cl_sh
+    ), cl_inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
-      FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM cl_sized a JOIN cl_sized b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-    ), pairs AS (
-      SELECT doc_a, doc_b FROM inter
+    ), cl_pairs AS (
+      SELECT doc_a, doc_b FROM cl_inter
       WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.25
-    ), edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), cl_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cl_pairs
+      UNION ALL SELECT doc_b, doc_a FROM cl_pairs
     ), reach(a, b) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      SELECT r.a, e.b FROM reach r JOIN cl_edges e ON r.b = e.a
     ), comp AS (
       SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-    )
+    )"""
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            (doc_id = cluster_id) AS is_canonical
@@ -1509,3 +1512,129 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection — production dedup keeps the BEST
+# member of each duplicate cluster, not the lowest id: canonical =
+# argmax(classifier score, tie -> lowest doc_id) per connected component,
+# composing `dedup_duplicate_clusters`' components with the trained
+# logistic quality score (`queries/train.py` `_lr_fit`, the
+# `classifier_logreg_train` model). Every document is emitted (singleton
+# clusters are their own canonical) with its integer logit and its
+# cluster's elected canonical as data.
+#
+# Determinism: z_pico is the bit-exact integer logit both engines already
+# agree on (classifier_logreg_train); the election is (z_pico DESC,
+# doc_id) — no floats anywhere in the vote.
+#
+# Scale (100 TB): scoring is a pure projection over the checkpointed
+# text-free feature frame (weights are literals — no join); components
+# come from the established bounded-iteration operator
+# (operators/graph.py); the election window runs over (doc, score, cluster)
+# triples only — the corpus text is never rescanned after the two
+# established passes (features + shingles).
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle() -> str:
+    from arroyo_spark.queries.train import _FEATS, _LR_T, _lr_std_cols_duck, _lr_train_ctes
+
+    last = f"w{_LR_T}"
+    zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
+    return f"""
+    WITH RECURSIVE {_lr_train_ctes()},
+    all_std AS MATERIALIZED (
+      SELECT f.doc_id,
+             {_lr_std_cols_duck()}
+      FROM lab f, mu, sd),
+    sc AS MATERIALIZED (
+      SELECT s.doc_id, CAST({zdot} AS BIGINT) AS z_pico
+      FROM all_std s, {last} w),
+    {_CLUSTER_CTES},
+    clu AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM comp),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.z_pico DESC, c.doc_id) AS rk
+        FROM clu c JOIN sc s USING (doc_id)) t
+      WHERE rk = 1)
+    SELECT c.doc_id, c.cluster_id, c.cluster_size, s.z_pico,
+           canon.canonical_id,
+           (c.doc_id = canon.canonical_id) AS is_canonical
+    FROM clu c
+    JOIN sc s USING (doc_id)
+    JOIN canon USING (cluster_id)
+    """
+
+
+def canonical_select(clu: DataFrame, scores: DataFrame) -> DataFrame:
+    """Elect one canonical per cluster: highest score wins, ties go to
+    the lowest doc_id. ``clu`` is (doc_id, cluster_id, cluster_size),
+    ``scores`` is (doc_id, z_pico). Emits every member with the elected
+    canonical_id and an is_canonical flag."""
+    joined = clu.join(scores, "doc_id")
+    elect = Window.partitionBy("cluster_id").orderBy(
+        F.col("z_pico").desc(), "doc_id"
+    )
+    return (
+        joined.withColumn(
+            "canonical_id",
+            F.first("doc_id").over(
+                elect.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.col("canonical_id")
+        )
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "z_pico",
+            "canonical_id", "is_canonical",
+        )
+    )
+
+
+@query(
+    "dedup_canonical_selection",
+    oracle=_canonical_oracle(),
+    tags=("dedup", "graph", "clusters", "classifier", "training"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components with the TRAINED quality
+    classifier electing each cluster's canonical (argmax z_pico,
+    tie -> lowest doc_id) — the production replacement for min-id
+    canonical marking."""
+    from arroyo_spark.operators.graph import connected_components
+    from arroyo_spark.queries.train import _FEATS, _lr_fit, _lr_std_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab, means, mads, w, _n = _lr_fit(spark, sf_dir)
+    std_exprs = ["x1 AS x1"] + [
+        _lr_std_sql(b, str(means[b]), str(mads[b]), "spark") + f" AS {b}"
+        for b in _FEATS[1:]
+    ]
+    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
+    scores = lab.selectExpr("doc_id", *std_exprs).select(
+        "doc_id", F.expr(f"CAST({zdot} AS BIGINT)").alias("z_pico")
+    )
+    edges = jaccard_pairs(docs, n=3, threshold=0.25).select("doc_a", "doc_b")
+    cc = connected_components(
+        edges,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    wc = Window.partitionBy("cluster_id")
+    clu = cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(wc).cast("bigint")
+    )
+    return canonical_select(clu, scores)

@@ -373,6 +373,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_retrieval_topk",  # refactor: ranked-topk extracted into
                             # bm25_topk(docs, k) (pure; shared with hybrid)
     "hybrid_retrieval_rrf",  # NEW r12
+    "dedup_duplicate_clusters",  # oracle refactor: CTE chain extracted
+                                 # into _CLUSTER_CTES (text identical up
+                                 # to cl_-prefixed CTE names)
+    "dedup_canonical_selection",  # NEW r12
 }
 
 

@@ -1453,3 +1453,27 @@ def test_rrf_fusion_beats_single_arms(spark):
     assert one_armed.rrf_micro == 10**9 // 61
     # every fused row is ranked contiguously from 1
     assert list(fused.rn) == list(range(1, len(fused) + 1))
+
+
+def test_canonical_select_quality_beats_min_id(spark):
+    """Planted: cluster 3 holds doc 3 (earlier id, LOW quality) and doc
+    7 (later id, HIGH quality). The quality-aware election must crown
+    doc 7 — exactly where the min-id rule would have kept doc 3 — and
+    break exact score ties by lowest id (cluster 10)."""
+    from arroyo_spark.queries.dedup import canonical_select
+
+    clu = spark.createDataFrame(
+        [(3, 3, 2), (7, 3, 2), (10, 10, 2), (11, 10, 2), (20, 20, 1)],
+        "doc_id bigint, cluster_id bigint, cluster_size bigint",
+    )
+    scores = spark.createDataFrame(
+        [(3, -500), (7, 900), (10, 400), (11, 400), (20, 100)],
+        "doc_id bigint, z_pico bigint",
+    )
+    out = canonical_select(clu, scores).toPandas().set_index("doc_id")
+    assert out.loc[7, "is_canonical"] and not out.loc[3, "is_canonical"]
+    assert out.loc[3, "canonical_id"] == 7  # min-id rule would say 3
+    # tie on z_pico: lowest id wins
+    assert out.loc[10, "is_canonical"] and not out.loc[11, "is_canonical"]
+    # singleton is its own canonical
+    assert out.loc[20, "is_canonical"] and out.loc[20, "canonical_id"] == 20
