@@ -618,3 +618,163 @@ def exact_substring_pairs(
     return rl.groupBy("doc_a", "doc_b").agg(
         F.max("run_tokens").cast("bigint").alias("max_run_tokens")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """All maximal duplicated token spans of >= ``k`` tokens — the
+    suffix-array duplicate-span extraction of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as the distributable equivalent: a span of >= k tokens
+    appears more than once in the corpus iff every one of its k-token
+    windows does, so maximal runs of duplicated k-windows ARE the
+    maximal duplicated spans (what adjacent suffixes with LCP >= k give
+    the single-machine suffix array).
+
+    1. every doc emits positioned k-token window hashes (bounded md5
+       keys — document text itself never enters a shuffle);
+    2. ONE window-keyed aggregation marks duplicated windows and elects
+       each window key's leader occurrence (min (doc_id, pos) — the
+       sentinel-separated concatenation order, so suffixes never cross
+       doc bounds); unlike the pair form (`exact_substring_pairs`)
+       there is NO self-join anywhere: a boilerplate window shared by a
+       million docs is one large aggregation group (map-side partial
+       merge), never a 10^12-row fan-out, so no frequency cap is needed
+       and recall is total;
+    3. per doc, duplicated window positions merge into maximal islands
+       (pos - row_number is constant within a run): a run of m
+       duplicated windows is a duplicated span of m + k - 1 tokens.
+
+    Returns (doc_id, span_start, span_len, cluster_doc, cluster_pos):
+    1-based token offsets; (cluster_doc, cluster_pos) identifies the
+    globally-first occurrence of the span's FIRST duplicated window —
+    the deterministic cluster key spans of the same text share.
+    """
+    from pyspark.sql import Window
+
+    wins = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(positioned_shingle_hashes("text", k)).alias("pos", "g"),
+    ).withColumn("pos", F.col("pos") + 1)
+    full = Window.partitionBy("g").orderBy("doc_id", "pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ann = wins.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("cnt"),
+        F.first("doc_id").over(full).alias("leader_doc"),
+        F.first("pos").over(full).alias("leader_pos"),
+    )
+    dup = ann.filter(F.col("cnt") > 1)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span_len"),
+        F.min_by("leader_doc", "pos").cast("bigint").alias("cluster_doc"),
+        F.min_by("leader_pos", "pos").cast("bigint").alias("cluster_pos"),
+    ).drop("grp").select(
+        "doc_id", "span_start", "span_len", "cluster_doc", "cluster_pos"
+    )
+
+
+def substring_span_rebuild(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Span-removal corpus rebuild (the second half of Lee et al. 2022):
+    keep exactly ONE occurrence per duplicate-span cluster (the
+    lexicographically-first (doc_id, span_start)) and delete the tokens
+    of every other occurrence, preserving surviving token order — the
+    `dedup_line_level` order-preserving pattern at span granularity.
+
+    Coverage is a linear sweep, not an interval join: each removed span
+    emits (+1 at span_start, -1 at span_end+1) events; a per-doc running
+    sum over token positions marks covered tokens (overlapping removed
+    spans just stack), so the rebuild is one window pass per doc.
+
+    Returns (doc_id, n_toks, n_kept, text_after).
+    """
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(docs, id_col=id_col, k=k)
+    wc = Window.partitionBy("cluster_doc", "cluster_pos").orderBy(
+        "doc_id", "span_start"
+    )
+    removed = (
+        spans.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") > 1)
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("span_start") + F.col("span_len")).alias("span_end1"),
+        )
+    )
+    # one pass emits BOTH sweep events per span (a unionAll of two
+    # selects would duplicate the whole span-extraction subtree — two
+    # full corpus window passes instead of one)
+    events = (
+        removed.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("span_start").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("span_end1").alias("pos"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .select("doc_id", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("delta").alias("delta"))
+    )
+
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks_arr).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos") + 1)
+    sweep = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cov = (
+        toks.join(events, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cov", F.sum(F.coalesce(F.col("delta"), F.lit(0))).over(sweep)
+        )
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum(F.when(F.col("cov") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("cov") == 0,
+                                F.struct("pos", "word"),
+                            )
+                        )
+                    ),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_after"),
+    )

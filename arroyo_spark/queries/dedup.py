@@ -1638,3 +1638,140 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size", F.count(F.lit(1)).over(wc).cast("bigint")
     )
     return canonical_select(clu, scores)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") — the PUBLISHED method
+# behind this pipeline's headline claim, as two queries:
+#
+# - `dedup_substring_spans`: every maximal duplicated span >= k tokens
+#   with 1-based token offsets and a deterministic cluster key (the
+#   globally-first occurrence of the span's first duplicated window) —
+#   what the paper's suffix array emits as adjacent-suffix LCP >= k
+#   groups. The distributable equivalence: a span of >= k tokens repeats
+#   iff all its k-token windows do, so maximal runs of duplicated
+#   windows ARE the maximal duplicated spans. NO self-join anywhere
+#   (unlike the pair-form `dedup_exact_substring`): one window-keyed
+#   aggregation + per-doc islands, so no frequency cap and total recall.
+# - `dedup_substring_rebuild`: the span-removal corpus rebuild — keep
+#   one occurrence per cluster, delete the rest, preserve token order.
+#
+# Scale (100 TB): the only corpus-sized shuffle carries (doc_id, pos,
+# 32-byte md5 window key) triples — document text NEVER enters a shuffle
+# ("sort keys only"); boilerplate mega-windows are single aggregation
+# groups with map-side partial merge, not join fan-outs; the rebuild
+# sweep is one per-doc window pass over coverage events.
+# ---------------------------------------------------------------------------
+
+_SP_K = 10  # span threshold in tokens (Lee et al. use 50 at web scale)
+
+_SP_CTES = f"""sp_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS tk
+  FROM documents
+),
+sp_wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(tk, i, i + {_SP_K - 1}), ' ')) AS g
+  FROM sp_toks
+  CROSS JOIN unnest(range(1, greatest(len(tk) - {_SP_K - 1}, 0) + 1))
+    AS pi(i)
+),
+sp_ann AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY g ORDER BY doc_id, pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS leader_doc,
+         FIRST_VALUE(pos) OVER (PARTITION BY g ORDER BY doc_id, pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS leader_pos
+  FROM sp_wins
+),
+sp_isl AS (
+  SELECT *,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM sp_ann WHERE cnt > 1
+),
+sp_spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + {_SP_K} AS BIGINT) AS span_len,
+         CAST(arg_min(leader_doc, pos) AS BIGINT) AS cluster_doc,
+         CAST(arg_min(leader_pos, pos) AS BIGINT) AS cluster_pos
+  FROM sp_isl GROUP BY doc_id, grp
+)"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SP_CTES}
+    SELECT doc_id, span_start, span_len, cluster_doc, cluster_pos
+    FROM sp_spans
+    """,
+    tags=("dedup", "substring", "spans", "pipeline"),
+    bench=True,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All maximal duplicated spans >= 10 tokens with positions and
+    cluster keys — the Lee et al. 2022 suffix-array output, by the
+    self-join-free windowed-run equivalence (operators/dedup.py
+    `duplicate_spans`)."""
+    from arroyo_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=_SP_K)
+
+
+@query(
+    "dedup_substring_rebuild",
+    oracle=f"""
+    WITH {_SP_CTES},
+    sp_removed AS (
+      SELECT doc_id, span_start, span_start + span_len AS span_end1
+      FROM (SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_doc, cluster_pos
+                                      ORDER BY doc_id, span_start) AS rk
+            FROM sp_spans) t
+      WHERE rk > 1
+    ),
+    sp_events AS (
+      SELECT doc_id, pos, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT doc_id, span_start AS pos, 1 AS delta FROM sp_removed
+        UNION ALL
+        SELECT doc_id, span_end1 AS pos, -1 AS delta FROM sp_removed
+      ) e GROUP BY doc_id, pos
+    ),
+    sp_tokpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS word
+      FROM sp_toks CROSS JOIN unnest(range(1, len(tk) + 1)) AS pi(i)
+    ),
+    sp_cov AS (
+      SELECT t.doc_id, t.pos, t.word,
+             SUM(COALESCE(e.delta, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+      FROM sp_tokpos t
+      LEFT JOIN sp_events e ON t.doc_id = e.doc_id AND t.pos = e.pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(CASE WHEN cov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN cov = 0 THEN word END, ' '
+                               ORDER BY pos), '') AS text_after
+    FROM sp_cov GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "rebuild", "pipeline"),
+)
+def dedup_substring_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving span-removal rebuild: one occurrence kept per
+    duplicate-span cluster, every other occurrence's tokens deleted —
+    Lee et al. 2022's deduplicated-corpus output."""
+    from arroyo_spark.operators.dedup import substring_span_rebuild
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_span_rebuild(docs, k=_SP_K)

@@ -377,6 +377,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                                  # into _CLUSTER_CTES (text identical up
                                  # to cl_-prefixed CTE names)
     "dedup_canonical_selection",  # NEW r12
+    "dedup_substring_spans",  # NEW r12
+    "dedup_substring_rebuild",  # NEW r12
 }
 
 

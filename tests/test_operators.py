@@ -1477,3 +1477,99 @@ def test_canonical_select_quality_beats_min_id(spark):
     assert out.loc[10, "is_canonical"] and not out.loc[11, "is_canonical"]
     # singleton is its own canonical
     assert out.loc[20, "is_canonical"] and out.loc[20, "canonical_id"] == 20
+
+
+def _brute_duplicated_spans(texts: dict[int, str], k: int):
+    """Independent Python model: maximal runs of k-token windows whose
+    text occurs more than once in the corpus."""
+    toks = {d: [w for w in t.lower().split() if w] for d, t in texts.items()}
+    wins = {}
+    for d, tk in sorted(toks.items()):
+        for i in range(len(tk) - k + 1):
+            wins.setdefault(" ".join(tk[i:i + k]), []).append((d, i + 1))
+    dup = {}
+    for key, occ in wins.items():
+        if len(occ) > 1:
+            leader = min(occ)
+            for d, p in occ:
+                dup.setdefault(d, {})[p] = leader
+    spans = []
+    for d, posmap in dup.items():
+        run = []
+        for p in sorted(posmap):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    spans.append((d, run[0], run[-1] - run[0] + k,
+                                  *posmap[run[0]]))
+                run = [p]
+        if run:
+            spans.append((d, run[0], run[-1] - run[0] + k, *posmap[run[0]]))
+    return sorted(spans)
+
+
+def test_duplicate_spans_planted(spark):
+    """Planted: a 12-token run shared by docs 1 and 3 (one maximal span
+    each, merged from 3 overlapping duplicated windows), a self-repeat
+    inside doc 5, and no span in the unique doc 7 — checked against an
+    independent brute-force Python model."""
+    from arroyo_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    texts = {
+        1: f"intro one two {shared} outro four five",
+        3: f"{shared} trailing words here",
+        5: "x1 x2 x3 x4 x5 y1 y2 y3 y4 y5 "      # 10-token run twice
+           "x1 x2 x3 x4 x5 y1 y2 y3 y4 y5",
+        7: "entirely unique tokens q1 q2 q3 q4 q5 q6 q7 q8 q9",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in duplicate_spans(docs, k=10).collect()
+    )
+    want = _brute_duplicated_spans(texts, 10)
+    assert got == want, (got, want)
+    # the planted shared run: doc 1 span starts at token 4, len 12,
+    # clustered on doc 1's own first window (lowest (doc, pos))
+    assert (1, 4, 12, 1, 4) in got and (3, 1, 12, 1, 4) in got
+    # self-repetition: doc 5's 10-token block at pos 1 repeats at pos 11,
+    # but the bridge windows (2..10) straddle the block boundary and do
+    # NOT repeat — so the islands stay separate: two disjoint 10-token
+    # spans sharing one cluster, not a merged 20-token span
+    d5 = [s for s in got if s[0] == 5]
+    assert d5 == [(5, 1, 10, 5, 1), (5, 11, 10, 5, 1)]
+    # no spans for the unique doc
+    assert not [s for s in got if s[0] == 7]
+
+
+def test_substring_rebuild_keeps_one_occurrence(spark):
+    """Rebuild: the cluster's first occurrence keeps its tokens, every
+    other occurrence is deleted; untouched docs come back verbatim."""
+    from arroyo_spark.operators.dedup import substring_span_rebuild
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: f"keep one {shared} tail one",
+        2: f"{shared} other trailing content",
+        9: "totally unique nine tokens a b c d e f",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in substring_span_rebuild(docs, k=10).collect()
+    }
+    # doc 1 holds the leader occurrence (lowest (doc_id, span_start)
+    # among the cluster) -> intact
+    assert out[1]["text_after"] == texts[1].lower()
+    assert out[1]["n_kept"] == out[1]["n_toks"]
+    # doc 2's copy is removed: the 10 shared tokens disappear
+    assert out[2]["text_after"] == "other trailing content"
+    assert out[2]["n_toks"] - out[2]["n_kept"] == 10
+    # unique doc untouched
+    assert out[9]["text_after"] == texts[9].lower()

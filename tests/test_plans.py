@@ -1305,3 +1305,29 @@ def test_hybrid_rrf_bounded_fusion_no_text_rescan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "MapInPandas" in plan
+
+
+def test_substring_spans_no_text_shuffle_no_selfjoin(spark, sf_dir):
+    """Suffix-array span extraction: ONE documents scan, no self-join
+    (the pair form's equi-join fan-out is absent — the window-key pass
+    is a pure aggregation), and document text never enters an Exchange
+    (only (doc_id, pos, md5 key) triples shuffle — 'sort keys only')."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert len(_fact_scans(plan, "documents")) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every join in the plan would be a self-join on windows; there is none
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # text is pruned away before any exchange: the single scan reads it,
+    # projections after carry only id/pos/hash
+    ex_sections = plan.split("Exchange")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" in r for r in reads)  # the one scan DOES read text
+
+
+def test_substring_rebuild_two_text_scans(spark, sf_dir):
+    """The rebuild reads documents exactly twice: once for the window
+    keys (span extraction), once for the token stream it rebuilds."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_rebuild")
+    assert len(_fact_scans(plan, "documents")) == 2, plan[:3000]
+    assert "CartesianProduct" not in plan
