@@ -74,7 +74,18 @@ def bpe_train_segment(
     it is materialized (localCheckpoint truncates lineage) before the
     loop, and each merge application re-checkpoints the |vocab|-row
     relation so no iteration replays prior folds."""
-    vocab = bpe_vocab(docs, text_col).localCheckpoint()
+    return bpe_train_loop(bpe_vocab(docs, text_col), n_merges)
+
+
+def bpe_train_loop(
+    vocab0: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """The merge loop proper, over ANY (word, freq, syms) vocabulary
+    relation — shared by character-level BPE (`bpe_vocab`) and
+    byte-level BPE (`byte_bpe_vocab`, hex-pair symbols); the argmax
+    (count DESC, a, b) and the greedy fold are symbol-alphabet
+    agnostic."""
+    vocab = vocab0.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         two = F.size("syms") >= 2
@@ -224,3 +235,43 @@ def wordpiece_train_segment(
             "syms", F.split(F.ltrim(merged), " ")
         ).localCheckpoint()
     return vocab, merges
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 / tiktoken style; Radford et al. 2019) — the
+# fourth tokenizer family: pre-tokenize with the GPT-2 regex (leading
+# spaces attach to words; whitespace runs are KEPT as pretokens so the
+# encoding is a bijection on the raw text), then merge over UTF-8 BYTE
+# symbols. Symbols are uppercase hex pairs ("61" = b"a"); a merge
+# concatenates hex, so any symbol's raw bytes are recoverable by
+# construction and encoding NEVER drops an out-of-alphabet character —
+# the byte-fallback guarantee (an OOV pretoken at apply time falls back
+# to its bare byte sequence, `byte_syms`).
+# ---------------------------------------------------------------------------
+
+
+def byte_syms(col: "F.Column") -> "F.Column":
+    """A string's UTF-8 bytes as an array of uppercase hex pairs — the
+    initial byte-level symbol sequence AND the apply-time fallback for
+    out-of-vocabulary pretokens."""
+    h = F.hex(F.encode(col, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        lambda i: F.substr(h, i * 2 - 1, F.lit(2)),
+    )
+
+
+def byte_bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) over GPT-2-regex pretokens (case preserved,
+    whitespace runs included) with initial symbols = UTF-8 hex pairs."""
+    from arroyo_spark.operators.text import BPE_TOKEN_PATTERN
+
+    pretoks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+    )
+    return (
+        docs.select(F.explode(pretoks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("syms", byte_syms(F.col("word")))
+    )

@@ -3686,3 +3686,152 @@ def corpus_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE with byte fallback (Radford et al. 2019, GPT-2; the
+# tiktoken lineage) — the FOURTH tokenizer family, completing
+# train/encode parity across char-BPE, WordPiece, unigram-LM and
+# byte-BPE. Pre-tokenization is the GPT-2 regex (T.BPE_TOKEN_PATTERN,
+# case preserved, leading spaces attached, whitespace runs KEPT as
+# pretokens), symbols are UTF-8 bytes as uppercase hex pairs; merges
+# concatenate hex, so every symbol's raw bytes are recoverable and the
+# encoding is a BIJECTION on the raw text — the byte-fallback guarantee
+# that no out-of-alphabet character is ever dropped. `lossless` is
+# emitted as hash-checked DATA: per-doc, the hex-concat of every
+# pretoken's symbols equals the pretoken's own UTF-8 hex AND the summed
+# pretoken bytes equal the document's byte length (nothing fell out of
+# pre-tokenization either).
+#
+# Scale: same discipline as char-BPE (one corpus scan into the
+# checkpointed pretoken vocabulary; per merge one |vocab|-row pair
+# aggregation + a 1-row argmax collect); encoding is a vocab-lookup
+# equi-join with the bare-bytes fallback as a map-side coalesce.
+# ---------------------------------------------------------------------------
+
+_BB_MERGES = 16
+_BB_PAT_SQL = T.BPE_TOKEN_PATTERN.replace("'", "''")
+_BB_PRETOKS = f"regexp_extract_all(text, '{_BB_PAT_SQL}')"
+
+_BB_V0 = f"""v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(range(1, length(hex(encode(word)))//2 + 1),
+                            i -> substr(hex(encode(word)), 2*i - 1, 2))
+               AS syms
+      FROM (SELECT unnest({_BB_PRETOKS}) AS word FROM documents) t
+      GROUP BY word)"""
+
+
+@query(
+    "tokenizer_bytebpe_train",
+    oracle=f"""
+    WITH {_BB_V0},
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BB_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a, b, cnt FROM m{i}"
+        for i in range(1, _BB_MERGES + 1)
+    )}
+    """,
+    tags=("text", "tokenizer", "bpe", "bytes", "iterative"),
+)
+def tokenizer_bytebpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned byte-level merge list after 16 iterations:
+    (rank, a, b, cnt) with a/b as uppercase hex byte(-run) symbols —
+    the merges.txt artifact of the GPT-2 tokenizer family."""
+    from arroyo_spark.operators.bpe import bpe_train_loop, byte_bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    _vocab, merges = bpe_train_loop(byte_bpe_vocab(docs), _BB_MERGES)
+    rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank bigint, a string, b string, cnt bigint"
+    )
+
+
+@query(
+    "tokenizer_bytebpe_encode",
+    oracle=f"""
+    WITH {_BB_V0},
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BB_MERGES + 1))},
+    seg AS (SELECT word, syms FROM v{_BB_MERGES}),
+    stream AS (
+      SELECT doc_id, unnest({_BB_PRETOKS}) AS word FROM documents),
+    dl AS (
+      SELECT doc_id,
+             CAST(length(hex(encode(text)))//2 AS BIGINT) AS doc_bytes
+      FROM documents),
+    enc AS (
+      SELECT s.doc_id, s.word, g.syms
+      FROM stream s JOIN seg g USING (word)),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_pretoks,
+             CAST(sum(length(array_to_string(syms, '')) // 2) AS BIGINT)
+               AS n_bytes,
+             CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+             round(sum(length(array_to_string(syms, '')) // 2)
+                   / CAST(sum(len(syms)) AS DOUBLE), 6) AS bytes_per_symbol,
+             bool_and(array_to_string(syms, '') = hex(encode(word)))
+               AS hex_ok
+      FROM enc GROUP BY doc_id)
+    SELECT a.doc_id, a.n_pretoks, a.n_bytes, a.n_symbols,
+           a.bytes_per_symbol,
+           (a.hex_ok AND a.n_bytes = d.doc_bytes) AS lossless
+    FROM agg a JOIN dl d USING (doc_id)
+    """,
+    tags=("text", "tokenizer", "bpe", "bytes"),
+    bench=True,
+)
+def tokenizer_bytebpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE corpus encoding under the 16 trained merges, with
+    the zero-loss round-trip CHECKED AS DATA: `lossless` asserts the
+    hex-concat of each pretoken's symbols reproduces its UTF-8 bytes
+    and the per-doc byte total matches the document byte length. The
+    live plan carries the byte fallback (OOV pretokens -> bare byte
+    sequence via coalesce), exercised by the held-out unit test."""
+    from arroyo_spark.operators.bpe import (
+        bpe_train_loop,
+        byte_bpe_vocab,
+        byte_syms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _merges = bpe_train_loop(byte_bpe_vocab(docs), _BB_MERGES)
+    seg = vocab.select("word", "syms")
+    stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                "text", F.lit(T.BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("word"),
+    )
+    enc = stream.join(seg, "word", "left").withColumn(
+        "syms", F.coalesce(F.col("syms"), byte_syms(F.col("word")))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(length(hex(encode(text, 'UTF-8'))) div 2 AS BIGINT)"
+        ).alias("doc_bytes"),
+    )
+    agg = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pretoks"),
+        F.expr(
+            "CAST(sum(length(array_join(syms, '')) div 2) AS BIGINT)"
+        ).alias("n_bytes"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_symbols"),
+        F.expr(
+            "round(sum(length(array_join(syms, '')) div 2)"
+            " / CAST(sum(size(syms)) AS DOUBLE), 6)"
+        ).alias("bytes_per_symbol"),
+        F.expr(
+            "bool_and(array_join(syms, '') = hex(encode(word, 'UTF-8')))"
+        ).alias("hex_ok"),
+    )
+    return agg.join(dl, "doc_id").select(
+        "doc_id", "n_pretoks", "n_bytes", "n_symbols", "bytes_per_symbol",
+        (F.col("hex_ok") & (F.col("n_bytes") == F.col("doc_bytes"))).alias(
+            "lossless"
+        ),
+    )

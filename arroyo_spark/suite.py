@@ -379,6 +379,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_canonical_selection",  # NEW r12
     "dedup_substring_spans",  # NEW r12
     "dedup_substring_rebuild",  # NEW r12
+    "tokenizer_bytebpe_train",  # NEW r12
+    "tokenizer_bytebpe_encode",  # NEW r12
 }
 
 

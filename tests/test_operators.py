@@ -1573,3 +1573,50 @@ def test_substring_rebuild_keeps_one_occurrence(spark):
     assert out[2]["n_toks"] - out[2]["n_kept"] == 10
     # unique doc untouched
     assert out[9]["text_after"] == texts[9].lower()
+
+
+def test_byte_bpe_fallback_zero_loss_multiscript(spark):
+    """Byte fallback: train byte-BPE on an ASCII-only corpus, then
+    encode held-out multi-script text (Cyrillic, Han, Greek, emoji,
+    accents — the text_script_detection fixture scripts). Every OOV
+    pretoken must fall back to bare byte symbols and the hex-concat
+    round-trip must reproduce the ORIGINAL text byte-for-byte — nothing
+    is ever dropped."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.bpe import (
+        bpe_train_loop,
+        byte_bpe_vocab,
+        byte_syms,
+    )
+    from arroyo_spark.operators.text import BPE_TOKEN_PATTERN
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox the quick"), (2, "the lazy dog dog")],
+        "doc_id bigint, text string",
+    )
+    vocab, merges = bpe_train_loop(byte_bpe_vocab(train), 8)
+    assert merges  # learned something on ASCII
+    held = "привет мир 世界数据流 ροή — café ☃ naïve"
+    stream = spark.createDataFrame(
+        [(9, held)], "doc_id bigint, text string"
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                "text", F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("pos", "word"),
+    )
+    enc = stream.join(vocab.select("word", "syms"), "word", "left").select(
+        "pos",
+        "word",
+        F.coalesce(F.col("syms"), byte_syms(F.col("word"))).alias("syms"),
+        F.col("syms").isNull().alias("was_oov"),
+    )
+    rows = sorted(enc.collect(), key=lambda r: r["pos"])
+    # at least one pretoken truly exercised the fallback path
+    assert any(r["was_oov"] for r in rows)
+    # byte-exact reconstruction of the whole held-out text
+    hex_concat = "".join("".join(r["syms"]) for r in rows)
+    assert bytes.fromhex(hex_concat).decode("utf-8") == held
