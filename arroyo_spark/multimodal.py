@@ -63,8 +63,14 @@ class Decoder:
         """Decode + downscale to a w x h grayscale grid (row-major ints
         0..255) — the input of every perceptual hash (aHash/dHash/pHash).
         A real deployment implements this as
-        ``PIL.Image.open(io.BytesIO(blob)).convert("L").resize((w, h))``."""
-        raise NotImplementedError("image codec not available in this container")
+        ``PIL.Image.open(io.BytesIO(blob)).convert("L").resize((w, h))``;
+        for PNG blobs a REAL stdlib-only implementation ships here:
+        `arroyo_spark.pngcodec.PngDecoder` (zlib inflate + spec filter
+        inversion + integer luma/area-average)."""
+        raise NotImplementedError(
+            "general image codec not available in this container; for PNG "
+            "blobs use arroyo_spark.pngcodec.PngDecoder"
+        )
 
     def band_energies(self, blob: bytes, n: int) -> list[int]:
         """Decode + reduce to ``n`` coarse band/frame energies (ints
