@@ -1775,3 +1775,274 @@ def dedup_substring_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_span_rebuild(docs, k=_SP_K)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup — `dedup_incremental` as an ON-INGEST
+# pipeline (same oracle SQL): the crawl increment arrives as micro-
+# batches and each document is verdict-ed against the RESTING corpus's
+# broadcast artifacts, live in the stream:
+#
+# - exact_old: the static old-fingerprint table (fp -> min old id) is a
+#   broadcast stream-static join — the emitted row carries its match.
+# - near_old: per-row MinHash signature (stateless, `with_minhash_
+#   signature`) -> band keys -> broadcast join against the old band
+#   table -> exact-Jaccard verify against the matched old doc's
+#   broadcast shingle set (array_intersect on distinct shingle arrays,
+#   bit-identical to the batch explode+groupBy count).
+# - exact_new: the genuinely STATEFUL leg — first-arrival election per
+#   fingerprint (groupBy fp -> min doc_id, update mode): bounded state
+#   (one row per distinct increment fingerprint, RocksDB at scale), the
+#   `streaming_dedup_exact` dropDuplicates analog but emitting WHICH doc
+#   won so later arrivals can point at it. Restore-safe: final state is
+#   the monotone min-merge over the drained emission log.
+#
+# Batch-side finalization composes the two drained outputs into the
+# exact batch verdict frame (precedence exact_old > exact_new >
+# near_old > unique). Cost scales with the INCREMENT: old-side tables
+# are precomputed compact artifacts; no old-old work anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _inc_old_artifacts(old: DataFrame):
+    """Compact checkpointed resting-corpus artifacts: (old_fp, old
+    band table, old shingle sets) — the broadcast side of every
+    stream-static join."""
+    from arroyo_spark.operators.dedup import lsh_band_keys, shingles
+
+    old_fp = (
+        old.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("bigint").alias("old_exact_id"))
+        .localCheckpoint()
+    )
+    old_sigs = minhash_signatures(old, num_hashes=8)
+    ob = (
+        lsh_band_keys(old_sigs, num_hashes=8, bands=4)
+        .select(F.col("doc_id").alias("old_id"), "band_key")
+        .localCheckpoint()
+    )
+    old_shl = old.select(
+        F.col("doc_id").alias("old_id"),
+        shingles("text", 3).alias("old_sh"),
+    ).select(
+        "old_id", "old_sh", F.size("old_sh").alias("n_old")
+    ).localCheckpoint()
+    return old_fp, ob, old_shl
+
+
+def _inc_fp_state(new_stream: DataFrame) -> DataFrame:
+    """The stateful leg: first-arrival election per increment
+    fingerprint (bounded state: one row per distinct fp)."""
+    return (
+        new_stream.select(
+            "doc_id", F.md5(normalize_text("text")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("first_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        )
+    )
+
+
+def _inc_enrich(
+    new_stream: DataFrame,
+    old_fp: DataFrame,
+    ob: DataFrame,
+    old_shl: DataFrame,
+) -> DataFrame:
+    """The stateless leg: live per-row verdict enrichment against the
+    broadcast resting-corpus artifacts."""
+    from arroyo_spark.operators.dedup import (
+        shingles,
+        with_minhash_signature,
+    )
+
+    sigs = with_minhash_signature(new_stream.select("doc_id", "text"))
+    enr = sigs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("fp"),
+        shingles("text", 3).alias("sh"),
+        *[F.col(f"h{i}") for i in range(8)],
+    ).withColumn("n_sh", F.size("sh"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(f"b{b}"),
+                    F.col(f"h{b * 2}"),
+                    F.col(f"h{b * 2 + 1}"),
+                )
+            )
+            for b in range(4)
+        ]
+    )
+    banded = enr.select(
+        "doc_id",
+        "fp",
+        "sh",
+        "n_sh",
+        F.explode(
+            F.when(F.col("h0").isNotNull(), band_arr).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("band_key"),
+    )
+    return (
+        banded.join(F.broadcast(old_fp), "fp", "left")
+        .join(F.broadcast(ob), "band_key", "left")
+        .join(F.broadcast(old_shl), "old_id", "left")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect(F.col("sh"), F.col("old_sh"))),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            "old_exact_id",
+            "old_id",
+            F.when(
+                F.col("old_id").isNotNull(),
+                F.round(
+                    F.col("inter")
+                    / (F.col("n_sh") + F.col("n_old") - F.col("inter")),
+                    6,
+                ),
+            ).alias("cand_j"),
+        )
+    )
+
+
+def _inc_finalize(emit: DataFrame, state: DataFrame) -> DataFrame:
+    """Compose the drained outputs into the batch verdict frame
+    (precedence exact_old > exact_new > near_old > unique); state
+    merges by monotone min across the emission log."""
+    new_first = state.groupBy("fp").agg(
+        F.min("first_id").alias("first_id")
+    )
+    per_doc = emit.select("doc_id", "fp", "old_exact_id").distinct()
+    near = (
+        emit.filter(F.col("cand_j") >= _INC_TAU)
+        .select("doc_id", "old_id", "cand_j")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("cand_j").desc(), "old_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("old_id").alias("near_id"),
+            F.col("cand_j").alias("near_j"),
+        )
+    )
+    out = per_doc.join(F.broadcast(new_first), "fp", "left").join(
+        near, "doc_id", "left"
+    )
+    exact_old = F.col("old_exact_id").isNotNull()
+    exact_new = F.col("first_id") < F.col("doc_id")
+    near_old = F.col("near_id").isNotNull()
+    return out.select(
+        "doc_id",
+        F.when(exact_old, F.lit("exact_old"))
+        .when(exact_new, F.lit("exact_new"))
+        .when(near_old, F.lit("near_old"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+        F.when(exact_old, F.col("old_exact_id"))
+        .when(exact_new, F.col("first_id"))
+        .when(near_old, F.col("near_id"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("match_id"),
+        F.when(exact_old | exact_new, F.lit(1.0))
+        .when(near_old, F.col("near_j"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+@query(
+    "streaming_dedup_incremental",
+    oracle=_inc_oracle(),
+    tags=("dedup", "incremental", "minhash", "streaming"),
+)
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental crawl verdict computed on ingest: stateless
+    enrichment against broadcast resting-corpus artifacts + one bounded
+    stateful first-arrival election per fingerprint."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_fp, ob, old_shl = _inc_old_artifacts(
+        docs.filter(F.col("doc_id") % 5 != 4)
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="sinc_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+
+    def new_stream():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .filter(F.col("doc_id") % 5 == 4)
+        )
+
+    run_id = _uuid.uuid4().hex[:8]
+    cks = []
+
+    def drain(writer, name):
+        ck = tempfile.mkdtemp(prefix=f"sinc_ck_{name}_")
+        cks.append(ck)
+        q = (
+            writer.queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{name}: stream did not drain in 600s")
+
+    try:
+        state_name = f"sinc_state_{run_id}"
+        drain(
+            _inc_fp_state(new_stream())
+            .writeStream.format("memory")
+            .outputMode("update"),
+            state_name,
+        )
+        emit_name = f"sinc_emit_{run_id}"
+        drain(
+            _inc_enrich(new_stream(), old_fp, ob, old_shl)
+            .writeStream.format("memory")
+            .outputMode("append"),
+            emit_name,
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        for ck in cks:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    # batch finalization from the drained outputs (MemoryPlan self-join
+    # trap: snapshot both — suite.py convention)
+    return _inc_finalize(
+        spark.table(emit_name).localCheckpoint(),
+        spark.table(state_name).localCheckpoint(),
+    )

@@ -381,6 +381,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_substring_rebuild",  # NEW r12
     "tokenizer_bytebpe_train",  # NEW r12
     "tokenizer_bytebpe_encode",  # NEW r12
+    "streaming_dedup_incremental",  # NEW r12
+    "dedup_incremental",  # refactor: verdict CASE now shared shape with
+                          # the streaming finalizer (no logic change)
 }
 
 

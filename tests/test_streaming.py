@@ -1818,3 +1818,118 @@ def test_streaming_centroid_monitor_stop_restore_matches_batch(
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_dedup_incremental_stop_restore_matches_batch(
+    spark, tmp_path
+):
+    """Incremental crawl dedup ON INGEST with a stop/restore leg and
+    PLANTED verdicts the real corpus lacks: an exact old duplicate, an
+    exact within-increment pair SPLIT ACROSS THE RESTART (doc 19
+    arrives in leg 1, its copy 24 in leg 2 — only restored fp-election
+    state can say exact_new/19), a near-dup of an old doc, and a unique
+    doc. The composed streaming verdicts must equal the batch
+    `dedup_incremental` on the same corpus."""
+    import os
+
+    from arroyo_spark.queries.dedup import (
+        _inc_enrich,
+        _inc_finalize,
+        _inc_fp_state,
+        _inc_old_artifacts,
+        dedup_incremental,
+    )
+
+    t_old = "the quick brown fox jumps over the lazy dog tonight"
+    t_near = "the quick brown fox jumps over the lazy cat tonight"
+    t_new = "completely fresh crawl content about distributed engines"
+    docs = [
+        # old corpus (doc_id % 5 != 4)
+        (1, t_old),
+        (2, "old corpus filler text about something else entirely"),
+        (3, "more old filler with its own distinct vocabulary here"),
+        # increment (doc_id % 5 == 4)
+        (14, t_old),                 # exact_old -> 1
+        (19, t_new),                 # first arrival -> unique
+        (24, t_new),                 # exact_new -> 19 (across restart)
+        (29, t_near),                # near_old -> 1
+        (34, "singular novel increment document nothing matches this"),
+    ]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    df.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    # two arrival files: leg 1 without doc 24, leg 2 with it
+    leg1 = tmp_path / "leg1.parquet"
+    leg2 = tmp_path / "leg2.parquet"
+    df.filter(F.col("doc_id") != 24).coalesce(1).write.parquet(str(leg1))
+    df.filter(F.col("doc_id") == 24).coalesce(1).write.parquet(str(leg2))
+
+    old_fp, ob, old_shl = _inc_old_artifacts(
+        df.filter(F.col("doc_id") % 5 != 4)
+    )
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    cks = {"state": str(tmp_path / "ck_state"),
+           "emit": str(tmp_path / "ck_emit")}
+    outs = {"state": str(tmp_path / "out_state"),
+            "emit": str(tmp_path / "out_emit")}
+    schema = df.schema
+
+    def run_both_legs():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(staged))
+            .filter(F.col("doc_id") % 5 == 4)
+        )
+        for kind, sdf, mode in (
+            ("state", _inc_fp_state(stream), "update"),
+            ("emit", _inc_enrich(stream, old_fp, ob, old_shl), "append"),
+        ):
+            out = outs[kind]
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda bdf, bid, out=out: bdf.write.mode(
+                        "append"
+                    ).parquet(out)
+                )
+                .outputMode(mode)
+                .option("checkpointLocation", cks[kind])
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+
+    def link_files(leg_dir):
+        for f in sorted(leg_dir.glob("*.parquet")):
+            os.symlink(f, staged / f"{leg_dir.stem}_{f.name}")
+
+    link_files(leg1)
+    run_both_legs()
+    # leg 1 emitted state WITHOUT doc 24's fingerprint resolution
+    assert spark.read.parquet(outs["state"]).count() > 0
+    link_files(leg2)
+    run_both_legs()  # restores from the same checkpoints
+
+    got = (
+        _inc_finalize(
+            spark.read.parquet(outs["emit"]),
+            spark.read.parquet(outs["state"]),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = (
+        dedup_incremental(spark, str(corpus))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.equals(want), (got, want)
+    # the planted verdicts actually fired
+    assert got.loc[14, "verdict"] == "exact_old" and got.loc[14, "match_id"] == 1
+    assert got.loc[24, "verdict"] == "exact_new" and got.loc[24, "match_id"] == 19
+    assert got.loc[29, "verdict"] == "near_old" and got.loc[29, "match_id"] == 1
+    assert got.loc[34, "verdict"] == "unique"
