@@ -3835,3 +3835,103 @@ def tokenizer_bytebpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lossless"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget-constrained mixing (Chung et al. 2023, "UniMax: Fairer
+# and More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining") — the THIRD mixing arm beside temperature weights
+# (`corpus_mixture_weights`) and DoReMi (`mixture_reweight_doremi`):
+# distribute a total token budget UNIFORMLY across sources subject to a
+# per-source epoch cap, waterfilling the capped sources' unused share
+# into the rest. The sequential ascending-cap sweep is the exact
+# integer form: process sources by (cap, source) ascending; each gets
+# min(cap, remaining div sources_left).
+#
+# Determinism: token counts, caps, shares and allocations are all
+# BIGINT; the only divisions are non-negative `div`s; the sweep order
+# (cap, source) is a total order. The oracle replays the sweep as a
+# 1-row-per-step recursive CTE (plain join recursion — no correlated
+# scalar subquery, per the r11 DuckDB recursion note).
+#
+# Scale: ONE corpus tokenize -> per-source token counts; the sweep is a
+# |sources|-row driver loop (the bounded-collect pattern — mixture
+# tables are hundreds of rows at 100 TB, like the k-means centroid
+# matrix); allocations re-parallelize only to emit the checked artifact.
+# ---------------------------------------------------------------------------
+
+_UX_E_MILLI = 550   # per-source cap: 0.55 epochs (binds ~haflf the tail)
+_UX_B_DIV = 2       # budget = total corpus tokens div 2
+
+
+@query(
+    "mixture_budget_unimax",
+    oracle=f"""
+    WITH RECURSIVE caps AS MATERIALIZED (
+      SELECT source,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_toks,
+             CAST(SUM(len({_TOKS})) * {_UX_E_MILLI} // 1000 AS BIGINT)
+               AS cap_toks
+      FROM documents GROUP BY source),
+    ranked AS MATERIALIZED (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap_toks, source)
+                     AS BIGINT) AS fill_rank
+      FROM caps),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_toks) // {_UX_B_DIV} AS BIGINT) AS budget
+      FROM caps),
+    sweep(fill_rank, source, n_toks, cap_toks, alloc_toks, remaining) AS (
+      SELECT r.fill_rank, r.source, r.n_toks, r.cap_toks,
+             least(r.cap_toks, c.budget // c.n),
+             c.budget - least(r.cap_toks, c.budget // c.n)
+      FROM ranked r, consts c WHERE r.fill_rank = 1
+      UNION ALL
+      SELECT r.fill_rank, r.source, r.n_toks, r.cap_toks,
+             least(r.cap_toks, s.remaining // (c.n - r.fill_rank + 1)),
+             s.remaining
+               - least(r.cap_toks, s.remaining // (c.n - r.fill_rank + 1))
+      FROM sweep s
+      JOIN ranked r ON r.fill_rank = s.fill_rank + 1
+      CROSS JOIN consts c)
+    SELECT source, n_toks, cap_toks, alloc_toks, fill_rank,
+           CAST(alloc_toks * 1000 // n_toks AS BIGINT) AS epochs_milli,
+           (alloc_toks = cap_toks) AS is_capped
+    FROM sweep
+    """,
+    tags=("curation", "mixture", "sampling", "pipeline"),
+)
+def mixture_budget_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source UniMax allocation of a total-tokens/2 budget under a
+    0.55-epoch cap: capped sources keep their cap, the freed budget
+    waterfills the rest uniformly (ascending-cap sweep). Emits the
+    allocation, realized epochs (milli) and the cap flag as data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(T.toks("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_toks"))
+    )
+    rows = sorted(
+        (
+            (int(r["n_toks"]) * _UX_E_MILLI // 1000, r["source"],
+             int(r["n_toks"]))
+            for r in per_src.collect()  # bounded: |sources| rows
+        )
+    )
+    n = len(rows)
+    budget = sum(nt for _c, _s, nt in rows) // _UX_B_DIV
+    out = []
+    remaining = budget
+    for i, (cap, src, nt) in enumerate(rows):
+        share = remaining // (n - i)
+        give = min(cap, share)
+        remaining -= give
+        out.append(
+            (src, nt, cap, give, i + 1, give * 1000 // nt, give == cap)
+        )
+    return spark.createDataFrame(
+        out,
+        "source string, n_toks bigint, cap_toks bigint, alloc_toks bigint,"
+        " fill_rank bigint, epochs_milli bigint, is_capped boolean",
+    )

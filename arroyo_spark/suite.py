@@ -384,6 +384,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_dedup_incremental",  # NEW r12
     "dedup_incremental",  # refactor: verdict CASE now shared shape with
                           # the streaming finalizer (no logic change)
+    "mixture_budget_unimax",  # NEW r12
 }
 
 

@@ -1620,3 +1620,60 @@ def test_byte_bpe_fallback_zero_loss_multiscript(spark):
     # byte-exact reconstruction of the whole held-out text
     hex_concat = "".join("".join(r["syms"]) for r in rows)
     assert bytes.fromhex(hex_concat).decode("utf-8") == held
+
+
+def test_unimax_waterfill_invariants(spark, tmp_path):
+    """UniMax sweep on a PLANTED skewed corpus: tiny sources hit the
+    0.55-epoch cap, their unused share waterfills into the big ones,
+    and the whole budget is spent (no leftover while any source is
+    below cap). Checked against an independent Python waterfill."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.queries.text_pipeline import (
+        _UX_B_DIV,
+        _UX_E_MILLI,
+        mixture_budget_unimax,
+    )
+
+    docs = []
+    did = 0
+    sizes = {"tiny": 3, "small": 8, "big": 60, "huge": 120}
+    for src, words in sizes.items():
+        for _ in range(4):
+            docs.append((did, " ".join(f"w{i}" for i in range(words)), src))
+            did += 1
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string"
+    ).coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    out = (
+        mixture_budget_unimax(spark, str(corpus))
+        .toPandas()
+        .set_index("source")
+    )
+    toks = {s: 4 * w for s, w in sizes.items()}
+    budget = sum(toks.values()) // _UX_B_DIV
+    caps = {s: n * _UX_E_MILLI // 1000 for s, n in toks.items()}
+    # independent waterfill
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    remaining, want = budget, {}
+    for i, s in enumerate(order):
+        give = min(caps[s], remaining // (len(order) - i))
+        want[s] = give
+        remaining -= give
+    assert dict(out.alloc_toks) == want
+    # invariants: never above cap; tiny/small capped, huge not; budget
+    # fully spent (huge is uncapped so it absorbs the remainder share)
+    assert (out.alloc_toks <= out.cap_toks).all()
+    assert bool(out.loc["tiny", "is_capped"]) and bool(
+        out.loc["small", "is_capped"]
+    )
+    assert not bool(out.loc["huge", "is_capped"])
+    assert out.alloc_toks.sum() == budget - remaining
+    # capped sources never exceed the epoch ceiling (the realized
+    # epochs_milli can sit well BELOW it on tiny sources: cap_toks
+    # truncates first — 12 tokens cap at 6 = 500 milli, not 550)
+    capped = out[out.is_capped]
+    assert (capped.epochs_milli <= _UX_E_MILLI).all()
