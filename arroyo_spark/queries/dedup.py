@@ -2046,3 +2046,137 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(emit_name).localCheckpoint(),
         spark.table(state_name).localCheckpoint(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source span-redundancy report — the crawl-health rollup of
+# `dedup_substring_spans`: for each source, the fraction of its tokens
+# covered by ANY duplicated span >= k tokens (kept occurrences INCLUDED
+# — this measures redundancy, not removal). The number a pipeline uses
+# to decide which crawls to re-dedup or down-weight before training.
+#
+# Scale: the span table is the bounded suffix-array output; coverage is
+# the same linear +1/-1 event sweep as the rebuild (one window pass per
+# doc); the report is an 8-column aggregate per source.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_span_stats_by_source",
+    oracle=f"""
+    WITH {_SP_CTES},
+    sp_events AS (
+      SELECT doc_id, pos, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT doc_id, span_start AS pos, 1 AS delta FROM sp_spans
+        UNION ALL
+        SELECT doc_id, span_start + span_len AS pos, -1 AS delta
+        FROM sp_spans
+      ) e GROUP BY doc_id, pos
+    ),
+    sp_tokpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos
+      FROM sp_toks CROSS JOIN unnest(range(1, len(tk) + 1)) AS pi(i)
+    ),
+    sp_cov AS (
+      SELECT t.doc_id, t.pos,
+             SUM(COALESCE(e.delta, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+      FROM sp_tokpos t
+      LEFT JOIN sp_events e ON t.doc_id = e.doc_id AND t.pos = e.pos
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_toks
+      FROM sp_cov GROUP BY doc_id
+    ),
+    span_counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM sp_spans GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_toks) AS BIGINT) AS n_toks,
+           CAST(SUM(p.dup_toks) AS BIGINT) AS dup_toks,
+           CAST(SUM(COALESCE(sc.n_spans, 0)) AS BIGINT) AS n_spans,
+           round(CAST(SUM(p.dup_toks) AS DOUBLE) / SUM(p.n_toks), 6)
+             AS dup_frac
+    FROM per_doc p
+    JOIN documents d USING (doc_id)
+    LEFT JOIN span_counts sc USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("dedup", "substring", "spans", "report", "pipeline"),
+)
+def dedup_span_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-token fraction under the suffix-array span
+    extraction (coverage by ANY >= 10-token duplicated span)."""
+    from arroyo_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=_SP_K).localCheckpoint()
+    events = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("span_start").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        (F.col("span_start") + F.col("span_len")).alias(
+                            "pos"
+                        ),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .select("doc_id", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos", "word")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"))
+    sweep = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_doc = (
+        toks.join(events, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cov", F.sum(F.coalesce(F.col("delta"), F.lit(0))).over(sweep)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum(F.when(F.col("cov") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_toks"),
+        )
+    )
+    span_counts = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(span_counts), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.sum("dup_toks").cast("bigint").alias("dup_toks"),
+            F.sum(F.coalesce(F.col("n_spans"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.round(
+                F.sum("dup_toks") / F.sum("n_toks").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -1800,3 +1800,94 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "greedy_seg",
         (F.col("train_seg") != F.col("greedy_seg")).alias("diverged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration report — the standard post-training diagnostic
+# (reliability diagram; Guo et al. 2017 framing): bucket the trained
+# model's HELD-OUT fast-sigmoid probabilities into deciles and compare
+# each bucket's mean predicted probability with its empirical positive
+# rate. A well-calibrated quality filter thresholds where p means what
+# it says; the gap column is the data a pipeline alarms on.
+#
+# Determinism: p_milli is the shared-text rational sigmoid
+# (`_lr_p_sql` — bit-identical both engines); buckets, counts, sums and
+# both rates are BIGINT with non-negative divisions only.
+#
+# Scale: scoring is the same pure projection as curation_v4; the report
+# is a 10-row aggregate over the held-out slice.
+# ---------------------------------------------------------------------------
+
+
+def _calib_oracle() -> str:
+    last = f"w{_LR_T}"
+    zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
+    p = _lr_p_sql(f"({zdot})")
+    return f"""
+    WITH {_lr_train_ctes()},
+    scored AS (
+      SELECT s.doc_id, s.y_milli, {p} AS p_milli
+      FROM test_std s, {last} w),
+    bucketed AS (
+      SELECT CAST(least(p_milli // 100, 9) AS BIGINT) AS bucket,
+             y_milli, p_milli
+      FROM scored)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(p_milli) // COUNT(*) AS BIGINT) AS mean_p_milli,
+           CAST(SUM(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS pos_rate_milli,
+           CAST(SUM(p_milli) // COUNT(*)
+                - SUM(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000
+                  // COUNT(*) AS BIGINT) AS gap_milli
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query(
+    "classifier_calibration_report",
+    oracle=_calib_oracle(),
+    tags=("training", "classifier", "calibration", "curation"),
+)
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out reliability diagram for the trained quality classifier:
+    per probability decile, count, positives, mean predicted p (milli)
+    and empirical positive rate (milli) with their gap as data."""
+    lab, means, mads, w, _n = _lr_fit(spark, sf_dir)
+    std_exprs = ["x1 AS x1"] + [
+        _lr_std_sql(b, str(means[b]), str(mads[b]), "spark") + f" AS {b}"
+        for b in _FEATS[1:]
+    ]
+    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
+    scored = (
+        lab.filter(~F.col("is_train"))
+        .selectExpr("doc_id", "y_milli", *std_exprs)
+        .select(
+            "y_milli",
+            F.expr(_lr_p_sql(f"({zdot})")).alias("p_milli"),
+        )
+    )
+    bucketed = scored.withColumn(
+        "bucket",
+        F.expr("CAST(least(p_milli div 100, 9) AS BIGINT)"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y_milli") == 1000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.expr("CAST(sum(p_milli) div count(*) AS BIGINT)").alias(
+            "mean_p_milli"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("pos_rate_milli"),
+        F.expr(
+            "CAST(sum(p_milli) div count(*)"
+            " - sum(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000"
+            "   div count(*) AS BIGINT)"
+        ).alias("gap_milli"),
+    )

@@ -385,6 +385,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_incremental",  # refactor: verdict CASE now shared shape with
                           # the streaming finalizer (no logic change)
     "mixture_budget_unimax",  # NEW r12
+    "classifier_calibration_report",  # NEW r12
+    "dedup_span_stats_by_source",  # NEW r12
 }
 
 
