@@ -778,3 +778,62 @@ def substring_span_rebuild(
             F.lit(""),
         ).alias("text_after"),
     )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    eval_col: str = "is_eval",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Span-level eval decontamination (the GPT-3 appendix-C /
+    FLAN-style report): for every TRAINING document, the maximal token
+    spans whose every k-token window also appears in some EVAL/benchmark
+    document — the spans a decontamination pass removes or flags
+    (doc-level `contamination_5gram_overlap` counts hits; this says
+    WHERE, with benchmark provenance).
+
+    Same machinery as `duplicate_spans` with membership replacing
+    multiplicity: training windows equi-join the distinct eval window
+    keys (each carrying its first eval occurrence (bench_doc,
+    bench_pos) for provenance), then per-doc islands merge. No
+    self-join: the eval side aggregates to one row per key, and the
+    join is keyed on the bounded md5 — at 100 TB the eval side is
+    benchmark-sized (broadcastable); text never shuffles.
+
+    Returns (doc_id, span_start, span_len, bench_doc, bench_pos):
+    1-based token offsets; provenance is the span's FIRST window's
+    first eval occurrence.
+    """
+    from pyspark.sql import Window
+
+    wins = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(eval_col).alias("is_eval"),
+        F.posexplode(positioned_shingle_hashes("text", k)).alias("pos", "g"),
+    ).withColumn("pos", F.col("pos") + 1)
+    eval_keys = (
+        wins.filter(F.col("is_eval"))
+        .groupBy("g")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .select(
+            "g",
+            F.col("first.doc_id").alias("bench_doc"),
+            F.col("first.pos").alias("bench_pos"),
+        )
+    )
+    hits = wins.filter(~F.col("is_eval")).join(
+        F.broadcast(eval_keys), "g"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span_len"),
+        F.min_by("bench_doc", "pos").cast("bigint").alias("bench_doc"),
+        F.min_by("bench_pos", "pos").cast("bigint").alias("bench_pos"),
+    ).drop("grp").select(
+        "doc_id", "span_start", "span_len", "bench_doc", "bench_pos"
+    )

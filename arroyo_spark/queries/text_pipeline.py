@@ -3935,3 +3935,70 @@ def mixture_budget_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_toks bigint, cap_toks bigint, alloc_toks bigint,"
         " fill_rank bigint, epochs_milli bigint, is_capped boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level eval decontamination — WHERE the contamination is, not just
+# how much: for every training document, the maximal token spans whose
+# every 5-gram window also appears in the eval slice (doc_id % 97 = 0,
+# the `contamination_5gram_overlap` convention), with benchmark
+# provenance (the first eval occurrence of the span's first window).
+# This is the GPT-3 appendix-C / FLAN decontamination report shape: the
+# n-gram-collision rule needs span extents to decide redact-span vs
+# drop-document.
+#
+# Scale: the eval side aggregates to one row per distinct window key
+# (benchmark-sized — broadcast); the training side joins on the bounded
+# md5 key and islands-merge per doc. No self-join, text never shuffles
+# (`operators/dedup.contaminated_spans`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_span_report",
+    oracle="""
+    WITH cs_toks AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_eval,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    cs_wins AS (
+      SELECT doc_id, is_eval, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS g
+      FROM cs_toks
+      CROSS JOIN unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS pi(i)),
+    cs_eval AS (
+      SELECT g, bench_doc, bench_pos FROM (
+        SELECT g, doc_id AS bench_doc, pos AS bench_pos,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY doc_id, pos) AS rn
+        FROM cs_wins WHERE is_eval) t
+      WHERE rn = 1),
+    cs_hits AS (
+      SELECT w.doc_id, w.pos, e.bench_doc, e.bench_pos
+      FROM cs_wins w JOIN cs_eval e USING (g)
+      WHERE NOT w.is_eval),
+    cs_isl AS (
+      SELECT *,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM cs_hits)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len,
+           CAST(arg_min(bench_doc, pos) AS BIGINT) AS bench_doc,
+           CAST(arg_min(bench_pos, pos) AS BIGINT) AS bench_pos
+    FROM cs_isl GROUP BY doc_id, grp
+    """,
+    tags=("text", "contamination", "dedup", "spans", "pipeline"),
+)
+def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal contaminated spans (>= 5 tokens) per training document
+    with benchmark provenance — the span-level form of
+    `contamination_5gram_overlap`."""
+    from arroyo_spark.operators.dedup import contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_eval", F.col("doc_id") % 97 == 0
+    )
+    return contaminated_spans(docs, eval_col="is_eval", k=5)

@@ -387,6 +387,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mixture_budget_unimax",  # NEW r12
     "classifier_calibration_report",  # NEW r12
     "dedup_span_stats_by_source",  # NEW r12
+    "contamination_span_report",  # NEW r12
 }
 
 

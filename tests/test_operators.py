@@ -1677,3 +1677,31 @@ def test_unimax_waterfill_invariants(spark, tmp_path):
     # truncates first — 12 tokens cap at 6 = 500 milli, not 550)
     capped = out[out.is_capped]
     assert (capped.epochs_milli <= _UX_E_MILLI).all()
+
+
+def test_contaminated_spans_planted(spark):
+    """Planted decontamination: training doc 10 embeds a 7-token eval
+    passage mid-text (one maximal span, provenance pointing at the eval
+    doc's position), doc 20 shares only 4 consecutive tokens (below the
+    5-gram window — must NOT be flagged), and eval docs themselves are
+    never reported."""
+    from arroyo_spark.operators.dedup import contaminated_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (0, f"benchmark intro {passage} benchmark outro", True),
+        (10, f"train one two {passage} train tail", False),
+        (20, "x alpha beta gamma delta y z q r s t u v w", False),
+        (30, "entirely clean training document with fresh words", False),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, is_eval boolean"
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in contaminated_spans(docs, eval_col="is_eval", k=5).collect()
+    )
+    # doc 10: passage occupies tokens 4..10 -> windows 4,5,6 all hit ->
+    # one maximal span (start 4, len 7); provenance = eval doc 0 where
+    # the passage's first window sits at position 3
+    assert got == [(10, 4, 7, 0, 3)], got
