@@ -1664,45 +1664,7 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep is one per-doc window pass over coverage events.
 # ---------------------------------------------------------------------------
 
-_SP_K = 10  # span threshold in tokens (Lee et al. use 50 at web scale)
-
-_SP_CTES = f"""sp_toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
-                     w -> w <> '') AS tk
-  FROM documents
-),
-sp_wins AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         md5(array_to_string(list_slice(tk, i, i + {_SP_K - 1}), ' ')) AS g
-  FROM sp_toks
-  CROSS JOIN unnest(range(1, greatest(len(tk) - {_SP_K - 1}, 0) + 1))
-    AS pi(i)
-),
-sp_ann AS (
-  SELECT doc_id, pos,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         FIRST_VALUE(doc_id) OVER (PARTITION BY g ORDER BY doc_id, pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-           AS leader_doc,
-         FIRST_VALUE(pos) OVER (PARTITION BY g ORDER BY doc_id, pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-           AS leader_pos
-  FROM sp_wins
-),
-sp_isl AS (
-  SELECT *,
-         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM sp_ann WHERE cnt > 1
-),
-sp_spans AS (
-  SELECT doc_id,
-         CAST(MIN(pos) AS BIGINT) AS span_start,
-         CAST(MAX(pos) - MIN(pos) + {_SP_K} AS BIGINT) AS span_len,
-         CAST(arg_min(leader_doc, pos) AS BIGINT) AS cluster_doc,
-         CAST(arg_min(leader_pos, pos) AS BIGINT) AS cluster_pos
-  FROM sp_isl GROUP BY doc_id, grp
-)"""
+from arroyo_spark.queries.span_sql import _SP_CTES, _SP_K  # noqa: E402,F401
 
 
 @query(

@@ -1891,3 +1891,160 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
             "   div count(*) AS BIGINT)"
         ).alias("gap_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v5 — span-aware curation: the Gopher "fraction of
+# duplicated n-grams" rule computed EXACTLY by the suffix-array span
+# machinery (v4 removes banded near-dup docs wholesale; v5 gates on the
+# measured duplicated-token fraction from `dedup_substring_spans`'
+# coverage sweep — the FineWeb/Gopher repetition-gate family with exact
+# extents instead of heuristics), then lang-id, then the TRAINED
+# classifier keep. Survivors carry dup_milli and their logit as data.
+#
+# Scale: the span side is the self-join-free windowed-run pass + linear
+# sweep; lang-id and scoring are the established projections; the three
+# gates compose as keyed joins on doc_id.
+# ---------------------------------------------------------------------------
+
+_V5_DUP_MILLI = 500  # drop docs with >= 50% of tokens inside dup spans
+
+
+def _v5_oracle() -> str:
+    from arroyo_spark.queries.span_sql import _SP_CTES
+    from arroyo_spark.queries.text import _langid_oracle
+
+    last = f"w{_LR_T}"
+    zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
+    return f"""
+    WITH {_lr_train_ctes()},
+    all_std AS MATERIALIZED (
+      SELECT f.doc_id,
+             {_lr_std_cols_duck()}
+      FROM lab f, mu, sd),
+    sc AS MATERIALIZED (
+      SELECT s.doc_id, CAST({zdot} AS BIGINT) AS z_pico
+      FROM all_std s, {last} w),
+    {_SP_CTES},
+    sp_events AS (
+      SELECT doc_id, pos, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT doc_id, span_start AS pos, 1 AS delta FROM sp_spans
+        UNION ALL
+        SELECT doc_id, span_start + span_len AS pos, -1 AS delta
+        FROM sp_spans
+      ) e GROUP BY doc_id, pos),
+    sp_tokpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos
+      FROM sp_toks CROSS JOIN unnest(range(1, len(tk) + 1)) AS pi(i)),
+    sp_covv AS (
+      SELECT t.doc_id, t.pos,
+             SUM(COALESCE(e.delta, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+      FROM sp_tokpos t
+      LEFT JOIN sp_events e ON t.doc_id = e.doc_id AND t.pos = e.pos),
+    dupgate AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cov > 0 THEN 1 ELSE 0 END) * 1000
+                  // greatest(COUNT(*), 1) AS BIGINT) AS dup_milli
+      FROM sp_covv GROUP BY doc_id),
+    li AS (SELECT doc_id, pred_lang FROM ({_langid_oracle()}) t
+           WHERE pred_lang <> 'und')
+    SELECT li.doc_id, li.pred_lang, d.dup_milli, sc.z_pico
+    FROM li
+    JOIN sc USING (doc_id)
+    JOIN dupgate d USING (doc_id)
+    WHERE d.dup_milli < {_V5_DUP_MILLI} AND sc.z_pico > 0
+    """
+
+
+@query(
+    "curation_pipeline_v5",
+    oracle=_v5_oracle(),
+    tags=("curation", "pipeline", "spans", "langid", "classifier",
+          "training"),
+)
+def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-token-fraction gate (suffix-array span coverage
+    < 50%) -> lang-id -> trained-classifier keep; survivors emit their
+    dup_milli and integer logit as hash-checked data."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.dedup import duplicate_spans
+    from arroyo_spark.queries.dedup import _SP_K
+    from arroyo_spark.queries.text import text_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab, means, mads, w, _n = _lr_fit(spark, sf_dir)
+    std_exprs = ["x1 AS x1"] + [
+        _lr_std_sql(b, str(means[b]), str(mads[b]), "spark") + f" AS {b}"
+        for b in _FEATS[1:]
+    ]
+    zdot = " + ".join(f"{b} * {w[b]}" for b in _FEATS)
+    sc = (
+        lab.selectExpr("doc_id", *std_exprs)
+        .select(
+            "doc_id", F.expr(f"CAST({zdot} AS BIGINT)").alias("z_pico")
+        )
+        .filter(F.col("z_pico") > 0)
+    )
+    spans = duplicate_spans(docs, k=_SP_K)
+    events = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("span_start").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        (F.col("span_start") + F.col("span_len")).alias(
+                            "pos"
+                        ),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .select(
+            "doc_id",
+            F.col("ev.pos").alias("pos"),
+            F.col("ev.delta").alias("delta"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos", "word")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"))
+    sweep = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dupgate = (
+        tokpos.join(events, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cov", F.sum(F.coalesce(F.col("delta"), F.lit(0))).over(sweep)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END) * 1000"
+                " div greatest(count(*), 1) AS BIGINT)"
+            ).alias("dup_milli")
+        )
+        .filter(F.col("dup_milli") < _V5_DUP_MILLI)
+    )
+    li = (
+        text_lang_id(spark, sf_dir)
+        .filter(F.col("pred_lang") != "und")
+        .select("doc_id", "pred_lang")
+    )
+    return (
+        li.join(sc, "doc_id")
+        .join(dupgate, "doc_id")
+        .select("doc_id", "pred_lang", "dup_milli", "z_pico")
+    )

@@ -388,6 +388,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "classifier_calibration_report",  # NEW r12
     "dedup_span_stats_by_source",  # NEW r12
     "contamination_span_report",  # NEW r12
+    "curation_pipeline_v5",  # NEW r12
+    "dedup_substring_spans",   # moved _SP_CTES to span_sql.py (text
+    "dedup_substring_rebuild", # identical; import refactor only)
 }
 
 
