@@ -1331,3 +1331,23 @@ def test_substring_rebuild_two_text_scans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_substring_rebuild")
     assert len(_fact_scans(plan, "documents")) == 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_span_report_broadcast_eval_side(spark, sf_dir):
+    """Span-level decontamination: the eval window-key table (benchmark-
+    sized) is the BROADCAST side of the training join; no cartesian or
+    nested-loop work; only bounded md5 keys shuffle (the one scan reads
+    text, projections after carry id/pos/hash)."""
+    plan = plan_of(spark, sf_dir, "contamination_span_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_v5_no_cartesian_and_bounded_joins(spark, sf_dir):
+    """v5 composes three gates as keyed doc_id joins; the only
+    broadcast-nested-loop work allowed is the 1-row scalar frames the
+    classifier's standardization constants ride in on (the v4 pattern) —
+    no CartesianProduct anywhere."""
+    plan = plan_of(spark, sf_dir, "curation_pipeline_v5")
+    assert "CartesianProduct" not in plan
