@@ -1537,13 +1537,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _canonical_oracle() -> str:
+def _canonical_ctes() -> str:
+    """WITH-body shared by the canonical-selection query and the
+    canonical-gain rollup: training replay -> whole-corpus scores (sc)
+    -> components (comp) -> sized clusters (clu) -> elected canonicals
+    (canon)."""
     from arroyo_spark.queries.train import _FEATS, _LR_T, _lr_std_cols_duck, _lr_train_ctes
 
     last = f"w{_LR_T}"
     zdot = " + ".join(f"s.{b} * w.w_{b}" for b in _FEATS)
-    return f"""
-    WITH RECURSIVE {_lr_train_ctes()},
+    return f"""{_lr_train_ctes()},
     all_std AS MATERIALIZED (
       SELECT f.doc_id,
              {_lr_std_cols_duck()}
@@ -1563,7 +1566,12 @@ def _canonical_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY c.cluster_id
                                   ORDER BY s.z_pico DESC, c.doc_id) AS rk
         FROM clu c JOIN sc s USING (doc_id)) t
-      WHERE rk = 1)
+      WHERE rk = 1)"""
+
+
+def _canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_canonical_ctes()}
     SELECT c.doc_id, c.cluster_id, c.cluster_size, s.z_pico,
            canon.canonical_id,
            (c.doc_id = canon.canonical_id) AS is_canonical
@@ -2141,4 +2149,67 @@ def dedup_span_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("dup_toks") / F.sum("n_toks").cast("double"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-selection gain rollup — the number that justifies quality-
+# aware canonicalization: per multi-doc cluster, the integer-logit gain
+# of the classifier-elected canonical over the min-id rule's pick (the
+# connected-components label IS the min doc_id, so the min-id canonical
+# is the cluster_id itself). gain_pico >= 0 by construction; `switched`
+# marks clusters where the rules disagree.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_gain_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_canonical_ctes()}
+    SELECT c.cluster_id,
+           CAST(MAX(c.cluster_size) AS BIGINT) AS cluster_size,
+           CAST(MAX(canon.canonical_id) AS BIGINT) AS canonical_id,
+           CAST(MAX(CASE WHEN c.doc_id = canon.canonical_id
+                         THEN s.z_pico END) AS BIGINT) AS z_canonical,
+           CAST(MAX(CASE WHEN c.doc_id = c.cluster_id
+                         THEN s.z_pico END) AS BIGINT) AS z_min_id,
+           CAST(MAX(CASE WHEN c.doc_id = canon.canonical_id
+                         THEN s.z_pico END)
+                - MAX(CASE WHEN c.doc_id = c.cluster_id
+                           THEN s.z_pico END) AS BIGINT) AS gain_pico,
+           (MAX(canon.canonical_id) <> c.cluster_id) AS switched
+    FROM clu c
+    JOIN sc s USING (doc_id)
+    JOIN canon USING (cluster_id)
+    WHERE c.cluster_size > 1
+    GROUP BY c.cluster_id
+    """
+
+
+@query(
+    "dedup_canonical_gain",
+    oracle=_canonical_gain_oracle(),
+    tags=("dedup", "graph", "clusters", "classifier", "report"),
+)
+def dedup_canonical_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per multi-doc near-dup cluster: elected-canonical quality vs the
+    min-id pick, with the (non-negative) logit gain and switch flag."""
+    out = dedup_canonical_selection(spark, sf_dir).filter(
+        F.col("cluster_size") > 1
+    )
+    per_doc = out.select(
+        "cluster_id",
+        "cluster_size",
+        "canonical_id",
+        F.when(F.col("is_canonical"), F.col("z_pico")).alias("zc"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), F.col("z_pico")).alias(
+            "zm"
+        ),
+    )
+    return per_doc.groupBy("cluster_id").agg(
+        F.max("cluster_size").cast("bigint").alias("cluster_size"),
+        F.max("canonical_id").cast("bigint").alias("canonical_id"),
+        F.max("zc").cast("bigint").alias("z_canonical"),
+        F.max("zm").cast("bigint").alias("z_min_id"),
+        (F.max("zc") - F.max("zm")).cast("bigint").alias("gain_pico"),
+        (F.max("canonical_id") != F.col("cluster_id")).alias("switched"),
     )

@@ -391,6 +391,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "curation_pipeline_v5",  # NEW r12
     "dedup_substring_spans",   # moved _SP_CTES to span_sql.py (text
     "dedup_substring_rebuild", # identical; import refactor only)
+    "dedup_canonical_gain",  # NEW r12
+    "dedup_canonical_selection",  # oracle refactor: shared _canonical_ctes
 }
 
 
