@@ -1705,3 +1705,32 @@ def test_contaminated_spans_planted(spark):
     # one maximal span (start 4, len 7); provenance = eval doc 0 where
     # the passage's first window sits at position 3
     assert got == [(10, 4, 7, 0, 3)], got
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_duplicate_spans_randomized_vs_brute(spark, seed):
+    """Randomized contract: on corpora drawn from a 6-word vocabulary
+    (dense window collisions, self-repeats, cross-doc overlaps all
+    arise by chance), the distributed span extraction must equal the
+    independent brute-force model exactly — spans, extents, and
+    cluster leaders."""
+    import random
+
+    from arroyo_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for d in range(1, 13)
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in duplicate_spans(docs, k=4).collect()
+    )
+    want = _brute_duplicated_spans(texts, 4)
+    assert got == want, (seed, got[:5], want[:5])
+    assert got  # a 6-word vocab at these lengths always collides
