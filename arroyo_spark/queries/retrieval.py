@@ -134,35 +134,43 @@ WHERE rn <= {_BM25_K}
 """
 
 
-def bm25_candidates(docs: DataFrame) -> DataFrame:
-    """(query_id, doc_id, tf, dl, df, n_docs, tt) candidate rows: one
-    corpus tokenize -> term-frequency table; dl and df as partition
-    windows (the `tfidf_top_terms` shape); the bounded query-term table
-    broadcast onto the word-keyed join — inverted-index candidate
-    generation, docs sharing no query term never shuffle."""
-    tf = (
+def bm25_tf(docs: DataFrame) -> DataFrame:
+    """The checkpointed text-free (doc_id, word, tf) term table — the
+    ONE corpus tokenize every BM25 pass (and the PRF second pass)
+    reuses; cache lifetime bounded to the query (the knn_graph_topk /
+    ADVICE-r10 convention)."""
+    return (
         docs.select("doc_id", F.explode(T.toks("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        # four downstream branches (dl window, query terms, totals, the
-        # candidate join) would each re-tokenize the corpus; checkpoint
-        # the compact text-free term table so the scan runs ONCE and the
-        # cache lifetime is bounded to the query (the knn_graph_topk /
-        # ADVICE-r10 convention).
         .localCheckpoint()
     )
-    tf_dl = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
-    )
+
+
+def bm25_probe_terms(tf: DataFrame, docs: DataFrame) -> DataFrame:
+    """(query_id, word) for the 8 lowest-doc_id probe queries."""
     qdocs = (
         docs.select(F.col("doc_id").alias("query_id"))
         .orderBy("query_id")
         .limit(_BM25_NQ)
     )
-    qterms = (
+    return (
         tf.join(F.broadcast(qdocs), tf["doc_id"] == qdocs["query_id"])
         .select("query_id", "word")
         .distinct()
+    )
+
+
+def bm25_candidates_for(
+    tf: DataFrame, docs: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """(query_id, doc_id, tf, dl, df, n_docs, tt) candidate rows for an
+    ARBITRARY (query_id, word) term relation: dl and df as partition
+    windows (the `tfidf_top_terms` shape); the bounded query-term table
+    broadcast onto the word-keyed join — inverted-index candidate
+    generation, docs sharing no query term never shuffle."""
+    tf_dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
     )
     qwords = qterms.select("word").distinct()
     restricted = tf_dl.join(F.broadcast(qwords), "word")
@@ -179,11 +187,16 @@ def bm25_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_topk(docs: DataFrame, k: int) -> DataFrame:
-    """Top-k BM25 results per probe query: (query_id, doc_id, n_terms,
-    score_micro, rn). Superset prune first (keeps boundary ties), then
-    the exact rank window runs on O(queries x k) rows only."""
-    cand = bm25_candidates(docs)
+def bm25_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate rows for the standard probe queries (one tf build)."""
+    tf = bm25_tf(docs)
+    return bm25_candidates_for(tf, docs, bm25_probe_terms(tf, docs))
+
+
+def bm25_rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Score candidate rows and take the exact per-query top-k:
+    superset prune first (keeps boundary ties), then the rank window
+    runs on O(queries x k) rows only."""
     scored = (
         cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
         .groupBy("query_id", "doc_id")
@@ -206,6 +219,12 @@ def bm25_topk(docs: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
     )
+
+
+def bm25_topk(docs: DataFrame, k: int) -> DataFrame:
+    """Top-k BM25 results per probe query: (query_id, doc_id, n_terms,
+    score_micro, rn)."""
+    return bm25_rank_topk(bm25_candidates(docs), k)
 
 
 @query(
@@ -375,3 +394,134 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
     )
     return rrf_fuse(sparse, dense, _RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio 1971 / the RM3 family, integer
+# form): run BM25, treat each probe's top-5 results as relevant,
+# harvest the 5 strongest non-query terms from those feedback docs
+# (weight = feedback tf x the same integer micro-nat idf), expand the
+# query term set, and re-rank with the identical BM25 machinery. The
+# classic lexical-gap fix: a probe about "ships" retrieves docs that
+# also say "vessel", whose term joins the second pass. (True RM3
+# interpolates original-vs-expansion weights; this is the
+# set-expansion form — every weight stays BIGINT, so both engines
+# agree exactly.)
+#
+# Scale: the ONE checkpointed term table feeds both passes; feedback
+# term harvesting is a keyed join against the O(queries x fb_k)
+# feedback list; expansion candidates are bounded by the feedback
+# docs' vocabularies; the second pass is the same broadcast
+# inverted-index join with a slightly larger (still query-sized)
+# term set.
+# ---------------------------------------------------------------------------
+
+_PRF_FB_K = 5   # feedback docs per query (pass-1 top-k)
+_PRF_E = 5      # expansion terms per query
+_PRF_K = 5      # final results per query
+
+
+def _prf_oracle() -> str:
+    return f"""
+WITH {_BM25_CTES},
+fb AS (
+  SELECT query_id, doc_id FROM bm_ranked WHERE rn <= {_PRF_FB_K}),
+fb_tf AS (
+  SELECT f.query_id, t.word, CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+  FROM tf t JOIN fb f ON t.doc_id = f.doc_id
+  GROUP BY f.query_id, t.word),
+exp_df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  WHERE word IN (SELECT DISTINCT word FROM fb_tf) GROUP BY word),
+exp_w AS (
+  SELECT query_id, word, fb_tf * {_IDF_MICRO} AS w
+  FROM (
+    SELECT f.query_id, f.word, f.fb_tf, e.df, s.n_docs
+    FROM fb_tf f JOIN exp_df e USING (word) CROSS JOIN scal s) t),
+exp_sel AS (
+  SELECT query_id, word FROM (
+    SELECT e.query_id, e.word,
+           ROW_NUMBER() OVER (PARTITION BY e.query_id
+                              ORDER BY e.w DESC, e.word) AS rn
+    FROM exp_w e
+    LEFT JOIN qterms q ON q.query_id = e.query_id AND q.word = e.word
+    WHERE q.word IS NULL) t
+  WHERE rn <= {_PRF_E}),
+qterms2 AS (
+  SELECT query_id, word FROM qterms
+  UNION
+  SELECT query_id, word FROM exp_sel),
+dfreq2 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  WHERE word IN (SELECT DISTINCT word FROM qterms2) GROUP BY word),
+cand2 AS (
+  SELECT qt.query_id, t.doc_id, t.tf, d.dl, f2.df, s.n_docs, s.tt
+  FROM tf t
+  JOIN qterms2 qt USING (word)
+  JOIN dlen d ON t.doc_id = d.doc_id
+  JOIN dfreq2 f2 USING (word)
+  CROSS JOIN scal s
+  WHERE t.doc_id <> qt.query_id),
+terms2 AS (
+  SELECT query_id, doc_id, {_term_micro_sql('//')} AS term_micro
+  FROM cand2),
+scored2 AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(term_micro) AS BIGINT) AS score_micro
+  FROM terms2 GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, n_terms, score_micro, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rn
+  FROM scored2) r
+WHERE rn <= {_PRF_K}
+"""
+
+
+@query(
+    "bm25_prf_expansion",
+    oracle=_prf_oracle(),
+    tags=("text", "retrieval", "bm25", "prf", "pipeline"),
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-pass BM25 top-5 per probe under Rocchio/RM3-style
+    pseudo-relevance expansion (top-5 feedback docs -> 5 strongest
+    non-query terms each). All-BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = bm25_tf(docs)
+    qterms = bm25_probe_terms(tf, docs).localCheckpoint()
+    first = bm25_rank_topk(
+        bm25_candidates_for(tf, docs, qterms), _PRF_FB_K
+    )
+    fb = first.select("query_id", "doc_id")
+    fb_tf = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "word")
+        .agg(F.sum("tf").cast("bigint").alias("fb_tf"))
+    )
+    fb_words = fb_tf.select("word").distinct()
+    exp_df = (
+        tf.join(F.broadcast(fb_words), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    scal = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    exp_w = (
+        fb_tf.join(F.broadcast(exp_df), "word")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("w", F.col("fb_tf") * F.expr(_IDF_MICRO))
+    )
+    anti = exp_w.join(qterms, ["query_id", "word"], "left_anti")
+    wsel = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), "word"
+    )
+    exp_sel = (
+        anti.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= _PRF_E)
+        .select("query_id", "word")
+    )
+    qterms2 = qterms.union(exp_sel).distinct()
+    return bm25_rank_topk(
+        bm25_candidates_for(tf, docs, qterms2), _PRF_K
+    )

@@ -393,6 +393,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_substring_rebuild", # identical; import refactor only)
     "dedup_canonical_gain",  # NEW r12
     "dedup_canonical_selection",  # oracle refactor: shared _canonical_ctes
+    "bm25_prf_expansion",  # NEW r12
 }
 
 

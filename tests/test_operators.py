@@ -1734,3 +1734,33 @@ def test_duplicate_spans_randomized_vs_brute(spark, seed):
     want = _brute_duplicated_spans(texts, 4)
     assert got == want, (seed, got[:5], want[:5])
     assert got  # a 6-word vocab at these lengths always collides
+
+
+def test_prf_expansion_bridges_vocabulary_gap(spark, tmp_path):
+    """The classic PRF case: doc 50 shares NO term with probe 0
+    ("ship harbor") but co-occurs with the feedback docs' "vessel
+    cargo" vocabulary. Pass 1 cannot even reach it (no shared term ->
+    never a candidate); after expansion it must rank. Probes 1-7 get
+    disjoint filler vocabularies so feedback stays clean."""
+    from arroyo_spark.queries.retrieval import bm25_prf_expansion, bm25_topk
+
+    rows = [(0, "ship ship harbor")]
+    for i in range(1, 8):  # the other 7 probes: isolated vocab islands
+        rows.append((i, f"isle{i}a isle{i}b isle{i}c"))
+    for j in range(10, 13):  # 3 feedback docs bridge ship->vessel
+        rows.append((j, f"ship harbor vessel cargo extra{j}"))
+    rows.append((50, "vessel vessel cargo freight"))
+    for j in range(60, 70):  # background noise with its own vocab
+        rows.append((j, f"noise{j}x noise{j}y noise{j}z"))
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(corpus / "documents.parquet"))
+
+    first = bm25_topk(
+        spark.read.parquet(str(corpus / "documents.parquet")), 5
+    ).toPandas()
+    assert 50 not in set(first[first.query_id == 0].doc_id)
+    expanded = bm25_prf_expansion(spark, str(corpus)).toPandas()
+    assert 50 in set(expanded[expanded.query_id == 0].doc_id)
