@@ -1764,3 +1764,25 @@ def test_prf_expansion_bridges_vocabulary_gap(spark, tmp_path):
     assert 50 not in set(first[first.query_id == 0].doc_id)
     expanded = bm25_prf_expansion(spark, str(corpus)).toPandas()
     assert 50 in set(expanded[expanded.query_id == 0].doc_id)
+
+
+def test_duplicate_spans_boilerplate_no_quadratic_blowup(spark):
+    """The no-cap scale claim, measured: a 10-token boilerplate footer
+    shared by ALL 300 docs is ONE aggregation group in the span
+    extraction — output stays linear (one span per doc, same cluster),
+    where the pair form would emit C(300,2) = 44850 pairs and needs its
+    max_doc_freq cap. Also pins the leader: the cluster key is the
+    lexicographically first occurrence."""
+    from arroyo_spark.operators.dedup import duplicate_spans
+
+    footer = (
+        "subscribe to our newsletter for more updates terms apply today"
+    )  # exactly 10 tokens = one shared window per doc
+    docs = spark.createDataFrame(
+        [(d, f"unique{d}a unique{d}b {footer}") for d in range(1, 301)],
+        "doc_id bigint, text string",
+    )
+    spans = duplicate_spans(docs, k=10).collect()
+    assert len(spans) == 300  # linear in docs, not quadratic in pairs
+    assert {(r["span_start"], r["span_len"]) for r in spans} == {(3, 10)}
+    assert {(r["cluster_doc"], r["cluster_pos"]) for r in spans} == {(1, 3)}
