@@ -525,3 +525,135 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank_topk(
         bm25_candidates_for(tf, docs, qterms2), _PRF_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing-query routing ON INGEST — the streaming face of BM25: the 8
+# probe queries become STANDING queries with frozen resting-corpus
+# statistics (term idf table, corpus n_docs/tt — exactly how production
+# routing freezes index stats), and every ARRIVING document is scored
+# against them live: tokenize in-row, broadcast-join the standing term
+# table (stream-static, stateless), per-term integer BM25 with the
+# arriving doc's own in-row length, then the per-(doc, query) rollup
+# runs INSIDE each micro-batch via foreachBatch — legal because a
+# document arrives whole, so its term rows never straddle batches; NO
+# cross-batch state at all. Emits each arriving doc's best-matching
+# standing query (score desc, query_id tie-break) with its score.
+#
+# The oracle is the identical scoring computed batch-side (self-match
+# excluded, docs matching no standing term absent) — same SQL text for
+# the term score, so every integer division agrees.
+#
+# Scale: state-free routing — per-batch cost is the keyed join of the
+# batch's term stream against a broadcast standing table; 10k standing
+# queries is a bigger broadcast, not a bigger state store.
+# ---------------------------------------------------------------------------
+
+
+def _routing_oracle() -> str:
+    return f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, n_terms, score_micro
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, query_id) AS rn
+  FROM scored) r
+WHERE rn = 1
+"""
+
+
+@query(
+    "streaming_query_routing",
+    oracle=_routing_oracle(),
+    tags=("text", "retrieval", "bm25", "streaming", "routing"),
+)
+def streaming_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each arriving document routed to its best-matching standing
+    query under frozen-corpus BM25 statistics."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = bm25_tf(docs)
+    qterms = bm25_probe_terms(tf, docs)
+    # frozen standing-table: per (query_id, word) its idf + corpus stats
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("word").distinct()), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    scal = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    totals = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
+    standing = (
+        qterms.join(dfreq, "word")
+        .crossJoin(scal)
+        .crossJoin(totals)
+        .localCheckpoint()
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="srt_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+
+    toks_arr = T.toks("text")
+    # STATELESS stream: explode term occurrences per arriving doc (a
+    # streaming groupBy here would be cross-batch state for nothing — a
+    # document arrives whole, so its per-term tf is a batch-local count
+    # inside route_batch)
+    term_rows = stream.select(
+        "doc_id",
+        F.size(toks_arr).cast("bigint").alias("dl"),
+        F.explode(toks_arr).alias("word"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="srt_out_")
+    ck = tempfile.mkdtemp(prefix="srt_ck_")
+
+    def route_batch(bdf, _bid):
+        tf_b = bdf.groupBy("doc_id", "dl", "word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        cand = (
+            tf_b.join(F.broadcast(standing), "word")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .withColumn("term_micro", F.expr(_term_micro_sql("div")))
+        )
+        scored = cand.groupBy("query_id", "doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("term_micro").cast("bigint").alias("score_micro"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score_micro").desc(), "query_id"
+        )
+        (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "doc_id", "n_terms", "score_micro")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        term_rows.writeStream.foreachBatch(route_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_query_routing: stream did not drain in 600s"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.read.parquet(out_dir).localCheckpoint()

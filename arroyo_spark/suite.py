@@ -394,6 +394,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_canonical_gain",  # NEW r12
     "dedup_canonical_selection",  # oracle refactor: shared _canonical_ctes
     "bm25_prf_expansion",  # NEW r12
+    "streaming_query_routing",  # NEW r12
 }
 
 
