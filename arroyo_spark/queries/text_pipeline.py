@@ -4002,3 +4002,111 @@ def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_eval", F.col("doc_id") % 97 == 0
     )
     return contaminated_spans(docs, eval_col="is_eval", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-fertility drift monitor ON INGEST — the production alarm
+# for "a new domain/language is arriving": per source, symbols-per-word
+# under a FROZEN trained tokenizer (the 3-merge char-BPE segmentation,
+# broadcast as a static word -> n_syms table; out-of-vocabulary words
+# fall back to character count = their initial symbol count, so the
+# metric is total). Stateless per-row tokenize + stream-static lookup
+# join, then ONE bounded update-mode aggregation (per-source word and
+# symbol counts — two BIGINTs per source), finalized batch-side by
+# max-merge (running counts are monotone per key across emissions).
+#
+# Fertility rises when arriving text stops matching the trained vocab —
+# the earliest cheap signal that the mixture shifted under a deployed
+# tokenizer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_tokenizer_fertility",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_bpe_iter_cte(i) for i in range(1, _BPE_MERGES + 1))},
+    seg AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+      FROM v{_BPE_MERGES}),
+    stream AS (
+      SELECT source, unnest({_TOKS}) AS word FROM documents)
+    SELECT stream.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(COALESCE(seg.n_syms, length(stream.word)))
+                AS BIGINT) AS n_symbols,
+           round(sum(COALESCE(seg.n_syms, length(stream.word)))
+                 / CAST(count(*) AS DOUBLE), 6) AS symbols_per_word
+    FROM stream LEFT JOIN seg USING (word)
+    GROUP BY stream.source
+    """,
+    tags=("text", "tokenizer", "bpe", "streaming", "monitor"),
+)
+def streaming_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source symbols-per-word under the frozen 3-merge BPE vocab,
+    maintained on ingest by one bounded per-source aggregation."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.operators.bpe import bpe_train_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _m = bpe_train_segment(docs, n_merges=_BPE_MERGES)
+    seg = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("n_syms")
+    ).localCheckpoint()
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    words = stream.select(
+        "source", F.explode(T.toks("text")).alias("word")
+    )
+    enriched = words.join(F.broadcast(seg), "word", "left").select(
+        "source",
+        F.coalesce(F.col("n_syms"), F.length("word").cast("bigint")).alias(
+            "n_syms"
+        ),
+    )
+    state = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_syms").cast("bigint").alias("n_symbols"),
+    )
+    name = "stf_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="stf_ck_")
+    q = (
+        state.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_tokenizer_fertility: stream did not drain"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    emissions = spark.table(name).localCheckpoint()
+    # running per-key counts are monotone: the final state per source is
+    # the max-emission (max n_words carries its n_symbols)
+    final = emissions.groupBy("source").agg(
+        F.max(F.struct("n_words", "n_symbols")).alias("s")
+    )
+    return final.select(
+        "source",
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.n_symbols").alias("n_symbols"),
+        F.expr(
+            "round(s.n_symbols / CAST(s.n_words AS DOUBLE), 6)"
+        ).alias("symbols_per_word"),
+    )

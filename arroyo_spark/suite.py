@@ -395,6 +395,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_canonical_selection",  # oracle refactor: shared _canonical_ctes
     "bm25_prf_expansion",  # NEW r12
     "streaming_query_routing",  # NEW r12
+    "streaming_tokenizer_fertility",  # NEW r12
 }
 
 
