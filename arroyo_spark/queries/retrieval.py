@@ -483,6 +483,7 @@ WHERE rn <= {_PRF_K}
     "bm25_prf_expansion",
     oracle=_prf_oracle(),
     tags=("text", "retrieval", "bm25", "prf", "pipeline"),
+    bench=True,
 )
 def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-pass BM25 top-5 per probe under Rocchio/RM3-style
