@@ -2213,3 +2213,171 @@ def dedup_canonical_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("zc") - F.max("zm")).cast("bigint").alias("gain_pico"),
         (F.max("canonical_id") != F.col("cluster_id")).alias("switched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L near-dup pairs (Lin 2004; the Self-Instruct / Alpaca dedup
+# gate — Wang et al. 2023 drop a candidate whose ROUGE-L vs the pool
+# exceeds 0.7): token-LCS F1 over the first 32 tokens (the DP bound —
+# instruction-style texts fit; longer docs are prefix-compared, the
+# standard arrangement), candidates bounded to pairs sharing a prefix
+# trigram. f_milli = 2000*LCS div (la+lb) — exact integers end to end.
+#
+# Scale: candidate generation is the established shared-shingle equi-
+# join (never all-pairs); each pair's DP is O(32x32) inside an Arrow
+# batch; the oracle replays the DP as a recursive CTE carrying the DP
+# row as a list (depth <= 32).
+# ---------------------------------------------------------------------------
+
+_RL_MAXT = 32   # DP prefix bound in tokens
+_RL_TAU = 700   # Self-Instruct's 0.7 in milli
+
+_RL_TOKS32 = (
+    "list_slice(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " w -> w <> ''), 1, " + str(_RL_MAXT) + ")"
+)
+
+
+@query(
+    "dedup_rouge_l",
+    oracle=f"""
+    WITH RECURSIVE rl_toks AS (
+      SELECT doc_id, {_RL_TOKS32} AS tk FROM documents),
+    rl_sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tg
+      FROM rl_toks),
+    rl_ex AS (SELECT doc_id, unnest(tg) AS s FROM rl_sh),
+    rl_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rl_ex a JOIN rl_ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+    rl_pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b, ta.tk AS ta, tb.tk AS tb
+      FROM rl_cand c
+      JOIN rl_toks ta ON ta.doc_id = c.doc_a
+      JOIN rl_toks tb ON tb.doc_id = c.doc_b),
+    dp(doc_a, doc_b, i, row) AS (
+      SELECT doc_a, doc_b, 0,
+             list_transform(range(1, len(tb) + 2), x -> 0)
+      FROM rl_pairs
+      UNION ALL
+      SELECT d.doc_a, d.doc_b, d.i + 1,
+             list_reduce(
+               list_prepend([0],
+                 list_transform(range(1, len(p.tb) + 1), j ->
+                   CASE WHEN p.ta[d.i + 1] = p.tb[j]
+                        THEN [j, d.row[j] + 1] ELSE [j, -1] END)),
+               (acc, x) -> CASE WHEN x[2] >= 0
+                 THEN list_append(acc,
+                        greatest(x[2], acc[x[1]], d.row[x[1] + 1]))
+                 ELSE list_append(acc,
+                        greatest(acc[x[1]], d.row[x[1] + 1])) END)
+      FROM dp d
+      JOIN rl_pairs p ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b
+      WHERE d.i < len(p.ta))
+    SELECT doc_a, doc_b, lcs, la, lb, f_milli FROM (
+      SELECT p.doc_a, p.doc_b,
+             CAST(d.row[len(p.tb) + 1] AS BIGINT) AS lcs,
+             CAST(len(p.ta) AS BIGINT) AS la,
+             CAST(len(p.tb) AS BIGINT) AS lb,
+             CAST(2000 * d.row[len(p.tb) + 1]
+                  // (len(p.ta) + len(p.tb)) AS BIGINT) AS f_milli
+      FROM dp d
+      JOIN rl_pairs p ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b
+      WHERE d.i = len(p.ta)) t
+    WHERE f_milli >= {_RL_TAU}
+    """,
+    tags=("dedup", "rouge", "lcs", "pipeline"),
+)
+def dedup_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs whose token-LCS ROUGE-L F1 (first 32 tokens)
+    reaches 0.7 — the Self-Instruct dedup gate, with lcs/lengths/score
+    as exact-integer data."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk32 = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        ),
+        1,
+        _RL_MAXT,
+    )
+    toks = docs.select("doc_id", tk32.alias("tk")).localCheckpoint()
+    n = F.greatest(F.size("tk") - 2, F.lit(0))
+    tg = F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice("tk", 1, n),
+                F.slice("tk", 2, n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice("tk", 3, n),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        )
+    )
+    ex = toks.select("doc_id", F.explode(tg).alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    cand = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb")),
+            "doc_b",
+        )
+    )
+
+    def _lcs_batch(batches):
+        for pdf in batches:
+            out_a, out_b, out_l, out_la, out_lb, out_f = [], [], [], [], [], []
+            for da, db, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
+            ):
+                ta, tb = list(ta), list(tb)
+                prev = [0] * (len(tb) + 1)
+                for x in ta:
+                    cur = [0]
+                    for j, y in enumerate(tb, 1):
+                        best = cur[j - 1]
+                        if prev[j] > best:
+                            best = prev[j]
+                        if x == y and prev[j - 1] + 1 > best:
+                            best = prev[j - 1] + 1
+                        cur.append(best)
+                    prev = cur
+                lcs = prev[-1]
+                f = 2000 * lcs // (len(ta) + len(tb))
+                if f >= _RL_TAU:
+                    out_a.append(int(da))
+                    out_b.append(int(db))
+                    out_l.append(lcs)
+                    out_la.append(len(ta))
+                    out_lb.append(len(tb))
+                    out_f.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(out_a, dtype="int64"),
+                    "doc_b": pd.Series(out_b, dtype="int64"),
+                    "lcs": pd.Series(out_l, dtype="int64"),
+                    "la": pd.Series(out_la, dtype="int64"),
+                    "lb": pd.Series(out_lb, dtype="int64"),
+                    "f_milli": pd.Series(out_f, dtype="int64"),
+                }
+            )
+
+    return pairs.mapInPandas(
+        _lcs_batch,
+        "doc_a bigint, doc_b bigint, lcs bigint, la bigint, lb bigint,"
+        " f_milli bigint",
+    )

@@ -396,6 +396,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_prf_expansion",  # NEW r12
     "streaming_query_routing",  # NEW r12
     "streaming_tokenizer_fertility",  # NEW r12
+    "dedup_rouge_l",  # NEW r12
 }
 
 

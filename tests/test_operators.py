@@ -1786,3 +1786,45 @@ def test_duplicate_spans_boilerplate_no_quadratic_blowup(spark):
     assert len(spans) == 300  # linear in docs, not quadratic in pairs
     assert {(r["span_start"], r["span_len"]) for r in spans} == {(3, 10)}
     assert {(r["cluster_doc"], r["cluster_pos"]) for r in spans} == {(1, 3)}
+
+
+def test_rouge_l_planted_against_python_model(spark, tmp_path):
+    """Planted ROUGE-L: a reordered near-copy must score >= 0.7 via
+    LCS (order-preserving, unlike Jaccard), a doc sharing vocabulary
+    but not order must fall below the gate, and disjoint docs are never
+    even candidates. Cross-checked against an independent LCS."""
+    from arroyo_spark.queries.dedup import dedup_rouge_l
+
+    base = "write a short story about a dragon who learns to paint landscapes"
+    near = "write a short story about a dragon who learns to paint portraits"
+    scrambled = "landscapes paint to learns who dragon a about story short a write"
+    rows = [
+        (1, base), (2, near), (3, scrambled),
+        (4, "completely unrelated tokens q w e r t y u i o p"),
+    ]
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(corpus / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["f_milli"]
+        for r in dedup_rouge_l(spark, str(corpus)).collect()
+    }
+    # independent model: LCS(base, near) = 11 of 12+12 -> 916 milli
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(max(prev[j - 1] + 1 if x == y else 0,
+                               cur[j - 1], prev[j]))
+            prev = cur
+        return prev[-1]
+    ta, tb = base.split(), near.split()
+    want_f = 2000 * lcs(ta, tb) // (len(ta) + len(tb))
+    assert got == {(1, 2): want_f} and want_f >= 700
+    # the scrambled doc shares every token (Jaccard 1.0!) but its LCS
+    # F1 sits far below the gate — order sensitivity is the point
+    tc = scrambled.split()
+    assert 2000 * lcs(ta, tc) // (len(ta) + len(tc)) < 400
