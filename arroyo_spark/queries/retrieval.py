@@ -135,16 +135,24 @@ WHERE rn <= {_BM25_K}
 
 
 def bm25_tf(docs: DataFrame) -> DataFrame:
-    """The checkpointed text-free (doc_id, word, tf) term table — the
-    ONE corpus tokenize every BM25 pass (and the PRF second pass)
+    """The checkpointed text-free (doc_id, word, tf, dl) term table —
+    the ONE corpus tokenize every BM25 pass (and the PRF second pass)
     reuses; cache lifetime bounded to the query (the knn_graph_topk /
-    ADVICE-r10 convention)."""
-    return (
+    ADVICE-r10 convention). Document length rides along: dl is
+    query-independent, so materializing it here saves one full
+    per-doc window shuffle over the term table PER SCORING PASS
+    (PRF pays it twice otherwise; together with the qterms2
+    checkpoint this took PRF from 3.7x to 2.3x the single-pass BM25
+    wall clock at sf0.1 — same-session ratios, absolute numbers are
+    session-noisy per BASELINE.md)."""
+    tf = (
         docs.select("doc_id", F.explode(T.toks("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()
     )
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    ).localCheckpoint()
 
 
 def bm25_probe_terms(tf: DataFrame, docs: DataFrame) -> DataFrame:
@@ -169,11 +177,8 @@ def bm25_candidates_for(
     windows (the `tfidf_top_terms` shape); the bounded query-term table
     broadcast onto the word-keyed join — inverted-index candidate
     generation, docs sharing no query term never shuffle."""
-    tf_dl = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
-    )
     qwords = qterms.select("word").distinct()
-    restricted = tf_dl.join(F.broadcast(qwords), "word")
+    restricted = tf.join(F.broadcast(qwords), "word")
     with_df = restricted.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("word")).cast("bigint")
     )
@@ -522,7 +527,11 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PRF_E)
         .select("query_id", "word")
     )
-    qterms2 = qterms.union(exp_sel).distinct()
+    # checkpoint the expanded term set: bm25_candidates_for consumes its
+    # qterms relation TWICE (the qwords restriction and the broadcast
+    # scoring join) — un-materialized, the entire pass-1 pipeline
+    # (windows + prune) would execute twice inside pass 2's plan
+    qterms2 = qterms.union(exp_sel).distinct().localCheckpoint()
     return bm25_rank_topk(
         bm25_candidates_for(tf, docs, qterms2), _PRF_K
     )

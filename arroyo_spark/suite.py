@@ -397,6 +397,11 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_query_routing",  # NEW r12
     "streaming_tokenizer_fertility",  # NEW r12
     "dedup_rouge_l",  # NEW r12
+    # perf: bm25_tf now carries dl (window hoisted before the
+    # checkpoint) and PRF checkpoints qterms2 — re-verify the family
+    "bm25_retrieval_topk",
+    "hybrid_retrieval_rrf",
+    "streaming_query_routing",
 }
 
 
