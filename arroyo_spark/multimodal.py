@@ -77,8 +77,14 @@ class Decoder:
         0..255) — the input of an acoustic fingerprint (Chromaprint's
         bits are energy DIFFERENCES across band/time cells). A real
         deployment implements this as an STFT over the decoded PCM with
-        per-band magnitude sums quantized to bytes."""
-        raise NotImplementedError("audio codec not available in this container")
+        per-band magnitude sums quantized to bytes; for WAV/PCM blobs a
+        REAL stdlib-only implementation ships here:
+        `arroyo_spark.wavcodec.WavDecoder` (RIFF parse + integer
+        frame-energy reduction)."""
+        raise NotImplementedError(
+            "general audio codec not available in this container; for "
+            "WAV/PCM blobs use arroyo_spark.wavcodec.WavDecoder"
+        )
 
 
 class FakeDecoder(Decoder):

@@ -1,0 +1,139 @@
+"""Pure-Python (stdlib-only) WAV/PCM codec — the second real media codec
+this container supports honestly (after `pngcodec`): RIFF/WAVE is a
+chunked header plus raw PCM samples, no compression anywhere.
+`WavDecoder` is a REAL `Decoder` implementation (`multimodal.Decoder`)
+for the audio methods: the acoustic-fingerprint pipeline
+(`acoustic_fingerprint` -> 1-D dHash -> banded hamming join) runs
+unchanged over actually-decoded samples.
+
+Scope (honest limitation, checked loudly): PCM format 1 only, 8-bit
+unsigned or 16-bit signed little-endian, mono or stereo (stereo mixes
+down by integer-mean). Anything else (float PCM, ADPCM, 24-bit, >2
+channels) raises with the offending format field.
+
+Determinism: everything is integer arithmetic — stereo mixdown is
+(l + r) div 2 with Python floor on the signed sum arranged non-negative
+via offset, frame energies are mean-absolute-amplitude scaled to 0..255
+with truncating division — bit-identical across machines.
+
+`encode_wav` is the matching minimal writer (fixture support).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _chunks(blob: bytes):
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    off = 12
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        (size,) = struct.unpack("<I", blob[off + 4 : off + 8])
+        data = blob[off + 8 : off + 8 + size]
+        if len(data) != size:
+            raise ValueError(f"truncated chunk {cid!r}")
+        yield cid, data
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_wav(blob: bytes) -> tuple[int, list[int]]:
+    """Decode to (sample_rate, samples): mono 16-bit-range signed ints
+    (8-bit input is centered and scaled x256; stereo mixes down by
+    integer mean of the channel pair)."""
+    fmt = None
+    data = None
+    for cid, chunk in _chunks(blob):
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_format}) not supported")
+    if channels not in (1, 2):
+        raise ValueError(f"{channels} channels not supported (1 or 2)")
+    if bits == 16:
+        n = len(data) // 2
+        raw = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    elif bits == 8:
+        raw = [(b - 128) * 256 for b in data]
+    else:
+        raise ValueError(f"bit depth {bits} not supported (8 or 16)")
+    if channels == 2:
+        # integer mean with floor-safe arrangement: the sum is bounded
+        # in [-65536, 65534]; offset keeps the division non-negative
+        raw = [
+            ((raw[i] + raw[i + 1] + 131072) // 2) - 65536
+            for i in range(0, len(raw) - 1, 2)
+        ]
+    return rate, raw
+
+
+class WavDecoder:
+    """Real `Decoder` for WAV/PCM blobs: `audio_meta`, `band_energies`
+    and `resample` over actual decoded samples. Image/video methods
+    stay unimplemented (inherited NotImplementedError)."""
+
+    def audio_meta(self, blob: bytes) -> tuple[int, int]:
+        rate, samples = decode_wav(blob)
+        return rate, len(samples)
+
+    def band_energies(self, blob: bytes, n: int) -> list[int]:
+        """``n`` frame energies 0..255: mean absolute amplitude per
+        half-open frame [f*N//n, (f+1)*N//n), scaled by 255/32767 with
+        truncating division — the 1-D analog of `PngDecoder.gray_grid`."""
+        _rate, s = decode_wav(blob)
+        if len(s) < n:
+            raise ValueError(f"{len(s)} samples < {n} frames")
+        out = []
+        for f in range(n):
+            a, b = f * len(s) // n, (f + 1) * len(s) // n
+            mean_abs = sum(abs(x) for x in s[a:b]) // (b - a)
+            out.append(min(255, mean_abs * 255 // 32767))
+        return out
+
+    def resample(self, blob: bytes, target_hz: int) -> bytes:
+        """Integer decimation: keep every k-th sample, k = rate div
+        target_hz (>= 1); re-emit 16-bit mono WAV at rate div k."""
+        rate, s = decode_wav(blob)
+        k = max(1, rate // max(1, target_hz))
+        return encode_wav(s[::k], rate // k)
+
+
+def encode_wav(
+    samples: list[int],
+    sample_rate: int,
+    bits: int = 16,
+    channels: int = 1,
+) -> bytes:
+    """Minimal PCM writer (fixture support): interleaved ``samples`` at
+    the given depth/channel count."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes((x // 256) + 128 for x in samples)
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    body = chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
