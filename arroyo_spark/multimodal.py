@@ -50,7 +50,13 @@ class Decoder:
         raise NotImplementedError("image codec not available in this container")
 
     def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
-        raise NotImplementedError("video codec not available in this container")
+        """For Y4M (YUV4MPEG2) blobs a REAL stdlib-only implementation
+        ships here: `arroyo_spark.y4mcodec.Y4mDecoder` (raw YUV planes,
+        frame-rate-aware sampling)."""
+        raise NotImplementedError(
+            "general video codec not available in this container; for "
+            "Y4M blobs use arroyo_spark.y4mcodec.Y4mDecoder"
+        )
 
     def audio_meta(self, blob: bytes) -> tuple[int, int]:
         """(sample_rate_hz, n_samples)."""

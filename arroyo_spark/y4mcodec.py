@@ -1,0 +1,154 @@
+"""Pure-Python (stdlib-only) Y4M (YUV4MPEG2) codec — the third real
+media codec (after `pngcodec` and `wavcodec`), covering the video
+modality honestly: Y4M is a plain-text header plus raw uncompressed
+YUV frame planes, no entropy coding anywhere. `Y4mDecoder` is a REAL
+`Decoder` implementation for the video methods: the per-frame
+perceptual-hash pipeline (`video_frame_fingerprints` -> frame-set
+overlap) runs unchanged over actually-decoded luma pixels.
+
+Scope (honest limitation, checked loudly): colorspaces C420 (default,
+incl. the jpeg/mpeg2/paldv siting variants — siting only moves chroma,
+and only the luma plane feeds a perceptual hash), Cmono, and C444;
+interlacing other than progressive is rejected.
+
+`sample_frames` returns each sampled frame as a SINGLE-FRAME Y4M blob
+(same header + one FRAME), so the pair (`sample_frames`, `gray_grid`)
+is self-consistent the way `video_frame_fingerprints` composes them.
+Frame sampling honors the header frame rate: step =
+max(1, every_ms * fps_num div (1000 * fps_den)) frames.
+
+Determinism: header parsing, plane slicing and the gray-grid
+area-average are all integer arithmetic.
+
+`encode_y4m` is the matching minimal writer (fixture support).
+"""
+
+from __future__ import annotations
+
+_MAGIC = b"YUV4MPEG2"
+
+
+def _parse_header(blob: bytes) -> tuple[int, int, int, int, str, int]:
+    """-> (width, height, fps_num, fps_den, colorspace, body_offset)."""
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob.startswith(_MAGIC):
+        raise ValueError("not a Y4M: bad YUV4MPEG2 signature")
+    w = h = None
+    num, den = 25, 1
+    cs = "C420"
+    for tok in blob[len(_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            a, b = val.split(":")
+            num, den = int(a), int(b)
+        elif tag == "C":
+            cs = "C" + val
+        elif tag == "I" and val not in ("p", "?"):
+            raise ValueError(f"interlacing I{val} not supported")
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    return w, h, num, den, cs, nl + 1
+
+
+def _frame_size(w: int, h: int, cs: str) -> int:
+    if cs.startswith("C420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cs == "Cmono":
+        return w * h
+    if cs == "C444":
+        return 3 * w * h
+    raise ValueError(f"colorspace {cs} not supported")
+
+
+def decode_y4m(blob: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """-> (width, height, fps_num, fps_den, [Y plane per frame])."""
+    w, h, num, den, cs, off = _parse_header(blob)
+    fsize = _frame_size(w, h, cs)
+    frames: list[bytes] = []
+    while off < len(blob):
+        nl = blob.find(b"\n", off)
+        if nl < 0 or blob[off : off + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {off}")
+        data = blob[nl + 1 : nl + 1 + fsize]
+        if len(data) != fsize:
+            raise ValueError("truncated frame")
+        frames.append(data[: w * h])  # luma plane only
+        off = nl + 1 + fsize
+    return w, h, num, den, frames
+
+
+class Y4mDecoder:
+    """Real `Decoder` for Y4M video blobs: `sample_frames` (returns
+    single-frame Y4M blobs) and `gray_grid` (luma area-average) over
+    actual decoded pixels. Image/audio methods stay unimplemented."""
+
+    def __init__(self, max_frames: int = 8) -> None:
+        self.max_frames = max_frames  # FakeDecoder's bound, kept
+
+    def sample_frames(self, blob: bytes, every_ms: int) -> list[bytes]:
+        w, h, num, den, cs, off = _parse_header(blob)
+        header = (
+            f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip Cmono\n".encode("ascii")
+        )
+        _w, _h, _n, _d, frames = decode_y4m(blob)
+        step = max(1, every_ms * num // (1000 * den))
+        out = []
+        for i in range(0, len(frames), step):
+            out.append(header + b"FRAME\n" + frames[i])
+            if len(out) >= self.max_frames:
+                break
+        return out
+
+    def gray_grid(self, blob: bytes, gw: int, gh: int) -> list[int]:
+        """gw x gh grid by integer area-average over the FIRST frame's
+        luma plane (the `PngDecoder.gray_grid` block arithmetic)."""
+        w, h, _n, _d, frames = decode_y4m(blob)
+        if not frames:
+            raise ValueError("no frames in Y4M blob")
+        if w < gw or h < gh:
+            raise ValueError(f"frame {w}x{h} smaller than grid {gw}x{gh}")
+        y = frames[0]
+        grid: list[int] = []
+        for r in range(gh):
+            r0, r1 = r * h // gh, (r + 1) * h // gh
+            for c in range(gw):
+                c0, c1 = c * w // gw, (c + 1) * w // gw
+                s = 0
+                for rr in range(r0, r1):
+                    base = rr * w
+                    for cc in range(c0, c1):
+                        s += y[base + cc]
+                grid.append(s // ((r1 - r0) * (c1 - c0)))
+        return grid
+
+
+def encode_y4m(
+    frames: list[list[int]] | list[bytes],
+    width: int,
+    height: int,
+    fps_num: int = 25,
+    fps_den: int = 1,
+    colorspace: str = "C420",
+) -> bytes:
+    """Minimal Y4M writer (fixture support): ``frames`` hold luma
+    pixels row-major; chroma planes (if the colorspace has them) are
+    filled with the neutral 128."""
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip "
+        f"{colorspace}\n"
+    ).encode("ascii")
+    chroma = _frame_size(width, height, colorspace) - width * height
+    out = bytearray(head)
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame size mismatch")
+        out += b"FRAME\n"
+        out += bytes(fr)
+        out += bytes([128]) * chroma
+    return bytes(out)

@@ -1,0 +1,116 @@
+"""Pure-Python Y4M codec: hand-built header/frame vectors (independent
+of the module's own writer), colorspace handling, honest failures,
+frame-rate-aware sampling, integer gray grids, and the real per-frame
+video near-dup pipeline over actually-decoded luma pixels."""
+
+import hashlib
+
+import pytest
+
+from arroyo_spark.y4mcodec import Y4mDecoder, decode_y4m, encode_y4m
+
+
+def _hand_built_y4m(frames, w, h, f="25:1", cs=b"C420"):
+    """Independent minimal writer (NOT encode_y4m)."""
+    head = b"YUV4MPEG2 W%d H%d F%s Ip %s\n" % (
+        w, h, f.encode(), cs,
+    )
+    chroma = {b"C420": (w // 2) * (h // 2) * 2, b"Cmono": 0,
+              b"C444": 2 * w * h}[cs]
+    out = bytearray(head)
+    for fr in frames:
+        out += b"FRAME\n" + bytes(fr) + bytes([128]) * chroma
+    return bytes(out)
+
+
+def test_decode_hand_built_vector():
+    f0 = list(range(16))  # 4x4
+    f1 = [255 - v for v in f0]
+    w, h, num, den, frames = decode_y4m(
+        _hand_built_y4m([f0, f1], 4, 4, f="30:1")
+    )
+    assert (w, h, num, den) == (4, 4, 30, 1)
+    assert [list(fr) for fr in frames] == [f0, f1]
+    # module writer round-trips, and mono/444 colorspaces parse
+    for cs in ("C420", "Cmono", "C444"):
+        _, _, _, _, fr = decode_y4m(encode_y4m([f0], 4, 4, colorspace=cs))
+        assert list(fr[0]) == f0
+
+
+def test_unsupported_variants_fail_loudly():
+    good = _hand_built_y4m([[0] * 16], 4, 4)
+    with pytest.raises(ValueError, match="signature"):
+        decode_y4m(b"JUNK" + good)
+    with pytest.raises(ValueError, match="interlacing"):
+        decode_y4m(good.replace(b" Ip ", b" It "))
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(good.replace(b"C420", b"C411"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(good[:-3])
+
+
+def test_frame_sampling_honors_fps():
+    frames = [[i] * 16 for i in range(10)]
+    # 25 fps = 40ms/frame; every_ms=120 -> step 3 -> frames 0,3,6,9
+    blob = _hand_built_y4m(frames, 4, 4, f="25:1")
+    out = Y4mDecoder().sample_frames(blob, 120)
+    got = [decode_y4m(b)[4][0][0] for b in out]
+    assert got == [0, 3, 6, 9]
+    # the max_frames bound caps runaway clips
+    assert len(Y4mDecoder(max_frames=2).sample_frames(blob, 40)) == 2
+
+
+def test_gray_grid_area_average():
+    fr = [r * 40 + c * 10 for r in range(4) for c in range(4)]
+    grid = Y4mDecoder().gray_grid(encode_y4m([fr], 4, 4), 2, 2)
+    assert grid == [25, 45, 105, 125]
+
+
+def _frame(b, f, w=16, h=16):
+    """md5-decorrelated 2x2-block texture; separation measured offline:
+    same-base variants share >= 5 of 6 frame hashes, cross-base share 0."""
+    return [
+        hashlib.md5(f"{b}:{f}:{r // 2}:{c // 2}".encode()).digest()[0]
+        for r in range(h)
+        for c in range(w)
+    ]
+
+
+def test_video_neardup_over_real_y4m(spark):
+    """The video near-dup pipeline over REAL decoded luma: 4 base clips
+    x 3 variants (identical / one-pixel tweak in frame 2 / +2
+    brightness) as actual Y4M blobs through the unchanged
+    video_frame_fingerprints plumbing. Same-base clips share >= 5 of 6
+    frame hashes; cross-base clips share none."""
+    from arroyo_spark.multimodal import video_frame_fingerprints
+
+    rows = []
+    for b in range(4):
+        frames = [_frame(b, f) for f in range(6)]
+        tweak = [list(fr) for fr in frames]
+        tweak[2][35] = (tweak[2][35] + 40) % 256
+        bright = [[min(255, v + 2) for v in fr] for fr in frames]
+        for v, fs in enumerate((frames, tweak, bright)):
+            rows.append(
+                (b * 10 + v, bytearray(encode_y4m(fs, 16, 16, fps_num=25)))
+            )
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    fp = video_frame_fingerprints(
+        media, decoder=Y4mDecoder(), every_ms=40
+    ).collect()
+    sets: dict = {}
+    for r in fp:
+        sets.setdefault(r["media_id"], set()).add(
+            (int(r["ph_hi"]) << 32) | int(r["ph_lo"])
+        )
+    ids = sorted(sets)
+    assert all(len(sets[i]) == 6 for i in ids)  # 6 distinct frames each
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            ov = len(sets[i] & sets[j])
+            if i // 10 == j // 10:
+                assert ov >= 5, (i, j, ov)
+            else:
+                assert ov == 0, (i, j, ov)
