@@ -70,12 +70,15 @@ class Decoder:
         0..255) — the input of every perceptual hash (aHash/dHash/pHash).
         A real deployment implements this as
         ``PIL.Image.open(io.BytesIO(blob)).convert("L").resize((w, h))``;
-        for PNG blobs a REAL stdlib-only implementation ships here:
-        `arroyo_spark.pngcodec.PngDecoder` (zlib inflate + spec filter
-        inversion + integer luma/area-average)."""
+        REAL stdlib-only implementations ship here for PNG
+        (`arroyo_spark.pngcodec.PngDecoder`: zlib inflate + spec filter
+        inversion + integer luma/area-average) and baseline grayscale
+        JPEG (`arroyo_spark.jpegcodec.JpegDecoder`: T.81 Huffman +
+        dequant + IDCT)."""
         raise NotImplementedError(
             "general image codec not available in this container; for PNG "
-            "blobs use arroyo_spark.pngcodec.PngDecoder"
+            "blobs use arroyo_spark.pngcodec.PngDecoder, for baseline "
+            "grayscale JPEG arroyo_spark.jpegcodec.JpegDecoder"
         )
 
     def band_energies(self, blob: bytes, n: int) -> list[int]:

@@ -1,0 +1,114 @@
+"""Baseline grayscale JPEG codec: round-trip fidelity bounds, marker
+structure, honest rejection of progressive/color/restart variants, and
+the real image near-dup pipeline over actually-decoded lossy JPEG
+pixels."""
+
+import struct
+
+import pytest
+
+from arroyo_spark.jpegcodec import (
+    JpegDecoder,
+    decode_gray_jpeg,
+    encode_gray_jpeg,
+)
+
+
+def _gradient(w, h):
+    return [min(255, x * 5 + y * 3) for y in range(h) for x in range(w)]
+
+
+def test_round_trip_fidelity_bounds():
+    w, h = 24, 16
+    px = _gradient(w, h)
+    w2, h2, out = decode_gray_jpeg(encode_gray_jpeg(px, w, h, quality=90))
+    assert (w2, h2) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 6
+    # flat blocks survive exactly (DC-only)
+    flat = [128] * (w * h)
+    _, _, out2 = decode_gray_jpeg(encode_gray_jpeg(flat, w, h))
+    assert out2 == flat
+    # non-multiple-of-8 sizes: edge replication padding decodes clean
+    px3 = _gradient(13, 11)
+    _, _, out3 = decode_gray_jpeg(encode_gray_jpeg(px3, 13, 11, quality=95))
+    assert max(abs(a - b) for a, b in zip(px3, out3)) <= 8
+
+
+def test_marker_structure_and_size():
+    blob = encode_gray_jpeg([0] * 64, 8, 8)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert JpegDecoder().image_size(blob) == (8, 8)
+
+
+def test_unsupported_variants_fail_loudly():
+    good = encode_gray_jpeg(_gradient(8, 8), 8, 8)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_gray_jpeg(b"JUNK" + good)
+    # rewrite SOF0 -> SOF2 (progressive)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_gray_jpeg(prog)
+    # inject a DRI segment right after SOI
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_gray_jpeg(good[:2] + dri + good[2:])
+    # 3-component SOF (color) rejected
+    i = good.index(b"\xff\xc0")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    payload = bytearray(good[i + 4 : i + 2 + ln])
+    payload[5] = 3  # ncomp
+    color = (
+        good[:i]
+        + b"\xff\xc0"
+        + struct.pack(">H", ln)
+        + bytes(payload)
+        + good[i + 2 + ln :]
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_gray_jpeg(color)
+
+
+def _base_image(seed, n=32):
+    return [
+        (seed * 13 + r * 7 + c * 29 + ((r * c * (seed + 3)) % 31)) % 256
+        for r in range(n)
+        for c in range(n)
+    ]
+
+
+def test_perceptual_dhash_over_real_jpegs(spark):
+    """The image near-dup pipeline over REAL lossy-decoded JPEG pixels
+    (the same planted structure as the PNG test, re-encoded through
+    baseline JPEG at quality 92): dHash separation must survive the
+    quantization loss — same-base within hamming 6, cross-base >= 16
+    (measured offline first: 0 / >= 16)."""
+    from arroyo_spark.multimodal import perceptual_dhash
+
+    rows = []
+    for b in range(4):
+        base = _base_image(b * 17 + 5)
+        tweak = list(base)
+        tweak[3 * 32 + 4] = (tweak[3 * 32 + 4] + 9) % 256
+        bright = [min(255, v + 2) for v in base]
+        for v, img in enumerate((base, tweak, bright)):
+            rows.append(
+                (b * 10 + v,
+                 bytearray(encode_gray_jpeg(img, 32, 32, quality=92)))
+            )
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    ph = perceptual_dhash(media, decoder=JpegDecoder()).collect()
+    hashes = {
+        r["media_id"]: (int(r["ph_hi"]) << 32) | int(r["ph_lo"]) for r in ph
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            d = ham(hashes[i], hashes[j])
+            if i // 10 == j // 10:
+                assert d <= 6, (i, j, d)
+            else:
+                assert d >= 16, (i, j, d)
