@@ -174,3 +174,24 @@ def test_perceptual_dhash_over_real_pngs(spark):
                 assert d <= 6, (i, j, d)
             else:
                 assert d >= 16, (i, j, d)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_randomized_round_trip_all_types_and_filters(seed):
+    """Random pixels x every color type x random per-row filters must
+    round-trip byte-exactly (PNG is lossless)."""
+    import random
+
+    rng = random.Random(seed)
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w = rng.randint(1, 13)
+        h = rng.randint(1, 11)
+        rows = [
+            [rng.randrange(256) for _ in range(w * ch)] for _ in range(h)
+        ]
+        filters = [rng.randrange(5) for _ in range(h)]
+        got_w, got_h, got_ch, out = decode_png(
+            encode_png(rows, color_type, filters)
+        )
+        assert (got_w, got_h, got_ch) == (w, h, ch)
+        assert [list(r) for r in out] == rows, (color_type, filters)

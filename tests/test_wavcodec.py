@@ -117,3 +117,20 @@ def test_acoustic_fingerprint_over_real_wavs(spark):
                 assert d <= 6, (i, j, d)
             else:
                 assert d >= 16, (i, j, d)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_randomized_round_trip(seed):
+    """Random 16-bit sample streams round-trip exactly; random stereo
+    mixes down to the integer mean."""
+    import random
+
+    rng = random.Random(seed)
+    s = [rng.randint(-32768, 32767) for _ in range(rng.randint(1, 500))]
+    rate = rng.choice([8000, 16000, 44100])
+    assert decode_wav(encode_wav(s, rate)) == (rate, s)
+    st = s if len(s) % 2 == 0 else s + [0]
+    _, mixed = decode_wav(_hand_built_wav(st, rate=rate, channels=2))
+    want = [((st[i] + st[i + 1] + 131072) // 2) - 65536
+            for i in range(0, len(st), 2)]
+    assert mixed == want

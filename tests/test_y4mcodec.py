@@ -114,3 +114,21 @@ def test_video_neardup_over_real_y4m(spark):
                 assert ov >= 5, (i, j, ov)
             else:
                 assert ov == 0, (i, j, ov)
+
+
+@pytest.mark.parametrize("seed", [9, 77])
+def test_randomized_round_trip(seed):
+    """Random luma frames round-trip exactly through every supported
+    colorspace (Y4M is raw — lossless by construction)."""
+    import random
+
+    rng = random.Random(seed)
+    w = rng.randrange(2, 20, 2)
+    h = rng.randrange(2, 16, 2)
+    frames = [
+        [rng.randrange(256) for _ in range(w * h)]
+        for _ in range(rng.randint(1, 5))
+    ]
+    for cs in ("C420", "Cmono", "C444"):
+        got = decode_y4m(encode_y4m(frames, w, h, colorspace=cs))[4]
+        assert [list(f) for f in got] == frames, cs
