@@ -1351,3 +1351,14 @@ def test_curation_v5_no_cartesian_and_bounded_joins(spark, sf_dir):
     no CartesianProduct anywhere."""
     plan = plan_of(spark, sf_dir, "curation_pipeline_v5")
     assert "CartesianProduct" not in plan
+
+
+def test_rouge_l_candidates_equijoin_only(spark, sf_dir):
+    """ROUGE-L: candidates come from the shared-trigram equi-join
+    (SortMergeJoin/ShuffledHashJoin on the shingle key — never a
+    cartesian or nested-loop pairing), and the LCS DP runs in Arrow
+    batches (MapInPandas), not per-row Python."""
+    plan = plan_of(spark, sf_dir, "dedup_rouge_l")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
