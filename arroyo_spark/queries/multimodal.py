@@ -503,3 +503,156 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ph").alias("shared_frames"))
         .filter(F.col("shared_frames") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL-container multimodal extraction — the upgrade over the
+# FakeDecoder rows above: Spark builds genuine Y4M / WAV blobs
+# per-document from closed-form pixel/sample formulas (unhex of a
+# formula-generated hex string), routes them through the REAL codecs
+# (`y4mcodec.Y4mDecoder`, `wavcodec.WavDecoder`) inside the unchanged
+# mapInPandas fingerprint plumbing, and the DuckDB oracle replays the
+# decode ARITHMETIC directly from the same formulas — container
+# parsing, plane slicing, area-averaging and the dHash construction are
+# all value-checked end to end, not stubbed.
+#
+# Y4M: 18x8 mono, 2 frames per doc; gray_grid(9, 8) cells are exact
+# 2-pixel means. WAV: 130 non-negative 16-bit samples per doc; the 65
+# frame energies are exact 2-sample means scaled 255/32767.
+# ---------------------------------------------------------------------------
+
+
+def _y4m_pix_sql(d: str, f: str, r: str, cc: str) -> str:
+    return (
+        f"(({d} * 31 + {f} * 53 + {r} * 13 + {cc} * 7"
+        f" + (({r} * {cc}) % 11) * 5) % 256)"
+    )
+
+
+@query(
+    "mm_video_y4m_real",
+    oracle=f"""
+    WITH cells AS (
+      SELECT doc_id, f.f, b.b,
+             (b.b // 8) AS r, (b.b % 8) AS cb
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 2)) AS f) f
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
+    bits AS (
+      SELECT doc_id, f, b,
+             CASE WHEN
+               ({_y4m_pix_sql('doc_id', 'f', 'r', '(2*cb)')}
+                + {_y4m_pix_sql('doc_id', 'f', 'r', '(2*cb+1)')}) // 2
+               >
+               ({_y4m_pix_sql('doc_id', 'f', 'r', '(2*(cb+1))')}
+                + {_y4m_pix_sql('doc_id', 'f', 'r', '(2*(cb+1)+1)')}) // 2
+             THEN 1 ELSE 0 END AS bit
+      FROM cells),
+    halves AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+             CAST(SUM(CASE WHEN b < 32 THEN bit * (1 << b) ELSE 0 END)
+                  AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit * (1 << (b - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, f)
+    SELECT doc_id, frame_no,
+           CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                 ELSE hi END) * 4294967296 + lo AS BIGINT) AS fingerprint
+    FROM halves
+    """,
+    tags=("multimodal", "video", "codec", "perceptual"),
+)
+def mm_video_y4m_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame dHash fingerprints extracted from REAL Y4M containers:
+    Spark constructs a 2-frame 18x8 mono Y4M blob per document (unhex
+    of the pixel formula), `Y4mDecoder` parses the actual header/FRAME
+    structure and luma planes, and the fingerprints hash-match the
+    oracle's formula replay."""
+    from arroyo_spark.multimodal import video_frame_fingerprints
+    from arroyo_spark.y4mcodec import Y4mDecoder
+
+    docs = load_table(spark, sf_dir, "documents")
+    hdr_hex = b"YUV4MPEG2 W18 H8 F25:1 Ip Cmono\n".hex().upper()
+    frm_hex = b"FRAME\n".hex().upper()
+
+    plane_sql = lambda f: (
+        "concat_ws('', transform(sequence(0, 143), i -> "
+        f"lpad(hex({_y4m_pix_sql('doc_id', str(f), '(i div 18)', '(i % 18)')}), 2, '0')))"
+    )
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        f"unhex(concat('{hdr_hex}', '{frm_hex}', {plane_sql(0)},"
+        f" '{frm_hex}', {plane_sql(1)})) AS content",
+    )
+    fp = video_frame_fingerprints(
+        media, decoder=Y4mDecoder(), every_ms=40
+    )
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
+    )
+
+
+def _wav_samp_sql(d: str, i: str) -> str:
+    return f"((({d} * 13 + {i} * 29 + (({i} * {i}) % 17)) % 128) * 256)"
+
+
+@query(
+    "mm_audio_wav_real",
+    oracle=f"""
+    WITH bits AS (
+      SELECT doc_id, q.q,
+             CASE WHEN
+               (({_wav_samp_sql('doc_id', '(2*q)')}
+                 + {_wav_samp_sql('doc_id', '(2*q+1)')}) // 2) * 255 // 32767
+               >
+               (({_wav_samp_sql('doc_id', '(2*(q+1))')}
+                 + {_wav_samp_sql('doc_id', '(2*(q+1)+1)')}) // 2) * 255 // 32767
+             THEN 1 ELSE 0 END AS bit
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS q) q),
+    halves AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN q < 32 THEN bit * (1 << q) ELSE 0 END)
+                  AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN q >= 32 THEN bit * (1 << (q - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id,
+           CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                 ELSE hi END) * 4294967296 + lo AS BIGINT) AS fingerprint
+    FROM halves
+    """,
+    tags=("multimodal", "audio", "codec", "perceptual"),
+)
+def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprints extracted from REAL RIFF/WAV containers:
+    Spark constructs a 130-sample 16-bit mono WAV per document (unhex
+    of the sample formula; little-endian byte split in SQL),
+    `WavDecoder` parses the actual chunks and PCM, and the fingerprints
+    hash-match the oracle's formula replay."""
+    from arroyo_spark.multimodal import acoustic_fingerprint
+    from arroyo_spark.wavcodec import WavDecoder, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    hdr_hex = encode_wav([0] * 130, 8000)[:44].hex().upper()
+    s = _wav_samp_sql("doc_id", "i")
+    samples_sql = (
+        "concat_ws('', transform(sequence(0, 129), i -> "
+        f"concat(lpad(hex({s} % 256), 2, '0'),"
+        f" lpad(hex({s} div 256), 2, '0'))))"
+    )
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        f"unhex(concat('{hdr_hex}', {samples_sql})) AS content",
+    )
+    fp = acoustic_fingerprint(media, decoder=WavDecoder())
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
+    )

@@ -402,6 +402,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_retrieval_topk",
     "hybrid_retrieval_rrf",
     "streaming_query_routing",
+    "mm_video_y4m_real",  # NEW r12
+    "mm_audio_wav_real",  # NEW r12
 }
 
 
