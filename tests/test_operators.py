@@ -1828,3 +1828,20 @@ def test_rouge_l_planted_against_python_model(spark, tmp_path):
     # F1 sits far below the gate — order sensitivity is the point
     tc = scrambled.split()
     assert 2000 * lcs(ta, tc) // (len(ta) + len(tc)) < 400
+
+
+def test_registry_decorator_binding_integrity():
+    """Guard against the @query decorator trap (a helper def inserted
+    between the decorator and its function silently registers the
+    HELPER): every registered callable's __name__ must equal its query
+    name — currently true for all 185 and required to stay true."""
+    from arroyo_spark.suite import all_queries
+
+    qs = all_queries()
+    mismatched = {n: q.fn.__name__ for n, q in qs.items()
+                  if q.fn.__name__ != n}
+    assert not mismatched, mismatched
+    # and every oracle is non-trivially sized SQL or explicitly absent
+    tiny = {n for n, q in qs.items()
+            if q.oracle is not None and len(q.oracle.strip()) < 30}
+    assert not tiny, tiny
