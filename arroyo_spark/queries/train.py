@@ -2048,3 +2048,207 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dupgate, "doc_id")
         .select("doc_id", "pred_lang", "dup_milli", "z_pico")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained Naive Bayes language-ID — the GENERATIVE trainer family next
+# to the discriminative LR (`classifier_logreg_train`) and the fastText
+# heuristic (`text_lang_id`): per-class character-unigram counts from a
+# labeled train slice (labels planted as per-class script suffixes, the
+# text_script_detection device), Laplace-smoothed integer micro-nat
+# log-probabilities, argmax scoring on the held-out slice, and the
+# CONFUSION MATRIX emitted as hash-checked data (100% on the planted
+# rule at sf0.01 — learnability is part of what the row verifies).
+#
+# Determinism: counts are exact integers; each ln runs ONCE per
+# (class, char) on an identical double — DRIVER-Python math.log and
+# DuckDB ln both call glibc (the tokenizer_unigram_lm precedent), then
+# round(x * 1e6) to micro-nats; scores sum as BIGINTs; argmax is
+# (score DESC, label ASC).
+#
+# Scale: training is ONE count aggregation (map-side combinable); the
+# model is a (classes x alphabet)-row table — bounded driver collect
+# like the DSIR weight table — broadcast into the scoring join; NB has
+# no iterations at all, the cheapest trainer in the suite.
+# ---------------------------------------------------------------------------
+
+_NB_SUF = {
+    0: " привет мир данных",
+    1: " 世界数据流",
+    2: " ροή δεδομένων",
+    3: " café résumé naïve",
+}
+_NB_LBL = {0: "cyr", 1: "han", 2: "grk", 3: "lat"}
+
+
+def _nb_pay_sql() -> tuple[str, str]:
+    suf = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(_NB_SUF.items())
+    )
+    lbl = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(_NB_LBL.items())
+    )
+    return (
+        f"(text || CASE doc_id % 4 {suf} ELSE '' END)",
+        f"(CASE doc_id % 4 {lbl} ELSE '' END)",
+    )
+
+
+def _nb_oracle() -> str:
+    pay, lbl = _nb_pay_sql()
+    return f"""
+    WITH pay AS (
+      SELECT doc_id, {pay} AS payload, {lbl} AS label,
+             doc_id % 5 < 4 AS is_train
+      FROM documents),
+    chars AS (
+      SELECT doc_id, label, is_train,
+             unnest(list_filter(string_split(payload, ''),
+                                c -> c <> '')) AS ch
+      FROM pay),
+    cnt AS MATERIALIZED (
+      SELECT label, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars WHERE is_train GROUP BY label, ch),
+    tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t
+            FROM cnt GROUP BY label),
+    vv AS (SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS v FROM cnt),
+    nl AS (SELECT label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM chars WHERE is_train GROUP BY label),
+    ntr AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM nl),
+    w AS MATERIALIZED (
+      SELECT c.label, c.ch,
+             CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (t.t + v.v))
+                        * 1000000.0) AS BIGINT) AS w_micro
+      FROM cnt c JOIN tot t USING (label) CROSS JOIN vv v),
+    dflt AS (
+      SELECT t.label,
+             CAST(round(ln(CAST(1 AS DOUBLE) / (t.t + v.v))
+                        * 1000000.0) AS BIGINT) AS d_micro
+      FROM tot t CROSS JOIN vv v),
+    prior AS (
+      SELECT l.label,
+             CAST(round(ln(CAST(l.n AS DOUBLE) / r.n) * 1000000.0)
+                  AS BIGINT) AS p_micro
+      FROM nl l CROSS JOIN ntr r),
+    hc AS (SELECT doc_id, label AS true_label, ch
+           FROM chars WHERE NOT is_train),
+    scored AS (
+      SELECT h.doc_id, h.true_label, d.label AS cand,
+             CAST(SUM(COALESCE(w.w_micro, d.d_micro)) + MIN(p.p_micro)
+                  AS BIGINT) AS score
+      FROM hc h
+      CROSS JOIN dflt d
+      LEFT JOIN w ON w.label = d.label AND w.ch = h.ch
+      JOIN prior p ON p.label = d.label
+      GROUP BY h.doc_id, h.true_label, d.label),
+    pred AS (
+      SELECT doc_id, true_label, cand AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rn
+        FROM scored) t
+      WHERE rn = 1)
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    """
+
+
+@query(
+    "lang_id_nb_train",
+    oracle=_nb_oracle(),
+    tags=("training", "langid", "naive-bayes", "curation"),
+)
+def lang_id_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the distributedly-trained Naive
+    Bayes character language-ID (Laplace-smoothed integer micro-nat
+    model, driver-exact ln per the unigram-LM precedent)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay_sql, lbl_sql = _nb_pay_sql()
+    pay = docs.selectExpr(
+        "doc_id",
+        f"{pay_sql} AS payload",
+        f"{lbl_sql} AS label",
+        "doc_id % 5 < 4 AS is_train",
+    )
+    chars = pay.select(
+        "doc_id",
+        "label",
+        "is_train",
+        F.explode(
+            F.filter(F.split("payload", ""), lambda c: c != F.lit(""))
+        ).alias("ch"),
+    ).localCheckpoint()  # one payload pass feeds train counts AND scoring
+    cnt_rows = (
+        chars.filter(F.col("is_train"))
+        .groupBy("label", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()  # bounded: classes x alphabet (~200 rows)
+    )
+    nl_rows = (
+        chars.filter(F.col("is_train"))
+        .select("label", "doc_id")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tot: dict[str, int] = {}
+    vocab = set()
+    for r in cnt_rows:
+        tot[r["label"]] = tot.get(r["label"], 0) + int(r["c"])
+        vocab.add(r["ch"])
+    v = len(vocab)
+    nlab = {r["label"]: int(r["n"]) for r in nl_rows}
+    ntr = sum(nlab.values())
+    w_rows = [
+        (
+            r["label"],
+            r["ch"],
+            round(math.log((int(r["c"]) + 1) / (tot[r["label"]] + v)) * 1e6),
+        )
+        for r in cnt_rows
+    ]
+    lab_rows = [
+        (
+            lab,
+            round(math.log(1 / (tot[lab] + v)) * 1e6),
+            round(math.log(nlab[lab] / ntr) * 1e6),
+        )
+        for lab in sorted(nlab)
+    ]
+    wtab = spark.createDataFrame(
+        w_rows, "cand string, ch string, w_micro bigint"
+    )
+    labs = spark.createDataFrame(
+        lab_rows, "cand string, d_micro bigint, p_micro bigint"
+    )
+    hc = chars.filter(~F.col("is_train")).select(
+        "doc_id", F.col("label").alias("true_label"), "ch"
+    )
+    scored = (
+        hc.crossJoin(F.broadcast(labs))
+        .join(F.broadcast(wtab), ["cand", "ch"], "left")
+        .groupBy("doc_id", "true_label", "cand")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("w_micro"), F.col("d_micro")))
+                + F.min("p_micro")
+            )
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    wsel = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "cand"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
