@@ -2252,3 +2252,165 @@ def lang_id_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming language-mix monitor — the deployed form of the NB
+# language-ID: the model trains OFFLINE on the labeled slice (the
+# bounded count pass above), its weight table broadcasts into the
+# ingest stream, every arriving document is classified statelessly
+# (Arrow-batched scoring against the broadcast model), and ONE bounded
+# update-mode aggregation maintains the per-(source, predicted-lang)
+# histogram — the mixture-shift alarm a multilingual pipeline watches.
+#
+# Oracle: the identical scoring replayed batch-side over all documents
+# (same model CTEs as `lang_id_nb_train`), grouped by source and
+# prediction.
+# ---------------------------------------------------------------------------
+
+
+def _nb_monitor_oracle() -> str:
+    pay, lbl = _nb_pay_sql()
+    base = _nb_oracle()
+    # reuse the model CTEs; rescore EVERY doc (not just held-out) and
+    # roll up by source
+    cut = base.index("hc AS (")
+    return base[:cut] + f"""sc_all AS (
+      SELECT p.doc_id, p.source, d.label AS cand,
+             CAST(SUM(COALESCE(w.w_micro, d.d_micro)) + MIN(pr.p_micro)
+                  AS BIGINT) AS score
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split({pay}, ''),
+                                  c -> c <> '')) AS ch
+        FROM documents) p
+      CROSS JOIN dflt d
+      LEFT JOIN w ON w.label = d.label AND w.ch = p.ch
+      JOIN prior pr ON pr.label = d.label
+      GROUP BY p.doc_id, p.source, d.label),
+    pred_all AS (
+      SELECT doc_id, source, cand AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rn
+        FROM sc_all) t
+      WHERE rn = 1)
+    SELECT source, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred_all GROUP BY source, pred_lang
+    """
+
+
+@query(
+    "streaming_langid_monitor",
+    oracle=_nb_monitor_oracle(),
+    tags=("training", "langid", "naive-bayes", "streaming", "monitor"),
+)
+def streaming_langid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, predicted-language) document counts maintained on
+    ingest under the frozen offline-trained NB model."""
+    import math
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from arroyo_spark.queries.text_pipeline import _cp_doc_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay_sql, lbl_sql = _nb_pay_sql()
+    chars = docs.selectExpr(
+        "doc_id",
+        f"{lbl_sql} AS label",
+        "doc_id % 5 < 4 AS is_train",
+        f"explode(filter(split({pay_sql}, ''), c -> c != '')) AS ch",
+    )
+    cnt_rows = (
+        chars.filter(F.col("is_train"))
+        .groupBy("label", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()  # bounded: classes x alphabet
+    )
+    nl_rows = (
+        chars.filter(F.col("is_train"))
+        .select("label", "doc_id")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tot: dict[str, int] = {}
+    vocab = set()
+    for r in cnt_rows:
+        tot[r["label"]] = tot.get(r["label"], 0) + int(r["c"])
+        vocab.add(r["ch"])
+    v = len(vocab)
+    nlab = {r["label"]: int(r["n"]) for r in nl_rows}
+    ntr = sum(nlab.values())
+    w = {
+        (r["label"], r["ch"]): round(
+            math.log((int(r["c"]) + 1) / (tot[r["label"]] + v)) * 1e6
+        )
+        for r in cnt_rows
+    }
+    dflt = {
+        lab: round(math.log(1 / (tot[lab] + v)) * 1e6) for lab in nlab
+    }
+    prior = {
+        lab: round(math.log(nlab[lab] / ntr) * 1e6) for lab in nlab
+    }
+    labels = sorted(nlab)
+    suf = {k: _NB_SUF[k] for k in _NB_SUF}
+    lblmap = dict(_NB_LBL)
+    bc = spark.sparkContext.broadcast((w, dflt, prior, labels, suf, lblmap))
+
+    def classify(batches):
+        wm, dm, pm, labs, sufm, lblm = bc.value
+        for pdf in batches:
+            srcs, preds = [], []
+            for did, text, src in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                payload = str(text) + sufm[int(did) % 4]
+                best = None
+                for lab in labs:
+                    s = pm[lab]
+                    d = dm[lab]
+                    for ch in payload:
+                        s += wm.get((lab, ch), d)
+                    # argmax: score desc, label asc (labs sorted)
+                    if best is None or s > best[0]:
+                        best = (s, lab)
+                srcs.append(src)
+                preds.append(best[1])
+            yield pd.DataFrame({"source": srcs, "pred_lang": preds})
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    classified = stream.select("doc_id", "text", "source").mapInPandas(
+        classify, "source string, pred_lang string"
+    )
+    state = classified.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    name = "slm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="slm_ck_")
+    q = (
+        state.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming_langid_monitor: did not drain")
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    emissions = spark.table(name).localCheckpoint()
+    # running counts are monotone per key: final state = max emission
+    return emissions.groupBy("source", "pred_lang").agg(
+        F.max("n").cast("bigint").alias("n")
+    )
