@@ -1276,3 +1276,112 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row.priority").alias("priority"),
         (F.col("pos") + 1).cast("bigint").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing — the FINAL preprocessing stage before
+# training (Radford et al. 2019 / every causal-LM pipeline): the corpus
+# token stream is concatenated in deterministic doc_id order and
+# chopped into fixed context windows of L tokens; documents straddle
+# window boundaries (boundary crossings are what attention masking /
+# EOD tokens handle downstream). Emits the per-SEQUENCE manifest the
+# loader consumes: window id, its token count (L except the tail), how
+# many documents touch it and the first/last touching doc.
+#
+# This is the complement of `token_budget_shard_packing` (which keeps
+# documents whole under a budget): sequence packing wastes zero tokens
+# and splits documents — the classic tradeoff pair.
+#
+# Scale: the cumulative offset is a prefix sum over per-doc token
+# counts in id order; at 100 TB the global ordered window becomes the
+# two-level arrangement the 2level packing query already demonstrates
+# (per-shard local prefix sums + a shard-offset broadcast — doc ids are
+# contiguous per shard). Each doc explodes into <= ceil(nt/L)+1 window
+# rows; the rollup is one keyed aggregation.
+# ---------------------------------------------------------------------------
+
+_SP_L = 512  # context window length in tokens
+
+
+@query(
+    "sequence_packing_gpt",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS nt
+      FROM documents),
+    cum AS (
+      SELECT doc_id, nt,
+             CAST(SUM(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM nt WHERE nt > 0),
+    spans AS (
+      SELECT doc_id, nt, cum - nt AS lo, cum - 1 AS hi,
+             (cum - nt) // {_SP_L} AS seq_first,
+             (cum - 1) // {_SP_L} AS seq_last
+      FROM cum),
+    touch AS (
+      SELECT s.doc_id, CAST(q.q AS BIGINT) AS seq_id
+      FROM spans s
+      CROSS JOIN unnest(range(0, 1000000)) AS q(q)
+      WHERE q.q BETWEEN s.seq_first AND s.seq_last),
+    total AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum)
+    SELECT t.seq_id,
+           CAST(least({_SP_L}, x.n - t.seq_id * {_SP_L}) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(t.doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(t.doc_id) AS BIGINT) AS last_doc
+    FROM touch t CROSS JOIN total x
+    GROUP BY t.seq_id, x.n
+    """.replace("{toks}", "list_filter(string_split_regex(lower(text),"
+                " '\\s+'), w -> w <> '')"),
+    tags=("curation", "packing", "pipeline"),
+)
+def sequence_packing_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-context-window manifest of the 512-token GPT-style chop over
+    the doc_id-ordered corpus token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id", F.size(T.toks("text")).cast("bigint").alias("nt")
+    ).filter(F.col("nt") > 0)
+    cum = nt.withColumn(
+        "cum",
+        F.sum("nt")
+        .over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    )
+    spans = cum.select(
+        "doc_id",
+        F.expr(f"(cum - nt) div {_SP_L}").alias("seq_first"),
+        F.expr(f"(cum - 1) div {_SP_L}").alias("seq_last"),
+    )
+    touch = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("seq_first"), F.col("seq_last"))
+        ).alias("seq_id"),
+    )
+    total = cum.agg(F.max("cum").cast("bigint").alias("n"))
+    return (
+        touch.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "seq_id",
+            F.expr(
+                f"CAST(least({_SP_L}, n - seq_id * {_SP_L}) AS BIGINT)"
+            ).alias("n_tokens"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+        )
+    )

@@ -406,6 +406,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_audio_wav_real",  # NEW r12
     "lang_id_nb_train",  # NEW r12
     "streaming_langid_monitor",  # NEW r12
+    "sequence_packing_gpt",  # NEW r12
 }
 
 
