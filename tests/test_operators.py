@@ -1845,3 +1845,62 @@ def test_registry_decorator_binding_integrity():
     tiny = {n for n, q in qs.items()
             if q.oracle is not None and len(q.oracle.strip()) < 30}
     assert not tiny, tiny
+
+
+def _brute_rebuild(texts: dict[int, str], k: int):
+    """Independent keep-one rebuild: spans from the brute span model,
+    one occurrence kept per (cluster) — lexicographically-first
+    (doc_id, span_start) — the rest's token ranges swept out."""
+    spans = _brute_duplicated_spans(texts, k)
+    by_cluster: dict = {}
+    for d, start, ln, cd, cp in spans:
+        by_cluster.setdefault((cd, cp), []).append((d, start, ln))
+    removed: dict[int, list] = {}
+    for occ in by_cluster.values():
+        for d, start, ln in sorted(occ)[1:]:
+            removed.setdefault(d, []).append((start, start + ln - 1))
+    out = {}
+    for d, t in texts.items():
+        toks = [w for w in t.lower().split() if w]
+        if not toks:
+            continue
+        kept = [
+            w
+            for i, w in enumerate(toks, 1)
+            if not any(a <= i <= b for a, b in removed.get(d, []))
+        ]
+        out[d] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 47, 1234])
+def test_substring_rebuild_randomized_vs_brute(spark, seed):
+    """Randomized keep-one contract: on dense-collision corpora the
+    distributed rebuild must equal the independent Python model doc by
+    doc (token counts, kept counts, exact surviving text)."""
+    import random
+
+    from arroyo_spark.operators.dedup import substring_span_rebuild
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 26)))
+        for d in range(1, 11)
+    }
+    got = {
+        r["doc_id"]: (int(r["n_toks"]), int(r["n_kept"]), r["text_after"])
+        for r in substring_span_rebuild(
+            spark.createDataFrame(
+                [(d, t) for d, t in texts.items()],
+                "doc_id bigint, text string",
+            ),
+            k=4,
+        ).collect()
+    }
+    want = _brute_rebuild(texts, 4)
+    assert got == want, (seed, {k: (got.get(k), want.get(k))
+                                for k in set(got) | set(want)
+                                if got.get(k) != want.get(k)})
+    # the corpora are dense enough that removal really happened
+    assert any(n_kept < n for n, n_kept, _ in want.values())
