@@ -112,3 +112,17 @@ def test_perceptual_dhash_over_real_jpegs(spark):
                 assert d <= 6, (i, j, d)
             else:
                 assert d >= 16, (i, j, d)
+
+
+def test_app0_and_comment_segments_skipped():
+    """Real-world JPEGs carry JFIF APP0 and COM segments before SOF —
+    the decoder must skip unknown marker segments by their length."""
+    px = _gradient(8, 8)
+    good = encode_gray_jpeg(px, 8, 8)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    jfif = good[:2] + app0 + com + good[2:]
+    _, _, out = decode_gray_jpeg(jfif)
+    _, _, ref = decode_gray_jpeg(good)
+    assert out == ref
+    assert JpegDecoder().image_size(jfif) == (8, 8)
