@@ -666,4 +666,6 @@ def streaming_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
-    return spark.read.parquet(out_dir).localCheckpoint()
+    out = spark.read.parquet(out_dir).localCheckpoint()  # eager snapshot
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
