@@ -1904,3 +1904,33 @@ def test_substring_rebuild_randomized_vs_brute(spark, seed):
                                 if got.get(k) != want.get(k)})
     # the corpora are dense enough that removal really happened
     assert any(n_kept < n for n, n_kept, _ in want.values())
+
+
+def test_suite_rotation_ordering_contract():
+    """The driver consumes `all_queries()` in order with a bounded
+    budget; the rotation contract is: CURRENT-round-dirty first, then
+    never-verified, then least-recently-green tiers ascending. Also:
+    every dirty entry must exist in the registry (a stale entry would
+    silently burn sweep budget)."""
+    from arroyo_spark.suite import (
+        _DIRTY_CURRENT_ROUND,
+        _verification_tier,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert _DIRTY_CURRENT_ROUND <= set(qs), (
+        _DIRTY_CURRENT_ROUND - set(qs)
+    )
+    tiers = [_verification_tier(n) for n in qs]
+    assert tiers == sorted(tiers), "registry not sorted by tier"
+    assert all(_verification_tier(n) == -1 for n in _DIRTY_CURRENT_ROUND)
+    # the 27 queries whose latest green check is r08 must precede every
+    # r09+ tier (the staleness rotation the r11 verdict mandates)
+    t8 = [n for n in qs if _verification_tier(n) == 8]
+    t9plus = [n for n in qs if _verification_tier(n) >= 9]
+    names = list(qs)
+    if t8 and t9plus:
+        assert max(names.index(n) for n in t8) < min(
+            names.index(n) for n in t9plus
+        )
