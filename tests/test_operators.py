@@ -1934,3 +1934,106 @@ def test_suite_rotation_ordering_contract():
         assert max(names.index(n) for n in t8) < min(
             names.index(n) for n in t9plus
         )
+
+
+@pytest.mark.parametrize("seed", [13, 91])
+def test_contaminated_spans_randomized_vs_brute(spark, seed):
+    """Randomized membership contract: contaminated-span extraction on
+    dense random corpora must equal the independent model (maximal runs
+    of training windows whose text appears in ANY eval doc, provenance
+    = first eval occurrence)."""
+    import random
+
+    from arroyo_spark.operators.dedup import contaminated_spans
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    texts = {}
+    for d in range(1, 13):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 22)))
+        texts[d] = t
+        rows.append((d, t, d % 3 == 0))  # every third doc is eval
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, is_eval boolean"
+    )
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in contaminated_spans(docs, eval_col="is_eval", k=3).collect()
+    )
+    # brute: eval window index
+    k = 3
+    ev = {}
+    for d, t in sorted(texts.items()):
+        if d % 3 != 0:
+            continue
+        tk = t.split()
+        for i in range(len(tk) - k + 1):
+            ev.setdefault(" ".join(tk[i:i + k]), (d, i + 1))
+    want = []
+    for d, t in texts.items():
+        if d % 3 == 0:
+            continue
+        tk = t.split()
+        hits = {
+            i + 1: ev[" ".join(tk[i:i + k])]
+            for i in range(len(tk) - k + 1)
+            if " ".join(tk[i:i + k]) in ev
+        }
+        run = []
+        for p in sorted(hits):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] - run[0] + k,
+                                 *hits[run[0]]))
+                run = [p]
+        if run:
+            want.append((d, run[0], run[-1] - run[0] + k, *hits[run[0]]))
+    assert got == sorted(want), (seed, got[:4], sorted(want)[:4])
+    assert got  # dense vocab guarantees contamination
+
+
+@pytest.mark.parametrize("seed", [29, 333])
+def test_rrf_fuse_randomized_vs_brute(spark, seed):
+    """Randomized fusion contract: rrf_fuse over random bounded arm
+    rankings must equal the independent integer RRF model (absent arm
+    contributes 0, order by fused score desc then doc)."""
+    import random
+
+    from arroyo_spark.queries.retrieval import rrf_fuse
+
+    rng = random.Random(seed)
+    docs = list(range(100, 130))
+    arms = []
+    for _ in range(2):
+        ranked = []
+        for q in (1, 2, 3):
+            picks = rng.sample(docs, rng.randint(3, 10))
+            ranked += [(q, d, i + 1) for i, d in enumerate(picks)]
+        arms.append(ranked)
+    sparse = spark.createDataFrame(
+        arms[0], "query_id bigint, doc_id bigint, rn bigint"
+    )
+    dense = spark.createDataFrame(
+        arms[1], "query_id bigint, doc_id bigint, rn bigint"
+    )
+    got = {
+        (r["query_id"], r["rn"]): (r["doc_id"], r["rrf_micro"])
+        for r in rrf_fuse(sparse, dense, topk=5).collect()
+    }
+    S = 10**9
+    want = {}
+    for q in (1, 2, 3):
+        s = {d: rn for qq, d, rn in arms[0] if qq == q}
+        dn = {d: rn for qq, d, rn in arms[1] if qq == q}
+        scores = {
+            d: (S // (60 + s[d]) if d in s else 0)
+            + (S // (60 + dn[d]) if d in dn else 0)
+            for d in set(s) | set(dn)
+        }
+        order = sorted(scores, key=lambda d: (-scores[d], d))[:5]
+        for i, d in enumerate(order, 1):
+            want[(q, i)] = (d, scores[d])
+    assert got == want, (seed,)
