@@ -275,3 +275,36 @@ def byte_bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .withColumn("syms", byte_syms(F.col("word")))
     )
+
+
+def greedy_wordpiece_segment(
+    word: str,
+    bare: frozenset,
+    cont: frozenset,
+    max_b: int,
+    max_c: int,
+) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (the BERT runtime matcher): first piece from the bare pool, later
+    pieces '##'-prefixed from the continuation pool. Raises loudly on
+    out-of-vocabulary input instead of looping (ADVICE r11) — training-
+    corpus words always match because their own characters seed the
+    alphabet."""
+    pieces: list[str] = []
+    pos, first = 0, True
+    while pos < len(word):
+        pool = bare if first else cont
+        cap = max_b if first else max_c
+        ln = min(cap, len(word) - pos)
+        while ln > 0 and word[pos : pos + ln] not in pool:
+            ln -= 1
+        if ln == 0:
+            raise ValueError(
+                f"no vocab piece matches {word!r} at {pos} "
+                "(out-of-vocabulary input to greedy matcher)"
+            )
+        raw = word[pos : pos + ln]
+        pieces.append(raw if first else "##" + raw)
+        pos += ln
+        first = False
+    return pieces

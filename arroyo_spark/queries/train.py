@@ -1745,6 +1745,8 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def _match(batches):
+        from arroyo_spark.operators.bpe import greedy_wordpiece_segment
+
         bare_set, cont_set = bc.value
         max_b = max((len(t) for t in bare_set), default=1)
         max_c = max((len(t) for t in cont_set), default=1)
@@ -1753,25 +1755,9 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for word, freq, syms in zip(
                 pdf["word"], pdf["freq"], pdf["syms"]
             ):
-                pieces, pos, first = [], 0, True
-                while pos < len(word):
-                    pool = bare_set if first else cont_set
-                    cap = (max_b if first else max_c)
-                    ln = min(cap, len(word) - pos)
-                    while ln > 0 and word[pos : pos + ln] not in pool:
-                        ln -= 1
-                    if ln == 0:
-                        # Training-corpus words always match (their own
-                        # chars seed the alphabet); an OOV char on reuse
-                        # must fail visibly, not spin forever (ADVICE r11).
-                        raise ValueError(
-                            f"no vocab piece matches {word!r} at {pos} "
-                            "(out-of-vocabulary input to greedy matcher)"
-                        )
-                    raw = word[pos : pos + ln]
-                    pieces.append(raw if first else "##" + raw)
-                    pos += ln
-                    first = False
+                pieces = greedy_wordpiece_segment(
+                    str(word), bare_set, cont_set, max_b, max_c
+                )
                 words.append(word)
                 freqs.append(int(freq))
                 segs.append(" ".join(pieces))

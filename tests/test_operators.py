@@ -2037,3 +2037,19 @@ def test_rrf_fuse_randomized_vs_brute(spark, seed):
         for i, d in enumerate(order, 1):
             want[(q, i)] = (d, scores[d])
     assert got == want, (seed,)
+
+
+def test_greedy_wordpiece_matcher_oov_raises():
+    """ADVICE r11: the greedy matcher must FAIL LOUDLY on
+    out-of-vocabulary input (an unguarded ln==0 previously spun
+    forever) and segment in-vocab words longest-match-first."""
+    from arroyo_spark.operators.bpe import greedy_wordpiece_segment
+
+    bare = frozenset({"h", "he", "hell"})
+    cont = frozenset({"o", "lo", "llo", "l"})
+    seg = greedy_wordpiece_segment("hello", bare, cont, 4, 3)
+    assert seg == ["hell", "##o"]  # longest bare prefix wins
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        greedy_wordpiece_segment("hxllo", bare, cont, 4, 3)
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        greedy_wordpiece_segment("ohello", bare, cont, 4, 3)  # bad START
