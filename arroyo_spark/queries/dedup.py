@@ -2231,6 +2231,11 @@ def dedup_canonical_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RL_MAXT = 32   # DP prefix bound in tokens
 _RL_TAU = 700   # Self-Instruct's 0.7 in milli
+_RL_CAP = 32    # trigram doc-frequency cap (the banded-join skew lever:
+                # a stop-phrase trigram shared by k docs fans out k^2
+                # candidate pairs; max observed df is 6 at test scale, so
+                # the cap is pure headroom — identical results, bounded
+                # worst case)
 
 _RL_TOKS32 = (
     "list_slice(list_filter(string_split_regex(lower(text), '\\s+'),"
@@ -2250,9 +2255,12 @@ _RL_TOKS32 = (
                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS tg
       FROM rl_toks),
     rl_ex AS (SELECT doc_id, unnest(tg) AS s FROM rl_sh),
+    rl_keep AS (
+      SELECT s FROM rl_ex GROUP BY s HAVING COUNT(*) <= {_RL_CAP}),
+    rl_exk AS (SELECT e.doc_id, e.s FROM rl_ex e JOIN rl_keep USING (s)),
     rl_cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM rl_ex a JOIN rl_ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+      FROM rl_exk a JOIN rl_exk b ON a.s = b.s AND a.doc_id < b.doc_id),
     rl_pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, ta.tk AS ta, tb.tk AS tb
       FROM rl_cand c
@@ -2320,6 +2328,13 @@ def dedup_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = toks.select("doc_id", F.explode(tg).alias("s"))
+    keep = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _RL_CAP)
+        .select("s")
+    )
+    ex = ex.join(keep, "s")
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     cand = (
