@@ -407,9 +407,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "lang_id_nb_train",  # NEW r12
     "streaming_langid_monitor",  # NEW r12
     "sequence_packing_gpt",  # NEW r12
-    # dedup_rouge_l gained the trigram doc-frequency cap (both sides;
-    # identical results at test scale, bounded worst case) — already a
-    # dirty entry above? it is NEW r12, so tier -1 covers the re-check
+    # (dedup_rouge_l additionally gained the trigram doc-frequency cap
+    # late in the round — it is already listed above as NEW r12)
 }
 
 
