@@ -628,11 +628,17 @@ def duplicate_spans(
     """All maximal duplicated token spans of >= ``k`` tokens — the
     suffix-array duplicate-span extraction of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"),
-    re-expressed as the distributable equivalent: a span of >= k tokens
-    appears more than once in the corpus iff every one of its k-token
-    windows does, so maximal runs of duplicated k-windows ARE the
-    maximal duplicated spans (what adjacent suffixes with LCP >= k give
-    the single-machine suffix array).
+    re-expressed as the distributable union-coverage/maximal-run form:
+    a span of >= k tokens that appears more than once has every one of
+    its k-token windows duplicated, so maximal runs of duplicated
+    k-windows COVER the maximal duplicated spans (what adjacent
+    suffixes with LCP >= k give the single-machine suffix array).
+    Note the forward direction only: adjacent duplicated windows may
+    match different partners, so a merged island can over-merge
+    distinct duplicated substrings into one reported span, and
+    (cluster_doc, cluster_pos) can group non-identical texts. Token
+    coverage and removal semantics — what the rebuild and dup_frac
+    consume — are exact.
 
     1. every doc emits positioned k-token window hashes (bounded md5
        keys — document text itself never enters a shuffle);

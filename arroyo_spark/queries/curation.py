@@ -1294,18 +1294,19 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: the cumulative offset is a prefix sum over per-doc token
 # counts in id order; at 100 TB the global ordered window becomes the
-# two-level arrangement the 2level packing query already demonstrates
-# (per-shard local prefix sums + a shard-offset broadcast — doc ids are
-# contiguous per shard). Each doc explodes into <= ceil(nt/L)+1 window
-# rows; the rollup is one keyed aggregation.
+# two-level arrangement REGISTERED as `sequence_packing_gpt_2level`
+# (contiguous doc_id ranges, per-range local prefix sums + exact
+# broadcast range offsets — bit-identical output, same oracle). Each
+# doc explodes into <= ceil(nt/L)+1 window rows; the rollup is one
+# keyed aggregation.
 # ---------------------------------------------------------------------------
 
 _SP_L = 512  # context window length in tokens
 
-
-@query(
-    "sequence_packing_gpt",
-    oracle=f"""
+# Shared by sequence_packing_gpt AND its 2level scale variant: the two
+# plans produce bit-identical manifests (the 2level global offsets are
+# exact), so the oracle is literally the same SQL.
+_SEQPACK_ORACLE = f"""
     WITH nt AS (
       SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS nt
       FROM documents),
@@ -1321,10 +1322,10 @@ _SP_L = 512  # context window length in tokens
              (cum - 1) // {_SP_L} AS seq_last
       FROM cum),
     touch AS (
-      SELECT s.doc_id, CAST(q.q AS BIGINT) AS seq_id
-      FROM spans s
-      CROSS JOIN unnest(range(0, 1000000)) AS q(q)
-      WHERE q.q BETWEEN s.seq_first AND s.seq_last),
+      SELECT doc_id,
+             CAST(unnest(range(seq_first, seq_last + 1)) AS BIGINT)
+               AS seq_id
+      FROM spans),
     total AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum)
     SELECT t.seq_id,
            CAST(least({_SP_L}, x.n - t.seq_id * {_SP_L}) AS BIGINT)
@@ -1335,7 +1336,12 @@ _SP_L = 512  # context window length in tokens
     FROM touch t CROSS JOIN total x
     GROUP BY t.seq_id, x.n
     """.replace("{toks}", "list_filter(string_split_regex(lower(text),"
-                " '\\s+'), w -> w <> '')"),
+                " '\\s+'), w -> w <> '')")
+
+
+@query(
+    "sequence_packing_gpt",
+    oracle=_SEQPACK_ORACLE,
     tags=("curation", "packing", "pipeline"),
 )
 def sequence_packing_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,6 +1386,95 @@ def sequence_packing_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(least({_SP_L}, n - seq_id * {_SP_L}) AS BIGINT)"
             ).alias("n_tokens"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+_SPL_RANGE = 256  # doc_id interval width per level-1 range partition
+
+
+@query(
+    "sequence_packing_gpt_2level",
+    oracle=_SEQPACK_ORACLE,
+    tags=("curation", "packing", "pipeline"),
+)
+def sequence_packing_gpt_2level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB scale path for `sequence_packing_gpt`, whose global
+    prefix sum funnels one row per document through a single task.
+    Here docs range-partition into CONTIGUOUS doc_id intervals
+    (``doc_id div _SPL_RANGE`` — contiguity, not hashing, is what makes
+    per-interval sums composable into exact global offsets); each
+    interval computes a local prefix sum under a (interval)-partitioned
+    window; per-interval token totals (one bounded row per interval —
+    n_docs / _SPL_RANGE rows; size the interval width so this stays in
+    the k-means-centroid bounded-collect class at scale) are collected,
+    exclusive-prefix-summed in driver Python (exact BIGINT arithmetic),
+    and broadcast back. Global cum = local cum + interval offset is
+    bit-identical to the single-level form, so window boundaries — and
+    the oracle — are literally the same. No unpartitioned Window
+    anywhere in the plan (gated in tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        docs.select(
+            "doc_id", F.size(T.toks("text")).cast("bigint").alias("nt")
+        )
+        .filter(F.col("nt") > 0)
+        .withColumn("p", F.expr(f"doc_id div {_SPL_RANGE}"))
+        # consumed twice (interval totals + the main path): checkpoint
+        # so the tokenize pass runs once
+        .localCheckpoint()
+    )
+    totals = sorted(
+        nt.groupBy("p").agg(F.sum("nt").cast("bigint").alias("tot")).collect(),
+        key=lambda r: r["p"],
+    )
+    off, offsets = 0, []
+    for r in totals:
+        offsets.append((int(r["p"]), off))
+        off += int(r["tot"])
+    n_total = off  # == global MAX(cum): total token count
+    odf = spark.createDataFrame(offsets, "p bigint, off bigint")
+    w = (
+        Window.partitionBy("p")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = nt.join(F.broadcast(odf), "p").select(
+        "doc_id",
+        "nt",
+        (F.sum("nt").over(w) + F.col("off")).cast("bigint").alias("cum"),
+    )
+    spans = cum.select(
+        "doc_id",
+        F.expr(f"(cum - nt) div {_SP_L}").alias("seq_first"),
+        F.expr(f"(cum - 1) div {_SP_L}").alias("seq_last"),
+    )
+    touch = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("seq_first"), F.col("seq_last"))
+        ).alias("seq_id"),
+    )
+    return (
+        touch.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .select(
+            "seq_id",
+            F.least(
+                F.lit(_SP_L),
+                F.lit(n_total) - F.col("seq_id") * F.lit(_SP_L),
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
             "n_docs",
             "first_doc",
             "last_doc",

@@ -359,6 +359,29 @@ _GREEN_R11 = frozenset(
 )
 
 
+_GREEN_R12 = frozenset(
+    {
+        'above_nation_avg_spenders', 'bloom_line_membership', 'bm25_prf_expansion',
+        'bm25_retrieval_topk', 'classifier_calibration_report', 'contamination_span_report',
+        'curation_pipeline_v2', 'curation_pipeline_v5', 'dedup_canonical_gain',
+        'dedup_canonical_selection', 'dedup_duplicate_clusters', 'dedup_exact',
+        'dedup_exact_substring', 'dedup_incremental', 'dedup_minhash_lsh',
+        'dedup_rouge_l', 'dedup_span_stats_by_source', 'dedup_substring_rebuild',
+        'dedup_substring_spans', 'doc_winnowing_fingerprints', 'embedding_label_centroid_sim',
+        'hybrid_retrieval_rrf', 'interval_join_signup_purchase', 'knn_cosine_topk',
+        'knn_lsh_ann', 'lang_id_nb_train', 'mixture_budget_unimax',
+        'mm_audio_wav_real', 'mm_image_features', 'mm_video_y4m_real',
+        'q12_priority_by_linestatus', 'q13_customer_order_distribution', 'q14_promo_revenue_share',
+        'q17_small_quantity_revenue', 'q18_large_volume_orders', 'q19_or_predicate_revenue',
+        'q22_idle_rich_customers', 'q4_order_priority_check', 'q6_forecast_revenue',
+        'q7_volume_shipping', 'sequence_packing_gpt', 'streaming_dedup_exact',
+        'streaming_dedup_incremental', 'streaming_domain_caps', 'streaming_langid_monitor',
+        'streaming_query_routing', 'streaming_tokenizer_fertility', 'tokenizer_bytebpe_encode',
+        'tokenizer_bytebpe_train', 'tokenizer_wordpiece_encode',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -367,54 +390,22 @@ _GREEN_R11 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r12 edits (populated as code is touched this round):
-    "tokenizer_wordpiece_encode",  # ADVICE r11: _WPE_MAXLEN loud assert +
-                                   # OOV ln==0 guard in the greedy matcher
-    "bm25_retrieval_topk",  # refactor: ranked-topk extracted into
-                            # bm25_topk(docs, k) (pure; shared with hybrid)
-    "hybrid_retrieval_rrf",  # NEW r12
-    "dedup_duplicate_clusters",  # oracle refactor: CTE chain extracted
-                                 # into _CLUSTER_CTES (text identical up
-                                 # to cl_-prefixed CTE names)
-    "dedup_canonical_selection",  # NEW r12
-    "dedup_substring_spans",  # NEW r12
-    "dedup_substring_rebuild",  # NEW r12
-    "tokenizer_bytebpe_train",  # NEW r12
-    "tokenizer_bytebpe_encode",  # NEW r12
-    "streaming_dedup_incremental",  # NEW r12
-    "dedup_incremental",  # refactor: verdict CASE now shared shape with
-                          # the streaming finalizer (no logic change)
-    "mixture_budget_unimax",  # NEW r12
-    "classifier_calibration_report",  # NEW r12
-    "dedup_span_stats_by_source",  # NEW r12
-    "contamination_span_report",  # NEW r12
-    "curation_pipeline_v5",  # NEW r12
-    "dedup_substring_spans",   # moved _SP_CTES to span_sql.py (text
-    "dedup_substring_rebuild", # identical; import refactor only)
-    "dedup_canonical_gain",  # NEW r12
-    "dedup_canonical_selection",  # oracle refactor: shared _canonical_ctes
-    "bm25_prf_expansion",  # NEW r12
-    "streaming_query_routing",  # NEW r12
-    "streaming_tokenizer_fertility",  # NEW r12
-    "dedup_rouge_l",  # NEW r12
-    # perf: bm25_tf now carries dl (window hoisted before the
-    # checkpoint) and PRF checkpoints qterms2 — re-verify the family
-    "bm25_retrieval_topk",
-    "hybrid_retrieval_rrf",
-    "streaming_query_routing",
-    "mm_video_y4m_real",  # NEW r12
-    "mm_audio_wav_real",  # NEW r12
-    "lang_id_nb_train",  # NEW r12
-    "streaming_langid_monitor",  # NEW r12
-    "sequence_packing_gpt",  # NEW r12
-    # (dedup_rouge_l additionally gained the trigram doc-frequency cap
-    # late in the round — it is already listed above as NEW r12)
+    # r13 edits (populated as code is touched this round):
+    "sequence_packing_gpt",  # ADVICE r12: oracle range bound now derived
+                             # from seq_first..seq_last (no 1e6 cap);
+                             # oracle extracted into _SEQPACK_ORACLE
+    "sequence_packing_gpt_2level",  # NEW r13 (verdict #2 scale path)
+    "mm_audio_wav_real",  # ADVICE r12: stereo mixdown simplified to
+                          # (l+r)//2 (arithmetically identical)
+    "mm_video_y4m_real",  # ADVICE r12: odd-dim C420 now rejected loudly
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R12:
+        return 12
     if name in _GREEN_R11:
         return 11
     if name in _GREEN_R10:

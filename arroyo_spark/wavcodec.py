@@ -66,10 +66,9 @@ def decode_wav(blob: bytes) -> tuple[int, list[int]]:
     else:
         raise ValueError(f"bit depth {bits} not supported (8 or 16)")
     if channels == 2:
-        # integer mean with floor-safe arrangement: the sum is bounded
-        # in [-65536, 65534]; offset keeps the division non-negative
+        # integer mean; Python // floors, which is the intended mixdown
         raw = [
-            ((raw[i] + raw[i + 1] + 131072) // 2) - 65536
+            (raw[i] + raw[i + 1]) // 2
             for i in range(0, len(raw) - 1, 2)
         ]
     return rate, raw

@@ -58,6 +58,11 @@ def _parse_header(blob: bytes) -> tuple[int, int, int, int, str, int]:
 
 def _frame_size(w: int, h: int, cs: str) -> int:
     if cs.startswith("C420"):
+        if w % 2 or h % 2:
+            # producers ceil chroma planes for odd dims; we'd mis-slice
+            raise ValueError(
+                f"odd dimensions {w}x{h} not supported for C420"
+            )
         return w * h + 2 * ((w // 2) * (h // 2))
     if cs == "Cmono":
         return w * h

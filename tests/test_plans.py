@@ -435,6 +435,48 @@ def test_two_level_packing_broadcast_offsets(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_sequence_packing_2level_no_unpartitioned_window(spark, sf_dir):
+    """The 2level sequence-packing scale path must not contain ANY
+    unpartitioned Window (the single-level form's global prefix sum is
+    the one scale-killer it exists to fix). In a formatted plan an
+    unpartitioned window's windowspecdefinition opens directly with a
+    sort item (`windowspecdefinition(col#1L ASC ...`); a partitioned
+    one opens with the partition column (`windowspecdefinition(p#1L,
+    col#2L ASC ...`)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sequence_packing_gpt_2level")
+    unpart = re.findall(r"windowspecdefinition\([^,()]*\s(?:ASC|DESC)", plan)
+    assert not unpart, unpart
+    assert "CartesianProduct" not in plan
+    # the interval-offset table joins back via broadcast
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # control: the single-level form DOES show the unpartitioned window
+    plan1 = plan_of(spark, sf_dir, "sequence_packing_gpt")
+    assert re.findall(
+        r"windowspecdefinition\([^,()]*\s(?:ASC|DESC)", plan1
+    ), plan1[:3000]
+
+
+def test_sequence_packing_2level_identical_to_single_level(spark, sf_dir):
+    """The two-level manifest is bit-identical to the single-level one:
+    exact interval offsets make every window boundary the same."""
+    a = (
+        QUERIES["sequence_packing_gpt"]
+        .fn(spark, sf_dir)
+        .orderBy("seq_id")
+        .collect()
+    )
+    b = (
+        QUERIES["sequence_packing_gpt_2level"]
+        .fn(spark, sf_dir)
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
+
+
 def test_bigram_perplexity_no_cartesian_joins(spark, sf_dir):
     # bigram/context model joins are equi-joins; the only Window is the
     # per-language ntile over the doc-level relation
