@@ -656,3 +656,197 @@ def mm_audio_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image containers — completing what mm_video_y4m_real /
+# mm_audio_wav_real did for video/audio. PNG: Spark builds a GENUINE
+# 18x8 grayscale PNG per document entirely in SQL — stored-deflate
+# zlib blocks, an aggregate()-computed adler32, and F.crc32 chunk
+# checksums — so `PngDecoder` (which VERIFIES chunk CRCs and the zlib
+# adler) parses real container bytes; lossless, so gray_grid cells are
+# exact 2-pixel means and the oracle replays the pixel formula. JPEG:
+# Spark encodes genuine ITU-T T.81 baseline bytes (`encode_gray_jpeg`,
+# quality 90) in mapInPandas and decodes them back through
+# `JpegDecoder`; cells are quantized to multiples of 64 before the
+# dHash, which absorbs compression loss exactly (measured offline: max
+# cell error 8 at q90 over 500 docs vs the 32-step margin — zero
+# quantize mismatches), so the oracle replays the IDEAL pixel formula.
+# ---------------------------------------------------------------------------
+
+_PNG_W, _PNG_H = 18, 8
+
+
+def _png_pix_sql(d: str, r: str, c: str) -> str:
+    return f"(({d} * 37 + {r} * 17 + {c} * 11 + (({r} * {c}) % 13) * 3) % 256)"
+
+
+def _jpeg_cell(d: int, r: int, cb: int) -> int:
+    """Ideal (pre-compression) cell value — pixels are constant on
+    2-wide cells, so the 9x8 gray_grid cell mean IS the pixel value."""
+    return 64 * ((d * 5 + r * 3 + cb * 7 + ((r * cb) % 5)) % 4)
+
+
+def _jpeg_cell_sql(d: str, r: str, cb: str) -> str:
+    return f"(64 * (({d} * 5 + {r} * 3 + {cb} * 7 + (({r} * {cb}) % 5)) % 4))"
+
+
+def _dhash_cells_oracle(cell_sql) -> str:
+    """Shared oracle tail: 9x8 cells -> 64 dHash bits -> signed BIGINT
+    (same two-uint32-halves assembly as every other fingerprint)."""
+    return f"""
+    WITH cells AS (
+      SELECT doc_id, b.b, (b.b // 8) AS r, (b.b % 8) AS cb
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN {cell_sql('doc_id', 'r', 'cb')}
+                  > {cell_sql('doc_id', 'r', '(cb + 1)')}
+             THEN 1 ELSE 0 END AS bit
+      FROM cells),
+    halves AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b < 32 THEN bit * (1 << b) ELSE 0 END)
+                  AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit * (1 << (b - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id,
+           CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                 ELSE hi END) * 4294967296 + lo AS BIGINT) AS fingerprint
+    FROM halves
+    """
+
+
+def _png_cell_sql(d: str, r: str, cb: str) -> str:
+    return (
+        f"(({_png_pix_sql(d, r, f'(2*{cb})')}"
+        f" + {_png_pix_sql(d, r, f'(2*{cb}+1)')}) // 2)"
+    )
+
+
+@query(
+    "mm_image_png_real",
+    oracle=_dhash_cells_oracle(_png_cell_sql),
+    tags=("multimodal", "image", "codec", "perceptual"),
+)
+def mm_image_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash fingerprints from REAL PNG containers built in SQL: the
+    zlib stream is one stored-deflate block (raw scanlines, filter 0),
+    the adler32 is two aggregate() sums mod 65521, and the IDAT CRC is
+    Spark's crc32() — `PngDecoder` validates every checksum and inverts
+    the (identity) scanline filters, and the fingerprints hash-match
+    the oracle's pixel-formula replay exactly (lossless)."""
+    import struct
+    import zlib
+
+    from arroyo_spark.multimodal import perceptual_dhash
+    from arroyo_spark.pngcodec import PngDecoder
+
+    docs = load_table(spark, sf_dir, "documents")
+    ihdr = struct.pack(">IIBBBBB", _PNG_W, _PNG_H, 8, 0, 0, 0, 0)
+    head_hex = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    ).hex().upper()
+    iend_hex = "0000000049454E44AE426082"
+    # raw scanline byte i of 152: a filter-0 marker every 19 bytes,
+    # formula pixels between
+    byte_sql = (
+        "CASE WHEN i % 19 = 0 THEN 0 ELSE "
+        + _png_pix_sql("doc_id", "(i div 19)", "((i % 19) - 1)")
+        + " END"
+    )
+    raw_hex = (
+        "concat_ws('', transform(sequence(0, 151), i -> "
+        f"lpad(hex({byte_sql}), 2, '0')))"
+    )
+    a_sql = (
+        "(1 + aggregate(sequence(0, 151), cast(0 as bigint), "
+        f"(acc, i) -> acc + {byte_sql})) % 65521"
+    )
+    b_sql = (
+        "(152 + aggregate(sequence(0, 151), cast(0 as bigint), "
+        f"(acc, i) -> acc + (152 - i) * ({byte_sql}))) % 65521"
+    )
+    # zlib: 0x7801 header | stored block (BFINAL=1): LEN=152 LE, NLEN | adler
+    stage1 = docs.selectExpr(
+        "doc_id AS media_id",
+        f"concat('780101980067FF', {raw_hex}, "
+        f"lpad(hex(({b_sql}) * 65536 + ({a_sql})), 8, '0')) AS idat_hex",
+    )
+    media = stage1.selectExpr(
+        "media_id",
+        f"unhex(concat('{head_hex}', '000000A3', '49444154', idat_hex, "
+        "lpad(hex(crc32(unhex(concat('49444154', idat_hex)))), 8, '0'), "
+        f"'{iend_hex}')) AS content",
+    )
+    fp = perceptual_dhash(media, decoder=PngDecoder())
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
+    )
+
+
+@query(
+    "mm_image_jpeg_real",
+    oracle=_dhash_cells_oracle(_jpeg_cell_sql),
+    tags=("multimodal", "image", "codec", "perceptual"),
+)
+def mm_image_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash fingerprints from REAL baseline-JPEG containers: Spark
+    encodes genuine quality-90 grayscale JPEG bytes per document
+    (`encode_gray_jpeg` — full DCT/quantize/Huffman) inside
+    mapInPandas, then the unchanged `perceptual_dhash` plumbing decodes
+    them back through `JpegDecoder` with cells quantized to multiples
+    of 64 — the loss-robust emission (measured max cell error 8 at q90
+    vs the 32-step margin), so the fingerprints hash-match the oracle's
+    IDEAL pixel-formula replay despite lossy compression."""
+    import pandas as pd
+
+    from arroyo_spark.jpegcodec import JpegDecoder, encode_gray_jpeg
+    from arroyo_spark.multimodal import perceptual_dhash
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    class _QuantizedJpegDecoder(JpegDecoder):
+        def gray_grid(self, blob: bytes, w: int, h: int) -> list[int]:
+            g = super().gray_grid(blob, w, h)
+            return [min(192, ((v + 32) // 64) * 64) for v in g]
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                flat = [
+                    _jpeg_cell(d, r, c // 2)
+                    for r in range(_PNG_H)
+                    for c in range(_PNG_W)
+                ]
+                blobs.append(
+                    encode_gray_jpeg(flat, _PNG_W, _PNG_H, quality=90)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = ensure_min_parallelism(docs).mapInPandas(
+        enc, "media_id bigint, content binary"
+    )
+    fp = perceptual_dhash(media, decoder=_QuantizedJpegDecoder())
+    lo, hi = F.col("ph_lo"), F.col("ph_hi")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return fp.select(
+        F.col("media_id").alias("doc_id"),
+        (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
+    )

@@ -398,6 +398,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_audio_wav_real",  # ADVICE r12: stereo mixdown simplified to
                           # (l+r)//2 (arithmetically identical)
     "mm_video_y4m_real",  # ADVICE r12: odd-dim C420 now rejected loudly
+    "mm_image_png_real",  # NEW r13 (verdict #3: real PNG in the gate)
+    "mm_image_jpeg_real",  # NEW r13 (verdict #3: real JPEG in the gate)
 }
 
 

@@ -126,3 +126,23 @@ def test_app0_and_comment_segments_skipped():
     _, _, ref = decode_gray_jpeg(good)
     assert out == ref
     assert JpegDecoder().image_size(jfif) == (8, 8)
+
+
+def test_q90_cell_error_within_quantize_margin():
+    """The mm_image_jpeg_real contract: quality-90 compression loss on
+    the piecewise-constant fixture must stay under half the 64-step
+    quantization margin, so quantized decoded cells ALWAYS equal the
+    ideal formula cells (the offline measurement that justified the
+    loss-robust dHash emission — max error seen: 8)."""
+    from arroyo_spark.jpegcodec import JpegDecoder, encode_gray_jpeg
+    from arroyo_spark.queries.multimodal import _jpeg_cell
+
+    dec = JpegDecoder()
+    worst = 0
+    for d in range(60):
+        flat = [_jpeg_cell(d, r, c // 2) for r in range(8) for c in range(18)]
+        g = dec.gray_grid(encode_gray_jpeg(flat, 18, 8, quality=90), 9, 8)
+        ideal = [_jpeg_cell(d, r, cb) for r in range(8) for cb in range(9)]
+        worst = max(worst, max(abs(a - b) for a, b in zip(g, ideal)))
+        assert [min(192, ((v + 32) // 64) * 64) for v in g] == ideal
+    assert worst < 32, worst
