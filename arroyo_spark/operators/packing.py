@@ -1,0 +1,89 @@
+"""Whole-document bin packing for token-budget training shards.
+
+The third packing arm beside `sequence_packing_gpt` (zero waste, splits
+documents) and `token_budget_shard_packing` (keeps docs whole, greedy
+next-fit in doc_id order): best-fit-decreasing keeps docs whole AND
+minimizes padding waste — the classic BFD guarantee (≤ 11/9 OPT + 1
+bins), with per-shard waste emitted as data so manifest loaders can
+compare the arms.
+
+Scale shape: BFD is inherently sequential, so docs hash into bounded
+sub-groups (the `sequence_packing_gpt_2level` arrangement) and each
+group runs one Arrow-batched Python sweep via `applyInPandas`; group
+size is a knob (`parts`) sized so a group fits one task comfortably.
+Shard ids are made globally contiguous per source with the established
+per-group bin-count offset broadcast. Deterministic end to end: items
+sort (n_tokens DESC, doc_id ASC), ties in best-fit resolve to the
+FIRST minimal feasible remainder — the same rule the DuckDB oracle's
+list_indexof replay uses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def bfd_assign(
+    items: list[tuple[int, int]], capacity: int
+) -> dict[int, int]:
+    """Best-fit-decreasing over (doc_id, n_tokens) items -> doc_id ->
+    0-based bin index. Items larger than `capacity` get a dedicated bin
+    (remainder goes negative and never accepts another item — matching
+    the oracle's arithmetic exactly)."""
+    order = sorted(items, key=lambda x: (-x[1], x[0]))
+    rem: list[int] = []
+    out: dict[int, int] = {}
+    for doc_id, nt in order:
+        best_i, best_r = -1, None
+        for i, r in enumerate(rem):  # O(bins); bounded group => fine
+            if r >= nt and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_i < 0:
+            rem.append(capacity - nt)
+            out[doc_id] = len(rem) - 1
+        else:
+            rem[best_i] = best_r - nt
+            out[doc_id] = best_i
+    return out
+
+
+def next_fit_assign(
+    items: list[tuple[int, int]], capacity: int
+) -> dict[int, int]:
+    """The greedy arm's whole-doc analogue (next-fit in doc_id order):
+    open a new bin whenever the current one can't take the next doc.
+    Reference point for the BFD waste comparison."""
+    out: dict[int, int] = {}
+    cur, used = -1, capacity
+    for doc_id, nt in sorted(items):
+        if used + nt > capacity:
+            cur += 1
+            used = 0
+        out[doc_id] = cur
+        used += nt
+    return out
+
+
+def waste_of(assign: dict[int, int], sizes: dict[int, int], capacity: int) -> int:
+    """Total padding waste = sum over bins of max(capacity - fill, 0)."""
+    fills: dict[int, int] = {}
+    for doc_id, b in assign.items():
+        fills[b] = fills.get(b, 0) + sizes[doc_id]
+    return sum(max(capacity - f, 0) for f in fills.values())
+
+
+def bfd_group_mapper(capacity: int):
+    """`applyInPandas` mapper for one (source, p) group: columns in
+    (doc_id, source, p, n_tokens), out + local_bin."""
+
+    def mapper(pdf: pd.DataFrame) -> pd.DataFrame:
+        assign = bfd_assign(
+            list(zip((int(x) for x in pdf["doc_id"]),
+                     (int(x) for x in pdf["n_tokens"]))),
+            capacity,
+        )
+        res = pdf.copy()
+        res["local_bin"] = [assign[int(d)] for d in pdf["doc_id"]]
+        return res
+
+    return mapper

@@ -1480,3 +1480,135 @@ def sequence_packing_gpt_2level(
             "last_doc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-doc best-fit-decreasing packing — the third packing arm
+# completing the tradeoff family: `sequence_packing_gpt` wastes zero
+# tokens but splits documents; `token_budget_shard_packing` keeps docs
+# whole greedily; BFD keeps docs whole AND minimizes padding waste
+# (emitted per shard as data — what manifest production loaders
+# actually compare across the arms).
+#
+# Scale: BFD is inherently sequential, so docs hash into bounded
+# (source, p) sub-groups and each group runs ONE Arrow-batched Python
+# sweep (`operators/packing.bfd_assign` inside applyInPandas);
+# parallelism = sources x _BFD_PARTS, group size is the knob. Shard ids
+# go globally contiguous per source via the established per-group
+# bin-count offset broadcast. The oracle replays the sweep exactly as a
+# list-state recursive CTE (the dedup_rouge_l precedent): the bin
+# remainder list is the recursion state, best-fit = first index of the
+# minimal feasible remainder (list_indexof of list_min of list_filter).
+# ---------------------------------------------------------------------------
+
+_BFD_PARTS = 16
+
+
+@query(
+    "token_budget_bfd_packing",
+    oracle=f"""
+    WITH RECURSIVE t AS MATERIALIZED (
+      SELECT doc_id, source, doc_id % {_BFD_PARTS} AS p,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS nt
+      FROM documents),
+    ord AS MATERIALIZED (
+      SELECT doc_id, source, p, nt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source, p
+                  ORDER BY nt DESC, doc_id) AS BIGINT) AS k
+      FROM t WHERE nt > 0),
+    grp AS (SELECT source, p FROM ord GROUP BY source, p),
+    rec(source, p, k, rem, doc_id, nt, bin_i) AS (
+      SELECT source, p, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM grp
+      UNION ALL
+      SELECT r.source, r.p, o.k,
+             CASE WHEN fi.fi = 0
+                  THEN list_append(r.rem, {_SHARD_TOKENS} - o.nt)
+                  ELSE r.rem[1:fi.fi-1] || [r.rem[fi.fi] - o.nt]
+                       || r.rem[fi.fi+1:]
+             END,
+             o.doc_id, o.nt,
+             CASE WHEN fi.fi = 0 THEN CAST(len(r.rem) + 1 AS BIGINT)
+                  ELSE CAST(fi.fi AS BIGINT) END
+      FROM rec r
+      JOIN ord o ON o.source = r.source AND o.p = r.p AND o.k = r.k + 1
+      CROSS JOIN LATERAL (SELECT COALESCE(list_indexof(r.rem,
+           list_min(list_filter(r.rem, x -> x >= o.nt))), 0) AS fi) fi),
+    asg AS (
+      SELECT source, p, doc_id, nt, bin_i - 1 AS local_bin
+      FROM rec WHERE k >= 1),
+    cnts AS (
+      SELECT source, p, MAX(local_bin) + 1 AS n_bins
+      FROM asg GROUP BY source, p),
+    offs AS (
+      SELECT source, p,
+             CAST(SUM(n_bins) OVER (PARTITION BY source ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_bins AS BIGINT) AS off
+      FROM cnts)
+    SELECT a.source, CAST(a.local_bin + o.off AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a.nt) AS BIGINT) AS fill_tokens,
+           CAST(GREATEST({_SHARD_TOKENS} - SUM(a.nt), 0) AS BIGINT)
+             AS waste_tokens
+    FROM asg a JOIN offs o ON a.source = o.source AND a.p = o.p
+    GROUP BY a.source, a.local_bin + o.off
+    """,
+    tags=("curation", "packing", "pipeline"),
+)
+def token_budget_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (doc count, fill, padding waste) of whole-doc
+    best-fit-decreasing packing into 5000-token shards, per source."""
+    from arroyo_spark.operators.packing import bfd_group_mapper
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % _BFD_PARTS).alias("p"),
+            T.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    asg = t.groupBy("source", "p").applyInPandas(
+        bfd_group_mapper(_SHARD_TOKENS),
+        "doc_id bigint, source string, p bigint, n_tokens bigint,"
+        " local_bin bigint",
+    )
+    # consumed twice (bin counts + rollup): one sweep, not two
+    asg = asg.localCheckpoint()
+    c = asg.groupBy("source", "p").agg(
+        (F.max("local_bin") + 1).alias("n_bins")
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = c.select(
+        "source",
+        "p",
+        (F.sum("n_bins").over(wo) - F.col("n_bins"))
+        .cast("bigint")
+        .alias("off"),
+    )
+    return (
+        asg.join(F.broadcast(o), ["source", "p"])
+        .withColumn(
+            "shard", (F.col("local_bin") + F.col("off")).cast("bigint")
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("fill_tokens"),
+            F.greatest(
+                F.lit(_SHARD_TOKENS) - F.sum("n_tokens"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("waste_tokens"),
+        )
+    )

@@ -400,6 +400,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_video_y4m_real",  # ADVICE r12: odd-dim C420 now rejected loudly
     "mm_image_png_real",  # NEW r13 (verdict #3: real PNG in the gate)
     "mm_image_jpeg_real",  # NEW r13 (verdict #3: real JPEG in the gate)
+    "token_budget_bfd_packing",  # NEW r13 (verdict #4: BFD arm + waste)
 }
 
 

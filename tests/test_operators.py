@@ -2053,3 +2053,36 @@ def test_greedy_wordpiece_matcher_oov_raises():
         greedy_wordpiece_segment("hxllo", bare, cont, 4, 3)
     with pytest.raises(ValueError, match="out-of-vocabulary"):
         greedy_wordpiece_segment("ohello", bare, cont, 4, 3)  # bad START
+
+
+def test_bfd_waste_beats_greedy_on_long_tail():
+    """Best-fit-decreasing must waste no more padding than greedy
+    next-fit on a planted long-tail mix (a few near-capacity docs + a
+    tail of small ones — the distribution where next-fit strands big
+    remainders). Deterministic fixture, no Spark."""
+    from arroyo_spark.operators.packing import (
+        bfd_assign,
+        next_fit_assign,
+        waste_of,
+    )
+
+    cap = 1000
+    # long tail: ids interleave 700-token docs with 400-token ones, so
+    # next-fit never pairs anything (700+400 > cap in arrival order)
+    # while BFD pairs the 400s two-per-bin after placing the 700s
+    items = []
+    for i in range(40):
+        items.append((2 * i, 700))       # big
+        items.append((2 * i + 1, 400))   # small
+    sizes = dict(items)
+    bfd = bfd_assign(items, cap)
+    greedy = next_fit_assign(items, cap)
+    w_bfd = waste_of(bfd, sizes, cap)
+    w_greedy = waste_of(greedy, sizes, cap)
+    assert w_bfd <= w_greedy, (w_bfd, w_greedy)
+    assert w_bfd < w_greedy  # and strictly better on this shape
+    # sanity: every bin holds within capacity (whole docs, no splits)
+    fills = {}
+    for d, b in bfd.items():
+        fills[b] = fills.get(b, 0) + sizes[d]
+    assert all(f <= cap for f in fills.values())
