@@ -717,15 +717,16 @@ _LINE_W = 8  # tokens per pseudo-line
 _LINE_CAP = 2  # lines occurring more often than this are boilerplate
 
 
-def _line_chunks(docs: DataFrame) -> DataFrame:
+def _line_chunks(docs: DataFrame, width: int = _LINE_W) -> DataFrame:
     """(doc_id, pos, line): the corpus as positioned fixed-width
     pseudo-lines (the synthetic corpus has no newlines; the chunker swaps
-    for split('\\n') on natural text). Shared by the line-level dedup and
-    the Bloom-filter membership check."""
+    for split('\\n') on natural text). Shared by the line-level dedup,
+    the Bloom-filter membership check, and — at paragraph width — the
+    paragraph-granularity near-dup rollup."""
     from arroyo_spark.operators.text import toks
 
     tk = toks("text")
-    n_chunks = F.ceil(F.size(tk) / F.lit(float(_LINE_W))).cast("int")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(width))).cast("int")
     chunks = F.when(
         n_chunks > 0,
         F.transform(
@@ -733,7 +734,7 @@ def _line_chunks(docs: DataFrame) -> DataFrame:
             lambda i: F.struct(
                 i.alias("pos"),
                 F.concat_ws(
-                    " ", F.slice(tk, i * _LINE_W + 1, _LINE_W)
+                    " ", F.slice(tk, i * width + 1, width)
                 ).alias("line"),
             ),
         ),
@@ -2395,4 +2396,131 @@ def dedup_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lcs_batch,
         "doc_a bigint, doc_b bigint, lcs bigint, la bigint, lb bigint,"
         " f_milli bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level near-dup — the RefinedWeb/Dolma intermediate
+# granularity between line-exact and doc-level MinHash: paragraphs
+# (fixed-width pseudo-paragraphs here; split('\n\n') on natural text)
+# get their own MinHash signatures, banded LSH finds near-dup paragraph
+# pairs, and the doc-level rollup (share of near-dup paragraphs) is the
+# gate signal a curation pipeline thresholds on.
+#
+# Scale: the identical banded machinery as dedup_minhash_lsh — one
+# signature pass over the paragraph stream, bucket-local pair expansion
+# (never all-pairs), and the max_bucket cap as the boilerplate skew
+# lever (a navbar paragraph shared by 10^6 docs is an exact-dup clique,
+# not an LSH problem). Paragraph ids pack as doc_id * 4096 + pos —
+# valid while docs stay under 4096 * _PARA_W tokens; a 100 TB corpus
+# with longer docs widens the multiplier (or uses a struct key).
+# ---------------------------------------------------------------------------
+
+_PARA_W = 24    # tokens per pseudo-paragraph (3 pseudo-lines)
+_PARA_MAXB = 64  # LSH bucket cap: bigger buckets are exact-dup cliques
+
+
+def _para_minhash_oracle() -> str:
+    nh, nb = 8, 4
+    rows = nh // nb
+    sig_cols = ",\n             ".join(
+        f"min(substr(md5(w), {4 * i + 1}, 4)) AS h{i}" for i in range(nh)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', 'b{b}', {hs}))".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(nb)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(list_slice(tk, u.i * {_PARA_W} + 1,
+                    u.i * {_PARA_W} + {_PARA_W}), ' ') AS line
+      FROM t,
+           unnest(range(0, CAST(ceil(len(tk) / {_PARA_W}.0) AS INT)))
+             AS u(i)),
+    p AS (SELECT doc_id, doc_id * 4096 + pos AS pid, line FROM c),
+    ptk AS (
+      SELECT pid, list_filter(string_split(line, ' '), w -> w <> '') AS tk
+      FROM p),
+    sh AS (
+      SELECT pid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS w
+      FROM ptk),
+    sigs AS (SELECT pid, {sig_cols} FROM sh GROUP BY pid),
+    bands AS (
+      SELECT pid, unnest([{band_exprs}]) AS band_key FROM sigs),
+    ok AS (
+      SELECT band_key FROM bands GROUP BY band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_PARA_MAXB}),
+    pairs AS (
+      SELECT DISTINCT x.pid AS a, y.pid AS b
+      FROM bands x
+      JOIN ok o ON o.band_key = x.band_key
+      JOIN bands y ON x.band_key = y.band_key AND x.pid < y.pid),
+    dup AS (
+      SELECT DISTINCT pid
+      FROM (SELECT a AS pid FROM pairs UNION ALL SELECT b FROM pairs)),
+    roll AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_paras,
+             SUM(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM p LEFT JOIN dup d ON p.pid = d.pid
+      GROUP BY p.doc_id)
+    SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_dup AS BIGINT) AS n_neardup_paras,
+           CAST(n_dup * 1000 // n_paras AS BIGINT) AS dup_share_milli
+    FROM roll
+    """
+
+
+@query(
+    "dedup_paragraph_minhash",
+    oracle=_para_minhash_oracle(),
+    tags=("dedup", "minhash", "paragraph", "lsh", "near-dup"),
+)
+def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of near-duplicate paragraphs: paragraph MinHash
+    signatures -> banded LSH candidates (bucket-capped) -> doc rollup.
+    Non-negative integer division, so Spark div == DuckDB //."""
+    from arroyo_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    paras = _line_chunks(docs, width=_PARA_W).select(
+        "doc_id",
+        (F.col("doc_id") * 4096 + F.col("pos")).cast("bigint").alias("pid"),
+        F.col("line").alias("text"),
+    )
+    # consumed twice (signature pass + rollup): chunk/scan once
+    paras = paras.localCheckpoint()
+    pairs = lsh_candidate_pairs(paras, id_col="pid", max_bucket=_PARA_MAXB)
+    dup = (
+        pairs.select(F.col("doc_a").alias("pid"))
+        .union(pairs.select(F.col("doc_b").alias("pid")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        paras.join(F.broadcast(dup), "pid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_neardup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_neardup_paras",
+            F.expr("CAST(n_neardup_paras * 1000 div n_paras AS BIGINT)")
+            .alias("dup_share_milli"),
+        )
     )

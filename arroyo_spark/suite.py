@@ -401,6 +401,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mm_image_png_real",  # NEW r13 (verdict #3: real PNG in the gate)
     "mm_image_jpeg_real",  # NEW r13 (verdict #3: real JPEG in the gate)
     "token_budget_bfd_packing",  # NEW r13 (verdict #4: BFD arm + waste)
+    "dedup_paragraph_minhash",  # NEW r13 (verdict #5: paragraph near-dup)
+    "dedup_line_level",  # _line_chunks gained a width param (default
+    "bloom_line_membership",  # unchanged; consumers re-verify anyway)
 }
 
 

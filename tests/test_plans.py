@@ -91,6 +91,18 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_paragraph_minhash_banded_no_allpairs(spark, sf_dir):
+    """Paragraph-granularity near-dup rides the same bucket-local LSH
+    machinery: no cartesian/all-pairs anywhere, the dup-paragraph set
+    joins back by broadcast, and the paragraph stream is checkpointed so
+    the chunk explode runs once (no second documents scan)."""
+    plan = plan_of(spark, sf_dir, "dedup_paragraph_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert len(_fact_scans(plan, "documents")) == 0  # checkpointed RDD
+
+
 def test_q4_exists_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q4_order_priority_check")
     assert "LeftSemi" in plan, plan[:2000]
