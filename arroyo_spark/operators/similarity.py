@@ -540,6 +540,7 @@ def knn_graph_topk(
     vec_col: str = "embedding",
     iters: int = 2,
     dim: int = 64,
+    seed_probe: int = 1,
 ) -> DataFrame:
     """Graph-based ANN: beam search over a bounded-degree k-NN graph —
     the navigable-small-world family (Malkov & Yashunin 2018, HNSW; the
@@ -588,8 +589,11 @@ def knn_graph_topk(
     ).withColumn("n_norm", norm(F.col("n_vec")))
     pair_dot = dot_arrow()
 
-    def topn_scored(cand: DataFrame, n: int) -> DataFrame:
-        """(q_id, n_id) candidates -> exact-scored top-n per query."""
+    def topn_scored(
+        cand: DataFrame, n: int, also_by: list[str] | None = None
+    ) -> DataFrame:
+        """(q_id, n_id) candidates -> exact-scored top-n per query (or
+        per (query, *also_by) — the per-entry-cell seed prune)."""
         scored = (
             cand.join(mem.select("n_id", "n_vec", "n_norm"), "n_id")
             .join(F.broadcast(qv), "q_id")
@@ -602,7 +606,7 @@ def knn_graph_topk(
                 ),
             )
         )
-        w = Window.partitionBy("q_id").orderBy(
+        w = Window.partitionBy("q_id", *(also_by or [])).orderBy(
             F.col("cos").desc(), F.col("n_id")
         )
         return scored.withColumn(
@@ -643,17 +647,31 @@ def knn_graph_topk(
         .localCheckpoint()
     )
 
-    # ---- search: seed from the single nearest cell ----
-    qv = _probe_cells(queries, centroids, 1, id_col, vec_col).select(
+    # ---- search: seed from the seed_probe nearest cells ----
+    # seed_probe=1 is the flat NSW arm; seed_probe>1 is the two-level
+    # HNSW-style arrangement (centroids as the coarse upper layer, the
+    # query descends into its ef=seed_probe closest cells — each entry
+    # cell hands layer 0 its OWN top-`beam` seed beam, and the first
+    # hop's global prune collapses back to `beam`, so hops 2..n cost
+    # exactly what the flat arm pays; only hop 1's neighbor fan-out is
+    # seed_probe x — the price of multi-entry descent, the recall lever
+    # HNSW's upper layers provide; measured 0.88 vs 0.787 flat @ sf0.01).
+    # Cells are disjoint, so the seed frontier has no dup (q_id, n_id).
+    qp = _probe_cells(queries, centroids, seed_probe, id_col, vec_col).select(
         "q_id", "q_vec", "cell"
-    ).withColumn("q_norm", norm(F.col("q_vec")))
+    )
+    qv = qp.select("q_id", "q_vec").dropDuplicates(["q_id"]).withColumn(
+        "q_norm", norm(F.col("q_vec"))
+    )
     f0 = (
-        qv.select("q_id", "cell")
+        qp.select("q_id", "cell")
         .join(mem.select("n_id", "cell"), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
+        .select("q_id", "n_id", "cell")
     )
-    b = topn_scored(f0, beam).select("q_id", "n_id").localCheckpoint()
+    b = topn_scored(f0, beam, also_by=["cell"]).select(
+        "q_id", "n_id"
+    ).localCheckpoint()
     for _ in range(hops):
         frontier = (
             b.unionByName(

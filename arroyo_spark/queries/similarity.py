@@ -343,7 +343,8 @@ def _ann_recall_oracle() -> str:
          ivf_1p AS (SELECT q_id, n_id FROM ({_knn_ivf_oracle(1)}) t),
          ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t),
          graph AS (SELECT q_id, n_id FROM ({_knn_graph_oracle()}) t),
-         sq8 AS (SELECT q_id, n_id FROM ({_knn_sq8_oracle()}) t)
+         sq8 AS (SELECT q_id, n_id FROM ({_knn_sq8_oracle()}) t),
+         hnsw AS (SELECT q_id, n_id FROM ({_knn_graph_oracle(_H_EF1)}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
@@ -357,6 +358,8 @@ def _ann_recall_oracle() -> str:
     {_recall_arm_sql('graph', 'graph')}
     UNION ALL
     {_recall_arm_sql('sq8', 'sq8')}
+    UNION ALL
+    {_recall_arm_sql('hnsw', 'hnsw')}
     """
 
 
@@ -391,6 +394,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq", knn_ivfpq_ann),
         ("graph", knn_graph_ann),
         ("sq8", knn_sq8_ann),
+        ("hnsw", knn_hnsw_ann),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
@@ -763,7 +767,7 @@ def _graph_beam_cte(i: int) -> str:
     )"""
 
 
-def _knn_graph_oracle() -> str:
+def _knn_graph_oracle(seed_probe: int = 1) -> str:
     return f"""
     WITH {_KM_CTES},
     vc AS (
@@ -800,24 +804,24 @@ def _knn_graph_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY qs.q_id
                  ORDER BY {_KM_DIST.format(v='qs.qv', c='c1.cv')}, c1.cid) AS rn
         FROM qs CROSS JOIN c1
-      ) r WHERE rn = 1
+      ) r WHERE rn <= {seed_probe}
     ),
     f0 AS (
-      SELECT qcell.q_id, m.vec_id AS n_id
+      SELECT qcell.q_id, qcell.cell, m.vec_id AS n_id
       FROM qcell JOIN a2 m ON m.cid = qcell.cell
       WHERE m.vec_id <> qcell.q_id
     ),
     s0 AS (
-      SELECT f0.q_id, f0.n_id,
+      SELECT f0.q_id, f0.cell, f0.n_id,
              round({_cos('eq.embedding', 'en.embedding')}, 6) AS cos
       FROM f0
       JOIN embeddings eq ON eq.vec_id = f0.q_id
       JOIN embeddings en ON en.vec_id = f0.n_id
     ),
     b0 AS MATERIALIZED (
-      SELECT q_id, n_id FROM (
+      SELECT DISTINCT q_id, n_id FROM (
         SELECT q_id, n_id,
-               ROW_NUMBER() OVER (PARTITION BY q_id
+               ROW_NUMBER() OVER (PARTITION BY q_id, cell
                                   ORDER BY cos DESC, n_id) AS rn
         FROM s0
       ) r WHERE rn <= {_G_BEAM}
@@ -860,6 +864,42 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam=_G_BEAM,
         hops=_G_HOPS,
         edge_probe=_G_EPROBE,
+    )
+
+
+_H_EF1 = 2  # upper-layer ef: how many cells the descent enters
+
+
+@query(
+    "knn_hnsw_ann",
+    oracle=_knn_graph_oracle(_H_EF1),
+    tags=("similarity", "ann", "graph", "hnsw", "iterative"),
+)
+def knn_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HNSW-style arrangement (Malkov & Yashunin 2018): the
+    k-means centroids act as the coarse upper layer — the query scores
+    the bounded centroid set exactly (at scale the centroid count is
+    ~sqrt(N); exhaustive scoring of a bounded upper layer is what
+    HNSW's ef-limited greedy walk approximates, and stays
+    deterministic) and descends into its ef=2 closest cells, whose
+    members seed the layer-0 beam. Multi-entry descent is the recall
+    lever HNSW's upper layers exist to provide; degree/beam/hops match
+    the flat NSW arm exactly, so beam cost is equal and the recall
+    gain is attributable to the hierarchy (gated >= the flat arm in
+    tests/test_plans.py)."""
+    from arroyo_spark.operators.similarity import knn_graph_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return knn_graph_topk(
+        emb,
+        queries,
+        k=3,
+        degree=_G_DEGREE,
+        beam=_G_BEAM,
+        hops=_G_HOPS,
+        edge_probe=_G_EPROBE,
+        seed_probe=_H_EF1,
     )
 
 

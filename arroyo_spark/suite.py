@@ -404,6 +404,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_paragraph_minhash",  # NEW r13 (verdict #5: paragraph near-dup)
     "dedup_line_level",  # _line_chunks gained a width param (default
     "bloom_line_membership",  # unchanged; consumers re-verify anyway)
+    "knn_hnsw_ann",  # NEW r13 (verdict #6: two-level HNSW-style arm)
+    "knn_graph_ann",  # seed prune now per-(q,cell) (identity at
+                      # seed_probe=1; re-verified green)
+    "ann_recall_check",  # gained the eighth (hnsw) arm
 }
 
 

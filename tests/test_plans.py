@@ -383,6 +383,11 @@ def test_multitable_lsh_recall_and_plan(spark, sf_dir):
     # sf0.01; 0.05 slack so seeding/tie-order jitter can't flip a
     # 0.2-margin structural claim into a flaky failure — ADVICE r10)
     assert rec["graph"] >= rec["ivf"] - 0.05, rec
+    # and the hierarchy lever: two-level HNSW-style descent (ef=2 entry
+    # cells, each handing layer 0 its own seed beam) must match or beat
+    # the flat single-entry NSW arm at equal beam/hops (0.88 vs 0.787
+    # at sf0.01; same 0.05 jitter slack)
+    assert rec["hnsw"] >= rec["graph"] - 0.05, rec
 
 
 def test_curation_projections_shuffle_free(spark, sf_dir):
