@@ -1,0 +1,127 @@
+"""Tokenizer-family fertility comparison — the model-selection artifact
+a tokenizer team reads: the SAME corpus encoded under all four trained
+families (char-BPE, WordPiece, unigram-LM, byte-BPE), one row per
+family with total units, total tokens, fertility (tokens per unit) and
+bytes per token side by side.
+
+Pure composition of the four SHIPPED encoders: the Spark side calls the
+registered query callables and aggregates each to one corpus row; the
+oracle embeds each family's registered oracle as an isolated subquery
+(the ann_recall_check device — parenthesized subqueries scope their
+CTEs locally, so the four families' v0/m{i} chains never collide).
+
+Unit semantics differ by design and are emitted as-is: char families
+count whitespace words (unigram truncates to its _UL_MAXW prefix;
+WordPiece aggregates word TYPES weighted by freq — same corpus total),
+byte-BPE counts regex pretokens. bytes_per_token (corpus UTF-8 bytes /
+family tokens) is the family-comparable column.
+
+Scale: the cost is the sum of the four registered encode queries —
+each already adjudicated (bounded vocab trainings, vocab-lookup
+equi-join encodes); the report adds four 1-row aggregates and a union.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from arroyo_spark.catalog import load_table
+from arroyo_spark.suite import _REGISTRY, query
+
+# importing these modules registers the four encode queries (and their
+# oracles) before we read them back out of the registry
+from arroyo_spark.queries import text_pipeline as _tp  # noqa: F401
+from arroyo_spark.queries import train as _tr  # noqa: F401
+
+_BPE_O = _REGISTRY["bpe_encode_corpus"].oracle
+_WP_O = _REGISTRY["tokenizer_wordpiece_encode"].oracle
+_UL_O = _REGISTRY["tokenizer_unigram_encode"].oracle
+_BB_O = _REGISTRY["tokenizer_bytebpe_encode"].oracle
+
+
+@query(
+    "tokenizer_family_report",
+    oracle=f"""
+    WITH cbytes AS (
+      SELECT CAST(SUM(length(hex(encode(text))) // 2) AS BIGINT)
+               AS corpus_bytes
+      FROM documents),
+    fam AS (
+      SELECT 'bpe' AS family,
+             CAST(SUM(n_words) AS BIGINT) AS n_units,
+             CAST(SUM(n_symbols) AS BIGINT) AS n_tokens
+      FROM ({_BPE_O}) t
+      UNION ALL
+      SELECT 'wordpiece',
+             CAST(SUM(freq) AS BIGINT),
+             CAST(SUM(freq * n_greedy) AS BIGINT)
+      FROM ({_WP_O}) t
+      UNION ALL
+      SELECT 'unigram',
+             CAST(SUM(n_words) AS BIGINT),
+             CAST(SUM(n_pieces) AS BIGINT)
+      FROM ({_UL_O}) t
+      UNION ALL
+      SELECT 'bytebpe',
+             CAST(SUM(n_pretoks) AS BIGINT),
+             CAST(SUM(n_symbols) AS BIGINT)
+      FROM ({_BB_O}) t)
+    SELECT family, n_units, n_tokens,
+           round(n_tokens / CAST(n_units AS DOUBLE), 6) AS tokens_per_unit,
+           round(corpus_bytes / CAST(n_tokens AS DOUBLE), 6)
+             AS bytes_per_token
+    FROM fam CROSS JOIN cbytes
+    """,
+    tags=("text", "tokenizer", "report", "pipeline"),
+)
+def tokenizer_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.queries.text_pipeline import (
+        bpe_encode_corpus,
+        tokenizer_bytebpe_encode,
+    )
+    from arroyo_spark.queries.train import (
+        tokenizer_unigram_encode,
+        tokenizer_wordpiece_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cb = docs.agg(
+        F.expr(
+            "CAST(SUM(length(hex(encode(text, 'UTF-8'))) div 2) AS BIGINT)"
+        ).alias("corpus_bytes")
+    )
+    bpe = bpe_encode_corpus(spark, sf_dir).agg(
+        F.lit("bpe").alias("family"),
+        F.sum("n_words").cast("bigint").alias("n_units"),
+        F.sum("n_symbols").cast("bigint").alias("n_tokens"),
+    )
+    wp = tokenizer_wordpiece_encode(spark, sf_dir).agg(
+        F.lit("wordpiece").alias("family"),
+        F.sum("freq").cast("bigint").alias("n_units"),
+        F.sum(F.col("freq") * F.col("n_greedy"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    ul = tokenizer_unigram_encode(spark, sf_dir).agg(
+        F.lit("unigram").alias("family"),
+        F.sum("n_words").cast("bigint").alias("n_units"),
+        F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+    )
+    bb = tokenizer_bytebpe_encode(spark, sf_dir).agg(
+        F.lit("bytebpe").alias("family"),
+        F.sum("n_pretoks").cast("bigint").alias("n_units"),
+        F.sum("n_symbols").cast("bigint").alias("n_tokens"),
+    )
+    fam = bpe.unionByName(wp).unionByName(ul).unionByName(bb)
+    return fam.crossJoin(F.broadcast(cb)).select(
+        "family",
+        "n_units",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("n_units").cast("double"), 6
+        ).alias("tokens_per_unit"),
+        F.round(
+            F.col("corpus_bytes") / F.col("n_tokens").cast("double"), 6
+        ).alias("bytes_per_token"),
+    )

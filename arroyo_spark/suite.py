@@ -408,6 +408,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "knn_graph_ann",  # seed prune now per-(q,cell) (identity at
                       # seed_probe=1; re-verified green)
     "ann_recall_check",  # gained the eighth (hnsw) arm
+    "tokenizer_family_report",  # NEW r13 (verdict #7: 4-family report)
 }
 
 
@@ -468,6 +469,7 @@ def _load_modules() -> None:
         similarity,
         text,
         text_pipeline,
+        tokreport,
         train,
         windows,
     )
