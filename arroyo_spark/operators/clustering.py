@@ -124,3 +124,78 @@ def kmeans_lloyd(
     dim: int = 64,
 ) -> DataFrame:
     return kmeans_lloyd_full(df, k, iters, id_col, vec_col, dim)[0]
+
+
+def kcenter_greedy(
+    emb: "DataFrame",
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, int]]:
+    """Gonzalez greedy k-center (farthest-point) selection — the
+    diversity-coreset primitive (2-approximation of the k-center
+    objective): seed at min id, then repeatedly take the point farthest
+    from every selected center. Returns [(rank, vec_id, sel_dist)]
+    with sel_dist the point's min squared distance to the previously
+    selected set at selection time (exact BIGINT micro-unit
+    arithmetic — vectors quantize once via floor(x*1e6 + 0.5), so both
+    engines compute identical integers; Spark's float*int stays float,
+    hence the explicit double cast, same as the JL projection).
+
+    Scale: one quantize pass (localCheckpoint'ed), then k-1 rounds of
+    ONE map-side aggregation each — dmin only ever updates against the
+    NEWEST center, so total work is O(k * N * dim) with k bounded
+    driver collects of one row (the k-means-centroid class).
+    """
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    q = (
+        ensure_min_parallelism(emb)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * 1_000_000 + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("q"),
+        )
+        .localCheckpoint()
+    )
+    seed = int(q.agg(F.min("vec_id")).collect()[0][0])
+    center = list(q.filter(F.col("vec_id") == seed).collect()[0]["q"])
+    out = [(1, seed, 0)]
+
+    def dist_to(c: list[int]):
+        arr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with("q", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    d = q.select(
+        "vec_id", "q", F.lit((1 << 63) - 1).cast("bigint").alias("dmin")
+    )
+    for rank in range(2, k + 1):
+        d = d.withColumn(
+            "dmin", F.least(F.col("dmin"), dist_to(center))
+        ).localCheckpoint()
+        top = d.agg(
+            F.max(
+                F.struct(
+                    F.col("dmin"), (-F.col("vec_id")).alias("nid")
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        sel, vid = int(top["dmin"]), int(-top["nid"])
+        center = list(
+            q.filter(F.col("vec_id") == vid).collect()[0]["q"]
+        )
+        out.append((rank, vid, sel))
+    # final coverage radius after all k centers
+    d = d.withColumn("dmin", F.least(F.col("dmin"), dist_to(center)))
+    radius = int(d.agg(F.max("dmin")).collect()[0][0])
+    return [(r, v, s, radius) for r, v, s in out]

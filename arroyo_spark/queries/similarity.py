@@ -1881,3 +1881,83 @@ def knn_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=3, member_filter=F.col("label") % 3 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+# diversity-maximizing data selection: the k points that 2-approximate
+# the minimal covering radius, the coreset primitive behind
+# diversity-balanced sampling (the complement of SemDeDup-style
+# redundancy pruning: instead of dropping near-dups, pick the spread).
+# Emits the selected ids in selection order with each point's distance
+# to the previously-selected set AND the final coverage radius — the
+# objective value a selection pipeline monitors as k grows.
+#
+# Determinism: micro-unit quantization (explicit double cast — FLOAT *
+# INT stays float32 in both engines otherwise), exact BIGINT squared
+# distances, argmax ties to the smaller vec_id. The oracle unrolls the
+# k selection rounds as CTEs (ORDER BY ... LIMIT 1 per round).
+#
+# Scale: see operators/clustering.kcenter_greedy — one quantize pass,
+# then k-1 single-aggregation rounds (dmin updates only against the
+# newest center), k bounded 1-row collects.
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+_KC_DIST = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (a.q[i]-c.q[i])*(a.q[i]-c.q[i])))"
+)
+
+
+def _kc_iter_cte(t: int) -> str:
+    return f"""
+    d{t} AS MATERIALIZED (
+      SELECT a.vec_id, LEAST(d{t - 1}.dmin, {_KC_DIST}) AS dmin
+      FROM q a JOIN d{t - 1} ON d{t - 1}.vec_id = a.vec_id
+      CROSS JOIN c{t} c),
+    c{t + 1} AS MATERIALIZED (
+      SELECT a.vec_id, a.q, d{t}.dmin AS sel
+      FROM q a JOIN d{t} ON d{t}.vec_id = a.vec_id
+      ORDER BY d{t}.dmin DESC, a.vec_id LIMIT 1)"""
+
+
+@query(
+    "embedding_kcenter_coreset",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings),
+    c1 AS MATERIALIZED (
+      SELECT vec_id, q, CAST(0 AS BIGINT) AS sel FROM q
+      WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+    d0 AS (SELECT vec_id, CAST(9223372036854775807 AS BIGINT) AS dmin
+           FROM q),
+    {",".join(_kc_iter_cte(t) for t in range(1, _KC_K))},
+    dK AS (
+      SELECT a.vec_id, LEAST(d{_KC_K - 1}.dmin, {_KC_DIST}) AS dmin
+      FROM q a JOIN d{_KC_K - 1} ON d{_KC_K - 1}.vec_id = a.vec_id
+      CROSS JOIN c{_KC_K} c)
+    SELECT rank, vec_id, sel_dist, radius FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({t} AS BIGINT) AS rank, vec_id,"
+          f" CAST(sel AS BIGINT) AS sel_dist FROM c{t}"
+          for t in range(1, _KC_K + 1)
+      )}
+    ) centers CROSS JOIN
+      (SELECT CAST(MAX(dmin) AS BIGINT) AS radius FROM dK) r
+    """,
+    tags=("similarity", "embedding", "coreset", "selection", "iterative"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6-point greedy k-center coreset over the embeddings table:
+    (rank, vec_id, sel_dist, radius) in selection order."""
+    from arroyo_spark.operators.clustering import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kcenter_greedy(emb, k=_KC_K)
+    return spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, sel_dist bigint, radius bigint"
+    )

@@ -2400,3 +2400,159 @@ def streaming_langid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emissions.groupBy("source", "pred_lang").agg(
         F.max("n").cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference-strength trainer (Bradley & Terry 1952;
+# Hunter 2004 MM algorithm) — the reward-data curation primitive: fit
+# per-source strengths from pairwise preferences, the model class
+# RLHF pipelines use to rank responses/annotators/sources from
+# comparison outcomes. Comparisons here are derived deterministically
+# from the corpus (consecutive doc_id pairs across different sources;
+# the longer doc wins, token ties skipped); a production run feeds real
+# human/model preference pairs through the same sufficient statistics.
+#
+# Determinism: the MM iteration is EXACT INTEGER arithmetic — strengths
+# in micro-units, each denominator term n_ij * 1e12 div (p_i + p_j) a
+# BIGINT (order-independent sum), p_i' = W_i * 1e12 div D_i, then
+# sum-normalized to n_sources * 1e6. No floats anywhere.
+#
+# Scale: sufficient statistics are (wins per source, games per
+# unordered source pair) — two map-side-combinable aggregations over
+# the comparison stream; the MM loop runs driver-side over the bounded
+# (sources + pairs) tables (the UniMax/k-means-centroid class: mixture
+# tables are hundreds of rows at 100 TB). The oracle replays all T
+# iterations as unrolled CTEs over the same counts.
+# ---------------------------------------------------------------------------
+
+_BT_T = 4            # MM iterations (fixed, unrolled in the oracle)
+_BT_SC = 10**12      # per-term scale for the integer MM division
+
+
+def _bt_iter_cte(i: int) -> str:
+    prev = f"p{i - 1}"
+    return f"""
+    d{i} AS (
+      SELECT gd.i AS source,
+             CAST(SUM(gd.n * {_BT_SC} // (pi.p + pj.p)) AS BIGINT) AS dsum
+      FROM gd JOIN {prev} pi ON pi.source = gd.i
+              JOIN {prev} pj ON pj.source = gd.j
+      GROUP BY gd.i),
+    r{i} AS (
+      SELECT w.source, CAST(w.wins * {_BT_SC} // d{i}.dsum AS BIGINT) AS praw
+      FROM wins2 w JOIN d{i} ON d{i}.source = w.source),
+    n{i} AS (SELECT CAST(SUM(praw) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS ns FROM r{i}),
+    p{i} AS (
+      SELECT r{i}.source,
+             CAST(praw * (n{i}.ns * 1000000) // n{i}.tot AS BIGINT) AS p
+      FROM r{i} CROSS JOIN n{i})"""
+
+
+@query(
+    "reward_bt_train",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(len({_WP_TOKS}) AS BIGINT) AS nt
+      FROM documents),
+    cmp AS MATERIALIZED (
+      SELECT CASE WHEN a.nt > b.nt THEN a.source ELSE b.source END AS win_s,
+             CASE WHEN a.nt > b.nt THEN b.source ELSE a.source END AS lose_s
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      WHERE a.source <> b.source AND a.nt <> b.nt),
+    wins AS (
+      SELECT win_s AS source, CAST(COUNT(*) AS BIGINT) AS wins
+      FROM cmp GROUP BY win_s),
+    allsrc AS (
+      SELECT DISTINCT source FROM (
+        SELECT win_s AS source FROM cmp
+        UNION ALL SELECT lose_s FROM cmp) u),
+    wins2 AS (
+      SELECT a.source, COALESCE(w.wins, 0) AS wins
+      FROM allsrc a LEFT JOIN wins w USING (source)),
+    gpair AS (
+      SELECT LEAST(win_s, lose_s) AS i, GREATEST(win_s, lose_s) AS j,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cmp GROUP BY 1, 2),
+    gd AS (SELECT i, j, n FROM gpair UNION ALL SELECT j, i, n FROM gpair),
+    p0 AS (SELECT source, CAST(1000000 AS BIGINT) AS p FROM allsrc),
+    {",".join(_bt_iter_cte(i) for i in range(1, _BT_T + 1))}
+    SELECT w.source, w.wins,
+           CAST((SELECT SUM(n) FROM gd WHERE gd.i = w.source) AS BIGINT)
+             AS games,
+           p{_BT_T}.p AS strength_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY p{_BT_T}.p DESC, w.source)
+                AS BIGINT) AS rank
+    FROM wins2 w JOIN p{_BT_T} ON p{_BT_T}.source = w.source
+    """,
+    tags=("training", "reward", "bradley-terry", "iterative"),
+)
+def reward_bt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bradley-Terry strengths after 4 integer MM
+    iterations, with wins, games and the fitted rank. Sources with zero
+    games never enter (they have no likelihood contribution)."""
+    from collections import Counter, defaultdict
+
+    from arroyo_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", T2.token_count("text").cast("bigint").alias("nt")
+    )
+    b = t.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("source").alias("source_b"),
+        F.col("nt").alias("nt_b"),
+    )
+    cmp = (
+        t.join(b, "doc_id")
+        .filter(
+            (F.col("source") != F.col("source_b"))
+            & (F.col("nt") != F.col("nt_b"))
+        )
+        .select(
+            F.when(F.col("nt") > F.col("nt_b"), F.col("source"))
+            .otherwise(F.col("source_b"))
+            .alias("win_s"),
+            F.when(F.col("nt") > F.col("nt_b"), F.col("source_b"))
+            .otherwise(F.col("source"))
+            .alias("lose_s"),
+        )
+    )
+    # sufficient statistics: two bounded aggregations (|sources| and
+    # |source pairs| rows), collected for the driver-side MM loop
+    rows = cmp.groupBy("win_s", "lose_s").count().collect()
+    W: Counter = Counter()
+    gp: Counter = Counter()
+    for r in rows:
+        w, l, n = r["win_s"], r["lose_s"], int(r["count"])
+        W[w] += n
+        gp[(min(w, l), max(w, l))] += n
+    srcs = sorted({s for pair in gp for s in pair})
+    gd = defaultdict(list)
+    for (i, j), n in gp.items():
+        gd[i].append((j, n))
+        gd[j].append((i, n))
+    p = {s: 10**6 for s in srcs}
+    for _ in range(_BT_T):
+        d = {
+            s: sum(n * _BT_SC // (p[s] + p[j]) for j, n in gd[s])
+            for s in srcs
+        }
+        praw = {s: W.get(s, 0) * _BT_SC // d[s] for s in srcs}
+        tot = sum(praw.values())
+        ns = len(srcs)
+        p = {s: praw[s] * (ns * 10**6) // tot for s in srcs}
+    ranked = sorted(
+        ((s, W.get(s, 0), sum(n for _j, n in gd[s]), p[s]) for s in srcs),
+        key=lambda x: (-x[3], x[0]),
+    )
+    out = [
+        (s, w, g, st, i + 1) for i, (s, w, g, st) in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, wins bigint, games bigint,"
+        " strength_micro bigint, rank bigint",
+    )

@@ -409,6 +409,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                       # seed_probe=1; re-verified green)
     "ann_recall_check",  # gained the eighth (hnsw) arm
     "tokenizer_family_report",  # NEW r13 (verdict #7: 4-family report)
+    "reward_bt_train",  # NEW r13 (Bradley-Terry preference trainer)
+    "embedding_kcenter_coreset",  # NEW r13 (Gonzalez k-center coreset)
 }
 
 
