@@ -29,7 +29,7 @@ from arroyo_spark.catalog import load_table
 from arroyo_spark.operators import text as T
 from arroyo_spark.operators.dedup import shingles
 from arroyo_spark.queries.text import GOPHER_ORACLE
-from arroyo_spark.suite import query
+from arroyo_spark.suite import _REGISTRY, query
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
 
@@ -4109,4 +4109,131 @@ def streaming_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(
             "round(s.n_symbols / CAST(s.n_words AS DOUBLE), 6)"
         ).alias("symbols_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming budget admission — the UniMax allocation ENFORCED on ingest
+# (the production deployment of a mixing sweep: the batch waterfill
+# decides each source's token budget, the ingest path admits documents
+# until the budget is spent). Admission is by deterministic hash-ranked
+# PREFIX per source (the domain-caps selection convention), so the
+# drained state equals the batch window's answer regardless of arrival
+# order; `streaming/stateful.streaming_token_budget` keeps the admitted
+# prefix + a first-crossing barrier as its budget-bounded state.
+#
+# The oracle composes the REGISTERED UniMax oracle as a subquery for
+# the allocations, then replays admission as a per-source ordered
+# cumulative sum — the whole batch->stream contract value-checked in
+# one statement.
+# ---------------------------------------------------------------------------
+
+
+def _budget_admission_oracle() -> str:
+    ux = _REGISTRY["mixture_budget_unimax"].oracle
+    return f"""
+    WITH ux AS (SELECT source, alloc_toks FROM ({ux}) t),
+    t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    rk AS (
+      SELECT doc_id, source, nt, h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY h, doc_id) AS BIGINT) AS rk,
+             CAST(SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t)
+    SELECT r.doc_id, r.source, r.nt, r.rk, u.alloc_toks
+    FROM rk r JOIN ux u USING (source)
+    WHERE r.cum <= u.alloc_toks
+    """
+
+
+@query(
+    "streaming_budget_admission",
+    oracle=_budget_admission_oracle(),
+    tags=("curation", "mixture", "streaming", "pipeline"),
+)
+def streaming_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table replayed through Structured Streaming into the
+    token-budget admission operator under the batch-computed UniMax
+    allocations; admitted docs come back per source with their hash
+    rank and the enforced allocation."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from arroyo_spark.streaming.stateful import streaming_token_budget
+
+    allocs = {
+        r["source"]: int(r["alloc_toks"])
+        for r in mixture_budget_unimax(spark, sf_dir)
+        .select("source", "alloc_toks")
+        .collect()  # bounded: |sources| rows
+    }
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="sba_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    keyed = stream.select(
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id",
+        F.size(T.toks("text")).cast("bigint").alias("nt"),
+    )
+    admitted = streaming_token_budget(keyed, allocs)
+    name = "sba_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sba_ck_")
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_budget_admission: stream did not drain in 600s"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w = Window.partitionBy("source").orderBy(F.col("n_seen").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    adf = spark.createDataFrame(
+        sorted(allocs.items()), "source string, alloc_toks bigint"
+    )
+    # admitted arrays are stored sorted by (hash, id): position = rank
+    return (
+        final.select(
+            "source",
+            F.posexplode(F.arrays_zip("ids", "nts")).alias("_p", "z"),
+        )
+        .select(
+            F.col("z.ids").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("z.nts").cast("bigint").alias("nt"),
+            (F.col("_p") + 1).cast("bigint").alias("rk"),
+        )
+        .join(F.broadcast(adf), "source")
+        .select("doc_id", "source", "nt", "rk", "alloc_toks")
     )

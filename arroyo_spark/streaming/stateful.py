@@ -253,3 +253,107 @@ def streaming_kmv_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_token_budget(
+    stream: DataFrame,
+    allocs: dict[str, int],
+    source_col: str = "source",
+    rank_col: str = "h",
+    id_col: str = "doc_id",
+    nt_col: str = "nt",
+) -> DataFrame:
+    """On-ingest per-source token-budget admission — UniMax (or any
+    mixing sweep's) allocations ENFORCED at ingest: each source admits
+    the maximal (hash, id)-ranked PREFIX of its documents whose token
+    sum fits the source's allocation.
+
+    Hash-ranked prefix semantics make the drained state equal the batch
+    window's answer independent of arrival order: cumulative sums are
+    monotone, so once any doc crosses the budget, no doc ranked at or
+    beyond it can ever be admitted — that first crossing is kept as a
+    BARRIER (min ever-crossing (hash, id)); arrivals at or past the
+    barrier are rejected outright, arrivals below it re-insert into the
+    prefix (which can only shrink the tail, moving the barrier down).
+
+    Scale: state per source = the admitted prefix (bounded by
+    alloc / min_doc_tokens rows) + the barrier + a seen counter —
+    budget-bounded by construction, hash-partitioned by source
+    (RocksDB at scale). Per batch each updated source does an
+    O(batch + prefix) merge.
+    """
+    out_schema = StructType.fromDDL(
+        f"{source_col} string, hs array<string>, ids array<bigint>, "
+        "nts array<bigint>, n_seen bigint, admitted_tokens bigint"
+    )
+    state_schema = StructType.fromDDL(
+        "hs array<string>, ids array<bigint>, nts array<bigint>, "
+        "bh string, bid bigint, n bigint"
+    )
+    _INF = "~"  # sorts after every md5 hex char
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[str, int, int]] = []
+        for pdf in batches:
+            rows.extend(
+                zip(
+                    (str(h) for h in pdf[rank_col]),
+                    (int(i) for i in pdf[id_col]),
+                    (int(t) for t in pdf[nt_col]),
+                )
+            )
+        if not rows:
+            return
+        alloc = int(allocs.get(key[0], 0))
+        if state.exists:
+            hs, ids, nts, bh, bid, n = state.get
+            cur = list(zip(hs, ids, nts))
+            barrier = (str(bh), int(bid))
+        else:
+            cur, barrier, n = [], (_INF, 0), 0
+        batch = sorted(set(rows))
+        n = int(n) + len(batch)
+        batch = [r for r in batch if (r[0], r[1]) < barrier]
+        merged = sorted(set(cur) | set(batch))
+        keep: list[tuple[str, int, int]] = []
+        tot = 0
+        for h, i, t in merged:
+            if tot + t > alloc:
+                # first crossing freezes everything at/after this rank
+                if (h, i) < barrier:
+                    barrier = (h, i)
+                break
+            keep.append((h, i, t))
+            tot += t
+        state.update(
+            (
+                [h for h, _i, _t in keep],
+                [i for _h, i, _t in keep],
+                [t for _h, _i, t in keep],
+                barrier[0],
+                barrier[1],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                source_col: [key[0]],
+                "hs": [[h for h, _i, _t in keep]],
+                "ids": [[i for _h, i, _t in keep]],
+                "nts": [[t for _h, _i, t in keep]],
+                "n_seen": [n],
+                "admitted_tokens": [tot],
+            }
+        )
+
+    return stream.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -411,6 +411,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "tokenizer_family_report",  # NEW r13 (verdict #7: 4-family report)
     "reward_bt_train",  # NEW r13 (Bradley-Terry preference trainer)
     "embedding_kcenter_coreset",  # NEW r13 (Gonzalez k-center coreset)
+    "streaming_budget_admission",  # NEW r13 (UniMax enforced on ingest)
 }
 
 

@@ -1933,3 +1933,103 @@ def test_streaming_dedup_incremental_stop_restore_matches_batch(
     assert got.loc[24, "verdict"] == "exact_new" and got.loc[24, "match_id"] == 19
     assert got.loc[29, "verdict"] == "near_old" and got.loc[29, "match_id"] == 1
     assert got.loc[34, "verdict"] == "unique"
+
+
+def test_streaming_budget_admission_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Token-budget admission ON INGEST with a stop/restore leg: half
+    the corpus arrives (checkpoint, stop), the rest arrives into a
+    restored query. The merged final state must equal the batch
+    hash-ranked-prefix answer — the budget-bounded state (admitted
+    prefix + first-crossing barrier + counter) carries leg 1's
+    admissions into leg 2, and arrival order cannot matter because
+    prefix sums are monotone in rank order."""
+    import glob
+    import os
+
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.queries.text_pipeline import mixture_budget_unimax
+    from arroyo_spark.streaming.stateful import streaming_token_budget
+
+    allocs = {
+        r["source"]: int(r["alloc_toks"])
+        for r in mixture_budget_unimax(spark, sf_dir)
+        .select("source", "alloc_toks")
+        .collect()
+    }
+    src = os.path.join(sf_dir, "documents.parquet")
+    data = tmp_path / "docs4"
+    spark.read.parquet(src).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "emissions")
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        keyed = stream.select(
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            "doc_id",
+            F.size(T.toks("text")).cast("bigint").alias("nt"),
+        )
+        admitted = streaming_token_budget(keyed, allocs)
+        q = (
+            admitted.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+    rows = spark.read.parquet(out).collect()
+    best: dict = {}
+    for r in rows:
+        if (
+            r["source"] not in best
+            or r["n_seen"] > best[r["source"]]["n_seen"]
+        ):
+            best[r["source"]] = r
+    got = {
+        (int(i), s) for s, r in best.items() for i in r["ids"]
+    }
+    # batch expectation: per source, hash-ranked cumulative prefix
+    docs = spark.read.parquet(src).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(T.toks("text")).cast("bigint").alias("nt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adf = spark.createDataFrame(
+        sorted(allocs.items()), "source string, alloc_toks bigint"
+    )
+    expect = {
+        (int(r["doc_id"]), r["source"])
+        for r in docs.withColumn("cum", F.sum("nt").over(w))
+        .join(adf, "source")
+        .filter(F.col("cum") <= F.col("alloc_toks"))
+        .collect()
+    }
+    assert got == expect and got
