@@ -4237,3 +4237,186 @@ def streaming_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(adf), "source")
         .select("doc_id", "source", "nt", "rk", "alloc_toks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Min-K% Prob membership inference (Shi et al. 2023, "Detecting
+# Pretraining Data from Large Language Models") — the LM-side
+# contamination detector complementing the n-gram-overlap family: score
+# each EVAL document's trigrams under a reference LM trained on a
+# candidate corpus slice and average the K% most-surprising terms;
+# documents the model trained on have systematically lower min-K
+# surprisal. Here the KN trigram model trains on the doc_id % 2 = 0
+# slice, the eval set is the established doc_id % 97 = 0 slice, and
+# each eval doc's TRUE membership (was its id even, i.e. in training)
+# is emitted beside the score — the detector's separation is checked
+# data, the calibration-report convention.
+#
+# Determinism: terms are the KN expression tree rounded to 9 (shared
+# shape with text_trigram_kneser_ney); the min-K selection is a
+# row_number <= k cut where boundary TIES carry equal values, so the
+# averaged multiset is engine-independent; round(avg, 6) final.
+# Unseen trigrams (not in the trained model) are counted per doc —
+# the strongest non-member evidence — rather than silently dropped.
+#
+# Scale: the model is the KN shape (one groupBy to types + tiny
+# aggregations); the eval side is benchmark-sized; scoring is one
+# keyed equi-join + a per-doc window over eval trigrams only.
+# ---------------------------------------------------------------------------
+
+_MK_PCT = 5  # min-K selects n_scored div 5 terms (K = 20%)
+
+
+@query(
+    "contamination_min_k_prob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2, tk[u.i + 2] AS w3
+      FROM t, unnest(range(1, len(tk) - 1)) AS u(i)),
+    mtg AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM mtg GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n3
+              FROM c123 GROUP BY 1, 2),
+    t23 AS (SELECT w2, w3, count(*) AS t23 FROM c123 GROUP BY 1, 2),
+    mid2 AS (SELECT w2, sum(t23) AS t2, count(*) AS n2 FROM t23 GROUP BY 1),
+    u3 AS (SELECT w3, count(*) AS u3 FROM c123 GROUP BY 1),
+    tot AS (SELECT count(*) AS u FROM c123),
+    model AS (
+      SELECT c123.w1, c123.w2, c123.w3,
+             round(-log2(
+               ((c123.c123 - 0.75) / ctx12.c12)
+               + ((0.75 * ctx12.n3) / ctx12.c12) *
+                 (((t23.t23 - 0.75) / mid2.t2)
+                  + ((0.75 * mid2.n2) / mid2.t2) * (u3.u3 / tot.u))
+             ), 9) AS term
+      FROM c123
+      JOIN ctx12 USING (w1, w2)
+      JOIN t23 USING (w2, w3)
+      JOIN mid2 USING (w2)
+      JOIN u3 USING (w3)
+      CROSS JOIN tot),
+    etg AS (SELECT * FROM tg WHERE doc_id % 97 = 0),
+    etotal AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+      FROM etg GROUP BY doc_id),
+    scored AS (
+      SELECT etg.doc_id, model.term
+      FROM etg JOIN model USING (w1, w2, w3)),
+    ranked AS (
+      SELECT doc_id, term,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY term DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_scored
+      FROM scored),
+    mink AS (
+      SELECT doc_id, CAST(MAX(n_scored) AS BIGINT) AS n_scored,
+             round(AVG(term), 6) AS mink_score
+      FROM ranked
+      WHERE rn <= GREATEST(1, n_scored // {_MK_PCT})
+      GROUP BY doc_id)
+    SELECT e.doc_id, e.n_trigrams, m.n_scored,
+           CAST(e.n_trigrams - m.n_scored AS BIGINT) AS n_unseen,
+           m.mink_score,
+           (e.doc_id % 2 = 0) AS is_member
+    FROM etotal e JOIN mink m USING (doc_id)
+    """,
+    tags=("text", "contamination", "membership", "kneser-ney"),
+)
+def contamination_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob over the eval slice under a KN trigram model trained
+    on the even-id half: per eval doc, trigram totals, model coverage,
+    unseen count, the bottom-20%-probability average surprisal, and the
+    TRUE membership flag. Measured separation on the fixture: members
+    have unseen_frac = 0.0 vs ~0.6 for non-members at both SFs (unseen
+    trigrams are the unbounded-surprisal evidence a finite min-K
+    average cannot carry, so the count is emitted beside the score —
+    a thresholding pipeline combines both)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    length = F.greatest(n - 2, F.lit(0))
+    trips = F.zip_with(
+        F.zip_with(
+            F.slice(tk, 1, length),
+            F.slice(tk, 2, length),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(tk, 3, length),
+        lambda p, c: F.struct(
+            p.w1.alias("w1"), p.w2.alias("w2"), c.alias("w3")
+        ),
+    )
+    # one explode serves both the training counts and the eval scoring
+    tg = (
+        docs.select("doc_id", F.explode(trips).alias("t"))
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+        .localCheckpoint()
+    )
+    mtg = tg.filter(F.col("doc_id") % 2 == 0)
+    c123 = mtg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    ctx12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n3")
+    )
+    t23 = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("t23"))
+    mid2 = t23.groupBy("w2").agg(
+        F.sum("t23").alias("t2"), F.count(F.lit(1)).alias("n2")
+    )
+    u3 = c123.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))
+    tot = c123.agg(F.count(F.lit(1)).alias("u"))
+    d = F.lit(0.75)
+    p2 = ((F.col("t23") - d) / F.col("t2")) + (
+        (d * F.col("n2")) / F.col("t2")
+    ) * (F.col("u3") / F.col("u"))
+    p3 = ((F.col("c123") - d) / F.col("c12")) + (
+        (d * F.col("n3")) / F.col("c12")
+    ) * p2
+    model = (
+        c123.join(ctx12, ["w1", "w2"])
+        .join(t23, ["w2", "w3"])
+        .join(mid2, ["w2"])
+        .join(u3, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", F.round(-F.log2(p3), 9).alias("term"))
+    )
+    etg = tg.filter(F.col("doc_id") % 97 == 0)
+    etotal = etg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams")
+    )
+    scored = etg.join(model, ["w1", "w2", "w3"]).select("doc_id", "term")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("term").desc())
+    wc = Window.partitionBy("doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "term",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_scored"),
+    )
+    mink = (
+        ranked.filter(
+            F.col("rn")
+            <= F.greatest(
+                F.lit(1), F.expr(f"n_scored div {_MK_PCT}")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_scored").cast("bigint").alias("n_scored"),
+            F.round(F.avg("term"), 6).alias("mink_score"),
+        )
+    )
+    return etotal.join(mink, "doc_id").select(
+        "doc_id",
+        "n_trigrams",
+        "n_scored",
+        (F.col("n_trigrams") - F.col("n_scored"))
+        .cast("bigint")
+        .alias("n_unseen"),
+        "mink_score",
+        (F.col("doc_id") % 2 == 0).alias("is_member"),
+    )

@@ -412,6 +412,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "reward_bt_train",  # NEW r13 (Bradley-Terry preference trainer)
     "embedding_kcenter_coreset",  # NEW r13 (Gonzalez k-center coreset)
     "streaming_budget_admission",  # NEW r13 (UniMax enforced on ingest)
+    "contamination_min_k_prob",  # NEW r13 (Min-K% Prob membership)
 }
 
 
