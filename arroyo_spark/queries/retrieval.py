@@ -669,3 +669,156 @@ def streaming_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(out_dir).localCheckpoint()  # eager snapshot
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation report — the IR-metrics artifact a retrieval
+# team reads (TREC-style): both registered arms (BM25 top-5, hybrid
+# RRF cut to its top 5) scored against pseudo-qrels per probe query,
+# emitting hits@5, MRR, binary-gain nDCG@5 and recall@5 side by side.
+# Qrels are deterministic: a document is relevant to a probe iff it
+# shares the probe document's source (topic = source in the synthetic
+# corpus); a production run swaps in human qrels through the same
+# relation.
+#
+# Determinism: every metric is integer micro/milli units. nDCG's
+# 1/log2(i+1) discounts for ranks 1..5 are PRECOMPUTED integer
+# literals (micro), so DCG and IDCG are exact integer sums and the
+# final ratio is one non-negative `div`. MRR = 1e6 div first relevant
+# rank. Ties cannot occur (ranks are unique per query).
+#
+# Scale: both arms are the adjudicated bounded pipelines; the report
+# adds a broadcast qrels join over O(queries x 5) retrieved rows and a
+# per-source count for n_rel.
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 5
+_EVAL_DISC = [1000000, 630930, 500000, 430677, 386853]  # round(1e6/log2(i+1))
+_EVAL_IDCG = [1000000, 1630930, 2130930, 2561607, 2948460]  # prefix sums
+
+_DISC_CASE = "CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_EVAL_DISC)
+) + " ELSE 0 END"
+_IDCG_CASE = "CASE LEAST(n_rel, 5) " + " ".join(
+    f"WHEN {m + 1} THEN {s}" for m, s in enumerate(_EVAL_IDCG)
+) + " ELSE 0 END"
+
+
+def _retrieval_eval_oracle() -> str:
+    from arroyo_spark.suite import _REGISTRY
+
+    bm = _REGISTRY["bm25_retrieval_topk"].oracle
+    hy = _REGISTRY["hybrid_retrieval_rrf"].oracle
+    return f"""
+    WITH arms AS (
+      SELECT 'bm25' AS method, query_id, doc_id, CAST(rn AS BIGINT) AS rn
+      FROM ({bm}) t
+      UNION ALL
+      SELECT 'hybrid', query_id, doc_id, CAST(rn AS BIGINT) AS rn
+      FROM ({hy}) t WHERE rn <= {_EVAL_K}),
+    qsrc AS (
+      SELECT doc_id AS query_id, source FROM documents
+      ORDER BY doc_id LIMIT {_BM25_NQ}),
+    nrel AS (
+      SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM qsrc q JOIN documents d
+        ON d.source = q.source AND d.doc_id <> q.query_id
+      GROUP BY q.query_id),
+    judged AS (
+      SELECT a.method, a.query_id, a.rn,
+             CASE WHEN ds.source = q.source THEN 1 ELSE 0 END AS is_rel
+      FROM arms a
+      JOIN qsrc q ON q.query_id = a.query_id
+      JOIN documents ds ON ds.doc_id = a.doc_id),
+    agg AS (
+      SELECT method, query_id,
+             CAST(SUM(is_rel) AS BIGINT) AS hits_at_5,
+             CAST(COALESCE(1000000 // MIN(CASE WHEN is_rel = 1 THEN rn END),
+                           0) AS BIGINT) AS mrr_micro,
+             CAST(SUM(is_rel * ({_DISC_CASE})) AS BIGINT) AS dcg_micro
+      FROM judged GROUP BY method, query_id)
+    SELECT a.method, a.query_id, n.n_rel, a.hits_at_5, a.mrr_micro,
+           CAST(a.dcg_micro * 1000000 // ({_IDCG_CASE}) AS BIGINT)
+             AS ndcg_micro,
+           CAST(a.hits_at_5 * 1000 // LEAST(n.n_rel, {_EVAL_K}) AS BIGINT)
+             AS recall_milli
+    FROM agg a JOIN nrel n USING (query_id)
+    """
+
+
+@query(
+    "retrieval_eval_report",
+    oracle=_retrieval_eval_oracle(),
+    tags=("text", "retrieval", "eval", "report", "pipeline"),
+)
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(method, query) hits@5, MRR, binary nDCG@5 and recall@5 for
+    the BM25 and hybrid-RRF arms under same-source pseudo-qrels."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_retrieval_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("method"), "query_id", "doc_id", "rn"
+    )
+    hy = (
+        hybrid_retrieval_rrf(spark, sf_dir)
+        .filter(F.col("rn") <= _EVAL_K)
+        .select(F.lit("hybrid").alias("method"), "query_id", "doc_id", "rn")
+    )
+    arms = bm.unionByName(hy)
+    qsrc = (
+        docs.select(F.col("doc_id").alias("query_id"), "source")
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    nrel = (
+        qsrc.alias("q")
+        .join(
+            docs.select("doc_id", F.col("source").alias("dsource")),
+            (F.col("dsource") == F.col("q.source"))
+            & (F.col("doc_id") != F.col("q.query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    judged = (
+        arms.join(F.broadcast(qsrc), "query_id")
+        .join(
+            docs.select(
+                F.col("doc_id"), F.col("source").alias("dsource")
+            ),
+            "doc_id",
+        )
+        .select(
+            "method",
+            "query_id",
+            "rn",
+            F.when(F.col("dsource") == F.col("source"), 1)
+            .otherwise(0)
+            .alias("is_rel"),
+        )
+    )
+    agg = judged.groupBy("method", "query_id").agg(
+        F.sum("is_rel").cast("bigint").alias("hits_at_5"),
+        F.coalesce(
+            F.expr(
+                "1000000 div min(CASE WHEN is_rel = 1 THEN rn END)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("mrr_micro"),
+        F.sum(F.expr(f"is_rel * ({_DISC_CASE})"))
+        .cast("bigint")
+        .alias("dcg_micro"),
+    )
+    return agg.join(F.broadcast(nrel), "query_id").select(
+        "method",
+        "query_id",
+        "n_rel",
+        "hits_at_5",
+        "mrr_micro",
+        F.expr(f"CAST(dcg_micro * 1000000 div ({_IDCG_CASE}) AS BIGINT)")
+        .alias("ndcg_micro"),
+        F.expr(
+            f"CAST(hits_at_5 * 1000 div LEAST(n_rel, {_EVAL_K}) AS BIGINT)"
+        ).alias("recall_milli"),
+    )

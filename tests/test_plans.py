@@ -475,6 +475,24 @@ def test_sequence_packing_2level_no_unpartitioned_window(spark, sf_dir):
     ), plan1[:3000]
 
 
+def test_bfd_packing_plan(spark, sf_dir):
+    """BFD packing: the per-group Python sweep is Arrow-batched
+    (FlatMapGroupsInPandas), the bin-count offsets join back by
+    broadcast, and there is no cartesian work or unpartitioned Window
+    anywhere."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "token_budget_bfd_packing")
+    # the Arrow-batched sweep runs before the localCheckpoint, so the
+    # final plan reads the checkpointed RDD (no second parquet scan)
+    assert len(_fact_scans(plan, "documents")) == 0, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert not re.findall(
+        r"windowspecdefinition\([^,()]*\s(?:ASC|DESC)", plan
+    ), plan[:3000]
+
+
 def test_sequence_packing_2level_identical_to_single_level(spark, sf_dir):
     """The two-level manifest is bit-identical to the single-level one:
     exact interval offsets make every window boundary the same."""
