@@ -2524,3 +2524,100 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_share_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-leakage matrix — WHERE duplication flows, not
+# just how much: for every ordered source pair (a, b), how many of
+# source a's documents contain at least one pseudo-line that also
+# occurs in source b, as count and per-mille of a's documents. The
+# provenance diagnostic behind "crawl X is mostly a re-scrape of crawl
+# Y" decisions (which corpus to keep whole, which to dedup against the
+# other) — the doc-level companion of `source_vocab_overlap`'s KMV
+# vocabulary form, at the line granularity where real cross-crawl
+# leakage lives (whole-document twins are rare across sources;
+# boilerplate lines are not).
+#
+# Scale: one line explode + ONE groupBy(line) collapses the corpus to
+# per-line source sets (bounded by |sources| each); doc-lines equi-join
+# that table and the pair rollup dedups on (doc, pair). A boilerplate
+# line shared by every source is ONE group row (map-side combine), and
+# the join fan-out per doc-line is bounded by |sources| — never a
+# corpus self-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_duplicate_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(tk, u.i * {_LINE_W} + 1,
+                    u.i * {_LINE_W} + {_LINE_W}), ' ') AS line
+      FROM t,
+           unnest(range(0, CAST(ceil(len(tk) / {_LINE_W}.0) AS INT)))
+             AS u(i)),
+    sdocs AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM c GROUP BY source),
+    lsrc AS (
+      SELECT line, list_distinct(list(source)) AS sources
+      FROM c GROUP BY line),
+    hits AS (
+      SELECT DISTINCT c.source AS source_a, c.doc_id,
+             u.s AS source_b
+      FROM c JOIN lsrc USING (line), unnest(lsrc.sources) AS u(s)
+      WHERE u.s <> c.source),
+    leaks AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_leaked
+      FROM hits GROUP BY source_a, source_b)
+    SELECT l.source_a, l.source_b, l.n_leaked, s.n_docs AS n_docs_a,
+           CAST(l.n_leaked * 1000 // s.n_docs AS BIGINT) AS leak_milli
+    FROM leaks l JOIN sdocs s ON s.source = l.source_a
+    """,
+    tags=("dedup", "line", "provenance", "report"),
+)
+def source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered source pairs (a, b) with the count and per-mille of a's
+    docs sharing at least one pseudo-line with b."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = _line_chunks(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "line")
+    c = c.localCheckpoint()  # consumed three times (sdocs, lsrc, hits)
+    sdocs = c.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    lsrc = c.groupBy("line").agg(
+        F.collect_set("source").alias("sources")
+    )
+    hits = (
+        c.join(lsrc, "line")
+        .select(
+            F.col("source").alias("source_a"),
+            "doc_id",
+            F.explode("sources").alias("source_b"),
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    leaks = hits.groupBy("source_a", "source_b").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_leaked")
+    )
+    return leaks.join(
+        F.broadcast(sdocs.withColumnRenamed("source", "source_a")),
+        "source_a",
+    ).select(
+        "source_a",
+        "source_b",
+        "n_leaked",
+        F.col("n_docs").alias("n_docs_a"),
+        F.expr("CAST(n_leaked * 1000 div n_docs AS BIGINT)").alias(
+            "leak_milli"
+        ),
+    )

@@ -414,6 +414,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_budget_admission",  # NEW r13 (UniMax enforced on ingest)
     "contamination_min_k_prob",  # NEW r13 (Min-K% Prob membership)
     "retrieval_eval_report",  # NEW r13 (nDCG/MRR/recall IR report)
+    "source_duplicate_matrix",  # NEW r13 (cross-source line leakage)
 }
 
 
