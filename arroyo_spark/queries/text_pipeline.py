@@ -4420,3 +4420,80 @@ def contamination_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mink_score",
         (F.col("doc_id") % 2 == 0).alias("is_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity report (Li et al. 2016's distinct-1/2/3, the
+# standard corpus-diversity diagnostic for generation/instruction data):
+# per source, total and distinct n-gram counts for n = 1, 2, 3 with the
+# distinct ratio in per-mille — collapsing diversity (synthetic data
+# loops, template farms) shows up as a falling distinct-n long before
+# eyeballing does. Complements `corpus_zipf_diagnostics` (rank-frequency
+# slope) with the mass-of-unique-events view.
+#
+# Scale: one tokenize explode per n (three scans of the checkpointed
+# token stream), each a map-side-combinable (source, gram) count;
+# output is 3 x |sources| rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_distinct_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT source, CAST(n.n AS BIGINT) AS n,
+             array_to_string(list_slice(tk, u.i, u.i + n.n - 1), ' ') AS gram
+      FROM t
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS n) n,
+      unnest(range(1, greatest(len(tk) - n.n + 1, 0) + 1)) AS u(i))
+    SELECT source, n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           CAST(COUNT(DISTINCT gram) * 1000 // COUNT(*) AS BIGINT)
+             AS distinct_milli
+    FROM g GROUP BY source, n
+    """,
+    tags=("text", "diversity", "report"),
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, n) for n=1..3: total n-grams, distinct n-grams, and
+    the distinct ratio in per-mille."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    base = docs.select("source", tk.alias("tk")).localCheckpoint()
+    outs = []
+    for n in (1, 2, 3):
+        length = F.greatest(F.size("tk") - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.concat_ws(" ", F.slice("tk", i, n)),
+        )
+        g = base.select(
+            "source",
+            F.lit(n).cast("bigint").alias("n"),
+            F.explode(
+                F.when(length > 0, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("gram"),
+        )
+        outs.append(
+            g.groupBy("source", "n").agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+                F.countDistinct("gram")
+                .cast("bigint")
+                .alias("distinct_ngrams"),
+            )
+        )
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return u.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.expr(
+            "CAST(distinct_ngrams * 1000 div total_ngrams AS BIGINT)"
+        ).alias("distinct_milli"),
+    )

@@ -415,6 +415,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "contamination_min_k_prob",  # NEW r13 (Min-K% Prob membership)
     "retrieval_eval_report",  # NEW r13 (nDCG/MRR/recall IR report)
     "source_duplicate_matrix",  # NEW r13 (cross-source line leakage)
+    "corpus_distinct_ngrams",  # NEW r13 (distinct-1/2/3 diversity)
 }
 
 
