@@ -2420,7 +2420,10 @@ _PARA_W = 24    # tokens per pseudo-paragraph (3 pseudo-lines)
 _PARA_MAXB = 64  # LSH bucket cap: bigger buckets are exact-dup cliques
 
 
-def _para_minhash_oracle() -> str:
+def _para_pair_ctes() -> str:
+    """Shared WITH-body through `pairs`: paragraph chunks -> pids ->
+    MinHash signatures -> capped banded buckets -> candidate pairs.
+    Used by the share rollup AND the keep-first rebuild oracles."""
     nh, nb = 8, 4
     rows = nh // nb
     sig_cols = ",\n             ".join(
@@ -2432,8 +2435,7 @@ def _para_minhash_oracle() -> str:
         )
         for b in range(nb)
     )
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          w -> w <> '') AS tk
@@ -2445,7 +2447,7 @@ def _para_minhash_oracle() -> str:
       FROM t,
            unnest(range(0, CAST(ceil(len(tk) / {_PARA_W}.0) AS INT)))
              AS u(i)),
-    p AS (SELECT doc_id, doc_id * 4096 + pos AS pid, line FROM c),
+    p AS (SELECT doc_id, pos, doc_id * 4096 + pos AS pid, line FROM c),
     ptk AS (
       SELECT pid, list_filter(string_split(line, ' '), w -> w <> '') AS tk
       FROM p),
@@ -2464,7 +2466,12 @@ def _para_minhash_oracle() -> str:
       SELECT DISTINCT x.pid AS a, y.pid AS b
       FROM bands x
       JOIN ok o ON o.band_key = x.band_key
-      JOIN bands y ON x.band_key = y.band_key AND x.pid < y.pid),
+      JOIN bands y ON x.band_key = y.band_key AND x.pid < y.pid)"""
+
+
+def _para_minhash_oracle() -> str:
+    return f"""
+    WITH {_para_pair_ctes()},
     dup AS (
       SELECT DISTINCT pid
       FROM (SELECT a AS pid FROM pairs UNION ALL SELECT b FROM pairs)),
@@ -2620,4 +2627,80 @@ def source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_leaked * 1000 div n_docs AS BIGINT)").alias(
             "leak_milli"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level keep-first rebuild — the REMOVAL composing the share
+# rollup above (RefinedWeb removes duplicated content at sub-document
+# granularity while keeping the doc): every candidate near-dup pair
+# kills its HIGHER-pid member (keep the globally-first occurrence —
+# the pair-rule form of keep-one; deterministic, no transitive closure
+# needed because each pair's verdict is local), and each document is
+# rebuilt from its surviving paragraphs in position order.
+#
+# Scale: the pair machinery is the capped banded join above; removal is
+# one distinct projection of pair right-hands + an anti-join back to
+# the paragraph stream; the rebuild is one groupBy(doc) ordered concat
+# (the dedup_line_level shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_paragraph_rebuild",
+    oracle=f"""
+    WITH {_para_pair_ctes()},
+    removed AS (SELECT DISTINCT b AS pid FROM pairs),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.line,
+             (r.pid IS NULL) AS keep
+      FROM p LEFT JOIN removed r ON p.pid = r.pid)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(
+             CASE WHEN keep THEN line END, ' ' ORDER BY pos),
+             '')) AS cleaned_md5
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("dedup", "paragraph", "minhash", "rebuild", "curation"),
+)
+def dedup_paragraph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving per-doc rebuild after paragraph near-dup
+    removal: counts + md5 of the cleaned text."""
+    from arroyo_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    paras = _line_chunks(docs, width=_PARA_W).select(
+        "doc_id",
+        "pos",
+        (F.col("doc_id") * 4096 + F.col("pos")).cast("bigint").alias("pid"),
+        F.col("line").alias("text"),
+    )
+    paras = paras.localCheckpoint()  # pairs + rebuild consume it
+    pairs = lsh_candidate_pairs(paras, id_col="pid", max_bucket=_PARA_MAXB)
+    removed = pairs.select(F.col("doc_b").alias("pid")).distinct()
+    kept = paras.join(
+        F.broadcast(removed.withColumn("rm", F.lit(1))), "pid", "left"
+    ).select(
+        "doc_id", "pos", F.col("text").alias("line"),
+        F.col("rm").isNull().alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "line"))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(kept_struct)
+                    ),
+                    lambda s: s.line,
+                ),
+            )
+        ).alias("cleaned_md5"),
     )

@@ -416,6 +416,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "retrieval_eval_report",  # NEW r13 (nDCG/MRR/recall IR report)
     "source_duplicate_matrix",  # NEW r13 (cross-source line leakage)
     "corpus_distinct_ngrams",  # NEW r13 (distinct-1/2/3 diversity)
+    "dedup_paragraph_rebuild",  # NEW r13 (keep-first paragraph removal)
+    "dedup_paragraph_minhash",  # oracle refactor: shared _para_pair_ctes
 }
 
 
