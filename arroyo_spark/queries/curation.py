@@ -1396,28 +1396,12 @@ def sequence_packing_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPL_RANGE = 256  # doc_id interval width per level-1 range partition
 
 
-@query(
-    "sequence_packing_gpt_2level",
-    oracle=_SEQPACK_ORACLE,
-    tags=("curation", "packing", "pipeline"),
-)
-def sequence_packing_gpt_2level(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The 100 TB scale path for `sequence_packing_gpt`, whose global
-    prefix sum funnels one row per document through a single task.
-    Here docs range-partition into CONTIGUOUS doc_id intervals
-    (``doc_id div _SPL_RANGE`` — contiguity, not hashing, is what makes
-    per-interval sums composable into exact global offsets); each
-    interval computes a local prefix sum under a (interval)-partitioned
-    window; per-interval token totals (one bounded row per interval —
-    n_docs / _SPL_RANGE rows; size the interval width so this stays in
-    the k-means-centroid bounded-collect class at scale) are collected,
-    exclusive-prefix-summed in driver Python (exact BIGINT arithmetic),
-    and broadcast back. Global cum = local cum + interval offset is
-    bit-identical to the single-level form, so window boundaries — and
-    the oracle — are literally the same. No unpartitioned Window
-    anywhere in the plan (gated in tests/test_plans.py)."""
+def _seqpack_cum_2level(spark: SparkSession, sf_dir: str):
+    """The two-level exact global token prefix sum shared by the 2level
+    packing manifest and the boundary-offset report: contiguous doc_id
+    ranges, per-range local prefix sums, driver-side exclusive prefix
+    of per-range totals broadcast back. Returns ((doc_id, nt, cum)
+    DataFrame, total token count)."""
     docs = load_table(spark, sf_dir, "documents")
     nt = (
         docs.select(
@@ -1449,6 +1433,32 @@ def sequence_packing_gpt_2level(
         "nt",
         (F.sum("nt").over(w) + F.col("off")).cast("bigint").alias("cum"),
     )
+    return cum, n_total
+
+
+@query(
+    "sequence_packing_gpt_2level",
+    oracle=_SEQPACK_ORACLE,
+    tags=("curation", "packing", "pipeline"),
+)
+def sequence_packing_gpt_2level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB scale path for `sequence_packing_gpt`, whose global
+    prefix sum funnels one row per document through a single task.
+    Here docs range-partition into CONTIGUOUS doc_id intervals
+    (``doc_id div _SPL_RANGE`` — contiguity, not hashing, is what makes
+    per-interval sums composable into exact global offsets); each
+    interval computes a local prefix sum under a (interval)-partitioned
+    window; per-interval token totals (one bounded row per interval —
+    n_docs / _SPL_RANGE rows; size the interval width so this stays in
+    the k-means-centroid bounded-collect class at scale) are collected,
+    exclusive-prefix-summed in driver Python (exact BIGINT arithmetic),
+    and broadcast back. Global cum = local cum + interval offset is
+    bit-identical to the single-level form, so window boundaries — and
+    the oracle — are literally the same. No unpartitioned Window
+    anywhere in the plan (gated in tests/test_plans.py)."""
+    cum, n_total = _seqpack_cum_2level(spark, sf_dir)
     spans = cum.select(
         "doc_id",
         F.expr(f"(cum - nt) div {_SP_L}").alias("seq_first"),
@@ -1611,4 +1621,48 @@ def token_budget_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("waste_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence boundary offsets — the artifact a packed-training
+# loader actually consumes beside the window manifest: for every
+# context window, WHERE inside it new documents begin (the reset points
+# a block-diagonal attention mask / position-id reset is built from;
+# every doc start is one boundary, off in [0, L)). Pure integer
+# arithmetic off the SAME two-level exact prefix sum as the 2level
+# manifest, so no unpartitioned Window here either.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sequence_packing_boundaries",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text),
+             '\\s+'), w -> w <> '')) AS BIGINT) AS nt
+      FROM documents),
+    cum AS (
+      SELECT doc_id, nt,
+             CAST(SUM(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM nt WHERE nt > 0)
+    SELECT CAST((cum - nt) // {_SP_L} AS BIGINT) AS seq_id,
+           CAST((cum - nt) % {_SP_L} AS BIGINT) AS off,
+           doc_id
+    FROM cum
+    """,
+    tags=("curation", "packing", "pipeline"),
+)
+def sequence_packing_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(seq_id, off, doc_id): each document's start position inside its
+    context window under the 512-token chop (exact 2level prefix sum)."""
+    cum, _n_total = _seqpack_cum_2level(spark, sf_dir)
+    return cum.select(
+        F.expr(f"CAST((cum - nt) div {_SP_L} AS BIGINT)").alias("seq_id"),
+        F.expr(f"CAST((cum - nt) % {_SP_L} AS BIGINT)").alias("off"),
+        "doc_id",
     )

@@ -418,6 +418,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "corpus_distinct_ngrams",  # NEW r13 (distinct-1/2/3 diversity)
     "dedup_paragraph_rebuild",  # NEW r13 (keep-first paragraph removal)
     "dedup_paragraph_minhash",  # oracle refactor: shared _para_pair_ctes
+    "sequence_packing_boundaries",  # NEW r13 (attention-mask resets)
 }
 
 
