@@ -1440,6 +1440,7 @@ def _seqpack_cum_2level(spark: SparkSession, sf_dir: str):
     "sequence_packing_gpt_2level",
     oracle=_SEQPACK_ORACLE,
     tags=("curation", "packing", "pipeline"),
+    bench=True,
 )
 def sequence_packing_gpt_2level(
     spark: SparkSession, sf_dir: str
@@ -1568,6 +1569,7 @@ _BFD_PARTS = 16
     GROUP BY a.source, a.local_bin + o.off
     """,
     tags=("curation", "packing", "pipeline"),
+    bench=True,
 )
 def token_budget_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard manifest (doc count, fill, padding waste) of whole-doc

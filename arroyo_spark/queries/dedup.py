@@ -2492,6 +2492,7 @@ def _para_minhash_oracle() -> str:
     "dedup_paragraph_minhash",
     oracle=_para_minhash_oracle(),
     tags=("dedup", "minhash", "paragraph", "lsh", "near-dup"),
+    bench=True,
 )
 def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc share of near-duplicate paragraphs: paragraph MinHash
