@@ -2705,3 +2705,69 @@ def dedup_paragraph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test splits — the split assignment every
+# training pipeline needs and many botch: hashing DOCUMENTS into splits
+# leaks near-duplicates across the train/eval boundary, so the split
+# unit must be the DUPLICATE CLUSTER (Lee et al. 2022 §6 / standard
+# eval-hygiene practice). Every doc inherits its connected component's
+# split, decided by a hash of the CLUSTER id: 90/5/5 by md5 bucket.
+# `split` is constant within each cluster BY CONSTRUCTION (one hash per
+# cluster) — the property this query exists to provide, checked by the
+# hash-compared output itself (cluster_id, split) and a unit test.
+#
+# Scale: the cluster relation is the adjudicated connected-components
+# pass; the assignment adds one md5 projection and NO further shuffle
+# (split is a function of cluster_id).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    asg AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                   1, 8))::BIGINT % 100 AS BIGINT) AS bucket
+      FROM comp)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM asg
+    """,
+    tags=("dedup", "curation", "splits", "iterative"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, split): 90/5/5 md5-bucket assignment at
+    duplicate-CLUSTER granularity, so near-dup docs can never straddle
+    the train/eval boundary."""
+    from arroyo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, n=3, threshold=0.25).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(
+        edges,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

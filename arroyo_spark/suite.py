@@ -419,6 +419,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_paragraph_rebuild",  # NEW r13 (keep-first paragraph removal)
     "dedup_paragraph_minhash",  # oracle refactor: shared _para_pair_ctes
     "sequence_packing_boundaries",  # NEW r13 (attention-mask resets)
+    "leakage_safe_splits",  # NEW r13 (cluster-granular 90/5/5 splits)
 }
 
 

@@ -2086,3 +2086,47 @@ def test_bfd_waste_beats_greedy_on_long_tail():
     for d, b in bfd.items():
         fills[b] = fills.get(b, 0) + sizes[d]
     assert all(f <= cap for f in fills.values())
+
+
+def test_leakage_safe_splits_no_cluster_straddle(spark, sf_dir):
+    """Every duplicate cluster lands wholly in one split; the naive
+    doc-hash split (same buckets keyed by doc_id) DOES leak near-dup
+    pairs across the boundary on the fixture — the failure mode this
+    query exists to prevent."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.suite import all_queries
+
+    df = (
+        all_queries()["leakage_safe_splits"]
+        .fn(spark, sf_dir)
+        .localCheckpoint()
+    )
+    straddle = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # naive control: hash the DOC id with the same bucket rule
+    naive_bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    naive = df.select(
+        "doc_id",
+        "cluster_id",
+        F.when(naive_bucket < 90, "train")
+        .when(naive_bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    naive_straddle = (
+        naive.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert naive_straddle > 0, "fixture must contain multi-doc clusters"
+    spark.catalog.clearCache()
