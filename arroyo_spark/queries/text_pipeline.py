@@ -4497,3 +4497,105 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(distinct_ngrams * 1000 div total_ngrams AS BIGINT)"
         ).alias("distinct_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity at scale — the HLL arm of `corpus_distinct_ngrams`:
+# COUNT(DISTINCT trigram) at 100 TB shuffles every distinct trigram
+# (the biggest exact-distinct in the whole suite); the production path
+# is the 256-register HLL per (source, n), emitted BESIDE the exact
+# control with relative error as data (the sketch-family discipline —
+# estimates are never trusted unchecked at verification scale).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_distinct_ngrams_hll",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT source, CAST(n.n AS BIGINT) AS n,
+             array_to_string(list_slice(tk, u.i, u.i + n.n - 1), ' ') AS gram
+      FROM t
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS n) n,
+      unnest(range(1, greatest(len(tk) - n.n + 1, 0) + 1)) AS u(i)),
+    hashed AS (
+      SELECT source, n,
+             CAST('0x' || substr(md5(gram), 1, 2) AS BIGINT) AS bucket,
+             CAST('0x' || substr(md5(gram), 3, 8) AS BIGINT) AS w
+      FROM g),
+    regs AS (
+      SELECT source, n, bucket, MAX({_hll_rho_sql('w')}) AS reg
+      FROM hashed GROUP BY source, n, bucket),
+    per_grp AS (
+      SELECT source, n,
+             SUM({_hll_units_sql('reg')}) AS present_units,
+             COUNT(*) AS present
+      FROM regs GROUP BY source, n),
+    ex AS (
+      SELECT source, n, COUNT(DISTINCT gram) AS exact_distinct
+      FROM g GROUP BY source, n),
+    s AS (
+      SELECT p.source, p.n,
+             CAST(256 - present AS BIGINT) AS zero_registers,
+             CAST(present_units + (256 - present) * {1 << _HLL_RHO_MAX}
+                  AS BIGINT) AS sum_units,
+             e.exact_distinct
+      FROM per_grp p JOIN ex e ON p.source = e.source AND p.n = e.n)
+    SELECT source, n, zero_registers, sum_units,
+           {_hll_estimate_sql('sum_units', 'zero_registers')}
+             AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(({_hll_estimate_sql('sum_units', 'zero_registers')}
+                  - exact_distinct) / exact_distinct * 100, 4)
+             AS rel_error_pct
+    FROM s
+    """,
+    tags=("text", "diversity", "sketch", "hll", "report"),
+)
+def corpus_distinct_ngrams_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (source, n) HLL distinct-n-gram estimate beside the exact
+    control — the scale path of `corpus_distinct_ngrams`."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", T.toks("text").alias("tk")).localCheckpoint()
+    frames = []
+    for n in (1, 2, 3):
+        length = F.greatest(F.size("tk") - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.concat_ws(" ", F.slice("tk", i, n)),
+        )
+        frames.append(
+            base.select(
+                "source",
+                F.lit(n).cast("bigint").alias("n"),
+                F.explode(
+                    F.when(length > 0, grams).otherwise(
+                        F.array().cast("array<string>")
+                    )
+                ).alias("gram"),
+            )
+        )
+    g = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    g = g.localCheckpoint()  # sketch + exact control both consume it
+    sketch = _hll_sketch(g, ["source", "n"], "gram")
+    exact = g.groupBy("source", "n").agg(
+        F.countDistinct("gram").cast("bigint").alias("exact_distinct")
+    )
+    return sketch.join(exact, ["source", "n"]).select(
+        "source",
+        "n",
+        "zero_registers",
+        "sum_units",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            * 100,
+            4,
+        ).alias("rel_error_pct"),
+    )
