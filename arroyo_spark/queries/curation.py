@@ -1668,3 +1668,76 @@ def sequence_packing_boundaries(
         F.expr(f"CAST((cum - nt) % {_SP_L} AS BIGINT)").alias("off"),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity-capped quality selection — the SemDeDup+quality hybrid a
+# curation pipeline runs after clustering: within every embedding
+# k-means cluster keep only the top-q documents by rule-based quality
+# score (head clusters cannot flood the mix with redundant high-quality
+# boilerplate; tail clusters still contribute their best). Composes two
+# registered relations (k-means assignment, quality scores) — the
+# oracle composes their registered oracles as isolated subqueries.
+#
+# Scale: the selection is `bounded_group_topk`'s per-partition prune
+# (O(clusters x q) task state, superset contract) with the exact
+# rank window running on the pruned superset only — no per-cluster
+# sort shuffle of the full corpus.
+# ---------------------------------------------------------------------------
+
+_DIVQ_K = 2  # docs kept per cluster
+
+
+def _diverse_topk_oracle() -> str:
+    from arroyo_spark.suite import _REGISTRY
+
+    km = _REGISTRY["embedding_kmeans_clusters"].oracle
+    qs = _REGISTRY["text_quality_scores"].oracle
+    return f"""
+    WITH km AS (SELECT vec_id, cluster FROM ({km}) t),
+    qs AS (SELECT doc_id, quality FROM ({qs}) t),
+    j AS (
+      SELECT km.cluster, qs.doc_id, qs.quality
+      FROM km JOIN qs ON qs.doc_id = km.vec_id),
+    r AS (
+      SELECT cluster, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY quality DESC, doc_id) AS rk
+      FROM j)
+    SELECT CAST(cluster AS BIGINT) AS cluster, doc_id, quality,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_DIVQ_K}
+    """
+
+
+@query(
+    "curation_diverse_topk",
+    oracle=_diverse_topk_oracle(),
+    tags=("curation", "diversity", "quality", "selection", "pipeline"),
+)
+def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 quality docs per embedding k-means cluster: (cluster,
+    doc_id, quality, rk)."""
+    from arroyo_spark.operators.kmv import bounded_group_topk
+    from arroyo_spark.queries.similarity import embedding_kmeans_clusters
+    from arroyo_spark.queries.text import text_quality_scores
+
+    km = embedding_kmeans_clusters(spark, sf_dir).select(
+        "vec_id", "cluster"
+    )
+    qs = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    j = km.join(qs, km["vec_id"] == qs["doc_id"]).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "doc_id",
+        "quality",
+        (-F.col("quality")).alias("_neg_q"),
+    )
+    pruned = bounded_group_topk(j, "cluster", "_neg_q", _DIVQ_K)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _DIVQ_K)
+        .select("cluster", "doc_id", "quality", "rk")
+    )
