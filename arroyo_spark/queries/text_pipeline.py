@@ -4599,3 +4599,85 @@ def corpus_distinct_ngrams_hll(
             4,
         ).alias("rel_error_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization — the cleaning stage every multilingual
+# pipeline runs before hashing/dedup (decomposed accents make
+# byte-identical text hash differently; C4/CCNet normalize first). The
+# synthetic corpus is ASCII, so each doc gets a deterministic DECOMPOSED
+# suffix appended (combining-mark sequences built from shared hex
+# literals — 'e'+U+0301, 'a'+U+030A, 'o'+U+0308 by doc_id % 3); the
+# normalizer must compose them, shorten the codepoint length by exactly
+# one, and produce the composed md5. Spark runs the real deployment
+# shape (Python unicodedata.normalize('NFC') in an Arrow-batched
+# mapInPandas — stdlib, no codec dependency); DuckDB replays with its
+# native nfc_normalize (verified codepoint-identical offline).
+#
+# Scale: a stateless per-row projection — one Python crossing, no
+# shuffle at all before the output.
+# ---------------------------------------------------------------------------
+
+_NFC_SUFFIX = (
+    "CASE doc_id % 3 WHEN 0 THEN '65CC81'"
+    " WHEN 1 THEN '61CC8A' ELSE '6FCC88' END"
+)
+
+
+@query(
+    "text_unicode_nfc",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || decode(unhex({_NFC_SUFFIX})) AS s
+      FROM documents),
+    n AS (
+      SELECT doc_id, s, nfc_normalize(s) AS ns FROM raw)
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS raw_cp,
+           CAST(length(ns) AS BIGINT) AS nfc_cp,
+           (s <> ns) AS changed,
+           md5(ns) AS nfc_md5
+    FROM n
+    """,
+    tags=("text", "unicode", "normalize", "curation"),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NFC normalization report over a planted decomposed
+    suffix: codepoint counts before/after, the changed flag, and the
+    md5 of the normalized text."""
+    import pandas as pd
+    import unicodedata
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.selectExpr(
+        "doc_id",
+        f"concat(substring(text, 1, 40),"
+        f" decode(unhex({_NFC_SUFFIX}), 'UTF-8')) AS s",
+    )
+
+    def nfc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "s": pdf["s"],
+                    "ns": [
+                        unicodedata.normalize("NFC", str(x))
+                        for x in pdf["s"]
+                    ],
+                }
+            )
+
+    from arroyo_spark.operators.partitioning import ensure_min_parallelism
+
+    n = ensure_min_parallelism(raw).mapInPandas(
+        nfc, "doc_id bigint, s string, ns string"
+    )
+    return n.select(
+        "doc_id",
+        F.length("s").cast("bigint").alias("raw_cp"),
+        F.length("ns").cast("bigint").alias("nfc_cp"),
+        (F.col("s") != F.col("ns")).alias("changed"),
+        F.md5(F.col("ns").cast("binary")).alias("nfc_md5"),
+    )

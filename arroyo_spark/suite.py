@@ -422,6 +422,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "leakage_safe_splits",  # NEW r13 (cluster-granular 90/5/5 splits)
     "corpus_distinct_ngrams_hll",  # NEW r13 (sketch arm of distinct-n)
     "curation_diverse_topk",  # NEW r13 (cluster-capped quality pick)
+    "text_unicode_nfc",  # NEW r13 (NFC normalization stage)
 }
 
 
