@@ -822,3 +822,161 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(hits_at_5 * 1000 div LEAST(n_rel, {_EVAL_K}) AS BIGINT)"
         ).alias("recall_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-maxP passage retrieval (Dai & Callan 2019): long documents score
+# as the MAX of their passages' BM25 scores — the standard long-doc
+# retrieval arrangement (whole-doc BM25 dilutes a relevant passage's
+# terms across the full document length). Passages are fixed-width
+# pseudo-paragraph chunks (the `_line_chunks` machinery at width 32);
+# the probe queries stay the 8 lowest-doc_id documents' FULL term sets;
+# df/dl/n_docs are PASSAGE-collection statistics.
+#
+# Scale: same bounded shapes as bm25_retrieval_topk over the passage
+# stream (one checkpointed passage term table, broadcast query terms,
+# inverted-index candidate join); the per-doc max is one keyed
+# aggregation and the final top-k runs on the bounded_group_topk
+# superset prune.
+# ---------------------------------------------------------------------------
+
+_MAXP_W = 32  # tokens per passage
+_MAXP_K = 5
+
+
+def _maxp_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pt AS (
+      SELECT doc_id * 4096 + u.i AS pid,
+             array_to_string(list_slice(tk, u.i * {_MAXP_W} + 1,
+                    u.i * {_MAXP_W} + {_MAXP_W}), ' ') AS line
+      FROM t,
+           unnest(range(0, CAST(ceil(len(tk) / {_MAXP_W}.0) AS INT)))
+             AS u(i)),
+    toks AS (
+      SELECT pid, unnest(list_filter(string_split(line, ' '),
+                         w -> w <> '')) AS word
+      FROM pt),
+    tf AS (
+      SELECT pid, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY pid, word),
+    dlen AS (
+      SELECT pid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY pid),
+    scal AS (
+      SELECT CAST((SELECT COUNT(*) FROM pt) AS BIGINT) AS n_docs,
+             CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS tt),
+    qdocs AS (
+      SELECT doc_id AS query_id FROM documents
+      ORDER BY doc_id LIMIT {_BM25_NQ}),
+    qterms AS (
+      SELECT DISTINCT q.query_id, u.w AS word
+      FROM documents d
+      JOIN qdocs q ON d.doc_id = q.query_id,
+      unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+             x -> x <> '')) AS u(w)),
+    dfreq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf WHERE word IN (SELECT DISTINCT word FROM qterms)
+      GROUP BY word),
+    cand AS (
+      SELECT qt.query_id, t.pid, t.tf, d.dl, f.df, s.n_docs, s.tt
+      FROM tf t
+      JOIN qterms qt USING (word)
+      JOIN dlen d ON t.pid = d.pid
+      JOIN dfreq f USING (word)
+      CROSS JOIN scal s
+      WHERE t.pid <> qt.query_id),
+    terms AS (
+      SELECT query_id, pid, {_term_micro_sql('//')} AS term_micro
+      FROM cand),
+    scored AS (
+      SELECT query_id, pid,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM terms GROUP BY query_id, pid),
+    perdoc AS (
+      SELECT query_id, pid // 4096 AS doc_id, pid % 4096 AS pos,
+             score_micro,
+             ROW_NUMBER() OVER (PARTITION BY query_id, pid // 4096
+                  ORDER BY score_micro DESC, pid) AS prn
+      FROM scored
+      WHERE pid // 4096 <> query_id),
+    best AS (
+      SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(pos AS BIGINT) AS best_pos,
+             score_micro AS best_micro
+      FROM perdoc WHERE prn = 1)
+    SELECT query_id, doc_id, best_pos, best_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY best_micro DESC, doc_id) AS BIGINT) AS rn
+    FROM best
+    QUALIFY rn <= {_MAXP_K}
+    """
+
+
+@query(
+    "bm25_maxp_passages",
+    oracle=_maxp_oracle(),
+    tags=("text", "retrieval", "bm25", "passages", "pipeline"),
+)
+def bm25_maxp_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 docs per probe query under BM25-maxP: each doc scores as
+    its best passage; (query_id, doc_id, best_pos, best_micro, rn)."""
+    from arroyo_spark.queries.dedup import _line_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    passages = _line_chunks(docs, width=_MAXP_W).select(
+        (F.col("doc_id") * 4096 + F.col("pos"))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("line").alias("text"),
+    )
+    tf = bm25_tf(passages)  # checkpointed passage term table
+    qdocs = (
+        docs.select(F.col("doc_id").alias("query_id"))
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    qterms = (
+        docs.join(
+            F.broadcast(qdocs), docs["doc_id"] == qdocs["query_id"]
+        )
+        .select("query_id", F.explode(T.toks("text")).alias("word"))
+        .distinct()
+    )
+    cand = bm25_candidates_for(tf, passages, qterms)
+    scored = (
+        cand.withColumn("term_micro", F.expr(_term_micro_sql("div")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_micro").cast("bigint").alias("score_micro"))
+        .withColumnRenamed("doc_id", "pid")
+    )
+    wp = Window.partitionBy(
+        "query_id", F.expr("pid div 4096")
+    ).orderBy(F.col("score_micro").desc(), "pid")
+    best = (
+        scored.filter(F.expr("pid div 4096") != F.col("query_id"))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") == 1)
+        .select(
+            "query_id",
+            F.expr("CAST(pid div 4096 AS BIGINT)").alias("doc_id"),
+            F.expr("CAST(pid % 4096 AS BIGINT)").alias("best_pos"),
+            F.col("score_micro").alias("best_micro"),
+        )
+    )
+    pruned = bounded_group_topk(
+        best.withColumn("neg", -F.col("best_micro")),
+        "query_id",
+        "neg",
+        _MAXP_K,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("best_micro").desc(), "doc_id"
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _MAXP_K)
+        .select("query_id", "doc_id", "best_pos", "best_micro", "rn")
+    )

@@ -423,6 +423,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "corpus_distinct_ngrams_hll",  # NEW r13 (sketch arm of distinct-n)
     "curation_diverse_topk",  # NEW r13 (cluster-capped quality pick)
     "text_unicode_nfc",  # NEW r13 (NFC normalization stage)
+    "bm25_maxp_passages",  # NEW r13 (maxP long-doc retrieval)
 }
 
 
