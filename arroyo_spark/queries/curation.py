@@ -1741,3 +1741,88 @@ def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DIVQ_K)
         .select("cluster", "doc_id", "quality", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII rate monitoring by source — the rollup a privacy-compliance
+# dashboard reads over the per-doc scrub: per source, how many docs
+# carry each PII class, total redactions per class, and the share of
+# docs with ANY hit (per mille). Same constructed payloads and RE2-safe
+# patterns as `pii_scrub_redaction` (the synthetic corpus carries no
+# real PII), so the rollup arithmetic is exercised for real.
+#
+# Scale: the per-doc counts are a pure regex projection (zero shuffle);
+# the rollup is one groupBy(source).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_rate_by_source",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source, {_DUCK_PAYLOAD} AS payload FROM documents),
+    c AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(payload, '{pii.EMAIL_RE}'))
+                  AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(payload, '{pii.PHONE_RE}'))
+                  AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(payload, '{pii.IPV4_RE}'))
+                  AS BIGINT) AS n_ips
+      FROM p)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_phone,
+           CAST(SUM(CASE WHEN n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_ip,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0
+                    THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+             AS any_pii_milli
+    FROM c GROUP BY source
+    """,
+    tags=("curation", "pii", "report"),
+)
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence: docs-with-hit per class, total
+    redactions per class, and the any-PII share in per-mille."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "source", _spark_payload().alias("payload")
+    )
+    c = p.select(
+        "source",
+        F.regexp_count(F.col("payload"), F.lit(pii.EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("payload"), F.lit(pii.PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("payload"), F.lit(pii.IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phones") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_phone"),
+        F.sum(F.when(F.col("n_ips") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_ip"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum("n_ips").cast("bigint").alias("total_ips"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0"
+            " THEN 1 ELSE 0 END) * 1000 div COUNT(*) AS BIGINT)"
+        ).alias("any_pii_milli"),
+    )

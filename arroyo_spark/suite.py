@@ -424,6 +424,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "curation_diverse_topk",  # NEW r13 (cluster-capped quality pick)
     "text_unicode_nfc",  # NEW r13 (NFC normalization stage)
     "bm25_maxp_passages",  # NEW r13 (maxP long-doc retrieval)
+    "pii_rate_by_source",  # NEW r13 (privacy-compliance rollup)
 }
 
 
