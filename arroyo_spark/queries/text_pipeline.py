@@ -4681,3 +4681,90 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") != F.col("ns")).alias("changed"),
         F.md5(F.col("ns").cast("binary")).alias("nfc_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-expansion manifest — how a UniMax allocation is actually
+# REALIZED by a training loader: each source's documents repeat
+# floor(epochs) times, plus one extra repeat for a deterministic
+# hash-selected fraction of docs matching the fractional epoch
+# (md5-bucket < epochs_milli % 1000 of 1000 — the reproducible
+# bernoulli the sampling family already uses). Emits the per-source
+# realization check: realized tokens vs the allocation, with the
+# relative error in per-mille — the loader-manifest audit closing the
+# mixing family (weights -> allocation -> realized repeats).
+#
+# Scale: one tokenize, one broadcast join of the |sources|-row
+# allocation table, one rollup. All-BIGINT.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_epoch_manifest",
+    oracle=f"""
+    WITH ux AS (
+      SELECT source, n_toks, alloc_toks, epochs_milli
+      FROM ({_REGISTRY["mixture_budget_unimax"].oracle}) t),
+    d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS nt,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 1000 AS BIGINT) AS bucket
+      FROM documents),
+    rep AS (
+      SELECT d.source, d.nt,
+             CAST(u.epochs_milli // 1000
+                  + CASE WHEN d.bucket < u.epochs_milli % 1000
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      FROM d JOIN ux u USING (source))
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r.n_repeats) AS BIGINT) AS total_repeats,
+           CAST(SUM(r.nt * r.n_repeats) AS BIGINT) AS realized_toks,
+           u.alloc_toks, u.epochs_milli,
+           CAST(ABS(SUM(r.nt * r.n_repeats) - u.alloc_toks) * 1000
+                // GREATEST(u.alloc_toks, 1) AS BIGINT) AS err_milli
+    FROM rep r JOIN ux u USING (source)
+    GROUP BY r.source, u.alloc_toks, u.epochs_milli
+    """,
+    tags=("curation", "mixture", "sampling", "report"),
+)
+def mixture_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source realization of the UniMax allocation: doc counts,
+    total repeats, realized tokens vs alloc, relative error per-mille."""
+    ux = mixture_budget_unimax(spark, sf_dir).select(
+        "source", "alloc_toks", "epochs_milli"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.toks("text")).cast("bigint").alias("nt"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000"
+        ).alias("bucket"),
+    )
+    rep = d.join(F.broadcast(ux), "source").select(
+        "source",
+        "nt",
+        "alloc_toks",
+        "epochs_milli",
+        F.expr(
+            "CAST(epochs_milli div 1000 + CASE WHEN bucket <"
+            " epochs_milli % 1000 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("n_repeats"),
+    )
+    return rep.groupBy("source", "alloc_toks", "epochs_milli").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_repeats").cast("bigint").alias("total_repeats"),
+        F.sum(F.col("nt") * F.col("n_repeats"))
+        .cast("bigint")
+        .alias("realized_toks"),
+        F.expr(
+            "CAST(ABS(SUM(nt * n_repeats) - alloc_toks) * 1000"
+            " div GREATEST(alloc_toks, 1) AS BIGINT)"
+        ).alias("err_milli"),
+    ).select(
+        "source", "n_docs", "total_repeats", "realized_toks",
+        "alloc_toks", "epochs_milli", "err_milli",
+    )

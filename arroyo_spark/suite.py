@@ -425,6 +425,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "text_unicode_nfc",  # NEW r13 (NFC normalization stage)
     "bm25_maxp_passages",  # NEW r13 (maxP long-doc retrieval)
     "pii_rate_by_source",  # NEW r13 (privacy-compliance rollup)
+    "mixture_epoch_manifest",  # NEW r13 (UniMax realization audit)
 }
 
 
