@@ -1826,3 +1826,62 @@ def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) * 1000 div COUNT(*) AS BIGINT)"
         ).alias("any_pii_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified eval-set construction — balanced held-out sets are built
+# by quota, not by uniform hash (a uniform sample over a skewed corpus
+# under-represents tail sources and short/long docs): strata are
+# (source, length tercile within source), each stratum contributes its
+# 2 lowest-md5 docs. Deterministic end to end (ntile ties break by
+# doc_id, selection by hash rank — the established reproducible-sample
+# conventions).
+#
+# Scale: one tokenize, two windows on the (source) / (source, tercile)
+# keys, output is 6 rows per source.
+# ---------------------------------------------------------------------------
+
+_EVSET_K = 2  # docs per (source, tercile) stratum
+
+
+@query(
+    "eval_set_stratified",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS nt
+      FROM documents),
+    b AS (
+      SELECT doc_id, source, nt,
+             CAST(ntile(3) OVER (PARTITION BY source
+                  ORDER BY nt, doc_id) AS BIGINT) AS tercile
+      FROM t),
+    r AS (
+      SELECT doc_id, source, nt, tercile,
+             CAST(row_number() OVER (PARTITION BY source, tercile
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS rk
+      FROM b)
+    SELECT doc_id, source, nt, tercile, rk
+    FROM r WHERE rk <= {_EVSET_K}
+    """,
+    tags=("curation", "sampling", "eval", "stratified"),
+)
+def eval_set_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 docs per (source, length-tercile) stratum by md5 rank — the
+    balanced deterministic eval set."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("nt")
+    )
+    wb = Window.partitionBy("source").orderBy("nt", "doc_id")
+    b = t.withColumn("tercile", F.ntile(3).over(wb).cast("bigint"))
+    wr = Window.partitionBy("source", "tercile").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        b.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= _EVSET_K)
+        .select("doc_id", "source", "nt", "tercile", "rk")
+    )

@@ -426,6 +426,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_maxp_passages",  # NEW r13 (maxP long-doc retrieval)
     "pii_rate_by_source",  # NEW r13 (privacy-compliance rollup)
     "mixture_epoch_manifest",  # NEW r13 (UniMax realization audit)
+    "eval_set_stratified",  # NEW r13 (balanced eval construction)
 }
 
 
