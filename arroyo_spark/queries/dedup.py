@@ -2771,3 +2771,149 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph-dup monitor — the paragraph family ON INGEST:
+# each arriving document chunks into pseudo-paragraphs STATELESSLY
+# (explode is a stateless projection), every paragraph computes its
+# full 8-hash MinHash signature per row and explodes into 4 band keys,
+# and the bounded stateful bucket operator accumulates members per
+# bucket. After draining, candidate pairs expand batch-side and the
+# SAME per-doc near-dup-share rollup comes out — same oracle as the
+# batch `dedup_paragraph_minhash`.
+#
+# Cap semantics note: the streaming bucket KEEPS its cap
+# lowest-(md5, pid) members where the batch op DROPS buckets above
+# `max_bucket`; the two agree exactly while every bucket fits the cap
+# (measured max bucket 3 at sf0.01 / 14 at sf0.1 vs cap 64). At web
+# scale the divergence is the documented lever choice: truncation
+# keeps hot boilerplate buckets represented, the batch drop hands them
+# to exact dedup.
+#
+# Scale: no shuffle before the stateful groupBy; state is
+# O(buckets x cap) pid/rank pairs (RocksDB at 100 TB); paragraph text
+# never leaves the stateless stage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_paragraph_dupshare",
+    oracle=_para_minhash_oracle(),
+    tags=("dedup", "paragraph", "minhash", "streaming"),
+)
+def streaming_paragraph_dupshare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc near-dup-paragraph share computed from a streaming
+    replay: (doc_id, n_paras, n_neardup_paras, dup_share_milli)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.dedup import (
+        lsh_band_keys,
+        with_minhash_signature,
+    )
+    from arroyo_spark.streaming.stateful import streaming_lsh_buckets
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = tempfile.mkdtemp(prefix="spd_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    paras = _line_chunks(stream, width=_PARA_W).select(
+        (F.col("doc_id") * 4096 + F.col("pos"))
+        .cast("bigint")
+        .alias("pid"),
+        F.col("line").alias("text"),
+    )
+    sigs = with_minhash_signature(paras).filter(
+        F.col("h0").isNotNull()
+    )
+    keyed = lsh_band_keys(sigs.drop("text"), id_col="pid").withColumn(
+        "h", F.md5(F.col("pid").cast("string"))
+    )
+    buckets = streaming_lsh_buckets(keyed, cap=_PARA_MAXB, id_col="pid")
+    name = "spd_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="spd_ck_")
+    q = (
+        buckets.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_paragraph_dupshare: stream did not drain"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w = Window.partitionBy("band_key").orderBy(F.col("n_seen").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.size("ids") > 1))
+        .select("band_key", F.array_sort("ids").alias("ids"))
+        # memory-sink table feeding downstream joins: snapshot first
+        # (the MemoryPlan self-join trap)
+        .localCheckpoint()
+    )
+    pair_lists = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    dup = (
+        final.select(F.explode(pair_lists).alias("p"))
+        .select(F.col("p.a").alias("pid"))
+        .union(
+            final.select(F.explode(pair_lists).alias("p")).select(
+                F.col("p.b").alias("pid")
+            )
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    all_paras = _line_chunks(docs, width=_PARA_W).select(
+        "doc_id",
+        (F.col("doc_id") * 4096 + F.col("pos"))
+        .cast("bigint")
+        .alias("pid"),
+    )
+    return (
+        all_paras.join(F.broadcast(dup), "pid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_neardup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_neardup_paras",
+            F.expr(
+                "CAST(n_neardup_paras * 1000 div n_paras AS BIGINT)"
+            ).alias("dup_share_milli"),
+        )
+    )

@@ -427,6 +427,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "pii_rate_by_source",  # NEW r13 (privacy-compliance rollup)
     "mixture_epoch_manifest",  # NEW r13 (UniMax realization audit)
     "eval_set_stratified",  # NEW r13 (balanced eval construction)
+    "streaming_paragraph_dupshare",  # NEW r13 (paragraph family on ingest)
 }
 
 
