@@ -1885,3 +1885,104 @@ def eval_set_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _EVSET_K)
         .select("doc_id", "source", "nt", "tercile", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sweep mixing report — the alpha grid a mixing decision
+# actually compares (XLM-R ran alpha in {0.3, 0.5, 0.7, 1.0}): the
+# same per-source token shares under THREE temperatures side by side.
+# Portability constraint drives the grid: pow() is not bit-portable
+# across libm implementations, but sqrt IS correctly rounded
+# everywhere, so the grid is the dyadic alphas {0.25, 0.5, 0.75} —
+# p^0.25 = sqrt(sqrt(p)), p^0.5 = sqrt(p), p^0.75 = sqrt(p)*sqrt(sqrt(p))
+# (each a composition of exact IEEE ops; the product of two correctly-
+# rounded sqrts is one more correctly-rounded multiply — identical in
+# both engines). Same round-to-9 + DECIMAL normalization discipline as
+# `corpus_mixture_weights`.
+#
+# Scale: one corpus tokenize -> |sources|-row relation; the sweep is
+# three expressions over it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_temperature_sweep",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    per_source AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source),
+    scored AS (
+      SELECT source, n_tokens,
+             n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p
+      FROM per_source),
+    alphas AS (
+      SELECT source, n_tokens, p, CAST(a.a AS BIGINT) AS alpha_milli,
+             CAST(round(CASE a.a
+               WHEN 250 THEN sqrt(sqrt(p))
+               WHEN 500 THEN sqrt(p)
+               ELSE sqrt(p) * sqrt(sqrt(p)) END, 9)
+               AS DECIMAL(18, 9)) AS q_raw
+      FROM scored CROSS JOIN (SELECT unnest([250, 500, 750]) AS a) a),
+    norm AS (
+      SELECT *, CAST(sum(q_raw) OVER (PARTITION BY alpha_milli)
+                     AS DECIMAL(28, 9)) AS z
+      FROM alphas)
+    SELECT source, alpha_milli, n_tokens,
+           round(p, 6) AS p_natural,
+           round(CAST(q_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q_sampled,
+           round(CAST(q_raw AS DOUBLE) / CAST(z AS DOUBLE) / p, 6)
+             AS doc_weight
+    FROM norm
+    """,
+    tags=("curation", "mixing", "sampling", "report"),
+)
+def mixture_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (source, alpha in {0.25, 0.5, 0.75} milli) temperature
+    weights — the mixing-decision grid, sqrt-composed so every exponent
+    is exact IEEE."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", T.token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    scored = per_source.select("source", "n_tokens", p.alias("p"))
+    alphas = scored.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(250,), (500,), (750,)], "alpha_milli bigint"
+            )
+        )
+    ).withColumn(
+        "q_raw",
+        F.round(
+            F.when(F.col("alpha_milli") == 250, F.sqrt(F.sqrt("p")))
+            .when(F.col("alpha_milli") == 500, F.sqrt("p"))
+            .otherwise(F.sqrt("p") * F.sqrt(F.sqrt("p"))),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    norm = alphas.withColumn(
+        "z",
+        F.sum("q_raw")
+        .over(Window.partitionBy("alpha_milli"))
+        .cast("decimal(28,9)"),
+    )
+    q = F.col("q_raw").cast("double") / F.col("z").cast("double")
+    return norm.select(
+        "source",
+        "alpha_milli",
+        "n_tokens",
+        F.round("p", 6).alias("p_natural"),
+        F.round(q, 6).alias("q_sampled"),
+        F.round(q / F.col("p"), 6).alias("doc_weight"),
+    )

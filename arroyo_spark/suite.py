@@ -428,6 +428,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mixture_epoch_manifest",  # NEW r13 (UniMax realization audit)
     "eval_set_stratified",  # NEW r13 (balanced eval construction)
     "streaming_paragraph_dupshare",  # NEW r13 (paragraph family on ingest)
+    "mixture_temperature_sweep",  # NEW r13 (dyadic alpha grid)
 }
 
 
