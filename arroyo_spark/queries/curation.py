@@ -1986,3 +1986,127 @@ def mixture_temperature_sweep(
         F.round(q, 6).alias("q_sampled"),
         F.round(q / F.col("p"), 6).alias("doc_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption manifest (T5 denoising objective prep; Raffel et al.
+# 2020 §3.1.4): deterministic hash-driven span selection over each
+# document's token stream — a position starts a 3-token span iff its
+# md5 bucket hits 1-in-20 (≈15% corruption at mean span 3), spans clip
+# at the doc end and overlapping/adjacent spans MERGE (each merged
+# island is one sentinel in the corrupted sequence). Emits the per-doc
+# manifest a denoising loader consumes: token count, merged span count
+# (= sentinels), corrupted-token count and the realized corruption
+# rate. Hash-driven selection replaces the sequential RNG of the
+# reference implementation so the manifest is reproducible across
+# retries and engines.
+#
+# Scale: one position explode (linear in tokens), the island merge is
+# the established pos - row_number() run trick per doc, one rollup.
+# ---------------------------------------------------------------------------
+
+_T5_EVERY = 20  # 1-in-20 positions start a span
+_T5_SPAN = 3    # span length before clipping/merging
+
+
+@query(
+    "span_corruption_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS nt
+      FROM documents),
+    pos AS (
+      SELECT doc_id, nt, CAST(u.i AS BIGINT) AS i
+      FROM t, unnest(range(1, nt + 1)) AS u(i)),
+    starts AS (
+      SELECT doc_id, nt, i
+      FROM pos
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                 % {_T5_EVERY} AS BIGINT) = 0),
+    corrupted AS (
+      SELECT DISTINCT doc_id, nt,
+             CAST(unnest(range(i, least(i + {_T5_SPAN} - 1, nt) + 1))
+                  AS BIGINT) AS c
+      FROM starts),
+    isl AS (
+      SELECT doc_id, nt, c,
+             c - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c)
+               AS grp
+      FROM corrupted),
+    per_doc AS (
+      SELECT doc_id, nt,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans,
+             CAST(COUNT(*) AS BIGINT) AS n_corrupted
+      FROM isl GROUP BY doc_id, nt)
+    SELECT t.doc_id, t.nt AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_corrupted, 0) AS BIGINT) AS n_corrupted,
+           CAST(COALESCE(p.n_corrupted, 0) * 1000
+                // GREATEST(t.nt, 1) AS BIGINT) AS corruption_milli
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("curation", "denoising", "t5", "manifest"),
+)
+def span_corruption_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc T5-style span-corruption manifest: merged span count
+    (sentinels), corrupted tokens, realized corruption per-mille."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.token_count("text").cast("bigint").alias("nt")
+    )
+    pos = t.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.when(
+                F.col("nt") > 0, F.sequence(F.lit(1), F.col("nt"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    starts = pos.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            f" CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_T5_EVERY} = 0"
+        )
+    )
+    corrupted = starts.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.sequence(
+                F.col("i"),
+                F.least(F.col("i") + (_T5_SPAN - 1), F.col("nt")),
+            )
+        ).alias("c"),
+    ).distinct()
+    wi = Window.partitionBy("doc_id").orderBy("c")
+    isl = corrupted.withColumn(
+        "grp", F.col("c") - F.row_number().over(wi)
+    )
+    per_doc = isl.groupBy("doc_id", "nt").agg(
+        F.countDistinct("grp").cast("bigint").alias("n_spans"),
+        F.count(F.lit(1)).cast("bigint").alias("n_corrupted"),
+    )
+    return (
+        t.join(per_doc.drop("nt"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce("n_corrupted", F.lit(0))
+            .cast("bigint")
+            .alias("n_corrupted"),
+            F.expr(
+                "CAST(COALESCE(n_corrupted, 0) * 1000"
+                " div GREATEST(nt, 1) AS BIGINT)"
+            ).alias("corruption_milli"),
+        )
+    )

@@ -429,6 +429,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "eval_set_stratified",  # NEW r13 (balanced eval construction)
     "streaming_paragraph_dupshare",  # NEW r13 (paragraph family on ingest)
     "mixture_temperature_sweep",  # NEW r13 (dyadic alpha grid)
+    "span_corruption_manifest",  # NEW r13 (T5 denoising prep)
 }
 
 
