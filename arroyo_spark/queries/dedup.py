@@ -2917,3 +2917,166 @@ def streaming_paragraph_dupshare(
             ).alias("dup_share_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the shift-robust counterpart
+# of fixed-width lines: chunk boundaries are declared wherever the
+# hash of the local 4-gram window hits 1-in-32 (the rolling-hash
+# boundary rule of LBFS/restic-style CDC), so an insertion early in a
+# document shifts NO downstream chunk identities (fixed-width chunking
+# re-keys everything after the edit — the failure CDC exists to fix).
+# Chunks are the token runs between boundaries; identity is the md5 of
+# the chunk text; the rollup emits per-doc chunk stats and the share
+# of chunks also present in ANOTHER document (the storage-dedup ratio).
+#
+# Scale: one position explode, boundary marking is stateless, chunk
+# assembly is one per-doc window pass (cumulative boundary count as
+# the chunk id) + a groupBy; the cross-doc share is one hash-keyed
+# aggregation — never a pairwise join.
+# ---------------------------------------------------------------------------
+
+_CDC_EVERY = 32  # 1-in-32 window hashes declare a boundary
+_CDC_W = 4       # boundary window (tokens)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, len(tk) AS nt, CAST(u.i AS BIGINT) AS i,
+             tk[u.i] AS w,
+             CASE WHEN u.i <= len(tk) - {_CDC_W} + 1
+                  AND CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(tk, u.i, u.i + {_CDC_W} - 1), ' ')),
+                        1, 8))::BIGINT % {_CDC_EVERY} AS BIGINT) = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+    cid AS (
+      SELECT doc_id, i, w,
+             SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_no
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, chunk_no,
+             md5(string_agg(w, ' ' ORDER BY i)) AS chash,
+             CAST(COUNT(*) AS BIGINT) AS chunk_len
+      FROM cid GROUP BY doc_id, chunk_no),
+    freq AS (
+      SELECT chash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM chunks GROUP BY chash)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS shared_milli
+    FROM chunks c JOIN freq f USING (chash)
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "cdc", "chunking", "curation"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc CDC chunk stats + the share of chunks shared with any
+    other document (the storage-dedup ratio)."""
+    from arroyo_spark.operators.text import toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = toks("text")
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    pos = t.select(
+        "doc_id",
+        F.size("tk").alias("nt"),
+        F.posexplode("tk").alias("i0", "w"),
+    ).select(
+        "doc_id",
+        "nt",
+        (F.col("i0") + 1).cast("bigint").alias("i"),
+        "w",
+    )
+    # boundary marks: one stateless projection emits (i, window-hash
+    # mod) per boundary-eligible position; joined back onto the token
+    # stream by (doc_id, i)
+    sl = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size("tk") - (_CDC_W - 1), F.lit(0)
+                    ),
+                ),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.concat_ws(
+                        " ", F.slice("tk", i, _CDC_W)
+                    ).alias("win"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.i").alias("i"),
+        F.expr(
+            "CAST(conv(substring(md5(s.win), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_CDC_EVERY}"
+        ).alias("hmod"),
+    )
+    bnd = sl.select(
+        "doc_id", "i", (F.col("hmod") == 0).cast("int").alias("is_boundary")
+    )
+    cid_in = pos.join(bnd, ["doc_id", "i"], "left").select(
+        "doc_id",
+        "i",
+        "w",
+        F.coalesce("is_boundary", F.lit(0)).alias("is_boundary"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cid = cid_in.withColumn(
+        "chunk_no", F.sum("is_boundary").over(wc).cast("bigint")
+    )
+    chunks = cid.groupBy("doc_id", "chunk_no").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "w"))
+                    ),
+                    lambda s: s.w,
+                ),
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("bigint").alias("chunk_len"),
+    )
+    chunks = chunks.localCheckpoint()  # freq + rollup both consume it
+    freq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("shared_milli"),
+        )
+    )

@@ -430,6 +430,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_paragraph_dupshare",  # NEW r13 (paragraph family on ingest)
     "mixture_temperature_sweep",  # NEW r13 (dyadic alpha grid)
     "span_corruption_manifest",  # NEW r13 (T5 denoising prep)
+    "dedup_cdc_chunks",  # NEW r13 (shift-robust CDC chunk dedup)
 }
 
 
