@@ -1439,3 +1439,31 @@ def test_rouge_l_candidates_equijoin_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_maxp_passages_plan(spark, sf_dir):
+    """BM25-maxP: query terms broadcast onto the word-keyed candidate
+    join (inverted-index semantics over the passage term table), no
+    cartesian work anywhere."""
+    plan = plan_of(spark, sf_dir, "bm25_maxp_passages")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # (BroadcastNestedLoopJoin Cross appears only for the 1-row scalar
+    # n_docs/tt broadcasts — the established bm25_candidates_for shape)
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_plan(spark, sf_dir):
+    """CDC chunk dedup: boundary marks and chunk assembly never join
+    pairwise — equi-joins only, chunk-frequency agg is hash-keyed."""
+    plan = plan_of(spark, sf_dir, "dedup_cdc_chunks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_k_prob_plan(spark, sf_dir):
+    """Min-K% Prob: one checkpointed trigram stream feeds both the
+    model counts and eval scoring (no second documents scan); the
+    scoring join is an equi-join."""
+    plan = plan_of(spark, sf_dir, "contamination_min_k_prob")
+    assert len(_fact_scans(plan, "documents")) == 0, plan[:3000]
+    assert "CartesianProduct" not in plan
