@@ -754,12 +754,37 @@ def _retrieval_eval_oracle() -> str:
 def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(method, query) hits@5, MRR, binary nDCG@5 and recall@5 for
     the BM25 and hybrid-RRF arms under same-source pseudo-qrels."""
+    from arroyo_spark.operators.similarity import brute_force_topk
+
     docs = load_table(spark, sf_dir, "documents")
-    bm = bm25_retrieval_topk(spark, sf_dir).select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE term-table build serves both arms: the bm25 top-5 is the
+    # top-20 pool cut at 5 (a prefix of the same ranking), and the
+    # hybrid arm fuses that same pool — three tokenize/scoring passes
+    # collapse into one
+    tf = bm25_tf(docs)
+    sparse20 = bm25_rank_topk(
+        bm25_candidates_for(tf, docs, bm25_probe_terms(tf, docs)),
+        _RRF_POOL,
+    ).localCheckpoint()  # consumed by both arms
+    bm = sparse20.filter(F.col("rn") <= _EVAL_K).select(
         F.lit("bm25").alias("method"), "query_id", "doc_id", "rn"
     )
+    qdocs = (
+        docs.select(F.col("doc_id").alias("query_id"))
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    probes = emb.join(
+        F.broadcast(qdocs), emb["vec_id"] == F.col("query_id")
+    ).select("vec_id", "embedding")
+    dense = brute_force_topk(emb, probes, k=_RRF_POOL).select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        "rn",
+    )
     hy = (
-        hybrid_retrieval_rrf(spark, sf_dir)
+        rrf_fuse(sparse20, dense, _RRF_TOPK)
         .filter(F.col("rn") <= _EVAL_K)
         .select(F.lit("hybrid").alias("method"), "query_id", "doc_id", "rn")
     )
