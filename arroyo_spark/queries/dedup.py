@@ -3080,3 +3080,57 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters via large-star/small-star — the adversarial-graph
+# CC variant REGISTERED (same output, same oracle as
+# `dedup_duplicate_clusters`): alternating star rounds contract any
+# graph in O(log n) rounds where min-label propagation needs
+# diameter-many (unit-tested: a 199-diameter chain solves exactly
+# under star while 40 min-label rounds provably cannot finish). At
+# 100 TB the near-dup graph is USUALLY shallow (min-label fine), but
+# chain-like cluster topologies from transitive near-dup thresholds
+# are exactly the adversarial case this arm covers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_duplicate_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp
+    """,
+    tags=("dedup", "graph", "clusters", "star", "iterative"),
+)
+def dedup_duplicate_clusters_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_duplicate_clusters` computed by the Kiveris et al. star
+    alternation instead of min-label propagation — identical result."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, n=3, threshold=0.25).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components_star(
+        edges,
+        src="doc_a",
+        dst="doc_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -431,6 +431,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "mixture_temperature_sweep",  # NEW r13 (dyadic alpha grid)
     "span_corruption_manifest",  # NEW r13 (T5 denoising prep)
     "dedup_cdc_chunks",  # NEW r13 (shift-robust CDC chunk dedup)
+    "dedup_duplicate_clusters_star",  # NEW r13 (Kiveris star CC arm)
+    "retrieval_eval_report",  # perf: ONE shared term table for both arms
 }
 
 

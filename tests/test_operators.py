@@ -2130,3 +2130,51 @@ def test_leakage_safe_splits_no_cluster_straddle(spark, sf_dir):
     )
     assert naive_straddle > 0, "fixture must contain multi-doc clusters"
     spark.catalog.clearCache()
+
+
+def test_star_connected_components_matches_and_beats_chain(spark):
+    """large-star/small-star CC (Kiveris et al. 2014) must equal
+    min-label propagation on random graphs, and must solve the
+    adversarial long chain EXACTLY where diameter-bound min-label
+    (max_iter=40 on a 199-diameter chain) provably cannot — the
+    O(log n)-rounds claim SCALING.md makes for the swap-in."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(11)
+    for _ in range(2):
+        nodes = [(x,) for x in range(80)]
+        edges = [
+            (random.randrange(80), random.randrange(80))
+            for _ in range(45)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        n = spark.createDataFrame(nodes, "node bigint")
+        a = {
+            r["node"]: r["comp"]
+            for r in connected_components(e, nodes=n, max_iter=100).collect()
+        }
+        b = {
+            r["node"]: r["comp"]
+            for r in connected_components_star(e, nodes=n).collect()
+        }
+        assert a == b and len(a) == 80
+    chain = [(i, i + 1) for i in range(199)]
+    e = spark.createDataFrame(chain, "src bigint, dst bigint")
+    n = spark.createDataFrame([(x,) for x in range(200)], "node bigint")
+    star = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(e, nodes=n).collect()
+    }
+    assert set(star.values()) == {0}  # one component, min root
+    minlabel = connected_components(e, nodes=n, max_iter=40)
+    n_wrong = minlabel.filter(F.col("comp") != 0).count()
+    assert n_wrong > 0  # diameter-bound propagation cannot finish
+    spark.catalog.clearCache()
