@@ -1756,9 +1756,7 @@ def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "pii_rate_by_source",
-    oracle=f"""
+_PII_RATE_ORACLE = f"""
     WITH p AS (
       SELECT doc_id, source, {_DUCK_PAYLOAD} AS payload FROM documents),
     c AS (
@@ -1785,7 +1783,12 @@ def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
              AS any_pii_milli
     FROM c GROUP BY source
-    """,
+    """
+
+
+@query(
+    "pii_rate_by_source",
+    oracle=_PII_RATE_ORACLE,
     tags=("curation", "pii", "report"),
 )
 def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,3 +2113,111 @@ def span_corruption_manifest(
             ).alias("corruption_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PII monitor — `pii_rate_by_source` ON INGEST (the
+# compliance dashboard's live form): per-doc PII counts are a pure
+# stateless regex projection over the arriving stream, then ONE
+# update-mode groupBy(source) aggregation maintains the monotone
+# per-source counters (the on-ingest sketch pattern:
+# streaming_hll_distinct is the template — stateless per-row
+# projection, single bounded stateful agg, batch-side finalization
+# from the drained emissions). Same oracle as the batch rollup.
+#
+# Scale: state is |sources| counter rows; nothing but (source,
+# count columns) enters the stateful shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_pii_monitor",
+    oracle=_PII_RATE_ORACLE,  # shares the batch rollup's oracle verbatim
+    tags=("curation", "pii", "streaming", "report"),
+)
+def streaming_pii_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence maintained on ingest; drained state
+    equals the batch `pii_rate_by_source` answer."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.queries.text_pipeline import _cp_doc_stream
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    c = stream.select(
+        "source",
+        F.regexp_count(_spark_payload(), F.lit(pii.EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(_spark_payload(), F.lit(pii.PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(_spark_payload(), F.lit(pii.IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+    )
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phones") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_phone"),
+        F.sum(F.when(F.col("n_ips") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_ip"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum("n_ips").cast("bigint").alias("total_ips"),
+        F.sum(
+            F.when(
+                F.col("n_emails") + F.col("n_phones") + F.col("n_ips")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("any_pii"),
+    )
+    name = "spm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="spm_ck_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_pii_monitor: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        "docs_with_email",
+        "docs_with_phone",
+        "docs_with_ip",
+        "total_emails",
+        "total_phones",
+        "total_ips",
+        F.expr("CAST(any_pii * 1000 div n_docs AS BIGINT)").alias(
+            "any_pii_milli"
+        ),
+    )
+

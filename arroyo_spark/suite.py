@@ -433,6 +433,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_cdc_chunks",  # NEW r13 (shift-robust CDC chunk dedup)
     "dedup_duplicate_clusters_star",  # NEW r13 (Kiveris star CC arm)
     "retrieval_eval_report",  # perf: ONE shared term table for both arms
+    "streaming_pii_monitor",  # NEW r13 (compliance rollup on ingest)
+    "pii_rate_by_source",  # oracle extracted into _PII_RATE_ORACLE
 }
 
 
