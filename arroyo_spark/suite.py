@@ -435,6 +435,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "retrieval_eval_report",  # perf: ONE shared term table for both arms
     "streaming_pii_monitor",  # NEW r13 (compliance rollup on ingest)
     "pii_rate_by_source",  # oracle extracted into _PII_RATE_ORACLE
+    "ql_dirichlet_topk",  # NEW r13 (Dirichlet query likelihood)
 }
 
 
