@@ -672,6 +672,158 @@ def streaming_query_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+# 2001) — the second classical lexical model beside BM25, scored in the
+# rank-equivalent sum-of-logs form: score(q, d) =
+#   sum_{matched terms} ln(1 + tf * tt / (mu * cf))  +  |q| * ln(mu / (dl + mu))
+# (cf = collection frequency, tt = total collection tokens, mu = 2000).
+# Candidates come from the same inverted-index join as BM25 (docs
+# sharing at least one query term — the standard top-k evaluation set);
+# every ln is ONE shared-text expression immediately quantized to
+# integer micro-nats (the BM25 idf discipline), so per-term sums are
+# exact integers and accumulation order cannot flip a rank.
+#
+# Scale: identical bounded shapes as bm25_retrieval_topk — one
+# checkpointed term table, broadcast query terms, keyed candidate
+# join, bounded_group_topk superset prune.
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000
+_QL_K = 5
+
+_QL_TERM = (
+    "CAST(round(ln(1 + CAST(tf AS DOUBLE) * tt"
+    f" / ({_QL_MU} * cf)) * 1000000.0) AS BIGINT)"
+)
+_QL_DOC = (
+    f"CAST(round(ln({_QL_MU} / CAST(dl + {_QL_MU} AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def ql_rank_topk(tf: DataFrame, qterms: DataFrame, k: int) -> DataFrame:
+    """Dirichlet-QL top-k off an existing term table + query-term
+    relation (qterms must be checkpointed by the caller — it is
+    consumed twice: nq + the candidate join)."""
+    nq = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nq")
+    )
+    qwords = qterms.select("word").distinct()
+    cfreq = (
+        tf.join(F.broadcast(qwords), "word")
+        .groupBy("word")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+    )
+    tt = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
+    cand = (
+        tf.join(F.broadcast(qterms), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(cfreq), "word")
+        .crossJoin(F.broadcast(tt))
+    )
+    matched = (
+        cand.withColumn("term_micro", F.expr(_QL_TERM))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("term_micro").cast("bigint").alias("match_micro"),
+        )
+    )
+    dlen = tf.select("doc_id", "dl").distinct()
+    scored = (
+        matched.join(F.broadcast(nq), "query_id")
+        .join(dlen, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            (
+                F.col("match_micro")
+                + F.col("nq") * F.expr(_QL_DOC)
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    pruned = bounded_group_topk(
+        scored.withColumn("neg", -F.col("score_micro")),
+        "query_id",
+        "neg",
+        k,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
+    )
+
+
+@query(
+    "ql_dirichlet_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, word),
+    dlen AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    scal AS (
+      SELECT CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS tt),
+    qdocs AS (
+      SELECT doc_id AS query_id FROM documents
+      ORDER BY doc_id LIMIT {_BM25_NQ}),
+    qterms AS (
+      SELECT DISTINCT q.query_id, t.word
+      FROM tf t JOIN qdocs q ON t.doc_id = q.query_id),
+    nq AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
+      FROM qterms GROUP BY query_id),
+    cfreq AS (
+      SELECT word, CAST(SUM(tf) AS BIGINT) AS cf
+      FROM tf
+      WHERE word IN (SELECT DISTINCT word FROM qterms)
+      GROUP BY word),
+    cand AS (
+      SELECT qt.query_id, t.doc_id, t.tf, f.cf, s.tt
+      FROM tf t
+      JOIN qterms qt USING (word)
+      JOIN cfreq f USING (word)
+      CROSS JOIN scal s
+      WHERE t.doc_id <> qt.query_id),
+    matched AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM({_QL_TERM}) AS BIGINT) AS match_micro
+      FROM cand GROUP BY query_id, doc_id),
+    scored AS (
+      SELECT m.query_id, m.doc_id, m.n_terms,
+             CAST(m.match_micro + n.nq * ({_QL_DOC}) AS BIGINT)
+               AS score_micro
+      FROM matched m
+      JOIN nq n USING (query_id)
+      JOIN dlen d ON d.doc_id = m.doc_id)
+    SELECT query_id, doc_id, n_terms, score_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rn
+    FROM scored
+    QUALIFY rn <= {_QL_K}
+    """,
+    tags=("text", "retrieval", "query-likelihood", "pipeline"),
+)
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 docs per probe query under Dirichlet-smoothed query
+    likelihood (mu=2000), integer micro-nat scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = bm25_tf(docs)  # (doc_id, word, tf, dl) checkpointed
+    qterms = bm25_probe_terms(tf, docs).localCheckpoint()
+    return ql_rank_topk(tf, qterms, _QL_K)
+
+
+# ---------------------------------------------------------------------------
 # Retrieval evaluation report — the IR-metrics artifact a retrieval
 # team reads (TREC-style): both registered arms (BM25 top-5, hybrid
 # RRF cut to its top 5) scored against pseudo-qrels per probe query,
@@ -709,13 +861,17 @@ def _retrieval_eval_oracle() -> str:
 
     bm = _REGISTRY["bm25_retrieval_topk"].oracle
     hy = _REGISTRY["hybrid_retrieval_rrf"].oracle
+    ql = _REGISTRY["ql_dirichlet_topk"].oracle
     return f"""
     WITH arms AS (
       SELECT 'bm25' AS method, query_id, doc_id, CAST(rn AS BIGINT) AS rn
       FROM ({bm}) t
       UNION ALL
       SELECT 'hybrid', query_id, doc_id, CAST(rn AS BIGINT) AS rn
-      FROM ({hy}) t WHERE rn <= {_EVAL_K}),
+      FROM ({hy}) t WHERE rn <= {_EVAL_K}
+      UNION ALL
+      SELECT 'ql', query_id, doc_id, CAST(rn AS BIGINT) AS rn
+      FROM ({ql}) t),
     qsrc AS (
       SELECT doc_id AS query_id, source FROM documents
       ORDER BY doc_id LIMIT {_BM25_NQ}),
@@ -788,7 +944,11 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _EVAL_K)
         .select(F.lit("hybrid").alias("method"), "query_id", "doc_id", "rn")
     )
-    arms = bm.unionByName(hy)
+    # third lexical arm off the SAME term table and query-term relation
+    ql = ql_rank_topk(
+        tf, bm25_probe_terms(tf, docs).localCheckpoint(), _QL_K
+    ).select(F.lit("ql").alias("method"), "query_id", "doc_id", "rn")
+    arms = bm.unionByName(hy).unionByName(ql)
     qsrc = (
         docs.select(F.col("doc_id").alias("query_id"), "source")
         .orderBy("query_id")
@@ -1007,156 +1167,4 @@ def bm25_maxp_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
-# 2001) — the second classical lexical model beside BM25, scored in the
-# rank-equivalent sum-of-logs form: score(q, d) =
-#   sum_{matched terms} ln(1 + tf * tt / (mu * cf))  +  |q| * ln(mu / (dl + mu))
-# (cf = collection frequency, tt = total collection tokens, mu = 2000).
-# Candidates come from the same inverted-index join as BM25 (docs
-# sharing at least one query term — the standard top-k evaluation set);
-# every ln is ONE shared-text expression immediately quantized to
-# integer micro-nats (the BM25 idf discipline), so per-term sums are
-# exact integers and accumulation order cannot flip a rank.
-#
-# Scale: identical bounded shapes as bm25_retrieval_topk — one
-# checkpointed term table, broadcast query terms, keyed candidate
-# join, bounded_group_topk superset prune.
-# ---------------------------------------------------------------------------
 
-_QL_MU = 2000
-_QL_K = 5
-
-_QL_TERM = (
-    "CAST(round(ln(1 + CAST(tf AS DOUBLE) * tt"
-    f" / ({_QL_MU} * cf)) * 1000000.0) AS BIGINT)"
-)
-_QL_DOC = (
-    f"CAST(round(ln({_QL_MU} / CAST(dl + {_QL_MU} AS DOUBLE))"
-    " * 1000000.0) AS BIGINT)"
-)
-
-
-@query(
-    "ql_dirichlet_topk",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
-    tf AS (
-      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM toks GROUP BY doc_id, word),
-    dlen AS (
-      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-    scal AS (
-      SELECT CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS tt),
-    qdocs AS (
-      SELECT doc_id AS query_id FROM documents
-      ORDER BY doc_id LIMIT {_BM25_NQ}),
-    qterms AS (
-      SELECT DISTINCT q.query_id, t.word
-      FROM tf t JOIN qdocs q ON t.doc_id = q.query_id),
-    nq AS (
-      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
-      FROM qterms GROUP BY query_id),
-    cfreq AS (
-      SELECT word, CAST(SUM(tf) AS BIGINT) AS cf
-      FROM tf
-      WHERE word IN (SELECT DISTINCT word FROM qterms)
-      GROUP BY word),
-    cand AS (
-      SELECT qt.query_id, t.doc_id, t.tf, f.cf, s.tt
-      FROM tf t
-      JOIN qterms qt USING (word)
-      JOIN cfreq f USING (word)
-      CROSS JOIN scal s
-      WHERE t.doc_id <> qt.query_id),
-    matched AS (
-      SELECT query_id, doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_terms,
-             CAST(SUM({_QL_TERM}) AS BIGINT) AS match_micro
-      FROM cand GROUP BY query_id, doc_id),
-    scored AS (
-      SELECT m.query_id, m.doc_id, m.n_terms,
-             CAST(m.match_micro + n.nq * ({_QL_DOC}) AS BIGINT)
-               AS score_micro
-      FROM matched m
-      JOIN nq n USING (query_id)
-      JOIN dlen d ON d.doc_id = m.doc_id)
-    SELECT query_id, doc_id, n_terms, score_micro,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rn
-    FROM scored
-    QUALIFY rn <= {_QL_K}
-    """,
-    tags=("text", "retrieval", "query-likelihood", "pipeline"),
-)
-def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 docs per probe query under Dirichlet-smoothed query
-    likelihood (mu=2000), integer micro-nat scores."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = bm25_tf(docs)  # (doc_id, word, tf, dl) checkpointed
-    qdocs = (
-        docs.select(F.col("doc_id").alias("query_id"))
-        .orderBy("query_id")
-        .limit(_BM25_NQ)
-    )
-    qterms = (
-        tf.join(F.broadcast(qdocs), tf["doc_id"] == qdocs["query_id"])
-        .select("query_id", "word")
-        .distinct()
-        .localCheckpoint()  # consumed twice (nq + candidate join)
-    )
-    nq = qterms.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nq")
-    )
-    qwords = qterms.select("word").distinct()
-    cfreq = (
-        tf.join(F.broadcast(qwords), "word")
-        .groupBy("word")
-        .agg(F.sum("tf").cast("bigint").alias("cf"))
-    )
-    tt = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
-    cand = (
-        tf.join(F.broadcast(qterms), "word")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(cfreq), "word")
-        .crossJoin(F.broadcast(tt))
-    )
-    matched = (
-        cand.withColumn("term_micro", F.expr(_QL_TERM))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum("term_micro").cast("bigint").alias("match_micro"),
-        )
-    )
-    dlen = tf.select("doc_id", "dl").distinct()
-    scored = (
-        matched.join(F.broadcast(nq), "query_id")
-        .join(dlen, "doc_id")
-        .select(
-            "query_id",
-            "doc_id",
-            "n_terms",
-            (
-                F.col("match_micro")
-                + F.col("nq") * F.expr(_QL_DOC)
-            )
-            .cast("bigint")
-            .alias("score_micro"),
-        )
-    )
-    pruned = bounded_group_topk(
-        scored.withColumn("neg", -F.col("score_micro")),
-        "query_id",
-        "neg",
-        _QL_K,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), "doc_id"
-    )
-    return (
-        pruned.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= _QL_K)
-        .select("query_id", "doc_id", "n_terms", "score_micro", "rn")
-    )
