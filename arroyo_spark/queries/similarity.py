@@ -1961,3 +1961,121 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, sel_dist bigint, radius bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier report — the embedding-space cleaning step (LAION/
+# CLIP-style curation drops vectors far outside the distribution before
+# training). The synthetic embeddings are shell-uniform (measured
+# max/median centroid-distance ratio ~1.07 — NO natural outliers), so
+# the report runs over a PLANTED perturbation: every 50th vector scales
+# x3 after quantization (deterministic integer multiply, both engines),
+# and the detector must flag exactly that structure. Distances are
+# EXACT BIGINT (quantized vectors vs the floor-quantized global
+# centroid — the mean's doubles are bit-identical across engines by
+# the k-means argument, so floor lands identically); the median radius
+# is an integer rank selection (rank (n+1) div 2, no interpolation).
+#
+# Scale: one mean aggregation (64 exact BIGINT sums), one broadcast of
+# the 64-int centroid, one stateless distance projection, one global
+# median — the median window runs over |corpus| 16-byte rows; at
+# 100 TB swap the exact median for the registered histogram-quantile
+# sketch (same decision, O(buckets) state).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_outlier_report",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * (CASE WHEN vec_id % 50 = 0 THEN 3 ELSE 1 END)) AS v
+      FROM embeddings),
+    mu AS (
+      SELECT dims.i AS i,
+             CAST(floor(CAST(SUM(q.v[dims.i]) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS m
+      FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+      GROUP BY dims.i),
+    c AS (SELECT list(m ORDER BY i) AS cv FROM mu),
+    ad AS (
+      SELECT q.vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65),
+                 i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
+               (acc, x) -> acc + x) AS dist
+      FROM q CROSS JOIN c),
+    rk AS (
+      SELECT vec_id, dist,
+             ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ad),
+    med AS (SELECT dist AS med_dist FROM rk WHERE rn = (n + 1) // 2)
+    SELECT r.vec_id, CAST(r.dist AS BIGINT) AS dist_sq,
+           CAST(m.med_dist AS BIGINT) AS med_sq,
+           (r.dist > 4 * m.med_dist) AS is_outlier,
+           (r.vec_id % 50 = 0) AS is_planted
+    FROM rk r CROSS JOIN med m
+    """,
+    tags=("similarity", "embedding", "outlier", "curation"),
+)
+def embedding_outlier_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, dist_sq, med_sq, is_outlier, is_planted): exact integer
+    distance to the floor-quantized global centroid over the planted-
+    perturbation corpus; the detector verdict sits beside the planted
+    ground truth (separation is unit-testable from the output)."""
+    from arroyo_spark.operators.clustering import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize(emb.select("vec_id", "embedding")).select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: x
+            * F.when(F.col("vec_id") % 50 == 0, F.lit(3)).otherwise(
+                F.lit(1)
+            ),
+        ).alias("v"),
+    )
+    q = q.localCheckpoint()  # mean + distances both consume it
+    mu = (
+        q.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("m")
+        )
+        .orderBy("i")
+        .collect()
+    )  # bounded: 64 rows
+    cv = F.array(*[F.lit(int(r["m"])) for r in mu])
+    ad = q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("v", cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    wr = Window.orderBy("dist", "vec_id")
+    rk = ad.select(
+        "vec_id",
+        "dist",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = rk.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("dist").alias("med_dist")
+    )
+    return rk.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        F.col("dist").cast("bigint").alias("dist_sq"),
+        F.col("med_dist").cast("bigint").alias("med_sq"),
+        (F.col("dist") > 4 * F.col("med_dist")).alias("is_outlier"),
+        (F.col("vec_id") % 50 == 0).alias("is_planted"),
+    )

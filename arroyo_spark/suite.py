@@ -436,6 +436,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_pii_monitor",  # NEW r13 (compliance rollup on ingest)
     "pii_rate_by_source",  # oracle extracted into _PII_RATE_ORACLE
     "ql_dirichlet_topk",  # NEW r13 (Dirichlet query likelihood)
+    "embedding_outlier_report",  # NEW r13 (planted-outlier detection)
 }
 
 
