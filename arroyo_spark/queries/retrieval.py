@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from arroyo_spark.catalog import load_table
 from arroyo_spark.operators import text as T
 from arroyo_spark.operators.kmv import bounded_group_topk
-from arroyo_spark.suite import query
+from arroyo_spark.suite import _REGISTRY, query
 
 _BM25_K1M = 1200     # k1 = 1.2 in milli
 _BM25_BM = 750       # b = 0.75 in milli
@@ -902,27 +902,20 @@ def _retrieval_eval_oracle() -> str:
     """
 
 
-@query(
-    "retrieval_eval_report",
-    oracle=_retrieval_eval_oracle(),
-    tags=("text", "retrieval", "eval", "report", "pipeline"),
-)
-def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(method, query) hits@5, MRR, binary nDCG@5 and recall@5 for
-    the BM25 and hybrid-RRF arms under same-source pseudo-qrels."""
+def _three_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, query_id, doc_id, rn) for bm25 / hybrid / ql at k=5,
+    all built off ONE term-table pass: the bm25 top-5 is the top-20
+    pool cut at 5 (a prefix of the same ranking), the hybrid arm fuses
+    that same pool, and the QL arm reuses the table and query terms."""
     from arroyo_spark.operators.similarity import brute_force_topk
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    # ONE term-table build serves both arms: the bm25 top-5 is the
-    # top-20 pool cut at 5 (a prefix of the same ranking), and the
-    # hybrid arm fuses that same pool — three tokenize/scoring passes
-    # collapse into one
     tf = bm25_tf(docs)
     sparse20 = bm25_rank_topk(
         bm25_candidates_for(tf, docs, bm25_probe_terms(tf, docs)),
         _RRF_POOL,
-    ).localCheckpoint()  # consumed by both arms
+    ).localCheckpoint()  # consumed by both lexical-pool arms
     bm = sparse20.filter(F.col("rn") <= _EVAL_K).select(
         F.lit("bm25").alias("method"), "query_id", "doc_id", "rn"
     )
@@ -944,11 +937,23 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _EVAL_K)
         .select(F.lit("hybrid").alias("method"), "query_id", "doc_id", "rn")
     )
-    # third lexical arm off the SAME term table and query-term relation
     ql = ql_rank_topk(
         tf, bm25_probe_terms(tf, docs).localCheckpoint(), _QL_K
     ).select(F.lit("ql").alias("method"), "query_id", "doc_id", "rn")
-    arms = bm.unionByName(hy).unionByName(ql)
+    return bm.unionByName(hy).unionByName(ql)
+
+
+
+@query(
+    "retrieval_eval_report",
+    oracle=_retrieval_eval_oracle(),
+    tags=("text", "retrieval", "eval", "report", "pipeline"),
+)
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(method, query) hits@5, MRR, binary nDCG@5 and recall@5 for
+    the BM25, hybrid-RRF and QL arms under same-source pseudo-qrels."""
+    docs = load_table(spark, sf_dir, "documents")
+    arms = _three_arms(spark, sf_dir)
     qsrc = (
         docs.select(F.col("doc_id").alias("query_id"), "source")
         .orderBy("query_id")
@@ -1168,3 +1173,68 @@ def bm25_maxp_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# Arm-agreement diagnostic — how much the three retrieval models agree
+# before any qrels enter: per query and unordered arm pair, the size of
+# the top-5 intersection (overlap@5). Low lexical-vs-dense overlap is
+# the signal that hybrid fusion has something to add; high
+# bm25-vs-ql overlap says the lexical models are interchangeable. Pure
+# integer set arithmetic over the same one-build arm relation the eval
+# report uses.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retrieval_arm_agreement",
+    oracle=f"""
+    WITH arms AS (
+      SELECT 'bm25' AS method, query_id, doc_id
+      FROM ({_REGISTRY["bm25_retrieval_topk"].oracle}) t
+      UNION ALL
+      SELECT 'hybrid', query_id, doc_id
+      FROM ({_REGISTRY["hybrid_retrieval_rrf"].oracle}) t WHERE rn <= {_EVAL_K}
+      UNION ALL
+      SELECT 'ql', query_id, doc_id
+      FROM ({_REGISTRY["ql_dirichlet_topk"].oracle}) t)
+    SELECT a.method AS method_a, b.method AS method_b, a.query_id,
+           CAST(COUNT(*) AS BIGINT) AS overlap_at_5,
+           CAST(COUNT(*) * 1000 // {_EVAL_K} AS BIGINT) AS overlap_milli
+    FROM arms a JOIN arms b
+      ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         AND a.method < b.method
+    GROUP BY a.method, b.method, a.query_id
+    """,
+    tags=("text", "retrieval", "eval", "report"),
+)
+def retrieval_arm_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (arm pair, query) top-5 overlap counts for bm25/hybrid/ql."""
+    arms = _three_arms(spark, sf_dir).select(
+        "method", "query_id", "doc_id"
+    ).localCheckpoint()  # self-joined below
+    a = arms.select(
+        F.col("method").alias("method_a"), "query_id", "doc_id"
+    )
+    b = arms.select(
+        F.col("method").alias("method_b"),
+        F.col("query_id").alias("qb"),
+        F.col("doc_id").alias("db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("doc_id") == F.col("db"))
+            & (F.col("method_a") < F.col("method_b")),
+        )
+        .groupBy("method_a", "method_b", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("overlap_at_5"),
+            F.expr(
+                f"CAST(COUNT(*) * 1000 div {_EVAL_K} AS BIGINT)"
+            ).alias("overlap_milli"),
+        )
+    )

@@ -437,6 +437,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "pii_rate_by_source",  # oracle extracted into _PII_RATE_ORACLE
     "ql_dirichlet_topk",  # NEW r13 (Dirichlet query likelihood)
     "embedding_outlier_report",  # NEW r13 (planted-outlier detection)
+    "retrieval_arm_agreement",  # NEW r13 (overlap@5 between arm pairs)
+    "retrieval_eval_report",  # refactor: arms via shared _three_arms
 }
 
 
