@@ -1238,3 +1238,102 @@ def retrieval_arm_agreement(
             ).alias("overlap_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 hard-negative mining (the DPR/Karpukhin et al. 2020 recipe):
+# the strongest contrastive negatives for retriever training are the
+# top lexically-matching documents that are NOT relevant — here, the
+# highest-ranked different-source docs from the BM25 pool (source =
+# pseudo-relevance, the eval-report convention). Emits per query the
+# top 3 hard negatives with their pool rank and a same-source positive
+# control count, the training-pair manifest a dual-encoder consumes.
+#
+# Scale: a filter + re-rank over the bounded top-20 pool — no work
+# beyond the adjudicated BM25 pass.
+# ---------------------------------------------------------------------------
+
+_HN_K = 3
+
+
+@query(
+    "bm25_hard_negatives",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    pool AS (
+      SELECT query_id, doc_id, CAST(rn AS BIGINT) AS pool_rank
+      FROM bm_ranked WHERE rn <= {_RRF_POOL}),
+    qsrc AS (
+      SELECT doc_id AS query_id, source FROM documents
+      ORDER BY doc_id LIMIT {_BM25_NQ}),
+    judged AS (
+      SELECT p.query_id, p.doc_id, p.pool_rank,
+             (ds.source = q.source) AS same_source
+      FROM pool p
+      JOIN qsrc q ON q.query_id = p.query_id
+      JOIN documents ds ON ds.doc_id = p.doc_id),
+    neg AS (
+      SELECT query_id, doc_id, pool_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY pool_rank) AS neg_rank
+      FROM judged WHERE NOT same_source),
+    pos AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pool_positives
+      FROM judged WHERE same_source GROUP BY query_id)
+    SELECT n.query_id, n.doc_id, n.pool_rank,
+           CAST(n.neg_rank AS BIGINT) AS neg_rank,
+           CAST(COALESCE(p.n_pool_positives, 0) AS BIGINT)
+             AS n_pool_positives
+    FROM neg n LEFT JOIN pos p USING (query_id)
+    WHERE n.neg_rank <= {_HN_K}
+    """,
+    tags=("text", "retrieval", "negatives", "training", "pipeline"),
+)
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 different-source docs from each probe's BM25 top-20 pool:
+    (query_id, doc_id, pool_rank, neg_rank, n_pool_positives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pool = bm25_topk(docs, _RRF_POOL).select(
+        "query_id", "doc_id", F.col("rn").alias("pool_rank")
+    )
+    qsrc = (
+        docs.select(F.col("doc_id").alias("query_id"), "source")
+        .orderBy("query_id")
+        .limit(_BM25_NQ)
+    )
+    judged = (
+        pool.join(F.broadcast(qsrc), "query_id")
+        .join(
+            docs.select(
+                "doc_id", F.col("source").alias("dsource")
+            ),
+            "doc_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "pool_rank",
+            (F.col("dsource") == F.col("source")).alias("same_source"),
+        )
+        .localCheckpoint()  # negatives + positive counts both consume
+    )
+    wn = Window.partitionBy("query_id").orderBy("pool_rank")
+    neg = (
+        judged.filter(~F.col("same_source"))
+        .withColumn("neg_rank", F.row_number().over(wn).cast("bigint"))
+        .filter(F.col("neg_rank") <= _HN_K)
+    )
+    pos = (
+        judged.filter(F.col("same_source"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pool_positives"))
+    )
+    return neg.join(F.broadcast(pos), "query_id", "left").select(
+        "query_id",
+        "doc_id",
+        F.col("pool_rank").cast("bigint").alias("pool_rank"),
+        "neg_rank",
+        F.coalesce("n_pool_positives", F.lit(0))
+        .cast("bigint")
+        .alias("n_pool_positives"),
+    )
