@@ -2221,3 +2221,68 @@ def streaming_pii_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v6 — the r13 stages composed in deployment order:
+# paragraph-granular near-dup GATE (drop documents more than half made
+# of near-dup paragraphs — the RefinedWeb intermediate-level rule),
+# leakage-safe SPLIT assignment for survivors (cluster-granular, so the
+# gate cannot strand half a duplicate cluster in train and half in
+# test), and the NFC-normalized content hash a downstream exact-dedup
+# or storage layer keys on. One row per surviving doc. The oracle
+# composes the three REGISTERED oracles as isolated subqueries — the
+# whole pipeline value-checked in a single statement.
+#
+# Scale: each stage is individually adjudicated; the composition adds
+# two doc_id equi-joins.
+# ---------------------------------------------------------------------------
+
+_V6_DUP_MAX = 500  # drop docs with > 50% near-dup paragraphs
+
+
+def _v6_oracle() -> str:
+    from arroyo_spark.suite import _REGISTRY
+
+    para = _REGISTRY["dedup_paragraph_minhash"].oracle
+    split = _REGISTRY["leakage_safe_splits"].oracle
+    nfc = _REGISTRY["text_unicode_nfc"].oracle
+    return f"""
+    WITH para AS (
+      SELECT doc_id, dup_share_milli FROM ({para}) t
+      WHERE dup_share_milli <= {_V6_DUP_MAX}),
+    sp AS (SELECT doc_id, cluster_id, split FROM ({split}) t),
+    nf AS (SELECT doc_id, nfc_md5 FROM ({nfc}) t)
+    SELECT p.doc_id, p.dup_share_milli, s.cluster_id, s.split, n.nfc_md5
+    FROM para p
+    JOIN sp s USING (doc_id)
+    JOIN nf n USING (doc_id)
+    """
+
+
+@query(
+    "curation_pipeline_v6",
+    oracle=_v6_oracle(),
+    tags=("curation", "pipeline", "dedup", "splits", "unicode"),
+)
+def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving docs after the paragraph-dup gate, with their
+    leakage-safe split, duplicate cluster and NFC content hash."""
+    from arroyo_spark.queries.dedup import (
+        dedup_paragraph_minhash,
+        leakage_safe_splits,
+    )
+    from arroyo_spark.queries.text_pipeline import text_unicode_nfc
+
+    para = (
+        dedup_paragraph_minhash(spark, sf_dir)
+        .filter(F.col("dup_share_milli") <= _V6_DUP_MAX)
+        .select("doc_id", "dup_share_milli")
+    )
+    sp = leakage_safe_splits(spark, sf_dir).select(
+        "doc_id", "cluster_id", "split"
+    )
+    nf = text_unicode_nfc(spark, sf_dir).select("doc_id", "nfc_md5")
+    return para.join(sp, "doc_id").join(nf, "doc_id").select(
+        "doc_id", "dup_share_milli", "cluster_id", "split", "nfc_md5"
+    )
