@@ -125,3 +125,120 @@ def tokenizer_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("corpus_bytes") / F.col("n_tokens").cast("double"), 6
         ).alias("bytes_per_token"),
     )
+
+
+_BPE_DEEP_O = _REGISTRY["bpe_merge_training_deep"].oracle
+_UL_LM_O = _REGISTRY["tokenizer_unigram_lm"].oracle
+
+
+@query(
+    "tokenizer_vocab_overlap",
+    oracle=f"""
+    WITH bpe AS (
+      SELECT DISTINCT (a || b) AS unit FROM ({_BPE_DEEP_O}) t),
+    wp AS (
+      SELECT DISTINCT CASE WHEN u.p LIKE '##%' THEN u.p[3:] ELSE u.p END
+               AS unit
+      FROM ({_WP_O}) t, unnest(string_split(greedy_seg, ' ')) AS u(p)
+      WHERE length(CASE WHEN u.p LIKE '##%' THEN u.p[3:] ELSE u.p END) > 1),
+    ul AS (
+      SELECT DISTINCT piece AS unit FROM ({_UL_LM_O}) t
+      WHERE length(piece) > 1),
+    fams AS (
+      SELECT 'bpe' AS family, unit FROM bpe
+      UNION ALL SELECT 'unigram', unit FROM ul
+      UNION ALL SELECT 'wordpiece', unit FROM wp),
+    sizes AS (
+      SELECT family, CAST(COUNT(*) AS BIGINT) AS n FROM fams
+      GROUP BY family),
+    inter AS (
+      SELECT a.family AS family_a, b.family AS family_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fams a JOIN fams b
+        ON a.unit = b.unit AND a.family < b.family
+      GROUP BY a.family, b.family)
+    SELECT i.family_a, i.family_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+           CAST(i.n_shared * 1000 // (sa.n + sb.n - i.n_shared)
+                AS BIGINT) AS jaccard_milli
+    FROM inter i
+    JOIN sizes sa ON sa.family = i.family_a
+    JOIN sizes sb ON sb.family = i.family_b
+    """,
+    tags=("text", "tokenizer", "report"),
+)
+def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap of the LEARNED multi-char subword units across
+    the three char-level families (BPE merge products, WordPiece greedy
+    pieces with '##' stripped, unigram-LM pieces) — the vocabulary-
+    convergence diagnostic (do the training objectives discover the
+    same units?). Single-char units excluded (the trivial shared
+    alphabet)."""
+    from arroyo_spark.queries.text_pipeline import bpe_merge_training_deep
+    from arroyo_spark.queries.train import (
+        tokenizer_unigram_lm,
+        tokenizer_wordpiece_encode,
+    )
+
+    bpe = (
+        bpe_merge_training_deep(spark, sf_dir)
+        .select(F.concat("a", "b").alias("unit"))
+        .distinct()
+        .select(F.lit("bpe").alias("family"), "unit")
+    )
+    wp = (
+        tokenizer_wordpiece_encode(spark, sf_dir)
+        .select(F.explode(F.split("greedy_seg", " ")).alias("p"))
+        .select(
+            F.when(
+                F.col("p").startswith("##"), F.expr("substring(p, 3)")
+            )
+            .otherwise(F.col("p"))
+            .alias("unit")
+        )
+        .filter(F.length("unit") > 1)
+        .distinct()
+        .select(F.lit("wordpiece").alias("family"), "unit")
+    )
+    ul = (
+        tokenizer_unigram_lm(spark, sf_dir)
+        .select(F.col("piece").alias("unit"))
+        .filter(F.length("unit") > 1)
+        .distinct()
+        .select(F.lit("unigram").alias("family"), "unit")
+    )
+    fams = bpe.unionByName(ul).unionByName(wp).localCheckpoint()
+    sizes = fams.groupBy("family").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = fams.select(F.col("family").alias("family_a"), "unit")
+    b = fams.select(F.col("family").alias("family_b"), F.col("unit").alias("ub"))
+    inter = (
+        a.join(
+            b,
+            (F.col("unit") == F.col("ub"))
+            & (F.col("family_a") < F.col("family_b")),
+        )
+        .groupBy("family_a", "family_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("family", "family_a").withColumnRenamed(
+        "n", "n_a"
+    )
+    sb = sizes.withColumnRenamed("family", "family_b").withColumnRenamed(
+        "n", "n_b"
+    )
+    return (
+        inter.join(F.broadcast(sa), "family_a")
+        .join(F.broadcast(sb), "family_b")
+        .select(
+            "family_a",
+            "family_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000 div (n_a + n_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+    )

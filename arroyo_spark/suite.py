@@ -441,6 +441,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "retrieval_eval_report",  # refactor: arms via shared _three_arms
     "bm25_hard_negatives",  # NEW r13 (DPR-style negative mining)
     "curation_pipeline_v6",  # NEW r13 (paragraph gate + splits + NFC)
+    "tokenizer_vocab_overlap",  # NEW r13 (cross-family unit convergence)
 }
 
 
