@@ -4768,3 +4768,175 @@ def mixture_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_repeats", "realized_toks",
         "alloc_toks", "epochs_milli", "err_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (Church & Hanks 1990, "Word Association Norms,
+# Mutual Information, and Lexicography") — the classic corpus-linguistics
+# primitive for surfacing multiword expressions: rank adjacent-token
+# bigrams by pointwise mutual information
+#
+#   PMI(w1,w2) = log2( p(w1,w2) / (p(w1) p(w2)) )
+#
+# with a bigram count floor (PMI is notoriously noisy on hapax pairs).
+# Training-data pipelines use the output to seed tokenizer merge
+# whitelists, phrase-aware dedup shingles, and NER gazetteers.
+#
+# Scale: one explode to the token stream and one to the bigram stream;
+# unigram/bigram counts are map-side-combinable groupBys; the count
+# floor prunes the bigram TYPE table BEFORE the two vocabulary-keyed
+# equi-joins (the classic heavy-hitter prune — at web scale the floor
+# drops the long tail, which is most of the type table); corpus totals
+# are 1-row broadcasts. The global top-k is sort+limit, which Spark
+# executes as TakeOrderedAndProject (per-partition heaps + k-row driver
+# merge) — no unpartitioned window anywhere.
+# Determinism: pmi is one fixed expression tree over exact integers in
+# IEEE doubles (identical parenthesization both engines) rounded to 6;
+# the LIMIT's total order (pmi DESC, w1, w2) is unambiguous.
+# ---------------------------------------------------------------------------
+
+_PMI_FLOOR = 3   # minimum bigram count (Church & Hanks use 5 on AP news)
+_PMI_TOPK = 100
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    toks AS (SELECT unnest(tk) AS w FROM t),
+    nuni AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM toks),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    bg AS (
+      SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS u(i)),
+    nbg AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+    cbg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY w1, w2 HAVING count(*) >= {_PMI_FLOOR}),
+    scored AS (
+      SELECT cbg.w1, cbg.w2, cbg.n_pair,
+             c1.c AS c_w1, c2.c AS c_w2,
+             round(log2((cbg.n_pair / CAST(nb AS DOUBLE)) /
+                   ((c1.c / CAST(nu AS DOUBLE)) *
+                    (c2.c / CAST(nu AS DOUBLE)))), 6) AS pmi
+      FROM cbg
+      JOIN cw c1 ON c1.w = cbg.w1
+      JOIN cw c2 ON c2.w = cbg.w2
+      CROSS JOIN nbg CROSS JOIN nuni)
+    SELECT w1, w2, n_pair, c_w1, c_w2, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+    tags=("text", "collocation", "pmi", "pipeline"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token bigrams by PMI with a count floor. The floor
+    filter runs on the bigram type table BEFORE the unigram-count joins,
+    so the joins only see surviving heavy pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    n = F.size(tk)
+    toks = docs.select(F.explode(tk).alias("w"))
+    nuni = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
+    nbg = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    cbg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_FLOOR)
+    )
+    c1 = cw.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    c2 = cw.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        cbg.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nbg))
+        .crossJoin(F.broadcast(nuni))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.log2(
+                    (F.col("n_pair") / F.col("nb").cast("double"))
+                    / (
+                        (F.col("c_w1") / F.col("nu").cast("double"))
+                        * (F.col("c_w2") / F.col("nu").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-filter agreement — the filter-calibration diagnostic for
+# the two LM scorers: CCNet-style curation drops the 'tail' tercile, so
+# before trusting the cheap bigram scorer at scale a team checks how
+# often it lands docs in a different tercile than the stronger
+# Kneser-Ney trigram model. Emits the full 3x3 bucket confusion matrix
+# (per-language, aggregated) plus each cell's share in milli — the
+# agreement diagonal and, critically, the bigram-head/KN-tail corner
+# where the cheap filter would KEEP what the strong one would DROP.
+#
+# Scale: strictly a composition of two REGISTERED linear-in-tokens
+# scorers joined doc-keyed, then a 9-row bounded rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_filter_agreement",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, bucket AS bg_bucket FROM ({BIGRAM_PPL_ORACLE}) t),
+    kn AS (
+      SELECT doc_id, bucket AS kn_bucket FROM ({TRIGRAM_KN_ORACLE}) t),
+    j AS (
+      SELECT bg.bg_bucket, kn.kn_bucket
+      FROM bg JOIN kn USING (doc_id)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j)
+    SELECT j.bg_bucket, j.kn_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000 // tot.n AS BIGINT) AS share_milli,
+           (j.bg_bucket = j.kn_bucket) AS agree
+    FROM j CROSS JOIN tot
+    GROUP BY j.bg_bucket, j.kn_bucket, tot.n
+    """,
+    tags=("text", "curation", "perplexity", "report"),
+)
+def perplexity_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 tercile confusion matrix between the bigram and Kneser-Ney
+    scorers with per-cell corpus share."""
+    bg = text_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", F.col("bucket").alias("bg_bucket")
+    )
+    kn = text_trigram_kneser_ney(spark, sf_dir).select(
+        "doc_id", F.col("bucket").alias("kn_bucket")
+    )
+    j = bg.join(kn, "doc_id").select("bg_bucket", "kn_bucket")
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("bg_bucket", "kn_bucket", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "bg_bucket",
+            "kn_bucket",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000 div n AS BIGINT)").alias(
+                "share_milli"
+            ),
+            (F.col("bg_bucket") == F.col("kn_bucket")).alias("agree"),
+        )
+    )

@@ -1467,3 +1467,32 @@ def test_min_k_prob_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_min_k_prob")
     assert len(_fact_scans(plan, "documents")) == 0, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_fim_manifest_shuffle_free(spark, sf_dir):
+    """FIM transform manifest is a stateless per-row rewrite — the plan
+    must be one narrow map over the scan: no Exchange, no join, no
+    window anywhere."""
+    plan = plan_of(spark, sf_dir, "fim_transform_manifest")
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_pmi_collocations_plan(spark, sf_dir):
+    """PMI top-k: the global limit must compile to TakeOrderedAndProject
+    (per-partition heaps), never an unpartitioned Window; corpus totals
+    ride 1-row broadcasts, count-floor filter precedes the unigram
+    joins."""
+    plan = plan_of(spark, sf_dir, "text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_method_agreement_equijoin_only(spark, sf_dir):
+    """Dedup method agreement: the pair-set intersection is a keyed
+    equi-join on (doc_a, doc_b); the only nested-loop work allowed is
+    the bounded 3x3 method-size grid."""
+    plan = plan_of(spark, sf_dir, "dedup_method_agreement")
+    assert "CartesianProduct" not in plan
