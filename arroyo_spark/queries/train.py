@@ -2556,3 +2556,100 @@ def reward_bt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, wins bigint, games bigint,"
         " strength_micro bigint, rank bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction (Rafailov et al. 2023, "Direct
+# Preference Optimization") — the data-prep step between reward scoring
+# and preference training: group candidate responses per prompt, pick
+# the highest- and lowest-reward response as the (chosen, rejected)
+# pair, and keep only pairs with a positive reward margin. Prompt
+# groups here are derived deterministically from the corpus (8
+# consecutive doc_ids = one prompt's candidate pool); the reward is the
+# type-token ratio in integer micro-units — a real (if simple) quality
+# signal fully replayable in SQL. A production run swaps in model
+# rewards through the same sufficient statistics.
+#
+# Scale: one per-doc projection, then ONE keyed groupBy(prompt) with
+# struct-max/struct-min aggregates — no window, no self-join; argmax
+# tie-breaks are encoded in the struct ordering ((reward, doc_id)
+# lexicographic), so the pair is unique. Cost is linear in docs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "preference_pair_manifest",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, doc_id // 8 AS prompt_id,
+             CAST(len(list_distinct({_WP_TOKS})) * 1000000
+                  // len({_WP_TOKS}) AS BIGINT) AS reward_micro
+      FROM documents
+      WHERE len({_WP_TOKS}) >= 1),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+               ORDER BY reward_micro DESC, doc_id DESC) AS rk_max,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+               ORDER BY reward_micro ASC, doc_id ASC) AS rk_min,
+             COUNT(*) OVER (PARTITION BY prompt_id) AS n_cand
+      FROM r),
+    g AS (
+      SELECT mx.prompt_id,
+             mx.doc_id AS chosen_doc,
+             mn.doc_id AS rejected_doc,
+             mx.reward_micro AS chosen_reward_micro,
+             mn.reward_micro AS rejected_reward_micro,
+             CAST(mx.n_cand AS BIGINT) AS n_candidates
+      FROM (SELECT * FROM rk WHERE rk_max = 1) mx
+      JOIN (SELECT * FROM rk WHERE rk_min = 1) mn USING (prompt_id))
+    SELECT prompt_id, chosen_doc, rejected_doc,
+           chosen_reward_micro, rejected_reward_micro,
+           chosen_reward_micro - rejected_reward_micro AS margin_micro,
+           n_candidates
+    FROM g
+    WHERE chosen_reward_micro > rejected_reward_micro
+    """,
+    tags=("training", "dpo", "preference", "pipeline"),
+)
+def preference_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) response pair per prompt group with reward
+    margins — DPO's input manifest. Tie-break is lexicographic on
+    (reward, doc_id): the max leg prefers the larger doc_id among
+    reward ties, the min leg the smaller — matching the oracle's
+    max_by/min_by composite keys exactly."""
+    from arroyo_spark.operators import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T2.toks("text")
+    r = docs.select(
+        "doc_id",
+        F.expr("CAST(doc_id div 8 AS BIGINT)").alias("prompt_id"),
+        F.size(tk).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("nd"),
+    ).filter(F.col("nt") >= 1).select(
+        "doc_id",
+        "prompt_id",
+        F.expr("CAST(nd * 1000000 div nt AS BIGINT)").alias("reward_micro"),
+    )
+    g = r.groupBy("prompt_id").agg(
+        F.max(F.struct("reward_micro", "doc_id")).alias("mx"),
+        F.min(F.struct("reward_micro", F.col("doc_id").alias("neg"))).alias(
+            "mn"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    return (
+        g.select(
+            "prompt_id",
+            F.col("mx.doc_id").alias("chosen_doc"),
+            F.col("mn.neg").alias("rejected_doc"),
+            F.col("mx.reward_micro").alias("chosen_reward_micro"),
+            F.col("mn.reward_micro").alias("rejected_reward_micro"),
+            (F.col("mx.reward_micro") - F.col("mn.reward_micro")).alias(
+                "margin_micro"
+            ),
+            "n_candidates",
+        )
+        .filter(F.col("chosen_reward_micro") > F.col("rejected_reward_micro"))
+    )
