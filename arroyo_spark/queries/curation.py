@@ -2286,3 +2286,152 @@ def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return para.join(sp, "doc_id").join(nf, "doc_id").select(
         "doc_id", "dup_share_milli", "cluster_id", "split", "nfc_md5"
     )
+
+
+_CUR_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform manifest (Bavarian et al. 2022, "Efficient
+# Training of Language Models to Fill in the Middle", OpenAI; the
+# StarCoder/Code Llama code-pretraining recipe) — rewrite half the corpus
+# into PSM order (prefix, suffix, middle with sentinel tokens) so the
+# model learns infilling "for free". The transform is applied at TOKEN
+# granularity (the production form — FIM split points land on token
+# boundaries after tokenization) with every random choice derived from
+# md5(doc_id): the apply/skip coin and the two split points. The
+# manifest emits split geometry plus an md5 fingerprint of the
+# transformed token sequence, so downstream loaders (and the oracle)
+# can verify the rewrite bit-for-bit without shipping rewritten text.
+#
+# FIM rate 1/2; docs shorter than 3 tokens pass through untouched
+# (no non-empty prefix/middle/suffix split exists). Split points:
+#   a = 1 + h1 % (n-2)        in [1, n-2]   (prefix = tokens[1..a])
+#   b = a + 1 + h2 % (n-1-a)  in [a+1, n-1] (middle = tokens[a+1..b])
+# leaving suffix = tokens[b+1..n] non-empty.
+#
+# Scale: stateless per-row projection — no shuffle at all (the whole
+# manifest is one narrow map over the corpus scan); md5/substring/
+# array_join are JVM built-ins, no Python. Determinism: integer hash
+# arithmetic both sides; the fingerprint hashes an explicit
+# sentinel-delimited UTF-8 string.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fim_transform_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_CUR_TOKS} AS tk,
+             CAST(len({_CUR_TOKS}) AS BIGINT) AS n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT AS BIGINT) AS h0,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  ::BIGINT AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))
+                  ::BIGINT AS BIGINT) AS h2
+      FROM documents),
+    s AS (
+      SELECT doc_id, tk, n, h2,
+             CASE WHEN n >= 3 AND h0 % 2 = 0 THEN TRUE ELSE FALSE END
+               AS fim_applied,
+             CASE WHEN n >= 3 THEN 1 + h1 % (n - 2) ELSE NULL END AS a
+      FROM t),
+    s2 AS (
+      SELECT doc_id, tk, n, fim_applied, a,
+             CASE WHEN fim_applied THEN a + 1 + h2 % (n - 1 - a)
+                  ELSE NULL END AS b
+      FROM s)
+    SELECT doc_id,
+           CASE WHEN fim_applied THEN 'psm' ELSE 'none' END AS mode,
+           n AS n_tokens,
+           CAST(CASE WHEN fim_applied THEN a ELSE n END AS BIGINT)
+             AS len_prefix,
+           CAST(CASE WHEN fim_applied THEN b - a ELSE 0 END AS BIGINT)
+             AS len_middle,
+           CAST(CASE WHEN fim_applied THEN n - b ELSE 0 END AS BIGINT)
+             AS len_suffix,
+           CASE WHEN fim_applied THEN
+             md5('<PRE>' || array_to_string(tk[1:a], ' ')
+                 || '<SUF>' || array_to_string(tk[b+1:n], ' ')
+                 || '<MID>' || array_to_string(tk[a+1:b], ' '))
+           ELSE md5(array_to_string(tk, ' ')) END AS fim_md5
+    FROM s2
+    """,
+    tags=("curation", "fim", "transform", "pipeline"),
+)
+def fim_transform_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSM fill-in-the-middle manifest: split geometry + fingerprint of
+    the transformed token sequence for half the corpus (md5 coin), with
+    short docs (< 3 tokens) passed through."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    t = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.size(tk).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h0"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 17, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    )
+    s = t.select(
+        "doc_id",
+        "tk",
+        "n",
+        ((F.col("n") >= 3) & (F.col("h0") % 2 == 0)).alias("fim_applied"),
+        F.when(F.col("n") >= 3, 1 + F.col("h1") % (F.col("n") - 2)).alias(
+            "a"
+        ),
+        "h2",
+    ).select(
+        "doc_id",
+        "tk",
+        "n",
+        "fim_applied",
+        "a",
+        F.when(
+            F.col("fim_applied"),
+            F.col("a") + 1 + F.col("h2") % (F.col("n") - 1 - F.col("a")),
+        ).alias("b"),
+    )
+    a, b, n = F.col("a").cast("int"), F.col("b").cast("int"), F.col("n")
+    join_ = lambda arr: F.array_join(arr, " ")  # noqa: E731
+    psm = F.md5(
+        F.concat(
+            F.lit("<PRE>"),
+            join_(F.slice(F.col("tk"), 1, a)),
+            F.lit("<SUF>"),
+            join_(F.expr("slice(tk, CAST(b+1 AS INT), CAST(n-b AS INT))")),
+            F.lit("<MID>"),
+            join_(F.expr("slice(tk, CAST(a+1 AS INT), CAST(b-a AS INT))")),
+        )
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("fim_applied"), "psm").otherwise("none").alias("mode"),
+        F.col("n").alias("n_tokens"),
+        F.when(F.col("fim_applied"), F.col("a"))
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("len_prefix"),
+        F.when(F.col("fim_applied"), F.col("b") - F.col("a"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("len_middle"),
+        F.when(F.col("fim_applied"), F.col("n") - F.col("b"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("len_suffix"),
+        F.when(F.col("fim_applied"), psm)
+        .otherwise(F.md5(join_(F.col("tk"))))
+        .alias("fim_md5"),
+    )
