@@ -242,3 +242,114 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab-size scaling curve — the compression-law artifact a
+# tokenizer team reads when picking a vocabulary budget (Gowda & May
+# 2020, "Finding the Optimal Vocabulary Size for NMT"; the bytes/token
+# vs vocab-size tradeoff in every modern tokenizer paper): encode the
+# SAME corpus under nested prefixes of ONE deep BPE merge list and emit
+# one row per depth with symbol-type count, corpus token total, and
+# chars/token. BPE merges are strictly nested (rank m's vocabulary is
+# rank m+1's minus one merge), so a single depth-24 training yields the
+# whole curve — no retraining per size.
+#
+# Scale: ONE deep training (the bpe_merge_training_deep cost: per
+# iteration one |vocab|-type pair-count shuffle + a 1-row argmax
+# collect), then 24 map-only fold re-applications over the checkpointed
+# |vocab|-row TYPE table — the corpus is scanned once, for the initial
+# vocab build. Snapshots are 1-row aggregates at 4 depths. The oracle
+# replays the same chain with per-level materialized CTEs.
+# ---------------------------------------------------------------------------
+
+_CURVE_DEPTHS = (0, 6, 12, 24)
+_CURVE_MAX = 24
+
+from arroyo_spark.queries.text_pipeline import _TOKS, _bpe_iter_cte  # noqa: E402
+
+
+def _curve_snap_sql(m: int) -> str:
+    return f"""
+    SELECT CAST({m} AS BIGINT) AS n_merges,
+           (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+            FROM (SELECT unnest(syms) AS s FROM v{m}) u)
+             AS n_symbol_types,
+           CAST(SUM(freq * len(syms)) AS BIGINT) AS total_tokens,
+           CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars
+    FROM v{m}"""
+
+
+@query(
+    "tokenizer_scaling_curve",
+    oracle=f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents) t
+      GROUP BY word),
+    {",".join(_bpe_iter_cte(i) for i in range(1, _CURVE_MAX + 1))},
+    snaps AS (
+      {" UNION ALL ".join(_curve_snap_sql(m) for m in _CURVE_DEPTHS)})
+    SELECT n_merges, n_symbol_types, total_tokens, total_chars,
+           round(total_chars / CAST(total_tokens AS DOUBLE), 6)
+             AS chars_per_token
+    FROM snaps
+    """,
+    tags=("text", "tokenizer", "report", "scaling"),
+)
+def tokenizer_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per merge-prefix depth: (n_merges, symbol types, corpus
+    tokens, corpus chars, chars/token). Reuses the shipped trainer for
+    the merge list, then re-applies nested prefixes as map-only folds
+    over the checkpointed vocab TYPE table; if merging exhausts before
+    depth 24 the remaining levels are no-ops on both sides."""
+    from arroyo_spark.operators.bpe import (
+        _apply_merge,
+        bpe_train_segment,
+        bpe_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _final, merges = bpe_train_segment(docs, n_merges=_CURVE_MAX)
+    vocab = bpe_vocab(docs).localCheckpoint()
+
+    def snap(v: DataFrame, m: int) -> DataFrame:
+        totals = v.agg(
+            F.sum(F.col("freq") * F.size("syms"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum(F.col("freq") * F.length("word"))
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+        types = v.select(F.explode("syms").alias("s")).agg(
+            F.countDistinct("s").cast("bigint").alias("n_symbol_types")
+        )
+        return (
+            types.crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(m).cast("bigint").alias("n_merges"),
+                "n_symbol_types",
+                "total_tokens",
+                "total_chars",
+                F.round(
+                    F.col("total_chars")
+                    / F.col("total_tokens").cast("double"),
+                    6,
+                ).alias("chars_per_token"),
+            )
+        )
+
+    out = snap(vocab, 0) if 0 in _CURVE_DEPTHS else None
+    for i in range(1, _CURVE_MAX + 1):
+        if i <= len(merges):
+            a, b, _cnt = merges[i - 1]
+            vocab = vocab.withColumn(
+                "syms", _apply_merge(F.col("syms"), a, b)
+            ).localCheckpoint()
+        if i in _CURVE_DEPTHS:
+            s = snap(vocab, i)
+            out = s if out is None else out.unionByName(s)
+    return out
