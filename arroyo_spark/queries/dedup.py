@@ -3134,3 +3134,356 @@ def dedup_duplicate_clusters_star(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup method agreement matrix — the calibration artifact a dedup
+# team reads before picking a method (the empirical comparisons in Lee
+# et al. 2022 §6 and RefinedWeb §3): the SAME corpus's candidate-pair
+# sets under MinHash-LSH, SimHash-Hamming and n-gram-Jaccard, compared
+# pairwise as sets of unordered doc pairs (|A∩B|, sizes, Jaccard).
+# Methods disagreeing wildly means thresholds need retuning before any
+# of them is trusted to delete data.
+#
+# Scale: strictly a composition of three REGISTERED bounded queries
+# (each generates candidates via banded/bucketed equi-joins, never
+# all-pairs — their own adjudications apply); this report adds one
+# union, one pair-keyed equi-join of the tagged sets against itself
+# (method_a < method_b), and bounded per-method size aggregates. The
+# doc-pair key is high-cardinality and hash-partitions evenly.
+# ---------------------------------------------------------------------------
+
+from arroyo_spark.suite import _REGISTRY as _REG  # noqa: E402
+
+def _method_pairs_oracle() -> str:
+    mh = _REG["dedup_minhash_lsh"].oracle
+    sh = _REG["dedup_simhash64_hamming"].oracle
+    ng = _REG["dedup_ngram_jaccard"].oracle
+    return f"""
+    pairs AS (
+      SELECT 'minhash' AS method, doc_a, doc_b FROM ({mh}) t
+      UNION ALL
+      SELECT 'simhash', doc_a, doc_b FROM ({sh}) t
+      UNION ALL
+      SELECT 'ngram_jaccard', doc_a, doc_b FROM ({ng}) t),
+    sizes AS (
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+      GROUP BY method),
+    inter AS (
+      SELECT a.method AS method_a, b.method AS method_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM pairs a JOIN pairs b
+        ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+           AND a.method < b.method
+      GROUP BY a.method, b.method)"""
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=None,  # installed below once the registry holds all 3 oracles
+    tags=("dedup", "report", "calibration"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between the three near-dup pair generators:
+    for each method pair, both set sizes, the shared-pair count, and
+    Jaccard in milli-units. Zero-overlap method pairs still appear
+    (LEFT semantics via the sizes cross join would hide asymmetry; a
+    method pair with no shared pairs emits n_shared = 0)."""
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b"
+    )
+    sh = dedup_simhash64_hamming(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "doc_a", "doc_b"
+    )
+    ng = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b"
+    )
+    pairs = mh.unionByName(sh).unionByName(ng).localCheckpoint()
+    sizes = pairs.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = pairs.select(F.col("method").alias("method_a"), "doc_a", "doc_b")
+    b = pairs.select(F.col("method").alias("method_b"),
+                     F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    inter = (
+        a.join(
+            b,
+            (F.col("doc_a") == F.col("da"))
+            & (F.col("doc_b") == F.col("db"))
+            & (F.col("method_a") < F.col("method_b")),
+        )
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("method").alias("method_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("method").alias("method_b"),
+                      F.col("n").alias("n_b"))
+    grid = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("method_a") < F.col("method_b"))
+        .join(inter, ["method_a", "method_b"], "left")
+        .na.fill({"n_shared": 0})
+    )
+    return grid.select(
+        "method_a",
+        "method_b",
+        "n_a",
+        "n_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.expr(
+            "CAST(n_shared * 1000 div"
+            " GREATEST(n_a + n_b - n_shared, 1) AS BIGINT)"
+        ).alias("jaccard_milli"),
+    )
+
+
+def _install_agreement_oracle() -> None:
+    from dataclasses import replace
+
+    q = _REG["dedup_method_agreement"]
+    oracle = f"""
+    WITH {_method_pairs_oracle()}
+    SELECT g.method_a, g.method_b, g.n_a, g.n_b,
+           CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(i.n_shared, 0) * 1000
+                // GREATEST(g.n_a + g.n_b - COALESCE(i.n_shared, 0), 1)
+                AS BIGINT) AS jaccard_milli
+    FROM (
+      SELECT sa.method AS method_a, sb.method AS method_b,
+             sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa CROSS JOIN sizes sb
+      WHERE sa.method < sb.method) g
+    LEFT JOIN inter i
+      ON i.method_a = g.method_a AND i.method_b = g.method_b
+    """
+    _REG["dedup_method_agreement"] = replace(q, oracle=oracle)
+
+
+_install_agreement_oracle()
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash (Li & Koenig 2010, "b-Bit Minwise Hashing") — store only
+# the lowest b bits of each minhash value and debias the agreement rate:
+# with b=1, two independent values collide half the time, so
+#
+#   J_hat = (A - 1/2) / (1 - 1/2),  A = bit-agreement fraction,
+#
+# clipped at 0. The storage win is 16x here (1 bit vs 16-bit hash
+# fragments) — the standard trick when signatures dominate state (web-
+# scale dedup keeps billions of them). Emitted per LSH candidate pair
+# NEXT TO the full-width estimate and the exact Jaccard (restricted to
+# candidates — the verify-stage discipline), so the report quantifies
+# exactly what the compression costs in estimator error.
+#
+# Scale: strictly the registered minhash_jaccard_estimate plan (its
+# adjudication applies) plus one more signature pass and a pair-keyed
+# equi-join of 8 bits per doc. Determinism: bit extraction is integer
+# hex parsing; estimators are fixed expression trees rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+def _bbit_oracle() -> str:
+    base = _REG["minhash_jaccard_estimate"].oracle
+    sig_cols = ",\n             ".join(
+        f"min(substr(md5(w), {4 * i + 1}, 4)) AS h{i}" for i in range(8)
+    )
+    bits = ", ".join(
+        f"CAST(('0x' || substr(h{i}, 4, 1))::BIGINT % 2 AS BIGINT) AS b{i}"
+        for i in range(8)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN ba.b{i} = bb.b{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_a, doc_b, est_jaccard, exact_jaccard FROM ({base}) t),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS w
+      FROM toks),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bits AS (SELECT doc_id, {bits} FROM sigs),
+    est AS (
+      SELECT base.doc_a, base.doc_b, base.est_jaccard, base.exact_jaccard,
+             round(GREATEST((({agree}) / 8.0 - 0.5) / 0.5, 0.0), 6)
+               AS est_b1
+      FROM base
+      JOIN bits ba ON ba.doc_id = base.doc_a
+      JOIN bits bb ON bb.doc_id = base.doc_b)
+    SELECT doc_a, doc_b, est_jaccard AS est_full, est_b1, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS err_full,
+           round(abs(est_b1 - exact_jaccard), 6) AS err_b1
+    FROM est
+    """
+
+
+@query(
+    "minhash_bbit_estimate",
+    oracle=None,  # installed below (needs the registered base oracle)
+    tags=("dedup", "minhash", "sketch-quality", "compression"),
+)
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LSH-candidate pair: full 8-hash estimate, debiased 1-bit
+    estimate, exact Jaccard, and both absolute errors."""
+    from arroyo_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = minhash_jaccard_estimate(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.col("est_jaccard").alias("est_full"),
+        "exact_jaccard",
+    )
+    sigs = minhash_signatures(docs)
+    bits = sigs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CAST(conv(substring(h{i}, 4, 1), 16, 10) % 2 AS BIGINT)"
+            ).alias(f"b{i}")
+            for i in range(8)
+        ],
+    )
+    ba = bits.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"ba{i}") for i in range(8)],
+    )
+    bb = bits.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(8)],
+    )
+    agree = sum(
+        (F.col(f"ba{i}") == F.col(f"bb{i}")).cast("int") for i in range(8)
+    )
+    est_b1 = F.round(
+        F.greatest(
+            (agree / F.lit(8.0) - F.lit(0.5)) / F.lit(0.5), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        base.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_full",
+            est_b1.alias("est_b1"),
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_full") - F.col("exact_jaccard")), 6)
+            .alias("err_full"),
+            F.round(F.abs(est_b1 - F.col("exact_jaccard")), 6).alias(
+                "err_b1"
+            ),
+        )
+    )
+
+
+def _install_bbit_oracle() -> None:
+    from dataclasses import replace
+
+    _REG["minhash_bbit_estimate"] = replace(
+        _REG["minhash_bbit_estimate"], oracle=_bbit_oracle()
+    )
+
+
+_install_bbit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup weighting — the alternative to deleting duplicates
+# (Muennighoff et al. 2023, "Scaling Data-Constrained Language Models",
+# studies repeated data's decaying value; several production pipelines
+# keep duplicates but down-weight them in the sampler): every doc gets
+# train weight 1/n_copies from its exact-duplicate cluster, so each
+# unique CONTENT contributes one unit of expected gradient mass
+# regardless of copy count. Emits the per-doc manifest rolled up per
+# source: raw vs effective (weighted) token counts and the shrink the
+# weighting buys — the number a data planner reads to budget epochs.
+#
+# Scale: one fingerprint groupBy (the dedup_exact shape) + one keyed
+# join back + one per-source rollup; all integer micro-unit arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fp,
+             CAST(len(list_filter(string_split_regex(lower(text),
+               '\\s+'), w -> w <> '')) AS BIGINT) AS nt
+      FROM documents),
+    grp AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM d GROUP BY fp),
+    w AS (
+      SELECT d.source, d.nt, grp.n_copies,
+             CAST(1000000 // grp.n_copies AS BIGINT) AS weight_micro
+      FROM d JOIN grp USING (fp))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+           CAST(SUM(nt * weight_micro) // 1000000 AS BIGINT)
+             AS effective_tokens,
+           CAST(1000 - SUM(nt * weight_micro) // 1000
+                // GREATEST(SUM(nt), 1) AS BIGINT) AS shrink_milli
+    FROM w GROUP BY source
+    """,
+    tags=("dedup", "weighting", "mixture", "pipeline"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of 1/n_copies duplicate down-weighting: raw vs
+    effective token mass and the shrink in milli-units."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        )
+        .cast("bigint")
+        .alias("nt"),
+    )
+    grp = d.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+    w = d.join(grp, "fp").select(
+        "source",
+        "nt",
+        "n_copies",
+        F.expr("CAST(1000000 div n_copies AS BIGINT)").alias(
+            "weight_micro"
+        ),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_copies") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+        F.expr(
+            "CAST(SUM(nt * weight_micro) div 1000000 AS BIGINT)"
+        ).alias("effective_tokens"),
+        F.expr(
+            "CAST(1000 - SUM(nt * weight_micro) div 1000"
+            " div GREATEST(SUM(nt), 1) AS BIGINT)"
+        ).alias("shrink_milli"),
+    )
