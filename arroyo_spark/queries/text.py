@@ -481,3 +481,169 @@ def text_artifact_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_markup"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal — the classic gibberish/degenerate-
+# text detector (low-entropy docs are repeated-character runs, keyboard
+# mash, or generation loops; very-high-entropy docs are base64/binary
+# spill): per-doc Shannon entropy over the character distribution,
+#
+#   H(doc) = -sum_c (n_c/n) log2(n_c/n)    [bits per character]
+#
+# used as a cheap pre-filter before LM-perplexity scoring in web-scale
+# curation stacks (the Gopher/C4 "symbol ratio" family's information-
+# theoretic big sibling).
+#
+# Scale: one explode to the character stream, one (doc, char) groupBy,
+# one per-doc rollup — linear in corpus bytes, all map-side-combinable.
+# Determinism: each p*log2(p) term is one fixed expression tree over
+# exact integers rounded to 9 decimals (the BIGRAM_PPL device); the
+# per-doc sum rounds to 6.
+# ---------------------------------------------------------------------------
+
+_CHARS = "list_filter(string_split(lower(text), ''), c -> c <> '')"
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest({_CHARS}) AS c FROM documents),
+    cc AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, c),
+    tot AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_char_types
+      FROM cc GROUP BY doc_id),
+    terms AS (
+      SELECT cc.doc_id,
+             round((cc.n / CAST(t.n_chars AS DOUBLE))
+                   * log2(cc.n / CAST(t.n_chars AS DOUBLE)), 9) AS term
+      FROM cc JOIN tot t USING (doc_id))
+    SELECT t.doc_id, t.n_chars, t.n_char_types,
+           round(-SUM(terms.term), 6) AS char_entropy,
+           (round(-SUM(terms.term), 6) < 2.0) AS low_entropy
+    FROM terms JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n_chars, t.n_char_types
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (bits/char) with
+    the low-entropy gibberish flag. Empty strings are filtered from the
+    split on both sides (split('') edge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(
+        F.split(F.lower(F.col("text")), ""), lambda c: c != F.lit("")
+    )
+    ch = docs.select("doc_id", F.explode(chars).alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_char_types"),
+    )
+    p = F.col("n") / F.col("n_chars").cast("double")
+    terms = cc.join(tot, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_char_types",
+        F.round(p * F.log2(p), 9).alias("term"),
+    )
+    ent = F.round(-F.sum("term"), 6)
+    return terms.groupBy("doc_id", "n_chars", "n_char_types").agg(
+        ent.alias("char_entropy"),
+        (ent < 2.0).alias("low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generation-loop detection — the synthetic-data QA gate for degenerate
+# decoder output (Holtzman et al. 2020 documents the failure mode: greedy
+# /low-temperature decoding collapses into exact token-level cycles).
+# A doc's TAIL (last up-to-24 tokens, where decoders degenerate) is
+# p-periodic iff tail[1 : m-p] == tail[p+1 : m] — one array-slice
+# equality per candidate period, no per-token loop. The smallest p in
+# 1..8 with at least two full periods in the tail is THE loop period
+# (p=0 = clean). The natural corpus contains no loops, so every 97th
+# doc is planted with a period-2 spam tail (deterministic, both
+# engines) — the detector must find exactly those and nothing else.
+#
+# Scale: stateless per-row projection over the scan — zero shuffles
+# (the FIM-manifest class); the periodicity test is 8 fixed slice
+# comparisons on a <=24-element array.
+# ---------------------------------------------------------------------------
+
+_LOOP_TAIL = 24
+_LOOP_MAXP = 8
+_LOOP_PLANT = "CASE WHEN doc_id % 97 = 0 THEN repeat('spam ham ', 20) ELSE text END"
+
+
+def _loop_period_sql() -> str:
+    cases = " ".join(
+        f"WHEN m >= {2 * p} AND list_slice(tail, 1, m - {p})"
+        f" = list_slice(tail, {p + 1}, m) THEN {p}"
+        for p in range(1, _LOOP_MAXP + 1)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@query(
+    "text_loop_detection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 97 = 0 AS planted,
+             list_filter(string_split_regex(lower({_LOOP_PLANT}),
+               '\\s+'), w -> w <> '') AS tk
+      FROM documents),
+    s AS (
+      SELECT doc_id, planted, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(LEAST(len(tk), {_LOOP_TAIL}) AS BIGINT) AS m,
+             list_slice(tk, len(tk) - LEAST(len(tk), {_LOOP_TAIL}) + 1,
+                        len(tk)) AS tail
+      FROM t)
+    SELECT doc_id, planted, n_tokens, m AS tail_len,
+           CAST({_loop_period_sql()} AS BIGINT) AS loop_period,
+           {_loop_period_sql()} > 0 AS is_loop
+    FROM s
+    """,
+    tags=("text", "quality", "synthetic-qa", "loop"),
+)
+def text_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest token-level period (1..8) of each doc's tail, 0 if the
+    tail is aperiodic; every 97th doc carries a planted period-2 loop.
+    Requires >= 2 full periods inside the tail window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted_text = F.expr(_LOOP_PLANT)
+    tk = F.filter(
+        F.split(F.lower(planted_text), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    m = F.least(n, F.lit(_LOOP_TAIL))
+    s = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("planted"),
+        n.cast("bigint").alias("n_tokens"),
+        m.cast("bigint").alias("m"),
+        F.slice(tk, (n - m + 1).cast("int"), m.cast("int")).alias("tail"),
+    )
+    mi = F.col("m").cast("int")
+    period = F.lit(0)
+    for p in range(_LOOP_MAXP, 0, -1):
+        eq = F.slice(F.col("tail"), 1, F.greatest(mi - p, F.lit(0))) == (
+            F.slice(
+                F.col("tail"), p + 1, F.greatest(mi - p, F.lit(0))
+            )
+        )
+        period = F.when((F.col("m") >= 2 * p) & eq, p).otherwise(period)
+    return s.select(
+        "doc_id",
+        "planted",
+        "n_tokens",
+        F.col("m").alias("tail_len"),
+        period.cast("bigint").alias("loop_period"),
+        (period > 0).alias("is_loop"),
+    )

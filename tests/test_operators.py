@@ -2178,3 +2178,32 @@ def test_star_connected_components_matches_and_beats_chain(spark):
     n_wrong = minlabel.filter(F.col("comp") != 0).count()
     assert n_wrong > 0  # diameter-bound propagation cannot finish
     spark.catalog.clearCache()
+
+
+def test_loop_detection_planted_separation(spark, sf_dir):
+    """Every planted doc (doc_id % 97 == 0) must be flagged with the
+    canonical period 2; natural docs must be essentially loop-free."""
+    from arroyo_spark.queries.text import text_loop_detection
+
+    out = text_loop_detection(spark, sf_dir).collect()
+    planted = [r for r in out if r["planted"]]
+    natural = [r for r in out if not r["planted"]]
+    assert planted and all(
+        r["is_loop"] and r["loop_period"] == 2 for r in planted
+    )
+    fp = sum(1 for r in natural if r["is_loop"])
+    assert fp <= max(1, len(natural) // 20), f"{fp}/{len(natural)} natural loops"
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_char_types); repeated-single-char docs would hit
+    0 (none natural), normal text lands in 2..6 bits/char."""
+    import math
+
+    from arroyo_spark.queries.text import text_char_entropy
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ub = math.log2(r["n_char_types"]) + 1e-6 if r["n_char_types"] > 1 else 1e-6
+        assert -1e-6 <= r["char_entropy"] <= ub, r
