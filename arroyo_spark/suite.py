@@ -442,6 +442,16 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "bm25_hard_negatives",  # NEW r13 (DPR-style negative mining)
     "curation_pipeline_v6",  # NEW r13 (paragraph gate + splits + NFC)
     "tokenizer_vocab_overlap",  # NEW r13 (cross-family unit convergence)
+    "text_pmi_collocations",  # NEW r13 (PMI collocation mining)
+    "preference_pair_manifest",  # NEW r13 (DPO pair construction)
+    "fim_transform_manifest",  # NEW r13 (fill-in-the-middle manifest)
+    "tokenizer_scaling_curve",  # NEW r13 (vocab-size compression curve)
+    "dedup_method_agreement",  # NEW r13 (near-dup method calibration)
+    "text_char_entropy",  # NEW r13 (gibberish/entropy quality signal)
+    "text_loop_detection",  # NEW r13 (generation-loop tail detector)
+    "minhash_bbit_estimate",  # NEW r13 (1-bit minhash debiased arm)
+    "perplexity_filter_agreement",  # NEW r13 (bigram vs KN confusion)
+    "dedup_soft_weights",  # NEW r13 (1/n duplicate down-weighting)
 }
 
 
