@@ -647,3 +647,219 @@ def text_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         period.cast("bigint").alias("loop_period"),
         (period > 0).alias("is_loop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality monitor — the entropy + loop signals ON INGEST (the
+# live dashboard a synthetic-data pipeline watches while a generation
+# job streams in): both detectors are computed IN-ROW (the doc arrives
+# whole, so entropy folds over the row's own char counts and the loop
+# test is the same 8 slice comparisons — no per-doc shuffle at all),
+# then ONE update-mode groupBy(source) maintains monotone counters.
+# State is |sources| rows; the only stateful shuffle carries (source,
+# three counters). Oracle = the two registered batch oracles composed
+# per source — drained state must equal the batch answer.
+#
+# Float note: per-doc entropy here folds in array order while the
+# batch/oracle form aggregates an exploded stream; the values agree to
+# ~1e-12 and the 2.0-bit flag threshold compares the 6-decimal
+# rounding, so the FLAGS are deterministic (the established rounding-
+# absorption device) — and only integer flag counts are emitted.
+# ---------------------------------------------------------------------------
+
+
+def _inrow_entropy(text_col):
+    chars = F.filter(
+        F.split(F.lower(text_col), ""), lambda c: c != F.lit("")
+    )
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast(
+            "double"
+        ),
+    )
+    tsum = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + F.round((c / n) * F.log2(c / n), 9),
+    )
+    return F.round(-tsum, 6)
+
+
+@query(
+    "streaming_quality_monitor",
+    oracle=None,  # installed below from the two registered batch oracles
+    tags=("text", "quality", "streaming", "report"),
+)
+def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source low-entropy and generation-loop incidence maintained
+    on ingest; drained state equals the batch detectors' per-source
+    rollup (planted period-2 loops included via the same md5-free
+    doc_id % 97 plant)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from arroyo_spark.queries.text_pipeline import _cp_doc_stream
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    planted_text = F.expr(_LOOP_PLANT)
+    tk = F.filter(
+        F.split(F.lower(planted_text), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(tk)
+    m = F.least(n, F.lit(_LOOP_TAIL))
+    row = stream.select(
+        "source",
+        (_inrow_entropy(F.col("text")) < 2.0).alias("low_entropy"),
+        m.cast("int").alias("mi"),
+        F.slice(tk, (n - m + 1).cast("int"), m.cast("int")).alias("tail"),
+    )
+    is_loop = F.lit(False)
+    for p in range(1, _LOOP_MAXP + 1):
+        eq = F.slice(
+            F.col("tail"), 1, F.greatest(F.col("mi") - p, F.lit(0))
+        ) == F.slice(
+            F.col("tail"), p + 1, F.greatest(F.col("mi") - p, F.lit(0))
+        )
+        is_loop = is_loop | ((F.col("mi") >= 2 * p) & eq)
+    flags = row.select(
+        "source",
+        "low_entropy",
+        is_loop.alias("is_loop"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("low_entropy").cast("int"))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.sum(F.col("is_loop").cast("int")).cast("bigint").alias("n_loops"),
+    )
+    name = "sqm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="sqm_ck_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_quality_monitor: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        "n_low_entropy",
+        "n_loops",
+        F.expr("CAST(n_low_entropy * 1000 div n_docs AS BIGINT)").alias(
+            "low_entropy_milli"
+        ),
+        F.expr("CAST(n_loops * 1000 div n_docs AS BIGINT)").alias(
+            "loops_milli"
+        ),
+    )
+
+
+def _install_quality_monitor_oracle() -> None:
+    from dataclasses import replace
+
+    from arroyo_spark.suite import _REGISTRY
+
+    ent = _REGISTRY["text_char_entropy"].oracle
+    lp = _REGISTRY["text_loop_detection"].oracle
+    oracle = f"""
+    WITH ent AS (SELECT doc_id, low_entropy FROM ({ent}) t),
+    lp AS (SELECT doc_id, is_loop FROM ({lp}) t),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ent.low_entropy THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy,
+           CAST(SUM(CASE WHEN lp.is_loop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loops,
+           CAST(SUM(CASE WHEN ent.low_entropy THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS low_entropy_milli,
+           CAST(SUM(CASE WHEN lp.is_loop THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS loops_milli
+    FROM d JOIN ent USING (doc_id) JOIN lp USING (doc_id)
+    GROUP BY d.source
+    """
+    _REGISTRY["streaming_quality_monitor"] = replace(
+        _REGISTRY["streaming_quality_monitor"], oracle=oracle
+    )
+
+
+_install_quality_monitor_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mojibake detection + repair — the ftfy fix (Speer 2019, "ftfy: fixes
+# text for you"): UTF-8 bytes decoded as Latin-1/cp1252 leave
+# characteristic multi-char sequences ("caf" + A-tilde + copyright-ish
+# digraphs) that survive into web corpora; curation stacks detect and
+# reverse the damage before tokenization. The repair here is the
+# table-driven core of the method — a fixed map of six high-frequency
+# mojibake sequences (each derived from a REAL utf-8-bytes-read-as-
+# cp1252 round-trip) applied as a chained replace. Every 89th doc is
+# planted with a mojibake-laden suffix so the detector and the
+# round-trip are exercised (the natural corpus is clean).
+#
+# Scale: stateless per-row projection — zero shuffles (the FIM class);
+# counting uses the length-delta device (no regex engine divergence),
+# repair is a fixed replace chain, both pure codegen'd string ops.
+# ---------------------------------------------------------------------------
+
+_MOJI_PLANT = "CASE WHEN doc_id % 89 = 0 THEN text || ' cafÃ© naÃ¯ve faÃ§ade Ã¼ber â€™qâ€™ â€”d' ELSE text END"
+_MOJI_COUNT = "(length(pt) - length(replace(pt, 'Ã©', ''))) div 2 + (length(pt) - length(replace(pt, 'Ã¯', ''))) div 2 + (length(pt) - length(replace(pt, 'Ã§', ''))) div 2 + (length(pt) - length(replace(pt, 'Ã¼', ''))) div 2 + (length(pt) - length(replace(pt, 'â€™', ''))) div 3 + (length(pt) - length(replace(pt, 'â€”', ''))) div 3"
+_MOJI_REPAIR = "replace(replace(replace(replace(replace(replace(pt, 'Ã©', 'é'), 'Ã¯', 'ï'), 'Ã§', 'ç'), 'Ã¼', 'ü'), 'â€™', '’'), 'â€”', '—')"
+
+
+@query(
+    "text_mojibake_repair",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 89 = 0 AS planted,
+             CASE WHEN doc_id % 89 = 0 THEN text || ' cafÃ© naÃ¯ve faÃ§ade Ã¼ber â€™qâ€™ â€”d' ELSE text END AS pt
+      FROM documents)
+    SELECT doc_id, planted,
+           CAST((length(pt) - length(replace(pt, 'Ã©', ''))) // 2 + (length(pt) - length(replace(pt, 'Ã¯', ''))) // 2 + (length(pt) - length(replace(pt, 'Ã§', ''))) // 2 + (length(pt) - length(replace(pt, 'Ã¼', ''))) // 2 + (length(pt) - length(replace(pt, 'â€™', ''))) // 3 + (length(pt) - length(replace(pt, 'â€”', ''))) // 3 AS BIGINT) AS n_mojibake,
+           (replace(replace(replace(replace(replace(replace(pt, 'Ã©', 'é'), 'Ã¯', 'ï'), 'Ã§', 'ç'), 'Ã¼', 'ü'), 'â€™', '’'), 'â€”', '—')) <> pt AS changed,
+           md5(replace(replace(replace(replace(replace(replace(pt, 'Ã©', 'é'), 'Ã¯', 'ï'), 'Ã§', 'ç'), 'Ã¼', 'ü'), 'â€™', '’'), 'â€”', '—')) AS repaired_md5
+    FROM t
+    """,
+    tags=("text", "quality", "normalization", "pipeline"),
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mojibake sequence count, changed flag, and the md5 of
+    the repaired text; every 89th doc carries a planted corrupt suffix
+    (7 sequence hits across the 6 table entries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 89 == 0).alias("planted"),
+        F.expr(_MOJI_PLANT).alias("pt"),
+    ).select(
+        "doc_id",
+        "planted",
+        F.expr(_MOJI_COUNT).cast("bigint").alias("n_mojibake"),
+        (F.expr(_MOJI_REPAIR) != F.col("pt")).alias("changed"),
+        F.md5(F.expr(_MOJI_REPAIR)).alias("repaired_md5"),
+    )

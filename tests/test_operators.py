@@ -2207,3 +2207,57 @@ def test_char_entropy_bounds(spark, sf_dir):
     for r in rows:
         ub = math.log2(r["n_char_types"]) + 1e-6 if r["n_char_types"] > 1 else 1e-6
         assert -1e-6 <= r["char_entropy"] <= ub, r
+
+
+def test_mojibake_repair_roundtrip(spark, sf_dir):
+    """Planted docs must be detected (n_mojibake == 7 beyond natural
+    hits) and changed; repaired text of clean docs is untouched."""
+    from arroyo_spark.queries.text import text_mojibake_repair
+
+    rows = text_mojibake_repair(spark, sf_dir).collect()
+    planted = [r for r in rows if r["planted"]]
+    clean = [r for r in rows if not r["planted"]]
+    assert planted and all(
+        r["changed"] and r["n_mojibake"] >= 7 for r in planted
+    )
+    assert all(not r["changed"] and r["n_mojibake"] == 0 for r in clean)
+
+
+def test_hadamard_rotation_orthogonality(spark, sf_dir):
+    """H64/8 must preserve norms and pairwise distances (orthogonality)
+    and match an independent numpy FWHT."""
+    import numpy as np
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.operators.pq import hadamard_rotate
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 20)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    rot = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in hadamard_rotate(emb).collect()}
+
+    def fwht(x):
+        y = x.copy()
+        h = 1
+        while h < 64:
+            for i in range(0, 64, h * 2):
+                a = y[i:i + h].copy()
+                b = y[i + h:i + 2 * h].copy()
+                y[i:i + h] = a + b
+                y[i + h:i + 2 * h] = a - b
+            h *= 2
+        return y / 8.0
+
+    for vid, x in orig.items():
+        np.testing.assert_allclose(rot[vid], fwht(x), rtol=0, atol=1e-12)
+        assert abs(np.linalg.norm(rot[vid]) - np.linalg.norm(x)) < 1e-9
+    ids = sorted(orig)[:6]
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d0 = np.linalg.norm(orig[a] - orig[b])
+                d1 = np.linalg.norm(rot[a] - rot[b])
+                assert abs(d0 - d1) < 1e-9
