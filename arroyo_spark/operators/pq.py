@@ -526,3 +526,53 @@ def sq8_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "d2", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured rotation for PQ (the OPQ baseline): Ge et al. 2014
+# ("Optimized Product Quantization") evaluate PQ under learned AND
+# random rotations; a Walsh-Hadamard rotation is the standard
+# structured choice (used as the mixing transform in the fast JL
+# family, Ailon & Chazelle 2009, and in FAISS preprocessing) because
+# H/sqrt(d) is exactly orthogonal with +-1 entries: applying it is 6
+# butterfly stages of adds/subs — every operation an exact IEEE add on
+# both engines, so the rotated vectors are BIT-IDENTICAL cross-engine
+# and downstream quantization stays deterministic. Rotation preserves
+# L2, so the ANN ground truth is unchanged; what changes is how
+# variance distributes across PQ subspaces.
+# ---------------------------------------------------------------------------
+
+
+def _hadamard_stage_sql(src: str, bit: int) -> str:
+    """One FWHT butterfly stage over a 64-element DOUBLE array column
+    named ``e`` (1-based element_at indexing — matches DuckDB's e[i])."""
+    return (
+        f"transform(sequence(1, 64), i -> CASE"
+        f" WHEN ((i - 1) & {bit}) = 0"
+        f" THEN element_at({src}, i) + element_at({src}, i + {bit})"
+        f" ELSE element_at({src}, i - {bit}) - element_at({src}, i)"
+        f" END)"
+    )
+
+
+def hadamard_rotate(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Replace ``vec_col`` with H64 @ x / 8 (orthogonal rotation) as a
+    DOUBLE array. Six in-row butterfly stages — zero shuffles."""
+    assert dim == 64, "FWHT stages are unrolled for dim=64"
+    out = df.withColumn(
+        "_h", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    )
+    for bit in (1, 2, 4, 8, 16, 32):
+        out = out.withColumn("_h", F.expr(_hadamard_stage_sql("_h", bit)))
+    out = out.withColumn(
+        vec_col, F.expr("transform(_h, x -> x / 8.0)")
+    ).drop("_h")
+    # MATERIALIZE: downstream ANN chains reference the vector expression
+    # hundreds of times (k-means assignments, 16 subspaces x 16 centroid
+    # distance folds); without truncation Catalyst re-inlines the 6-stage
+    # butterfly tree into every reference and plan processing blows the
+    # driver heap (measured: OOM in TreeNode.foreach). localCheckpoint
+    # makes the rotation a plain column — the BPE-loop discipline.
+    return out.localCheckpoint()

