@@ -2359,6 +2359,7 @@ _CUR_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
     FROM s2
     """,
     tags=("curation", "fim", "transform", "pipeline"),
+    bench=True,
 )
 def fim_transform_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSM fill-in-the-middle manifest: split geometry + fingerprint of

@@ -4827,6 +4827,7 @@ _PMI_TOPK = 100
     FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
     """,
     tags=("text", "collocation", "pmi", "pipeline"),
+    bench=True,
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k adjacent-token bigrams by PMI with a count floor. The floor
