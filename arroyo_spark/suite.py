@@ -452,6 +452,12 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "minhash_bbit_estimate",  # NEW r13 (1-bit minhash debiased arm)
     "perplexity_filter_agreement",  # NEW r13 (bigram vs KN confusion)
     "dedup_soft_weights",  # NEW r13 (1/n duplicate down-weighting)
+    "streaming_quality_monitor",  # NEW r13 (entropy+loop on ingest)
+    "text_mojibake_repair",  # NEW r13 (ftfy-style encoding repair)
+    "knn_pq_hadamard_ann",  # NEW r13 (structured-rotation OPQ baseline)
+    "ann_recall_check",  # gained the ninth (pq_rot) arm
+    "knn_ivfpq_ann",  # _ivfpq_scored gained the emb override param
+    "knn_ivfpq_rerank",  # (same touch; behavior identical, re-verify)
 }
 
 
