@@ -3487,3 +3487,87 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(SUM(nt), 1) AS BIGINT)"
         ).alias("shrink_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution — the dedup scale diagnostic
+# (RefinedWeb and Lee et al. both publish it): the histogram of
+# connected-component sizes in the near-dup graph, plus the share of
+# docs living in the largest cluster. The histogram decides operator
+# parameters downstream: a heavy tail of mega-clusters means banded
+# joins need skew caps and canonical election needs quality scoring;
+# all-size-2 means pair-level handling suffices.
+#
+# Scale: strictly the registered duplicate-clusters pass (its
+# adjudication applies) + one size groupBy, one histogram groupBy
+# (bounded by distinct sizes), one 1-row broadcast for shares.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    base = _REG["dedup_duplicate_clusters"].oracle
+    return f"""
+    WITH cl AS (
+      SELECT DISTINCT cluster_id, cluster_size FROM ({base}) t),
+    tot AS (
+      SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+             CAST(MAX(cluster_size) AS BIGINT) AS max_size
+      FROM cl)
+    SELECT cl.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cl.cluster_size AS BIGINT) AS n_docs_in,
+           CAST(COUNT(*) * cl.cluster_size * 1000 // tot.n_docs
+                AS BIGINT) AS doc_share_milli,
+           (cl.cluster_size = tot.max_size) AS is_largest
+    FROM cl CROSS JOIN tot
+    GROUP BY cl.cluster_size, tot.n_docs, tot.max_size
+    """
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=None,  # installed below from the registered clusters oracle
+    tags=("dedup", "report", "clusters"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup component graph with
+    per-size doc shares and the largest-cluster marker."""
+    cl = (
+        dedup_duplicate_clusters(spark, sf_dir)
+        .select("cluster_id", "cluster_size")
+        .distinct()
+    )
+    tot = cl.agg(
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.max("cluster_size").cast("bigint").alias("max_size"),
+    )
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_size", "n_docs", "max_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs_in"),
+            F.expr(
+                "CAST(n_clusters * cluster_size * 1000 div n_docs"
+                " AS BIGINT)"
+            ).alias("doc_share_milli"),
+            (F.col("cluster_size") == F.col("max_size")).alias(
+                "is_largest"
+            ),
+        )
+    )
+
+
+def _install_cluster_stats_oracle() -> None:
+    from dataclasses import replace
+
+    _REG["dedup_cluster_stats"] = replace(
+        _REG["dedup_cluster_stats"], oracle=_cluster_stats_oracle()
+    )
+
+
+_install_cluster_stats_oracle()

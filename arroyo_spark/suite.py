@@ -458,6 +458,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "ann_recall_check",  # gained the ninth (pq_rot) arm
     "knn_ivfpq_ann",  # _ivfpq_scored gained the emb override param
     "knn_ivfpq_rerank",  # (same touch; behavior identical, re-verify)
+    "text_secret_scan",  # NEW r13 (credential-leak compliance scan)
+    "sample_neyman_allocation",  # NEW r13 (optimal stratified budget)
+    "dataset_card_report",  # NEW r13 (datasheet capstone composition)
+    "dedup_cluster_stats",  # NEW r13 (cluster-size distribution)
 }
 
 
