@@ -644,3 +644,107 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution (token blocking + edit-distance verify) — the
+# canonical ER blueprint (Papadakis et al. 2020 blocking survey;
+# Levenshtein 1966): candidate pairs come from an equi-join on shared
+# name TOKENS (never all-pairs — the blocking stage), then the exact
+# edit distance verifies each candidate. Finds near-identical catalog
+# entries (same noun different adjective, typo'd duplicates) in the
+# part dimension; the same plan resolves merchant/product/supplier
+# name collisions at warehouse scale.
+#
+# Scale: blocking tokens carry a df cap (the max_bucket skew lever —
+# a stop-token like "widget" would otherwise quadratically explode its
+# bucket; production blocks on the RAREST tokens only), pairs are
+# distinct-ed before the verify, and levenshtein runs on the bounded
+# candidate set. Both engines ship integer levenshtein built-ins.
+# ---------------------------------------------------------------------------
+
+_FZ_DFCAP = 64   # blocking-token document-frequency cap
+_FZ_LEV = 5      # verify threshold
+
+
+@query(
+    "fuzzy_name_match",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey AS k, p_name AS nm,
+             string_split(p_name, ' ') AS ws
+      FROM part),
+    w AS (SELECT k, unnest(ws) AS w FROM p),
+    blk AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM w GROUP BY w
+      HAVING COUNT(*) <= {_FZ_DFCAP}),
+    cand AS (
+      SELECT DISTINCT a.k AS a_key, b.k AS b_key
+      FROM w a JOIN blk USING (w) JOIN w b USING (w)
+      WHERE a.k < b.k),
+    v AS (
+      SELECT cand.a_key, cand.b_key, pa.nm AS name_a, pb.nm AS name_b,
+             CAST(len(list_intersect(pa.ws, pb.ws)) AS BIGINT)
+               AS shared_words,
+             CAST(levenshtein(pa.nm, pb.nm) AS BIGINT) AS lev
+      FROM cand
+      JOIN p pa ON pa.k = cand.a_key
+      JOIN p pb ON pb.k = cand.b_key)
+    SELECT a_key, b_key, name_a, name_b, shared_words, lev,
+           (lev = 0) AS exact_dup
+    FROM v WHERE lev <= {_FZ_LEV}
+    """,
+    tags=("relational", "fuzzy-join", "entity-resolution"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names: token-blocked candidates (df-capped)
+    verified at levenshtein <= 5, with shared-word counts and the
+    exact-duplicate flag."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("nm"),
+        F.split("p_name", " ").alias("ws"),
+    )
+    w = p.select("k", F.explode("ws").alias("w"))
+    blk = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") <= _FZ_DFCAP)
+        .select("w")
+    )
+    wa = w.join(blk, "w")
+    cand = (
+        wa.select(F.col("k").alias("a_key"), "w")
+        .join(w.select(F.col("k").alias("b_key"), "w"), "w")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key")
+        .distinct()
+    )
+    pa = p.select(
+        F.col("k").alias("a_key"),
+        F.col("nm").alias("name_a"),
+        F.col("ws").alias("ws_a"),
+    )
+    pb = p.select(
+        F.col("k").alias("b_key"),
+        F.col("nm").alias("name_b"),
+        F.col("ws").alias("ws_b"),
+    )
+    v = (
+        cand.join(pa, "a_key")
+        .join(pb, "b_key")
+        .select(
+            "a_key",
+            "b_key",
+            "name_a",
+            "name_b",
+            F.size(F.array_intersect("ws_a", "ws_b"))
+            .cast("bigint")
+            .alias("shared_words"),
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("lev"),
+        )
+    )
+    return v.filter(F.col("lev") <= _FZ_LEV).withColumn(
+        "exact_dup", F.col("lev") == 0
+    )

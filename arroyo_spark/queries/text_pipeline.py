@@ -4941,3 +4941,166 @@ def perplexity_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bg_bucket") == F.col("kn_bucket")).alias("agree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank (Brin
+# & Page 1998, damping 0.85) over the word co-adjacency graph: nodes
+# are corpus words above a count floor, edges are adjacent-token pairs
+# weighted by count (symmetrized), and four power iterations rank
+# words by graph centrality. The classic unsupervised keyword/keyphrase
+# extractor — and the suite's link-analysis representative: the
+# iteration is the k-means/Bradley-Terry bounded-iteration class with
+# a fully unrolled integer oracle.
+#
+# Determinism: ranks live in exact micro BIGINTs; each iteration is
+#   contrib(u->v) = pr(u) * w(u,v) // wdeg(u)      (per-edge BIGINT)
+#   pr'(v) = 150000 + 850 * SUM(contrib) // 1000   (order-independent)
+# — integer floor divisions at fixed points, no floats anywhere.
+#
+# Scale: the edge TYPE table is one bigram groupBy (vocab-bounded);
+# each iteration is ONE edge-keyed join + ONE node-keyed aggregation
+# (shuffles bounded by edge/node counts, not corpus size); 4 fixed
+# iterations, localCheckpoint per step (lineage discipline). Top-k is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_TR_FLOOR = 3     # node floor: word count >= 3
+_TR_ITERS = 4
+_TR_TOPK = 20
+
+
+def _tr_iter_cte(i: int) -> str:
+    prev = f"pr{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.v,
+             CAST(SUM({prev}.p * e.w // deg.wdeg) AS BIGINT) AS contrib
+      FROM e
+      JOIN {prev} ON {prev}.word = e.u
+      JOIN deg ON deg.word = e.u
+      GROUP BY e.v),
+    pr{i} AS (
+      SELECT n.word,
+             CAST(150000 + 850 * COALESCE(c{i}.contrib, 0) // 1000
+                  AS BIGINT) AS p
+      FROM nodes n LEFT JOIN c{i} ON c{i}.v = n.word)"""
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    toks AS (SELECT unnest(tk) AS w FROM t),
+    cw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+      HAVING count(*) >= {_TR_FLOOR}),
+    nodes AS (SELECT w AS word, c FROM cw),
+    bg AS (
+      SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS u(i)),
+    be AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS w
+      FROM bg GROUP BY w1, w2),
+    e0 AS (
+      SELECT be.w1 AS u, be.w2 AS v, be.w FROM be
+      JOIN nodes n1 ON n1.word = be.w1
+      JOIN nodes n2 ON n2.word = be.w2
+      WHERE be.w1 <> be.w2),
+    e AS MATERIALIZED (
+      SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT u, v, w FROM e0
+        UNION ALL SELECT v, u, w FROM e0) s
+      GROUP BY u, v),
+    deg AS MATERIALIZED (
+      SELECT u AS word, CAST(SUM(w) AS BIGINT) AS wdeg
+      FROM e GROUP BY u),
+    pr0 AS (SELECT word, CAST(1000000 AS BIGINT) AS p FROM nodes),
+    {",".join(_tr_iter_cte(i) for i in range(1, _TR_ITERS + 1))}
+    SELECT n.word, n.c AS count,
+           COALESCE(deg.wdeg, 0) AS wdeg, pr{_TR_ITERS}.p AS rank_micro
+    FROM nodes n
+    JOIN pr{_TR_ITERS} ON pr{_TR_ITERS}.word = n.word
+    LEFT JOIN deg ON deg.word = n.word
+    ORDER BY pr{_TR_ITERS}.p DESC, n.word LIMIT {_TR_TOPK}
+    """,
+    tags=("text", "keywords", "textrank", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by 4-iteration integer TextRank over the
+    adjacent-word graph (count floor 3, symmetrized weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    n = F.size(tk)
+    toks = docs.select(F.explode(tk).alias("w"))
+    nodes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= _TR_FLOOR)
+        .select(F.col("w").alias("word"), "c")
+        .localCheckpoint()
+    )
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    be = (
+        docs.select(F.explode(pairs).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    n1 = nodes.select(F.col("word").alias("w1"))
+    n2 = nodes.select(F.col("word").alias("w2"))
+    e0 = (
+        be.join(n1, "w1")
+        .join(n2, "w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .select(F.col("w1").alias("u"), F.col("w2").alias("v"), "w")
+    )
+    e = (
+        e0.unionAll(
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    deg = e.groupBy("u").agg(
+        F.sum("w").cast("bigint").alias("wdeg")
+    ).select(F.col("u").alias("word"), "wdeg").localCheckpoint()
+    pr = nodes.select("word", F.lit(1000000).cast("bigint").alias("p"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            e.join(pr.select(F.col("word").alias("u"), "p"), "u")
+            .join(deg.select(F.col("word").alias("u"), "wdeg"), "u")
+            .select(
+                "v", F.expr("CAST(p * w div wdeg AS BIGINT)").alias("ct")
+            )
+            .groupBy("v")
+            .agg(F.sum("ct").cast("bigint").alias("contrib"))
+        )
+        pr = (
+            nodes.select("word")
+            .join(contrib.withColumnRenamed("v", "word"), "word", "left")
+            .select(
+                "word",
+                F.expr(
+                    "CAST(150000 + 850 * COALESCE(contrib, 0) div 1000"
+                    " AS BIGINT)"
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        nodes.join(pr, "word")
+        .join(deg, "word", "left")
+        .select(
+            "word",
+            F.col("c").alias("count"),
+            F.coalesce("wdeg", F.lit(0)).cast("bigint").alias("wdeg"),
+            F.col("p").alias("rank_micro"),
+        )
+    )
+    return out.orderBy(F.col("rank_micro").desc(), "word").limit(_TR_TOPK)

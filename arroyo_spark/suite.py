@@ -462,6 +462,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "sample_neyman_allocation",  # NEW r13 (optimal stratified budget)
     "dataset_card_report",  # NEW r13 (datasheet capstone composition)
     "dedup_cluster_stats",  # NEW r13 (cluster-size distribution)
+    "text_textrank_keywords",  # NEW r13 (integer TextRank, 4 iters)
+    "fuzzy_name_match",  # NEW r13 (token-blocked ER + levenshtein)
 }
 
 
