@@ -577,3 +577,83 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_us").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention analysis — the canonical product-analytics shape
+# (acquisition cohort x activity offset): users are cohorted by their
+# first-activity day, and each (cohort, day-offset) cell counts how
+# many of them were active again k days later. Day arithmetic runs on
+# integer epoch-day numbers (epoch_us // 86.4e9) so no timezone or
+# DATE-representation divergence can exist between engines.
+#
+# Scale: one distinct (user, day) projection (map-side combinable),
+# one per-user min (the cohort assignment), one user-keyed equi-join
+# back, one (cohort, offset) rollup joined to the bounded cohort-size
+# relation — every shuffle keyed, no window functions at all.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH ua AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num
+      FROM events),
+    cohort AS (
+      SELECT user_id, CAST(MIN(day_num) AS BIGINT) AS cohort_day
+      FROM ua GROUP BY user_id),
+    cs AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_day),
+    act AS (
+      SELECT cohort.cohort_day,
+             CAST(ua.day_num - cohort.cohort_day AS BIGINT) AS day_offset,
+             CAST(COUNT(DISTINCT ua.user_id) AS BIGINT) AS n_active
+      FROM ua JOIN cohort USING (user_id)
+      GROUP BY cohort.cohort_day, day_offset)
+    SELECT act.cohort_day, act.day_offset, cs.cohort_size, act.n_active,
+           CAST(act.n_active * 1000 // cs.cohort_size AS BIGINT)
+             AS retention_milli
+    FROM act JOIN cs USING (cohort_day)
+    """,
+    tags=("relational", "analytics", "cohort", "events"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: per (first-activity-day cohort, day offset),
+    the share of the cohort active again that day, in milli-units."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias(
+            "day_num"
+        ),
+    ).distinct()
+    cohort = ua.groupBy("user_id").agg(
+        F.min("day_num").cast("bigint").alias("cohort_day")
+    )
+    cs = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = (
+        ua.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day_num") - F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return act.join(cs, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        "n_active",
+        F.expr("CAST(n_active * 1000 div cohort_size AS BIGINT)").alias(
+            "retention_milli"
+        ),
+    )

@@ -464,6 +464,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_cluster_stats",  # NEW r13 (cluster-size distribution)
     "text_textrank_keywords",  # NEW r13 (integer TextRank, 4 iters)
     "fuzzy_name_match",  # NEW r13 (token-blocked ER + levenshtein)
+    "cohort_retention",  # NEW r13 (acquisition-cohort retention matrix)
 }
 
 
