@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from arroyo_spark.catalog import load_table
 from arroyo_spark.operators import pii
 from arroyo_spark.operators import text as T
-from arroyo_spark.queries.text_pipeline import DSIR_ORACLE
+from arroyo_spark.queries.text_pipeline import BIGRAM_PPL_ORACLE, DSIR_ORACLE
 from arroyo_spark.suite import query
 
 # deterministic in-query contact-line construction (shared with oracles)
@@ -2815,3 +2815,87 @@ def _install_dataset_card_oracle() -> None:
 
 
 _install_dataset_card_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging manifest (Bengio et al. 2009 curriculum learning;
+# the practical form stages data into difficulty BINS rather than a
+# total order): shards of 64 contiguous doc_ids get a difficulty score
+# (mean bigram-LM score of member docs, the CCNet signal) and are
+# binned into 10 curriculum stages by linear thresholding against the
+# global [min, max] — easy stages first in training. Binning (not
+# ranking) is the scale-honest choice: a global rank over shard rows
+# would funnel through one task, while stage thresholds ride a 1-row
+# broadcast; a loader wanting strict order range-sorts WITHIN a stage
+# (the registered 2level offset pattern).
+#
+# Determinism: per-shard difficulty is the integer-micro mean of
+# per-doc scores (themselves round(avg(round(term,9)),6) — quantized
+# to micro BIGINTs before the mean so shard means are exact integer
+# divisions); stage arithmetic is pure BIGINT.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curriculum_shard_order",
+    oracle=f"""
+    WITH pd AS (
+      SELECT doc_id,
+             CAST(floor(ppl_score * 1000000) AS BIGINT) AS score_micro
+      FROM ({{BIGRAM}}) t),
+    sh AS (
+      SELECT doc_id // 64 AS shard_id, score_micro FROM pd),
+    agg AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score_micro) // COUNT(*) AS BIGINT) AS diff_micro
+      FROM sh GROUP BY shard_id),
+    mm AS (
+      SELECT CAST(MIN(diff_micro) AS BIGINT) AS lo,
+             CAST(MAX(diff_micro) AS BIGINT) AS hi
+      FROM agg)
+    SELECT agg.shard_id, agg.n_docs, agg.diff_micro,
+           CAST(LEAST((agg.diff_micro - mm.lo) * 10
+                      // GREATEST(mm.hi - mm.lo + 1, 1), 9) AS BIGINT)
+             AS stage
+    FROM agg CROSS JOIN mm
+    """.replace("{BIGRAM}", BIGRAM_PPL_ORACLE),
+    tags=("curation", "curriculum", "training", "pipeline"),
+)
+def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 64-doc shard: member count, integer-micro mean difficulty
+    (bigram-LM score), and the 0..9 curriculum stage from linear
+    thresholding against the global range."""
+    from arroyo_spark.queries.text_pipeline import text_bigram_perplexity
+
+    pd_ = text_bigram_perplexity(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("ppl_score") * 1000000)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    agg = (
+        pd_.select(
+            F.expr("CAST(doc_id div 64 AS BIGINT)").alias("shard_id"),
+            "score_micro",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(score_micro) div COUNT(*) AS BIGINT)"
+            ).alias("diff_micro"),
+        )
+    )
+    mm = agg.agg(
+        F.min("diff_micro").cast("bigint").alias("lo"),
+        F.max("diff_micro").cast("bigint").alias("hi"),
+    )
+    return agg.crossJoin(F.broadcast(mm)).select(
+        "shard_id",
+        "n_docs",
+        "diff_micro",
+        F.expr(
+            "CAST(LEAST((diff_micro - lo) * 10"
+            " div GREATEST(hi - lo + 1, 1), 9) AS BIGINT)"
+        ).alias("stage"),
+    )

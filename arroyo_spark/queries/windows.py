@@ -657,3 +657,80 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate spike detection — the streaming-analytics alerting shape
+# (a bursting event type signals an incident or an attack): tumbling
+# 15-minute counts per event type, each window flagged when its count
+# exceeds 3x the mean of the previous four windows of the same type.
+# The comparison is EXACT INTEGER (n * 4 > 3 * sum_prev4) — no float
+# thresholds, no divergence. Windows with fewer than 4 predecessors
+# are unflagged warmup rows (emitted with their trailing sum as data).
+#
+# Scale: one tumbling aggregation (map-side combinable), then ONE
+# 4-row-bounded lag window PARTITIONED by event type — never global.
+# Window starts are integer epoch-15-minute numbers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_spike_detection",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 900000000 AS BIGINT) AS win,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, win),
+    lagd AS (
+      SELECT event_type, win, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type
+               ORDER BY win ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS sum_prev4,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY win
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS n_prev
+      FROM w)
+    SELECT event_type, win, n, sum_prev4, n_prev,
+           (n_prev = 4 AND n * 4 > 3 * sum_prev4) AS is_spike
+    FROM lagd
+    """,
+    tags=("streaming", "analytics", "alerting", "events"),
+)
+def event_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute per-type event counts with the integer 3x-trailing-mean
+    spike flag (warmup windows unflagged)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 900000000 AS BIGINT)").alias(
+            "win"
+        ),
+    ).groupBy("event_type", "win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    lw = (
+        Window.partitionBy("event_type")
+        .orderBy("win")
+        .rowsBetween(-4, -1)
+    )
+    lagd = w.select(
+        "event_type",
+        "win",
+        "n",
+        F.coalesce(F.sum("n").over(lw), F.lit(0))
+        .cast("bigint")
+        .alias("sum_prev4"),
+        F.count(F.lit(1)).over(lw).cast("bigint").alias("n_prev"),
+    )
+    return lagd.select(
+        "event_type",
+        "win",
+        "n",
+        "sum_prev4",
+        "n_prev",
+        (
+            (F.col("n_prev") == 4)
+            & (F.col("n") * 4 > 3 * F.col("sum_prev4"))
+        ).alias("is_spike"),
+    )

@@ -465,6 +465,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "text_textrank_keywords",  # NEW r13 (integer TextRank, 4 iters)
     "fuzzy_name_match",  # NEW r13 (token-blocked ER + levenshtein)
     "cohort_retention",  # NEW r13 (acquisition-cohort retention matrix)
+    "event_spike_detection",  # NEW r13 (integer burst flag on windows)
+    "curriculum_shard_order",  # NEW r13 (difficulty-binned curriculum)
 }
 
 
