@@ -748,3 +748,157 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.filter(F.col("lev") <= _FZ_LEV).withColumn(
         "exact_dup", F.col("lev") == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering manifest (Morton 1966 space-filling curve; the
+# lakehouse OPTIMIZE ZORDER layout in Delta/Iceberg table maintenance):
+# interleave the bits of two normalized scan dimensions (customer key,
+# order epoch-day) into a Morton code, bucket rows into files by code
+# range, and emit each file's PER-DIMENSION bounding box next to the
+# same stats for a date-binned layout. The point made measurable: with
+# Z-ordering BOTH dimensions are narrow per file (so min/max file
+# skipping prunes on either predicate), while single-dimension layout
+# leaves the other dimension spanning the full range. At 100 TB this
+# manifest is the layout-policy artifact that decides table
+# maintenance; the clustering write itself is repartitionByRange on
+# zcode.
+#
+# Determinism: normalization, 16-bit interleave and bucketing are pure
+# BIGINT shifts/masks — unrolled 32 terms, identical both engines.
+# Scale: two 1-row min/max broadcasts, one stateless projection, one
+# (layout, file) rollup — no global sort anywhere (linear binning
+# stands in for exact range partitioning, same boxes at uniform keys).
+# ---------------------------------------------------------------------------
+
+_Z_FILES = 16
+
+
+def _interleave_duck(nx: str, ny: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((({nx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ny} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_clustering_manifest",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                  // 86400000000 AS BIGINT) AS dy
+      FROM orders),
+    mm AS (
+      SELECT CAST(MIN(ck) AS BIGINT) AS ck_lo, CAST(MAX(ck) AS BIGINT) AS ck_hi,
+             CAST(MIN(dy) AS BIGINT) AS dy_lo, CAST(MAX(dy) AS BIGINT) AS dy_hi
+      FROM o),
+    n AS (
+      SELECT o.ck, o.dy,
+             CAST((o.ck - mm.ck_lo) * 65536
+                  // (mm.ck_hi - mm.ck_lo + 1) AS BIGINT) AS nx,
+             CAST((o.dy - mm.dy_lo) * 65536
+                  // (mm.dy_hi - mm.dy_lo + 1) AS BIGINT) AS ny
+      FROM o CROSS JOIN mm),
+    z AS (
+      SELECT ck, dy,
+             CAST({_interleave_duck('nx', 'ny')} AS BIGINT) AS zcode
+      FROM n),
+    assign AS (
+      SELECT 'zorder' AS layout,
+             CAST(zcode * {_Z_FILES} // 4294967296 AS BIGINT) AS file_id,
+             ck, dy
+      FROM z
+      UNION ALL
+      SELECT 'date_binned',
+             CAST((n.dy - mm.dy_lo) * {_Z_FILES}
+                  // (mm.dy_hi - mm.dy_lo + 1) AS BIGINT),
+             n.ck, n.dy
+      FROM n CROSS JOIN mm)
+    SELECT layout, file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(ck) AS BIGINT) AS ck_min,
+           CAST(MAX(ck) AS BIGINT) AS ck_max,
+           CAST(MIN(dy) AS BIGINT) AS dy_min,
+           CAST(MAX(dy) AS BIGINT) AS dy_max,
+           CAST(MAX(ck) - MIN(ck) AS BIGINT) AS ck_span,
+           CAST(MAX(dy) - MIN(dy) AS BIGINT) AS dy_span
+    FROM assign GROUP BY layout, file_id
+    """,
+    tags=("relational", "layout", "zorder", "lakehouse"),
+)
+def zorder_clustering_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(layout, file) bounding boxes for Z-ordered vs date-binned
+    file assignment over orders (16-bit Morton interleave of customer
+    key x order day)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("dy"),
+    )
+    mm = o.agg(
+        F.min("ck").cast("bigint").alias("ck_lo"),
+        F.max("ck").cast("bigint").alias("ck_hi"),
+        F.min("dy").cast("bigint").alias("dy_lo"),
+        F.max("dy").cast("bigint").alias("dy_hi"),
+    )
+    n = o.crossJoin(F.broadcast(mm)).select(
+        "ck",
+        "dy",
+        F.expr(
+            "CAST((ck - ck_lo) * 65536 div (ck_hi - ck_lo + 1) AS BIGINT)"
+        ).alias("nx"),
+        F.expr(
+            "CAST((dy - dy_lo) * 65536 div (dy_hi - dy_lo + 1) AS BIGINT)"
+        ).alias("ny"),
+        "dy_lo",
+        "dy_hi",
+    )
+    inter = " + ".join(
+        [
+            f"shiftleft(shiftright(nx, {i}) & 1, {2 * i})"
+            f" + shiftleft(shiftright(ny, {i}) & 1, {2 * i + 1})"
+            for i in range(16)
+        ]
+    )
+    z = n.select(
+        "ck",
+        "dy",
+        F.expr(f"CAST({inter} AS BIGINT)").alias("zcode"),
+        "dy_lo",
+        "dy_hi",
+    )
+    za = z.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(
+            f"CAST(zcode * {_Z_FILES} div 4294967296 AS BIGINT)"
+        ).alias("file_id"),
+        "ck",
+        "dy",
+    )
+    da = n.select(
+        F.lit("date_binned").alias("layout"),
+        F.expr(
+            f"CAST((dy - dy_lo) * {_Z_FILES} div (dy_hi - dy_lo + 1)"
+            " AS BIGINT)"
+        ).alias("file_id"),
+        "ck",
+        "dy",
+    )
+    return (
+        za.unionByName(da)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ck").cast("bigint").alias("ck_min"),
+            F.max("ck").cast("bigint").alias("ck_max"),
+            F.min("dy").cast("bigint").alias("dy_min"),
+            F.max("dy").cast("bigint").alias("dy_max"),
+            (F.max("ck") - F.min("ck")).cast("bigint").alias("ck_span"),
+            (F.max("dy") - F.min("dy")).cast("bigint").alias("dy_span"),
+        )
+    )

@@ -467,6 +467,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "cohort_retention",  # NEW r13 (acquisition-cohort retention matrix)
     "event_spike_detection",  # NEW r13 (integer burst flag on windows)
     "curriculum_shard_order",  # NEW r13 (difficulty-binned curriculum)
+    "zorder_clustering_manifest",  # NEW r13 (Morton layout diagnostic)
 }
 
 

@@ -2261,3 +2261,25 @@ def test_hadamard_rotation_orthogonality(spark, sf_dir):
                 d0 = np.linalg.norm(orig[a] - orig[b])
                 d1 = np.linalg.norm(rot[a] - rot[b])
                 assert abs(d0 - d1) < 1e-9
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """Z-ordered files must bound the customer-key dimension far
+    tighter than date binning (which leaves it spanning ~everything),
+    while keeping date spans well under the full range."""
+    from arroyo_spark.queries.relational_extra import (
+        zorder_clustering_manifest,
+    )
+
+    rows = zorder_clustering_manifest(spark, sf_dir).collect()
+    zo = [r for r in rows if r["layout"] == "zorder"]
+    db = [r for r in rows if r["layout"] == "date_binned"]
+    assert zo and db
+    ck_zo = sum(r["ck_span"] for r in zo) / len(zo)
+    ck_db = sum(r["ck_span"] for r in db) / len(db)
+    full_dy = max(r["dy_max"] for r in rows) - min(
+        r["dy_min"] for r in rows
+    )
+    dy_zo = sum(r["dy_span"] for r in zo) / len(zo)
+    assert ck_zo < 0.5 * ck_db, (ck_zo, ck_db)
+    assert dy_zo < 0.8 * full_dy, (dy_zo, full_dy)
