@@ -1496,3 +1496,40 @@ def test_method_agreement_equijoin_only(spark, sf_dir):
     the bounded 3x3 method-size grid."""
     plan = plan_of(spark, sf_dir, "dedup_method_agreement")
     assert "CartesianProduct" not in plan
+
+
+def test_textrank_equijoin_only(spark, sf_dir):
+    """TextRank iterations are edge-keyed equi-joins + node-keyed aggs;
+    no cartesian work, no global window."""
+    plan = plan_of(spark, sf_dir, "text_textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_fuzzy_match_blocked_join(spark, sf_dir):
+    """Fuzzy ER must generate candidates through the token-blocking
+    equi-join — never a nested-loop over name pairs."""
+    plan = plan_of(spark, sf_dir, "fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_no_sort_no_window(spark, sf_dir):
+    """The layout manifest is binning + rollup: no global Sort, no
+    Window; min/max bounds ride the broadcast 1-row relation."""
+    plan = plan_of(spark, sf_dir, "zorder_clustering_manifest")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spike_window_partitioned(spark, sf_dir):
+    """The spike lag window must be PARTITIONED by event_type (a global
+    unpartitioned window is the scale-killer the suite bans)."""
+    plan = plan_of(spark, sf_dir, "event_spike_detection")
+    import re
+
+    assert "Window" in plan
+    # every Window node carries a partition spec over event_type
+    for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in w, plan[:3000]
