@@ -2899,3 +2899,109 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(hi - lo + 1, 1), 9) AS BIGINT)"
         ).alias("stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming secret monitor — `text_secret_scan` ON INGEST (the live
+# compliance dashboard's credential leg beside streaming_pii_monitor):
+# per-doc pattern counts are a stateless regex projection over the
+# arriving stream (the plant included, so drained state equals the
+# batch scan exactly), then ONE update-mode groupBy(source) maintains
+# the monotone counters. State is |sources| rows.
+# ---------------------------------------------------------------------------
+
+
+def _install_streaming_secret_oracle() -> None:
+    from dataclasses import replace
+
+    from arroyo_spark.suite import _REGISTRY as _R
+
+    _R["streaming_secret_monitor"] = replace(
+        _R["streaming_secret_monitor"],
+        oracle=_R["text_secret_scan"].oracle,
+    )
+
+
+@query(
+    "streaming_secret_monitor",
+    oracle=None,  # installed below: shares the batch scan's oracle verbatim
+    tags=("curation", "secrets", "streaming", "compliance"),
+)
+def streaming_secret_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source credential incidence maintained on ingest; drained
+    state equals the batch `text_secret_scan` answer."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from arroyo_spark.queries.text_pipeline import _cp_doc_stream
+
+    stream, staged_dirs = _cp_doc_stream(spark, sf_dir)
+    payload = F.expr(_SEC_PLANT)
+    c = stream.select(
+        "source",
+        F.regexp_count(payload, F.lit(_SEC_AWS)).cast("bigint").alias("n_aws"),
+        F.regexp_count(payload, F.lit(_SEC_GH))
+        .cast("bigint")
+        .alias("n_github"),
+        F.regexp_count(payload, F.lit(_SEC_PK))
+        .cast("bigint")
+        .alias("n_privkey"),
+        F.regexp_count(payload, F.lit(_SEC_JWT))
+        .cast("bigint")
+        .alias("n_jwt"),
+    )
+    any_sec = (
+        F.col("n_aws") + F.col("n_github") + F.col("n_privkey")
+        + F.col("n_jwt")
+        > 0
+    ).cast("int")
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(any_sec).cast("bigint").alias("docs_with_secret"),
+        F.sum("n_aws").cast("bigint").alias("total_aws"),
+        F.sum("n_github").cast("bigint").alias("total_github"),
+        F.sum("n_privkey").cast("bigint").alias("total_privkey"),
+        F.sum("n_jwt").cast("bigint").alias("total_jwt"),
+    )
+    name = "ssm_" + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="ssm_ck_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming_secret_monitor: stream did not drain in 600s"
+            )
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc())
+    final = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        "docs_with_secret",
+        "total_aws",
+        "total_github",
+        "total_privkey",
+        "total_jwt",
+        F.expr(
+            "CAST(docs_with_secret * 1000 div n_docs AS BIGINT)"
+        ).alias("secret_milli"),
+    )
+
+
+_install_streaming_secret_oracle()

@@ -468,6 +468,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "event_spike_detection",  # NEW r13 (integer burst flag on windows)
     "curriculum_shard_order",  # NEW r13 (difficulty-binned curriculum)
     "zorder_clustering_manifest",  # NEW r13 (Morton layout diagnostic)
+    "streaming_secret_monitor",  # NEW r13 (secret scan on ingest)
 }
 
 
