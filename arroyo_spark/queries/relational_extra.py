@@ -902,3 +902,72 @@ def zorder_clustering_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("dy") - F.min("dy")).cast("bigint").alias("dy_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table statistics profile — the ANALYZE TABLE artifact a cost-based
+# optimizer consumes (row counts, per-column NDV, null fractions,
+# min/max): computed for the six integer-able lineitem columns the
+# TPC-H plans filter and join on. At 100 TB the NDV arm swaps to the
+# suite's HLL sketch (O(registers) per column); here the exact
+# COUNT(DISTINCT) doubles as the verification control. Dates profile
+# as integer epoch-days; quantities are integral by construction.
+#
+# Scale: one scan, six map-side-combinable aggregate sets unioned as
+# 1-row relations each — no shuffle wider than the partial-agg merge.
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = (
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_linenumber", "l_linenumber"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_shipdate", "CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP))"
+                   " // 86400000000 AS BIGINT)"),
+)
+
+
+def _stats_arm_sql(name: str, expr: str) -> str:
+    return f"""
+    SELECT '{name}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS ndv,
+           CAST(MIN({expr}) AS BIGINT) AS min_v,
+           CAST(MAX({expr}) AS BIGINT) AS max_v
+    FROM lineitem"""
+
+
+@query(
+    "table_stats_profile",
+    oracle=" UNION ALL ".join(
+        _stats_arm_sql(n, e) for n, e in _STATS_COLS
+    ),
+    tags=("relational", "statistics", "cbo"),
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column CBO statistics (rows, nulls, NDV, min/max) for the
+    lineitem join/filter columns; dates as integer epoch-days."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = []
+    for name, expr in _STATS_COLS:
+        e = expr.replace("epoch_us", "unix_micros").replace("//", "div")
+        c = F.expr(e)
+        arms.append(
+            li.agg(
+                F.lit(name).alias("col_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(c.isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("ndv"),
+                F.min(c).cast("bigint").alias("min_v"),
+                F.max(c).cast("bigint").alias("max_v"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -469,6 +469,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "curriculum_shard_order",  # NEW r13 (difficulty-binned curriculum)
     "zorder_clustering_manifest",  # NEW r13 (Morton layout diagnostic)
     "streaming_secret_monitor",  # NEW r13 (secret scan on ingest)
+    "table_stats_profile",  # NEW r13 (ANALYZE/CBO column statistics)
 }
 
 
