@@ -353,3 +353,80 @@ def tokenizer_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = snap(vocab, i)
             out = s if out is None else out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the other axis of the tokenizer-budget
+# decision (Gowda & May 2020 study both): what share of the RUNNING
+# TOKEN STREAM the top-k word types cover, at a sweep of budgets. The
+# flat tail of this curve is what subword tokenizers exist to absorb;
+# read beside tokenizer_scaling_curve it brackets the budget choice
+# from both sides (type coverage vs bytes/token).
+#
+# Scale: one token explode + one type groupBy; each budget's top-k is
+# TakeOrderedAndProject (k rows to the driver merge, never a global
+# sort); coverage sums ride 1-row broadcasts. Determinism: ties in the
+# top-k boundary break on (count DESC, word).
+# ---------------------------------------------------------------------------
+
+_VC_BUDGETS = (16, 64, 256, 1024)
+
+
+def _vc_arm_sql(k: int) -> str:
+    return f"""
+    SELECT CAST({k} AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_types_used,
+           CAST(SUM(c) AS BIGINT) AS covered_tokens
+    FROM (SELECT c FROM cw ORDER BY c DESC, w LIMIT {k}) t"""
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS w FROM documents),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types FROM cw),
+    arms AS ({" UNION ALL ".join(_vc_arm_sql(k) for k in _VC_BUDGETS)})
+    SELECT arms.budget, arms.n_types_used, arms.covered_tokens,
+           tot.n_tokens, tot.n_types,
+           CAST(arms.covered_tokens * 1000 // tot.n_tokens AS BIGINT)
+             AS coverage_milli
+    FROM arms CROSS JOIN tot
+    """,
+    tags=("text", "tokenizer", "report", "scaling"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream coverage of the top-k word types at four vocabulary
+    budgets, beside corpus totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    from arroyo_spark.operators import text as T2
+
+    toks = docs.select(F.explode(T2.toks("text")).alias("w"))
+    cw = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
+    tot = cw.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    arms = None
+    for k in _VC_BUDGETS:
+        top = cw.orderBy(F.col("c").desc(), "w").limit(k)
+        arm = top.agg(
+            F.lit(k).cast("bigint").alias("budget"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types_used"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "budget",
+        "n_types_used",
+        "covered_tokens",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(covered_tokens * 1000 div n_tokens AS BIGINT)"
+        ).alias("coverage_milli"),
+    )

@@ -470,6 +470,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "zorder_clustering_manifest",  # NEW r13 (Morton layout diagnostic)
     "streaming_secret_monitor",  # NEW r13 (secret scan on ingest)
     "table_stats_profile",  # NEW r13 (ANALYZE/CBO column statistics)
+    "vocab_coverage_curve",  # NEW r13 (top-k type coverage sweep)
 }
 
 
