@@ -3005,3 +3005,192 @@ def streaming_secret_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_streaming_secret_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Filter agreement (Cohen's kappa, Cohen 1960) — the governance stat
+# for redundant quality gates: chance-corrected agreement between the
+# trained classifier's keep decision and the Gopher rule keep over the
+# same corpus. kappa ~ 1 means one filter is redundant; kappa ~ 0
+# means they disagree beyond chance and the ensemble actually earns
+# its cost. The 2x2 confusion counts are exact integers; kappa's
+#   (p_o - p_e) / (1 - p_e)
+# is computed from them in one fixed double expression rounded to 6.
+#
+# Scale: two adjudicated linear scorers joined doc-keyed, one 1-row
+# confusion aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from arroyo_spark.queries.text import GOPHER_ORACLE
+    from arroyo_spark.queries.text_pipeline import QUALITY_CLS_ORACLE
+
+    return f"""
+    WITH g AS (SELECT doc_id, keep AS g_keep FROM ({GOPHER_ORACLE}) t),
+    c AS (SELECT doc_id, keep AS c_keep FROM ({QUALITY_CLS_ORACLE}) t),
+    j AS (SELECT g.g_keep, c.c_keep FROM g JOIN c USING (doc_id)),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tt,
+             CAST(SUM(CASE WHEN g_keep AND NOT c_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tf,
+             CAST(SUM(CASE WHEN NOT g_keep AND c_keep THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ft,
+             CAST(SUM(CASE WHEN NOT g_keep AND NOT c_keep THEN 1 ELSE 0
+                  END) AS BIGINT) AS ff
+      FROM j)
+    SELECT n, tt, tf, ft, ff,
+           round((tt + ff) / CAST(n AS DOUBLE), 6) AS p_o,
+           round(((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+           round(((tt + ff) / CAST(n AS DOUBLE)
+                  - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+             AS kappa
+    FROM m
+    """
+
+
+@query(
+    "classifier_agreement_kappa",
+    oracle=None,  # installed below (composes two registered oracles)
+    tags=("curation", "quality", "report", "statistics"),
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: 2x2 keep-decision confusion between the Gopher rules
+    and the trained classifier, with observed/expected agreement and
+    Cohen's kappa."""
+    from arroyo_spark.queries.text import text_gopher_filters
+    from arroyo_spark.queries.text_pipeline import text_quality_classifier
+
+    g = text_gopher_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    c = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c_keep")
+    )
+    j = g.join(c, "doc_id")
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("g_keep") & F.col("c_keep")).cast("int"))
+        .cast("bigint")
+        .alias("tt"),
+        F.sum((F.col("g_keep") & ~F.col("c_keep")).cast("int"))
+        .cast("bigint")
+        .alias("tf"),
+        F.sum((~F.col("g_keep") & F.col("c_keep")).cast("int"))
+        .cast("bigint")
+        .alias("ft"),
+        F.sum((~F.col("g_keep") & ~F.col("c_keep")).cast("int"))
+        .cast("bigint")
+        .alias("ff"),
+    )
+    nd = F.col("n").cast("double")
+    pe = (
+        (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft"))
+        + (F.col("ft") + F.col("ff")) * (F.col("tf") + F.col("ff"))
+    ) / (nd * nd)
+    po = (F.col("tt") + F.col("ff")) / nd
+    return m.select(
+        "n",
+        "tt",
+        "tf",
+        "ft",
+        "ff",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def _install_kappa_oracle() -> None:
+    from dataclasses import replace
+
+    from arroyo_spark.suite import _REGISTRY as _R
+
+    _R["classifier_agreement_kappa"] = replace(
+        _R["classifier_agreement_kappa"], oracle=_kappa_oracle()
+    )
+
+
+_install_kappa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache sharing report — the inference-cost lever behind
+# KV-cache prefix reuse (vLLM's automatic prefix caching; shared
+# system prompts / few-shot preambles): cluster docs by their first-k
+# TOKENS (md5 of the joined prefix) at a sweep of depths and emit, per
+# depth, how many docs share a prefix with at least one other doc and
+# the token volume a prefix cache would serve from memory
+# (sum over groups of (members - 1) * k). Rising savings with depth
+# means the corpus has long shared preambles worth caching (or worth
+# deduplicating before training — the same signal read two ways).
+#
+# Scale: per depth ONE md5-keyed groupBy of (prefix-hash) — map-side
+# combinable, prefix hashes are fixed-width regardless of text size;
+# the depth sweep is 3 bounded arms unioned.
+# ---------------------------------------------------------------------------
+
+_PC_DEPTHS = (4, 8, 16)
+
+
+def _pc_arm_sql(k: int) -> str:
+    return f"""
+    SELECT CAST({k} AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_eligible,
+           CAST(COUNT(DISTINCT pfx) AS BIGINT) AS n_prefixes,
+           CAST(SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_shared,
+           CAST(SUM(CASE WHEN gc > 1 THEN {k} ELSE 0 END)
+                - COUNT(DISTINCT CASE WHEN gc > 1 THEN pfx END) * {k}
+                AS BIGINT) AS cached_tokens_saved
+    FROM (
+      SELECT pfx, COUNT(*) OVER (PARTITION BY pfx) AS gc
+      FROM (
+        SELECT md5(array_to_string(list_slice(tk, 1, {k}), ' ')) AS pfx
+        FROM t WHERE len(tk) >= {k}) p) q"""
+
+
+@query(
+    "prefix_cache_report",
+    oracle=f"""
+    WITH t AS (SELECT {_CUR_TOKS} AS tk FROM documents)
+    {" UNION ALL ".join(_pc_arm_sql(k) for k in _PC_DEPTHS)}
+    """,
+    tags=("curation", "inference", "prefix-cache", "report"),
+)
+def prefix_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per prefix depth k in {4,8,16}: eligible docs, distinct
+    prefixes, docs sharing a prefix, and the prefix-cache token
+    savings ((members-1)*k summed over shared groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = T.toks("text")
+    base = docs.select(tk.alias("tk"), F.size(tk).alias("n"))
+    arms = None
+    for k in _PC_DEPTHS:
+        p = base.filter(F.col("n") >= k).select(
+            F.md5(F.array_join(F.slice("tk", 1, k), " ")).alias("pfx")
+        )
+        g = p.groupBy("pfx").agg(
+            F.count(F.lit(1)).cast("bigint").alias("gc")
+        )
+        arm = g.agg(
+            F.lit(k).cast("bigint").alias("depth"),
+            F.sum("gc").cast("bigint").alias("n_docs_eligible"),
+            F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+            F.sum(F.when(F.col("gc") > 1, F.col("gc")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_shared"),
+            F.sum(
+                F.when(F.col("gc") > 1, (F.col("gc") - 1) * k).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cached_tokens_saved"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms

@@ -471,6 +471,8 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_secret_monitor",  # NEW r13 (secret scan on ingest)
     "table_stats_profile",  # NEW r13 (ANALYZE/CBO column statistics)
     "vocab_coverage_curve",  # NEW r13 (top-k type coverage sweep)
+    "classifier_agreement_kappa",  # NEW r13 (Cohen's kappa, filters)
+    "prefix_cache_report",  # NEW r13 (KV prefix-cache sharing sweep)
 }
 
 
