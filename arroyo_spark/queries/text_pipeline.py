@@ -5025,6 +5025,7 @@ def _tr_iter_cte(i: int) -> str:
     ORDER BY pr{_TR_ITERS}.p DESC, n.word LIMIT {_TR_TOPK}
     """,
     tags=("text", "keywords", "textrank", "iterative"),
+    bench=True,
 )
 def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus keywords by 4-iteration integer TextRank over the
