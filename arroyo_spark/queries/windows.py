@@ -734,3 +734,66 @@ def event_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * 4 > 3 * F.col("sum_prev4"))
         ).alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion by acquisition cohort — the composition every
+# product-analytics stack ships on top of cohorting: per first-
+# activity-day cohort, how many users ever signed up and what share of
+# those went on to purchase (conversion in milli-units). Joins the
+# cohort assignment (integer epoch-day, as in cohort_retention) with
+# per-user event-type presence flags — one distinct projection, one
+# per-user rollup, one cohort rollup; no windows, no self-joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_funnel_conversion",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id,
+             CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT)
+               AS cohort_day,
+             CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS did_signup,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS did_purchase
+      FROM events GROUP BY user_id)
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(did_signup) AS BIGINT) AS n_signup,
+           CAST(SUM(did_signup * did_purchase) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(did_signup * did_purchase) * 1000
+                // GREATEST(SUM(did_signup), 1) AS BIGINT)
+             AS conversion_milli
+    FROM ue GROUP BY cohort_day
+    """,
+    tags=("relational", "analytics", "funnel", "cohort", "events"),
+)
+def cohort_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per acquisition-day cohort: users, signups, signup->purchase
+    conversions and the conversion share in milli-units."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(MIN(unix_micros(ts) div 86400000000) AS BIGINT)"
+        ).alias("cohort_day"),
+        F.max((F.col("event_type") == "signup").cast("int"))
+        .cast("bigint")
+        .alias("did_signup"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("did_purchase"),
+    )
+    return ue.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("did_signup").cast("bigint").alias("n_signup"),
+        F.sum(F.col("did_signup") * F.col("did_purchase"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.expr(
+            "CAST(SUM(did_signup * did_purchase) * 1000"
+            " div GREATEST(SUM(did_signup), 1) AS BIGINT)"
+        ).alias("conversion_milli"),
+    )

@@ -473,6 +473,7 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "vocab_coverage_curve",  # NEW r13 (top-k type coverage sweep)
     "classifier_agreement_kappa",  # NEW r13 (Cohen's kappa, filters)
     "prefix_cache_report",  # NEW r13 (KV prefix-cache sharing sweep)
+    "cohort_funnel_conversion",  # NEW r13 (conversion by cohort)
 }
 
 
