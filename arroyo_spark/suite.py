@@ -382,6 +382,35 @@ _GREEN_R12 = frozenset(
 )
 
 
+_GREEN_R13 = frozenset(
+    {
+        'ann_recall_check', 'bloom_line_membership',
+        'contamination_min_k_prob', 'corpus_distinct_ngrams',
+        'corpus_distinct_ngrams_hll', 'curation_diverse_topk',
+        'curation_pipeline_v6', 'dedup_cdc_chunks', 'dedup_cluster_stats',
+        'dedup_duplicate_clusters_star', 'dedup_line_level',
+        'dedup_method_agreement', 'dedup_paragraph_minhash',
+        'dedup_paragraph_rebuild', 'dedup_soft_weights',
+        'embedding_kcenter_coreset', 'embedding_outlier_report',
+        'eval_set_stratified', 'fim_transform_manifest', 'knn_graph_ann',
+        'knn_hnsw_ann', 'knn_ivfpq_ann', 'knn_ivfpq_rerank',
+        'knn_pq_hadamard_ann', 'leakage_safe_splits',
+        'minhash_bbit_estimate', 'mixture_epoch_manifest',
+        'mixture_temperature_sweep', 'perplexity_filter_agreement',
+        'pii_rate_by_source', 'preference_pair_manifest', 'reward_bt_train',
+        'sample_neyman_allocation', 'sequence_packing_boundaries',
+        'sequence_packing_gpt', 'sequence_packing_gpt_2level',
+        'source_duplicate_matrix', 'span_corruption_manifest',
+        'streaming_budget_admission', 'streaming_paragraph_dupshare',
+        'streaming_pii_monitor', 'streaming_quality_monitor',
+        'text_char_entropy', 'text_loop_detection', 'text_mojibake_repair',
+        'text_pmi_collocations', 'text_secret_scan',
+        'text_textrank_keywords', 'text_unicode_nfc',
+        'token_budget_bfd_packing',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -390,96 +419,38 @@ _GREEN_R12 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r13 edits (populated as code is touched this round):
-    "sequence_packing_gpt",  # ADVICE r12: oracle range bound now derived
-                             # from seq_first..seq_last (no 1e6 cap);
-                             # oracle extracted into _SEQPACK_ORACLE
-    "sequence_packing_gpt_2level",  # NEW r13 (verdict #2 scale path)
-    "mm_audio_wav_real",  # ADVICE r12: stereo mixdown simplified to
-                          # (l+r)//2 (arithmetically identical)
-    "mm_video_y4m_real",  # ADVICE r12: odd-dim C420 now rejected loudly
-    "mm_image_png_real",  # NEW r13 (verdict #3: real PNG in the gate)
-    "mm_image_jpeg_real",  # NEW r13 (verdict #3: real JPEG in the gate)
-    "token_budget_bfd_packing",  # NEW r13 (verdict #4: BFD arm + waste)
-    "dedup_paragraph_minhash",  # NEW r13 (verdict #5: paragraph near-dup)
-    "dedup_line_level",  # _line_chunks gained a width param (default
-    "bloom_line_membership",  # unchanged; consumers re-verify anyway)
-    "knn_hnsw_ann",  # NEW r13 (verdict #6: two-level HNSW-style arm)
-    "knn_graph_ann",  # seed prune now per-(q,cell) (identity at
-                      # seed_probe=1; re-verified green)
-    "ann_recall_check",  # gained the eighth (hnsw) arm
-    "tokenizer_family_report",  # NEW r13 (verdict #7: 4-family report)
-    "reward_bt_train",  # NEW r13 (Bradley-Terry preference trainer)
-    "embedding_kcenter_coreset",  # NEW r13 (Gonzalez k-center coreset)
-    "streaming_budget_admission",  # NEW r13 (UniMax enforced on ingest)
-    "contamination_min_k_prob",  # NEW r13 (Min-K% Prob membership)
-    "retrieval_eval_report",  # NEW r13 (nDCG/MRR/recall IR report)
-    "source_duplicate_matrix",  # NEW r13 (cross-source line leakage)
-    "corpus_distinct_ngrams",  # NEW r13 (distinct-1/2/3 diversity)
-    "dedup_paragraph_rebuild",  # NEW r13 (keep-first paragraph removal)
-    "dedup_paragraph_minhash",  # oracle refactor: shared _para_pair_ctes
-    "sequence_packing_boundaries",  # NEW r13 (attention-mask resets)
-    "leakage_safe_splits",  # NEW r13 (cluster-granular 90/5/5 splits)
-    "corpus_distinct_ngrams_hll",  # NEW r13 (sketch arm of distinct-n)
-    "curation_diverse_topk",  # NEW r13 (cluster-capped quality pick)
-    "text_unicode_nfc",  # NEW r13 (NFC normalization stage)
-    "bm25_maxp_passages",  # NEW r13 (maxP long-doc retrieval)
-    "pii_rate_by_source",  # NEW r13 (privacy-compliance rollup)
-    "mixture_epoch_manifest",  # NEW r13 (UniMax realization audit)
-    "eval_set_stratified",  # NEW r13 (balanced eval construction)
-    "streaming_paragraph_dupshare",  # NEW r13 (paragraph family on ingest)
-    "mixture_temperature_sweep",  # NEW r13 (dyadic alpha grid)
-    "span_corruption_manifest",  # NEW r13 (T5 denoising prep)
-    "dedup_cdc_chunks",  # NEW r13 (shift-robust CDC chunk dedup)
-    "dedup_duplicate_clusters_star",  # NEW r13 (Kiveris star CC arm)
-    "retrieval_eval_report",  # perf: ONE shared term table for both arms
-    "streaming_pii_monitor",  # NEW r13 (compliance rollup on ingest)
-    "pii_rate_by_source",  # oracle extracted into _PII_RATE_ORACLE
-    "ql_dirichlet_topk",  # NEW r13 (Dirichlet query likelihood)
-    "embedding_outlier_report",  # NEW r13 (planted-outlier detection)
-    "retrieval_arm_agreement",  # NEW r13 (overlap@5 between arm pairs)
-    "retrieval_eval_report",  # refactor: arms via shared _three_arms
-    "bm25_hard_negatives",  # NEW r13 (DPR-style negative mining)
-    "curation_pipeline_v6",  # NEW r13 (paragraph gate + splits + NFC)
-    "tokenizer_vocab_overlap",  # NEW r13 (cross-family unit convergence)
-    "text_pmi_collocations",  # NEW r13 (PMI collocation mining)
-    "preference_pair_manifest",  # NEW r13 (DPO pair construction)
-    "fim_transform_manifest",  # NEW r13 (fill-in-the-middle manifest)
-    "tokenizer_scaling_curve",  # NEW r13 (vocab-size compression curve)
-    "dedup_method_agreement",  # NEW r13 (near-dup method calibration)
-    "text_char_entropy",  # NEW r13 (gibberish/entropy quality signal)
-    "text_loop_detection",  # NEW r13 (generation-loop tail detector)
-    "minhash_bbit_estimate",  # NEW r13 (1-bit minhash debiased arm)
-    "perplexity_filter_agreement",  # NEW r13 (bigram vs KN confusion)
-    "dedup_soft_weights",  # NEW r13 (1/n duplicate down-weighting)
-    "streaming_quality_monitor",  # NEW r13 (entropy+loop on ingest)
-    "text_mojibake_repair",  # NEW r13 (ftfy-style encoding repair)
-    "knn_pq_hadamard_ann",  # NEW r13 (structured-rotation OPQ baseline)
-    "ann_recall_check",  # gained the ninth (pq_rot) arm
-    "knn_ivfpq_ann",  # _ivfpq_scored gained the emb override param
-    "knn_ivfpq_rerank",  # (same touch; behavior identical, re-verify)
-    "text_secret_scan",  # NEW r13 (credential-leak compliance scan)
-    "sample_neyman_allocation",  # NEW r13 (optimal stratified budget)
-    "dataset_card_report",  # NEW r13 (datasheet capstone composition)
-    "dedup_cluster_stats",  # NEW r13 (cluster-size distribution)
-    "text_textrank_keywords",  # NEW r13 (integer TextRank, 4 iters)
-    "fuzzy_name_match",  # NEW r13 (token-blocked ER + levenshtein)
-    "cohort_retention",  # NEW r13 (acquisition-cohort retention matrix)
-    "event_spike_detection",  # NEW r13 (integer burst flag on windows)
-    "curriculum_shard_order",  # NEW r13 (difficulty-binned curriculum)
-    "zorder_clustering_manifest",  # NEW r13 (Morton layout diagnostic)
-    "streaming_secret_monitor",  # NEW r13 (secret scan on ingest)
-    "table_stats_profile",  # NEW r13 (ANALYZE/CBO column statistics)
-    "vocab_coverage_curve",  # NEW r13 (top-k type coverage sweep)
-    "classifier_agreement_kappa",  # NEW r13 (Cohen's kappa, filters)
-    "prefix_cache_report",  # NEW r13 (KV prefix-cache sharing sweep)
-    "cohort_funnel_conversion",  # NEW r13 (conversion by cohort)
+    # r14 edits (populated as code is touched this round):
+    "embedding_outlier_report",  # r13 verdict #2: exact median now a
+                                 # two-pass bucketed selection (no
+                                 # per-vector window); same oracle
+    "sample_neyman_allocation",  # ADVICE r13: singleton-stratum 0/0
+                                 # clamped via GREATEST(.., 1) both sides
+    "classifier_agreement_kappa",  # ADVICE r13: p_e=1 degeneracy emits
+                                   # 0 via exact-integer test both sides
+    "text_char_entropy",  # ADVICE r13: entropy terms quantized to
+                          # integer nano-units before summing
+    "streaming_quality_monitor",  # (same change: in-row fold now sums
+                                  # the identical BIGINT nano terms)
+    "knn_pq_hadamard_ann",  # ADVICE r13: hadamard_rotate checkpoint now
+                            # lazy (values identical; plan-time jobs gone)
+    "ann_recall_check",  # (consumes the pq_rot arm; re-verify)
+    "streaming_cohort_retention",  # NEW r14 (verdict #6: retention on
+                                   # ingest — (user, day) presence state)
+    "streaming_cohort_funnel",  # NEW r14 (verdict #6: funnel flags as
+                                # |users|-row update-mode state)
+    "semdedup_pca_pruning",  # NEW r14 (verdict #7.1: SemDeDup over the
+                             # corpus-TRAINED top-2 PCA quantizer)
+    "dedup_cdc_chunks",  # impl refactor: chunk table factored into
+                         # cdc_chunk_frame (oracle byte-identical) for
+                         # the retrieval provenance join
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R13:
+        return 13
     if name in _GREEN_R12:
         return 12
     if name in _GREEN_R11:
@@ -507,11 +478,55 @@ def _verification_tier(name: str) -> int:
     return 0  # never verified: always first
 
 
+# The driver samples the FIRST `_DRIVER_BUDGET` entries of ``all_queries``
+# each round. Round 13 proved that letting the dirty/new tier (-1/0) sort
+# unconditionally first breaks the rotation once it outgrows that budget:
+# 78 dirty entries crowded out both 22 never-checked newcomers and the
+# oldest-stale greens the r12 verdict had ordered first (r13 verdict,
+# "What's wrong" #3). ``sweep_order`` therefore reserves a slice of the
+# budget for the oldest green tiers no matter how large the fresh set is.
+_DRIVER_BUDGET = 50
+# Minimum first-window slots reserved for oldest-green (stale) entries when
+# the dirty/never set alone would overflow the budget. 8/50 keeps staleness
+# bounded (~6 rounds of full rotation over 250 queries in the worst case)
+# while leaving 42 slots — more than any round's intended registration +
+# touch count — for fresh entries.
+_DEBT_RESERVE = 8
+
+
+def sweep_order(
+    entries: list[tuple[str, int]],
+    budget: int = _DRIVER_BUDGET,
+    debt_reserve: int = _DEBT_RESERVE,
+) -> list[str]:
+    """Order ``(name, tier)`` pairs for the driver's bounded sweep.
+
+    ``entries`` is in registration order; ``tier`` is -1 (modified this
+    round), 0 (never driver-checked) or the round of the latest green.
+    Within the first ``budget`` slots, fresh entries (tier <= 0, dirty
+    before never-checked) take at most ``budget - debt_reserve`` slots;
+    the remainder goes to green entries OLDEST tier first, so a
+    five-rounds-stale anchor can never again be crowded out by an
+    oversized fresh set. Past the budget window the same (tier,
+    registration) order continues: overflow fresh first, then the
+    remaining greens oldest-first.
+    """
+    fresh = [(t, i, n) for i, (n, t) in enumerate(entries) if t <= 0]
+    green = [(t, i, n) for i, (n, t) in enumerate(entries) if t > 0]
+    fresh.sort()
+    green.sort()
+    fresh_cap = max(budget - debt_reserve, 0) if green else budget
+    head_fresh = fresh[:fresh_cap]
+    head_green = green[: budget - len(head_fresh)]
+    tail = fresh[fresh_cap:] + green[len(head_green):]
+    tail.sort()
+    return [n for _, _, n in head_fresh + head_green + tail]
+
+
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    return dict(
-        sorted(_REGISTRY.items(), key=lambda kv: _verification_tier(kv[0]))
-    )
+    entries = [(name, _verification_tier(name)) for name in _REGISTRY]
+    return {name: _REGISTRY[name] for name in sweep_order(entries)}
 
 
 _LOADED = False

@@ -1,0 +1,104 @@
+"""Debt-aware driver sweep ordering (r13 verdict items #1/#3).
+
+The driver checks only the first ``_DRIVER_BUDGET`` entries of
+``all_queries()`` per round. Round 13 showed that an oversized dirty set
+(78 entries vs a 50 budget) silently crowds out both never-checked
+newcomers and the oldest stale greens. ``sweep_order`` fixes this by
+reserving ``_DEBT_RESERVE`` first-window slots for the oldest green tiers;
+these tests pin that contract.
+"""
+
+from __future__ import annotations
+
+from arroyo_spark.suite import (
+    _DEBT_RESERVE,
+    _DRIVER_BUDGET,
+    _verification_tier,
+    all_queries,
+    sweep_order,
+)
+
+
+def test_oversized_dirty_set_cannot_crowd_out_oldest_stale():
+    # The r13 failure mode, synthetically: 80 dirty entries vs a 50
+    # budget. The oldest stale green (tier 8) must still land in the
+    # first 50 slots.
+    entries = [(f"dirty_{i:02d}", -1) for i in range(80)]
+    entries += [("stale_r08", 8)] + [(f"green_r09_{i:02d}", 9) for i in range(40)]
+    order = sweep_order(entries, budget=50, debt_reserve=8)
+    head = order[:50]
+    assert "stale_r08" in head
+    # The reserve admits the 8 oldest greens: r08 first, then 7 of r09.
+    assert sum(1 for n in head if not n.startswith("dirty_")) == 8
+    assert head.index("stale_r08") == 42  # right after the 42 fresh slots
+
+
+def test_fresh_set_within_cap_all_checked_then_oldest_greens():
+    # This round's intended shape: dirty + never-checked fit under the
+    # cap, so ALL of them are in the head, and the remaining slots go to
+    # greens oldest-tier-first.
+    entries = (
+        [(f"dirty_{i}", -1) for i in range(10)]
+        + [(f"never_{i}", 0) for i in range(22)]
+        + [(f"g12_{i}", 12) for i in range(30)]
+        + [("stale_a", 8), ("stale_b", 8), ("stale_c", 8)]
+        + [(f"g09_{i}", 9) for i in range(45)]
+    )
+    order = sweep_order(entries, budget=50, debt_reserve=8)
+    head = order[:50]
+    assert all(f"dirty_{i}" in head for i in range(10))
+    assert all(f"never_{i}" in head for i in range(22))
+    assert {"stale_a", "stale_b", "stale_c"} <= set(head)
+    # remaining 15 slots go to r09 greens, never to the r12 tier
+    assert sum(1 for n in head if n.startswith("g09_")) == 15
+    assert not any(n.startswith("g12_") for n in head)
+
+
+def test_no_greens_budget_goes_entirely_to_fresh():
+    entries = [(f"f{i}", 0) for i in range(60)]
+    order = sweep_order(entries, budget=50, debt_reserve=8)
+    assert order == [f"f{i}" for i in range(60)]
+
+
+def test_overflow_fresh_precede_remaining_greens_in_tail():
+    entries = [(f"dirty_{i:03d}", -1) for i in range(60)] + [
+        (f"green_{i:02d}", 9) for i in range(20)
+    ]
+    order = sweep_order(entries, budget=50, debt_reserve=8)
+    # 42 fresh + 8 greens in the head; tail = 18 overflow fresh, then
+    # the 12 remaining greens.
+    assert order[50:68] == [f"dirty_{i:03d}" for i in range(42, 60)]
+    assert order[68:] == [f"green_{i:02d}" for i in range(8, 20)]
+
+
+def test_real_registry_head_pays_the_r13_debt():
+    # The 22 queries that registered in r13 but never received a driver
+    # correctness row (r13 verdict, "What's missing" #1) plus the three
+    # r08-stale anchors must all sit inside this round's driver window.
+    never_checked = {
+        "bm25_hard_negatives", "bm25_maxp_passages",
+        "classifier_agreement_kappa", "cohort_funnel_conversion",
+        "cohort_retention", "curriculum_shard_order", "dataset_card_report",
+        "event_spike_detection", "fuzzy_name_match", "mm_image_jpeg_real",
+        "mm_image_png_real", "prefix_cache_report", "ql_dirichlet_topk",
+        "retrieval_arm_agreement", "retrieval_eval_report",
+        "streaming_secret_monitor", "table_stats_profile",
+        "tokenizer_family_report", "tokenizer_scaling_curve",
+        "tokenizer_vocab_overlap", "vocab_coverage_curve",
+        "zorder_clustering_manifest",
+    }
+    r08_stale = {
+        "asof_purchase_last_click", "range_join_value_bands",
+        "rollup_revenue_by_region_nation",
+    }
+    names = list(all_queries())
+    head = set(names[:_DRIVER_BUDGET])
+    missing = (never_checked | r08_stale) - head
+    assert not missing, f"debt entries outside the driver window: {sorted(missing)}"
+    # and the fresh set must fit under the cap so nothing re-registers
+    # ahead of the budget this round
+    fresh = [n for n in names if _verification_tier(n) <= 0]
+    assert len(fresh) <= _DRIVER_BUDGET - _DEBT_RESERVE, (
+        "fresh (dirty+never-checked) set exceeds the sweep cap: "
+        f"{len(fresh)} > {_DRIVER_BUDGET - _DEBT_RESERVE}"
+    )
