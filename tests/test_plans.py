@@ -1533,3 +1533,23 @@ def test_spike_window_partitioned(spark, sf_dir):
     # every Window node carries a partition spec over event_type
     for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "event_type" in w, plan[:3000]
+
+
+def test_outlier_report_no_pervector_window(spark, sf_dir):
+    """Outlier report (r13 verdict #2): the exact median must come from
+    the two-pass bucketed selection — windows may only run over the
+    bounded bucket / in-bucket distinct-distance aggregates, never a
+    ROW_NUMBER/COUNT window over the per-vector relation."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "embedding_outlier_report")
+    assert "row_number" not in plan, plan[:3000]
+    # no window orders by vec_id (the old global tie-broken rank) and no
+    # window-side global count over the corpus
+    for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "vec_id" not in w, plan[:3000]
+    # the surviving cumsum windows sit above hash aggregates (bucket
+    # counts / distinct-distance counts), so the full plan still shows
+    # aggregation, and the median joins back via a broadcast
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
