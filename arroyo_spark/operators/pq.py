@@ -160,6 +160,7 @@ def _train_encode_quantized(
     (integer components — exact sums). Shared by the raw path and the
     residual path, so the two encodings cannot drift algorithmically."""
     sub = dim // m
+    # bounded: k-rows init
     init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
     codebooks: list[list[tuple[int, list[float]]]] = [
         [
@@ -193,6 +194,7 @@ def _train_encode_quantized(
             .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
         )
         by_sc: dict[tuple[int, int], list[float]] = {}
+        # bounded: m x k x sub codebook cells (<=4096)
         for r in per_dim.collect():
             by_sc.setdefault((int(r["s"]), int(r["code"])), [0.0] * sub)[
                 r["d"]
@@ -283,7 +285,7 @@ def cell_unit_centroids(
         )
     )
     cents: dict[int, list[int]] = {}
-    for r in per.collect():
+    for r in per.collect():  # bounded: k x dim centroid cells (<=4096)
         cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["d"])] = int(
             r["mu"]
         )
@@ -575,4 +577,10 @@ def hadamard_rotate(
     # butterfly tree into every reference and plan processing blows the
     # driver heap (measured: OOM in TreeNode.foreach). localCheckpoint
     # makes the rotation a plain column — the BPE-loop discipline.
-    return out.localCheckpoint()
+    # eager=False (ADVICE r13): the lineage barrier exists at plan time
+    # either way, but lazy defers the materialization job to the first
+    # ACTION, so plan-only consumers (tests/test_plans.py, composed
+    # oracles at build time) don't launch Spark jobs just constructing
+    # the DataFrame. Local checkpoint blocks are still non-fault-
+    # tolerant — acceptable for this bounded intra-query intermediate.
+    return out.localCheckpoint(eager=False)

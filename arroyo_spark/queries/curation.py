@@ -1414,6 +1414,7 @@ def _seqpack_cum_2level(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     totals = sorted(
+        # bounded: doc_id-range interval totals (|ranges| rows)
         nt.groupBy("p").agg(F.sum("nt").cast("bigint").alias("tot")).collect(),
         key=lambda r: r["p"],
     )
@@ -2564,11 +2565,13 @@ def text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_h,
              CAST(floor(n_h * sqrt(
                CAST(n_h * s2 - s1 * s1 AS DOUBLE)
-               / CAST(n_h * (n_h - 1) AS DOUBLE)) * 1000000) AS BIGINT)
+               / CAST(GREATEST(n_h * (n_h - 1), 1) AS DOUBLE)) * 1000000)
+               AS BIGINT)
                AS w_micro,
              CAST(floor(sqrt(
                CAST(n_h * s2 - s1 * s1 AS DOUBLE)
-               / CAST(n_h * (n_h - 1) AS DOUBLE)) * 1000000) AS BIGINT)
+               / CAST(GREATEST(n_h * (n_h - 1), 1) AS DOUBLE)) * 1000000)
+               AS BIGINT)
                AS s_micro
       FROM m),
     tot AS (
@@ -2613,11 +2616,15 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("bigint").alias("s1"),
         F.sum(F.col("nt") * F.col("nt")).cast("bigint").alias("s2"),
     )
+    # ADVICE r13: a singleton stratum has numerator 0 — clamp the
+    # denominator so 0/1 = 0 (not NaN) identically on both engines
     sd = F.sqrt(
         (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
             "double"
         )
-        / (F.col("n_h") * (F.col("n_h") - 1)).cast("double")
+        / F.greatest(
+            F.col("n_h") * (F.col("n_h") - 1), F.lit(1)
+        ).cast("double")
     )
     w = m.select(
         "source",
@@ -3045,12 +3052,16 @@ def _kappa_oracle() -> str:
            round((tt + ff) / CAST(n AS DOUBLE), 6) AS p_o,
            round(((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
-           round(((tt + ff) / CAST(n AS DOUBLE)
+           CASE WHEN (tt + tf) * (tt + ft) + (ft + ff) * (tf + ff) = n * n
+                THEN 0.0  -- ADVICE r13: p_e = 1 (one confusion cell)
+                          -- would divide by zero; kappa is undefined,
+                          -- emit 0 identically on both engines
+                ELSE round(((tt + ff) / CAST(n AS DOUBLE)
                   - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                  / (1.0 - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
-             AS kappa
+           END AS kappa
     FROM m
     """
 
@@ -3103,7 +3114,16 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ff",
         F.round(po, 6).alias("p_o"),
         F.round(pe, 6).alias("p_e"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # ADVICE r13: an exact-integer degeneracy test (all mass in one
+        # confusion cell -> p_e = 1) sidesteps engine-dependent 0/0
+        F.when(
+            (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft"))
+            + (F.col("ft") + F.col("ff")) * (F.col("tf") + F.col("ff"))
+            == F.col("n") * F.col("n"),
+            F.lit(0.0),
+        )
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
     )
 
 

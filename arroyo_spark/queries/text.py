@@ -498,8 +498,11 @@ def text_artifact_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one explode to the character stream, one (doc, char) groupBy,
 # one per-doc rollup — linear in corpus bytes, all map-side-combinable.
 # Determinism: each p*log2(p) term is one fixed expression tree over
-# exact integers rounded to 9 decimals (the BIGRAM_PPL device); the
-# per-doc sum rounds to 6.
+# exact integers quantized to an INTEGER nano-unit (floor(x*1e9 + 0.5)
+# — ADVICE r13: integer terms make the per-doc sum order-independent,
+# so the in-row streaming fold and the aggregation-order batch sum are
+# bit-equal, not merely within float noise of the 2.0-bit flag
+# threshold); the per-doc sum converts back and rounds to 6.
 # ---------------------------------------------------------------------------
 
 _CHARS = "list_filter(string_split(lower(text), ''), c -> c <> '')"
@@ -519,12 +522,15 @@ _CHARS = "list_filter(string_split(lower(text), ''), c -> c <> '')"
       FROM cc GROUP BY doc_id),
     terms AS (
       SELECT cc.doc_id,
-             round((cc.n / CAST(t.n_chars AS DOUBLE))
-                   * log2(cc.n / CAST(t.n_chars AS DOUBLE)), 9) AS term
+             CAST(floor((cc.n / CAST(t.n_chars AS DOUBLE))
+                   * log2(cc.n / CAST(t.n_chars AS DOUBLE))
+                   * 1000000000 + 0.5) AS BIGINT) AS term_nano
       FROM cc JOIN tot t USING (doc_id))
     SELECT t.doc_id, t.n_chars, t.n_char_types,
-           round(-SUM(terms.term), 6) AS char_entropy,
-           (round(-SUM(terms.term), 6) < 2.0) AS low_entropy
+           round(-CAST(SUM(terms.term_nano) AS DOUBLE) / 1000000000, 6)
+             AS char_entropy,
+           (round(-CAST(SUM(terms.term_nano) AS DOUBLE) / 1000000000, 6)
+             < 2.0) AS low_entropy
     FROM terms JOIN tot t USING (doc_id)
     GROUP BY t.doc_id, t.n_chars, t.n_char_types
     """,
@@ -551,9 +557,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "n_char_types",
-        F.round(p * F.log2(p), 9).alias("term"),
+        F.floor(p * F.log2(p) * 1e9 + 0.5).cast("bigint").alias(
+            "term_nano"
+        ),
     )
-    ent = F.round(-F.sum("term"), 6)
+    ent = F.round(-F.sum("term_nano").cast("double") / 1e9, 6)
     return terms.groupBy("doc_id", "n_chars", "n_char_types").agg(
         ent.alias("char_entropy"),
         (ent < 2.0).alias("low_entropy"),
@@ -660,11 +668,11 @@ def text_loop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three counters). Oracle = the two registered batch oracles composed
 # per source — drained state must equal the batch answer.
 #
-# Float note: per-doc entropy here folds in array order while the
-# batch/oracle form aggregates an exploded stream; the values agree to
-# ~1e-12 and the 2.0-bit flag threshold compares the 6-decimal
-# rounding, so the FLAGS are deterministic (the established rounding-
-# absorption device) — and only integer flag counts are emitted.
+# Float note (ADVICE r13): per-doc entropy terms are quantized to
+# INTEGER nano-units before summing, so the in-row array-order fold and
+# the batch aggregation-order sum are bit-equal BIGINTs — the 2.0-bit
+# flag can no longer flip within float-addition noise of the threshold;
+# only integer flag counts are emitted.
 # ---------------------------------------------------------------------------
 
 
@@ -681,10 +689,11 @@ def _inrow_entropy(text_col):
     )
     tsum = F.aggregate(
         counts,
-        F.lit(0.0),
-        lambda acc, c: acc + F.round((c / n) * F.log2(c / n), 9),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.floor((c / n) * F.log2(c / n) * 1e9 + 0.5).cast("bigint"),
     )
-    return F.round(-tsum, 6)
+    return F.round(-tsum.cast("double") / 1e9, 6)
 
 
 @query(
