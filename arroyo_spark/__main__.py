@@ -48,6 +48,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     ).run_script(script)
     for df in result.previews:
         for line in (
+            # bounded: preview-sink rows (CLI output surface)
             df.toJSON().collect() if not df.isStreaming else []
         ):
             print(line)

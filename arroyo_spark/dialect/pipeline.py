@@ -322,13 +322,16 @@ class PipelineResult:
         df = self.sinks[name]
         fmt = self.sink_formats.get(name)
         if fmt == "raw_string":
+            # bounded: sink-output rows (golden-test capture surface)
             return [str(r[0]) for r in df.select(df.columns[0]).collect()]
         if fmt == "raw_bytes":
             return [
                 bytes(r[0]).decode("utf-8", "replace")
+                # bounded: sink-output rows (golden-test capture surface)
                 for r in df.select(df.columns[0]).collect()
             ]
         enc = to_debezium_json(df) if fmt == DEBEZIUM_FORMAT else to_arroyo_json(df)
+        # bounded: sink-output rows (golden-test capture surface)
         return [r["value"] for r in enc.collect()]
 
 

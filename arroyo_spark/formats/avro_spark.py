@@ -188,4 +188,5 @@ def write_avro_ocf(
             seq += 1
         yield pd.DataFrame({"path": written})
 
+    # bounded: 1 path row per partition (write side-effect force)
     df.mapInPandas(write_part, schema="path string").collect()

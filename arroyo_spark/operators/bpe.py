@@ -107,7 +107,7 @@ def bpe_train_loop(
         )
         best = pairs.orderBy(
             F.col("cnt").desc(), F.col("a"), F.col("b")
-        ).limit(1).collect()
+        ).limit(1).collect()  # bounded: 1-row (argmax merge pair)
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
@@ -212,7 +212,7 @@ def wordpiece_train_segment(
         )
         best = scored.orderBy(
             F.col("score_scaled").desc(), F.col("a"), F.col("b")
-        ).limit(1).collect()
+        ).limit(1).collect()  # bounded: 1-row (argmax merge pair)
         if not best:
             break
         a, b = best[0]["a"], best[0]["b"]

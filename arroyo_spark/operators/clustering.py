@@ -77,7 +77,7 @@ def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "v") -> list[
         .groupBy("cluster", "d")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
     )
-    rows = per_dim.collect()
+    rows = per_dim.collect()  # bounded: k x dim centroid sums
     by_cluster: dict[int, list[float]] = {}
     for r in rows:
         by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["d"]] = r["s"] / r["n"]
@@ -106,6 +106,7 @@ def kmeans_lloyd_full(
         .select(id_col, "v")
         .localCheckpoint()
     )
+    # bounded: k-rows init
     init = q.filter(F.col(id_col) < k).orderBy(id_col).collect()
     centroids = [[float(x) for x in r["v"]] for r in init]
     assigned = assign_clusters(q, centroids)
@@ -164,7 +165,9 @@ def kcenter_greedy(
         )
         .localCheckpoint()
     )
+    # bounded: 1-row (seed id)
     seed = int(q.agg(F.min("vec_id")).collect()[0][0])
+    # bounded: 1-row (seed vector)
     center = list(q.filter(F.col("vec_id") == seed).collect()[0]["q"])
     out = [(1, seed, 0)]
 
@@ -189,13 +192,15 @@ def kcenter_greedy(
                     F.col("dmin"), (-F.col("vec_id")).alias("nid")
                 )
             ).alias("m")
-        ).collect()[0]["m"]
+        ).collect()[0]["m"]  # bounded: 1-row (argmax struct)
         sel, vid = int(top["dmin"]), int(-top["nid"])
         center = list(
+            # bounded: 1-row (next center vector)
             q.filter(F.col("vec_id") == vid).collect()[0]["q"]
         )
         out.append((rank, vid, sel))
     # final coverage radius after all k centers
     d = d.withColumn("dmin", F.least(F.col("dmin"), dist_to(center)))
+    # bounded: 1-row (coverage radius)
     radius = int(d.agg(F.max("dmin")).collect()[0][0])
     return [(r, v, s, radius) for r, v, s in out]

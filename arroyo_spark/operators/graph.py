@@ -70,6 +70,7 @@ def connected_components(
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
+        # bounded: 1-row convergence scalar
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if prev_sum is not None and cur_sum == prev_sum:

@@ -224,6 +224,7 @@ def cosine_threshold_pairs_bounded(
 
     spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType
+    # bounded: caller-bounded candidate set (see docstring)
     rows = corpus.select(id_col, vec_col).collect()
     c_ids = np.array([r[0] for r in rows])
     M = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)

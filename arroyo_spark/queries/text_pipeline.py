@@ -251,7 +251,7 @@ def streaming_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
-    # bounded collect: <= k*m = 786k ints REGARDLESS of corpus size (the
+    # bounded: <= k*m = 786k ints REGARDLESS of corpus size (the
     # resident-filter design — Dolma ships a few GB for trillions of tokens)
     bitset = frozenset(r.key for r in keys.collect())
 

@@ -1099,6 +1099,7 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_multi = ranked.filter(F.col("rn") <= _UL_V).select("sub", "cnt")
     vocab0 = [
         (r["sub"], int(r["cnt"]))
+        # bounded: |chars| + V rows (k-row-init class)
         for r in chars.unionByName(top_multi).collect()
     ]
     seed_counts = dict(vocab0)
@@ -1125,7 +1126,7 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             wt.mapInPandas(seg, "piece string, freq bigint")
             .groupBy("piece")
             .agg(F.sum("freq").alias("used"))
-            .collect()
+            .collect()  # bounded: <= |vocab| rows
         )
         used = {r["piece"]: int(r["used"]) for r in used_rows}
         return {p: used.get(p, 0) + 1 for p in vocab_pieces}
@@ -1314,7 +1315,7 @@ def mixture_reweight_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    sources = sorted(r["s"] for r in ns.collect())
+    sources = sorted(r["s"] for r in ns.collect())  # bounded: |sources| rows
     k = len(sources)
     w = {s: 1000000 // k for s in sources}
 
@@ -2177,7 +2178,7 @@ def lang_id_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .collect()  # bounded: classes x alphabet (~200 rows)
     )
     tot: dict[str, int] = {}
     vocab = set()
@@ -2322,7 +2323,7 @@ def streaming_langid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .collect()  # bounded: classes x alphabet (~200 rows)
     )
     tot: dict[str, int] = {}
     vocab = set()
@@ -2522,6 +2523,7 @@ def reward_bt_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sufficient statistics: two bounded aggregations (|sources| and
     # |source pairs| rows), collected for the driver-side MM loop
+    # bounded: |source pairs| rows (<=4096)
     rows = cmp.groupBy("win_s", "lose_s").count().collect()
     W: Counter = Counter()
     gp: Counter = Counter()

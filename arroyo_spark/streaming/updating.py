@@ -200,7 +200,7 @@ class DebeziumEncoder:
             r["b"]
             for r in batch_df.select(self._bucket_expr(nb).alias("b"))
             .distinct()
-            .collect()
+            .collect()  # bounded: changed-bucket ids (<= n_buckets ints)
         )
         snap_schema = batch_df.withColumn(
             _LAST_SEEN, F.lit(0).cast("long")
@@ -250,6 +250,7 @@ class DebeziumEncoder:
             env.write.mode("append").text(self.spool)
         if self.emit is not None:
             # golden-test capture surface: bounded by changed keys per batch
+            # bounded: changed keys per batch (golden-test capture surface)
             self.emit([json.loads(r["value"]) for r in env.collect()])
         if persisted:
             env.unpersist()

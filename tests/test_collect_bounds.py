@@ -1,0 +1,73 @@
+"""Bounded-collect audit gate (r13 verdict item #5).
+
+Every ``.collect()`` in the engine must be a driver-side read of a
+provably bounded relation (k-row inits, 1-row scalars, <=4096-cell
+codebooks/Gram matrices, |sources|-row sweeps, sink/preview capture
+surfaces). The discipline used to live in review comments; this test
+makes it mechanical:
+
+1. every ``.collect()`` call site must carry a ``# bounded: <class>``
+   annotation on the same line or within the three lines above / one
+   line below;
+2. the per-file site counts must match the inventory checked in below —
+   adding a new ``collect()`` fails CI until the author both annotates
+   it and consciously updates the inventory.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent / "arroyo_spark"
+
+# file (relative to arroyo_spark/) -> expected number of .collect() sites.
+# Grep-derived; update ONLY alongside a new annotated, bounded site.
+EXPECTED_SITES = {
+    "__main__.py": 1,
+    "dialect/pipeline.py": 3,
+    "formats/avro_spark.py": 1,
+    "operators/bpe.py": 2,
+    "operators/clustering.py": 7,
+    "operators/graph.py": 1,
+    "operators/pq.py": 3,
+    "operators/similarity.py": 2,
+    "queries/curation.py": 1,
+    "queries/similarity.py": 5,
+    "queries/text_pipeline.py": 5,
+    "queries/train.py": 13,
+    "streaming/updating.py": 2,
+}
+
+
+def _collect_sites():
+    for f in sorted(ROOT.rglob("*.py")):
+        lines = f.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".collect()" in ln:
+                window = lines[max(0, i - 3) : i + 2]
+                yield f, i + 1, any("bounded:" in w for w in window)
+
+
+def test_every_collect_site_is_annotated():
+    unannotated = [
+        f"{f.relative_to(ROOT)}:{ln}"
+        for f, ln, ok in _collect_sites()
+        if not ok
+    ]
+    assert not unannotated, (
+        "collect() without a '# bounded: <class>' annotation "
+        f"(see tests/test_collect_bounds.py): {unannotated}"
+    )
+
+
+def test_collect_site_inventory_matches():
+    found: dict[str, int] = {}
+    for f, _ln, _ok in _collect_sites():
+        rel = str(f.relative_to(ROOT))
+        found[rel] = found.get(rel, 0) + 1
+    assert found == EXPECTED_SITES, (
+        "collect() site inventory drifted — a new driver-side collect "
+        "must be bounded, annotated, AND consciously added here.\n"
+        f"new/changed: { {k: v for k, v in found.items() if EXPECTED_SITES.get(k) != v} }\n"
+        f"removed: { {k: v for k, v in EXPECTED_SITES.items() if k not in found} }"
+    )
