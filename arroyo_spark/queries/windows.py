@@ -797,3 +797,216 @@ def cohort_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(SUM(did_signup), 1) AS BIGINT)"
         ).alias("conversion_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming legs of the cohort analytics pair (r13 verdict #6) — the
+# reference's identity is on-ingest computation, so the retention
+# matrix and the funnel-conversion rollup are ALSO maintained as
+# update-mode keyed aggregates over the replayed event stream:
+#
+# - retention: the ingest state is the distinct (user, day) ACTIVITY
+#   relation (an update-mode groupBy(user_id, day_num) — exactly what
+#   an incremental retention dashboard maintains); the cohort pivot is
+#   the query-time rollup over the drained state, arithmetically the
+#   batch form.
+# - funnel: per-user state is (min first-day, max did_signup, max
+#   did_purchase) — bounded |users|-row state, the monitor shape; the
+#   per-batch partial emissions re-merge exactly (min/max of running
+#   min/max = final min/max), so the drained memory table re-aggregates
+#   to the final state regardless of batch boundaries.
+#
+# Both drain via availableNow and must equal the batch twin's oracle —
+# the driver's hash gate proves arrival-order independence. The
+# stop/restore leg lives in tests/test_streaming.py::
+# test_streaming_cohort_funnel_stop_restore_matches_batch.
+# ---------------------------------------------------------------------------
+
+
+def _cp_event_stream(spark: SparkSession, sf_dir: str):
+    """events as a STREAMING frame replayed from the resting parquet
+    (symlink staging, the established replay harness), with the
+    ns-timestamp column converted exactly as catalog.load_table does;
+    returns (stream, staging dirs for cleanup)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from arroyo_spark.catalog import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = tempfile.mkdtemp(prefix="sce_src_")
+    files = [src] if os.path.isfile(src) else sorted(
+        _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # ns-as-long parquet (sf0.01+)
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif ts_type == "timestamp_ntz":  # µs parquet (sf0.001)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, [staged]
+
+
+def _drain_update_stream(spark: SparkSession, agg, staged_dirs, prefix):
+    """Run an update-mode aggregate to a memory sink with availableNow
+    and return the drained table name (established monitor plumbing)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    name = prefix + _uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix=prefix + "ck_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{prefix}: stream did not drain in 600s")
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return name
+
+
+_EVENT_DAY = "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+
+
+@query(
+    "streaming_cohort_retention",
+    oracle=None,  # installed below: identical to the batch twin's
+    tags=("streaming", "analytics", "cohort", "events"),
+)
+def streaming_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention matrix ON INGEST: the distinct (user, day) activity
+    relation is maintained as update-mode state; the drained state
+    pivots through the exact batch cohort rollup."""
+    stream, staged_dirs = _cp_event_stream(spark, sf_dir)
+    pres = (
+        stream.select(
+            "user_id", F.expr(_EVENT_DAY).alias("day_num")
+        )
+        .groupBy("user_id", "day_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _drain_update_stream(spark, pres, staged_dirs, "scr_")
+    # localCheckpoint: the cohort assignment re-joins ua against itself;
+    # memory-sink relations don't self-dedup like file relations, so cut
+    # the shared lineage (the drained state is the bounded activity
+    # matrix — materializing it once is the batch rollup's first pass)
+    ua = (
+        spark.table(name)
+        .select("user_id", "day_num")
+        .distinct()
+        .localCheckpoint()
+    )
+    cohort = ua.groupBy("user_id").agg(
+        F.min("day_num").cast("bigint").alias("cohort_day")
+    )
+    cs = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = (
+        ua.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day_num") - F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return act.join(cs, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        "n_active",
+        F.expr("CAST(n_active * 1000 div cohort_size AS BIGINT)").alias(
+            "retention_milli"
+        ),
+    )
+
+
+def streaming_funnel_user_state(stream: DataFrame) -> DataFrame:
+    """The per-user update-mode aggregate behind the streaming funnel:
+    (user_id, cohort_day-so-far, did_signup-so-far, did_purchase-so-far).
+    Factored out so the stop/restore test drives the exact operator."""
+    return stream.groupBy("user_id").agg(
+        F.expr(f"CAST(MIN({_EVENT_DAY}) AS BIGINT)").alias("cohort_day"),
+        F.max((F.col("event_type") == "signup").cast("int"))
+        .cast("bigint")
+        .alias("did_signup"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("did_purchase"),
+    )
+
+
+def funnel_cohort_rollup(ue: DataFrame) -> DataFrame:
+    """The cohort rollup over final per-user funnel state (shared by
+    the streaming leg and the stop/restore test)."""
+    return ue.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("did_signup").cast("bigint").alias("n_signup"),
+        F.sum(F.col("did_signup") * F.col("did_purchase"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.expr(
+            "CAST(SUM(did_signup * did_purchase) * 1000"
+            " div GREATEST(SUM(did_signup), 1) AS BIGINT)"
+        ).alias("conversion_milli"),
+    )
+
+
+@query(
+    "streaming_cohort_funnel",
+    oracle=None,  # installed below: identical to the batch twin's
+    tags=("streaming", "analytics", "funnel", "cohort", "events"),
+)
+def streaming_cohort_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion ON INGEST: per-user (first-day, signup,
+    purchase) flags as |users|-row update-mode state; drained partials
+    re-merge via min/max, then the batch cohort rollup."""
+    stream, staged_dirs = _cp_event_stream(spark, sf_dir)
+    ue = streaming_funnel_user_state(stream)
+    name = _drain_update_stream(spark, ue, staged_dirs, "scf_")
+    final = spark.table(name).groupBy("user_id").agg(
+        F.min("cohort_day").cast("bigint").alias("cohort_day"),
+        F.max("did_signup").cast("bigint").alias("did_signup"),
+        F.max("did_purchase").cast("bigint").alias("did_purchase"),
+    )
+    return funnel_cohort_rollup(final)
+
+
+def _install_cohort_stream_oracles() -> None:
+    from dataclasses import replace
+
+    from arroyo_spark.suite import _REGISTRY
+
+    for streaming_name, batch_name in (
+        ("streaming_cohort_retention", "cohort_retention"),
+        ("streaming_cohort_funnel", "cohort_funnel_conversion"),
+    ):
+        _REGISTRY[streaming_name] = replace(
+            _REGISTRY[streaming_name], oracle=_REGISTRY[batch_name].oracle
+        )
+
+
+_install_cohort_stream_oracles()

@@ -2033,3 +2033,76 @@ def test_streaming_budget_admission_stop_restore_matches_batch(
         .collect()
     }
     assert got == expect and got
+
+
+def test_streaming_cohort_funnel_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Funnel flags ON INGEST with a stop/restore leg (r13 verdict #6):
+    half the events arrive, the per-user update-mode aggregate
+    checkpoints and STOPS; the rest arrive and a new query restores from
+    the same checkpoint. The emitted partials re-merge (min/max of
+    running min/max) to the exact batch `cohort_funnel_conversion`
+    rollup — per-user state carries leg 1's first-day/flag knowledge
+    into leg 2."""
+    import glob
+    import os
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.queries.windows import (
+        cohort_funnel_conversion,
+        funnel_cohort_rollup,
+        streaming_funnel_user_state,
+    )
+
+    data = tmp_path / "events4"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+    schema = spark.read.parquet(str(data)).schema
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        ue = streaming_funnel_user_state(stream)
+        q = (
+            ue.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.min("cohort_day").cast("bigint").alias("cohort_day"),
+            F.max("did_signup").cast("bigint").alias("did_signup"),
+            F.max("did_purchase").cast("bigint").alias("did_purchase"),
+        )
+    )
+    got = {tuple(r) for r in funnel_cohort_rollup(final).collect()}
+    expect = {
+        tuple(r) for r in cohort_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == expect and got
