@@ -2940,10 +2940,7 @@ _CDC_EVERY = 32  # 1-in-32 window hashes declare a boundary
 _CDC_W = 4       # boundary window (tokens)
 
 
-@query(
-    "dedup_cdc_chunks",
-    oracle=f"""
-    WITH t AS (
+_CDC_CTES = f"""t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          w -> w <> '') AS tk
@@ -2970,22 +2967,15 @@ _CDC_W = 4       # boundary window (tokens)
       FROM cid GROUP BY doc_id, chunk_no),
     freq AS (
       SELECT chash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
-      FROM chunks GROUP BY chash)
-    SELECT c.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(c.chunk_len) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_shared_chunks,
-           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1000
-                // COUNT(*) AS BIGINT) AS shared_milli
-    FROM chunks c JOIN freq f USING (chash)
-    GROUP BY c.doc_id
-    """,
-    tags=("dedup", "cdc", "chunking", "curation"),
-)
-def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc CDC chunk stats + the share of chunks shared with any
-    other document (the storage-dedup ratio)."""
+      FROM chunks GROUP BY chash)"""
+# ^ shared with retrieval.retrieval_chunk_attribution (the provenance
+#   join of chunks back onto retrieval hits)
+
+
+def cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed CDC chunk table (doc_id, chunk_no, chash,
+    chunk_len) — the distributed construction behind `dedup_cdc_chunks`,
+    shared with `retrieval_chunk_attribution`'s provenance join."""
     from arroyo_spark.operators.text import toks
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3061,7 +3051,29 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chash"),
         F.count(F.lit(1)).cast("bigint").alias("chunk_len"),
     )
-    chunks = chunks.localCheckpoint()  # freq + rollup both consume it
+    return chunks.localCheckpoint()  # every consumer reuses one pass
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_CDC_CTES}
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS shared_milli
+    FROM chunks c JOIN freq f USING (chash)
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "cdc", "chunking", "curation"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc CDC chunk stats + the share of chunks shared with any
+    other document (the storage-dedup ratio)."""
+    chunks = cdc_chunk_frame(spark, sf_dir)
     freq = chunks.groupBy("chash").agg(
         F.countDistinct("doc_id").cast("bigint").alias("ndocs")
     )
