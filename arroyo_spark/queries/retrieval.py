@@ -1337,3 +1337,96 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pool_positives"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk-attribution provenance (r13 verdict #7, priority 3): join
+# the CDC chunk identities back onto retrieval hits — for every BM25
+# top-5 document, how much of its content is ORIGINAL to it vs shared
+# verbatim with other corpus documents (chunk hash present in >= 2
+# docs). A retrieved passage whose chunks are corpus-wide boilerplate
+# is a provenance hazard for attribution and a contamination hazard
+# for evaluation; this report makes that a per-hit number.
+#
+# Scale: the chunk table is ONE text pass (shared `cdc_chunk_frame`);
+# the global chunk-frequency relation is one map-side-combinable
+# hash-keyed aggregate; everything per-hit rides a broadcast of the
+# <= |queries| x 5 hit doc ids, so no corpus-sized join keys on the
+# hit side. Oracle composes the two registered oracles verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_attr_oracle() -> str:
+    from arroyo_spark.queries.dedup import _CDC_CTES
+
+    return f"""
+    WITH {_CDC_CTES},
+    hits AS (SELECT query_id, doc_id, rn FROM ({BM25_ORACLE}) t),
+    hc AS (
+      SELECT c.doc_id, c.chunk_len, f.ndocs
+      FROM chunks c JOIN freq f USING (chash)
+      WHERE c.doc_id IN (SELECT doc_id FROM hits)),
+    pd AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+             CAST(SUM(CASE WHEN ndocs > 1 THEN chunk_len ELSE 0 END)
+                  AS BIGINT) AS shared_tokens
+      FROM hc GROUP BY doc_id)
+    SELECT h.query_id, h.doc_id, h.rn,
+           pd.n_chunks, pd.n_tokens, pd.n_shared_chunks,
+           pd.shared_tokens,
+           CAST(pd.shared_tokens * 1000 // GREATEST(pd.n_tokens, 1)
+                AS BIGINT) AS provenance_milli
+    FROM hits h JOIN pd USING (doc_id)
+    """
+
+
+@query(
+    "retrieval_chunk_attribution",
+    oracle=_chunk_attr_oracle(),
+    tags=("retrieval", "provenance", "cdc", "dedup", "rag"),
+    bench=True,  # anchors the chunk-pass + provenance-join cost family
+)
+def retrieval_chunk_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per BM25 hit: CDC chunk counts, tokens, and the share of tokens
+    living in chunks also present in OTHER documents (provenance_milli
+    — high means the retrieved content is corpus boilerplate)."""
+    from arroyo_spark.queries.dedup import cdc_chunk_frame
+
+    hits = bm25_retrieval_topk(spark, sf_dir).select(
+        "query_id", "doc_id", "rn"
+    )
+    chunks = cdc_chunk_frame(spark, sf_dir)
+    freq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("ndocs")
+    )
+    hitdocs = hits.select("doc_id").distinct()
+    hc = chunks.join(F.broadcast(hitdocs), "doc_id").join(freq, "chash")
+    pd = hc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_chunks"),
+        F.sum(F.when(F.col("ndocs") > 1, F.col("chunk_len")).otherwise(0))
+        .cast("bigint")
+        .alias("shared_tokens"),
+    )
+    return hits.join(pd, "doc_id").select(
+        "query_id",
+        "doc_id",
+        "rn",
+        "n_chunks",
+        "n_tokens",
+        "n_shared_chunks",
+        "shared_tokens",
+        F.expr(
+            "CAST(shared_tokens * 1000 div GREATEST(n_tokens, 1)"
+            " AS BIGINT)"
+        ).alias("provenance_milli"),
+    )

@@ -2290,6 +2290,7 @@ def _semdedup_pca_oracle() -> str:
     "semdedup_pca_pruning",
     oracle=_semdedup_pca_oracle(),
     tags=("similarity", "dedup", "semdedup", "pca", "trained"),
+    bench=True,  # anchors the Gram-pass + grid-join cost family
 )
 def semdedup_pca_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with a corpus-trained coarse quantizer: top-2 integer

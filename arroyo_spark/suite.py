@@ -443,6 +443,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_cdc_chunks",  # impl refactor: chunk table factored into
                          # cdc_chunk_frame (oracle byte-identical) for
                          # the retrieval provenance join
+    "retrieval_chunk_attribution",  # NEW r14 (verdict #7.3: RAG
+                                    # provenance of retrieved content)
+    "streaming_zorder_manifest",  # NEW r14 (verdict #7.2: incremental
+                                  # OPTIMIZE manifest on ingest)
 }
 
 

@@ -1553,3 +1553,19 @@ def test_outlier_report_no_pervector_window(spark, sf_dir):
     # aggregation, and the median joins back via a broadcast
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semdedup_pca_equijoin_only(spark, sf_dir):
+    """Trained-projection SemDeDup: candidate pairs come from the grid-
+    cell equi-join (plus 1-row broadcast bounds) — no nested loop over
+    vectors."""
+    plan = plan_of(spark, sf_dir, "semdedup_pca_pruning")
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_attribution_broadcast_hits(spark, sf_dir):
+    """Chunk provenance: hit doc ids ride a broadcast into the chunk
+    table; no cartesian work anywhere in the composition."""
+    plan = plan_of(spark, sf_dir, "retrieval_chunk_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

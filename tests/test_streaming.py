@@ -2106,3 +2106,93 @@ def test_streaming_cohort_funnel_stop_restore_matches_batch(
         tuple(r) for r in cohort_funnel_conversion(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_zorder_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Z-order manifest ON INGEST with a stop/restore leg: half the
+    orders arrive, the O(files) bounding-box state checkpoints and
+    STOPS; the rest arrive under a restored query. Re-merged emissions
+    must equal the batch `zorder_clustering_manifest` (count monotone,
+    min/max idempotent)."""
+    import glob
+    import os
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.queries.relational_extra import (
+        _zorder_bounds,
+        streaming_zorder_assign,
+        zorder_clustering_manifest,
+    )
+
+    bounds = _zorder_bounds(spark, sf_dir)
+    data = tmp_path / "orders4"
+    load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+    schema = spark.read.parquet(str(data)).schema
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        agg = (
+            streaming_zorder_assign(stream, bounds)
+            .groupBy("layout", "file_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("ck").cast("bigint").alias("ck_min"),
+                F.max("ck").cast("bigint").alias("ck_max"),
+                F.min("dy").cast("bigint").alias("dy_min"),
+                F.max("dy").cast("bigint").alias("dy_max"),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.max("n_rows").cast("bigint").alias("n_rows"),
+            F.min("ck_min").cast("bigint").alias("ck_min"),
+            F.max("ck_max").cast("bigint").alias("ck_max"),
+            F.min("dy_min").cast("bigint").alias("dy_min"),
+            F.max("dy_max").cast("bigint").alias("dy_max"),
+        )
+        .select(
+            "layout", "file_id", "n_rows", "ck_min", "ck_max",
+            "dy_min", "dy_max",
+            (F.col("ck_max") - F.col("ck_min"))
+            .cast("bigint").alias("ck_span"),
+            (F.col("dy_max") - F.col("dy_min"))
+            .cast("bigint").alias("dy_span"),
+        )
+    )
+    got = {tuple(r) for r in merged.collect()}
+    expect = {
+        tuple(r) for r in zorder_clustering_manifest(spark, sf_dir).collect()
+    }
+    assert got == expect and got
