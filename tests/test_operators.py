@@ -2283,3 +2283,25 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     dy_zo = sum(r["dy_span"] for r in zo) / len(zo)
     assert ck_zo < 0.5 * ck_db, (ck_zo, ck_db)
     assert dy_zo < 0.8 * full_dy, (dy_zo, full_dy)
+
+
+def test_pca2_loadings_match_pca_top2_output(spark, sf_dir):
+    """The SemDeDup arm's trained projection must be the SAME numbers
+    embedding_pca_top2 reports — _pca2_loadings is a factoring, not a
+    re-derivation."""
+    from arroyo_spark.queries.similarity import (
+        _pca2_loadings,
+        _pca_gram,
+        embedding_pca_top2,
+    )
+
+    gmat = _pca_gram(spark, sf_dir)
+    w1, w2 = _pca2_loadings(gmat)
+    rows = embedding_pca_top2(spark, sf_dir).collect()
+    got = {1: [0] * 64, 2: [0] * 64}
+    for r in rows:
+        got[int(r["component"])][int(r["dim_id"]) - 1] = int(
+            r["loading_raw"]
+        )
+    assert got[1] == w1
+    assert got[2] == w2
