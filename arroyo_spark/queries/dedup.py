@@ -3583,3 +3583,137 @@ def _install_cluster_stats_oracle() -> None:
 
 
 _install_cluster_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Deletion-request impact + residual-content scan — the right-to-be-
+# forgotten pipeline over a deduplicated corpus. Deleting a document is
+# not one row: (a) if it was the CANONICAL copy of an exact-duplicate
+# group, the group needs a new canonical (or disappears when every copy
+# is tombstoned); (b) its CONTENT can survive deletion through near-
+# verbatim copies in other documents — the compliance gap a chunk-level
+# residual scan exists to measure. Tombstones are the planted policy
+# doc_id % 97 == 3 (~1% of the corpus), identical on both engines.
+#
+# Scale: impact = ONE map-side-combinable fingerprint groupBy with
+# conditional mins; residual = the shared CDC chunk checkpoint + one
+# hash-keyed owner aggregate + one doc-keyed rollup — no pairwise work
+# anywhere.
+# ---------------------------------------------------------------------------
+
+_TOMB = "doc_id % 97 = 3"
+
+
+@query(
+    "dedup_deletion_impact",
+    oracle=f"""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(CASE WHEN {_TOMB} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_old,
+           CAST(MIN(CASE WHEN NOT ({_TOMB}) THEN doc_id END) AS BIGINT)
+             AS canonical_new,
+           (MIN(doc_id) IS DISTINCT FROM
+            MIN(CASE WHEN NOT ({_TOMB}) THEN doc_id END))
+             AS canonical_changed,
+           (SUM(CASE WHEN {_TOMB} THEN 1 ELSE 0 END) = COUNT(*))
+             AS group_erased
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "deletion", "compliance", "curation"),
+)
+def dedup_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per exact-duplicate group: tombstone counts, the old and post-
+    deletion canonical ids, and whether the canonical changes or the
+    whole group disappears."""
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = F.expr(_TOMB)
+    return (
+        docs.select(
+            F.md5(normalize_text("text")).alias("fingerprint"),
+            "doc_id",
+            tomb.alias("t"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.sum(F.col("t").cast("int")).cast("bigint").alias("n_deleted"),
+            F.min("doc_id").cast("bigint").alias("canonical_old"),
+            F.min(F.when(~F.col("t"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("canonical_new"),
+            (
+                ~F.min("doc_id").eqNullSafe(
+                    F.min(F.when(~F.col("t"), F.col("doc_id")))
+                )
+            ).alias("canonical_changed"),
+            (F.sum(F.col("t").cast("int")) == F.count(F.lit(1))).alias(
+                "group_erased"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_deletion_residuals",
+    oracle=f"""
+    WITH {_CDC_CTES},
+    owners AS (
+      SELECT chash,
+             CAST(SUM(CASE WHEN NOT ({_TOMB}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_survivors
+      FROM chunks GROUP BY chash)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN o.n_survivors > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_residual_chunks,
+           CAST(SUM(CASE WHEN o.n_survivors > 0 THEN c.chunk_len
+                    ELSE 0 END) AS BIGINT) AS residual_tokens,
+           CAST(SUM(CASE WHEN o.n_survivors > 0 THEN c.chunk_len
+                    ELSE 0 END) * 1000
+                // GREATEST(SUM(c.chunk_len), 1) AS BIGINT)
+             AS residual_milli
+    FROM chunks c JOIN owners o USING (chash)
+    WHERE c.doc_id % 97 = 3
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "deletion", "compliance", "cdc", "curation"),
+)
+def dedup_deletion_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per tombstoned document: how much of its content (CDC chunks /
+    tokens) remains reachable through SURVIVING documents after the
+    deletion executes — the residual a compliance scan must report."""
+    chunks = cdc_chunk_frame(spark, sf_dir)
+    owners = chunks.groupBy("chash").agg(
+        F.sum((~F.expr(_TOMB)).cast("int"))
+        .cast("bigint")
+        .alias("n_survivors")
+    )
+    return (
+        chunks.filter(F.expr(_TOMB))
+        .join(owners, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("n_survivors") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_residual_chunks"),
+            F.sum(
+                F.when(F.col("n_survivors") > 0, F.col("chunk_len")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("residual_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_survivors > 0 THEN chunk_len"
+                " ELSE 0 END) * 1000 div GREATEST(SUM(chunk_len), 1)"
+                " AS BIGINT)"
+            ).alias("residual_milli"),
+        )
+    )

@@ -447,6 +447,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                                     # provenance of retrieved content)
     "streaming_zorder_manifest",  # NEW r14 (verdict #7.2: incremental
                                   # OPTIMIZE manifest on ingest)
+    "dedup_deletion_impact",  # NEW r14 (right-to-be-forgotten: canonical
+                              # reassignment per exact-dup group)
+    "dedup_deletion_residuals",  # NEW r14 (deleted content surviving
+                                 # through duplicate chunks)
 }
 
 
