@@ -2196,3 +2196,105 @@ def test_streaming_zorder_stop_restore_matches_batch(
         tuple(r) for r in zorder_clustering_manifest(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_cohort_retention_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Retention state ON INGEST with a stop/restore leg: the
+    (user, day) presence aggregate checkpoints mid-corpus and a new
+    query restores; the union of emitted pairs pivots to the exact
+    batch retention matrix (presence rows are idempotent under
+    re-emission — distinct() absorbs update-mode duplicates)."""
+    import glob
+    import os
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.queries.windows import cohort_retention
+
+    data = tmp_path / "events4"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts"
+    ).repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+    schema = spark.read.parquet(str(data)).schema
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        pres = (
+            stream.select(
+                "user_id",
+                F.expr(
+                    "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+                ).alias("day_num"),
+            )
+            .groupBy("user_id", "day_num")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            pres.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+
+    ua = (
+        spark.read.parquet(out)
+        .select("user_id", "day_num")
+        .distinct()
+        .localCheckpoint()
+    )
+    cohort = ua.groupBy("user_id").agg(
+        F.min("day_num").cast("bigint").alias("cohort_day")
+    )
+    cs = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = (
+        ua.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day_num") - F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    got = {
+        tuple(r)
+        for r in act.join(cs, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "n_active",
+            F.expr(
+                "CAST(n_active * 1000 div cohort_size AS BIGINT)"
+            ).alias("retention_milli"),
+        )
+        .collect()
+    }
+    expect = {tuple(r) for r in cohort_retention(spark, sf_dir).collect()}
+    assert got == expect and got
