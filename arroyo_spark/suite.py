@@ -563,3 +563,29 @@ def _load_modules() -> None:
     )
 
     _LOADED = True
+
+
+def format_green_tier(correctness_json_path: str, width: int = 76) -> str:
+    """Render a `_GREEN_RNN = frozenset({...})` literal from a driver
+    CORRECTNESS_r{N}.json (hash-green entries only) — the start-of-round
+    bookkeeping step that builds the next tier set. Pure helper; no
+    side effects."""
+    import json
+    import textwrap
+
+    data = json.load(open(correctness_json_path))
+    greens = sorted(
+        name
+        for name, row in data.items()
+        if isinstance(row, dict)
+        and row.get("hash_match")
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and not row.get("err")
+    )
+    body = ", ".join(f"'{n}'" for n in greens)
+    wrapped = textwrap.fill(
+        body, width=width, initial_indent="        ",
+        subsequent_indent="        ",
+    )
+    return "frozenset(\n    {\n" + wrapped + ",\n    }\n)"

@@ -102,3 +102,40 @@ def test_real_registry_head_pays_the_r13_debt():
         "fresh (dirty+never-checked) set exceeds the sweep cap: "
         f"{len(fresh)} > {_DRIVER_BUDGET - _DEBT_RESERVE}"
     )
+
+
+def test_all_fresh_registry_keeps_registration_order():
+    # no greens at all: the reserve has nothing to protect; fresh run in
+    # (tier, registration) order — dirty first, then never-checked
+    entries = [("n0", 0), ("d0", -1), ("n1", 0), ("d1", -1)]
+    assert sweep_order(entries, budget=3, debt_reserve=1) == [
+        "d0", "d1", "n0", "n1",
+    ]
+
+
+def test_all_green_registry_orders_oldest_first():
+    entries = [("g12", 12), ("g08", 8), ("g13", 13), ("g09", 9)]
+    assert sweep_order(entries, budget=2, debt_reserve=1) == [
+        "g08", "g09", "g12", "g13",
+    ]
+
+
+def test_format_green_tier_round_trips(tmp_path):
+    import json
+
+    from arroyo_spark.suite import format_green_tier
+
+    p = tmp_path / "c.json"
+    json.dump(
+        {
+            "a": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+            "b": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None},
+            "c": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": "boom"},
+        },
+        open(p, "w"),
+    )
+    rendered = format_green_tier(str(p))
+    assert eval(rendered) == frozenset({"a"})
