@@ -139,3 +139,55 @@ def test_format_green_tier_round_trips(tmp_path):
     )
     rendered = format_green_tier(str(p))
     assert eval(rendered) == frozenset({"a"})
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_entries = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-1, max_value=14),
+    ),
+    max_size=300,
+).map(lambda xs: [(f"q{i}_{n}", t) for i, (n, t) in enumerate(xs)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(entries=_entries, budget=st.integers(1, 80), reserve=st.integers(0, 20))
+def test_sweep_order_is_a_permutation(entries, budget, reserve):
+    out = sweep_order(entries, budget=budget, debt_reserve=reserve)
+    assert sorted(out) == sorted(n for n, _ in entries)
+
+
+@settings(max_examples=200, deadline=None)
+@given(entries=_entries, budget=st.integers(1, 80), reserve=st.integers(1, 20))
+def test_oldest_green_always_in_window_when_reserve_fits(
+    entries, budget, reserve
+):
+    # whenever any green exists and the reserve is nonzero (and not
+    # larger than the budget), the OLDEST green tier must appear in the
+    # first `budget` slots — the r13 starvation can never recur.
+    greens = [t for _, t in entries if t > 0]
+    out = sweep_order(entries, budget=budget, debt_reserve=reserve)
+    if greens and reserve <= budget:
+        head_tiers = {
+            t for n, t in entries if n in set(out[:budget])
+        }
+        assert min(greens) in head_tiers
+
+
+@settings(max_examples=200, deadline=None)
+@given(entries=_entries, budget=st.integers(1, 80), reserve=st.integers(0, 20))
+def test_fresh_entries_never_exceed_cap_in_window(entries, budget, reserve):
+    greens_exist = any(t > 0 for _, t in entries)
+    cap = max(budget - reserve, 0) if greens_exist else budget
+    out = sweep_order(entries, budget=budget, debt_reserve=reserve)
+    tier = dict(entries)
+    n_fresh_head = sum(1 for n in out[:budget] if tier[n] <= 0)
+    # fresh can exceed the cap only by filling slots greens left empty
+    n_green_total = sum(1 for _, t in entries if t > 0)
+    allowed = max(cap, budget - n_green_total)
+    assert n_fresh_head <= allowed
