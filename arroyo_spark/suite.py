@@ -411,6 +411,35 @@ _GREEN_R13 = frozenset(
 )
 
 
+_GREEN_R14 = frozenset(
+    {
+        'ann_recall_check', 'asof_purchase_last_click',
+        'bm25_hard_negatives', 'bm25_maxp_passages', 'bpe_encode_corpus',
+        'bpe_merge_training', 'classifier_agreement_kappa',
+        'cms_token_frequency', 'cohort_funnel_conversion',
+        'cohort_retention', 'corpus_mixture_weights',
+        'curation_quality_ensemble', 'curation_quality_ensemble_mat',
+        'curriculum_shard_order', 'dataset_card_report', 'dedup_cdc_chunks',
+        'dedup_deletion_impact', 'dedup_deletion_residuals',
+        'doc_chunking_overlap', 'domain_doc_caps',
+        'embedding_outlier_report', 'event_spike_detection',
+        'fuzzy_name_match', 'knn_pq_hadamard_ann', 'mm_image_jpeg_real',
+        'mm_image_png_real', 'prefix_cache_report', 'ql_dirichlet_topk',
+        'range_join_value_bands', 'retrieval_arm_agreement',
+        'retrieval_chunk_attribution', 'retrieval_eval_report',
+        'rollup_revenue_by_region_nation', 'sample_neyman_allocation',
+        'semdedup_pca_pruning', 'streaming_cohort_funnel',
+        'streaming_cohort_retention', 'streaming_quality_monitor',
+        'streaming_secret_monitor', 'streaming_zorder_manifest',
+        'table_stats_profile', 'text_char_entropy',
+        'text_quality_classifier', 'text_script_detection',
+        'tokenizer_family_report', 'tokenizer_scaling_curve',
+        'tokenizer_vocab_overlap', 'url_canonical_dedup',
+        'vocab_coverage_curve', 'zorder_clustering_manifest',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -419,44 +448,15 @@ _GREEN_R13 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r14 edits (populated as code is touched this round):
-    "embedding_outlier_report",  # r13 verdict #2: exact median now a
-                                 # two-pass bucketed selection (no
-                                 # per-vector window); same oracle
-    "sample_neyman_allocation",  # ADVICE r13: singleton-stratum 0/0
-                                 # clamped via GREATEST(.., 1) both sides
-    "classifier_agreement_kappa",  # ADVICE r13: p_e=1 degeneracy emits
-                                   # 0 via exact-integer test both sides
-    "text_char_entropy",  # ADVICE r13: entropy terms quantized to
-                          # integer nano-units before summing
-    "streaming_quality_monitor",  # (same change: in-row fold now sums
-                                  # the identical BIGINT nano terms)
-    "knn_pq_hadamard_ann",  # ADVICE r13: hadamard_rotate checkpoint now
-                            # lazy (values identical; plan-time jobs gone)
-    "ann_recall_check",  # (consumes the pq_rot arm; re-verify)
-    "streaming_cohort_retention",  # NEW r14 (verdict #6: retention on
-                                   # ingest — (user, day) presence state)
-    "streaming_cohort_funnel",  # NEW r14 (verdict #6: funnel flags as
-                                # |users|-row update-mode state)
-    "semdedup_pca_pruning",  # NEW r14 (verdict #7.1: SemDeDup over the
-                             # corpus-TRAINED top-2 PCA quantizer)
-    "dedup_cdc_chunks",  # impl refactor: chunk table factored into
-                         # cdc_chunk_frame (oracle byte-identical) for
-                         # the retrieval provenance join
-    "retrieval_chunk_attribution",  # NEW r14 (verdict #7.3: RAG
-                                    # provenance of retrieved content)
-    "streaming_zorder_manifest",  # NEW r14 (verdict #7.2: incremental
-                                  # OPTIMIZE manifest on ingest)
-    "dedup_deletion_impact",  # NEW r14 (right-to-be-forgotten: canonical
-                              # reassignment per exact-dup group)
-    "dedup_deletion_residuals",  # NEW r14 (deleted content surviving
-                                 # through duplicate chunks)
+    # r15 edits (populated as code is touched this round):
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R14:
+        return 14
     if name in _GREEN_R13:
         return 13
     if name in _GREEN_R12:

@@ -71,29 +71,31 @@ def test_overflow_fresh_precede_remaining_greens_in_tail():
     assert order[68:] == [f"green_{i:02d}" for i in range(8, 20)]
 
 
-def test_real_registry_head_pays_the_r13_debt():
-    # The 22 queries that registered in r13 but never received a driver
-    # correctness row (r13 verdict, "What's missing" #1) plus the three
-    # r08-stale anchors must all sit inside this round's driver window.
-    never_checked = {
-        "bm25_hard_negatives", "bm25_maxp_passages",
-        "classifier_agreement_kappa", "cohort_funnel_conversion",
-        "cohort_retention", "curriculum_shard_order", "dataset_card_report",
-        "event_spike_detection", "fuzzy_name_match", "mm_image_jpeg_real",
-        "mm_image_png_real", "prefix_cache_report", "ql_dirichlet_topk",
-        "retrieval_arm_agreement", "retrieval_eval_report",
-        "streaming_secret_monitor", "table_stats_profile",
-        "tokenizer_family_report", "tokenizer_scaling_curve",
-        "tokenizer_vocab_overlap", "vocab_coverage_curve",
-        "zorder_clustering_manifest",
-    }
-    r08_stale = {
-        "asof_purchase_last_click", "range_join_value_bands",
-        "rollup_revenue_by_region_nation",
+def test_real_registry_head_pays_the_r09_staleness_tail():
+    # After the r14 sweep the only remaining driver-ledger debt is the 34
+    # queries whose latest green row is r09 (r14 verdict, "What's missing"
+    # #1). All of them must sit inside this round's driver window so the
+    # r15 sweep closes the staleness ledger entirely.
+    r09_stale = {
+        "agg_bits_bools", "array_agg_sorted", "cube_orders_status_priority",
+        "curation_mixture_sample", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard", "embedding_kmeans_clusters",
+        "first_last_by_time", "funnel_signup_view_purchase",
+        "hop_hourly_15m_by_type", "knn_lsh_multitable_ann",
+        "lookup_enrich_segment", "median_percentiles", "multi_hash_ids",
+        "nested_tumble_peak_quarter", "nexmark_q5_hot_users",
+        "nexmark_q8_new_sellers", "q10_returned_items",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_diversity",
+        "q20_dominant_suppliers", "q21_waiting_suppliers",
+        "q2_min_price_supplier", "q8_market_share", "q9_product_profit",
+        "rollup_cascade_15m_1h_1d", "semdedup_cluster_pruning",
+        "session_30m_by_user", "setop_intersect_except",
+        "tumble_daily_global", "tumble_hourly_by_type", "window_fn_census",
+        "window_fn_most_active_user",
     }
     names = list(all_queries())
     head = set(names[:_DRIVER_BUDGET])
-    missing = (never_checked | r08_stale) - head
+    missing = r09_stale - head
     assert not missing, f"debt entries outside the driver window: {sorted(missing)}"
     # and the fresh set must fit under the cap so nothing re-registers
     # ahead of the budget this round
