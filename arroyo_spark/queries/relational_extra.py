@@ -1003,16 +1003,24 @@ def streaming_zorder_assign(stream: DataFrame, bounds: dict) -> DataFrame:
     )
     ck_lo, ck_hi = bounds["ck_lo"], bounds["ck_hi"]
     dy_lo, dy_hi = bounds["dy_lo"], bounds["dy_hi"]
+    # Rows outside the layout bounds (possible under true incremental
+    # ingest: the bounds are the table's RESTING metadata) clamp to the
+    # edge cell so normalized coords stay in [0, 65535] and every
+    # file_id stays in [0, _Z_FILES) — the manifest remains well-formed
+    # and the OPTIMIZE planner sees the edge files' boxes widen, which
+    # is exactly the re-cluster signal it needs (ADVICE r14).
     n = o.select(
         "ck",
         "dy",
         F.expr(
-            f"CAST((ck - {ck_lo}) * 65536 div ({ck_hi} - {ck_lo} + 1)"
-            " AS BIGINT)"
+            "GREATEST(CAST(0 AS BIGINT), LEAST(CAST(65535 AS BIGINT),"
+            f" CAST((ck - {ck_lo}) * 65536 div ({ck_hi} - {ck_lo} + 1)"
+            " AS BIGINT)))"
         ).alias("nx"),
         F.expr(
-            f"CAST((dy - {dy_lo}) * 65536 div ({dy_hi} - {dy_lo} + 1)"
-            " AS BIGINT)"
+            "GREATEST(CAST(0 AS BIGINT), LEAST(CAST(65535 AS BIGINT),"
+            f" CAST((dy - {dy_lo}) * 65536 div ({dy_hi} - {dy_lo} + 1)"
+            " AS BIGINT)))"
         ).alias("ny"),
     )
     inter = " + ".join(
@@ -1034,8 +1042,9 @@ def streaming_zorder_assign(stream: DataFrame, bounds: dict) -> DataFrame:
     da = n.select(
         F.lit("date_binned").alias("layout"),
         F.expr(
-            f"CAST((dy - {dy_lo}) * {_Z_FILES} div ({dy_hi} - {dy_lo} + 1)"
-            " AS BIGINT)"
+            f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({_Z_FILES - 1} AS"
+            f" BIGINT), CAST((dy - {dy_lo}) * {_Z_FILES}"
+            f" div ({dy_hi} - {dy_lo} + 1) AS BIGINT)))"
         ).alias("file_id"),
         "ck",
         "dy",
@@ -1074,22 +1083,17 @@ def streaming_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless Morton assignment against the table's layout bounds +
     O(files) update-mode bounding-box state; drained state re-merges
     to the exact batch manifest."""
-    import glob as _glob
     import os
-    import tempfile
 
-    from arroyo_spark.queries.windows import _drain_update_stream
+    from arroyo_spark.streaming.replay import (
+        drain_update_stream,
+        parquet_replay_stream,
+    )
 
     bounds = _zorder_bounds(spark, sf_dir)
-    src = os.path.join(sf_dir, "orders.parquet")
-    staged = tempfile.mkdtemp(prefix="szm_src_")
-    files = [src] if os.path.isfile(src) else sorted(
-        _glob.glob(os.path.join(src, "*.parquet"))
+    stream, staged = parquet_replay_stream(
+        spark, os.path.join(sf_dir, "orders.parquet"), "szm_src_"
     )
-    for f in files:
-        os.symlink(f, os.path.join(staged, os.path.basename(f)))
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(staged)
     agg = (
         streaming_zorder_assign(stream, bounds)
         .groupBy("layout", "file_id")
@@ -1101,7 +1105,7 @@ def streaming_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").cast("bigint").alias("dy_max"),
         )
     )
-    name = _drain_update_stream(spark, agg, [staged], "szm_")
+    name = drain_update_stream(spark, agg, [staged], "szm_")
     return (
         spark.table(name)
         .groupBy("layout", "file_id")

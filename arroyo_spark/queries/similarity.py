@@ -1309,6 +1309,32 @@ def _pca2_cte_chain() -> str:
     {_pca2_rayleigh_ctes("v", "defl").lstrip()}"""
 
 
+def _pca2_rayleigh(mat: dict, w: list) -> tuple[int, int]:
+    """(lambda, w.w): the exact integer Rayleigh quotient — the ONE
+    place this arithmetic exists (shared by the PCA query and the
+    SemDeDup trained-quantizer arm; ADVICE r14)."""
+    u = [
+        sum(mat[(d, j)] * w[j - 1] for j in range(1, 65))
+        for d in range(1, 65)
+    ]
+    num = sum(w[d] * u[d] for d in range(64))
+    ww = sum(x * x for x in w)
+    return _tdiv(num, ww), ww
+
+
+def _pca2_deflate(gmat: dict, w1: list) -> tuple[int, int, dict]:
+    """(lambda1, w1.w1, G2): Hotelling deflation
+    G2 = G - lambda1 w w^T / (w.w) in exact truncating-division
+    integer arithmetic — defined ONCE (ADVICE r14)."""
+    lam1, ww1 = _pca2_rayleigh(gmat, w1)
+    defl = {
+        (i, j): gmat[(i, j)] - _tdiv(lam1 * w1[i - 1] * w1[j - 1], ww1)
+        for i in range(1, 65)
+        for j in range(1, 65)
+    }
+    return lam1, ww1, defl
+
+
 def _pca2_loadings(gmat: dict) -> tuple[list, list]:
     """(w1, w2): the two trained integer loading vectors — PC1 by the
     exact integer power iteration, PC2 after Hotelling deflation with
@@ -1316,18 +1342,7 @@ def _pca2_loadings(gmat: dict) -> tuple[list, list]:
     (identical numbers; this helper exists so the SemDeDup arm trains
     on the same projection the PCA query reports)."""
     w1 = _pca2_iterate(gmat)
-    u1 = [
-        sum(gmat[(d, j)] * w1[j - 1] for j in range(1, 65))
-        for d in range(1, 65)
-    ]
-    num1 = sum(w1[d] * u1[d] for d in range(64))
-    ww1 = sum(x * x for x in w1)
-    lam1 = _tdiv(num1, ww1)
-    defl = {
-        (i, j): gmat[(i, j)] - _tdiv(lam1 * w1[i - 1] * w1[j - 1], ww1)
-        for i in range(1, 65)
-        for j in range(1, 65)
-    }
+    _, _, defl = _pca2_deflate(gmat, w1)
     return w1, _pca2_iterate(defl)
 
 
@@ -1378,25 +1393,13 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserved orthogonality through the rounding)."""
     gmat = _pca_gram(spark, sf_dir)
 
-    def rayleigh(mat, w):
-        u = [
-            sum(mat[(d, j)] * w[j - 1] for j in range(1, 65))
-            for d in range(1, 65)
-        ]
-        num = sum(w[d] * u[d] for d in range(64))
-        ww = sum(x * x for x in w)
-        return _tdiv(num, ww), ww
-
+    # iterate / Rayleigh / deflation arithmetic each exist ONCE in the
+    # _pca2_* helpers shared with the SemDeDup trained-quantizer arm
+    # (ADVICE r14: no duplicated deflation arithmetic).
     w1 = _pca2_iterate(gmat)
-    lam1, ww1 = rayleigh(gmat, w1)
-    defl = {
-        (i, j): gmat[(i, j)]
-        - _tdiv(lam1 * w1[i - 1] * w1[j - 1], ww1)
-        for i in range(1, 65)
-        for j in range(1, 65)
-    }
+    lam1, ww1, defl = _pca2_deflate(gmat, w1)
     w2 = _pca2_iterate(defl)
-    lam2, ww2 = rayleigh(defl, w2)
+    lam2, ww2 = _pca2_rayleigh(defl, w2)
     tr = sum(gmat[(d, d)] for d in range(1, 65))
     dot = sum(w1[d] * w2[d] for d in range(64))
 
@@ -2196,12 +2199,18 @@ def embedding_outlier_report(
             lambda acc, x: acc + x,
         ).alias("dist"),
     ).localCheckpoint()  # distance relation feeds both median passes
-    lo, hi, n = (
-        int(x)
-        for x in ad.agg(
-            F.min("dist"), F.max("dist"), F.count(F.lit(1))
-        ).collect()[0]
-    )  # bounded: 1-row aggregate scalars
+    mn, mx, cnt = ad.agg(
+        F.min("dist"), F.max("dist"), F.count(F.lit(1))
+    ).collect()[0]  # bounded: 1-row aggregate scalars
+    if cnt == 0:  # empty table: no median exists (ADVICE r14)
+        return ad.select(
+            "vec_id",
+            F.col("dist").cast("bigint").alias("dist_sq"),
+            F.lit(None).cast("bigint").alias("med_sq"),
+            F.lit(None).cast("boolean").alias("is_outlier"),
+            F.lit(None).cast("boolean").alias("is_planted"),
+        )
+    lo, hi, n = int(mn), int(mx), int(cnt)
     k = (n + 1) // 2  # target global rank of the exact median
     width = (hi - lo) // 4096 + 1  # <=4097 buckets, monotone in dist
     bucket = F.expr(f"(dist - {lo}) div {width}")  # exact integer div

@@ -823,63 +823,13 @@ def cohort_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cp_event_stream(spark: SparkSession, sf_dir: str):
-    """events as a STREAMING frame replayed from the resting parquet
-    (symlink staging, the established replay harness), with the
-    ns-timestamp column converted exactly as catalog.load_table does;
-    returns (stream, staging dirs for cleanup)."""
-    import glob as _glob
-    import os
-    import tempfile
-
-    from arroyo_spark.catalog import _ensure_nanos_conf
-
-    _ensure_nanos_conf(spark)
-    src = os.path.join(sf_dir, "events.parquet")
-    staged = tempfile.mkdtemp(prefix="sce_src_")
-    files = [src] if os.path.isfile(src) else sorted(
-        _glob.glob(os.path.join(src, "*.parquet"))
-    )
-    for f in files:
-        os.symlink(f, os.path.join(staged, os.path.basename(f)))
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(staged)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":  # ns-as-long parquet (sf0.01+)
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif ts_type == "timestamp_ntz":  # µs parquet (sf0.001)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream, [staged]
-
-
-def _drain_update_stream(spark: SparkSession, agg, staged_dirs, prefix):
-    """Run an update-mode aggregate to a memory sink with availableNow
-    and return the drained table name (established monitor plumbing)."""
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
-    name = prefix + _uuid.uuid4().hex[:8]
-    ck = tempfile.mkdtemp(prefix=prefix + "ck_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"{prefix}: stream did not drain in 600s")
-    finally:
-        for d in staged_dirs:
-            shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
-    return name
+# Staging/drain plumbing lives in the shared replay module (ADVICE r14:
+# no cross-module imports of leading-underscore helpers); these names
+# stay as the module-local spelling used by the query bodies below.
+from arroyo_spark.streaming.replay import (  # noqa: E402
+    drain_update_stream as _drain_update_stream,
+    event_replay_stream as _cp_event_stream,
+)
 
 
 _EVENT_DAY = "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"

@@ -1,0 +1,97 @@
+"""Shared replay-harness plumbing for on-ingest query legs.
+
+Every streaming twin of a batch query replays the resting parquet
+through a real Structured Streaming source (symlink staging so the
+file source sees the same bytes), maintains its update-mode state, and
+drains to a memory sink with ``availableNow`` — proving the incremental
+state re-merges to the batch answer regardless of micro-batch
+boundaries. The staging/drain mechanics were duplicated (and imported
+via leading-underscore names) across query modules; this module is the
+single public home (ADVICE r14).
+
+Reference analog: the on-ingest identity of arroyo's dataflow
+(``arroyo-worker``'s operator chain consumes sources incrementally);
+here Structured Streaming is the runtime and these helpers are only the
+test/replay harness around it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_parquet_symlinks(src: str, prefix: str) -> str:
+    """Stage a resting parquet file/dir as a symlink directory a
+    streaming file source can consume; returns the staging dir."""
+    staged = tempfile.mkdtemp(prefix=prefix)
+    files = [src] if os.path.isfile(src) else sorted(
+        glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for f in files:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    return staged
+
+
+def parquet_replay_stream(
+    spark: SparkSession, src: str, prefix: str
+) -> tuple[DataFrame, str]:
+    """A streaming frame replaying ``src`` (parquet file or dir) via
+    symlink staging; returns (stream, staging dir for cleanup)."""
+    staged = stage_parquet_symlinks(src, prefix)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(staged), staged
+
+
+def event_replay_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[str]]:
+    """The events table as a STREAMING frame, with the ns-timestamp
+    column converted exactly as catalog.load_table does; returns
+    (stream, staging dirs for cleanup)."""
+    from arroyo_spark.catalog import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
+    stream, staged = parquet_replay_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), "sce_src_"
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # ns-as-long parquet (sf0.01+)
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif ts_type == "timestamp_ntz":  # µs parquet (sf0.001)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, [staged]
+
+
+def drain_update_stream(
+    spark: SparkSession, agg: DataFrame, staged_dirs: list[str], prefix: str
+) -> str:
+    """Run an update-mode aggregate to a memory sink with availableNow
+    and return the drained table name (established monitor plumbing)."""
+    name = prefix + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix=prefix + "ck_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{prefix}: stream did not drain in 600s")
+    finally:
+        for d in staged_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return name

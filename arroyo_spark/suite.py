@@ -449,6 +449,17 @@ _GREEN_R14 = frozenset(
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
     # r15 edits (populated as code is touched this round):
+    "streaming_zorder_manifest",  # ADVICE r14: out-of-bounds ingest rows
+                                  # clamp to edge cells; replay helpers
+                                  # now imported from streaming.replay
+    "embedding_outlier_report",  # ADVICE r14: empty-table guard before
+                                 # the bucket-width arithmetic
+    "embedding_pca_top2",  # ADVICE r14: deflation/Rayleigh arithmetic
+                           # factored into shared _pca2_* helpers
+    "semdedup_pca_pruning",  # (consumes _pca2_loadings; re-verify)
+    "streaming_cohort_retention",  # replay helpers moved to
+                                   # streaming.replay (values identical)
+    "streaming_cohort_funnel",  # (same helper move)
 }
 
 

@@ -2198,6 +2198,39 @@ def test_streaming_zorder_stop_restore_matches_batch(
     assert got == expect and got
 
 
+def test_streaming_zorder_assign_clamps_out_of_bounds_rows(spark):
+    """Rows outside the resting layout bounds (true incremental ingest:
+    new customers / future dates) must clamp to the edge cells — every
+    file_id stays in [0, _Z_FILES) and no negative/overflow coords leak
+    into the manifest (ADVICE r14)."""
+    import datetime
+
+    from arroyo_spark.queries.relational_extra import (
+        _Z_FILES,
+        streaming_zorder_assign,
+    )
+
+    bounds = {"ck_lo": 100, "ck_hi": 200, "dy_lo": 9000, "dy_hi": 9100}
+    rows = [
+        (50, datetime.date(1990, 1, 1)),     # both below bounds
+        (10_000, datetime.date(2030, 1, 1)),  # both above bounds
+        (150, datetime.date(1994, 8, 25)),    # in-bounds control
+    ]
+    df = spark.createDataFrame(rows, "o_custkey bigint, o_orderdate date")
+    out = streaming_zorder_assign(df, bounds).collect()
+    assert len(out) == 2 * len(rows)
+    for r in out:
+        assert 0 <= r["file_id"] < _Z_FILES, r
+    # the below-bounds row lands in file 0, the above-bounds row in the
+    # last file, for BOTH layouts
+    for layout in ("zorder", "date_binned"):
+        by_ck = {
+            r["ck"]: r["file_id"] for r in out if r["layout"] == layout
+        }
+        assert by_ck[50] == 0
+        assert by_ck[10_000] == _Z_FILES - 1
+
+
 def test_streaming_cohort_retention_stop_restore_matches_batch(
     spark, sf_dir, tmp_path
 ):
