@@ -357,3 +357,132 @@ def streaming_token_budget(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_asof_latest(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    side_col: str = "side",  # 'probe' (left) | 'build' (right)
+    id_col: str = "event_id",
+    ts_col: str = "ts_us",
+    val_col: str = "value",
+    ttl_us: int | None = None,
+) -> DataFrame:
+    """On-ingest AS-OF join (last-value-at-or-before) — the streaming
+    leg of `operators.asof_join`: both sides arrive interleaved on one
+    keyed stream (a stateful two-input operator in Spark is a union
+    with a side marker); per key the state buffers build-side
+    (ts -> max value) points and probe rows, and every batch that
+    touches the key re-emits each buffered probe's CURRENT match — the
+    latest build ts at-or-before the probe ts, ties on ts resolved to
+    the max value (the batch twin's MAX(value) GROUP BY key, ts).
+
+    Reference analog: `join_with_expiration.rs:42-120` (both sides
+    buffered in keyed state with TTL expiry, matches emitted as rows
+    arrive). Here `ttl_us` is that horizon: rows with
+    ts < (max ts seen for the key) - ttl_us are expired from state —
+    a probe arriving after its horizon passed gets no match and a
+    build point past its horizon can no longer match, exactly the
+    reference's expiration semantics. With ttl_us=None nothing
+    expires, and the DRAINED emissions re-merge (per probe id, max
+    (matched_ts, matched_val) struct — monotone as more build points
+    arrive) to the exact batch as-of join regardless of file/batch
+    arrival order.
+
+    Emission contract: matched_ts_us = -1 (with matched_val = 0.0) is
+    the no-match sentinel so the re-merge struct max never compares
+    NULL fields; the rollup converts it back to NULL.
+
+    Scale: state per key = its build points + its probe rows — the
+    JoinWithExpiration shape, TTL-bounded in production (state volume
+    = arrival rate x horizon, hash-partitioned by key; RocksDB at
+    scale). Per batch each touched key does an O(state + batch) merge
+    and emits O(probes in state) rows; untouched keys cost nothing.
+    """
+    out_schema = StructType.fromDDL(
+        f"{id_col} bigint, {key_col} bigint, probe_ts_us bigint, "
+        "matched_ts_us bigint, matched_val double"
+    )
+    state_schema = StructType.fromDDL(
+        "bts array<bigint>, bvs array<double>, "
+        "pids array<bigint>, pts array<bigint>, hts bigint"
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new_build: list[tuple[int, float]] = []
+        new_probe: list[tuple[int, int]] = []
+        for pdf in batches:
+            for s, i, t, v in zip(
+                pdf[side_col], pdf[id_col], pdf[ts_col], pdf[val_col]
+            ):
+                if s == "build":
+                    new_build.append((int(t), float(v)))
+                else:
+                    new_probe.append((int(i), int(t)))
+        if not new_build and not new_probe:
+            return
+        if state.exists:
+            bts, bvs, pids, pts, hts = state.get
+            build = {int(t): float(v) for t, v in zip(bts, bvs)}
+            probes = {int(i): int(t) for i, t in zip(pids, pts)}
+            horizon = int(hts)
+        else:
+            build, probes, horizon = {}, {}, -(1 << 62)
+        for t, v in new_build:
+            if v > build.get(t, float("-inf")):
+                build[t] = v
+            horizon = max(horizon, t)
+        for i, t in new_probe:
+            probes[i] = t
+            horizon = max(horizon, t)
+        if ttl_us is not None:
+            cut = horizon - ttl_us
+            build = {t: v for t, v in build.items() if t >= cut}
+            probes = {i: t for i, t in probes.items() if t >= cut}
+        state.update(
+            (
+                list(build.keys()),
+                list(build.values()),
+                list(probes.keys()),
+                list(probes.values()),
+                horizon,
+            )
+        )
+        if not probes:
+            return
+        bsorted = sorted(build.items())
+        import bisect
+
+        ids, ptss, mts, mvs = [], [], [], []
+        for i, t in sorted(probes.items()):
+            ids.append(i)
+            ptss.append(t)
+            # rightmost build ts <= probe ts
+            j = bisect.bisect_right(bsorted, (t, float("inf"))) - 1
+            if j >= 0:
+                mts.append(bsorted[j][0])
+                mvs.append(bsorted[j][1])
+            else:
+                mts.append(-1)
+                mvs.append(0.0)
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: [int(key[0])] * len(ids),
+                "probe_ts_us": ptss,
+                "matched_ts_us": mts,
+                "matched_val": mvs,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

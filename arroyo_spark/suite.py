@@ -460,6 +460,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_cohort_retention",  # replay helpers moved to
                                    # streaming.replay (values identical)
     "streaming_cohort_funnel",  # (same helper move)
+    "streaming_asof_last_click",  # NEW r15 (verdict #3: as-of join on
+                                  # ingest — buffered-both-sides keyed
+                                  # state, JoinWithExpiration analog)
 }
 
 

@@ -2331,3 +2331,121 @@ def test_streaming_cohort_retention_stop_restore_matches_batch(
     }
     expect = {tuple(r) for r in cohort_retention(spark, sf_dir).collect()}
     assert got == expect and got
+
+
+def test_streaming_asof_stop_restore_matches_batch(spark, sf_dir, tmp_path):
+    """As-of join ON INGEST with a stop/restore leg (r14 verdict #3):
+    half the events arrive, the per-user buffered-both-sides state
+    checkpoints and STOPS; the rest arrive under a restored query.
+    Re-merged emissions must equal the batch `asof_purchase_last_click`
+    — leg 1's click buffer carries into leg 2 so a leg-2 purchase can
+    match a leg-1 click (and vice versa: a leg-2 click upgrades a
+    leg-1 purchase's emitted match)."""
+    import glob
+    import os
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.queries.relational_extra import (
+        asof_emission_rollup,
+        asof_purchase_last_click,
+    )
+    from arroyo_spark.streaming.stateful import streaming_asof_latest
+
+    data = tmp_path / "events4"
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type", "value").repartition(
+        4
+    ).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+    schema = spark.read.parquet(str(data)).schema
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        ev = stream.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.when(F.col("event_type") == "purchase", F.lit("probe"))
+            .otherwise(F.lit("build"))
+            .alias("side"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+        q = (
+            streaming_asof_latest(ev)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit matches"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+
+    got = {
+        tuple(r)
+        for r in asof_emission_rollup(spark.read.parquet(out)).collect()
+    }
+    expect = {
+        tuple(r) for r in asof_purchase_last_click(spark, sf_dir).collect()
+    }
+    assert got == expect and got
+
+
+def test_streaming_asof_ttl_expires_old_clicks(spark, tmp_path):
+    """The TTL horizon (the reference's JoinWithExpiration semantics,
+    join_with_expiration.rs:42-120): a click older than ttl_us behind
+    the key's max event time is expired from state and cannot match a
+    later purchase; an in-horizon click still does."""
+    from arroyo_spark.streaming.stateful import streaming_asof_latest
+
+    rows = [
+        # user 1: click at t=100, purchase at t=5000 — click expired
+        # by the time the purchase arrives (ttl=1000)
+        (1, "build", 900, 100, 7.0),
+        (1, "probe", 901, 5000, 0.0),
+        # user 2: click at t=4500, purchase at t=5000 — inside horizon
+        (2, "build", 902, 4500, 9.0),
+        (2, "probe", 903, 5000, 0.0),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "user_id bigint, side string, event_id bigint, "
+        "ts_us bigint, value double"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = "asof_ttl_" + str(abs(hash(str(tmp_path))) % 10**8)
+    q = (
+        streaming_asof_latest(stream, ttl_us=1000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r["event_id"]): (int(r["matched_ts_us"]), float(r["matched_val"]))
+        for r in spark.table(name).collect()
+    }
+    assert got[901] == (-1, 0.0), "expired click must not match"
+    assert got[903] == (4500, 9.0), "in-horizon click must match"
