@@ -850,3 +850,174 @@ def mm_image_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         (signed_hi * F.lit(1 << 32) + lo).cast("bigint").alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multimodal sequence assembly (r14 verdict #4 — the
+# MMC4 / OBELICS-class step, Zhu et al. 2023 / Laurençon et al. 2023):
+# documents carry an interleaved image+text stream (here one image slot
+# after every _MMI_EVERY-th word, its content keyed by that word — the
+# deterministic stand-in the mm suite uses so DuckDB can replay the
+# arithmetic); the assembler concatenates documents WHOLE in doc_id
+# order into fixed-budget training sequences, where each image costs a
+# fixed _MMI_IMG_TOKENS vision-token slots and images are stored as
+# DEDUPED references (the loader materializes each distinct image
+# once). The manifest emits, per sequence: doc span, text/image/cost
+# token accounting, the distinct-reference count, and how many refs
+# FIRST appear in this sequence (what the sequence adds to the image
+# store).
+#
+# Scale: the tokenize runs ONCE (checkpointed through the shared
+# two-level prefix sum — contiguous doc_id intervals, per-interval
+# windows, exact broadcast offsets; zero unpartitioned Windows); every
+# downstream step is a keyed aggregation or seq_id equi-join; image
+# BLOBS never appear — only their md5 references shuffle. Whole-doc
+# assignment is by stream start offset (the shard-packing convention):
+# a straddling doc keeps its sequence, so cost_tokens can exceed the
+# budget by one doc's tail — emitted as data for the loader.
+# ---------------------------------------------------------------------------
+
+_MMI_L = 2048  # sequence budget in effective tokens
+_MMI_EVERY = 32  # one image slot after every 32nd word
+_MMI_IMG_TOKENS = 64  # vision tokens consumed per image slot
+
+_MMI_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+)
+
+
+@query(
+    "mm_interleaved_sequences",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_MMI_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_transform(
+               range(1, CAST(len(toks) // {_MMI_EVERY} AS BIGINT) + 1),
+               k -> md5(toks[CAST({_MMI_EVERY} * k AS BIGINT)])
+             ) AS img_refs
+      FROM tk WHERE len(toks) > 0),
+    cost AS (
+      SELECT doc_id, n_words, img_refs,
+             n_words + {_MMI_IMG_TOKENS} * len(img_refs) AS cost
+      FROM base),
+    asg AS (
+      SELECT *, CAST((CAST(SUM(cost) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - cost) // {_MMI_L} AS BIGINT) AS seq_id
+      FROM cost),
+    seqs AS (
+      SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+             CAST(SUM(n_words) AS BIGINT) AS text_tokens,
+             CAST(SUM(len(img_refs)) AS BIGINT) AS n_images,
+             CAST(SUM(cost) AS BIGINT) AS cost_tokens
+      FROM asg GROUP BY seq_id),
+    per AS (
+      SELECT DISTINCT seq_id, unnest(img_refs) AS ref FROM asg),
+    uniq AS (
+      SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_unique_images
+      FROM per GROUP BY seq_id),
+    frst AS (
+      SELECT ref, MIN(seq_id) AS first_seq FROM per GROUP BY ref),
+    nw AS (
+      SELECT first_seq AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_new_images
+      FROM frst GROUP BY first_seq)
+    SELECT s.seq_id, s.n_docs, s.first_doc, s.last_doc, s.text_tokens,
+           s.n_images,
+           COALESCE(u.n_unique_images, 0) AS n_unique_images,
+           COALESCE(n.n_new_images, 0) AS n_new_images,
+           s.cost_tokens
+    FROM seqs s
+    LEFT JOIN uniq u USING (seq_id)
+    LEFT JOIN nw n USING (seq_id)
+    """,
+    tags=("multimodal", "packing", "interleaved", "pipeline", "dedup"),
+)
+def mm_interleaved_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence manifest of the interleaved image+text assembly:
+    whole docs in doc_id order under a {_MMI_L}-effective-token budget,
+    images as deduped md5 references at {_MMI_IMG_TOKENS} vision tokens
+    each."""
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.queries.curation import two_level_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", T.toks("text").alias("toks"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size("toks").cast("bigint").alias("n_words"),
+            F.expr(
+                f"CASE WHEN size(toks) >= {_MMI_EVERY} THEN"
+                f" transform(sequence(CAST(1 AS BIGINT),"
+                f" CAST(size(toks) div {_MMI_EVERY} AS BIGINT)),"
+                f" k -> md5(element_at(toks, CAST({_MMI_EVERY} * k AS INT))))"
+                " ELSE array() END"
+            ).alias("img_refs"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    vals = base.select(
+        "doc_id",
+        "n_words",
+        "img_refs",
+        (
+            F.col("n_words")
+            + F.lit(_MMI_IMG_TOKENS) * F.size("img_refs")
+        )
+        .cast("bigint")
+        .alias("cost"),
+    )
+    cum, _total = two_level_prefix_sum(spark, vals, "cost")
+    # shared by the sequence rollup AND both image-reference branches:
+    # checkpoint so the interval window runs once
+    asg = cum.select(
+        "doc_id",
+        "n_words",
+        "img_refs",
+        "cost",
+        F.expr(f"(cum - cost) div {_MMI_L}").alias("seq_id"),
+    ).localCheckpoint()
+    seqs = asg.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.sum("n_words").cast("bigint").alias("text_tokens"),
+        F.sum(F.size("img_refs")).cast("bigint").alias("n_images"),
+        F.sum("cost").cast("bigint").alias("cost_tokens"),
+    )
+    per = asg.select(
+        "seq_id", F.explode("img_refs").alias("ref")
+    ).distinct()
+    uniq = per.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_images")
+    )
+    nw = (
+        per.groupBy("ref")
+        .agg(F.min("seq_id").alias("seq_id"))
+        .groupBy("seq_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_images"))
+    )
+    return (
+        seqs.join(uniq, "seq_id", "left")
+        .join(nw, "seq_id", "left")
+        .select(
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "text_tokens",
+            "n_images",
+            F.coalesce("n_unique_images", F.lit(0))
+            .cast("bigint")
+            .alias("n_unique_images"),
+            F.coalesce("n_new_images", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_images"),
+            "cost_tokens",
+        )
+    )

@@ -463,6 +463,13 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_asof_last_click",  # NEW r15 (verdict #3: as-of join on
                                   # ingest — buffered-both-sides keyed
                                   # state, JoinWithExpiration analog)
+    "mm_interleaved_sequences",  # NEW r15 (verdict #4: MMC4/OBELICS
+                                 # interleaved image+text assembly over
+                                 # the shared two-level prefix sum)
+    "sequence_packing_gpt_2level",  # two-level prefix sum factored into
+                                    # shared two_level_prefix_sum
+                                    # (values identical)
+    "sequence_packing_boundaries",  # (same helper move)
 }
 
 

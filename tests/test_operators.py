@@ -2351,3 +2351,50 @@ def test_deletion_residuals_full_for_exact_duplicates(spark, sf_dir):
         for f in fp.values()
         if impact[f]["n_copies"] > impact[f]["n_deleted"] > 0
     ) >= 0  # structural guard; the strong assert is per-doc above
+
+
+def test_mm_interleaved_dedup_accounting(spark, sf_dir):
+    """The deduped-reference invariants of the interleaved assembly:
+    (1) sum of n_new_images over sequences == the corpus's global
+    distinct image-reference count (every stored image is charged to
+    exactly one sequence); (2) n_unique_images <= n_images per row;
+    (3) doc order is preserved — sequences' [first_doc, last_doc]
+    spans are non-overlapping and increase with seq_id."""
+    from arroyo_spark.queries.multimodal import mm_interleaved_sequences
+
+    rows = sorted(
+        mm_interleaved_sequences(spark, sf_dir).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    assert rows
+    # (2) + per-row sanity
+    for r in rows:
+        assert 0 <= r["n_new_images"] <= r["n_unique_images"] <= r["n_images"]
+        assert r["first_doc"] <= r["last_doc"]
+        assert r["cost_tokens"] >= r["text_tokens"]
+    # (3) whole-doc, in-order assembly
+    for a, b in zip(rows, rows[1:]):
+        assert a["seq_id"] < b["seq_id"]
+        assert a["last_doc"] < b["first_doc"]
+    # (1) global distinct refs recomputed independently
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    distinct_refs = (
+        docs.select(T.toks("text").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 32 THEN"
+                    " transform(sequence(CAST(1 AS BIGINT),"
+                    " CAST(size(toks) div 32 AS BIGINT)),"
+                    " k -> md5(element_at(toks, CAST(32 * k AS INT))))"
+                    " ELSE array() END"
+                )
+            ).alias("ref")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_new_images"] for r in rows) == distinct_refs
