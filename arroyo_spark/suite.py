@@ -470,6 +470,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                                     # shared two_level_prefix_sum
                                     # (values identical)
     "sequence_packing_boundaries",  # (same helper move)
+    "streaming_ivf_maintenance",  # NEW r15 (verdict #5: on-ingest IVF
+                                  # cell assignment + boundary-margin
+                                  # recall proxy per cell)
 }
 
 

@@ -2449,3 +2449,68 @@ def test_streaming_asof_ttl_expires_old_clicks(spark, tmp_path):
     }
     assert got[901] == (-1, 0.0), "expired click must not match"
     assert got[903] == (4500, 9.0), "in-horizon click must match"
+
+
+def test_streaming_ivf_maintenance_stop_restore_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """IVF maintenance state ON INGEST with a stop/restore leg (r14
+    verdict #5): half the embeddings arrive, the O(k)-row per-cell
+    counter state checkpoints and STOPS; the rest arrive under a
+    restored query. Re-merged emissions (all counters monotone) must
+    equal the full batch maintenance report."""
+    import glob
+    import os
+
+    from arroyo_spark.catalog import load_table
+    from arroyo_spark.operators.clustering import kmeans_lloyd_full
+    from arroyo_spark.queries.similarity import (
+        siv_assign,
+        siv_finalize,
+        siv_state,
+        streaming_ivf_maintenance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _a, centroids = kmeans_lloyd_full(emb, k=8, iters=2)
+
+    data = tmp_path / "emb4"
+    emb.select("vec_id", "embedding").repartition(4).write.parquet(str(data))
+    files = sorted(glob.glob(str(data / "*.parquet")))
+    assert len(files) >= 2
+    staged = tmp_path / "arrivals"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "emissions")
+    schema = spark.read.parquet(str(data)).schema
+
+    def run(leg: int):
+        stream = spark.readStream.schema(schema).parquet(str(staged))
+        q = (
+            siv_state(siv_assign(stream, centroids))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(1)
+    assert spark.read.parquet(out).count() > 0, "leg 1 must emit state"
+    for f in files[half:]:
+        os.symlink(f, staged / os.path.basename(f))
+    run(2)
+
+    got = {
+        tuple(r) for r in siv_finalize(spark.read.parquet(out)).collect()
+    }
+    expect = {
+        tuple(r) for r in streaming_ivf_maintenance(spark, sf_dir).collect()
+    }
+    assert got == expect and got
