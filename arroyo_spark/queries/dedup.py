@@ -3717,3 +3717,158 @@ def dedup_deletion_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation EXECUTION (r14 verdict #6) — the pair above
+# MEASURES right-to-be-forgotten impact; this leg EXECUTES it through
+# the updating dataflow: every document arrives as a Debezium `c`
+# envelope and every tombstoned document (same `_TOMB` rule) as a `d`
+# RETRACTION envelope; the unroll (`unroll_debezium_json`) turns them
+# into a signed retraction stream, one update-mode retraction aggregate
+# maintains per-fingerprint (net live copies, net surviving tokens),
+# and the updating sink (`DebeziumEncoder`, delete_when="n_live <= 0")
+# encodes group death as op='d' and EVICTS the key from its bucketed
+# snapshot. The query returns that snapshot — the golden-style
+# pk-merged POST-DELETION state (reference analog:
+# `extension/debezium.rs:36-84` retraction encoding over the
+# checkpointed UpdatingAggregate).
+#
+# Scale: the envelope staging is fixture plumbing (a real deployment
+# reads the Kafka debezium source already shipped in streaming/kafka);
+# the data plane is one keyed signed aggregate (|fingerprints| rows of
+# state) + the snapshot-diff encoder that reads only changed buckets.
+# Arrival order cannot change the final state (signed sums commute;
+# the sink's c/u/d labels depend on batch boundaries, the merged state
+# does not). Crash-replay exactly-once comes from the encoder's commit
+# markers (tests/test_updating.py kill-point matrix).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_deletion_execution",
+    oracle=f"""
+    WITH f AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  w -> w <> '')) AS BIGINT) AS nt,
+             ({_TOMB}) AS t
+      FROM documents)
+    SELECT fingerprint,
+           CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(SUM(CASE WHEN NOT t THEN nt ELSE 0 END) AS BIGINT)
+             AS n_tokens
+    FROM f GROUP BY fingerprint
+    HAVING SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("dedup", "deletion", "streaming", "updating", "cdc"),
+)
+def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-driven Debezium `d` retractions flowing through the
+    updating sink; returns the sink's pk-merged post-deletion snapshot
+    (per surviving fingerprint group: net live copies + token mass)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from arroyo_spark.operators import text as T
+    from arroyo_spark.streaming.debezium import (
+        retraction_aggregate,
+        unroll_debezium_json,
+    )
+    from arroyo_spark.streaming.updating import DebeziumEncoder
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(normalize_text("text")).alias("fingerprint"),
+        F.size(T.toks("text")).cast("bigint").alias("nt"),
+    )
+    rs = F.struct("doc_id", "fingerprint", "nt")
+    row_ddl = "doc_id bigint, fingerprint string, nt bigint"
+    null_row = F.lit(None).cast(
+        "struct<doc_id:bigint,fingerprint:string,nt:bigint>"
+    )
+    # fixture staging: the CDC feed as text envelope files (c for every
+    # doc, d for each tombstone), coalesced so inserts and deletes land
+    # in separate micro-batches and the d path executes against live
+    # sink state. NOT the data plane — production reads the kafka
+    # debezium source.
+    envdir = tempfile.mkdtemp(prefix="ddexec_env_")
+    c_env = rows.select(
+        F.to_json(
+            F.struct(
+                null_row.alias("before"),
+                rs.alias("after"),
+                F.lit("c").alias("op"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+    d_env = rows.filter(F.expr(_TOMB)).select(
+        F.to_json(
+            F.struct(
+                rs.alias("before"),
+                null_row.alias("after"),
+                F.lit("d").alias("op"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+    c_env.coalesce(1).write.mode("overwrite").text(
+        os.path.join(envdir, "b0_inserts")
+    )
+    d_env.coalesce(1).write.mode("overwrite").text(
+        os.path.join(envdir, "b1_deletes")
+    )
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(os.path.join(envdir, "*"))
+    )
+    row_schema = StructType.fromDDL(row_ddl)
+    unrolled = unroll_debezium_json(stream, row_schema, pks=["fingerprint"])
+    agg = retraction_aggregate(
+        unrolled,
+        ["fingerprint"],
+        sums={"n_tokens": F.col("nt")},
+        count="n_live",
+        keep_dead=True,
+    )
+    encoder = DebeziumEncoder(
+        ["fingerprint"],
+        emit=None,
+        state_dir=tempfile.mkdtemp(prefix="ddexec_state_"),
+        delete_when="n_live <= 0",
+    )
+    ck = tempfile.mkdtemp(prefix="ddexec_ck_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(encoder)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "dedup_deletion_execution: stream did not drain in 600s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(envdir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    paths = list(encoder._last_buckets().values())
+    if not paths:
+        return spark.createDataFrame(
+            [], "fingerprint string, n_live bigint, n_tokens bigint"
+        )
+    return spark.read.parquet(*paths).select(
+        "fingerprint",
+        F.col("n_live").cast("bigint").alias("n_live"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -91,6 +91,7 @@ def retraction_aggregate(
     sums: dict[str, "F.Column | str"] | None = None,
     count: str | None = None,
     avgs: dict[str, "F.Column | str"] | None = None,
+    keep_dead: bool = False,
 ) -> DataFrame:
     """Aggregate a retraction stream (rows carrying ``_is_retract``) with
     signed accumulation — the streaming consumer for
@@ -110,6 +111,12 @@ def retraction_aggregate(
     min/max need non-retractable full-value state (the reference's
     "Batch" accumulator path that stores raw values); express those by
     replaying to final state first (`_read_debezium_source` batch path).
+
+    ``keep_dead=True`` keeps net-count<=0 rows in the output instead of
+    filtering them — required when the consumer is the updating sink's
+    ``delete_when`` path, which must SEE the dead row to encode op='d'
+    (a filtered row never reaches the sink in update mode, so the key's
+    death would be silent).
     """
     sign = F.when(F.col(IS_RETRACT), F.lit(-1)).otherwise(F.lit(1))
     aggs = []
@@ -126,7 +133,8 @@ def retraction_aggregate(
         out = out.withColumn(
             name, F.col(f"__avg_num_{name}") / F.col(count_name)
         ).drop(f"__avg_num_{name}")
-    out = out.filter(F.col(count_name) > 0)  # net-deleted keys vanish
+    if not keep_dead:
+        out = out.filter(F.col(count_name) > 0)  # net-deleted keys vanish
     if count is None:
         out = out.drop(count_name)
     return out

@@ -49,6 +49,7 @@ from pyspark.sql.streaming import StreamingQuery
 _PRESENT = "__dbz_present"
 _LAST_SEEN = "__dbz_last_seen_us"
 _BUCKET = "__dbz_bucket"
+_DEAD = "__dbz_dead"
 
 
 class DebeziumEncoder:
@@ -57,8 +58,14 @@ class DebeziumEncoder:
     Each incoming micro-batch holds the NEW value of every changed key
     (one row per key — the update-mode aggregate contract); the encoder
     emits op='c' for first-seen keys, op='u' with the previous value
-    otherwise. Deletes don't occur in update-mode aggregate output; they
-    arise from the Debezium-source unroll path.
+    otherwise. An update-mode aggregate cannot signal key death by
+    absence, so deletes are predicate-driven: ``delete_when`` (a SQL
+    boolean over the aggregate row, e.g. ``"n_live <= 0"`` for a signed
+    retraction count) marks rows that emit op='d' with their before
+    image and are REMOVED from the snapshot — the reference's
+    ToDebeziumExtension retraction encoding
+    (`extension/debezium.rs:36-84`: a retraction that kills the row
+    emits d). A dead row whose key was never present emits nothing.
 
     Envelope computation and state are distributed:
 
@@ -87,11 +94,13 @@ class DebeziumEncoder:
         ttl_us: int | None = None,
         clock_us: Callable[[], int] | None = None,
         n_buckets: int | None = None,
+        delete_when: str | None = None,
     ) -> None:
         self.pks = pks
         self.emit = emit
         self.spool = spool
         self.ttl_us = ttl_us
+        self.delete_when = delete_when
         self.clock_us = clock_us  # injectable for deterministic TTL tests
         # None -> sized at first commit from the observed key count and
         # persisted in the state dir (bucket assignment must stay stable
@@ -185,6 +194,14 @@ class DebeziumEncoder:
         now_us = (
             self.clock_us() if self.clock_us else int(time.time() * 1_000_000)
         )
+        # dead-row flag first (pure per-row predicate), so every
+        # downstream job sees it without recomputing the expression
+        batch_df = batch_df.withColumn(
+            _DEAD,
+            F.expr(self.delete_when)
+            if self.delete_when is not None
+            else F.lit(False),
+        )
         # the batch feeds four jobs (changed-bucket scan, envelope join,
         # anti-join, snapshot write) — pin it once instead of recomputing
         # the stateful aggregation per action
@@ -202,7 +219,7 @@ class DebeziumEncoder:
             .distinct()
             .collect()  # bounded: changed-bucket ids (<= n_buckets ints)
         )
-        snap_schema = batch_df.withColumn(
+        snap_schema = batch_df.drop(_DEAD).withColumn(
             _LAST_SEEN, F.lit(0).cast("long")
         ).schema
         prev_paths = [
@@ -230,15 +247,21 @@ class DebeziumEncoder:
             F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}")) for k in self.pks
         ]
         joined = a.join(b, on=cond, how="left")
-        after = F.struct(*[F.col(f"__a.{c}").alias(c) for c in cols])
-        before = F.struct(*[F.col(f"__b.{c}").alias(c) for c in cols])
+        val_cols = [c for c in cols if c != _DEAD]
+        after = F.struct(*[F.col(f"__a.{c}").alias(c) for c in val_cols])
+        before = F.struct(*[F.col(f"__b.{c}").alias(c) for c in val_cols])
         is_new = F.col(_PRESENT).isNull()
-        env = joined.select(
+        is_dead = F.col(f"__a.{_DEAD}")
+        # a dead row for a never-present key is a no-op (nothing to delete)
+        env = joined.filter(~(is_dead & is_new)).select(
             F.to_json(
                 F.struct(
                     F.when(is_new, F.lit(None)).otherwise(before).alias("before"),
-                    after.alias("after"),
-                    F.when(is_new, F.lit("c")).otherwise(F.lit("u")).alias("op"),
+                    F.when(is_dead, F.lit(None)).otherwise(after).alias("after"),
+                    F.when(is_dead, F.lit("d"))
+                    .when(is_new, F.lit("c"))
+                    .otherwise(F.lit("u"))
+                    .alias("op"),
                 ),
                 {"ignoreNullFields": "false"},
             ).alias("value")
@@ -261,8 +284,13 @@ class DebeziumEncoder:
         kept = prev_full.alias("__b").join(
             batch_df.alias("__a"), on=cond, how="left_anti"
         )
+        # dead keys evict their before-image (the anti-join above) and
+        # contribute NO replacement row — post-deletion state by
+        # construction
         new_snap = kept.unionByName(
-            batch_df.withColumn(_LAST_SEEN, F.lit(now_us))
+            batch_df.filter(~F.col(_DEAD))
+            .drop(_DEAD)
+            .withColumn(_LAST_SEEN, F.lit(now_us))
         )
         snap_path = os.path.join(
             self.state_dir, f"snapshot-{batch_id}-{uuid.uuid4().hex[:8]}"
@@ -278,7 +306,14 @@ class DebeziumEncoder:
         prev_full.unpersist()
         buckets = dict(prev_buckets)
         for b in changed:
-            buckets[str(b)] = os.path.join(snap_path, f"{_BUCKET}={b}")
+            bpath = os.path.join(snap_path, f"{_BUCKET}={b}")
+            if os.path.isdir(bpath):
+                buckets[str(b)] = bpath
+            else:
+                # every key in the bucket died (delete_when): the writer
+                # emitted no directory — drop the pointer so later reads
+                # don't chase a nonexistent path
+                buckets.pop(str(b), None)
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(json.dumps({"buckets": buckets}))
@@ -293,11 +328,16 @@ def run_updating_aggregate(
     checkpoint_dir: str,
     state_dir: str | None = None,
     spool: str | None = None,
+    delete_when: str | None = None,
 ) -> StreamingQuery:
     """Start an update-mode streaming query writing Debezium envelopes
     (distributed; ``emit`` is the optional driver capture for tests).
-    `aggregated` must be an unwindowed groupBy().agg() stream."""
-    encoder = DebeziumEncoder(pks, emit, spool=spool, state_dir=state_dir)
+    `aggregated` must be an unwindowed groupBy().agg() stream;
+    ``delete_when`` marks aggregate rows that encode as op='d' and drop
+    from the snapshot (retraction-driven deletion propagation)."""
+    encoder = DebeziumEncoder(
+        pks, emit, spool=spool, state_dir=state_dir, delete_when=delete_when
+    )
     return (
         aggregated.writeStream.outputMode("update")
         .foreachBatch(encoder)

@@ -473,6 +473,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_ivf_maintenance",  # NEW r15 (verdict #5: on-ingest IVF
                                   # cell assignment + boundary-margin
                                   # recall proxy per cell)
+    "dedup_deletion_execution",  # NEW r15 (verdict #6: tombstone-driven
+                                 # Debezium d retractions through the
+                                 # updating sink; delete_when eviction)
 }
 
 

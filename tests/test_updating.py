@@ -344,3 +344,72 @@ def test_bucket_count_sized_once_and_pinned(spark, tmp_path):
         "__dbz_bucket=" in p for p in marker["buckets"].values()
     )
     assert len(marker["buckets"]) <= 8
+
+
+def test_encoder_delete_when_emits_d_and_evicts(spark, tmp_path):
+    """Retraction-driven deletion (r14 verdict #6): a row matching
+    delete_when emits op='d' with its before image, disappears from the
+    snapshot (a later re-insert is a fresh 'c'), and a dead row for a
+    never-present key is a no-op. The envelope log pk-merges to the
+    post-deletion state (merge_debezium_log — the golden merge)."""
+    from arroyo_spark.streaming.debezium import merge_debezium_log
+
+    enc = DebeziumEncoder(
+        ["k"],
+        spool=str(tmp_path / "sp"),
+        state_dir=str(tmp_path / "st"),
+        delete_when="n <= 0",
+    )
+    b0 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, n long")
+    enc(b0, 0)
+    # batch 1: 'a' dies (net 0), 'b' updates, dead 'z' was never present
+    b1 = spark.createDataFrame(
+        [("a", 0), ("b", 5), ("z", 0)], "k string, n long"
+    )
+    enc(b1, 1)
+    log = _collect(str(tmp_path / "sp"))
+    d_rows = [e for e in log if e["op"] == "d"]
+    assert d_rows == [
+        {"before": {"k": "a", "n": 2}, "after": None, "op": "d"}
+    ]
+    assert not any(
+        (e["after"] or e["before"])["k"] == "z" for e in log
+    ), "never-present dead key must not emit"
+    # golden pk-merge: post-deletion state
+    state = merge_debezium_log(log, ["k"])
+    assert state == {("b",): {"k": "b", "n": 5}}
+    # batch 2: 'a' returns — evicted state makes it a fresh 'c'
+    b2 = spark.createDataFrame([("a", 9)], "k string, n long")
+    enc(b2, 2)
+    back = [
+        e
+        for e in _collect(str(tmp_path / "sp"))
+        if e["op"] != "d" and e["after"]["k"] == "a" and e["after"]["n"] == 9
+    ]
+    assert back and back[0]["op"] == "c" and back[0]["before"] is None
+
+
+def test_encoder_delete_replay_is_noop(spark, tmp_path):
+    """Crash-replay of a batch containing deletes re-emits nothing and
+    leaves the post-deletion snapshot intact (exactly-once markers)."""
+    enc = DebeziumEncoder(
+        ["k"],
+        spool=str(tmp_path / "sp"),
+        state_dir=str(tmp_path / "st"),
+        delete_when="n <= 0",
+    )
+    enc(spark.createDataFrame([("a", 2)], "k string, n long"), 0)
+    b1 = spark.createDataFrame([("a", 0)], "k string, n long")
+    enc(b1, 1)
+    n = len(_collect(str(tmp_path / "sp")))
+    enc(b1, 1)  # recovery replay
+    assert len(_collect(str(tmp_path / "sp"))) == n
+    # replaying the delete must not resurrect or double-delete: a fresh
+    # insert afterwards is still a clean 'c'
+    enc(spark.createDataFrame([("a", 4)], "k string, n long"), 2)
+    last = [
+        e
+        for e in _collect(str(tmp_path / "sp"))
+        if e["op"] == "c" and e["after"]["n"] == 4
+    ]
+    assert len(last) == 1
