@@ -354,8 +354,13 @@ def test_encoder_delete_when_emits_d_and_evicts(spark, tmp_path):
     post-deletion state (merge_debezium_log — the golden merge)."""
     from arroyo_spark.streaming.debezium import merge_debezium_log
 
+    # the golden pk-merge needs BATCH order; the spool's part files walk
+    # in filesystem order, so capture via emit (the ordered golden-test
+    # surface) instead
+    batches: list[list[dict]] = []
     enc = DebeziumEncoder(
         ["k"],
+        emit=batches.append,
         spool=str(tmp_path / "sp"),
         state_dir=str(tmp_path / "st"),
         delete_when="n <= 0",
@@ -367,7 +372,7 @@ def test_encoder_delete_when_emits_d_and_evicts(spark, tmp_path):
         [("a", 0), ("b", 5), ("z", 0)], "k string, n long"
     )
     enc(b1, 1)
-    log = _collect(str(tmp_path / "sp"))
+    log = [e for batch in batches for e in batch]
     d_rows = [e for e in log if e["op"] == "d"]
     assert d_rows == [
         {"before": {"k": "a", "n": 2}, "after": None, "op": "d"}
