@@ -2514,3 +2514,97 @@ def test_streaming_ivf_maintenance_stop_restore_matches_batch(
         tuple(r) for r in streaming_ivf_maintenance(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_asof_fn_randomized_splits_match_bruteforce(spark):
+    """Property test of the as-of state machine itself (spark only for
+    the operator's schema parse — no jobs run): for
+    seeded-random event sets and ARBITRARY micro-batch splits, the
+    per-probe struct-max re-merge of the emissions equals the
+    brute-force as-of join — the arrival-order-independence claim the
+    stop/restore test samples once, checked across 30 random shapes.
+    Drives the applyInPandasWithState fn directly with a fake
+    GroupState (same (tuple-in, tuple-out) contract)."""
+    import random
+
+    import pandas as pd
+
+    from arroyo_spark.streaming.stateful import streaming_asof_latest
+
+    # reach the inner fn through the operator factory: build it against
+    # a stub DataFrame-like that captures the callback
+    captured = {}
+
+    class _Grp:
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    class _Stub:
+        def groupBy(self, *a):
+            return _Grp()
+
+    streaming_asof_latest(_Stub())
+    fn = captured["fn"]
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rng = random.Random(1514)
+    for case in range(30):
+        n_clicks = rng.randint(0, 12)
+        n_purch = rng.randint(1, 8)
+        clicks = [
+            (rng.randint(0, 50), round(rng.uniform(0, 100), 3))
+            for _ in range(n_clicks)
+        ]
+        purchases = [
+            (1000 + i, rng.randint(0, 50)) for i in range(n_purch)
+        ]
+        rows = [("build", 0, t, v) for t, v in clicks] + [
+            ("probe", i, t, 0.0) for i, t in purchases
+        ]
+        rng.shuffle(rows)
+        # random batch split (including empty batches)
+        batches, cur = [], []
+        for r in rows:
+            cur.append(r)
+            if rng.random() < 0.35:
+                batches.append(cur)
+                cur = []
+        batches.append(cur)
+        state = FakeState()
+        merged: dict[int, tuple] = {}
+        for b in batches:
+            pdf = pd.DataFrame(
+                b, columns=["side", "event_id", "ts_us", "value"]
+            )
+            pdf["user_id"] = 7
+            for out in fn((7,), iter([pdf]), state):
+                for _, r in out.iterrows():
+                    key = int(r["event_id"])
+                    cand = (int(r["matched_ts_us"]), float(r["matched_val"]))
+                    if key not in merged or cand > merged[key]:
+                        merged[key] = cand
+        # brute force: per purchase, latest click at-or-before; ties on
+        # ts take max value
+        best_at = {}
+        for t, v in clicks:
+            best_at[t] = max(best_at.get(t, float("-inf")), v)
+        for pid, pt in purchases:
+            elig = [t for t in best_at if t <= pt]
+            want = (
+                (max(elig), best_at[max(elig)]) if elig else (-1, 0.0)
+            )
+            assert merged[pid] == want, (case, pid, merged[pid], want)
