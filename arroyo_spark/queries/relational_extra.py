@@ -655,6 +655,84 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming leg of the range join: the SAME bucket-and-verify operator
+# (`operators.range_join`) runs unchanged as a stream-static join —
+# arriving events equi-join the exploded band buckets and verify the
+# exact predicate in-row; one update-mode per-band aggregate holds the
+# running (count, exact cents) pair. Partial emissions re-merge by
+# struct max on the strictly-monotone event counter (no assumption on
+# value sign), so the drained state equals the batch
+# `range_join_value_bands` under any arrival order — same oracle.
+#
+# Scale: the static band side is |bands| x O(width/bucket) exploded
+# rows (broadcast); per-row work is one bucket hash + predicate; state
+# is O(bands) rows. This closes the on-ingest symmetry for the second
+# beyond-reference join (the as-of join's streaming leg is
+# streaming_asof_last_click).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_range_join_bands",
+    oracle=None,  # installed below: identical to the batch twin's
+    tags=("streaming", "range-join", "beyond-reference"),
+)
+def streaming_range_join_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-band assignment ON INGEST via the unchanged bucket-and-
+    verify range join (stream-static) + O(bands) update-mode state."""
+    from arroyo_spark.operators.range_join import range_join
+    from arroyo_spark.streaming.replay import (
+        drain_update_stream,
+        event_replay_stream,
+    )
+
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("band_name"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+    )
+    stream, staged = event_replay_stream(spark, sf_dir)
+    ev = stream.select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=20.0)
+    agg = joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        # exact integer cents (decimal-quantized), order-independent
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    name = drain_update_stream(spark, agg, staged, "srj_")
+    m = spark.table(name).groupBy("band_name").agg(
+        F.max(F.struct("n_events", "cents")).alias("m")
+    )
+    return m.select(
+        "band_name",
+        F.col("m.n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("m.cents").cast("double") / 100.0, 6).alias(
+            "total_value"
+        ),
+    )
+
+
+def _install_range_stream_oracle() -> None:
+    from dataclasses import replace
+
+    from arroyo_spark.suite import _REGISTRY
+
+    _REGISTRY["streaming_range_join_bands"] = replace(
+        _REGISTRY["streaming_range_join_bands"],
+        oracle=_REGISTRY["range_join_value_bands"].oracle,
+    )
+
+
+_install_range_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
 # INTERSECT / EXCEPT — the reference treats these as unsupported (they'd
 # decompose to joins and hit its join restrictions, SURVEY §2.2 set ops);
 # Spark has them natively, so our engine runs them as a documented superset.

@@ -476,6 +476,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_deletion_execution",  # NEW r15 (verdict #6: tombstone-driven
                                  # Debezium d retractions through the
                                  # updating sink; delete_when eviction)
+    "streaming_range_join_bands",  # NEW r15 (bucket-and-verify range
+                                   # join as a stream-static join +
+                                   # O(bands) update-mode state)
 }
 
 
