@@ -936,6 +936,7 @@ _MMI_TOKS_SQL = (
     LEFT JOIN nw n USING (seq_id)
     """,
     tags=("multimodal", "packing", "interleaved", "pipeline", "dedup"),
+    bench=True,  # anchors the two-level prefix-sum + ref-dedup cost
 )
 def mm_interleaved_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence manifest of the interleaved image+text assembly:
@@ -946,39 +947,39 @@ def mm_interleaved_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.queries.curation import two_level_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
-    base = (
-        docs.select("doc_id", T.toks("text").alias("toks"))
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.size("toks").cast("bigint").alias("n_words"),
-            F.expr(
-                f"CASE WHEN size(toks) >= {_MMI_EVERY} THEN"
-                f" transform(sequence(CAST(1 AS BIGINT),"
-                f" CAST(size(toks) div {_MMI_EVERY} AS BIGINT)),"
-                f" k -> md5(element_at(toks, CAST({_MMI_EVERY} * k AS INT))))"
-                " ELSE array() END"
-            ).alias("img_refs"),
+    # tokenize ONCE (the dsir-style persisted-tokenize discipline);
+    # feeds the fixed-width accounting branch AND the reference branch.
+    # No token/ref ARRAYS ever enter the prefix-sum window or a lambda:
+    # n_imgs is pure arithmetic (one slot per _MMI_EVERY words) and the
+    # references come from a codegen'd posexplode — an interpreted
+    # higher-order transform over the token array measured ~8x slower.
+    tk = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        T.toks("text").alias("toks"),
+    ).localCheckpoint()
+    vals = (
+        tk.select(
+            "doc_id", F.size("toks").cast("bigint").alias("n_words")
         )
         .filter(F.col("n_words") > 0)
-    )
-    vals = base.select(
-        "doc_id",
-        "n_words",
-        "img_refs",
-        (
-            F.col("n_words")
-            + F.lit(_MMI_IMG_TOKENS) * F.size("img_refs")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr(f"n_words div {_MMI_EVERY}").alias("n_imgs"),
+            F.expr(
+                f"n_words + {_MMI_IMG_TOKENS} * (n_words div {_MMI_EVERY})"
+            )
+            .cast("bigint")
+            .alias("cost"),
         )
-        .cast("bigint")
-        .alias("cost"),
     )
     cum, _total = two_level_prefix_sum(spark, vals, "cost")
-    # shared by the sequence rollup AND both image-reference branches:
-    # checkpoint so the interval window runs once
+    # shared by the sequence rollup AND the reference join: checkpoint
+    # so the interval window runs once (fixed-width rows only)
     asg = cum.select(
         "doc_id",
         "n_words",
-        "img_refs",
+        "n_imgs",
         "cost",
         F.expr(f"(cum - cost) div {_MMI_L}").alias("seq_id"),
     ).localCheckpoint()
@@ -987,12 +988,19 @@ def mm_interleaved_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
         F.sum("n_words").cast("bigint").alias("text_tokens"),
-        F.sum(F.size("img_refs")).cast("bigint").alias("n_images"),
+        F.sum("n_imgs").cast("bigint").alias("n_images"),
         F.sum("cost").cast("bigint").alias("cost_tokens"),
     )
-    per = asg.select(
-        "seq_id", F.explode("img_refs").alias("ref")
-    ).distinct()
+    refs = (
+        tk.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+        .filter((F.col("pos") + 1) % _MMI_EVERY == 0)
+        .select("doc_id", F.md5("w").alias("ref"))
+    )
+    per = (
+        refs.join(asg.select("doc_id", "seq_id"), "doc_id")
+        .select("seq_id", "ref")
+        .distinct()
+    )
     uniq = per.groupBy("seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_unique_images")
     )

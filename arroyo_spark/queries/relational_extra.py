@@ -569,6 +569,7 @@ def asof_emission_rollup(emissions: DataFrame) -> DataFrame:
     "streaming_asof_last_click",
     oracle=None,  # installed below: identical to the batch twin's
     tags=("streaming", "asof-join", "timeseries", "stateful"),
+    bench=True,  # anchors the keyed buffered-both-sides state cost
 )
 def streaming_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution ON INGEST: per-user buffered-both-sides
