@@ -3786,7 +3786,7 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.md5(normalize_text("text")).alias("fingerprint"),
         F.size(T.toks("text")).cast("bigint").alias("nt"),
-    )
+    ).localCheckpoint()  # feeds BOTH envelope writes: tokenize once
     rs = F.struct("doc_id", "fingerprint", "nt")
     row_ddl = "doc_id bigint, fingerprint string, nt bigint"
     null_row = F.lit(None).cast(
