@@ -1585,3 +1585,15 @@ def test_mm_interleaved_sequences_plan(spark, sf_dir):
     assert not re.findall(
         r"windowspecdefinition\([^,()]*\s(?:ASC|DESC)", plan
     ), plan[:3000]
+
+
+def test_range_join_band_side_broadcasts(spark, sf_dir):
+    """The bucket-and-verify range join's band side (|bands| x O(width/
+    bucket) exploded rows) must come in as a broadcast — a shuffled join
+    here would re-shuffle the full event stream per micro-batch in the
+    streaming leg. Pinned on the batch twin (same operator, same
+    sides)."""
+    plan = plan_of(spark, sf_dir, "range_join_value_bands")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
