@@ -1310,3 +1310,153 @@ def _install_zorder_stream_oracle() -> None:
 
 
 _install_zorder_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — the explicit scale technique for a pathologically hot
+# join key. At 100 TB a Zipf-skewed fact key (one user/tenant owning a
+# double-digit share of events) lands that share on ONE shuffle partition of
+# a plain repartition join; AQE's skew-join split helps a long tail but not
+# a single key that exceeds executor memory. Salting is the deterministic
+# fix: the fact side fans its rows across S sub-keys (salt derived from a
+# per-row hash — any uniform source works, the result is salt-invariant),
+# the dim side replicates each row S times, and the join runs on
+# (key, salt), so the hot key occupies S partitions instead of one. Cost is
+# |dim| x S extra shuffled rows — chosen here over a broadcast because at
+# the target scale the dim (customers) is itself too large to broadcast;
+# the shuffled-hash hint pins the plan the technique exists to protect.
+# The aggregate after the join is unchanged — salting is invisible to the
+# result, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "skew_salted_segment_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew", "salting", "scale"),
+    bench=True,
+)
+def skew_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events->customer enrichment through a salted shuffled-hash join:
+    fact rows carry salt = hash(event_id) mod S, the customer dim is
+    exploded x S, and the join key is (user_id, salt). Result is
+    identical to the plain equi-join (the DuckDB oracle), but the plan
+    spreads any hot user across S partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_ev = ev.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS)).cast("int"),
+    )
+    salted_cust = cust.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])),
+    )
+    joined = salted_ev.join(
+        salted_cust.hint("shuffle_hash"),
+        on=[
+            salted_ev.user_id == salted_cust.c_custkey,
+            salted_ev.salt == salted_cust.salt,
+        ],
+        how="inner",
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta time travel — source-side symmetry for the delta sink. The sink
+# (streaming/delta.py, reference analog `filesystem/delta.rs`) writes a real
+# `_delta_log`; this query proves the log is a faithful table history by
+# staging three commits (append, append, OPTIMIZE-style compaction that adds
+# a rewritten file and removes the two originals) and reading every version
+# back with `VERSION AS OF` semantics. The oracle recomputes each version's
+# expected content from the base table: v0 = the urgent slice, v1 = urgent +
+# high, v2 = identical data to v1 through ONE compacted file — so the check
+# covers add-action replay, remove-action replay, and version pinning. The
+# harness writes each slice as a single file (coalesce(1)) so file counts
+# are part of the verified contract; at scale the same commits would carry
+# many part files per version and the replay logic is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_time_travel_read",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT CAST(0 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+           a.n AS n_rows, a.s AS sum_total FROM a
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), b.n, b.s FROM b
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), b.n, b.s FROM b
+    """,
+    tags=("lakehouse", "delta", "time-travel", "sink-symmetry"),
+)
+def delta_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two appends + one compaction through the delta sink, then
+    time-travel-read versions 0..2 and report (n_files, n_rows,
+    sum_total) per version."""
+    import shutil
+    import tempfile
+
+    from arroyo_spark.streaming.delta import (
+        DeltaTableSink,
+        committed_files,
+        read_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dtt_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        sink = DeltaTableSink(root)
+        sink.commit(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").coalesce(1)
+        )
+        sink.commit(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH").coalesce(1)
+        )
+        sink.compact(spark)
+        rows = []
+        for v in (0, 1, 2):
+            snap = read_delta(spark, root, as_of_version=v)
+            stats = snap.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dec_sum("o_totalprice").alias("s"),
+            ).collect()  # bounded: 1-row scalar aggregate, x3 versions
+            n_files = len(committed_files(root, as_of_version=v))
+            rows.append((v, n_files, stats[0]["n"], stats[0]["s"]))
+        return spark.createDataFrame(
+            rows, "version bigint, n_files bigint, n_rows bigint, sum_total double"
+        )
+    finally:
+        # the result frame is a local 3-row createDataFrame — the staged
+        # delta table is no longer referenced once rows are computed
+        shutil.rmtree(root, ignore_errors=True)

@@ -202,12 +202,77 @@ class DeltaTableSink:
 
             consume_noop(batch_df)
 
+    def compact(self, spark: SparkSession) -> bool:
+        """OPTIMIZE-style bin-pack: ONE commit that adds the rewritten
+        file(s) and removes every prior live file, both with
+        ``dataChange: false`` (Delta PROTOCOL.md's marker that a commit
+        rearranges data without changing it — streaming readers skip
+        it). Old files stay on disk so time travel to earlier versions
+        keeps working (deleting them is VACUUM's job, which this sink
+        deliberately never does). Single log writer assumed during
+        compaction, like the reference's per-pipeline sink ownership.
+        Returns False on an empty table."""
+        live = _live_rel_paths(self)
+        if not live:
+            return False
+        snap = spark.read.option("basePath", self.root).parquet(
+            *[os.path.join(self.root, p) for p in live]
+        )
+        files = self._stage_files(snap.coalesce(1))
+        now_ms = int(time.time() * 1000)
+        while True:
+            versions = self._log_versions()
+            next_v = (versions[-1] + 1) if versions else 0
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "OPTIMIZE",
+                        "operationParameters": {},
+                    }
+                }
+            ]
+            for rel, size in files:
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": self._partition_values(rel),
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            for rel in live:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            if self._write_version(next_v, actions):
+                return True
 
-def committed_files(root: str) -> list[str]:
-    """Replay the log: current data files (add minus remove), abs paths."""
-    sink = DeltaTableSink(root)
+
+def _live_rel_paths(
+    sink: DeltaTableSink, as_of_version: int | None = None
+) -> list[str]:
+    """Replay add/remove actions up to ``as_of_version`` (inclusive;
+    None = latest) and return live relative paths in first-add order."""
+    versions = sink._log_versions()
+    if as_of_version is not None:
+        if as_of_version not in versions:
+            raise ValueError(
+                f"version {as_of_version} not in delta log "
+                f"(have {versions[:1]}..{versions[-1:]})"
+            )
+        versions = [v for v in versions if v <= as_of_version]
     live: dict[str, bool] = {}
-    for v in sink._log_versions():
+    for v in versions:
         with open(sink._version_path(v)) as fh:
             for line in fh:
                 act = json.loads(line)
@@ -215,13 +280,27 @@ def committed_files(root: str) -> list[str]:
                     live[act["add"]["path"]] = True
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
-    return [os.path.join(root, p) for p in live]
+    return list(live)
 
 
-def read_delta(spark: SparkSession, root: str) -> DataFrame | None:
+def committed_files(root: str, as_of_version: int | None = None) -> list[str]:
+    """Replay the log: data files live as of ``as_of_version`` (None =
+    latest snapshot), i.e. add minus remove, as absolute paths."""
+    sink = DeltaTableSink(root)
+    return [
+        os.path.join(root, p) for p in _live_rel_paths(sink, as_of_version)
+    ]
+
+
+def read_delta(
+    spark: SparkSession, root: str, as_of_version: int | None = None
+) -> DataFrame | None:
     """Snapshot reader reconstructed from the log (what any Delta reader
-    does); partition columns are recovered from the file paths."""
-    files = committed_files(root)
+    does), with time travel: ``as_of_version`` pins the snapshot to that
+    committed version (`VERSION AS OF` semantics — possible because
+    compaction/VACUUM never delete data files here). Partition columns
+    are recovered from the file paths."""
+    files = committed_files(root, as_of_version)
     if not files:
         return None
     df = spark.read.option("basePath", root).parquet(*files)

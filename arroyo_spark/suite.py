@@ -479,6 +479,13 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "streaming_range_join_bands",  # NEW r15 (bucket-and-verify range
                                    # join as a stream-static join +
                                    # O(bands) update-mode state)
+    "skew_salted_segment_join",  # NEW r15 (salting-for-skew join:
+                                 # fact salt + exploded dim, shuffled-
+                                 # hash on (key, salt); plan-gated)
+    "delta_time_travel_read",  # NEW r15 (version-pinned reads of the
+                               # delta sink's log: add/remove replay
+                               # as-of a version + OPTIMIZE-style
+                               # compaction commit)
 }
 
 

@@ -213,3 +213,94 @@ def test_two_streaming_inserts_delta_stop_restore(spark, tmp_path):
         for r in read_delta(spark, str(tmp_path / "delta_restore")).collect()
     )
     assert got == [10, 20, 30, 100, 200, 300]
+
+
+def test_time_travel_pins_each_version(spark, tmp_path):
+    """`VERSION AS OF` semantics: each committed version reads back
+    exactly the rows live at that version."""
+    root = str(tmp_path / "tt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 3).coalesce(1))
+    sink.commit(spark.range(10, 12).coalesce(1))
+    v0 = sorted(r["id"] for r in read_delta(spark, root, as_of_version=0).collect())
+    v1 = sorted(r["id"] for r in read_delta(spark, root, as_of_version=1).collect())
+    latest = sorted(r["id"] for r in read_delta(spark, root).collect())
+    assert v0 == [0, 1, 2]
+    assert v1 == [0, 1, 2, 10, 11]
+    assert latest == v1
+
+
+def test_time_travel_unknown_version_raises(spark, tmp_path):
+    root = str(tmp_path / "ttbad")
+    DeltaTableSink(root).commit(spark.range(2).coalesce(1))
+    with pytest.raises(ValueError, match="version 7 not in delta log"):
+        committed_files(root, as_of_version=7)
+
+
+def test_compaction_rewrites_without_changing_data(spark, tmp_path):
+    """OPTIMIZE-style compaction: one commit adds the rewritten file and
+    removes the originals (dataChange=false on both), the latest
+    snapshot is byte-equal pre/post, file count drops to 1, and time
+    travel to the pre-compaction versions still works because data
+    files are never deleted."""
+    root = str(tmp_path / "opt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 4).coalesce(1))
+    sink.commit(spark.range(100, 103).coalesce(1))
+    before = sorted(r["id"] for r in read_delta(spark, root).collect())
+    assert len(committed_files(root)) == 2
+    assert sink.compact(spark)
+    after = sorted(r["id"] for r in read_delta(spark, root).collect())
+    assert after == before
+    assert len(committed_files(root)) == 1
+    acts = _log_actions(root, 2)
+    assert [a["commitInfo"]["operation"] for a in acts if "commitInfo" in a] == ["OPTIMIZE"]
+    adds = [a["add"] for a in acts if "add" in a]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert len(adds) == 1 and len(removes) == 2
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in removes)
+    # time travel across the compaction boundary
+    v0 = sorted(r["id"] for r in read_delta(spark, root, as_of_version=0).collect())
+    v1 = sorted(r["id"] for r in read_delta(spark, root, as_of_version=1).collect())
+    assert v0 == [0, 1, 2, 3]
+    assert v1 == before
+
+
+def test_compact_empty_table_is_noop(spark, tmp_path):
+    root = str(tmp_path / "optempty")
+    sink = DeltaTableSink(root)
+    assert sink.compact(spark) is False
+    assert committed_files(root) == []
+
+
+def test_time_travel_random_history_matches_tracked_state(spark, tmp_path):
+    """Property: across a seeded-random interleaving of appends and
+    compactions, every committed version reads back exactly the
+    multiset the log promised at that version (appends accumulate,
+    compaction is data-invariant)."""
+    import random
+
+    rng = random.Random(1515)
+    root = str(tmp_path / "hist")
+    sink = DeltaTableSink(root)
+    expected: list[set[int]] = []  # per committed version
+    nxt = 0
+    for _ in range(7):
+        if expected and rng.random() < 0.4:
+            assert sink.compact(spark)
+            expected.append(set(expected[-1]))  # data-invariant commit
+        else:
+            k = rng.randint(1, 3)
+            vals = list(range(nxt, nxt + k))
+            nxt += k
+            sink.commit(
+                spark.createDataFrame([(v,) for v in vals], "id bigint")
+                .coalesce(1)
+            )
+            prev = expected[-1] if expected else set()
+            expected.append(prev | set(vals))
+    for v, want in enumerate(expected):
+        got = {r["id"] for r in read_delta(spark, root, as_of_version=v).collect()}
+        assert got == want, f"version {v}"
+    assert len(committed_files(root)) < len(expected)  # compactions shrank

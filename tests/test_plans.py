@@ -1597,3 +1597,19 @@ def test_range_join_band_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_skew_salted_join_plan(spark, sf_dir):
+    """Salting-for-skew gate: the events->customer join must run as a
+    ShuffledHashJoin whose keys include the salt column (the hot user is
+    spread over S partitions), with the dim side exploded — never a
+    broadcast (the technique exists because at scale the dim can't
+    broadcast) and never a plain single-key shuffle."""
+    plan = plan_of(spark, sf_dir, "skew_salted_segment_join")
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    import re
+
+    join_keys = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
+    assert join_keys and "salt" in join_keys.group(1), plan[:3000]
