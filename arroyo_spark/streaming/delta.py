@@ -209,20 +209,23 @@ class DeltaTableSink:
         rearranges data without changing it — streaming readers skip
         it). Old files stay on disk so time travel to earlier versions
         keeps working (deleting them is VACUUM's job, which this sink
-        deliberately never does). Single log writer assumed during
-        compaction, like the reference's per-pipeline sink ownership.
+        deliberately never does). Losing the put-if-absent commit race
+        (a concurrent append claimed our version) restarts the whole
+        pass from the NEW live set — removing only files whose rows the
+        rewrite actually contains — at the cost of an orphaned staged
+        file, the same harmless debris a crash before commit leaves.
         Returns False on an empty table."""
-        live = _live_rel_paths(self)
-        if not live:
-            return False
-        snap = spark.read.option("basePath", self.root).parquet(
-            *[os.path.join(self.root, p) for p in live]
-        )
-        files = self._stage_files(snap.coalesce(1))
-        now_ms = int(time.time() * 1000)
         while True:
             versions = self._log_versions()
             next_v = (versions[-1] + 1) if versions else 0
+            live = _live_rel_paths(self)
+            if not live:
+                return False
+            snap = spark.read.option("basePath", self.root).parquet(
+                *[os.path.join(self.root, p) for p in live]
+            )
+            files = self._stage_files(snap.coalesce(1))
+            now_ms = int(time.time() * 1000)
             actions: list[dict] = [
                 {
                     "commitInfo": {

@@ -304,3 +304,27 @@ def test_time_travel_random_history_matches_tracked_state(spark, tmp_path):
         got = {r["id"] for r in read_delta(spark, root, as_of_version=v).collect()}
         assert got == want, f"version {v}"
     assert len(committed_files(root)) < len(expected)  # compactions shrank
+
+
+def test_compact_lost_race_restages_from_new_live_set(spark, tmp_path):
+    """A concurrent append stealing compact's version must NOT lose the
+    appended rows: compact retries from the NEW live set, so the
+    rewritten file contains them and the remove set matches."""
+    root = str(tmp_path / "race")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 3).coalesce(1))
+    orig = sink._write_version
+    raced = {"done": False}
+
+    def racy(version, actions):
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer claims this version first
+            DeltaTableSink(root).commit(spark.range(10, 12).coalesce(1))
+        return orig(version, actions)
+
+    sink._write_version = racy
+    assert sink.compact(spark)
+    latest = sorted(r["id"] for r in read_delta(spark, root).collect())
+    assert latest == [0, 1, 2, 10, 11]
+    assert len(committed_files(root)) == 1
