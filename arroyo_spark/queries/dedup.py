@@ -3770,6 +3770,7 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
     updating sink; returns the sink's pk-merged post-deletion snapshot
     (per surviving fingerprint group: net live copies + token mass)."""
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql.types import StructType
@@ -3837,10 +3838,11 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         count="n_live",
         keep_dead=True,
     )
+    state_dir = tempfile.mkdtemp(prefix="ddexec_state_")
     encoder = DebeziumEncoder(
         ["fingerprint"],
         emit=None,
-        state_dir=tempfile.mkdtemp(prefix="ddexec_state_"),
+        state_dir=state_dir,
         delete_when="n_live <= 0",
     )
     ck = tempfile.mkdtemp(prefix="ddexec_ck_")
@@ -3858,17 +3860,20 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dedup_deletion_execution: stream did not drain in 600s"
             )
     finally:
-        import shutil
-
         shutil.rmtree(envdir, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     paths = list(encoder._last_buckets().values())
     if not paths:
+        shutil.rmtree(state_dir, ignore_errors=True)
         return spark.createDataFrame(
             [], "fingerprint string, n_live bigint, n_tokens bigint"
         )
-    return spark.read.parquet(*paths).select(
+    # pin the snapshot off the temp state dir (eager localCheckpoint)
+    # so the corpus-sized fingerprint state doesn't leak per run
+    out = spark.read.parquet(*paths).select(
         "fingerprint",
         F.col("n_live").cast("bigint").alias("n_live"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint()
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out

@@ -599,18 +599,9 @@ def streaming_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_emission_rollup(spark.table(name))
 
 
-def _install_asof_stream_oracle() -> None:
-    from dataclasses import replace
+from arroyo_spark.suite import install_twin_oracle  # noqa: E402
 
-    from arroyo_spark.suite import _REGISTRY
-
-    _REGISTRY["streaming_asof_last_click"] = replace(
-        _REGISTRY["streaming_asof_last_click"],
-        oracle=_REGISTRY["asof_purchase_last_click"].oracle,
-    )
-
-
-_install_asof_stream_oracle()
+install_twin_oracle("streaming_asof_last_click", "asof_purchase_last_click")
 
 
 # ---------------------------------------------------------------------------
@@ -719,18 +710,9 @@ def streaming_range_join_bands(
     )
 
 
-def _install_range_stream_oracle() -> None:
-    from dataclasses import replace
+from arroyo_spark.suite import install_twin_oracle  # noqa: E402
 
-    from arroyo_spark.suite import _REGISTRY
-
-    _REGISTRY["streaming_range_join_bands"] = replace(
-        _REGISTRY["streaming_range_join_bands"],
-        oracle=_REGISTRY["range_join_value_bands"].oracle,
-    )
-
-
-_install_range_stream_oracle()
+install_twin_oracle("streaming_range_join_bands", "range_join_value_bands")
 
 
 # ---------------------------------------------------------------------------
@@ -1298,18 +1280,9 @@ def streaming_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_zorder_stream_oracle() -> None:
-    from dataclasses import replace
-
-    from arroyo_spark.suite import _REGISTRY
-
-    _REGISTRY["streaming_zorder_manifest"] = replace(
-        _REGISTRY["streaming_zorder_manifest"],
-        oracle=_REGISTRY["zorder_clustering_manifest"].oracle,
-    )
-
-
-_install_zorder_stream_oracle()
+install_twin_oracle(
+    "streaming_zorder_manifest", "zorder_clustering_manifest"
+)
 
 
 # ---------------------------------------------------------------------------

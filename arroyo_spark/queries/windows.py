@@ -945,18 +945,7 @@ def streaming_cohort_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_cohort_rollup(final)
 
 
-def _install_cohort_stream_oracles() -> None:
-    from dataclasses import replace
+from arroyo_spark.suite import install_twin_oracle  # noqa: E402
 
-    from arroyo_spark.suite import _REGISTRY
-
-    for streaming_name, batch_name in (
-        ("streaming_cohort_retention", "cohort_retention"),
-        ("streaming_cohort_funnel", "cohort_funnel_conversion"),
-    ):
-        _REGISTRY[streaming_name] = replace(
-            _REGISTRY[streaming_name], oracle=_REGISTRY[batch_name].oracle
-        )
-
-
-_install_cohort_stream_oracles()
+install_twin_oracle("streaming_cohort_retention", "cohort_retention")
+install_twin_oracle("streaming_cohort_funnel", "cohort_funnel_conversion")

@@ -196,9 +196,12 @@ class DebeziumEncoder:
         )
         # dead-row flag first (pure per-row predicate), so every
         # downstream job sees it without recomputing the expression
+        # NULL-valued predicates (e.g. a condition over a nullable
+        # aggregate) must mean "keep": a bare NULL here would drop the
+        # row from the snapshot while the envelope still says op='u'
         batch_df = batch_df.withColumn(
             _DEAD,
-            F.expr(self.delete_when)
+            F.coalesce(F.expr(self.delete_when), F.lit(False))
             if self.delete_when is not None
             else F.lit(False),
         )

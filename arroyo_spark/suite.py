@@ -568,6 +568,15 @@ def sweep_order(
     return [n for _, _, n in head_fresh + head_green + tail]
 
 
+def install_twin_oracle(name: str, twin: str) -> None:
+    """Give a registered streaming leg its BATCH twin's oracle — the
+    on-ingest drain must re-merge to the exact batch answer, so the two
+    queries share one output contract (and one oracle string)."""
+    from dataclasses import replace
+
+    _REGISTRY[name] = replace(_REGISTRY[name], oracle=_REGISTRY[twin].oracle)
+
+
 def all_queries() -> dict[str, Query]:
     _load_modules()
     entries = [(name, _verification_tier(name)) for name in _REGISTRY]

@@ -1,0 +1,21 @@
+"""Every on-ingest streaming leg that drains to its batch twin's answer
+must carry the twin's EXACT oracle string (suite.install_twin_oracle) —
+a drifted copy would silently weaken the driver's hash gate."""
+
+from arroyo_spark.suite import all_queries
+
+TWINS = {
+    "streaming_asof_last_click": "asof_purchase_last_click",
+    "streaming_range_join_bands": "range_join_value_bands",
+    "streaming_zorder_manifest": "zorder_clustering_manifest",
+    "streaming_cohort_retention": "cohort_retention",
+    "streaming_cohort_funnel": "cohort_funnel_conversion",
+    "streaming_secret_monitor": "text_secret_scan",
+}
+
+
+def test_streaming_twins_share_batch_oracles():
+    qs = all_queries()
+    for stream_name, batch_name in TWINS.items():
+        assert qs[stream_name].oracle == qs[batch_name].oracle, stream_name
+        assert qs[stream_name].oracle is not None, stream_name

@@ -418,3 +418,41 @@ def test_encoder_delete_replay_is_noop(spark, tmp_path):
         if e["op"] == "c" and e["after"]["n"] == 4
     ]
     assert len(last) == 1
+
+
+def test_encoder_null_delete_when_means_keep(spark, tmp_path):
+    """A delete_when predicate evaluating to NULL (e.g. over a nullable
+    aggregate) must mean KEEP on every path: the present key stays in
+    the snapshot (its op='u' is truthful), and a new key with a NULL
+    verdict still emits 'c'."""
+    from arroyo_spark.streaming.debezium import merge_debezium_log
+
+    batches: list[list[dict]] = []
+    enc = DebeziumEncoder(
+        ["k"],
+        emit=batches.append,
+        spool=str(tmp_path / "sp"),
+        state_dir=str(tmp_path / "st"),
+        delete_when="n <= 0",  # NULL n -> NULL verdict
+    )
+    b0 = spark.createDataFrame([("a", 2)], "k string, n long")
+    enc(b0, 0)
+    # 'a' updates to NULL n (NULL verdict); 'c' arrives new with NULL n
+    b1 = spark.createDataFrame(
+        [("a", None), ("c", None)], "k string, n long"
+    )
+    enc(b1, 1)
+    log = [e for batch in batches for e in batch]
+    assert not [e for e in log if e["op"] == "d"]
+    state = merge_debezium_log(log, ["k"])
+    assert state == {
+        ("a",): {"k": "a", "n": None},
+        ("c",): {"k": "c", "n": None},
+    }
+    # both keys must still be live in the snapshot: a follow-up batch
+    # updating them emits 'u' with the NULL-n before image
+    b2 = spark.createDataFrame([("a", 7), ("c", 8)], "k string, n long")
+    enc(b2, 2)
+    u_rows = [e for e in batches[-1] if e["op"] == "u"]
+    assert sorted(e["before"]["k"] for e in u_rows) == ["a", "c"]
+    assert all(e["before"]["n"] is None for e in u_rows)
