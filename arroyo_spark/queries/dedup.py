@@ -3854,26 +3854,28 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "dedup_deletion_execution: stream did not drain in 600s"
+        try:
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "dedup_deletion_execution: stream did not drain in 600s"
+                )
+        finally:
+            shutil.rmtree(envdir, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+        paths = list(encoder._last_buckets().values())
+        if not paths:
+            return spark.createDataFrame(
+                [], "fingerprint string, n_live bigint, n_tokens bigint"
             )
+        # pin the snapshot off the temp state dir (eager localCheckpoint)
+        # so the corpus-sized fingerprint state doesn't leak per run
+        return spark.read.parquet(*paths).select(
+            "fingerprint",
+            F.col("n_live").cast("bigint").alias("n_live"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ).localCheckpoint()
     finally:
-        shutil.rmtree(envdir, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
-    paths = list(encoder._last_buckets().values())
-    if not paths:
+        # success (snapshot pinned) or failure: the corpus-sized state
+        # tempdir must never outlive the call
         shutil.rmtree(state_dir, ignore_errors=True)
-        return spark.createDataFrame(
-            [], "fingerprint string, n_live bigint, n_tokens bigint"
-        )
-    # pin the snapshot off the temp state dir (eager localCheckpoint)
-    # so the corpus-sized fingerprint state doesn't leak per run
-    out = spark.read.parquet(*paths).select(
-        "fingerprint",
-        F.col("n_live").cast("bigint").alias("n_live"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-    ).localCheckpoint()
-    shutil.rmtree(state_dir, ignore_errors=True)
-    return out

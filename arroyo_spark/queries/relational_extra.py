@@ -710,8 +710,6 @@ def streaming_range_join_bands(
     )
 
 
-from arroyo_spark.suite import install_twin_oracle  # noqa: E402
-
 install_twin_oracle("streaming_range_join_bands", "range_join_value_bands")
 
 

@@ -202,7 +202,7 @@ class DeltaTableSink:
 
             consume_noop(batch_df)
 
-    def compact(self, spark: SparkSession) -> bool:
+    def compact(self, spark: SparkSession, max_attempts: int = 20) -> bool:
         """OPTIMIZE-style bin-pack: ONE commit that adds the rewritten
         file(s) and removes every prior live file, both with
         ``dataChange: false`` (Delta PROTOCOL.md's marker that a commit
@@ -210,12 +210,13 @@ class DeltaTableSink:
         it). Old files stay on disk so time travel to earlier versions
         keeps working (deleting them is VACUUM's job, which this sink
         deliberately never does). Losing the put-if-absent commit race
-        (a concurrent append claimed our version) restarts the whole
-        pass from the NEW live set — removing only files whose rows the
-        rewrite actually contains — at the cost of an orphaned staged
-        file, the same harmless debris a crash before commit leaves.
-        Returns False on an empty table."""
-        while True:
+        (a concurrent append claimed our version) deletes the
+        just-staged rewrite (never referenced by any log entry) and
+        restarts the whole pass from the NEW live set — removing only
+        files whose rows the rewrite actually contains. Under sustained
+        contention it gives up after ``max_attempts`` races rather than
+        rewriting the table forever. Returns False on an empty table."""
+        for _ in range(max_attempts):
             versions = self._log_versions()
             next_v = (versions[-1] + 1) if versions else 0
             live = _live_rel_paths(self)
@@ -224,7 +225,15 @@ class DeltaTableSink:
             snap = spark.read.option("basePath", self.root).parquet(
                 *[os.path.join(self.root, p) for p in live]
             )
-            files = self._stage_files(snap.coalesce(1))
+            # partitioned tables bin-pack per partition (each value hashes
+            # to one task -> one file per value); unpartitioned tables
+            # collapse to a single file
+            compacted = (
+                snap.repartition(*self.partition_by)
+                if self.partition_by
+                else snap.coalesce(1)
+            )
+            files = self._stage_files(compacted)
             now_ms = int(time.time() * 1000)
             actions: list[dict] = [
                 {
@@ -259,6 +268,16 @@ class DeltaTableSink:
                 )
             if self._write_version(next_v, actions):
                 return True
+            # lost the race: drop the unreferenced rewrite before retrying
+            for rel, _size in files:
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+        raise RuntimeError(
+            f"compact: lost the commit race {max_attempts} times "
+            f"(sustained concurrent writers on {self.root})"
+        )
 
 
 def _live_rel_paths(
@@ -269,9 +288,11 @@ def _live_rel_paths(
     versions = sink._log_versions()
     if as_of_version is not None:
         if as_of_version not in versions:
+            have = (
+                f"{versions[0]}..{versions[-1]}" if versions else "an empty log"
+            )
             raise ValueError(
-                f"version {as_of_version} not in delta log "
-                f"(have {versions[:1]}..{versions[-1:]})"
+                f"version {as_of_version} not in delta log (have {have})"
             )
         versions = [v for v in versions if v <= as_of_version]
     live: dict[str, bool] = {}

@@ -413,13 +413,28 @@ def streaming_asof_latest(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None:
+            # NULL keys match nothing in an inner as-of join; consume
+            # the group without state or emissions instead of crashing
+            for _ in batches:
+                pass
+            return
         new_build: list[tuple[int, float]] = []
         new_probe: list[tuple[int, int]] = []
         for pdf in batches:
             for s, i, t, v in zip(
                 pdf[side_col], pdf[id_col], pdf[ts_col], pdf[val_col]
             ):
+                if t is None or pd.isna(t):
+                    continue  # a timeless row can't participate in as-of
                 if s == "build":
+                    # the emission re-merge is a (matched_ts, matched_val)
+                    # struct max, which needs totally-ordered values — a
+                    # NULL/NaN-valued build point has no position in that
+                    # order, so the attribution contract requires non-NULL
+                    # build values; ignore (not crash on) violations
+                    if v is None or pd.isna(v):
+                        continue
                     new_build.append((int(t), float(v)))
                 else:
                     new_probe.append((int(i), int(t)))

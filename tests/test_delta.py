@@ -328,3 +328,26 @@ def test_compact_lost_race_restages_from_new_live_set(spark, tmp_path):
     latest = sorted(r["id"] for r in read_delta(spark, root).collect())
     assert latest == [0, 1, 2, 10, 11]
     assert len(committed_files(root)) == 1
+
+
+def test_compaction_preserves_partitioning(spark, tmp_path):
+    """compact() on a partitioned table rewrites THROUGH the sink's
+    partitionBy: the compacted files carry the same partitionValues and
+    the partition column still reads back from the paths."""
+    root = str(tmp_path / "optpart")
+    sink = DeltaTableSink(root, partition_by=["p"])
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id bigint, p string"
+    )
+    sink.commit(df)
+    sink.commit(spark.createDataFrame([(4, "y")], "id bigint, p string"))
+    assert sink.compact(spark)
+    acts = _log_actions(root, 2)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert {frozenset(a["partitionValues"].items()) for a in adds} == {
+        frozenset({("p", "x")}), frozenset({("p", "y")})
+    }
+    got = sorted(
+        (r["id"], r["p"]) for r in read_delta(spark, root).collect()
+    )
+    assert got == [(1, "x"), (2, "x"), (3, "y"), (4, "y")]

@@ -2608,3 +2608,70 @@ def test_streaming_asof_fn_randomized_splits_match_bruteforce(spark):
                 (max(elig), best_at[max(elig)]) if elig else (-1, 0.0)
             )
             assert merged[pid] == want, (case, pid, merged[pid], want)
+
+
+def test_streaming_asof_fn_null_rows_are_defined_behavior(spark):
+    """NULL hygiene for the as-of state machine: a NULL-key group is
+    consumed without state or emissions (inner-join semantics), rows
+    with NULL ts are skipped, and a NULL/NaN-valued build point is
+    ignored (the emission re-merge needs totally-ordered values) —
+    none of them crash the streaming query."""
+    import math
+
+    import pandas as pd
+
+    from arroyo_spark.streaming.stateful import streaming_asof_latest
+
+    captured = {}
+
+    class _Grp:
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    class _Stub:
+        def groupBy(self, *a):
+            return _Grp()
+
+    streaming_asof_latest(_Stub())
+    fn = captured["fn"]
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    cols = ["side", "event_id", "ts_us", "value"]
+    # NULL key: consumed, no emissions, no state
+    st = FakeState()
+    pdf = pd.DataFrame([("build", 0, 5, 1.0), ("probe", 1, 9, 0.0)], columns=cols)
+    assert list(fn((None,), iter([pdf]), st)) == []
+    assert not st.exists
+    # NULL ts rows skipped on both sides; NULL/NaN build values ignored
+    st = FakeState()
+    pdf = pd.DataFrame(
+        [
+            ("build", 0, None, 3.0),        # timeless build: skipped
+            ("build", 0, 4, None),          # NULL value: ignored
+            ("build", 0, 6, math.nan),      # NaN value: ignored
+            ("build", 0, 5, 2.5),           # real point
+            ("probe", 1, None, 0.0),        # timeless probe: skipped
+            ("probe", 2, 7, 0.0),
+        ],
+        columns=cols,
+    )
+    outs = list(fn((7,), iter([pdf]), st))
+    assert len(outs) == 1
+    got = outs[0]
+    assert got["event_id"].tolist() == [2]
+    assert got["matched_ts_us"].tolist() == [5]
+    assert got["matched_val"].tolist() == [2.5]
