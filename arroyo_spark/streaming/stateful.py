@@ -422,22 +422,27 @@ def streaming_asof_latest(
         new_build: list[tuple[int, float]] = []
         new_probe: list[tuple[int, int]] = []
         for pdf in batches:
-            for s, i, t, v in zip(
-                pdf[side_col], pdf[id_col], pdf[ts_col], pdf[val_col]
-            ):
-                if t is None or pd.isna(t):
-                    continue  # a timeless row can't participate in as-of
-                if s == "build":
-                    # the emission re-merge is a (matched_ts, matched_val)
-                    # struct max, which needs totally-ordered values — a
-                    # NULL/NaN-valued build point has no position in that
-                    # order, so the attribution contract requires non-NULL
-                    # build values; ignore (not crash on) violations
-                    if v is None or pd.isna(v):
-                        continue
-                    new_build.append((int(t), float(v)))
-                else:
-                    new_probe.append((int(i), int(t)))
+            # vectorized ingest: timeless rows can't participate in
+            # as-of, and a NULL/NaN-valued build point has no position
+            # in the totally-ordered (matched_ts, matched_val) struct
+            # max the emission re-merge relies on — the attribution
+            # contract requires non-NULL build values, so violations
+            # are ignored (not crashed on)
+            timed = pdf[ts_col].notna()
+            bmask = (pdf[side_col] == "build") & timed & pdf[val_col].notna()
+            pmask = (pdf[side_col] != "build") & timed
+            new_build.extend(
+                zip(
+                    pdf.loc[bmask, ts_col].astype("int64").tolist(),
+                    pdf.loc[bmask, val_col].astype("float64").tolist(),
+                )
+            )
+            new_probe.extend(
+                zip(
+                    pdf.loc[pmask, id_col].astype("int64").tolist(),
+                    pdf.loc[pmask, ts_col].astype("int64").tolist(),
+                )
+            )
         if not new_build and not new_probe:
             return
         if state.exists:
