@@ -1431,3 +1431,74 @@ def delta_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the result frame is a local 3-row createDataFrame — the staged
         # delta table is no longer referenced once rows are computed
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg time travel — the same source-side symmetry for the OTHER
+# lakehouse sink (streaming/iceberg.py writes spec-valid v2 metadata, the
+# reference analog being the iceberg filesystem sink). Two append snapshots
+# are staged and both read back by SEQUENCE NUMBER (Iceberg's monotone
+# commit counter — snapshot ids are random); the oracle recomputes each
+# snapshot's expected (n_files, n_rows, sum_price) from the base table, so
+# the manifest-list -> manifest -> data-file replay AND the parent-chain
+# pinning are both inside the hash. Like the delta twin, single-file
+# staging (coalesce(1)) makes file counts part of the verified contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "iceberg_snapshot_read",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM lineitem
+    )
+    SELECT CAST(1 AS BIGINT) AS seq, CAST(1 AS BIGINT) AS n_files,
+           f.n AS n_rows, f.s AS sum_price FROM f
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), a.n, a.s FROM a
+    """,
+    tags=("lakehouse", "iceberg", "time-travel", "sink-symmetry"),
+)
+def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two append snapshots through the iceberg sink, then read
+    both back by sequence number and report (n_files, n_rows,
+    sum_price) per snapshot."""
+    import shutil
+    import tempfile
+
+    from arroyo_spark.streaming.iceberg import (
+        IcebergTableSink,
+        current_data_files,
+        read_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="icetr_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_linestatus"
+        )
+        sink = IcebergTableSink(root)
+        sink.commit(li.filter(F.col("l_linestatus") == "F").coalesce(1))
+        sink.commit(li.filter(F.col("l_linestatus") == "O").coalesce(1))
+        rows = []
+        for seq in (1, 2):
+            snap = read_iceberg(spark, root, as_of_sequence=seq)
+            stats = snap.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dec_sum("l_extendedprice").alias("s"),
+            ).collect()  # bounded: 1-row scalar aggregate, x2 snapshots
+            n_files = len(current_data_files(root, as_of_sequence=seq))
+            rows.append((seq, n_files, stats[0]["n"], stats[0]["s"]))
+        return spark.createDataFrame(
+            rows, "seq bigint, n_files bigint, n_rows bigint, sum_price double"
+        )
+    finally:
+        # the result frame is a local 2-row createDataFrame — the staged
+        # iceberg table is no longer referenced once rows are computed
+        shutil.rmtree(root, ignore_errors=True)

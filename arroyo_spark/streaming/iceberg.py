@@ -767,24 +767,49 @@ class IcebergTableSink:
             consume_noop(batch_df)
 
 
-def current_data_files(root: str) -> list[str]:
-    """Replay the metadata chain like a reader: current snapshot ->
-    manifest list -> manifests -> live data files."""
+def current_data_files(
+    root: str, as_of_sequence: int | None = None
+) -> list[str]:
+    """Replay the metadata chain like a reader: snapshot -> manifest
+    list -> manifests -> live data files. ``as_of_sequence`` pins the
+    read to the snapshot with that sequence-number on the CURRENT
+    chain (Iceberg time travel — sequence-numbers are the monotone
+    commit counter, snapshot-ids are random); None = current."""
     from arroyo_spark.formats.avro import read_ocf
 
     sink = IcebergTableSink(root)
     meta = sink.current_metadata()
     if meta is None or meta.get("current-snapshot-id", -1) == -1:
+        if as_of_sequence is not None:
+            raise ValueError(
+                f"sequence {as_of_sequence} not in iceberg metadata "
+                "(no snapshots)"
+            )
         return []
-    files: list[str] = []
-    # v2 append-only: union every snapshot's ADDED files up to current
-    current = meta["current-snapshot-id"]
-    chain_ids = set()
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
-    cur = by_id.get(current)
+    head = by_id[meta["current-snapshot-id"]]
+    if as_of_sequence is not None:
+        cur = head
+        head = None
+        while cur is not None:
+            if cur["sequence-number"] == as_of_sequence:
+                head = cur
+                break
+            cur = by_id.get(cur.get("parent-snapshot-id"))
+        if head is None:
+            have = sorted(s["sequence-number"] for s in meta["snapshots"])
+            raise ValueError(
+                f"sequence {as_of_sequence} not on the current chain "
+                f"(have {have[0]}..{have[-1]})"
+            )
+    # v2 append-only: union every chain snapshot's ADDED files up to
+    # (and including) the pinned head
+    chain_ids = set()
+    cur = head
     while cur is not None:
         chain_ids.add(cur["snapshot-id"])
         cur = by_id.get(cur.get("parent-snapshot-id"))
+    files: list[str] = []
     for snap in meta["snapshots"]:
         if snap["snapshot-id"] not in chain_ids:
             continue
@@ -799,8 +824,14 @@ def current_data_files(root: str) -> list[str]:
     return files
 
 
-def read_iceberg(spark: SparkSession, root: str) -> DataFrame | None:
-    files = current_data_files(root)
+def read_iceberg(
+    spark: SparkSession, root: str, as_of_sequence: int | None = None
+) -> DataFrame | None:
+    """Snapshot reader reconstructed from the v2 metadata chain, with
+    time travel: ``as_of_sequence`` pins the snapshot by its monotone
+    sequence-number (older snapshots stay readable because the sink
+    never expires them)."""
+    files = current_data_files(root, as_of_sequence)
     if not files:
         return None
     return spark.read.option("basePath", os.path.join(root, "data")).parquet(*files)

@@ -486,6 +486,10 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                                # delta sink's log: add/remove replay
                                # as-of a version + OPTIMIZE-style
                                # compaction commit)
+    "iceberg_snapshot_read",  # NEW r15 (sequence-number time travel
+                              # through the iceberg sink's v2 metadata
+                              # chain — manifest replay + parent-chain
+                              # pinning against a base-table oracle)
 }
 
 

@@ -32,7 +32,7 @@ EXPECTED_SITES = {
     "operators/pq.py": 3,
     "operators/similarity.py": 2,
     "queries/curation.py": 1,
-    "queries/relational_extra.py": 2,
+    "queries/relational_extra.py": 3,
     "queries/similarity.py": 5,
     "queries/text_pipeline.py": 5,
     "queries/train.py": 13,

@@ -398,3 +398,30 @@ def test_unknown_catalog_type_rejected(spark, tmp_path):
             INSERT INTO ice SELECT v FROM src;
             """,
         )
+
+
+def test_sequence_time_travel_pins_each_snapshot(spark, tmp_path):
+    """Time travel by sequence number: each committed snapshot reads
+    back exactly the rows live at that sequence, and the current read
+    equals the highest sequence."""
+    root = str(tmp_path / "icett")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(0, 3).coalesce(1))
+    sink.commit(spark.range(10, 12).coalesce(1))
+    s1 = sorted(r["id"] for r in read_iceberg(spark, root, as_of_sequence=1).collect())
+    s2 = sorted(r["id"] for r in read_iceberg(spark, root, as_of_sequence=2).collect())
+    cur = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+    assert s1 == [0, 1, 2]
+    assert s2 == [0, 1, 2, 10, 11]
+    assert cur == s2
+    assert len(current_data_files(root, as_of_sequence=1)) == 1
+    assert len(current_data_files(root, as_of_sequence=2)) == 2
+
+
+def test_sequence_time_travel_unknown_sequence_raises(spark, tmp_path):
+    root = str(tmp_path / "icebad")
+    IcebergTableSink(root).commit(spark.range(2).coalesce(1))
+    with pytest.raises(ValueError, match="sequence 9 not on the current chain"):
+        current_data_files(root, as_of_sequence=9)
+    with pytest.raises(ValueError, match="no snapshots"):
+        current_data_files(str(tmp_path / "icenone"), as_of_sequence=1)
