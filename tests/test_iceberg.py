@@ -425,3 +425,28 @@ def test_sequence_time_travel_unknown_sequence_raises(spark, tmp_path):
         current_data_files(root, as_of_sequence=9)
     with pytest.raises(ValueError, match="no snapshots"):
         current_data_files(str(tmp_path / "icenone"), as_of_sequence=1)
+
+
+def test_delta_and_iceberg_histories_agree(spark, tmp_path):
+    """Cross-sink contract: the same sequence of appends through the
+    delta sink and the iceberg sink reads back identically at every
+    point in history (delta version v == iceberg sequence v+1) and at
+    the head — the two time-travel implementations are interchangeable
+    views of one logical table history."""
+    from arroyo_spark.streaming.delta import DeltaTableSink, read_delta
+
+    droot = str(tmp_path / "dside")
+    iroot = str(tmp_path / "iside")
+    dsink = DeltaTableSink(droot)
+    isink = IcebergTableSink(iroot)
+    batches = [spark.range(0, 4), spark.range(7, 9), spark.range(20, 23)]
+    for b in batches:
+        dsink.commit(b.coalesce(1))
+        isink.commit(b.coalesce(1))
+    for v in range(len(batches)):
+        d = sorted(r["id"] for r in read_delta(spark, droot, as_of_version=v).collect())
+        i = sorted(r["id"] for r in read_iceberg(spark, iroot, as_of_sequence=v + 1).collect())
+        assert d == i, f"history diverges at delta v{v} / iceberg seq{v+1}"
+    dh = sorted(r["id"] for r in read_delta(spark, droot).collect())
+    ih = sorted(r["id"] for r in read_iceberg(spark, iroot).collect())
+    assert dh == ih == [0, 1, 2, 3, 7, 8, 20, 21, 22]
