@@ -440,6 +440,35 @@ _GREEN_R14 = frozenset(
 )
 
 
+_GREEN_R15 = frozenset(
+    {
+        'agg_bits_bools', 'array_agg_sorted', 'cube_orders_status_priority',
+        'curation_mixture_sample', 'dedup_deletion_execution',
+        'dedup_embedding_cosine', 'dedup_ngram_jaccard',
+        'delta_time_travel_read', 'embedding_kmeans_clusters',
+        'embedding_outlier_report', 'embedding_pca_top2',
+        'first_last_by_time', 'funnel_signup_view_purchase',
+        'hop_hourly_15m_by_type', 'iceberg_snapshot_read',
+        'knn_lsh_multitable_ann', 'lookup_enrich_segment',
+        'median_percentiles', 'mm_interleaved_sequences', 'multi_hash_ids',
+        'nested_tumble_peak_quarter', 'nexmark_q5_hot_users',
+        'nexmark_q8_new_sellers', 'q10_returned_items',
+        'q11_important_parts', 'q15_top_supplier', 'q16_supplier_diversity',
+        'q20_dominant_suppliers', 'q21_waiting_suppliers',
+        'q2_min_price_supplier', 'q8_market_share', 'q9_product_profit',
+        'rollup_cascade_15m_1h_1d', 'semdedup_cluster_pruning',
+        'semdedup_pca_pruning', 'sequence_packing_boundaries',
+        'sequence_packing_gpt_2level', 'session_30m_by_user',
+        'setop_intersect_except', 'skew_salted_segment_join',
+        'streaming_asof_last_click', 'streaming_cohort_funnel',
+        'streaming_cohort_retention', 'streaming_ivf_maintenance',
+        'streaming_range_join_bands', 'streaming_zorder_manifest',
+        'tumble_daily_global', 'tumble_hourly_by_type', 'window_fn_census',
+        'window_fn_most_active_user',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -448,54 +477,15 @@ _GREEN_R14 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r15 edits (populated as code is touched this round):
-    "streaming_zorder_manifest",  # ADVICE r14: out-of-bounds ingest rows
-                                  # clamp to edge cells; replay helpers
-                                  # now imported from streaming.replay
-    "embedding_outlier_report",  # ADVICE r14: empty-table guard before
-                                 # the bucket-width arithmetic
-    "embedding_pca_top2",  # ADVICE r14: deflation/Rayleigh arithmetic
-                           # factored into shared _pca2_* helpers
-    "semdedup_pca_pruning",  # (consumes _pca2_loadings; re-verify)
-    "streaming_cohort_retention",  # replay helpers moved to
-                                   # streaming.replay (values identical)
-    "streaming_cohort_funnel",  # (same helper move)
-    "streaming_asof_last_click",  # NEW r15 (verdict #3: as-of join on
-                                  # ingest — buffered-both-sides keyed
-                                  # state, JoinWithExpiration analog)
-    "mm_interleaved_sequences",  # NEW r15 (verdict #4: MMC4/OBELICS
-                                 # interleaved image+text assembly over
-                                 # the shared two-level prefix sum)
-    "sequence_packing_gpt_2level",  # two-level prefix sum factored into
-                                    # shared two_level_prefix_sum
-                                    # (values identical)
-    "sequence_packing_boundaries",  # (same helper move)
-    "streaming_ivf_maintenance",  # NEW r15 (verdict #5: on-ingest IVF
-                                  # cell assignment + boundary-margin
-                                  # recall proxy per cell)
-    "dedup_deletion_execution",  # NEW r15 (verdict #6: tombstone-driven
-                                 # Debezium d retractions through the
-                                 # updating sink; delete_when eviction)
-    "streaming_range_join_bands",  # NEW r15 (bucket-and-verify range
-                                   # join as a stream-static join +
-                                   # O(bands) update-mode state)
-    "skew_salted_segment_join",  # NEW r15 (salting-for-skew join:
-                                 # fact salt + exploded dim, shuffled-
-                                 # hash on (key, salt); plan-gated)
-    "delta_time_travel_read",  # NEW r15 (version-pinned reads of the
-                               # delta sink's log: add/remove replay
-                               # as-of a version + OPTIMIZE-style
-                               # compaction commit)
-    "iceberg_snapshot_read",  # NEW r15 (sequence-number time travel
-                              # through the iceberg sink's v2 metadata
-                              # chain — manifest replay + parent-chain
-                              # pinning against a base-table oracle)
+    # r16 edits (populated as code is touched this round):
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R15:
+        return 15
     if name in _GREEN_R14:
         return 14
     if name in _GREEN_R13:

@@ -71,31 +71,32 @@ def test_overflow_fresh_precede_remaining_greens_in_tail():
     assert order[68:] == [f"green_{i:02d}" for i in range(8, 20)]
 
 
-def test_real_registry_head_pays_the_r09_staleness_tail():
-    # After the r14 sweep the only remaining driver-ledger debt is the 34
-    # queries whose latest green row is r09 (r14 verdict, "What's missing"
-    # #1). All of them must sit inside this round's driver window so the
-    # r15 sweep closes the staleness ledger entirely.
-    r09_stale = {
-        "agg_bits_bools", "array_agg_sorted", "cube_orders_status_priority",
-        "curation_mixture_sample", "dedup_embedding_cosine",
-        "dedup_ngram_jaccard", "embedding_kmeans_clusters",
-        "first_last_by_time", "funnel_signup_view_purchase",
-        "hop_hourly_15m_by_type", "knn_lsh_multitable_ann",
-        "lookup_enrich_segment", "median_percentiles", "multi_hash_ids",
-        "nested_tumble_peak_quarter", "nexmark_q5_hot_users",
-        "nexmark_q8_new_sellers", "q10_returned_items",
-        "q11_important_parts", "q15_top_supplier", "q16_supplier_diversity",
-        "q20_dominant_suppliers", "q21_waiting_suppliers",
-        "q2_min_price_supplier", "q8_market_share", "q9_product_profit",
-        "rollup_cascade_15m_1h_1d", "semdedup_cluster_pruning",
-        "session_30m_by_user", "setop_intersect_except",
-        "tumble_daily_global", "tumble_hourly_by_type", "window_fn_census",
-        "window_fn_most_active_user",
+def test_real_registry_head_pays_the_r10_staleness_tail():
+    # After the r15 sweep the only remaining driver-ledger debt is the 38
+    # queries whose latest green row is r10 (r15 verdict, "What's missing"
+    # #3 / "Next round" #1). All of them must sit inside this round's
+    # driver window so the r16 sweep drains the r10 tier entirely.
+    r10_stale = {
+        "agg_having", "anti_join_no_orders", "count_distinct",
+        "curation_pipeline_v3", "date_functions",
+        "dedup_exact_substring_mat", "dedup_simhash",
+        "dedup_simhash64_hamming", "dedup_simhash_hamming",
+        "doc_fingerprints", "filter_project", "hll_distinct_sketch",
+        "json_extract_props", "knn_sq8_ann", "minhash_jaccard_estimate",
+        "mm_audio_features", "mm_content_dedup", "mm_video_frame_stats",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "quantile_histogram_sketch", "scalar_functions",
+        "semi_join_big_spenders", "stats_aggregates",
+        "streaming_contamination_guard", "streaming_dedup_minhash",
+        "streaming_hll_distinct", "streaming_quantile_histogram",
+        "text_bpe_token_counts", "text_gopher_filters", "text_lang_id",
+        "text_quality_scores", "text_token_stats",
+        "text_trigram_kneser_ney", "union_all_agg",
+        "window_running_totals", "window_topk_per_type",
     }
     names = list(all_queries())
     head = set(names[:_DRIVER_BUDGET])
-    missing = r09_stale - head
+    missing = r10_stale - head
     assert not missing, f"debt entries outside the driver window: {sorted(missing)}"
     # and the fresh set must fit under the cap so nothing re-registers
     # ahead of the budget this round
