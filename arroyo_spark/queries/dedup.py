@@ -3868,14 +3868,26 @@ def dedup_deletion_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(
                 [], "fingerprint string, n_live bigint, n_tokens bigint"
             )
-        # pin the snapshot off the temp state dir (eager localCheckpoint)
-        # so the corpus-sized fingerprint state doesn't leak per run
-        return spark.read.parquet(*paths).select(
+        # Pin the snapshot by MOVING the committed bucket dirs to a
+        # caller-independent dir that outlives this call (atexit-cleaned):
+        # a localCheckpoint pin would store blocks on executors and be
+        # unrecoverable after executor loss on a real cluster (ADVICE
+        # r15) — parquet-backed frames re-read from disk instead.
+        import atexit
+
+        snap_dir = tempfile.mkdtemp(prefix="ddexec_snap_")
+        atexit.register(shutil.rmtree, snap_dir, ignore_errors=True)
+        snap_paths = []
+        for i, p in enumerate(paths):
+            dst = os.path.join(snap_dir, f"bucket_{i:05d}")
+            shutil.move(p, dst)
+            snap_paths.append(dst)
+        return spark.read.parquet(*snap_paths).select(
             "fingerprint",
             F.col("n_live").cast("bigint").alias("n_live"),
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        ).localCheckpoint()
+        )
     finally:
-        # success (snapshot pinned) or failure: the corpus-sized state
+        # success (snapshot moved out) or failure: the corpus-sized state
         # tempdir must never outlive the call
         shutil.rmtree(state_dir, ignore_errors=True)

@@ -1502,3 +1502,99 @@ def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the result frame is a local 2-row createDataFrame — the staged
         # iceberg table is no longer referenced once rows are computed
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg maintenance symmetry (r15 verdict #2): rewrite_files() is the
+# iceberg analog of delta's compact() — ONE `replace` snapshot bin-packing
+# the live file set — and expire_snapshots() is the bounded-retention /
+# time-travel-horizon contract. The query commits two appends, rewrites,
+# then expires everything but the head; each phase is read back through
+# the standard manifest-list replay and its (n_files, n_deleted, n_rows,
+# sum_price) lands inside the hash, so the oracle verifies that (a) the
+# rewrite changed layout but not data, (b) time travel still works across
+# the rewrite boundary, and (c) expiry physically deleted exactly the two
+# replaced append files. Reference sink-side analog:
+# crates/arroyo-connectors/src/filesystem/sink (the reference has no
+# maintenance surface — COVERAGE.md superset convention).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "iceberg_compaction_read",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM lineitem
+    )
+    SELECT 'seq1_append' AS phase, CAST(1 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS n_deleted, f.n AS n_rows, f.s AS sum_price
+    FROM f
+    UNION ALL
+    SELECT 'seq2_append', CAST(2 AS BIGINT), CAST(0 AS BIGINT), a.n, a.s FROM a
+    UNION ALL
+    SELECT 'seq2_time_travel', CAST(2 AS BIGINT), CAST(0 AS BIGINT), a.n, a.s FROM a
+    UNION ALL
+    SELECT 'seq3_rewrite', CAST(1 AS BIGINT), CAST(0 AS BIGINT), a.n, a.s FROM a
+    UNION ALL
+    SELECT 'expired', CAST(1 AS BIGINT), CAST(2 AS BIGINT), a.n, a.s FROM a
+    """,
+    tags=("lakehouse", "iceberg", "compaction", "retention", "sink-symmetry"),
+)
+def iceberg_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two appends -> rewrite_files (replace snapshot) ->
+    expire_snapshots(keep_last=1); report (n_files, n_deleted, n_rows,
+    sum_price) at each phase, with a time-travel read across the rewrite
+    boundary proving old sequences keep their pre-rewrite layout."""
+    import shutil
+    import tempfile
+
+    from arroyo_spark.streaming.iceberg import (
+        IcebergTableSink,
+        current_data_files,
+        read_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="icecomp_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_linestatus"
+        )
+        sink = IcebergTableSink(root)
+        sink.commit(li.filter(F.col("l_linestatus") == "F").coalesce(1))
+        sink.commit(li.filter(F.col("l_linestatus") != "F").coalesce(1))
+
+        def stats(seq: int | None) -> tuple[int, int, float]:
+            snap = read_iceberg(spark, root, as_of_sequence=seq)
+            row = snap.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dec_sum("l_extendedprice").alias("s"),
+            ).collect()[0]  # bounded: 1-row scalar aggregate per phase
+            return len(current_data_files(root, seq)), row["n"], row["s"]
+
+        def row(phase: str, seq: int | None, n_deleted: int) -> tuple:
+            n_files, n, s = stats(seq)
+            return (phase, n_files, n_deleted, n, s)
+
+        rows = [row("seq1_append", 1, 0), row("seq2_append", 2, 0)]
+        assert sink.rewrite_files(spark) is True
+        # time travel ACROSS the rewrite boundary: seq 2 still reads its
+        # own pre-rewrite manifest-list (2 files)
+        rows.append(row("seq2_time_travel", 2, 0))
+        rows.append(row("seq3_rewrite", 3, 0))
+        deleted = sink.expire_snapshots(keep_last=1)
+        rows.append(row("expired", None, len(deleted)))
+        return spark.createDataFrame(
+            rows,
+            "phase string, n_files bigint, n_deleted bigint, "
+            "n_rows bigint, sum_price double",
+        )
+    finally:
+        # the result frame is a local 5-row createDataFrame — the staged
+        # iceberg table is no longer referenced once rows are computed
+        shutil.rmtree(root, ignore_errors=True)

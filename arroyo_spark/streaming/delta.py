@@ -257,23 +257,37 @@ class DeltaTableSink:
                     }
                 )
             for rel in live:
-                actions.append(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": False,
-                        }
-                    }
-                )
-            if self._write_version(next_v, actions):
-                return True
-            # lost the race: drop the unreferenced rewrite before retrying
-            for rel, _size in files:
+                # strict readers expect remove entries of partitioned
+                # tables to carry partitionValues (and size) just like
+                # the add path (Delta PROTOCOL.md; ADVICE r15)
+                remove = {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": self._partition_values(rel),
+                }
                 try:
-                    os.remove(os.path.join(self.root, rel))
+                    remove["size"] = os.path.getsize(
+                        os.path.join(self.root, rel)
+                    )
                 except OSError:
                     pass
+                actions.append({"remove": remove})
+            if self._write_version(next_v, actions):
+                return True
+            # lost the race: drop the unreferenced rewrite before
+            # retrying — including any now-empty partition dirs the
+            # staging created under the table root (ADVICE r15)
+            for rel, _size in files:
+                path = os.path.join(self.root, rel)
+                try:
+                    os.remove(path)
+                except OSError:
+                    continue
+                parent = os.path.dirname(path)
+                while parent != self.root and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
         raise RuntimeError(
             f"compact: lost the commit race {max_attempts} times "
             f"(sustained concurrent writers on {self.root})"

@@ -613,7 +613,14 @@ class IcebergTableSink:
         n_files: int,
         snapshot_id: int,
         seq: int,
+        carried: list[dict] | None = None,
     ) -> str:
+        """Standard-reader manifest-list layout: the new snapshot's list
+        carries EVERY live manifest — the parent's entries (``carried``)
+        plus the one written for this commit — so a reader opens ONLY the
+        pinned snapshot's list (ADVICE r15: the old one-new-manifest-per-
+        list layout forced readers to union the whole chain, which
+        double-counts against metadata from standard Iceberg writers)."""
         from arroyo_spark.formats.avro import write_ocf
 
         mpath, mlen, added_rows = manifest
@@ -634,7 +641,7 @@ class IcebergTableSink:
         }
         blob = write_ocf(
             json.dumps(_MANIFEST_FILE_SCHEMA),
-            [entry],
+            list(carried or []) + [entry],
             extra_meta={"format-version": b"2"},
         )
         name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
@@ -642,6 +649,14 @@ class IcebergTableSink:
         with open(path, "wb") as fh:
             fh.write(blob)
         return path
+
+    @staticmethod
+    def _read_manifest_list(path: str) -> list[dict]:
+        from arroyo_spark.formats.avro import read_ocf
+
+        with open(path, "rb") as fh:
+            _schema, manifests = read_ocf(fh.read())
+        return manifests
 
     def _spec_fields(self, schema_json: dict) -> dict:
         """Partition spec whose source-ids reference the matching schema
@@ -663,99 +678,305 @@ class IcebergTableSink:
 
     # -- commits -------------------------------------------------------------
 
+    def _one_commit_attempt(
+        self,
+        files: list[tuple[str, int, int, dict]],
+        snapshot_id: int,
+        operation: str,
+        carry_parent: bool,
+        txn_version: int | None = None,
+        schema_df: DataFrame | None = None,
+        expect_version: int | None = None,
+    ) -> str:
+        """ONE put-if-absent metadata commit. Returns ``'committed'``,
+        ``'replayed'`` (this txn already landed — recovery replay) or
+        ``'lost'`` (another writer claimed the version; caller decides
+        whether staged files are still valid to retry with).
+
+        Everything sequence-dependent (seq, parent, carried manifests,
+        the manifest whose entries embed seq) is derived fresh per
+        attempt: after losing a commit race the previous values are
+        stale and reusing them would produce duplicate sequence-numbers
+        / wrong lineage. ``carry_parent=True`` (appends) carries the
+        parent snapshot's manifest-list forward, so each list names ALL
+        live manifests (standard reader layout); ``False`` (replace /
+        rewrite) makes the new manifest the only live one.
+
+        ``expect_version`` pins the attempt to a base version observed
+        EARLIER by the caller (the rewrite path reads the live file set
+        before staging): the commit is built on that version's metadata
+        and linked at ``expect_version + 1``, so any commit that landed
+        in between surfaces as ``'lost'`` instead of being silently
+        replaced away."""
+        if expect_version is not None:
+            cur_v = expect_version
+            prev = None
+            if cur_v > 0:
+                with open(self._metadata_path(cur_v)) as fh:
+                    prev = json.load(fh)
+        else:
+            cur_v = self.current_version() or 0
+            prev = self.current_metadata()
+        next_v = cur_v + 1
+        seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
+        schema_json = (
+            prev["schemas"][0] if prev else self._schema_json(schema_df)
+        )
+        carried: list[dict] = []
+        if carry_parent and prev and prev.get("current-snapshot-id", -1) != -1:
+            by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
+            carried = self._read_manifest_list(
+                by_id[prev["current-snapshot-id"]]["manifest-list"]
+            )
+        manifest = self._write_manifest(files, snapshot_id, seq, schema_json)
+        mlist = self._write_manifest_list(
+            manifest, len(files), snapshot_id, seq, carried=carried
+        )
+        now_ms = int(time.time() * 1000)
+        summary = {
+            "operation": operation,
+            "added-data-files": str(len(files)),
+            "added-records": str(manifest[2]),
+            "arroyo-app-id": self.app_id,
+        }
+        if txn_version is not None:
+            summary["arroyo-txn-version"] = str(txn_version)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": summary,
+            "schema-id": 0,
+        }
+        if prev and prev.get("current-snapshot-id", -1) != -1:
+            snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
+        meta = prev or {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.root,
+            "last-column-id": len(schema_json["fields"]),
+            "schemas": [schema_json],
+            "current-schema-id": 0,
+            "partition-specs": [self._spec_fields(schema_json)],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(self.partition_by),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        meta = dict(meta)
+        meta["last-updated-ms"] = now_ms
+        meta["last-sequence-number"] = seq
+        meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        if prev is not None:
+            meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+                {
+                    "metadata-file": self._metadata_path(cur_v),
+                    "timestamp-ms": now_ms,
+                }
+            ]
+        path = self._metadata_path(next_v)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.link(tmp, path)  # put-if-absent: the commit point
+        except FileExistsError:
+            os.unlink(tmp)
+            if txn_version is not None and (
+                self._committed_txns().get(self.app_id, -1) >= txn_version
+            ):
+                return "replayed"
+            return "lost"
+        os.unlink(tmp)
+        hint = os.path.join(self.root, "metadata", "version-hint.text")
+        with open(hint + ".tmp", "w") as fh:
+            fh.write(str(next_v))
+        os.rename(hint + ".tmp", hint)
+        return "committed"
+
     def commit(self, batch_df: DataFrame, txn_version: int | None = None) -> bool:
         if txn_version is not None:
             if self._committed_txns().get(self.app_id, -1) >= txn_version:
                 return False  # recovery replay
         files = self._stage_files(batch_df)
         snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+        while True:
+            got = self._one_commit_attempt(
+                files,
+                snapshot_id,
+                "append",
+                carry_parent=True,
+                txn_version=txn_version,
+                schema_df=batch_df,
+            )
+            if got == "committed":
+                return True
+            if got == "replayed":
+                return False
+            # lost the race: staged append files are still valid —
+            # rebuild seq/parent/carried manifests on the new current
 
-        # everything sequence-dependent (seq, parent, the manifests whose
-        # entries embed seq) is rebuilt inside the retry loop: after losing
-        # a commit race the previous values are stale and reusing them
-        # would produce duplicate sequence-numbers / wrong lineage
+    def rewrite_files(
+        self, spark: SparkSession, max_attempts: int = 20
+    ) -> bool:
+        """Iceberg maintenance analog of delta's ``compact()``
+        (`streaming/delta.py`): ONE ``replace`` snapshot that bin-packs
+        every live data file and whose manifest-list references ONLY the
+        new manifest — the rewrite changes table layout, not table data
+        (reference sink-side surface:
+        `crates/arroyo-connectors/src/filesystem/sink`). Older snapshots
+        keep their own manifest-lists, so sequence-number time travel
+        across the rewrite boundary still works; replaced data files
+        stay on disk until ``expire_snapshots`` retires the snapshots
+        that reference them. Losing the put-if-absent race (a concurrent
+        append claimed our version) deletes the just-staged rewrite
+        (never referenced by any committed metadata) and restarts the
+        pass from the NEW live set — a replace manifest built from a
+        stale live set would silently drop the concurrent append's rows.
+        Bounded by ``max_attempts`` races. Returns False on an empty
+        table."""
+        for _ in range(max_attempts):
+            meta = self.current_metadata()
+            if meta is None or meta.get("current-snapshot-id", -1) == -1:
+                return False
+            base_v = self.current_version() or 0
+            live = current_data_files(self.root)
+            if not live:
+                return False
+            snap = spark.read.option(
+                "basePath", os.path.join(self.root, "data")
+            ).parquet(*live)
+            # partitioned tables bin-pack per partition (each value
+            # hashes to one task -> one file per value); unpartitioned
+            # tables collapse to a single file
+            compacted = (
+                snap.repartition(*self.partition_by)
+                if self.partition_by
+                else snap.coalesce(1)
+            )
+            files = self._stage_files(compacted)
+            snapshot_id = int.from_bytes(os.urandom(8), "big") >> 1
+            got = self._one_commit_attempt(
+                files,
+                snapshot_id,
+                "replace",
+                carry_parent=False,
+                expect_version=base_v,
+            )
+            if got == "committed":
+                return True
+            # lost the race: drop the unreferenced rewrite (and any
+            # now-empty partition dirs) before re-reading the live set
+            for rel, _size, _rows, _pv in files:
+                path = os.path.join(self.root, rel)
+                try:
+                    os.remove(path)
+                except OSError:
+                    continue
+                parent = os.path.dirname(path)
+                while parent != self.root and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+        raise RuntimeError(
+            f"rewrite_files: lost the commit race {max_attempts} times "
+            f"(sustained concurrent writers on {self.root})"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Bounded retention: retire every snapshot except the newest
+        ``keep_last`` from the metadata (THE time-travel-horizon
+        contract — expired sequence-numbers become unreadable, exactly
+        like Iceberg's ``expireSnapshots``), then delete manifest-lists,
+        manifests, and data files referenced by no surviving snapshot.
+        Returns the deleted data-file paths. Runs through the same
+        put-if-absent commit point as writes, so a concurrent append
+        never lands on a retired metadata version silently."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
         while True:
             cur_v = self.current_version() or 0
-            next_v = cur_v + 1
-            prev = self.current_metadata()
-            seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
-            schema_json = (
-                prev["schemas"][0] if prev else self._schema_json(batch_df)
-            )
-            manifest = self._write_manifest(files, snapshot_id, seq, schema_json)
-            mlist = self._write_manifest_list(
-                manifest, len(files), snapshot_id, seq
-            )
+            meta = self.current_metadata()
+            if meta is None or len(meta.get("snapshots", [])) <= keep_last:
+                return []
+            snaps = meta["snapshots"]
+            keep = snaps[-keep_last:]
+            expired = snaps[:-keep_last]
+            live_files: set[str] = set()
+            live_manifests: set[str] = set()
+            for s in keep:
+                for m in self._read_manifest_list(s["manifest-list"]):
+                    live_manifests.add(m["manifest_path"])
+                    with open(m["manifest_path"], "rb") as fh:
+                        from arroyo_spark.formats.avro import read_ocf
+
+                        _s, entries = read_ocf(fh.read())
+                    for e in entries:
+                        live_files.add(e["data_file"]["file_path"])
+            dead_files: set[str] = set()
+            dead_meta: set[str] = set()
+            for s in expired:
+                dead_meta.add(s["manifest-list"])
+                for m in self._read_manifest_list(s["manifest-list"]):
+                    if m["manifest_path"] in live_manifests:
+                        continue
+                    dead_meta.add(m["manifest_path"])
+                    with open(m["manifest_path"], "rb") as fh:
+                        from arroyo_spark.formats.avro import read_ocf
+
+                        _s, entries = read_ocf(fh.read())
+                    for e in entries:
+                        f = e["data_file"]["file_path"]
+                        if f not in live_files:
+                            dead_files.add(f)
             now_ms = int(time.time() * 1000)
-            summary = {
-                "operation": "append",
-                "added-data-files": str(len(files)),
-                "added-records": str(manifest[2]),
-                "arroyo-app-id": self.app_id,
-            }
-            if txn_version is not None:
-                summary["arroyo-txn-version"] = str(txn_version)
-            snapshot = {
-                "snapshot-id": snapshot_id,
-                "sequence-number": seq,
-                "timestamp-ms": now_ms,
-                "manifest-list": mlist,
-                "summary": summary,
-                "schema-id": 0,
-            }
-            if prev and prev.get("current-snapshot-id", -1) != -1:
-                snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
-            meta = prev or {
-                "format-version": 2,
-                "table-uuid": str(uuid.uuid4()),
-                "location": self.root,
-                "last-column-id": len(batch_df.schema.fields),
-                "schemas": [schema_json],
-                "current-schema-id": 0,
-                "partition-specs": [self._spec_fields(schema_json)],
-                "default-spec-id": 0,
-                "last-partition-id": 999 + len(self.partition_by),
-                "sort-orders": [{"order-id": 0, "fields": []}],
-                "default-sort-order-id": 0,
-                "properties": {},
-                "snapshots": [],
-                "snapshot-log": [],
-                "metadata-log": [],
-            }
-            meta = dict(meta)
-            meta["last-updated-ms"] = now_ms
-            meta["last-sequence-number"] = seq
-            meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-            meta["current-snapshot-id"] = snapshot_id
-            meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            new_meta = dict(meta)
+            new_meta["snapshots"] = keep
+            # the oldest surviving snapshot loses its (now-expired)
+            # parent pointer — its lineage starts the retained chain
+            keep0 = dict(keep[0])
+            keep0.pop("parent-snapshot-id", None)
+            new_meta["snapshots"] = [keep0] + keep[1:]
+            kept_ids = {s["snapshot-id"] for s in new_meta["snapshots"]}
+            new_meta["snapshot-log"] = [
+                e
+                for e in meta.get("snapshot-log", [])
+                if e["snapshot-id"] in kept_ids
             ]
-            if prev is not None:
-                meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
-                    {
-                        "metadata-file": self._metadata_path(cur_v),
-                        "timestamp-ms": now_ms,
-                    }
-                ]
+            new_meta["last-updated-ms"] = now_ms
+            next_v = cur_v + 1
             path = self._metadata_path(next_v)
             tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
             with open(tmp, "w") as fh:
-                json.dump(meta, fh)
+                json.dump(new_meta, fh)
             try:
-                os.link(tmp, path)  # put-if-absent: the commit point
+                os.link(tmp, path)  # same commit point as writes
             except FileExistsError:
                 os.unlink(tmp)
-                if txn_version is not None and (
-                    self._committed_txns().get(self.app_id, -1) >= txn_version
-                ):
-                    return False
-                continue  # lost the race: rebuild on the new current
+                continue  # concurrent commit: recompute from new head
             os.unlink(tmp)
             hint = os.path.join(self.root, "metadata", "version-hint.text")
             with open(hint + ".tmp", "w") as fh:
                 fh.write(str(next_v))
             os.rename(hint + ".tmp", hint)
-            return True
+            for p in sorted(dead_meta | dead_files):
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+                parent = os.path.dirname(p)
+                while parent != self.root and os.path.isdir(parent) and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+            return sorted(dead_files)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch surface: micro-batch == one idempotent snapshot."""
@@ -802,25 +1023,20 @@ def current_data_files(
                 f"sequence {as_of_sequence} not on the current chain "
                 f"(have {have[0]}..{have[-1]})"
             )
-    # v2 append-only: union every chain snapshot's ADDED files up to
-    # (and including) the pinned head
-    chain_ids = set()
-    cur = head
-    while cur is not None:
-        chain_ids.add(cur["snapshot-id"])
-        cur = by_id.get(cur.get("parent-snapshot-id"))
+    # standard reader semantics (ADVICE r15): the pinned snapshot's
+    # manifest-list names EVERY live manifest (the sink carries the
+    # parent's entries forward on append and truncates on replace), so
+    # ONLY the head's list is opened — no chain union, no double-count
+    # against metadata from standard Iceberg writers
     files: list[str] = []
-    for snap in meta["snapshots"]:
-        if snap["snapshot-id"] not in chain_ids:
-            continue
-        with open(snap["manifest-list"], "rb") as fh:
-            _schema, manifests = read_ocf(fh.read())
-        for m in manifests:
-            with open(m["manifest_path"], "rb") as fh:
-                _s, entries = read_ocf(fh.read())
-            for e in entries:
-                if e["status"] in (1, 0):  # ADDED / EXISTING
-                    files.append(e["data_file"]["file_path"])
+    with open(head["manifest-list"], "rb") as fh:
+        _schema, manifests = read_ocf(fh.read())
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _s, entries = read_ocf(fh.read())
+        for e in entries:
+            if e["status"] in (1, 0):  # ADDED / EXISTING live; 2 = DELETED
+                files.append(e["data_file"]["file_path"])
     return files
 
 

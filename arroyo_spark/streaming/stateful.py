@@ -430,7 +430,9 @@ def streaming_asof_latest(
             # are ignored (not crashed on)
             timed = pdf[ts_col].notna()
             bmask = (pdf[side_col] == "build") & timed & pdf[val_col].notna()
-            pmask = (pdf[side_col] != "build") & timed
+            # a NULL-id probe has no identity to attribute a match to
+            # (same defined-behavior contract: dropped, not crashed on)
+            pmask = (pdf[side_col] != "build") & timed & pdf[id_col].notna()
             new_build.extend(
                 zip(
                     pdf.loc[bmask, ts_col].astype("int64").tolist(),

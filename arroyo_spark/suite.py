@@ -478,6 +478,19 @@ _GREEN_R15 = frozenset(
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
     # r16 edits (populated as code is touched this round):
+    "streaming_asof_last_click",  # ADVICE r15: NULL-id probes dropped
+                                  # (defined behavior), not crashed on
+    "dedup_deletion_execution",  # ADVICE r15: snapshot MOVED to an
+                                 # atexit-owned dir (parquet-backed,
+                                 # executor-loss safe) instead of a
+                                 # localCheckpoint pin
+    "iceberg_snapshot_read",  # manifest-lists now carry ALL live
+                              # manifests (standard layout); reader is
+                              # head-only (ADVICE r15) + rewrite/expiry
+                              # maintenance landed in the same module
+    "delta_time_travel_read",  # ADVICE r15: compact() remove actions
+                               # carry partitionValues/size; lost-race
+                               # cleanup removes empty partition dirs
 }
 
 

@@ -450,3 +450,139 @@ def test_delta_and_iceberg_histories_agree(spark, tmp_path):
     dh = sorted(r["id"] for r in read_delta(spark, droot).collect())
     ih = sorted(r["id"] for r in read_iceberg(spark, iroot).collect())
     assert dh == ih == [0, 1, 2, 3, 7, 8, 20, 21, 22]
+
+
+# -- maintenance: rewrite (compaction) + snapshot expiry ---------------------
+
+
+def test_rewrite_files_binpacks_and_keeps_time_travel(spark, tmp_path):
+    """rewrite_files commits ONE replace snapshot that collapses the live
+    file set; data is identical pre/post, and sequence-number time travel
+    to pre-rewrite snapshots still reads the original layout (delta
+    compact() symmetry)."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(0, 5).coalesce(2))
+    sink.commit(spark.range(10, 13).coalesce(2))
+    pre_files = current_data_files(root)
+    assert len(pre_files) >= 3
+    assert sink.rewrite_files(spark) is True
+    meta = sink.current_metadata()
+    head = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    assert head["summary"]["operation"] == "replace"
+    assert head["sequence-number"] == 3
+    post_files = current_data_files(root)
+    assert len(post_files) == 1
+    got = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 10, 11, 12]
+    # time travel across the rewrite boundary: old sequences still read
+    # their own (pre-rewrite) manifest-lists and file sets
+    s1 = sorted(r["id"] for r in read_iceberg(spark, root, as_of_sequence=1).collect())
+    s2 = sorted(r["id"] for r in read_iceberg(spark, root, as_of_sequence=2).collect())
+    assert s1 == [0, 1, 2, 3, 4]
+    assert s2 == got
+    assert sorted(current_data_files(root, as_of_sequence=2)) == sorted(pre_files)
+    # replaced files stay on disk (expiry is expire_snapshots' job)
+    assert all(os.path.exists(f) for f in pre_files)
+
+
+def test_rewrite_files_partitioned_one_file_per_partition(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root, partition_by=["k"])
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "v long, k string"
+    ).repartition(4)
+    df2 = spark.createDataFrame([(4, "b"), (5, "a")], "v long, k string").repartition(4)
+    sink.commit(df1)
+    sink.commit(df2)
+    assert len(current_data_files(root)) >= 3
+    assert sink.rewrite_files(spark) is True
+    post = current_data_files(root)
+    assert len(post) == 2  # one file per live partition value
+    got = sorted(
+        (r["v"], r["k"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "a")]
+
+
+def test_rewrite_lost_race_restarts_from_new_live_set(spark, tmp_path):
+    """A concurrent append between the live-set read and the replace
+    commit must surface as a lost race (expect_version pin), and the
+    retried rewrite must contain the appended rows — a stale replace
+    would silently drop them."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(0, 4).coalesce(2))
+
+    real_attempt = sink._one_commit_attempt
+    raced = {"done": False}
+
+    def racing_attempt(files, snapshot_id, operation, **kw):
+        if operation == "replace" and not raced["done"]:
+            raced["done"] = True
+            # concurrent append lands AFTER the live-set read
+            IcebergTableSink(root).commit(spark.range(100, 102).coalesce(1))
+        return real_attempt(files, snapshot_id, operation, **kw)
+
+    sink._one_commit_attempt = racing_attempt
+    assert sink.rewrite_files(spark) is True
+    got = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 3, 100, 101]
+    assert len(current_data_files(root)) == 1
+
+
+def test_expire_snapshots_bounds_time_travel_and_deletes_files(spark, tmp_path):
+    """expire_snapshots(keep_last=N) is the retention horizon: expired
+    sequences become unreadable, data files referenced by no surviving
+    snapshot are deleted, surviving reads are untouched."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(0, 3).coalesce(1))
+    sink.commit(spark.range(10, 12).coalesce(1))
+    assert sink.rewrite_files(spark) is True  # seq 3: replace
+    pre_rewrite = set(current_data_files(root, as_of_sequence=2))
+    post_rewrite = set(current_data_files(root))
+    assert pre_rewrite.isdisjoint(post_rewrite)
+    deleted = sink.expire_snapshots(keep_last=1)
+    # the two original appends' files are unreferenced by the surviving
+    # replace snapshot -> physically deleted
+    assert set(deleted) == pre_rewrite
+    assert all(not os.path.exists(f) for f in pre_rewrite)
+    assert all(os.path.exists(f) for f in post_rewrite)
+    meta = sink.current_metadata()
+    assert len(meta["snapshots"]) == 1
+    assert "parent-snapshot-id" not in meta["snapshots"][0]
+    got = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 10, 11]
+    # the horizon contract: expired sequences are gone
+    with pytest.raises(ValueError, match="not on the current chain|not in iceberg"):
+        read_iceberg(spark, root, as_of_sequence=1)
+
+
+def test_expire_snapshots_keeps_carried_manifests_alive(spark, tmp_path):
+    """Append-chain expiry: a kept snapshot's manifest-list carries
+    manifests first written by expired snapshots — those manifests and
+    their data files must survive (nothing is deleted)."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(0, 3).coalesce(1))
+    sink.commit(spark.range(10, 12).coalesce(1))
+    sink.commit(spark.range(20, 21).coalesce(1))
+    deleted = sink.expire_snapshots(keep_last=1)
+    assert deleted == []  # head's list carries every live manifest
+    got = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 10, 11, 20]
+    assert len(sink.current_metadata()["snapshots"]) == 1
+
+
+def test_expire_snapshots_noop_when_under_horizon(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.range(3).coalesce(1))
+    assert sink.expire_snapshots(keep_last=2) == []
+    assert len(sink.current_metadata()["snapshots"]) == 1
+    with pytest.raises(ValueError):
+        sink.expire_snapshots(keep_last=0)

@@ -2665,6 +2665,7 @@ def test_streaming_asof_fn_null_rows_are_defined_behavior(spark):
             ("build", 0, 6, math.nan),      # NaN value: ignored
             ("build", 0, 5, 2.5),           # real point
             ("probe", 1, None, 0.0),        # timeless probe: skipped
+            ("probe", None, 8, 0.0),        # NULL id: no identity, skipped
             ("probe", 2, 7, 0.0),
         ],
         columns=cols,
