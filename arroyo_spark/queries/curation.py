@@ -1393,48 +1393,12 @@ def sequence_packing_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPL_RANGE = 256  # doc_id interval width per level-1 range partition
-
-
-def two_level_prefix_sum(
-    spark: SparkSession, vals: DataFrame, val_col: str = "nt"
-):
-    """The two-level exact global prefix sum in doc_id order — the
-    shared scale arrangement (r13 verdict; reused by the interleaved
-    multimodal assembly, r14 verdict #4): ``vals`` (doc_id + val_col +
-    any carry-through columns) range-partitions into CONTIGUOUS doc_id
-    intervals, each interval computes a local prefix sum under an
-    interval-partitioned window, and the bounded per-interval totals
-    are exclusive-prefix-summed driver-side and broadcast back. Returns
-    (vals + "cum" DataFrame, global total). Exact BIGINT arithmetic —
-    bit-identical to a single global window."""
-    vals = vals.withColumn(
-        "p", F.expr(f"doc_id div {_SPL_RANGE}")
-    ).localCheckpoint()  # consumed twice (interval totals + main path)
-    totals = sorted(
-        # bounded: doc_id-range interval totals (|ranges| rows)
-        vals.groupBy("p")
-        .agg(F.sum(val_col).cast("bigint").alias("tot"))
-        .collect(),
-        key=lambda r: r["p"],
-    )
-    off, offsets = 0, []
-    for r in totals:
-        offsets.append((int(r["p"]), off))
-        off += int(r["tot"])
-    n_total = off  # == global MAX(cum)
-    odf = spark.createDataFrame(offsets, "p bigint, off bigint")
-    w = (
-        Window.partitionBy("p")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carry = [c for c in vals.columns if c not in ("p",)]
-    cum = vals.join(F.broadcast(odf), "p").select(
-        *carry,
-        (F.sum(val_col).over(w) + F.col("off")).cast("bigint").alias("cum"),
-    )
-    return cum, n_total
+# two_level_prefix_sum moved to operators/partitioning.py (r15 verdict
+# "Next round" #6): it is shared infrastructure for the packing family
+# here and the interleaved multimodal assembly in queries/multimodal.py.
+from arroyo_spark.operators.partitioning import (  # noqa: E402
+    two_level_prefix_sum,
+)
 
 
 def _seqpack_cum_2level(spark: SparkSession, sf_dir: str):

@@ -944,7 +944,7 @@ def mm_interleaved_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     images as deduped md5 references at {_MMI_IMG_TOKENS} vision tokens
     each."""
     from arroyo_spark.operators import text as T
-    from arroyo_spark.queries.curation import two_level_prefix_sum
+    from arroyo_spark.operators.partitioning import two_level_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE (the dsir-style persisted-tokenize discipline);

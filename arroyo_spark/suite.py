@@ -491,6 +491,11 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "delta_time_travel_read",  # ADVICE r15: compact() remove actions
                                # carry partitionValues/size; lost-race
                                # cleanup removes empty partition dirs
+    "sequence_packing_gpt_2level",  # two_level_prefix_sum moved to
+                                    # operators/partitioning.py (r15
+                                    # verdict #6; values identical)
+    "sequence_packing_boundaries",  # (same helper move)
+    "mm_interleaved_sequences",  # (same helper move — import site)
 }
 
 
