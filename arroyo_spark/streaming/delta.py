@@ -30,6 +30,7 @@ import shutil
 import time
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
@@ -293,6 +294,144 @@ class DeltaTableSink:
             f"(sustained concurrent writers on {self.root})"
         )
 
+    def delete_where(
+        self, spark: SparkSession, predicate: str, max_attempts: int = 20
+    ) -> int:
+        """Copy-on-write ``DELETE ... WHERE``: every live file holding a
+        matching row is rewritten without its matches and removed
+        (``dataChange: true`` on both sides), and the deleted rows are
+        ALSO staged under ``_change_data/`` and referenced by protocol
+        ``cdc`` actions (Delta PROTOCOL.md "Add CDC File",
+        ``_change_type='delete'`` stored in-file) — so CDF readers get
+        exact row-level deletes instead of having to diff a rewrite
+        commit's adds against its removes (which is ambiguous; see
+        :func:`read_delta_cdf`). Files with no match are untouched.
+        Returns the number of deleted rows. Lost commit races re-derive
+        everything from the NEW live set, bounded by ``max_attempts``."""
+        for _ in range(max_attempts):
+            versions = self._log_versions()
+            next_v = (versions[-1] + 1) if versions else 0
+            live = _live_rel_paths(self)
+            if not live:
+                return 0
+            by_abs = {
+                "file://" + os.path.abspath(os.path.join(self.root, rel)): rel
+                for rel in live
+            }
+            snap = spark.read.option("basePath", self.root).parquet(
+                *[os.path.join(self.root, rel) for rel in live]
+            ).withColumn("_f", F.input_file_name())
+            hit_files = [
+                by_abs[r["_f"]]
+                for r in snap.filter(predicate).select("_f").distinct().collect()
+                # bounded: one row per data file containing a match
+                if r["_f"] in by_abs
+            ]
+            if not hit_files:
+                return 0
+            hit_abs = [os.path.join(self.root, rel) for rel in hit_files]
+            touched = spark.read.option("basePath", self.root).parquet(*hit_abs)
+            survivors = touched.filter(f"NOT ({predicate})")
+            deleted_df = touched.filter(predicate)
+            new_files = self._stage_files(survivors)
+            cdc_files = self._stage_change_data(
+                deleted_df.withColumn("_change_type", F.lit("delete"))
+            )
+            n_deleted = sum(n for _rel, _s, n in cdc_files)
+            now_ms = int(time.time() * 1000)
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "DELETE",
+                        "operationParameters": {"predicate": predicate},
+                    }
+                }
+            ]
+            for rel, size in new_files:
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": self._partition_values(rel),
+                            "size": size,
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            for rel in hit_files:
+                remove = {
+                    "path": rel.replace(os.sep, "/"),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": self._partition_values(rel),
+                }
+                try:
+                    remove["size"] = os.path.getsize(
+                        os.path.join(self.root, rel)
+                    )
+                except OSError:
+                    pass
+                actions.append({"remove": remove})
+            for rel, size, _rows in cdc_files:
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": {},
+                            "size": size,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            if self._write_version(next_v, actions):
+                return n_deleted
+            # lost the race: drop the unreferenced rewrite + cdc staging
+            for rel in [r for r, _s in new_files] + [
+                r for r, _s, _n in cdc_files
+            ]:
+                path = os.path.join(self.root, rel)
+                try:
+                    os.remove(path)
+                except OSError:
+                    continue
+                parent = os.path.dirname(path)
+                while parent != self.root and not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+        raise RuntimeError(
+            f"delete_where: lost the commit race {max_attempts} times "
+            f"(sustained concurrent writers on {self.root})"
+        )
+
+    def _stage_change_data(
+        self, change_df: DataFrame
+    ) -> list[tuple[str, int, int]]:
+        """Stage CDF rows under ``_change_data/`` (the conventional CDC
+        dir); returns (rel_path, size, n_rows) with counts from parquet
+        footers. Partition columns stay INSIDE the files (cdc actions
+        carry empty partitionValues) so the reader needs no dir
+        recovery."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex[:12])
+        change_df.write.mode("overwrite").parquet(staging)
+        out: list[tuple[str, int, int]] = []
+        for p in glob.glob(os.path.join(staging, "part-*.parquet")):
+            n_rows = pq.ParquetFile(p).metadata.num_rows
+            if n_rows == 0:
+                continue
+            rel = os.path.join(
+                "_change_data", f"{uuid.uuid4().hex[:8]}-{os.path.basename(p)}"
+            )
+            final = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            shutil.move(p, final)
+            out.append((rel, os.path.getsize(final), n_rows))
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
 
 def _live_rel_paths(
     sink: DeltaTableSink, as_of_version: int | None = None
@@ -343,3 +482,89 @@ def read_delta(
         return None
     df = spark.read.option("basePath", root).parquet(*files)
     return df
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    root: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """Change-data-feed reader over the commit log — Delta's
+    ``table_changes`` semantics reconstructed from the actions:
+
+    - a commit carrying ``cdc`` actions (this sink's ``delete_where``)
+      yields EXACTLY those files' rows (``_change_type`` stored
+      in-file);
+    - otherwise adds with ``dataChange: true`` yield their rows as
+      ``insert`` and removes with ``dataChange: true`` yield the removed
+      files' rows as ``delete`` (pure appends / pure deletes are
+      unambiguous);
+    - a commit with BOTH and no cdc files is a rewrite whose row-level
+      delta is unknowable from the log alone -> ValueError, mirroring
+      Delta's requirement that CDF-enabled writers emit change files;
+    - ``dataChange: false`` commits (OPTIMIZE) change nothing and are
+      skipped.
+
+    Every row carries ``_change_type`` and ``_commit_version``. Returns
+    None when the requested range contains no changes. One bounded
+    spark.read per changed version — proportional to the version range,
+    never to table size."""
+    sink = DeltaTableSink(root)
+    versions = [
+        v
+        for v in sink._log_versions()
+        if v >= from_version and (to_version is None or v <= to_version)
+    ]
+    parts: list[DataFrame] = []
+    for v in versions:
+        cdc, adds, removes = [], [], []
+        with open(sink._version_path(v)) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "cdc" in act:
+                    cdc.append(act["cdc"]["path"])
+                elif "add" in act and act["add"].get("dataChange"):
+                    adds.append(act["add"]["path"])
+                elif "remove" in act and act["remove"].get("dataChange"):
+                    removes.append(act["remove"]["path"])
+        if cdc:
+            df = spark.read.parquet(
+                *[os.path.join(root, p) for p in cdc]
+            )
+        elif adds and removes:
+            raise ValueError(
+                f"version {v}: add+remove commit without cdc files — "
+                "row-level changes are not derivable from the log"
+            )
+        elif adds:
+            df = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, p) for p in adds]
+            ).withColumn("_change_type", F.lit("insert"))
+        elif removes:
+            df = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, p) for p in removes]
+            ).withColumn("_change_type", F.lit("delete"))
+        else:
+            continue  # metadata-only or dataChange:false (OPTIMIZE)
+        parts.append(df.withColumn("_commit_version", F.lit(v).cast("bigint")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cdf_to_retractions(cdf: DataFrame) -> DataFrame:
+    """Bridge a CDF frame into the debezium retraction tooling:
+    insert/update_postimage -> append rows, delete/update_preimage ->
+    retract rows (``_is_retract``), so ``retraction_aggregate``
+    (`streaming/debezium.py`) consumes delta versions exactly like a
+    Debezium topic — the composition the r15 verdict ordered."""
+    from arroyo_spark.streaming.debezium import IS_RETRACT
+
+    return cdf.withColumn(
+        IS_RETRACT,
+        F.col("_change_type").isin("delete", "update_preimage"),
+    ).drop("_change_type", "_commit_version")

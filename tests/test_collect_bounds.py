@@ -30,9 +30,10 @@ EXPECTED_SITES = {
     "operators/clustering.py": 7,
     "operators/graph.py": 1,
     "operators/pq.py": 3,
+    "operators/partitioning.py": 1,
     "operators/similarity.py": 2,
-    "queries/curation.py": 1,
-    "queries/relational_extra.py": 3,
+    "queries/relational_extra.py": 6,
+    "streaming/delta.py": 1,
     "queries/similarity.py": 5,
     "queries/text_pipeline.py": 5,
     "queries/train.py": 13,

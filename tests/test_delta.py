@@ -351,3 +351,124 @@ def test_compaction_preserves_partitioning(spark, tmp_path):
         (r["id"], r["p"]) for r in read_delta(spark, root).collect()
     )
     assert got == [(1, "x"), (2, "x"), (3, "y"), (4, "y")]
+
+
+# -- DELETE WHERE + change data feed -----------------------------------------
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """delete_where rewrites only the files containing matches, removes
+    the originals, and the snapshot (current + time travel) is exact."""
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 6).coalesce(1))      # v0: one file
+    sink.commit(spark.range(10, 13).coalesce(1))    # v1: one file, no match
+    n = sink.delete_where(spark, "id IN (2, 4)")    # v2
+    assert n == 2
+    got = sorted(r["id"] for r in read_delta(spark, root).collect())
+    assert got == [0, 1, 3, 5, 10, 11, 12]
+    # time travel BEFORE the delete still sees everything
+    v1 = sorted(r["id"] for r in read_delta(spark, root, as_of_version=1).collect())
+    assert v1 == [0, 1, 2, 3, 4, 5, 10, 11, 12]
+    acts = _log_actions(root, 2)
+    ops = {k for a in acts for k in a}
+    assert {"commitInfo", "add", "remove", "cdc"} <= ops
+    # the untouched v1 file must NOT be rewritten
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 1
+    # remove entries carry dataChange=true (a real delete, not OPTIMIZE)
+    assert all(a["remove"]["dataChange"] for a in acts if "remove" in a)
+    assert all(not a["cdc"]["dataChange"] for a in acts if "cdc" in a)
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 4).coalesce(1))
+    assert sink.delete_where(spark, "id > 100") == 0
+    assert sink._log_versions() == [0]  # no commit written
+
+
+def test_cdf_appends_deletes_and_optimize(spark, tmp_path):
+    """read_delta_cdf: appends derive inserts, delete commits read their
+    cdc files, OPTIMIZE yields nothing, and _commit_version pins each
+    change to its commit."""
+    from arroyo_spark.streaming.delta import read_delta_cdf
+
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 4).coalesce(1))      # v0: 4 inserts
+    sink.commit(spark.range(10, 12).coalesce(1))    # v1: 2 inserts
+    assert sink.delete_where(spark, "id >= 10") == 2  # v2: 2 deletes
+    assert sink.compact(spark) is True              # v3: no changes
+    cdf = read_delta_cdf(spark, root)
+    rows = [(r["id"], r["_change_type"], r["_commit_version"]) for r in cdf.collect()]
+    assert sorted(rows) == [
+        (0, "insert", 0), (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 0), (10, "delete", 2), (10, "insert", 1),
+        (11, "delete", 2), (11, "insert", 1),
+    ]
+    # bounded ranges
+    v2 = read_delta_cdf(spark, root, from_version=2, to_version=2)
+    assert sorted(r["id"] for r in v2.collect()) == [10, 11]
+    assert read_delta_cdf(spark, root, from_version=3) is None
+
+
+def test_cdf_composes_into_retraction_aggregate(spark, tmp_path):
+    """delta versions -> retraction stream -> retraction_aggregate
+    re-derives exactly the live snapshot's aggregate (the r15 verdict's
+    'pure composition' contract)."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.streaming.debezium import retraction_aggregate
+    from arroyo_spark.streaming.delta import cdf_to_retractions, read_delta_cdf
+
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k long, v double"
+    )
+    sink.commit(df.coalesce(2))
+    sink.delete_where(spark, "id % 5 = 0")
+    agg = retraction_aggregate(
+        cdf_to_retractions(read_delta_cdf(spark, root)),
+        ["k"],
+        sums={"sv": F.col("v")},
+        count="n",
+    )
+    got = {r["k"]: (r["n"], r["sv"]) for r in agg.collect()}
+    exp_rows = [(i, i % 3, float(i)) for i in range(30) if i % 5 != 0]
+    exp: dict = {}
+    for _i, k, v in exp_rows:
+        n, sv = exp.get(k, (0, 0.0))
+        exp[k] = (n + 1, sv + v)
+    assert got == exp
+
+
+def test_cdf_rejects_ambiguous_rewrite_commit(spark, tmp_path):
+    """A hand-written add+remove dataChange:true commit without cdc files
+    (a foreign writer's rewrite) must raise, not silently double-count."""
+    import pytest as _pytest
+
+    from arroyo_spark.streaming.delta import read_delta_cdf
+
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.range(0, 4).coalesce(1))
+    files = sink._stage_files(spark.range(100, 102).coalesce(1))
+    live = committed_files(root)
+    sink._write_version(
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "MERGE"}},
+            *[
+                {"add": {"path": rel, "partitionValues": {}, "size": s,
+                         "modificationTime": 0, "dataChange": True}}
+                for rel, s in files
+            ],
+            {"remove": {"path": os.path.relpath(live[0], root),
+                        "deletionTimestamp": 0, "dataChange": True}},
+        ],
+    )
+    with _pytest.raises(ValueError, match="without cdc files"):
+        read_delta_cdf(spark, root)
