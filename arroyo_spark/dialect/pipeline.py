@@ -915,7 +915,9 @@ class Pipeline:
             # expressions over spark.range) and validates its options
             self._register_generator_source(t)
             return
-        elif conn in ("filesystem", "single_file", "delta"):
+        elif conn in ("delta", "iceberg"):
+            self._validate_lakehouse_source(t)
+        elif conn in ("filesystem", "single_file"):
             if t.options.get("path") is None:
                 raise PlanError(f"source table {t.name} needs a 'path' option")
             if conn == "filesystem":
@@ -927,6 +929,102 @@ class Pipeline:
         else:
             raise PlanError(f"Unknown connector '{conn}'")
         self._attach_plan_columns(t).createOrReplaceTempView(t.name)
+
+    def _validate_lakehouse_source(self, t: TableDef) -> tuple[str, int | None]:
+        """Shared plan/execute validation for `connector='delta'/'iceberg'`
+        `type='source'` tables. Returns (path, pinned time-travel point).
+        BEYOND-REFERENCE: the reference's delta/iceberg connectors are
+        sink-only (`crates/arroyo-connectors/src/filesystem`); reading the
+        sinks' own logs back closes the lakehouse loop under the
+        established superset convention (COVERAGE.md)."""
+        conn = (t.connector or "").lower()
+        path = t.options.get("path")
+        if path is None:
+            raise PlanError(f"source table {t.name} needs a 'path' option")
+        cat_type = t.options.get("catalog.type")
+        if conn == "iceberg" and cat_type and cat_type != "rest":
+            raise PlanError(
+                f"unsupported Iceberg catalog.type '{cat_type}'"
+            )
+        pin_opt = "version" if conn == "delta" else "sequence"
+        wrong = "sequence" if conn == "delta" else "version"
+        if t.options.get(wrong) is not None:
+            raise PlanError(
+                f"{conn} source {t.name}: use '{pin_opt}' to time-travel "
+                f"({'delta pins log versions' if conn == 'delta' else 'iceberg pins sequence numbers'})"
+            )
+        raw = t.options.get(pin_opt)
+        pin: int | None = None
+        if raw is not None:
+            try:
+                pin = int(str(raw))
+            except ValueError:
+                raise PlanError(
+                    f"{conn} source {t.name}: '{pin_opt}' must be an "
+                    f"integer, got {raw!r}"
+                ) from None
+        return self._substitute(str(path)), pin
+
+    def _register_lakehouse_source(self, t: TableDef) -> None:
+        """`connector='delta'/'iceberg'` `type='source'`: read the table
+        through the sinks' own log/metadata replay (`read_delta` /
+        `read_iceberg`), optionally pinned to a `version` (delta) or
+        `sequence` (iceberg). The relation is a SNAPSHOT — in streaming
+        mode it registers static, giving stream-static (lookup) join
+        semantics against live sources, the same treatment as lookup/dim
+        tables."""
+        conn = (t.connector or "").lower()
+        path, pin = self._validate_lakehouse_source(t)
+        if conn == "delta":
+            from arroyo_spark.streaming.delta import read_delta
+
+            df = read_delta(self.spark, path, as_of_version=pin)
+        else:
+            from arroyo_spark.streaming.iceberg import read_iceberg
+
+            df = read_iceberg(self.spark, path, as_of_sequence=pin)
+        phys = [
+            c
+            for c in t.columns
+            if c.virtual_expr is None and c.metadata_key is None
+        ]
+        if df is None:
+            df = self.spark.createDataFrame([], self._source_schema(t))
+        else:
+            missing = [c.name for c in phys if c.name not in df.columns]
+            if missing:
+                raise PlanError(
+                    f"{conn} source {t.name}: column(s) {missing} not in "
+                    f"the table at {path} (has {sorted(df.columns)})"
+                )
+            df = df.select(
+                *[F.col(c.name).cast(c.spark_type) for c in phys]
+            )
+        from arroyo_spark.dialect.rewrite import rewrite_expr
+
+        for c in t.columns:
+            if c.virtual_expr is not None:
+                try:
+                    df = df.withColumn(
+                        c.name, F.expr(rewrite_expr(c.virtual_expr))
+                    )
+                    df.schema  # force analysis of the generated expression
+                except Exception as e:
+                    m = re.search(r"`([A-Za-z_]\w*)`", str(e))
+                    missing_col = m.group(1) if m else c.virtual_expr
+                    raise PlanError(
+                        f"Failed to create table {t.name} caused by Error "
+                        f"during planning: '{missing_col}' not found"
+                    ) from None
+            elif c.metadata_key is not None:
+                # lakehouse snapshots carry no connector metadata
+                df = df.withColumn(c.name, F.lit(None).cast(c.spark_type))
+        event_time = t.options.get("event_time_field") or (
+            t.watermark.field if t.watermark else None
+        )
+        ts = F.col(str(event_time)) if event_time else F.current_timestamp()
+        df = df.withColumn(TIMESTAMP_FIELD, ts.cast("timestamp"))
+        df.createOrReplaceTempView(t.name)
 
     def _register_source(self, t: TableDef) -> None:
         if self.plan_only:
@@ -943,6 +1041,9 @@ class Pipeline:
 
             t = confluent_as_kafka(t)
         fmt = str(t.options.get("format", "json"))
+        if (t.connector or "").lower() in ("delta", "iceberg"):
+            self._register_lakehouse_source(t)
+            return
         if (t.connector or "").lower() == "kafka":
             self._register_kafka_source(t)
             return

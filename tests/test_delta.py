@@ -472,3 +472,77 @@ def test_cdf_rejects_ambiguous_rewrite_commit(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="without cdc files"):
         read_delta_cdf(spark, root)
+
+
+# -- dialect: connector='delta' type='source' --------------------------------
+
+
+def test_pipeline_delta_source_ddl(spark, tmp_path):
+    """BEYOND-REFERENCE (the reference's delta connector is sink-only):
+    connector='delta' type='source' DDL reads the sink's own _delta_log
+    back, with 'version' time travel."""
+    import pyspark.sql.functions as F
+
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double").coalesce(1)
+    )
+    sink.commit(
+        spark.createDataFrame([(3, 30.0)], "k long, v double").coalesce(1)
+    )
+    out = str(tmp_path / "out")
+    script = f"""
+    CREATE TABLE src (k BIGINT, v DOUBLE) WITH (
+      connector = 'delta', path = '{root}', type = 'source');
+    CREATE TABLE snk (n BIGINT, sv DOUBLE) WITH (
+      connector = 'single_file', path = '{out}/cur.json', format = 'json',
+      type = 'sink');
+    INSERT INTO snk SELECT count(*) AS n, sum(v) AS sv FROM src;
+    """
+    Pipeline(spark).run_script(script)
+    got = spark.read.json(f"{out}/cur.json").collect()[0]
+    assert (got["n"], got["sv"]) == (3, 60.0)
+    # version pin: VERSION AS OF 0 sees only the first commit
+    script_v0 = f"""
+    CREATE TABLE src (k BIGINT, v DOUBLE) WITH (
+      connector = 'delta', path = '{root}', type = 'source', version = 0);
+    CREATE TABLE snk (n BIGINT, sv DOUBLE) WITH (
+      connector = 'single_file', path = '{out}/v0.json', format = 'json',
+      type = 'sink');
+    INSERT INTO snk SELECT count(*) AS n, sum(v) AS sv FROM src;
+    """
+    Pipeline(spark).run_script(script_v0)
+    got0 = spark.read.json(f"{out}/v0.json").collect()[0]
+    assert (got0["n"], got0["sv"]) == (2, 30.0)
+
+
+def test_pipeline_delta_source_plan_mode_and_errors(spark, tmp_path):
+    """Plan mode validates the lakehouse source DDL without touching the
+    filesystem; bad options fail with the dialect's error surface."""
+    import pytest as _pytest
+
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (k BIGINT, v DOUBLE) WITH (
+      connector = 'delta', path = '/nonexistent/table', type = 'source');
+    CREATE TABLE snk (k BIGINT) WITH (connector = 'blackhole', type = 'sink');
+    INSERT INTO snk SELECT k FROM src;
+    """
+    Pipeline(spark, mode="plan").run_script(script)  # no filesystem touch
+    with _pytest.raises(PlanError, match="needs a 'path'"):
+        Pipeline(spark, mode="plan").run_script(
+            script.replace("path = '/nonexistent/table', ", "")
+        )
+    with _pytest.raises(PlanError, match="must be an integer"):
+        Pipeline(spark, mode="plan").run_script(
+            script.replace("type = 'source'", "type = 'source', version = 'x'")
+        )
+    with _pytest.raises(PlanError, match="use 'version'"):
+        Pipeline(spark, mode="plan").run_script(
+            script.replace("type = 'source'", "type = 'source', sequence = 1")
+        )

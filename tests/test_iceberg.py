@@ -586,3 +586,88 @@ def test_expire_snapshots_noop_when_under_horizon(spark, tmp_path):
     assert len(sink.current_metadata()["snapshots"]) == 1
     with pytest.raises(ValueError):
         sink.expire_snapshots(keep_last=0)
+
+
+# -- dialect: connector='iceberg' type='source' ------------------------------
+
+
+def test_pipeline_iceberg_source_ddl(spark, tmp_path):
+    """BEYOND-REFERENCE (the reference's iceberg connector is sink-only):
+    connector='iceberg' type='source' DDL replays the sink's v2 metadata,
+    with 'sequence' time travel."""
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double").coalesce(1)
+    )
+    sink.commit(
+        spark.createDataFrame([(3, 30.0)], "k long, v double").coalesce(1)
+    )
+    out = str(tmp_path / "out")
+    script = f"""
+    CREATE TABLE src (k BIGINT, v DOUBLE) WITH (
+      connector = 'iceberg', path = '{root}', type = 'source');
+    CREATE TABLE snk (n BIGINT, sv DOUBLE) WITH (
+      connector = 'single_file', path = '{out}/cur.json', format = 'json',
+      type = 'sink');
+    INSERT INTO snk SELECT count(*) AS n, sum(v) AS sv FROM src;
+    """
+    Pipeline(spark).run_script(script)
+    got = spark.read.json(f"{out}/cur.json").collect()[0]
+    assert (got["n"], got["sv"]) == (3, 60.0)
+    script_s1 = f"""
+    CREATE TABLE src (k BIGINT, v DOUBLE) WITH (
+      connector = 'iceberg', path = '{root}', type = 'source', sequence = 1);
+    CREATE TABLE snk (n BIGINT, sv DOUBLE) WITH (
+      connector = 'single_file', path = '{out}/s1.json', format = 'json',
+      type = 'sink');
+    INSERT INTO snk SELECT count(*) AS n, sum(v) AS sv FROM src;
+    """
+    Pipeline(spark).run_script(script_s1)
+    got1 = spark.read.json(f"{out}/s1.json").collect()[0]
+    assert (got1["n"], got1["sv"]) == (2, 30.0)
+
+
+def test_pipeline_iceberg_source_plan_and_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    script = """
+    CREATE TABLE src (k BIGINT) WITH (
+      connector = 'iceberg', path = '/nonexistent', type = 'source');
+    CREATE TABLE snk (k BIGINT) WITH (connector = 'blackhole', type = 'sink');
+    INSERT INTO snk SELECT k FROM src;
+    """
+    Pipeline(spark, mode="plan").run_script(script)
+    with _pytest.raises(PlanError, match="unsupported Iceberg catalog.type"):
+        Pipeline(spark, mode="plan").run_script(
+            script.replace(
+                "type = 'source'", "type = 'source', 'catalog.type' = 'glue'"
+            )
+        )
+    with _pytest.raises(PlanError, match="use 'sequence'"):
+        Pipeline(spark, mode="plan").run_script(
+            script.replace("type = 'source'", "type = 'source', version = 1")
+        )
+
+
+def test_pipeline_iceberg_source_missing_column(spark, tmp_path):
+    from arroyo_spark.dialect.errors import PlanError
+    from arroyo_spark.dialect.pipeline import Pipeline
+
+    root = str(tmp_path / "ice")
+    IcebergTableSink(root).commit(
+        spark.createDataFrame([(1,)], "k long").coalesce(1)
+    )
+    script = f"""
+    CREATE TABLE src (k BIGINT, nope DOUBLE) WITH (
+      connector = 'iceberg', path = '{root}', type = 'source');
+    CREATE TABLE snk (k BIGINT) WITH (connector = 'blackhole', type = 'sink');
+    INSERT INTO snk SELECT k FROM src;
+    """
+    with pytest.raises(PlanError, match="'nope'"):
+        Pipeline(spark).run_script(script)
