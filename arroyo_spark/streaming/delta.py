@@ -143,6 +143,58 @@ class DeltaTableSink:
             },
         ]
 
+    def _current_metadata_action(self) -> dict | None:
+        """Latest committed metaData action (the snapshot schema)."""
+        meta = None
+        for v in self._log_versions():
+            with open(self._version_path(v)) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        meta = act["metaData"]
+        return meta
+
+    def _evolution_action(self, batch_df: DataFrame) -> dict | None:
+        """Schema-evolution check for an append (Delta PROTOCOL.md: a
+        schema change is a new ``metaData`` action in the commit).
+        Additive evolution only — the batch must carry EVERY existing
+        column at its existing type (this is an append-only sink: a
+        narrower or retyped batch would silently null out history);
+        genuinely new columns append to the schema in batch order.
+        Returns the new metaData action, or None when unchanged."""
+        cur = self._current_metadata_action()
+        if cur is None:
+            return None
+        old_fields = json.loads(cur["schemaString"])["fields"]
+        old_types = {f["name"]: f["type"] for f in old_fields}
+        new_fields = json.loads(batch_df.schema.json())["fields"]
+        new_types = {f["name"]: f["type"] for f in new_fields}
+        missing = [n for n in old_types if n not in new_types]
+        if missing:
+            raise ValueError(
+                f"append to {self.root} drops existing column(s) "
+                f"{missing} — additive evolution only"
+            )
+        retyped = [
+            n for n, ty in old_types.items() if new_types[n] != ty
+        ]
+        if retyped:
+            raise ValueError(
+                f"append to {self.root} changes type of column(s) "
+                f"{retyped} — additive evolution only"
+            )
+        added = [f for f in new_fields if f["name"] not in old_types]
+        if not added:
+            return None
+        evolved = dict(cur)
+        evolved["schemaString"] = json.dumps(
+            {
+                "type": "struct",
+                "fields": old_fields + added,
+            }
+        )
+        return {"metaData": evolved}
+
     def commit(
         self, batch_df: DataFrame, txn_version: int | None = None
     ) -> bool:
@@ -160,6 +212,13 @@ class DeltaTableSink:
             actions: list[dict] = []
             if next_v == 0:
                 actions.extend(self._metadata_actions(batch_df))
+            else:
+                # additive schema evolution: a widened batch commits a
+                # new metaData action alongside its adds (re-derived per
+                # race retry — the winning writer may have evolved first)
+                evo = self._evolution_action(batch_df)
+                if evo is not None:
+                    actions.append(evo)
             actions.append(
                 {
                     "commitInfo": {
@@ -223,7 +282,15 @@ class DeltaTableSink:
             live = _live_rel_paths(self)
             if not live:
                 return False
-            snap = spark.read.option("basePath", self.root).parquet(
+            # read through the committed snapshot schema: after a
+            # widening append the live set mixes old/new-schema files,
+            # and an inferred read could pick a narrow file's schema and
+            # silently drop the added column from the rewrite
+            snap_reader = spark.read.option("basePath", self.root)
+            snap_schema = _schema_as_of(self, None)
+            if snap_schema is not None:
+                snap_reader = snap_reader.schema(snap_schema)
+            snap = snap_reader.parquet(
                 *[os.path.join(self.root, p) for p in live]
             )
             # partitioned tables bin-pack per partition (each value hashes
@@ -318,7 +385,13 @@ class DeltaTableSink:
                 "file://" + os.path.abspath(os.path.join(self.root, rel)): rel
                 for rel in live
             }
-            snap = spark.read.option("basePath", self.root).parquet(
+            snap_reader = spark.read.option("basePath", self.root)
+            snap_schema = _schema_as_of(self, None)
+            if snap_schema is not None:
+                # same mixed-schema hazard as compact(): rewrite through
+                # the committed snapshot schema, never an inferred one
+                snap_reader = snap_reader.schema(snap_schema)
+            snap = snap_reader.parquet(
                 *[os.path.join(self.root, rel) for rel in live]
             ).withColumn("_f", F.input_file_name())
             hit_files = [
@@ -330,7 +403,10 @@ class DeltaTableSink:
             if not hit_files:
                 return 0
             hit_abs = [os.path.join(self.root, rel) for rel in hit_files]
-            touched = spark.read.option("basePath", self.root).parquet(*hit_abs)
+            touched_reader = spark.read.option("basePath", self.root)
+            if snap_schema is not None:
+                touched_reader = touched_reader.schema(snap_schema)
+            touched = touched_reader.parquet(*hit_abs)
             survivors = touched.filter(f"NOT ({predicate})")
             deleted_df = touched.filter(predicate)
             new_files = self._stage_files(survivors)
@@ -469,6 +545,30 @@ def committed_files(root: str, as_of_version: int | None = None) -> list[str]:
     ]
 
 
+def _schema_as_of(
+    sink: DeltaTableSink, as_of_version: int | None
+) -> "StructType | None":
+    """Snapshot schema = the latest ``metaData`` action at or before the
+    pinned version (Delta's schema-evolution rule: each metaData REPLACES
+    the schema, so a version before the widening commit projects the old
+    columns only)."""
+    from pyspark.sql.types import StructType
+
+    versions = sink._log_versions()
+    if as_of_version is not None:
+        versions = [v for v in versions if v <= as_of_version]
+    meta = None
+    for v in versions:
+        with open(sink._version_path(v)) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "metaData" in act:
+                    meta = act["metaData"]
+    if meta is None:
+        return None
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
 def read_delta(
     spark: SparkSession, root: str, as_of_version: int | None = None
 ) -> DataFrame | None:
@@ -476,12 +576,21 @@ def read_delta(
     does), with time travel: ``as_of_version`` pins the snapshot to that
     committed version (`VERSION AS OF` semantics — possible because
     compaction/VACUUM never delete data files here). Partition columns
-    are recovered from the file paths."""
-    files = committed_files(root, as_of_version)
+    are recovered from the file paths. Reads project through the
+    version's committed metaData schema: files older than a widening
+    commit yield NULL for the added columns, and a version pinned BEFORE
+    the widening projects the old schema exactly."""
+    sink = DeltaTableSink(root)
+    files = [
+        os.path.join(root, p) for p in _live_rel_paths(sink, as_of_version)
+    ]
     if not files:
         return None
-    df = spark.read.option("basePath", root).parquet(*files)
-    return df
+    reader = spark.read.option("basePath", root)
+    schema = _schema_as_of(sink, as_of_version)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*files)
 
 
 def read_delta_cdf(

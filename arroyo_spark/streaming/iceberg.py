@@ -536,6 +536,56 @@ class IcebergTableSink:
         ]
         return {"type": "struct", "schema-id": 0, "fields": fields}
 
+    def _evolve_schema(
+        self, prev: dict, cur_schema: dict, batch_df: DataFrame
+    ) -> dict | None:
+        """Additive schema evolution for an append (Iceberg spec: a new
+        schema with a fresh schema-id; added columns take NEW field ids
+        continuing last-column-id — ids are never reused). The batch must
+        carry every existing column at its existing type (append-only
+        sink: drops/retypes would silently null out history). Returns
+        the evolved schema dict, or None when the schema is unchanged."""
+        old_fields = cur_schema["fields"]
+        old_types = {f["name"]: str(f["type"]) for f in old_fields}
+        new_cols = [
+            (f.name, str(_iceberg_type(f.dataType)))
+            for f in batch_df.schema.fields
+        ]
+        new_types = dict(new_cols)
+        missing = [n for n in old_types if n not in new_types]
+        if missing:
+            raise ValueError(
+                f"append to {self.root} drops existing column(s) "
+                f"{missing} — additive evolution only"
+            )
+        retyped = [n for n, ty in old_types.items() if new_types[n] != ty]
+        if retyped:
+            raise ValueError(
+                f"append to {self.root} changes type of column(s) "
+                f"{retyped} — additive evolution only"
+            )
+        added = [(n, ty) for n, ty in new_cols if n not in old_types]
+        if not added:
+            return None
+        next_field_id = prev.get(
+            "last-column-id", max(f["id"] for f in old_fields)
+        )
+        next_sid = (
+            max(s.get("schema-id", 0) for s in prev["schemas"]) + 1
+        )
+        fields = list(old_fields)
+        for n, ty in added:
+            next_field_id += 1
+            fields.append(
+                {
+                    "id": next_field_id,
+                    "name": n,
+                    "required": False,
+                    "type": ty,
+                }
+            )
+        return {"type": "struct", "schema-id": next_sid, "fields": fields}
+
     def _partition_avro_fields(self, schema_json: dict) -> list[dict]:
         """Typed Avro fields for the r102 partition record, field-ids
         matching the partition spec (1000+i)."""
@@ -719,9 +769,29 @@ class IcebergTableSink:
             prev = self.current_metadata()
         next_v = cur_v + 1
         seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
-        schema_json = (
-            prev["schemas"][0] if prev else self._schema_json(schema_df)
-        )
+        evolved_schema: dict | None = None
+        if prev is None:
+            schema_json = self._schema_json(schema_df)
+        else:
+            cur_sid = prev.get("current-schema-id", 0)
+            schema_json = next(
+                (
+                    s
+                    for s in prev["schemas"]
+                    if s.get("schema-id", 0) == cur_sid
+                ),
+                prev["schemas"][0],
+            )
+            if schema_df is not None:
+                # additive evolution: a widened append commits a NEW
+                # schema (fresh schema-id, fresh field ids) and the
+                # snapshot points at it; rewrites (schema_df=None) keep
+                # the current schema
+                evolved_schema = self._evolve_schema(
+                    prev, schema_json, schema_df
+                )
+                if evolved_schema is not None:
+                    schema_json = evolved_schema
         carried: list[dict] = []
         if carry_parent and prev and prev.get("current-snapshot-id", -1) != -1:
             by_id = {s["snapshot-id"]: s for s in prev["snapshots"]}
@@ -747,7 +817,7 @@ class IcebergTableSink:
             "timestamp-ms": now_ms,
             "manifest-list": mlist,
             "summary": summary,
-            "schema-id": 0,
+            "schema-id": schema_json.get("schema-id", 0),
         }
         if prev and prev.get("current-snapshot-id", -1) != -1:
             snapshot["parent-snapshot-id"] = prev["current-snapshot-id"]
@@ -769,6 +839,12 @@ class IcebergTableSink:
             "metadata-log": [],
         }
         meta = dict(meta)
+        if evolved_schema is not None:
+            meta["schemas"] = list(meta.get("schemas", [])) + [evolved_schema]
+            meta["current-schema-id"] = evolved_schema["schema-id"]
+            meta["last-column-id"] = max(
+                f["id"] for f in evolved_schema["fields"]
+            )
         meta["last-updated-ms"] = now_ms
         meta["last-sequence-number"] = seq
         meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
@@ -849,12 +925,14 @@ class IcebergTableSink:
             if meta is None or meta.get("current-snapshot-id", -1) == -1:
                 return False
             base_v = self.current_version() or 0
-            live = current_data_files(self.root)
-            if not live:
+            # read through the head snapshot's committed schema (the
+            # read_iceberg projection): after a widening append the live
+            # set mixes old/new-schema files, and an inferred read could
+            # pick a narrow file's schema and drop the added column from
+            # the rewrite
+            snap = read_iceberg(spark, self.root)
+            if snap is None:
                 return False
-            snap = spark.read.option(
-                "basePath", os.path.join(self.root, "data")
-            ).parquet(*live)
             # partitioned tables bin-pack per partition (each value
             # hashes to one task -> one file per value); unpartitioned
             # tables collapse to a single file
@@ -988,25 +1066,17 @@ class IcebergTableSink:
             consume_noop(batch_df)
 
 
-def current_data_files(
-    root: str, as_of_sequence: int | None = None
-) -> list[str]:
-    """Replay the metadata chain like a reader: snapshot -> manifest
-    list -> manifests -> live data files. ``as_of_sequence`` pins the
-    read to the snapshot with that sequence-number on the CURRENT
-    chain (Iceberg time travel — sequence-numbers are the monotone
-    commit counter, snapshot-ids are random); None = current."""
-    from arroyo_spark.formats.avro import read_ocf
-
-    sink = IcebergTableSink(root)
-    meta = sink.current_metadata()
+def _resolve_head(meta: dict | None, as_of_sequence: int | None) -> dict | None:
+    """Pin the read snapshot: the current chain's head, or — with
+    ``as_of_sequence`` — the chain ancestor carrying that monotone
+    sequence-number (Iceberg time travel; snapshot-ids are random)."""
     if meta is None or meta.get("current-snapshot-id", -1) == -1:
         if as_of_sequence is not None:
             raise ValueError(
                 f"sequence {as_of_sequence} not in iceberg metadata "
                 "(no snapshots)"
             )
-        return []
+        return None
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     head = by_id[meta["current-snapshot-id"]]
     if as_of_sequence is not None:
@@ -1023,6 +1093,22 @@ def current_data_files(
                 f"sequence {as_of_sequence} not on the current chain "
                 f"(have {have[0]}..{have[-1]})"
             )
+    return head
+
+
+def current_data_files(
+    root: str, as_of_sequence: int | None = None
+) -> list[str]:
+    """Replay the metadata chain like a reader: snapshot -> manifest
+    list -> manifests -> live data files. ``as_of_sequence`` pins the
+    read to the snapshot with that sequence-number on the CURRENT
+    chain; None = current."""
+    from arroyo_spark.formats.avro import read_ocf
+
+    sink = IcebergTableSink(root)
+    head = _resolve_head(sink.current_metadata(), as_of_sequence)
+    if head is None:
+        return []
     # standard reader semantics (ADVICE r15): the pinned snapshot's
     # manifest-list names EVERY live manifest (the sink carries the
     # parent's entries forward on append and truncates on replace), so
@@ -1040,14 +1126,65 @@ def current_data_files(
     return files
 
 
+def _spark_of_iceberg(name: str):
+    """Iceberg type name -> Spark DataType (inverse of _iceberg_type)."""
+    from pyspark.sql import types as T
+
+    scalars = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "string": T.StringType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }
+    if name in scalars:
+        return scalars[name]
+    if name.startswith("decimal"):
+        import re as _re
+
+        p, s = _re.findall(r"\d+", name)
+        return T.DecimalType(int(p), int(s))
+    # containers were stored via simpleString — parse back
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(name)
+
+
 def read_iceberg(
     spark: SparkSession, root: str, as_of_sequence: int | None = None
 ) -> DataFrame | None:
     """Snapshot reader reconstructed from the v2 metadata chain, with
     time travel: ``as_of_sequence`` pins the snapshot by its monotone
-    sequence-number (older snapshots stay readable because the sink
-    never expires them)."""
+    sequence-number (older snapshots stay readable until
+    ``expire_snapshots`` retires them). The read projects through the
+    pinned snapshot's schema-id: files older than a widening append
+    yield NULL for the added columns, and a snapshot pinned BEFORE the
+    widening projects the old schema exactly."""
+    from pyspark.sql.types import StructField, StructType
+
     files = current_data_files(root, as_of_sequence)
     if not files:
         return None
-    return spark.read.option("basePath", os.path.join(root, "data")).parquet(*files)
+    meta = IcebergTableSink(root).current_metadata()
+    head = _resolve_head(meta, as_of_sequence)
+    sid = head.get("schema-id", 0)
+    schema_json = next(
+        (s for s in meta["schemas"] if s.get("schema-id", 0) == sid),
+        meta["schemas"][0],
+    )
+    st = StructType(
+        [
+            StructField(f["name"], _spark_of_iceberg(str(f["type"])), True)
+            for f in schema_json["fields"]
+        ]
+    )
+    return (
+        spark.read.schema(st)
+        .option("basePath", os.path.join(root, "data"))
+        .parquet(*files)
+    )

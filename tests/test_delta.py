@@ -546,3 +546,64 @@ def test_pipeline_delta_source_plan_mode_and_errors(spark, tmp_path):
         Pipeline(spark, mode="plan").run_script(
             script.replace("type = 'source'", "type = 'source', sequence = 1")
         )
+
+
+# -- schema evolution --------------------------------------------------------
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """A widened append commits a new metaData action; old files read
+    NULL for the new column, and a version pinned BEFORE the widening
+    projects the old schema exactly (r15 verdict #5)."""
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    sink.commit(
+        spark.createDataFrame([(3, "x")], "id long, tag string").coalesce(1)
+    )
+    acts = _log_actions(root, 1)
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(metas) == 1
+    fields = json.loads(metas[0]["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["id", "tag"]
+    cur = read_delta(spark, root)
+    assert cur.columns == ["id", "tag"]
+    got = sorted((r["id"], r["tag"]) for r in cur.collect())
+    assert got == [(1, None), (2, None), (3, "x")]
+    # time travel across the evolution boundary: old schema exactly
+    v0 = read_delta(spark, root, as_of_version=0)
+    assert v0.columns == ["id"]
+    assert sorted(r["id"] for r in v0.collect()) == [1, 2]
+
+
+def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(
+        spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1)
+    )
+    with pytest.raises(ValueError, match="drops existing"):
+        sink.commit(spark.createDataFrame([(2,)], "id long").coalesce(1))
+    with pytest.raises(ValueError, match="changes type"):
+        sink.commit(
+            spark.createDataFrame([(2, 9)], "id long, s long").coalesce(1)
+        )
+    # failed appends never commit a version
+    assert sink._log_versions() == [0]
+
+
+def test_compact_preserves_evolved_column(spark, tmp_path):
+    """OPTIMIZE after a widening must rewrite through the snapshot
+    schema — an inferred read picking a narrow file's schema would drop
+    the added column from history."""
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root)
+    sink.commit(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    sink.commit(
+        spark.createDataFrame([(3, "x")], "id long, tag string").coalesce(1)
+    )
+    assert sink.compact(spark) is True
+    got = sorted(
+        (r["id"], r["tag"]) for r in read_delta(spark, root).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "x")]

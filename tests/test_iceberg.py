@@ -671,3 +671,75 @@ def test_pipeline_iceberg_source_missing_column(spark, tmp_path):
     """
     with pytest.raises(PlanError, match="'nope'"):
         Pipeline(spark).run_script(script)
+
+
+# -- schema evolution --------------------------------------------------------
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """A widened append commits a NEW schema (fresh schema-id, field ids
+    continuing last-column-id); the snapshot points at it; old files read
+    NULL for the added column; a sequence pinned BEFORE the widening
+    projects the old schema exactly (r15 verdict #5)."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    sink.commit(
+        spark.createDataFrame([(3, "x")], "id long, tag string").coalesce(1)
+    )
+    meta = sink.current_metadata()
+    assert len(meta["schemas"]) == 2
+    assert meta["current-schema-id"] == 1
+    new_schema = [s for s in meta["schemas"] if s["schema-id"] == 1][0]
+    assert [(f["id"], f["name"]) for f in new_schema["fields"]] == [
+        (1, "id"), (2, "tag")
+    ]
+    assert meta["last-column-id"] == 2
+    snaps = meta["snapshots"]
+    assert snaps[0]["schema-id"] == 0 and snaps[1]["schema-id"] == 1
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["id", "tag"]
+    got = sorted((r["id"], r["tag"]) for r in cur.collect())
+    assert got == [(1, None), (2, None), (3, "x")]
+    s1 = read_iceberg(spark, root, as_of_sequence=1)
+    assert s1.columns == ["id"]
+    assert sorted(r["id"] for r in s1.collect()) == [1, 2]
+
+
+def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(
+        spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1)
+    )
+    with pytest.raises(ValueError, match="drops existing"):
+        sink.commit(spark.createDataFrame([(2,)], "id long").coalesce(1))
+    with pytest.raises(ValueError, match="changes type"):
+        sink.commit(
+            spark.createDataFrame([(2, 9)], "id long, s long").coalesce(1)
+        )
+    assert len(sink.current_metadata()["snapshots"]) == 1
+
+
+def test_rewrite_preserves_evolved_column(spark, tmp_path):
+    """rewrite_files after a widening must go through the head-schema
+    projection, keeping NULLs for the old files' missing column; the
+    replace snapshot keeps the current schema-id."""
+    root = str(tmp_path / "ice")
+    sink = IcebergTableSink(root)
+    sink.commit(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    sink.commit(
+        spark.createDataFrame([(3, "x")], "id long, tag string").coalesce(1)
+    )
+    assert sink.rewrite_files(spark) is True
+    meta = sink.current_metadata()
+    head = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    assert head["schema-id"] == 1
+    got = sorted(
+        (r["id"], r["tag"]) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "x")]
+    assert len(current_data_files(root)) == 1
