@@ -394,12 +394,20 @@ class DeltaTableSink:
             snap = snap_reader.parquet(
                 *[os.path.join(self.root, rel) for rel in live]
             ).withColumn("_f", F.input_file_name())
-            hit_files = [
-                by_abs[r["_f"]]
+            matched = [
+                r["_f"]
                 for r in snap.filter(predicate).select("_f").distinct().collect()
                 # bounded: one row per data file containing a match
-                if r["_f"] in by_abs
             ]
+            unmapped = [f for f in matched if f not in by_abs]
+            if unmapped:
+                # a URI-format drift here would otherwise silently no-op
+                # the delete — fail loudly instead
+                raise RuntimeError(
+                    f"delete_where: input_file_name URIs not in the live "
+                    f"set mapping: {unmapped[:3]}"
+                )
+            hit_files = [by_abs[f] for f in matched]
             if not hit_files:
                 return 0
             hit_abs = [os.path.join(self.root, rel) for rel in hit_files]

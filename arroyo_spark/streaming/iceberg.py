@@ -978,6 +978,8 @@ class IcebergTableSink:
         Returns the deleted data-file paths. Runs through the same
         put-if-absent commit point as writes, so a concurrent append
         never lands on a retired metadata version silently."""
+        from arroyo_spark.formats.avro import read_ocf
+
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
         while True:
@@ -994,8 +996,6 @@ class IcebergTableSink:
                 for m in self._read_manifest_list(s["manifest-list"]):
                     live_manifests.add(m["manifest_path"])
                     with open(m["manifest_path"], "rb") as fh:
-                        from arroyo_spark.formats.avro import read_ocf
-
                         _s, entries = read_ocf(fh.read())
                     for e in entries:
                         live_files.add(e["data_file"]["file_path"])
@@ -1008,8 +1008,6 @@ class IcebergTableSink:
                         continue
                     dead_meta.add(m["manifest_path"])
                     with open(m["manifest_path"], "rb") as fh:
-                        from arroyo_spark.formats.avro import read_ocf
-
                         _s, entries = read_ocf(fh.read())
                     for e in entries:
                         f = e["data_file"]["file_path"]
@@ -1017,7 +1015,6 @@ class IcebergTableSink:
                             dead_files.add(f)
             now_ms = int(time.time() * 1000)
             new_meta = dict(meta)
-            new_meta["snapshots"] = keep
             # the oldest surviving snapshot loses its (now-expired)
             # parent pointer — its lineage starts the retained chain
             keep0 = dict(keep[0])

@@ -607,3 +607,28 @@ def test_compact_preserves_evolved_column(spark, tmp_path):
         (r["id"], r["tag"]) for r in read_delta(spark, root).collect()
     )
     assert got == [(1, None), (2, None), (3, "x")]
+
+
+def test_delete_where_partitioned_with_cdf(spark, tmp_path):
+    """Partitioned copy-on-write delete: only the hit partition's file is
+    rewritten, remove actions carry partitionValues, and the CDF rows
+    keep their partition column values (stored in-file)."""
+    from arroyo_spark.streaming.delta import read_delta_cdf
+
+    root = str(tmp_path / "dt")
+    sink = DeltaTableSink(root, partition_by=["k"])
+    sink.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "v long, k string"
+        )
+    )
+    assert sink.delete_where(spark, "v = 2") == 1
+    got = sorted((r["v"], r["k"]) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a"), (3, "b")]
+    acts = _log_actions(root, 1)
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert [r["partitionValues"] for r in removes] == [{"k": "a"}]
+    assert all("size" in r for r in removes)
+    cdf = read_delta_cdf(spark, root, from_version=1)
+    rows = [(r["v"], r["k"], r["_change_type"]) for r in cdf.collect()]
+    assert rows == [(2, "a", "delete")]
