@@ -573,7 +573,7 @@ def exact_substring_pairs(
     returns (doc_a, doc_b, max_run_tokens).
 
     ``materialize=True`` persists the positioned (doc, pos, hash) shingle
-    stream (DISK_ONLY) before the frequency cap and self-join, collapsing
+    stream (MEMORY_AND_DISK_DESER) before the frequency cap and self-join, collapsing
     the declarative form's duplicated self-join subtrees into a SCAN-ONCE
     plan: the corpus is read and shingled exactly once, and the cap agg +
     both join sides read the cached stream. This is the 100 TB deployment
@@ -591,7 +591,15 @@ def exact_substring_pairs(
     if materialize:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.DISK_ONLY)
+        # r16 optimization round: MEMORY_AND_DISK_DESER replaces
+        # DISK_ONLY — same scan-once plan shape and the same
+        # spill-to-disk behavior once the shingle stream outgrows
+        # executor memory, but while it fits (sf0.1: interleaved
+        # best-of-3 2.37s vs 2.68s) readers skip the serialize/
+        # deserialize round-trip. The un-materialized twin remains
+        # faster at this sf (1.72s) — the crossover the benched pair
+        # exists to expose.
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     keep = (
         sh.groupBy("g")
         .agg(F.countDistinct(id_col).alias("df"))

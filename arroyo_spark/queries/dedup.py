@@ -451,7 +451,8 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_substring_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dedup_exact_substring` with ``materialize=True`` — the 100 TB
     deployment shape: the positioned shingle stream is persisted
-    (DISK_ONLY) so the corpus is scanned and shingled ONCE instead of
+    (MEMORY_AND_DISK_DESER, spills past memory) so the corpus is
+    scanned and shingled ONCE instead of
     once per duplicated self-join subtree (plan-gated to a single
     documents scan). Benched alongside the declarative form so the
     scan-once win is a recorded number, not a docstring promise."""

@@ -1398,8 +1398,15 @@ def retrieval_chunk_attribution(
     — high means the retrieved content is corpus boilerplate)."""
     from arroyo_spark.queries.dedup import cdc_chunk_frame
 
-    hits = bm25_retrieval_topk(spark, sf_dir).select(
-        "query_id", "doc_id", "rn"
+    # hits feeds both the hitdocs restriction and the final join; the
+    # whole BM25 candidate/prune/rank pipeline (incl. its MapInPandas
+    # prune) executed twice un-persisted (plans/r16 before: doubled
+    # Window + MapInPandas subtrees). LAZY persist of the O(queries x
+    # k) hit list collapses it to one pass inside the timed run.
+    hits = (
+        bm25_retrieval_topk(spark, sf_dir)
+        .select("query_id", "doc_id", "rn")
+        .persist()
     )
     chunks = cdc_chunk_frame(spark, sf_dir)
     freq = chunks.groupBy("chash").agg(

@@ -1619,8 +1619,17 @@ def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") % _MM_STRIDE == 0)
 
     micro = F.expr("CAST(round(cos * 1000000) AS BIGINT)")
-    fwd4 = brute_force_topk(b_side, probes, k=_MM_K).withColumn(
-        "cos_micro", micro
+    # each brute_force_topk output feeds 2-3 downstream subtrees; the
+    # MapInPandas corpus-scoring pass above it is NOT dedupable by
+    # exchange reuse, so un-persisted the full corpus scorer executed
+    # 4x (plans/r16 before: 4 MapInPandas nodes). LAZY persist of the
+    # two bounded top-k relations (<= |probes| x k rows) collapses
+    # that to one forward + one backward pass, paid inside the timed
+    # run (guide §4 — eliminate repeated Python-boundary passes).
+    fwd4 = (
+        brute_force_topk(b_side, probes, k=_MM_K)
+        .withColumn("cos_micro", micro)
+        .persist()
     )
     suma = fwd4.groupBy("q_id").agg(
         F.sum("cos_micro").cast("bigint").alias("sum_a")
@@ -1634,7 +1643,7 @@ def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("y_id"),
         F.col("n_id").alias("x_id"),
         "cos_micro",
-    )
+    ).persist()
     sum_b = sumb.groupBy("y_id").agg(
         F.sum("cos_micro").cast("bigint").alias("sum_b")
     )

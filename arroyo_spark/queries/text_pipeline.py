@@ -1376,7 +1376,8 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_quality_ensemble_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`curation_quality_ensemble` at the 100 TB deployment shape: the
-    corpus scan is persisted (DISK_ONLY) before the arms compose, and
+    corpus scan is persisted (MEMORY_AND_DISK_DESER) before the arms
+    compose, and
     Spark's CacheManager substitutes the cached relation into every
     matching subtree — the composed plan reads the corpus ONCE (the
     declarative form re-reads it per arm; plan-gated to a single file
@@ -1385,7 +1386,11 @@ def curation_quality_ensemble_mat(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark import StorageLevel
 
     base = load_table(spark, sf_dir, "documents")
-    base.persist(StorageLevel.DISK_ONLY)
+    # r16 optimization round: MEMORY_AND_DISK_DESER over DISK_ONLY —
+    # identical scan-once plan + spill behavior, no serialize round-trip
+    # while the scan fits (measured on the exact_substring_mat twin:
+    # 2.37s vs 2.68s interleaved best-of-3 at sf0.1)
+    base.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return curation_quality_ensemble(spark, sf_dir)
 
 
@@ -1550,19 +1555,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance score: integer micro-nat sum of
     hashed-feature log-ratios (target / raw), the average log-ratio, and
     the keep verdict (docs the target domain up-weights)."""
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
     # per-(doc, bucket) histogram: ONE tokenize+explode feeds both the
-    # global counts and the scoring join. persist() is LAZY on purpose
-    # (the dedup_exact_substring_mat convention): the build cost lands
-    # inside the consumer's execution — bench runs pay it every timed
-    # run, and the runner-owned clearCache keeps it out of other plans
+    # global counts and the scoring join. r16 optimization round: the
+    # former persist(MEMORY_AND_DISK) was MEASURED SLOWER than relying
+    # on runtime exchange reuse (interleaved best-of-3 at sf0.1:
+    # serialized cache 2.42-2.50s, deserialized 2.35-2.52s, no persist
+    # 1.91-1.98s) — both consumers hash-partition on the identical
+    # (doc_id, source, bucket) key, so AQE's ReusedExchange dedups the
+    # tokenize+explode+partial-agg, and the cache write/read was pure
+    # overhead on top (guide §5: cache only when recomputing beats the
+    # memory pressure — here it never recomputes).
     per = (
         dsir_features(docs)
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = dsir_weight_table(per)
     scored = (
@@ -2878,6 +2885,12 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact control joins distinct token sets cross-source — the shuffle
     the sketch path avoids (here it verifies it)."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE (r16 optimization round, measured): the distinct (source,
+    # token) table feeds four subtrees, but persist()-ing it is a
+    # LOSS here (interleaved A/B at sf0.1: 1.68-2.02s persisted vs
+    # 1.09-1.23s as-is) — the cache build serializes the branches
+    # while runtime exchange reuse already dedups the expensive
+    # tokenize+distinct shuffle. Left un-persisted on evidence.
     items = docs.select(
         F.col("source").alias("grp"),
         F.explode(T.toks("text")).alias("p"),
@@ -4837,20 +4850,24 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = T.toks("text")
     n = F.size(tk)
     toks = docs.select(F.explode(tk).alias("w"))
-    nuni = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
     cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # corpus totals derive from the TYPE tables (sum of per-type counts
+    # == token/bigram count, exact integers): the r16 optimization pass
+    # dropped the two extra corpus tokenize+explode passes that computed
+    # nu/nb directly off the token streams (guide §2.3 "aggregate before
+    # you shuffle" — plans/r16: 4 Generate nodes -> 2)
+    nuni = cw.agg(F.sum("c").cast("bigint").alias("nu"))
     pairs = F.zip_with(
         F.slice(tk, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bg = docs.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
-    nbg = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
-    cbg = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
-        .filter(F.col("n_pair") >= _PMI_FLOOR)
+    cbg_all = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
     )
+    nbg = cbg_all.agg(F.sum("n_pair").cast("bigint").alias("nb"))
+    cbg = cbg_all.filter(F.col("n_pair") >= _PMI_FLOOR)
     c1 = cw.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
     c2 = cw.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
     scored = (

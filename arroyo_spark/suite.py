@@ -496,6 +496,18 @@ _DIRTY_CURRENT_ROUND: set[str] = {
                                     # verdict #6; values identical)
     "sequence_packing_boundaries",  # (same helper move)
     "mm_interleaved_sequences",  # (same helper move — import site)
+    # r16 OPTIMIZATION-round edits (results identical by construction;
+    # re-verify first):
+    "text_pmi_collocations",  # nu/nb derived from type tables (2 fewer
+                              # corpus tokenize passes)
+    "embedding_margin_mining",  # lazy persist of the two bounded top-k
+                                # relations (4 MapInPandas passes -> 2)
+    "retrieval_chunk_attribution",  # lazy persist of the BM25 hit list
+    "dsir_importance_weights",  # persist dropped in favor of runtime
+                                # exchange reuse (measured faster)
+    "curation_pipeline_v2",  # composes dsir_importance_weights
+    "dedup_exact_substring_mat",  # DISK_ONLY -> MEMORY_AND_DISK_DESER
+    "curation_quality_ensemble_mat",  # same storage-level change
 }
 
 

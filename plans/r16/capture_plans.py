@@ -32,6 +32,13 @@ for name, q in sorted(all_queries().items()):
     spark.catalog.clearCache()
     try:
         df = q.fn(spark, sf_dir)
+        if os.environ.get("PLAN_EXECUTE"):
+            # execute first so explain() shows the FINAL adaptive plan
+            # (isFinalPlan=true) including ReusedExchange / cache hits —
+            # the static initial plan duplicates shared subtrees that
+            # runtime exchange reuse dedups, so only the final plan is
+            # honest evidence of execution shape
+            df.count()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
