@@ -27,8 +27,10 @@ Determinism (suite.py conventions):
   df <= N (plain Robertson idf goes negative for df > N/2, which would
   break the non-negative-division arrangement).
 
-Scale (100 TB): ONE corpus tokenize feeds tf; dl and df are windows over
-the (doc_id, word)-bucketed term table (the `tfidf_top_terms` shape); the
+Scale (100 TB): ONE corpus tokenize feeds tf; dl is a window over the
+(doc_id)-keyed term table; df is a map-side-combined groupBy(word)
+count broadcast back onto the query-restricted relation (r16: replaced
+a count-over-Window that shuffled AND sorted the restricted table); the
 query-term table and per-term idf table are query-vocabulary-sized and
 broadcast; candidate generation is a keyed equi-join on word (docs
 sharing no query term are never touched — inverted-index semantics);
@@ -173,15 +175,24 @@ def bm25_candidates_for(
     tf: DataFrame, docs: DataFrame, qterms: DataFrame
 ) -> DataFrame:
     """(query_id, doc_id, tf, dl, df, n_docs, tt) candidate rows for an
-    ARBITRARY (query_id, word) term relation: dl and df as partition
-    windows (the `tfidf_top_terms` shape); the bounded query-term table
-    broadcast onto the word-keyed join — inverted-index candidate
-    generation, docs sharing no query term never shuffle."""
+    ARBITRARY (query_id, word) term relation: the bounded query-term
+    table broadcast onto the word-keyed join — inverted-index candidate
+    generation, docs sharing no query term never shuffle.
+
+    r16 optimization round: df comes from a groupBy(word) count
+    broadcast back onto the restricted relation instead of a
+    count-over-Window partitioned by word. The window forced a full
+    shuffle AND sort of the restricted term table by word; the
+    aggregate is map-side-combined to a query-vocabulary-sized table
+    and broadcast, so the restricted relation is never shuffled for df
+    at all (guide §2.4 — remove shuffles outright). Values identical
+    (exact integer counts)."""
     qwords = qterms.select("word").distinct()
     restricted = tf.join(F.broadcast(qwords), "word")
-    with_df = restricted.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("word")).cast("bigint")
+    dfreq = restricted.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    with_df = restricted.join(F.broadcast(dfreq), "word")
     scal = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     totals = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
     return (

@@ -508,6 +508,16 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "curation_pipeline_v2",  # composes dsir_importance_weights
     "dedup_exact_substring_mat",  # DISK_ONLY -> MEMORY_AND_DISK_DESER
     "curation_quality_ensemble_mat",  # same storage-level change
+    # bm25_candidates_for df: window -> map-side-combined count +
+    # broadcast join (restricted term table no longer shuffled for df);
+    # every query composing the BM25 candidate chain:
+    "bm25_retrieval_topk",
+    "bm25_prf_expansion",
+    "hybrid_retrieval_rrf",
+    "retrieval_eval_report",
+    "bm25_maxp_passages",
+    "bm25_hard_negatives",
+    "retrieval_arm_agreement",
 }
 
 
