@@ -17,9 +17,12 @@ Scale design (this replaced a driver-serial per-row loop):
   before-images) and rewritten; untouched buckets are carried over
   by reference in the commit marker, byte-identical on disk. Per-batch
   I/O is O(changed buckets), not O(total keys).
-- Before-images come from a left join of the batch against just those
-  changed buckets (a keyed shuffle join — broadcast-able while small),
-  envelopes are encoded with ``to_json`` executor-side, and the commit
+- Before-images come from ONE full-outer join of the batch against just
+  those changed buckets (a keyed shuffle join — broadcast-able while
+  small); the same persisted join output also yields the carried-over
+  unchanged keys and the replacement rows, so each micro-batch pays a
+  single keyed join, not an envelope join plus a carry-over anti-join.
+  Envelopes are encoded with ``to_json`` executor-side, and the commit
   marker is renamed atomically so crash replays are no-ops. Superseded
   snapshot directories are garbage-collected (the previous commit's
   dirs are kept for in-flight readers).
@@ -205,23 +208,35 @@ class DebeziumEncoder:
             if self.delete_when is not None
             else F.lit(False),
         )
-        # the batch feeds four jobs (changed-bucket scan, envelope join,
-        # anti-join, snapshot write) — pin it once instead of recomputing
-        # the stateful aggregation per action
+        # the batch feeds the changed-bucket scan and the full-outer join
+        # — pin it once instead of recomputing the stateful aggregation
+        # per action
         batch_df = batch_df.persist()
-        if os.path.exists(self._meta_path()) or self.n_buckets is not None:
-            nb = self._effective_buckets(0)
-        else:  # first commit, auto-sized: count also materializes the persist
-            nb = self._effective_buckets(batch_df.count())
-        prev_buckets = self._last_buckets()
         # changed-bucket ids: a bounded driver read (<= n_buckets ints),
         # NOT row data — it selects which snapshot dirs to touch
-        changed = sorted(
-            r["b"]
-            for r in batch_df.select(self._bucket_expr(nb).alias("b"))
-            .distinct()
-            .collect()  # bounded: changed-bucket ids (<= n_buckets ints)
-        )
+        if os.path.exists(self._meta_path()) or self.n_buckets is not None:
+            nb = self._effective_buckets(0)
+            changed = sorted(
+                r["b"]
+                for r in batch_df.select(self._bucket_expr(nb).alias("b"))
+                .distinct()
+                .collect()  # bounded: changed-bucket ids (<= n_buckets ints)
+            )
+        else:
+            # first auto-sized commit: ONE job (it also materializes the
+            # persist) yields both the key count for bucket sizing and
+            # the changed-bucket ids — pre-buckets at the 4096 maximum
+            # fold exactly onto any auto-sized power-of-two nb because
+            # nb divides 4096 (r16: was a separate count() job)
+            pre = (
+                batch_df.select(self._bucket_expr(4096).alias("b"))
+                .groupBy("b")
+                .count()
+                .collect()  # bounded: <= 4096 (bucket, count) rows
+            )
+            nb = self._effective_buckets(sum(r["count"] for r in pre))
+            changed = sorted({r["b"] % nb for r in pre})
+        prev_buckets = self._last_buckets()
         snap_schema = batch_df.drop(_DEAD).withColumn(
             _LAST_SEEN, F.lit(0).cast("long")
         ).schema
@@ -240,23 +255,31 @@ class DebeziumEncoder:
             prev_full = prev_full.filter(
                 F.col(_LAST_SEEN) >= now_us - self.ttl_us
             )
-        # read twice (envelope join + carry-over anti-join)
-        prev_full = prev_full.persist()
-        prev = prev_full.drop(_LAST_SEEN)
+        # ONE full-outer join replaces the former left join (envelopes) +
+        # anti-join (carry-over): the envelope rows, the carried-over
+        # unchanged keys AND the replacement rows are all slices of the
+        # same persisted join output, so the per-batch shuffle work is
+        # one keyed join of (batch, changed buckets) instead of two
+        # (r16 optimization round, guide §2.4 — phase profile had the
+        # second join as the encoder's largest avoidable cost)
         a = batch_df.alias("__a")
-        b = prev.withColumn(_PRESENT, F.lit(True)).alias("__b")
+        b = prev_full.withColumn(_PRESENT, F.lit(True)).alias("__b")
         # eqNullSafe: NULL group keys are legal and must match themselves
         cond = [
             F.col(f"__a.{k}").eqNullSafe(F.col(f"__b.{k}")) for k in self.pks
         ]
-        joined = a.join(b, on=cond, how="left")
+        joined = a.join(b, on=cond, how="full_outer").persist()
         val_cols = [c for c in cols if c != _DEAD]
         after = F.struct(*[F.col(f"__a.{c}").alias(c) for c in val_cols])
         before = F.struct(*[F.col(f"__b.{c}").alias(c) for c in val_cols])
+        # _DEAD is coalesced non-null on every batch row, so a NULL here
+        # can only mean "this key was absent from the batch" (prev-only
+        # row of the full outer)
+        in_batch = F.col(f"__a.{_DEAD}").isNotNull()
         is_new = F.col(_PRESENT).isNull()
         is_dead = F.col(f"__a.{_DEAD}")
         # a dead row for a never-present key is a no-op (nothing to delete)
-        env = joined.filter(~(is_dead & is_new)).select(
+        env = joined.filter(in_batch & ~(is_dead & is_new)).select(
             F.to_json(
                 F.struct(
                     F.when(is_new, F.lit(None)).otherwise(before).alias("before"),
@@ -283,16 +306,19 @@ class DebeziumEncoder:
 
         # rewrite ONLY the changed buckets: unchanged keys within them
         # (original last-seen) + this batch's rows stamped now; buckets
-        # without changed keys are carried over by reference
-        kept = prev_full.alias("__b").join(
-            batch_df.alias("__a"), on=cond, how="left_anti"
+        # without changed keys are carried over by reference. Both
+        # slices come from the SAME persisted full-outer join output —
+        # no second join, no rescan of the batch or the snapshot.
+        kept = joined.filter(~in_batch).select(
+            *[F.col(f"__b.{c}").alias(c) for c in val_cols],
+            F.col(f"__b.{_LAST_SEEN}").alias(_LAST_SEEN),
         )
-        # dead keys evict their before-image (the anti-join above) and
-        # contribute NO replacement row — post-deletion state by
-        # construction
+        # dead keys evict their before-image (excluded from `kept` by the
+        # join match) and contribute NO replacement row — post-deletion
+        # state by construction
         new_snap = kept.unionByName(
-            batch_df.filter(~F.col(_DEAD))
-            .drop(_DEAD)
+            joined.filter(in_batch & ~is_dead)
+            .select(*[F.col(f"__a.{c}").alias(c) for c in val_cols])
             .withColumn(_LAST_SEEN, F.lit(now_us))
         )
         snap_path = os.path.join(
@@ -306,7 +332,7 @@ class DebeziumEncoder:
             _BUCKET, self._bucket_expr(nb)
         ).write.partitionBy(_BUCKET).parquet(snap_path)
         batch_df.unpersist()
-        prev_full.unpersist()
+        joined.unpersist()
         buckets = dict(prev_buckets)
         for b in changed:
             bpath = os.path.join(snap_path, f"{_BUCKET}={b}")

@@ -85,9 +85,11 @@ def test_encoder_many_partitions_no_driver_loop(spark, tmp_path):
 
     src = inspect.getsource(mod)
     assert "toLocalIterator" not in src
-    # two bounded collect()s allowed: the optional emit capture surface
-    # and the changed-bucket-id read (<= n_buckets ints, not row data)
-    assert src.count("collect()") == 2
+    # three bounded collect()s allowed: the optional emit capture
+    # surface, the changed-bucket-id read (<= n_buckets ints, not row
+    # data), and the first-commit pre-bucket sizing read (<= 4096
+    # (bucket, count) rows)
+    assert src.count("collect()") == 3
 
     enc = DebeziumEncoder(
         ["k"], spool=str(tmp_path / "sp"), state_dir=str(tmp_path / "st")
