@@ -483,7 +483,9 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_deletion_execution",  # ADVICE r15: snapshot MOVED to an
                                  # atexit-owned dir (parquet-backed,
                                  # executor-loss safe) instead of a
-                                 # localCheckpoint pin
+                                 # localCheckpoint pin; ALSO composes
+                                 # the r16-optimized DebeziumEncoder
+                                 # (one full-outer join per batch)
     "iceberg_snapshot_read",  # manifest-lists now carry ALL live
                               # manifests (standard layout); reader is
                               # head-only (ADVICE r15) + rewrite/expiry

@@ -1613,3 +1613,31 @@ def test_skew_salted_join_plan(spark, sf_dir):
 
     join_keys = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
     assert join_keys and "salt" in join_keys.group(1), plan[:3000]
+
+
+def test_exact_substring_declarative_reuses_shingle_exchange(spark, sf_dir):
+    """The un-materialized exact-substring form relies on RUNTIME
+    exchange reuse to keep its corpus scan count down: the two self-join
+    sides are identical subtrees, so AQE must plan one as a
+    ReusedExchange of the other (this round's persist A/B showed the
+    declarative form beats the cached twin at sf0.1 precisely because
+    of this reuse — gate it so a refactor that breaks subtree equality
+    shows up as a plan regression, not a silent 2x shingle pass)."""
+    import contextlib
+    import io
+
+    df = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
+    # execute df's OWN QueryExecution (count() would plan a new one and
+    # leave this plan un-finalized); bounded: pair table at the test sf
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    spark.catalog.clearCache()
+    # the FINAL adaptive plan is the section before the Initial Plan
+    # dump (scan Location lines only render in the initial details, so
+    # scan-counting is meaningless here — the reuse nodes are the gate)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Final Plan" in plan, plan[:1500]
+    assert final.count("ReusedExchange") >= 1, final[:3000]
