@@ -676,10 +676,16 @@ def duplicate_spans(
     full = Window.partitionBy("g").orderBy("doc_id", "pos").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # cnt rides the SAME ordered window spec as the leader extraction:
+    # count over an unbounded frame is order-insensitive (identical
+    # values), and sharing the spec collapses what was two Sort+Window
+    # passes over the full positioned-window relation (sort by g, then
+    # sort by (g, doc_id, pos)) into one sort and one Window operator
+    # (r16 optimization round, guide §2.4)
     ann = wins.select(
         "doc_id",
         "pos",
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("cnt"),
+        F.count(F.lit(1)).over(full).alias("cnt"),
         F.first("doc_id").over(full).alias("leader_doc"),
         F.first("pos").over(full).alias("leader_pos"),
     )

@@ -519,6 +519,13 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "retrieval_eval_report",
     "bm25_maxp_passages",
     "bm25_hard_negatives",
+    # duplicate_spans: cnt rides the ordered window spec (one Sort+
+    # Window pass instead of two; values identical — count over an
+    # unbounded frame is order-insensitive); every composing query:
+    "dedup_substring_spans",
+    "dedup_substring_rebuild",
+    "dedup_span_stats_by_source",
+    "curation_pipeline_v5",
     "retrieval_arm_agreement",
 }
 
