@@ -33,6 +33,22 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
 
 
+def MAT_STORAGE_LEVEL():
+    """Storage level for ``materialize=`` scan-once variants.
+    MEMORY_AND_DISK_DESER is tuned for the benchmarked scale, where the
+    cached stream fits executor memory and readers skip a serialize
+    round-trip (r16: 2.37s vs 2.68s interleaved). At >memory scale the
+    deserialized in-memory tier only adds GC pressure over DISK_ONLY —
+    everything spills anyway — so deployments point
+    ``SPARK_GRAFT_MAT_STORAGE=DISK_ONLY`` at it (ADVICE r16)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_MAT_STORAGE", "MEMORY_AND_DISK_DESER")
+    return getattr(StorageLevel, name)
+
+
 def normalize_text(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
@@ -589,21 +605,21 @@ def exact_substring_pairs(
         F.posexplode(positioned_shingle_hashes("text", k)).alias("pos", "g"),
     )
     if materialize:
-        from pyspark import StorageLevel
-
-        # r16 optimization round: MEMORY_AND_DISK_DESER replaces
-        # DISK_ONLY — same scan-once plan shape and the same
-        # spill-to-disk behavior once the shingle stream outgrows
-        # executor memory, but while it fits (sf0.1: interleaved
-        # best-of-3 2.37s vs 2.68s) readers skip the serialize/
-        # deserialize round-trip. The un-materialized twin remains
-        # faster at this sf (1.72s) — the crossover the benched pair
-        # exists to expose.
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        # MEMORY_AND_DISK_DESER locally, DISK_ONLY for >memory inputs —
+        # see MAT_STORAGE_LEVEL. The un-materialized twin remains faster
+        # at bench sf (runtime exchange reuse) — the crossover the
+        # benched pair exists to expose.
+        sh = sh.persist(MAT_STORAGE_LEVEL())
+    # Frequency cap AND singleton pre-filter (r17, guide §2.3): a shingle
+    # in only one distinct document can never produce a doc_a < doc_b
+    # pair (its self-join fan-out is all same-doc rows, dropped by the
+    # strict inequality), so df >= 2 drops the singleton bulk of the
+    # shingle stream BEFORE both self-join sides form — identical output,
+    # far smaller join inputs.
     keep = (
         sh.groupBy("g")
         .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
         .select("g")
     )
     f = sh.join(keep, "g")

@@ -1414,6 +1414,10 @@ def retrieval_chunk_attribution(
     # prune) executed twice un-persisted (plans/r16 before: doubled
     # Window + MapInPandas subtrees). LAZY persist of the O(queries x
     # k) hit list collapses it to one pass inside the timed run.
+    # Cache lifetime is runner-owned (the dsir convention): the suite
+    # runner / bench clearCache() after each query; library callers
+    # invoking this function directly should clearCache (or unpersist
+    # the returned frame's source) themselves (ADVICE r16).
     hits = (
         bm25_retrieval_topk(spark, sf_dir)
         .select("query_id", "doc_id", "rn")

@@ -1626,6 +1626,9 @@ def embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two bounded top-k relations (<= |probes| x k rows) collapses
     # that to one forward + one backward pass, paid inside the timed
     # run (guide §4 — eliminate repeated Python-boundary passes).
+    # Cache lifetime is runner-owned (the dsir convention): the suite
+    # runner / bench clearCache() after each query; direct library
+    # callers should clearCache/unpersist themselves (ADVICE r16).
     fwd4 = (
         brute_force_topk(b_side, probes, k=_MM_K)
         .withColumn("cos_micro", micro)

@@ -1383,14 +1383,16 @@ def curation_quality_ensemble_mat(spark: SparkSession, sf_dir: str) -> DataFrame
     declarative form re-reads it per arm; plan-gated to a single file
     scan + InMemoryTableScan reuse). Same device as
     `dedup_exact_substring_mat`; identical output, identical oracle."""
-    from pyspark import StorageLevel
+    from arroyo_spark.operators.dedup import MAT_STORAGE_LEVEL
 
     base = load_table(spark, sf_dir, "documents")
-    # r16 optimization round: MEMORY_AND_DISK_DESER over DISK_ONLY —
-    # identical scan-once plan + spill behavior, no serialize round-trip
-    # while the scan fits (measured on the exact_substring_mat twin:
-    # 2.37s vs 2.68s interleaved best-of-3 at sf0.1)
-    base.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # storage level shared with exact_substring_pairs(materialize=True):
+    # MEMORY_AND_DISK_DESER is tuned for the benchmarked scale (cache
+    # fits executor memory; measured 2.37s vs 2.68s interleaved on the
+    # exact_substring_mat twin). For >memory inputs set
+    # SPARK_GRAFT_MAT_STORAGE=DISK_ONLY — the deserialized in-memory
+    # tier buys nothing when everything spills (ADVICE r16).
+    base.persist(MAT_STORAGE_LEVEL())
     return curation_quality_ensemble(spark, sf_dir)
 
 

@@ -18,10 +18,12 @@ Scale design (this replaced a driver-serial per-row loop):
   by reference in the commit marker, byte-identical on disk. Per-batch
   I/O is O(changed buckets), not O(total keys).
 - Before-images come from ONE full-outer join of the batch against just
-  those changed buckets (a keyed shuffle join — broadcast-able while
-  small); the same persisted join output also yields the carried-over
-  unchanged keys and the replacement rows, so each micro-batch pays a
-  single keyed join, not an envelope join plus a carry-over anti-join.
+  those changed buckets. A full-outer equi-join always plans as a
+  shuffled (sort-merge/shuffled-hash) join — Spark cannot broadcast a
+  full-outer build side — so the batch shuffles once per micro-batch;
+  that single keyed shuffle replaces the former envelope left-join plus
+  carry-over anti-join, and the same persisted join output yields the
+  carried-over unchanged keys and the replacement rows too.
   Envelopes are encoded with ``to_json`` executor-side, and the commit
   marker is renamed atomically so crash replays are no-ops. Superseded
   snapshot directories are garbage-collected (the previous commit's
@@ -235,6 +237,13 @@ class DebeziumEncoder:
                 .collect()  # bounded: <= 4096 (bucket, count) rows
             )
             nb = self._effective_buckets(sum(r["count"] for r in pre))
+            # the 4096 pre-bucket fold ((h mod 4096) mod nb == h mod nb)
+            # is only valid when nb divides 4096; the auto-sizing loop
+            # yields powers of two <= 4096 today, but a future sizing
+            # change must not silently misassign changed buckets
+            assert 4096 % nb == 0, (
+                f"pre-bucket fold requires n_buckets | 4096, got {nb}"
+            )
             changed = sorted({r["b"] % nb for r in pre})
         prev_buckets = self._last_buckets()
         snap_schema = batch_df.drop(_DEAD).withColumn(

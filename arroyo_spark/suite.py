@@ -469,6 +469,34 @@ _GREEN_R15 = frozenset(
 )
 
 
+_GREEN_R16 = frozenset(
+    {
+        'bm25_hard_negatives', 'bm25_maxp_passages', 'bm25_prf_expansion',
+        'bm25_retrieval_topk', 'curation_pipeline_v2',
+        'curation_pipeline_v3', 'curation_pipeline_v5',
+        'curation_quality_ensemble_mat', 'dedup_deletion_execution',
+        'dedup_exact_substring_mat', 'dedup_simhash',
+        'dedup_simhash64_hamming', 'dedup_simhash_hamming',
+        'dedup_span_stats_by_source', 'dedup_substring_rebuild',
+        'dedup_substring_spans', 'delta_cdf_read', 'delta_time_travel_read',
+        'doc_fingerprints', 'dsir_importance_weights',
+        'embedding_margin_mining', 'hll_distinct_sketch',
+        'hybrid_retrieval_rrf', 'iceberg_compaction_read',
+        'iceberg_snapshot_read', 'knn_sq8_ann', 'minhash_jaccard_estimate',
+        'mm_audio_features', 'mm_content_dedup', 'mm_interleaved_sequences',
+        'mm_video_frame_stats', 'q1_pricing_summary',
+        'quantile_histogram_sketch', 'retrieval_arm_agreement',
+        'retrieval_chunk_attribution', 'retrieval_eval_report',
+        'sequence_packing_boundaries', 'sequence_packing_gpt_2level',
+        'streaming_asof_last_click', 'streaming_contamination_guard',
+        'streaming_dedup_minhash', 'streaming_hll_distinct',
+        'streaming_quantile_histogram', 'text_bpe_token_counts',
+        'text_gopher_filters', 'text_lang_id', 'text_pmi_collocations',
+        'text_quality_scores', 'text_token_stats', 'text_trigram_kneser_ney',
+    }
+)
+
+
 # Queries whose implementation OR oracle changed in the CURRENT round after
 # their last green check. They sort FIRST (ahead of never-verified queries'
 # peers) so the driver's bounded sweep re-verifies modified code before
@@ -477,62 +505,24 @@ _GREEN_R15 = frozenset(
 # same-round-modified queries; advisor r09 finding: entries must describe
 # edits that actually landed in the round's diff, not anticipated ones).
 _DIRTY_CURRENT_ROUND: set[str] = {
-    # r16 edits (populated as code is touched this round):
-    "streaming_asof_last_click",  # ADVICE r15: NULL-id probes dropped
-                                  # (defined behavior), not crashed on
-    "dedup_deletion_execution",  # ADVICE r15: snapshot MOVED to an
-                                 # atexit-owned dir (parquet-backed,
-                                 # executor-loss safe) instead of a
-                                 # localCheckpoint pin; ALSO composes
-                                 # the r16-optimized DebeziumEncoder
-                                 # (one full-outer join per batch)
-    "iceberg_snapshot_read",  # manifest-lists now carry ALL live
-                              # manifests (standard layout); reader is
-                              # head-only (ADVICE r15) + rewrite/expiry
-                              # maintenance landed in the same module
-    "delta_time_travel_read",  # ADVICE r15: compact() remove actions
-                               # carry partitionValues/size; lost-race
-                               # cleanup removes empty partition dirs
-    "sequence_packing_gpt_2level",  # two_level_prefix_sum moved to
-                                    # operators/partitioning.py (r15
-                                    # verdict #6; values identical)
-    "sequence_packing_boundaries",  # (same helper move)
-    "mm_interleaved_sequences",  # (same helper move — import site)
-    # r16 OPTIMIZATION-round edits (results identical by construction;
-    # re-verify first):
-    "text_pmi_collocations",  # nu/nb derived from type tables (2 fewer
-                              # corpus tokenize passes)
-    "embedding_margin_mining",  # lazy persist of the two bounded top-k
-                                # relations (4 MapInPandas passes -> 2)
-    "retrieval_chunk_attribution",  # lazy persist of the BM25 hit list
-    "dsir_importance_weights",  # persist dropped in favor of runtime
-                                # exchange reuse (measured faster)
-    "curation_pipeline_v2",  # composes dsir_importance_weights
-    "dedup_exact_substring_mat",  # DISK_ONLY -> MEMORY_AND_DISK_DESER
-    "curation_quality_ensemble_mat",  # same storage-level change
-    # bm25_candidates_for df: window -> map-side-combined count +
-    # broadcast join (restricted term table no longer shuffled for df);
-    # every query composing the BM25 candidate chain:
-    "bm25_retrieval_topk",
-    "bm25_prf_expansion",
-    "hybrid_retrieval_rrf",
-    "retrieval_eval_report",
-    "bm25_maxp_passages",
-    "bm25_hard_negatives",
-    # duplicate_spans: cnt rides the ordered window spec (one Sort+
-    # Window pass instead of two; values identical — count over an
-    # unbounded frame is order-insensitive); every composing query:
-    "dedup_substring_spans",
-    "dedup_substring_rebuild",
-    "dedup_span_stats_by_source",
-    "curation_pipeline_v5",
-    "retrieval_arm_agreement",
+    # r17 edits (populated as code is touched this round). Kept small on
+    # purpose: the 14-entry r10-stale residue must drain through this
+    # round's 50-slot window (r16 verdict, "Next round" #3).
+    # exact_substring_pairs: singleton pre-filter (df >= 2) ahead of the
+    # self-join sides (guide §2.3; identical output — a 1-doc shingle
+    # cannot produce a doc_a < doc_b pair) + storage level parameterized:
+    "dedup_exact_substring",
+    "dedup_exact_substring_mat",
+    "curation_quality_ensemble_mat",  # MAT_STORAGE_LEVEL (same default)
+    "dedup_deletion_execution",  # composes DebeziumEncoder (fold assert)
 }
 
 
 def _verification_tier(name: str) -> int:
     if name in _DIRTY_CURRENT_ROUND:
         return -1  # modified this round: re-verify before anything else
+    if name in _GREEN_R16:
+        return 16
     if name in _GREEN_R15:
         return 15
     if name in _GREEN_R14:

@@ -71,64 +71,36 @@ def test_overflow_fresh_precede_remaining_greens_in_tail():
     assert order[68:] == [f"green_{i:02d}" for i in range(8, 20)]
 
 
-def test_real_registry_head_pays_the_r10_staleness_tail():
-    # After the r15 sweep the only remaining driver-ledger debt is the 38
-    # queries whose latest green row is r10 (r15 verdict, "What's missing"
-    # #3 / "Next round" #1). All of them must sit inside this round's
-    # driver window so the r16 sweep drains the r10 tier entirely.
-    r10_stale = {
+def test_real_registry_head_drains_the_r10_residue():
+    # r16 verdict, "Next round" #3: the 14-query r10-stale residue that
+    # the r16 optimization round's dirty load legitimately outranked must
+    # drain THIS round — all 14 sit inside the driver window, every
+    # fresh (dirty) entry also sits inside it, and the remaining head
+    # slots go to the next-oldest tier (r11). This caps the round's
+    # dirty set at 36 entries by construction.
+    r10_residue = {
         "agg_having", "anti_join_no_orders", "count_distinct",
-        "curation_pipeline_v3", "date_functions",
-        "dedup_exact_substring_mat", "dedup_simhash",
-        "dedup_simhash64_hamming", "dedup_simhash_hamming",
-        "doc_fingerprints", "filter_project", "hll_distinct_sketch",
-        "json_extract_props", "knn_sq8_ann", "minhash_jaccard_estimate",
-        "mm_audio_features", "mm_content_dedup", "mm_video_frame_stats",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "quantile_histogram_sketch", "scalar_functions",
-        "semi_join_big_spenders", "stats_aggregates",
-        "streaming_contamination_guard", "streaming_dedup_minhash",
-        "streaming_hll_distinct", "streaming_quantile_histogram",
-        "text_bpe_token_counts", "text_gopher_filters", "text_lang_id",
-        "text_quality_scores", "text_token_stats",
-        "text_trigram_kneser_ney", "union_all_agg",
+        "date_functions", "filter_project", "json_extract_props",
+        "q3_shipping_priority", "q5_region_revenue", "scalar_functions",
+        "semi_join_big_spenders", "stats_aggregates", "union_all_agg",
         "window_running_totals", "window_topk_per_type",
     }
-    # r16 turned out to be the OPTIMIZATION round: 25 queries were
-    # legitimately dirtied by measured plan changes (results identical,
-    # re-proven against the oracles), and a changed query without a
-    # fresh driver row is a bigger risk than a stale green that pytest's
-    # full-registry parity re-proves on every run. So the invariant is
-    # NOT "the whole r10 tier fits" (27 fresh + 37 stale > 50 slots) —
-    # it is: every fresh entry is in the head, and every remaining head
-    # slot is spent on the OLDEST green tier, so the r10 residue is
-    # exactly the overflow and rolls to the front of the r17 window.
     names = list(all_queries())
-    head = names[:_DRIVER_BUDGET]
+    head = set(names[:_DRIVER_BUDGET])
     fresh = [n for n in names if _verification_tier(n) <= 0]
-    assert set(fresh) <= set(head), (
+    assert set(fresh) <= head, (
         "dirty/never-checked entries pushed out of the driver window: "
-        f"{sorted(set(fresh) - set(head))}"
+        f"{sorted(set(fresh) - head)}"
     )
-    head_greens = [n for n in head if _verification_tier(n) > 0]
-    # no head slot is wasted on a younger green while r10 debt exists
-    assert set(head_greens) <= r10_stale, (
-        "head green slots not spent on the oldest tier: "
-        f"{sorted(set(head_greens) - r10_stale)}"
+    assert r10_residue <= head, (
+        "r10 residue not fully inside the driver window (dirty set too "
+        f"large?): {sorted(r10_residue - head)}"
     )
-    assert len(head) == _DRIVER_BUDGET
-    # the residue must be exactly the overflow, queued immediately after
-    # the window (oldest tier first) so r17 drains it. Entries of the
-    # r10 list that were dirtied this round (e.g.
-    # dedup_exact_substring_mat) ride the fresh slice instead.
-    stale_green = r10_stale - set(fresh)
-    residue = sorted(stale_green - set(head))
-    expected_overflow = len(fresh) + len(stale_green) - _DRIVER_BUDGET
-    assert len(residue) == max(expected_overflow, 0), (residue, expected_overflow)
-    after_window = names[_DRIVER_BUDGET : _DRIVER_BUDGET + len(residue)]
-    assert set(after_window) == set(residue), (
-        "r10 residue not queued directly after the window: "
-        f"{sorted(set(residue) - set(after_window))}"
+    # no head slot is wasted on a younger green while r11 debt exists
+    head_greens = {n for n in head if _verification_tier(n) > 0}
+    assert all(_verification_tier(n) <= 11 for n in head_greens), (
+        "head green slots not spent on the oldest tiers: "
+        f"{sorted(n for n in head_greens if _verification_tier(n) > 11)}"
     )
 
 
