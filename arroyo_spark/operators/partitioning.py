@@ -11,6 +11,8 @@ aggregations, which AQE does not split).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -32,18 +34,53 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+# Fan-out sizing for ensure_min_parallelism: one task per this many INPUT
+# bytes (plan-statistics estimate), capped at core count. The call sites
+# are CPU-dense per-row expansions (shingle explode, per-row x |Q| scoring)
+# that inflate their input 30-100x in flight, so the per-task budget is
+# deliberately far below a scan split size — 64 KB of input is a few MB of
+# in-flight work. Interleaved A/B at sf0.1/32 cores (r17, guide §2.2):
+# fanning tiny inputs to all 32 cores paid more in Python-task fan-out and
+# scheduling than the extra cores returned (10-query subtotal 9.12s at
+# width 32 vs 7.49s at 16 / 7.57s at 8; knn_cosine_topk 0.81 -> 0.43s).
+# At scale this path is a no-op either way: file splits already exceed
+# core count, so the cap — not the byte budget — decides, exactly as
+# before. Parameterized for redeployment, not for the local rig.
+_FANOUT_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_BYTES_PER_TASK", str(64 * 1024))
+)
+
+
 def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism when
-    the input has fewer partitions than that (e.g. one small-but-CPU-dense
-    parquet file, which Spark reads as a single split). CPU-heavy per-row
-    expansions (shingling, hashing, embedding math) otherwise run on one
-    core. A no-op at scale, where file splits already exceed core count;
-    below that, the raw-row shuffle is negligible next to the downstream
-    explode it parallelizes."""
+    """Round-robin repartition a too-few-partition input (e.g. one
+    small-but-CPU-dense parquet file, which Spark reads as a single split)
+    up to a fan-out target; CPU-heavy per-row expansions (shingling,
+    hashing, embedding math) otherwise run on one core. The default target
+    scales with the input's estimated size (one task per
+    ``_FANOUT_BYTES_PER_TASK`` input bytes) and is capped at the session's
+    default parallelism. A no-op at scale, where file splits already
+    exceed core count; below that, the raw-row shuffle is negligible next
+    to the downstream explode it parallelizes."""
     if df.isStreaming:
         return df
     sess = df.sparkSession
-    target = target or sess.sparkContext.defaultParallelism
+    cores = sess.sparkContext.defaultParallelism
+    if target is None:
+        try:
+            size = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            size = 0
+        if size > 0:
+            target = max(2, min(cores, -(-size // _FANOUT_BYTES_PER_TASK)))
+        else:
+            target = cores
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -72,12 +72,29 @@ def event_replay_stream(
 
 
 def drain_update_stream(
-    spark: SparkSession, agg: DataFrame, staged_dirs: list[str], prefix: str
+    spark: SparkSession,
+    agg: DataFrame,
+    staged_dirs: list[str],
+    prefix: str,
+    state_partitions: int | None = None,
 ) -> str:
     """Run an update-mode aggregate to a memory sink with availableNow
-    and return the drained table name (established monitor plumbing)."""
+    and return the drained table name (established monitor plumbing).
+
+    ``state_partitions``: pin the new query's state-store partition count
+    (``spark.sql.shuffle.partitions`` at first batch of a fresh
+    checkpoint). State partitions should be sized to KEY CARDINALITY,
+    not core count (bench.py's tumble anchor measured a 3x swing from
+    over-sharding tiny state: every micro-batch pays a per-partition
+    store load/commit). The conf is restored after the drain; each call
+    stages a fresh checkpoint so the pin never conflicts with prior
+    state."""
     name = prefix + uuid.uuid4().hex[:8]
     ck = tempfile.mkdtemp(prefix=prefix + "ck_")
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -91,6 +108,8 @@ def drain_update_stream(
             q.stop()
             raise TimeoutError(f"{prefix}: stream did not drain in 600s")
     finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         for d in staged_dirs:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)

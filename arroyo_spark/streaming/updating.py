@@ -301,45 +301,62 @@ class DebeziumEncoder:
                 {"ignoreNullFields": "false"},
             ).alias("value")
         )
-        persisted = self.spool is not None and self.emit is not None
-        if persisted:
-            env = env.persist()
-        if self.spool is not None:
-            env.write.mode("append").text(self.spool)
-        if self.emit is not None:
-            # golden-test capture surface: bounded by changed keys per batch
-            # bounded: changed keys per batch (golden-test capture surface)
-            self.emit([json.loads(r["value"]) for r in env.collect()])
-        if persisted:
-            env.unpersist()
-
-        # rewrite ONLY the changed buckets: unchanged keys within them
-        # (original last-seen) + this batch's rows stamped now; buckets
-        # without changed keys are carried over by reference. Both
-        # slices come from the SAME persisted full-outer join output —
-        # no second join, no rescan of the batch or the snapshot.
-        kept = joined.filter(~in_batch).select(
-            *[F.col(f"__b.{c}").alias(c) for c in val_cols],
-            F.col(f"__b.{_LAST_SEEN}").alias(_LAST_SEEN),
-        )
-        # dead keys evict their before-image (excluded from `kept` by the
-        # join match) and contribute NO replacement row — post-deletion
-        # state by construction
-        new_snap = kept.unionByName(
-            joined.filter(in_batch & ~is_dead)
-            .select(*[F.col(f"__a.{c}").alias(c) for c in val_cols])
-            .withColumn(_LAST_SEEN, F.lit(now_us))
+        # rewrite ONLY the changed buckets: a full-outer row is either a
+        # carried-over unchanged key (prev side, original last-seen) or a
+        # live batch row (batch side, stamped now); dead keys evict their
+        # before-image and contribute NO replacement row — post-deletion
+        # state by construction. ONE projection of the SAME persisted join
+        # output (r17, guide §2.4): the former two-branch union scanned
+        # the cached join twice; buckets without changed keys are carried
+        # over by reference in the commit marker.
+        new_snap = joined.filter(~(in_batch & is_dead)).select(
+            *[
+                F.when(in_batch, F.col(f"__a.{c}"))
+                .otherwise(F.col(f"__b.{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+            F.when(in_batch, F.lit(now_us))
+            .otherwise(F.col(f"__b.{_LAST_SEEN}"))
+            .alias(_LAST_SEEN),
         )
         snap_path = os.path.join(
             self.state_dir, f"snapshot-{batch_id}-{uuid.uuid4().hex[:8]}"
         )
-        # repartition on the PK hash (Spark's hashpartitioning is the same
-        # pmod(hash) as _bucket_expr) so each bucket directory is written
-        # by one task — one file per bucket instead of tasks×buckets
-        # sliver files
-        new_snap.repartition(nb, *self.pks).withColumn(
-            _BUCKET, self._bucket_expr(nb)
-        ).write.partitionBy(_BUCKET).parquet(snap_path)
+
+        def _write_envelopes() -> None:
+            persisted = self.spool is not None and self.emit is not None
+            e = env.persist() if persisted else env
+            if self.spool is not None:
+                e.write.mode("append").text(self.spool)
+            if self.emit is not None:
+                # bounded: changed keys per batch (golden-test capture
+                # surface)
+                self.emit([json.loads(r["value"]) for r in e.collect()])
+            if persisted:
+                e.unpersist()
+
+        def _write_snapshot() -> None:
+            # repartition on the PK hash (Spark's hashpartitioning is the
+            # same pmod(hash) as _bucket_expr) so each bucket directory is
+            # written by one task — one file per bucket instead of
+            # tasks×buckets sliver files; the exchange reads the cached
+            # join output, not the batch or the snapshot
+            new_snap.repartition(nb, *self.pks).withColumn(
+                _BUCKET, self._bucket_expr(nb)
+            ).write.partitionBy(_BUCKET).parquet(snap_path)
+
+        # the envelope and snapshot jobs consume the same persisted join
+        # and are independent until the commit marker below — overlap them
+        # so one job's task tail back-fills with the other's tasks (guide
+        # §2.6); both must finish (exceptions propagate) before the marker
+        # rename makes the epoch durable
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_env = pool.submit(_write_envelopes)
+            _write_snapshot()
+            f_env.result()
         batch_df.unpersist()
         joined.unpersist()
         buckets = dict(prev_buckets)

@@ -514,7 +514,34 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_exact_substring",
     "dedup_exact_substring_mat",
     "curation_quality_ensemble_mat",  # MAT_STORAGE_LEVEL (same default)
-    "dedup_deletion_execution",  # composes DebeziumEncoder (fold assert)
+    "dedup_deletion_execution",  # composes DebeziumEncoder (fold assert +
+    # single-projection snapshot rewrite, r17 pass 2)
+    # ensure_min_parallelism fan-out target now scales with input size
+    # instead of pinning to core count (guide §2.2, r17 pass 1). Pure
+    # partitioning-width change — results are provably width-independent
+    # (the driver's own 8-core bench leg already runs every consumer at
+    # width 8 and hash-matches). Entries below are the measurement-backed
+    # bench paths re-verified for the rotation; the helper's remaining
+    # consumers share the identical one-line change and ride the local
+    # 270/270 driver-contract simulations:
+    "knn_lsh_ann",
+    "knn_cosine_topk",
+    "embedding_margin_mining",
+    "dedup_minhash_lsh",
+    "dedup_substring_spans",
+    "contamination_5gram_overlap",
+    "corpus_curation_pipeline",
+    "classifier_logreg_train",
+    "bm25_retrieval_topk",
+    "hybrid_retrieval_rrf",
+    "dsir_importance_weights",
+    "text_pmi_collocations",
+    "source_vocab_overlap",
+    "tfidf_top_terms",
+    "sequence_packing_gpt_2level",
+    "dedup_lsh_calibration",
+    # as-of drain state partitions sized to key cardinality (r17 pass 3)
+    "streaming_asof_last_click",
 }
 
 

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for bench-set queries into plans/r17/.
+
+Usage: python plans/r17/capture_plans.py <suffix> [query ...]
+Writes plans/r17/<name>_<suffix>.txt for each bench query (or the named
+subset). Driver-side only; uses sf0.1 like the bench.
+"""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "before"
+ONLY = set(sys.argv[2:])
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from arroyo_spark.session import get_spark
+from arroyo_spark.suite import all_queries
+
+spark = get_spark("plan-capture", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+out_dir = os.path.dirname(os.path.abspath(__file__))
+
+for name, q in sorted(all_queries().items()):
+    if not q.bench:
+        continue
+    if ONLY and name not in ONLY:
+        continue
+    spark.catalog.clearCache()
+    try:
+        df = q.fn(spark, sf_dir)
+        if os.environ.get("PLAN_EXECUTE"):
+            # execute first so explain() shows the FINAL adaptive plan
+            # (isFinalPlan=true) including ReusedExchange / cache hits —
+            # the static initial plan duplicates shared subtrees that
+            # runtime exchange reuse dedups, so only the final plan is
+            # honest evidence of execution shape
+            df.count()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+    except Exception as e:  # noqa: BLE001
+        text = f"ERROR building plan: {e}\n"
+    with open(f"{out_dir}/{name}_{SUFFIX}.txt", "w") as f:
+        f.write(text)
+    print(f"wrote {name}_{SUFFIX}.txt ({len(text)} bytes)", file=sys.stderr)
+spark.stop()
