@@ -1655,10 +1655,10 @@ def sequence_packing_boundaries(
 # registered relations (k-means assignment, quality scores) — the
 # oracle composes their registered oracles as isolated subqueries.
 #
-# Scale: the selection is `bounded_group_topk`'s per-partition prune
-# (O(clusters x q) task state, superset contract) with the exact
-# rank window running on the pruned superset only — no per-cluster
-# sort shuffle of the full corpus.
+# Scale: the rank window's limit filter plans as a JVM
+# WindowGroupLimit(Partial) — O(clusters x q) task state bounds the
+# map side before the exchange, no per-cluster sort shuffle of the
+# full corpus and no Python boundary.
 # ---------------------------------------------------------------------------
 
 _DIVQ_K = 2  # docs kept per cluster
@@ -1694,7 +1694,6 @@ def _diverse_topk_oracle() -> str:
 def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 quality docs per embedding k-means cluster: (cluster,
     doc_id, quality, rk)."""
-    from arroyo_spark.operators.kmv import bounded_group_topk
     from arroyo_spark.queries.similarity import embedding_kmeans_clusters
     from arroyo_spark.queries.text import text_quality_scores
 
@@ -1706,14 +1705,14 @@ def curation_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         "doc_id",
         "quality",
-        (-F.col("quality")).alias("_neg_q"),
     )
-    pruned = bounded_group_topk(j, "cluster", "_neg_q", _DIVQ_K)
+    # WindowGroupLimit bounds the map side to top-_DIVQ_K per cluster
+    # before the exchange (former Python prune, now JVM-side; guide §4)
     w = Window.partitionBy("cluster").orderBy(
         F.col("quality").desc(), "doc_id"
     )
     return (
-        pruned.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        j.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _DIVQ_K)
         .select("cluster", "doc_id", "quality", "rk")
     )

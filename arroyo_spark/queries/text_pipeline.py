@@ -3569,7 +3569,8 @@ def topk_distributed_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half-up micro BIGINT and its derived double.
 #
 # Scale: one (source, word) count shuffle; top-K per source via the
-# bounded_group_topk prune (O(sources x K) state, no vocab sort); the
+# rank window's WindowGroupLimit map-side bound (O(sources x K)
+# state, no vocab sort, no Python boundary); the
 # regression runs driver-side on the bounded sources x K collect (the
 # embedding_pca_power bounded-statistics pattern); T/V aggregates stay
 # distributed and the K-row slope table broadcasts back.
@@ -3651,18 +3652,17 @@ ZIPF_ORACLE = f"""
 def corpus_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Zipf slope over the top-32 words + exact vocab/token
     counts and type-token ratio."""
-    from arroyo_spark.operators.kmv import bounded_group_topk
 
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("source", F.explode(T.toks("text")).alias("word"))
     wc = w.groupBy("source", "word").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    pruned = bounded_group_topk(
-        wc.withColumn("neg_c", -F.col("c")), "source", "neg_c", _ZIPF_K
-    )
+    # rank-limit filter directly above the window: WindowGroupLimit
+    # bounds each map task to its own top-_ZIPF_K per source before the
+    # exchange (former Python prune, now JVM-side; guide §4)
     ranked = (
-        pruned.withColumn(
+        wc.withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("source").orderBy(

@@ -420,8 +420,8 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
 # Scale (100 TB): the corpus is scanned ONCE into the word-TYPE table
 # (Zipf-bounded, shuffled as (word, count) partials); substring candidates
 # explode 48x per word TYPE, not per token; the seed selection is the
-# bounded_group_topk per-partition prune + an exact rank of the pruned
-# rows; each EM iteration is one mapInPandas Viterbi over word types with
+# rank window's WindowGroupLimit map-side top-V bound (no Python
+# boundary); each EM iteration is one mapInPandas Viterbi over word types with
 # the vocab-sized cost dict broadcast, one (piece, freq) partial aggregate,
 # and a vocab-sized driver collect — the PCA/k-means bounded-statistics
 # class. The DuckDB oracle replays both iterations as fully-unrolled
@@ -639,7 +639,6 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from arroyo_spark.operators import text as T
-    from arroyo_spark.operators.kmv import bounded_group_topk
 
     wt = (
         load_table(spark, sf_dir, "documents")
@@ -670,19 +669,14 @@ def tokenizer_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chars = subs.filter(F.length("sub") == 1)
     multi = subs.filter(F.length("sub") > 1)
-    # scale path: per-partition prune to a top-V superset (ties kept),
-    # then the exact (cnt DESC, sub) rank runs on <= partitions x V rows
-    pruned = bounded_group_topk(
-        multi.withColumn("_g", F.lit("g")).withColumn(
-            "neg", -F.col("cnt")
-        ),
-        "_g",
-        "neg",
-        _UL_V,
-    )
+    # scale path: the rn <= V filter right above the window plans as a
+    # WindowGroupLimit(Partial) — each map task keeps its own top-V by
+    # (cnt DESC, sub), so only <= partitions x V rows reach the
+    # single-group reducer (the former Python bounded_group_topk prune,
+    # now JVM-side with no Arrow round trip — guide §4)
     from pyspark.sql import Window as W
 
-    ranked = pruned.withColumn(
+    ranked = multi.withColumn("_g", F.lit("g")).withColumn(
         "rn",
         F.row_number().over(
             W.partitionBy("_g").orderBy(F.desc("cnt"), F.asc("sub"))
@@ -1052,7 +1046,6 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from arroyo_spark.operators import text as T
-    from arroyo_spark.operators.kmv import bounded_group_topk
     from pyspark.sql import Window as W
 
     import pandas as pd
@@ -1084,13 +1077,8 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chars = subs.filter(F.length("sub") == 1)
     multi = subs.filter(F.length("sub") > 1)
-    pruned0 = bounded_group_topk(
-        multi.withColumn("_g", F.lit("g")).withColumn("neg", -F.col("cnt")),
-        "_g",
-        "neg",
-        _UL_V,
-    )
-    ranked = pruned0.withColumn(
+    # WindowGroupLimit map-side top-V bound (see tokenizer_unigram_lm)
+    ranked = multi.withColumn("_g", F.lit("g")).withColumn(
         "rn",
         F.row_number().over(
             W.partitionBy("_g").orderBy(F.desc("cnt"), F.asc("sub"))

@@ -542,6 +542,25 @@ _DIRTY_CURRENT_ROUND: set[str] = {
     "dedup_lsh_calibration",
     # as-of drain state partitions sized to key cardinality (r17 pass 3)
     "streaming_asof_last_click",
+    # Python bounded_group_topk prune replaced by the JVM
+    # WindowGroupLimit map-side bound at the 7 prune->exact-rank-window
+    # sites (r17 pass 4, guide §4): every registered query whose plan
+    # contains one of those windows. bm25_retrieval_topk /
+    # hybrid_retrieval_rrf / tfidf_top_terms etc. already dirty above.
+    "bm25_prf_expansion",
+    "ql_dirichlet_topk",
+    "bm25_maxp_passages",
+    "bm25_hard_negatives",
+    "retrieval_eval_report",
+    "retrieval_arm_agreement",
+    "tokenizer_unigram_lm",
+    "tokenizer_unigram_prune",
+    "tokenizer_unigram_encode",
+    "tokenizer_vocab_overlap",
+    "tokenizer_family_report",  # composes tokenizer_unigram_encode
+    "curation_diverse_topk",
+    "contrastive_negative_sampling",
+    "corpus_zipf_diagnostics",
 }
 
 

@@ -18,17 +18,34 @@ from arroyo_spark.suite import all_queries
 
 QUERIES = all_queries()
 
+# session-scoped plan memo: a query's formatted plan is deterministic per
+# (session, sf_dir), and building one can be expensive (eager
+# localCheckpoints / collects / streaming drains inside q.fn()). 81 plan
+# gates plus the 270-query blanket cartesian gate each used to rebuild
+# from scratch — the memo makes every plan build exactly once per run.
+_PLAN_MEMO: dict[str, str] = {}
 
-def plan_of(spark, sf_dir, name: str) -> str:
+_INMEM = ("InMemoryTableScan", "InMemoryRelation")
+
+
+def _build_plan(spark, sf_dir, name: str) -> str:
     df = QUERIES[name].fn(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    if name in _PLAN_MEMO:
+        return _PLAN_MEMO[name]
+    plan = _build_plan(spark, sf_dir, name)
     # queries with materialize= persist an intermediate at build time;
     # drop it so cached subtrees never leak into OTHER queries' plans
     # (CacheManager substitutes matching subtrees session-wide)
     spark.catalog.clearCache()
-    return buf.getvalue()
+    _PLAN_MEMO[name] = plan
+    return plan
 
 
 def test_q1_scan_pushdown(spark, sf_dir):
@@ -152,17 +169,56 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Blanket gate: NO suite query may contain a CartesianProduct — at
     100 TB a cartesian is always a bug. (Broadcast nested-loop joins of
-    1-row scalar aggregates are fine and are asserted per-query.)"""
-    offenders = []
-    for name in sorted(QUERIES):
+    1-row scalar aggregates are fine and are asserted per-query.)
+
+    Plans are built in a thread pool (build-time jobs overlap on the
+    local cores; was the single most expensive test at ~520 s serial).
+    Cache hygiene: a concurrent build of a persisting query can leak an
+    InMemoryRelation into another plan (CacheManager substitutes matching
+    subtrees session-wide), which could HIDE a subtree from this gate —
+    any plan carrying an InMemory marker is therefore rebuilt serially
+    through the cache-hygienic `plan_of` before being judged, and only
+    marker-free parallel plans enter the memo."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    offenders, retry = [], []
+
+    def build(name: str) -> str:
+        plan = _build_plan(spark, sf_dir, name)
+        if any(m in plan for m in _INMEM):
+            # this build (or a concurrent one) registered a persist:
+            # drop it now to bound how many in-flight plans it taints
+            spark.catalog.clearCache()
+        return plan
+
+    todo = sorted(n for n in QUERIES if n not in _PLAN_MEMO)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {n: pool.submit(build, n) for n in todo}
+        for name in todo:
+            try:
+                plan = futs[name].result()
+            except Exception as e:  # pragma: no cover - plan must build
+                offenders.append(f"{name}: plan failed: {e}")
+                continue
+            if any(m in plan for m in _INMEM):
+                retry.append(name)
+                continue
+            _PLAN_MEMO[name] = plan
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+    spark.catalog.clearCache()
+    for name in retry:
         try:
             plan = plan_of(spark, sf_dir, name)
-        except Exception as e:  # pragma: no cover - plan must at least build
+        except Exception as e:  # pragma: no cover - plan must build
             offenders.append(f"{name}: plan failed: {e}")
             continue
         if "CartesianProduct" in plan:
             offenders.append(name)
-    assert not offenders, offenders
+    for name in sorted(_PLAN_MEMO):
+        if name in QUERIES and "CartesianProduct" in _PLAN_MEMO[name]:
+            offenders.append(name)
+    assert not offenders, sorted(set(offenders))
 
 
 def _fact_scans(plan: str, table: str) -> list[str]:
@@ -1343,7 +1399,11 @@ def test_bm25_checkpointed_term_table_no_text_rescan(spark, sf_dir):
     assert not any("text" in r for r in reads), plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" in plan  # bounded_group_topk prune, not a sort
+    # top-k bounding is the JVM WindowGroupLimit map-side prune (r17:
+    # replaced the Python bounded_group_topk pass — no Python boundary
+    # may reappear in this path)
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "MapInPandas" not in plan, plan[:3000]
 
 
 def test_dedup_incremental_two_text_scans(spark, sf_dir):
