@@ -9,7 +9,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from arroyo_spark.session import get_spark
 
-    spark = get_spark("arroyo-spark-tests", cpus=4, shuffle_partitions=4)
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
+    spark = get_spark("arroyo-spark-tests", cpus=cpus, shuffle_partitions=cpus)
     yield spark
     spark.stop()
 

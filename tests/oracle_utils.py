@@ -8,6 +8,39 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# Session-scoped memos filled as the parity battery runs (it builds and
+# executes EVERY registered query exactly once, serially, with a
+# clearCache between queries — the same cache hygiene test_plans.plan_of
+# provides). Capturing the formatted plan at build time is ~free
+# (string render of the un-executed QueryExecution), and keeping the
+# collected pandas frame lets later structural tests (recall gates,
+# sketch-accuracy gates) reuse results instead of re-running multi-job
+# query builds. Both are sound because every suite query is
+# deterministic per (session, sf_dir) — the property the whole oracle
+# battery exists to enforce.
+PLAN_MEMO: dict[str, str] = {}
+RESULT_MEMO: dict[str, pd.DataFrame] = {}
+_RESULT_MEMO_MAX_CELLS = 2_000_000  # don't hoard unexpectedly wide results
+
+
+def formatted_plan(spark, df) -> str:
+    """Thread-safe .explain('formatted') capture (returns, not prints)."""
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def result_of(spark, q, sf_dir: str) -> pd.DataFrame:
+    """The query's collected result, from the parity run when available."""
+    if q.name in RESULT_MEMO:
+        return RESULT_MEMO[q.name]
+    sp_df = q.fn(spark, sf_dir).toPandas()
+    spark.catalog.clearCache()
+    if sp_df.size <= _RESULT_MEMO_MAX_CELLS:
+        RESULT_MEMO[q.name] = sp_df
+    return sp_df
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -72,12 +105,16 @@ def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
 
 
 def run_query_vs_oracle(spark, duck, q, sf_dir: str) -> list[str]:
-    sp_df = q.fn(spark, sf_dir).toPandas()
+    df = q.fn(spark, sf_dir)
+    PLAN_MEMO[q.name] = formatted_plan(spark, df)
+    sp_df = df.toPandas()
     # materialize= variants persist relations (some persist the bare
     # corpus scan, which CacheManager would substitute into EVERY later
     # query's plan session-wide) — drop caches so each parity check
     # exercises the real parquet path
     spark.catalog.clearCache()
+    if sp_df.size <= _RESULT_MEMO_MAX_CELLS:
+        RESULT_MEMO[q.name] = sp_df
     if q.oracle is None:
         return [] if len(sp_df) >= 0 else ["spark query failed"]
     du_df = duck.execute(q.oracle).df()
